@@ -1,0 +1,166 @@
+"""Bag-of-words language model.
+
+Scoring parity with the reference (opentapioca/languagemodel.py:21-88):
+`log_likelihood(phrase) = Σ_w [log(smoothing + count[w])] − n·log(smoothing·(1+V) + total)`
+with smoothing=1 and a save threshold that drops words with count < 2.
+
+Training is NOT the reference's single-threaded loop: it is a Ray Data
+aggregation — per-row distinct-word extraction (`flat_map` semantics inside
+`map_batches`) followed by a `groupby("word").count()` shuffle with partial
+pre-aggregation, scaling to arbitrarily many documents (reference
+languagemodel.py:91-123 trains in one process).
+"""
+
+from __future__ import annotations
+
+import json
+from math import log
+
+import pyarrow as pa
+
+from opentapioca_ray.functions.text import tokenize
+
+
+class BOWLanguageModel:
+    """In-memory scoring state; broadcast to actors via `ray.put`."""
+
+    def __init__(self, smoothing: int = 1, threshold: int = 2):
+        self.total_count = 0
+        self.word_count: dict[str, int] = {}
+        self.smoothing = smoothing
+        self.threshold = threshold
+        self._log_quotient: float | None = None
+
+    def ingest(self, words) -> None:
+        for word in words:
+            self.word_count[word] = self.word_count.get(word, 0) + 1
+        self.total_count += len(words)
+        self._log_quotient = None
+
+    def ingest_phrases(self, phrases) -> None:
+        """Dedup words across the phrases of one entity, then count
+        (reference languagemodel.py:37-45)."""
+        word_set = set()
+        for phrase in phrases:
+            word_set |= set(tokenize(phrase))
+        self.ingest(word_set)
+
+    def log_likelihood(self, phrase: str) -> float:
+        return sum(self._word_log_likelihood(w) for w in tokenize(phrase))
+
+    def _word_log_likelihood(self, word: str) -> float:
+        if self._log_quotient is None:
+            self._update_log_quotient()
+        return log(float(self.smoothing + self.word_count.get(word, 0))) - self._log_quotient
+
+    def _update_log_quotient(self) -> None:
+        self._log_quotient = log(
+            self.smoothing * (1 + len(self.word_count)) + self.total_count
+        )
+
+    # -- persistence: JSON instead of pickle (same content as the reference's
+    # pickled dict: total_count + thresholded (word,count) pairs,
+    # languagemodel.py:78-88).
+    def save(self, filename: str) -> None:
+        with open(filename, "w") as f:
+            json.dump(
+                {
+                    "total_count": self.total_count,
+                    "word_count": [
+                        (w, c) for w, c in self.word_count.items() if c >= self.threshold
+                    ],
+                },
+                f,
+            )
+
+    def load(self, filename: str) -> None:
+        with open(filename) as f:
+            dct = json.load(f)
+        self.total_count = dct["total_count"]
+        self.word_count = dict(dct["word_count"])
+        self._update_log_quotient()
+
+    @classmethod
+    def from_counts(cls, word_count: dict[str, int], total_count: int) -> "BOWLanguageModel":
+        bow = cls()
+        bow.word_count = dict(word_count)
+        bow.total_count = total_count
+        bow._update_log_quotient()
+        return bow
+
+
+# ---------------------------------------------------------------------------
+# Distributed training (Ray Data)
+# ---------------------------------------------------------------------------
+
+def distinct_words_batch(batch: pa.Table, text_column: str) -> pa.Table:
+    """Per-row distinct tokens -> one output row per (row, word).
+
+    The flat_map half of the BOW aggregation; runs vectorized over an Arrow
+    batch. Dedup-per-row mirrors `ingest_phrases` set semantics.
+    """
+    words: list[str] = []
+    for text in batch.column(text_column).to_pylist():
+        if text:
+            words.extend(set(tokenize(text)))
+    return pa.table({"word": pa.array(words, type=pa.string())})
+
+
+def partial_word_counts(batch: pa.Table, text_column: str) -> pa.Table:
+    """Combiner: count distinct-per-row words inside the batch BEFORE the
+    shuffle, so the groupby moves (word, partial_count) not raw tokens."""
+    counts: dict[str, int] = {}
+    n_rows = 0
+    for text in batch.column(text_column).to_pylist():
+        if text:
+            ws = set(tokenize(text))
+            n_rows += len(ws)
+            for w in ws:
+                counts[w] = counts.get(w, 0) + 1
+    return pa.table(
+        {
+            "word": pa.array(list(counts.keys()), type=pa.string()),
+            "count": pa.array(list(counts.values()), type=pa.int64()),
+        }
+    )
+
+
+def train_bow(ds, text_column: str = "text", threshold: int = 2):
+    """documents Dataset -> (word_counts Dataset, total_count int).
+
+    Pipeline: map_batches(partial combiner) -> groupby(word).sum -> filter.
+    `total_count` is the number of (row, distinct word) pairs BEFORE
+    thresholding (reference counts every ingested word, then thresholds only
+    at save time — languagemodel.py:78-88).
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    partial = ds.map_batches(
+        lambda b: partial_word_counts(b, text_column),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    counts = partial.groupby("word").aggregate(Sum("count", alias_name="count"))
+    total = counts.sum("count")
+    kept = counts.filter(
+        expr=f"count >= {threshold}"
+    ) if hasattr(counts, "filter") else counts
+    return kept, int(total or 0)
+
+
+def bow_from_dataset(ds, text_column: str = "text", threshold: int = 2) -> BOWLanguageModel:
+    """Materialize the trained counts into a broadcastable scoring model.
+
+    The counts table is the small side (vocabulary), safe to collect.
+    """
+    kept, total = train_bow(ds, text_column, threshold)
+    tbl = kept.to_arrow_refs()
+    import ray
+
+    word_count: dict[str, int] = {}
+    for ref in tbl:
+        t = ray.get(ref)
+        for w, c in zip(t.column("word").to_pylist(), t.column("count").to_pylist()):
+            word_count[w] = int(c)
+    return BOWLanguageModel.from_counts(word_count, total)
