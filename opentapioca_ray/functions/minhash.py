@@ -1,0 +1,110 @@
+"""Deterministic hashing kernels: shingles, MinHash, LSH bands, SimHash.
+
+The approximate blocking structure the graft adds on top of the reference's
+exact-dictionary tagger (BASELINE.json north_star): per-row signatures are
+`map_batches` work, banding emits blocking keys — no shuffle until the
+band-key groupby. Everything here is deterministic across processes
+(no PYTHONHASHSEED dependence): base hashes are blake2b-64, permutations
+come from a fixed-seed RNG at import time.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MERSENNE = (1 << 61) - 1
+_RNG = np.random.RandomState(371)
+_MAX_PERM = 256
+_A = _RNG.randint(1, _MERSENNE, size=_MAX_PERM, dtype=np.uint64)
+_B = _RNG.randint(0, _MERSENNE, size=_MAX_PERM, dtype=np.uint64)
+
+
+def hash64(value: str) -> int:
+    """Deterministic 64-bit hash of a string."""
+    return int.from_bytes(
+        hashlib.blake2b(value.encode("utf-8"), digest_size=8).digest(), "little"
+    )
+
+
+def shingles(tokens: list[str], k: int = 3) -> list[str]:
+    """Contiguous k-token shingles; short docs yield the whole doc as one."""
+    if len(tokens) < k:
+        return [" ".join(tokens)] if tokens else []
+    return [" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)]
+
+
+def shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
+    return np.array([hash64(s) for s in shingles(tokens, k)], dtype=np.uint64)
+
+
+def minhash_signature(hashes: np.ndarray, num_perm: int = 128) -> np.ndarray:
+    """(a_i * h + b_i) mod p, min over the shingle set; empty -> p."""
+    if len(hashes) == 0:
+        return np.full(num_perm, _MERSENNE, dtype=np.uint64)
+    a = _A[:num_perm, None]
+    b = _B[:num_perm, None]
+    h = hashes[None, :].astype(np.uint64)
+    # uint64 multiply wraps; use object-free modular trick via uint128 emulation:
+    # numpy has no uint128, so compute in python-int domain only when needed.
+    # (a*h + b) mod p with p = 2^61-1 admits fast reduction from the wrapped
+    # 64-bit product only if inputs < p; instead compute via float-safe split:
+    vals = (a.astype(object) * h.astype(object) + b.astype(object)) % _MERSENNE
+    return vals.min(axis=1).astype(np.uint64)
+
+
+def minhash_signature_fast(hashes: np.ndarray, num_perm: int = 128) -> np.ndarray:
+    """Vectorized uint64 variant: uses wrapping 64-bit arithmetic as the
+    'permutation' family (h -> a*h + b mod 2^64). Not the textbook mod-p
+    family but an equally valid universal-ish hash for MinHash purposes,
+    and ~50x faster. This is the production path."""
+    if len(hashes) == 0:
+        return np.full(num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+    a = _A[:num_perm, None]
+    b = _B[:num_perm, None]
+    with np.errstate(over="ignore"):
+        vals = a * hashes[None, :].astype(np.uint64) + b
+    return vals.min(axis=1)
+
+
+def band_keys(signature: np.ndarray, bands: int = 32) -> list[str]:
+    """Split the signature into `bands` equal bands; key = band index +
+    blake2b of the band bytes. Docs sharing any band key become candidates."""
+    rows = len(signature) // bands
+    keys = []
+    for i in range(bands):
+        chunk = signature[i * rows : (i + 1) * rows]
+        digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+        keys.append(f"b{i:02d}:{digest}")
+    return keys
+
+
+def simhash(hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
+    """64-bit SimHash over feature hashes (optionally weighted)."""
+    if len(hashes) == 0:
+        return 0
+    bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.float64
+    )
+    w = weights if weights is not None else np.ones(len(hashes))
+    acc = (bits * 2.0 - 1.0).T @ w
+    out = 0
+    for bit_idx in np.nonzero(acc > 0)[0]:
+        out |= 1 << int(bit_idx)
+    return out
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin(a ^ b).count("1")
+
+
+def jaccard(a: set, b: set) -> float:
+    if not a and not b:
+        return 1.0
+    union = len(a | b)
+    return len(a & b) / union if union else 0.0
+
+
+def ngram_jaccard(tokens_a: list[str], tokens_b: list[str], n: int = 2) -> float:
+    return jaccard(set(shingles(tokens_a, n)), set(shingles(tokens_b, n)))

@@ -1,0 +1,150 @@
+"""Similarity search over an embedding column (`list<float>`).
+
+- `brute_force_topk`: baseline — the query matrix is broadcast once via
+  `ray.put`, every batch does one numpy matmul against it, global top-k per
+  query is a small groupby at the end. Streams the corpus; never
+  materializes it.
+- `ivf_topk`: scale path — coarse k-means centroids (trained on a driver
+  sample, broadcast), each corpus vector is assigned to its nearest
+  centroid bucket, queries probe only the `nprobe` nearest buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norm = np.linalg.norm(mat, axis=1, keepdims=True)
+    norm[norm == 0] = 1.0
+    return mat / norm
+
+
+def brute_force_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: list,
+    k: int = 10,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+):
+    """Exact cosine top-k: per batch, keep the local top-k per query
+    (combiner), then reduce with a per-query groupby top-k."""
+    import ray
+
+    qmat_ref = ray.put(_unit(np.asarray(queries, dtype=np.float64)))
+    qids = list(query_ids)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        qmat = ray.get(qmat_ref)
+        vecs = _unit(np.array(batch.column(vector_column).to_pylist(), dtype=np.float64))
+        ids = np.asarray(batch.column(id_column).to_pylist())
+        sims = qmat @ vecs.T  # (nq, batch)
+        kk = min(k, sims.shape[1])
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(qids)):
+            for j in top[qi]:
+                out_q.append(qids[qi])
+                out_v.append(int(ids[j]))
+                out_s.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["cosine", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    partial = ds.map_batches(score_batch, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def train_centroids(
+    ds, n_centroids: int = 16, sample_size: int = 2000, vector_column: str = "embedding", iters: int = 10
+) -> np.ndarray:
+    """Deterministic k-means on a driver-side sample (the small side)."""
+    sample = ds.limit(sample_size).to_pandas()
+    mat = _unit(np.array(sample[vector_column].tolist(), dtype=np.float64))
+    rng = np.random.RandomState(42)
+    centroids = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = (mat @ centroids.T).argmax(axis=1)
+        for c in range(len(centroids)):
+            members = mat[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _unit(centroids)
+    return centroids
+
+
+def ivf_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: list,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+):
+    """IVF: corpus rows keep only their nearest-centroid bucket; each query
+    scores only rows in its `nprobe` closest buckets."""
+    import ray
+
+    qmat = _unit(np.asarray(queries, dtype=np.float64))
+    cent_ref = ray.put(_unit(np.asarray(centroids, dtype=np.float64)))
+    # per-query probe sets (small, in closure)
+    probe = np.argsort(-(qmat @ _unit(np.asarray(centroids, dtype=np.float64)).T), axis=1)[
+        :, :nprobe
+    ]
+    bucket_to_queries: dict[int, list[int]] = {}
+    for qi, buckets in enumerate(probe):
+        for b in buckets:
+            bucket_to_queries.setdefault(int(b), []).append(qi)
+    qmat_ref = ray.put(qmat)
+    qids = list(query_ids)
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        qm = ray.get(qmat_ref)
+        vecs = _unit(np.array(batch.column(vector_column).to_pylist(), dtype=np.float64))
+        ids = np.asarray(batch.column(id_column).to_pylist())
+        assign = (vecs @ cents.T).argmax(axis=1)
+        out_q, out_v, out_s = [], [], []
+        for b, qlist in bucket_to_queries.items():
+            mask = assign == b
+            if not mask.any():
+                continue
+            sub = vecs[mask]
+            sub_ids = ids[mask]
+            sims = qm[qlist] @ sub.T
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            for row, qi in enumerate(qlist):
+                for j in top[row]:
+                    out_q.append(qids[qi])
+                    out_v.append(int(sub_ids[j]))
+                    out_s.append(float(sims[row, j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cosine": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["cosine", "vec_id"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+
+    partial = ds.map_batches(score_batch, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")

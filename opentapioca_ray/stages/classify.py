@@ -1,0 +1,291 @@
+"""Per-document candidate classification.
+
+Re-expression of the reference's `SimpleTagClassifier`
+(opentapioca/classifier.py:14-374) as a per-document group transform:
+the within-document similarity graph, feature propagation
+`[F, AF, A²F, …]` hstack, linear decision function and argmax-with-
+positive-threshold winner are all LOCAL to one document, so the Ray shape
+is `tags_ds.groupby("doc_id").map_groups(classify_fn)` with the trained
+model broadcast. Training collects the (small) design matrix to the driver
+exactly like the reference does.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from opentapioca_ray.functions.similarities import get_similarity
+from opentapioca_ray.state.linear import LinearModel
+
+
+@dataclass
+class TagRec:
+    id: str
+    label: str | None
+    rank: float
+    nb_statements: int
+    nb_sitelinks: int
+    edges: list[int]
+    similarities: list[dict] = field(default_factory=list)
+    score: float | None = None
+    valid: bool | None = None
+
+
+@dataclass
+class MentionRec:
+    doc_id: str
+    phrase: str
+    start: int
+    end: int
+    log_likelihood: float
+    tags: list[TagRec]
+    best_qid: str | None = None
+    best_tag_label: str | None = None
+
+    def key(self):
+        return (self.start, self.end)
+
+    def tag_key(self, qid):
+        return (self.start, self.end, qid)
+
+
+@dataclass
+class ClassifierParams:
+    """Hyperparameters (reference classifier.py:18-32)."""
+
+    beta: float = 0.85
+    nb_steps: int = 2
+    C: float = 0.001
+    max_similarity_distance: int = 100
+    similarity_smoothing: float = 0.1
+    similarity: str = "direct_link"
+
+
+def mentions_from_rows(df: pd.DataFrame) -> list[MentionRec]:
+    """Rebuild per-mention nested structure from flat (mention, tag) rows.
+
+    Rows for one doc; tag order within a mention = rank desc (the tagger
+    emits them that way; re-sorted here for safety after shuffles)."""
+    mentions: list[MentionRec] = []
+    for (start, end), grp in df.groupby(["start", "end"], sort=True):
+        first = grp.iloc[0]
+        tags = [
+            TagRec(
+                id=r.qid,
+                label=r.label,
+                rank=float(r.rank),
+                nb_statements=int(r.nb_statements),
+                nb_sitelinks=int(r.nb_sitelinks),
+                edges=list(r.edges) if r.edges is not None else [],
+            )
+            for r in grp.itertuples()
+        ]
+        tags.sort(key=lambda t: -t.rank)
+        mentions.append(
+            MentionRec(
+                doc_id=str(first.doc_id),
+                phrase=str(first.phrase),
+                start=int(start),
+                end=int(end),
+                log_likelihood=float(first.log_likelihood),
+                tags=tags,
+            )
+        )
+    return mentions
+
+
+def compute_similarities(mentions: list[MentionRec], params: ClassifierParams) -> None:
+    """Within-document tag-similarity graph (reference classifier.py:341-374):
+    self-loop at `similarity_smoothing`, distance-decayed edge scores to tags
+    of mentions within `max_similarity_distance` chars, normalized per tag to
+    the probability simplex."""
+    sim_fn = get_similarity(params.similarity, params.beta)
+    maxd = params.max_similarity_distance
+    for mention in mentions:
+        start, end = mention.start, mention.end
+        for tag in mention.tags:
+            sims = [{"tag": mention.tag_key(tag.id), "score": params.similarity_smoothing}]
+            qid_a = int(tag.id[1:]) if tag.id[1:].isdigit() else -1
+            edges_a = set(tag.edges)
+            for other in mentions:
+                distance = max(start - other.end, other.start - end)
+                if (other.start == start and other.end == end) or distance > maxd:
+                    continue
+                for other_tag in other.tags:
+                    qid_b = int(other_tag.id[1:]) if other_tag.id[1:].isdigit() else -2
+                    similarity = params.similarity_smoothing + sim_fn(
+                        qid_a, qid_b, edges_a, set(other_tag.edges)
+                    )
+                    similarity *= float(maxd - distance) / maxd
+                    if similarity > 0.0:
+                        sims.append(
+                            {"tag": other.tag_key(other_tag.id), "score": similarity}
+                        )
+            weight_sum = sum(s["score"] for s in sims)
+            if weight_sum > 0.0:
+                tag.similarities = [
+                    {"tag": s["tag"], "score": s["score"] / weight_sum} for s in sims
+                ]
+
+
+def build_feature_matrix(mentions: list[MentionRec], nb_steps: int):
+    """Base features [−ll, rank, nb_statements, nb_sitelinks, 1] +
+    propagation `hstack([F, AF, A²F, …])` (reference classifier.py:262-308)."""
+    feature_rows = []
+    tag_key_to_idx: dict = {}
+    for mention in mentions:
+        for tag in mention.tags:
+            tag_key_to_idx[mention.tag_key(tag.id)] = len(feature_rows)
+            feature_rows.append(
+                [
+                    mention.log_likelihood,
+                    tag.rank,
+                    tag.nb_statements,
+                    tag.nb_sitelinks,
+                    1.0,
+                ]
+            )
+    if not feature_rows:
+        return np.zeros((0, 5 * (nb_steps + 1))), {}
+    feature_array = np.asarray(feature_rows, dtype=np.float64)
+    n = len(feature_array)
+    adj = np.zeros((n, n))
+    for mention in mentions:
+        for tag in mention.tags:
+            tag_idx = tag_key_to_idx[mention.tag_key(tag.id)]
+            for similarity in tag.similarities:
+                other_idx = tag_key_to_idx.get(similarity["tag"])
+                if other_idx is None:
+                    continue  # the tag was pruned
+                adj[other_idx, tag_idx] = similarity["score"]
+    mixed = feature_array
+    parts = [feature_array]
+    for _ in range(nb_steps):
+        mixed = adj @ mixed
+        parts.append(mixed)
+    return np.hstack(parts), tag_key_to_idx
+
+
+def classify_mentions(
+    mentions: list[MentionRec], model: LinearModel, params: ClassifierParams
+) -> None:
+    """Score every tag; per mention keep argmax with score > 0
+    (reference classifier.py:310-339)."""
+    features, tag_key_to_idx = build_feature_matrix(mentions, params.nb_steps)
+    scores = model.decision_function(features) if tag_key_to_idx else np.zeros(0)
+    for mention in mentions:
+        max_score = 0.0
+        best_tag = best_label = None
+        for tag in mention.tags:
+            tag.score = float(scores[tag_key_to_idx[mention.tag_key(tag.id)]])
+            if tag.score > max_score:
+                max_score = tag.score
+                best_tag = tag.id
+                best_label = tag.label
+        mention.best_qid = best_tag
+        mention.best_tag_label = best_label
+
+
+def doc_design_matrix(
+    mentions: list[MentionRec],
+    gold: dict[tuple[int, int], str],
+    params: ClassifierParams,
+):
+    """Training rows for one document: features + validity labels
+    (reference classifier.py:160-208). `gold` maps (begin, end) -> qid."""
+    for mention in mentions:
+        gold_qid = gold.get(mention.key())
+        if gold_qid is not None:
+            for tag in mention.tags:
+                tag.valid = tag.id == gold_qid
+    features, tag_key_to_idx = build_feature_matrix(mentions, params.nb_steps)
+    X, y = [], []
+    for mention in mentions:
+        for tag in mention.tags:
+            idx = tag_key_to_idx.get(mention.tag_key(tag.id))
+            if idx is not None:
+                X.append(features[idx])
+                y.append(int(tag.valid or False))
+    return X, y
+
+
+# ---------------------------------------------------------------------------
+# Ray Data wrappers
+# ---------------------------------------------------------------------------
+
+RESULT_COLUMNS = [
+    "doc_id",
+    "start",
+    "end",
+    "phrase",
+    "qid",
+    "score",
+    "is_best",
+    "best_qid",
+]
+
+
+def make_classify_group_fn(model_dict: dict, params: ClassifierParams):
+    """Group fn for `tags_ds.groupby('doc_id').map_groups(fn)`: one output
+    row per candidate tag with its score and the mention-level winner."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        model = LinearModel.from_dict(model_dict)
+        mentions = mentions_from_rows(df)
+        compute_similarities(mentions, params)
+        classify_mentions(mentions, model, params)
+        out = []
+        for m in mentions:
+            for t in m.tags:
+                out.append(
+                    {
+                        "doc_id": m.doc_id,
+                        "start": m.start,
+                        "end": m.end,
+                        "phrase": m.phrase,
+                        "qid": t.id,
+                        "score": t.score,
+                        "is_best": t.id == m.best_qid,
+                        "best_qid": m.best_qid,
+                    }
+                )
+        return pd.DataFrame(out, columns=RESULT_COLUMNS)
+
+    return fn
+
+
+def classify_dataset(tags_ds, model: LinearModel, params: ClassifierParams):
+    """tags Dataset -> per-tag scores + per-mention winners. The model ships
+    as a plain dict inside the group fn closure (small), the heavy per-doc
+    work runs distributed in the groupby shuffle."""
+    fn = make_classify_group_fn(model.to_dict(), params)
+    return tags_ds.groupby("doc_id").map_groups(fn, batch_format="pandas")
+
+
+def evaluate_predictions(pred_best: pd.DataFrame, gold: pd.DataFrame) -> dict:
+    """Micro precision/recall/F1 (reference classifier.py:221-260).
+
+    `pred_best`: one row per mention with best_qid (may be None).
+    `gold`: doc_id, begin, end, gold_qid.
+    """
+    merged = pred_best.merge(
+        gold,
+        left_on=["doc_id", "start", "end"],
+        right_on=["doc_id", "begin", "end"],
+        how="left",
+    )
+    has_pred = merged["best_qid"].notna()
+    nb_predictions = int(has_pred.sum())
+    nb_valid = int((merged["best_qid"] == merged["gold_qid"]).sum())
+    nb_judgments = len(gold)
+    precision = nb_valid / nb_predictions if nb_predictions else 1.0
+    recall = nb_valid / nb_judgments if nb_judgments else 1.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if (precision + recall) > 0
+        else 0.0
+    )
+    return {"precision": precision, "recall": recall, "f1": f1}

@@ -1,0 +1,238 @@
+"""Deduplication operators over document/file tables.
+
+First-class training-data-pipeline components (driver brief): exact dedup
+(hash-partitioned), MinHash-LSH near-dedup, SimHash near-dedup, n-gram
+Jaccard verification, embedding-cosine near-dup. The transitive-closure step
+reuses stages/cc.py; the reference's exact upsert-by-id semantics are
+mirrored by `compact_by_key` (reference taggerfactory.py:103-120, Solr
+last-write-wins on uniqueKey id — SURVEY.md D5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from opentapioca_ray.functions.minhash import (
+    hamming64,
+    jaccard,
+    minhash_signature_fast,
+    shingle_hashes,
+    simhash,
+)
+from opentapioca_ray.functions.text import tokenize
+from opentapioca_ray.stages.cc import connected_components
+from opentapioca_ray.stages.pairs import blocking_batch, make_pair_group_fn
+
+
+def add_hash_column(
+    batch: pa.Table, text_column: str = "text", algo: str = "md5", name: str = "text_hash"
+) -> pa.Table:
+    fn = hashlib.md5 if algo == "md5" else hashlib.sha256
+    hashes = [
+        fn((t or "").encode("utf-8")).hexdigest()
+        for t in batch.column(text_column).to_pylist()
+    ]
+    return batch.append_column(name, pa.array(hashes, type=pa.string()))
+
+
+def exact_dedup(ds, id_column: str, text_column: str = "text", algo: str = "md5"):
+    """Hash-partition + per-group first: one row per distinct content hash
+    with the minimal id as representative and the duplicate count.
+
+    Pre-aggregates inside map_batches? Not needed: the groupby moves only
+    (hash, id) pairs after column pruning."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(
+        lambda b: add_hash_column(b, text_column, algo),
+        batch_format="pyarrow",
+    ).select_columns(["text_hash", id_column])
+    return hashed.groupby("text_hash").aggregate(
+        Min(id_column, alias_name="keep_id"),
+        Count(alias_name="dup_count"),
+    )
+
+
+def compact_by_key(ds, key: str = "id", version: str = "revid"):
+    """Upsert compaction: keep the row with max version per key
+    (reference Solr last-write-wins, taggerfactory.py:103-120)."""
+
+    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(version, kind="mergesort").tail(1)
+
+    return ds.groupby(key).map_groups(keep_latest, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dedup
+# ---------------------------------------------------------------------------
+
+def _verify_pairs_group_fn(threshold: float, shingle_k: int):
+    """Within a block: emit verified near-dup edges (token-shingle Jaccard on
+    the carried token prefixes >= threshold)."""
+
+    pair_fn = make_pair_group_fn()
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        pairs = pair_fn(df)
+        rows = []
+        for r in pairs.itertuples():
+            sa = set(
+                map(tuple, zip(*[r.left_tokens[i:] for i in range(shingle_k)]))
+            ) if len(r.left_tokens) >= shingle_k else {tuple(r.left_tokens)}
+            sb = set(
+                map(tuple, zip(*[r.right_tokens[i:] for i in range(shingle_k)]))
+            ) if len(r.right_tokens) >= shingle_k else {tuple(r.right_tokens)}
+            if jaccard(sa, sb) >= threshold:
+                rows.append({"u": r.left_id, "v": r.right_id})
+        return pd.DataFrame(rows, columns=["u", "v"], dtype=np.int64)
+
+    return fn
+
+
+def minhash_dedup(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    threshold: float = 0.7,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 3,
+):
+    """shingle -> minhash -> band -> bucket groupby -> verify -> CC.
+
+    Returns (node, component) assignments for every doc in a near-dup
+    cluster of size >= 2."""
+    blocks = ds.map_batches(
+        lambda b: blocking_batch(
+            b,
+            id_column=id_column,
+            text_column=text_column,
+            repo_column=None,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_k=shingle_k,
+        ),
+        batch_format="pyarrow",
+    )
+    edges = blocks.groupby("block_key").map_groups(
+        _verify_pairs_group_fn(threshold, shingle_k), batch_format="pandas"
+    )
+    # dedup edges across bands before CC
+    from ray.data.aggregate import Count
+
+    edges = edges.groupby(["u", "v"]).aggregate(Count(alias_name="nb_bands"))
+    edges = edges.select_columns(["u", "v"])
+    return connected_components(edges)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dedup
+# ---------------------------------------------------------------------------
+
+def simhash_batch(
+    batch: pa.Table, id_column: str = "doc_id", text_column: str = "text", shingle_k: int = 3
+) -> pa.Table:
+    """Per doc: 64-bit simhash + 4 x 16-bit band keys (a pair within
+    hamming distance 3 shares at least one band by pigeonhole)."""
+    ids = batch.column(id_column).to_pylist()
+    texts = batch.column(text_column).to_pylist()
+    out_id, out_sim, out_band = [], [], []
+    for fid, text in zip(ids, texts):
+        toks = tokenize((text or "")[:10000])
+        h = simhash(shingle_hashes(toks, shingle_k))
+        for band in range(4):
+            chunk = (h >> (band * 16)) & 0xFFFF
+            out_id.append(fid)
+            out_sim.append(h)
+            out_band.append(f"s{band}:{chunk:04x}")
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "simhash": pa.array(out_sim, type=pa.uint64()),
+            "block_key": pa.array(out_band, type=pa.string()),
+        }
+    )
+
+
+def simhash_dedup(ds, id_column: str = "doc_id", text_column: str = "text", max_hamming: int = 3):
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates("doc_id")
+        rows = []
+        recs = list(df.itertuples())
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                if hamming64(int(recs[i].simhash), int(recs[j].simhash)) <= max_hamming:
+                    u, v = sorted((int(recs[i].doc_id), int(recs[j].doc_id)))
+                    rows.append({"u": u, "v": v})
+        return pd.DataFrame(rows, columns=["u", "v"], dtype=np.int64)
+
+    sims = ds.map_batches(
+        lambda b: simhash_batch(b, id_column, text_column), batch_format="pyarrow"
+    )
+    edges = sims.groupby("block_key").map_groups(verify, batch_format="pandas")
+    from ray.data.aggregate import Count
+
+    edges = edges.groupby(["u", "v"]).aggregate(Count(alias_name="nb"))
+    return connected_components(edges.select_columns(["u", "v"]))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dedup(
+    ds,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    threshold: float = 0.95,
+    num_planes: int = 16,
+):
+    """Random-hyperplane LSH buckets + exact cosine verification + CC."""
+    rng = np.random.RandomState(997)
+    planes_holder: dict = {}
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        vecs = np.array(batch.column(vector_column).to_pylist(), dtype=np.float64)
+        dim = vecs.shape[1]
+        planes = planes_holder.get(dim)
+        if planes is None:
+            planes = np.random.RandomState(997).randn(dim, num_planes)
+            planes_holder[dim] = planes
+        signs = (vecs @ planes > 0).astype(np.uint64)
+        codes = (signs << np.arange(num_planes, dtype=np.uint64)[None, :]).sum(axis=1)
+        norm = np.linalg.norm(vecs, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        unit = vecs / norm
+        return pa.table(
+            {
+                "vec_id": batch.column(id_column),
+                "block_key": pa.array([f"e:{c:x}" for c in codes], type=pa.string()),
+                "unit": pa.array(list(unit), type=pa.list_(pa.float64())),
+            }
+        )
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates("vec_id")
+        ids = df["vec_id"].to_numpy()
+        mat = np.array(df["unit"].tolist(), dtype=np.float64)
+        rows = []
+        if len(ids) >= 2:
+            sims = mat @ mat.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            hit = sims[iu, ju] >= threshold
+            for i, j in zip(iu[hit], ju[hit]):
+                u, v = sorted((int(ids[i]), int(ids[j])))
+                rows.append({"u": u, "v": v})
+        return pd.DataFrame(rows, columns=["u", "v"], dtype=np.int64)
+
+    buckets = ds.map_batches(bucket, batch_format="pyarrow")
+    edges = buckets.groupby("block_key").map_groups(verify, batch_format="pandas")
+    from ray.data.aggregate import Count
+
+    edges = edges.groupby(["u", "v"]).aggregate(Count(alias_name="nb"))
+    return connected_components(edges.select_columns(["u", "v"]))

@@ -1,0 +1,258 @@
+"""Blocking, candidate-pair generation and pairwise scoring.
+
+The graft's wide self-join (BASELINE.json north_star; SURVEY.md J7/ST6):
+
+1. `BlockingStage` (stateless `map_batches`, zero-copy Arrow): per file,
+   normalize content -> token shingles -> MinHash signature -> LSH band
+   keys; emits one row per (block_key, file) carrying a bounded token
+   prefix, NOT the full content, so the block shuffle moves O(tokens_cap)
+   bytes per row however large the file is.
+2. `emit_pairs_groups` (`groupby(block_key).map_groups`): within a block,
+   generate candidate pairs. Skew guard: oversized blocks switch to a
+   sorted-neighborhood window (sort members by signature, pair each with
+   the next W) instead of the quadratic all-pairs — bounded work per block,
+   dropped-pair counts are reported in the `capped` column, never silent.
+3. `PairScorerStage` (stateful actor pool): holds the broadcast IDF
+   statistics, repo popularity prior and linear model; computes the
+   reference-shaped pairwise features (TF-IDF cosine, token Jaccard,
+   n-gram Jaccard, bounded edit distance, popularity prior — feature
+   semantics after opentapioca/classifier.py:41-47) and scores them.
+
+Pairs emitted by several bands are deduplicated by a `groupby(pair).max`
+aggregate downstream (see pipelines/linkage.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from opentapioca_ray.functions.minhash import (
+    band_keys,
+    minhash_signature_fast,
+    shingle_hashes,
+)
+from opentapioca_ray.functions.text import tokenize
+
+TOKENS_CAP = 128  # token prefix carried through the block shuffle
+
+
+def blocking_batch(
+    batch: pa.Table,
+    id_column: str = "file_id",
+    text_column: str = "content",
+    repo_column: str | None = "repo",
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> pa.Table:
+    """files batch -> (block_key, file_id, repo, sig_head, tokens) rows."""
+    ids = batch.column(id_column).to_pylist()
+    texts = batch.column(text_column).to_pylist()
+    repos = (
+        batch.column(repo_column).to_pylist()
+        if repo_column and repo_column in batch.column_names
+        else [""] * len(ids)
+    )
+    out_key, out_id, out_repo, out_sig, out_tokens = [], [], [], [], []
+    for fid, text, repo in zip(ids, texts, repos):
+        toks = tokenize((text or "")[:10000])
+        sig = minhash_signature_fast(shingle_hashes(toks, shingle_k), num_perm)
+        keys = band_keys(sig, bands)
+        head = int(sig[0])
+        tok_prefix = toks[:TOKENS_CAP]
+        for key in keys:
+            out_key.append(key)
+            out_id.append(fid)
+            out_repo.append(repo)
+            out_sig.append(head)
+            out_tokens.append(tok_prefix)
+    return pa.table(
+        {
+            "block_key": pa.array(out_key, type=pa.string()),
+            "file_id": pa.array(out_id, type=pa.int64()),
+            "repo": pa.array(out_repo, type=pa.string()),
+            "sig_head": pa.array(out_sig, type=pa.uint64()),
+            "tokens": pa.array(out_tokens, type=pa.list_(pa.string())),
+        }
+    )
+
+
+PAIR_COLUMNS = {
+    "left_id": pa.int64(),
+    "right_id": pa.int64(),
+    "left_repo": pa.string(),
+    "right_repo": pa.string(),
+    "left_tokens": pa.list_(pa.string()),
+    "right_tokens": pa.list_(pa.string()),
+    "capped": pa.int64(),
+}
+
+
+def make_pair_group_fn(max_block_size: int = 64, window: int = 8):
+    """Group fn over one block: all-pairs when |block| <= max_block_size,
+    else sorted-neighborhood with the given window (documented skew guard;
+    the dropped-pair count for the block is carried on every emitted row)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        # one row per file per block (a file can hit the same band key once)
+        df = df.drop_duplicates("file_id").sort_values("sig_head", kind="mergesort")
+        n = len(df)
+        ids = df["file_id"].to_numpy()
+        repos = df["repo"].to_numpy()
+        tokens = df["tokens"].to_numpy()
+        rows = []
+        if n < 2:
+            return pd.DataFrame(columns=list(PAIR_COLUMNS))
+        if n <= max_block_size:
+            pair_index = [(i, j) for i in range(n) for j in range(i + 1, n)]
+            capped = 0
+        else:
+            pair_index = [
+                (i, j)
+                for i in range(n)
+                for j in range(i + 1, min(n, i + 1 + window))
+            ]
+            capped = n * (n - 1) // 2 - len(pair_index)
+        for i, j in pair_index:
+            li, rj = (i, j) if ids[i] <= ids[j] else (j, i)
+            rows.append(
+                {
+                    "left_id": int(ids[li]),
+                    "right_id": int(ids[rj]),
+                    "left_repo": repos[li],
+                    "right_repo": repos[rj],
+                    "left_tokens": list(tokens[li]),
+                    "right_tokens": list(tokens[rj]),
+                    "capped": capped,
+                }
+            )
+        return pd.DataFrame(rows, columns=list(PAIR_COLUMNS))
+
+    return fn
+
+
+# ---------------------------------------------------------------------------
+# Pairwise features + scoring
+# ---------------------------------------------------------------------------
+
+FEATURE_NAMES = [
+    "tfidf_cosine",
+    "token_jaccard",
+    "ngram_jaccard",
+    "edit_similarity",
+    "popularity_prior",
+]
+
+
+def bounded_edit_distance(a: list[str], b: list[str], cap: int = 48) -> float:
+    """Token-level Levenshtein on bounded prefixes, normalized to [0,1]
+    similarity (1 = identical)."""
+    a, b = a[:cap], b[:cap]
+    la, lb = len(a), len(b)
+    if la == 0 and lb == 0:
+        return 1.0
+    if la == 0 or lb == 0:
+        return 0.0
+    prev = np.arange(lb + 1, dtype=np.int32)
+    cur = np.zeros(lb + 1, dtype=np.int32)
+    for i in range(1, la + 1):
+        cur[0] = i
+        ai = a[i - 1]
+        for j in range(1, lb + 1):
+            cost = 0 if ai == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+        prev, cur = cur, prev
+    dist = int(prev[lb])
+    return 1.0 - dist / max(la, lb)
+
+
+class PairFeaturizer:
+    """Computes the pairwise feature vector given broadcast corpus stats."""
+
+    def __init__(self, idf: dict[str, float], repo_prior: dict[str, float]):
+        self.idf = idf
+        self.repo_prior = repo_prior
+        self.default_idf = max(idf.values()) if idf else 1.0
+
+    def tfidf_cosine(self, tokens_a: list[str], tokens_b: list[str]) -> float:
+        if not tokens_a or not tokens_b:
+            return 0.0
+        va: dict[str, float] = {}
+        vb: dict[str, float] = {}
+        for t in tokens_a:
+            va[t] = va.get(t, 0.0) + 1.0
+        for t in tokens_b:
+            vb[t] = vb.get(t, 0.0) + 1.0
+        for v in (va, vb):
+            for t in v:
+                v[t] *= self.idf.get(t, self.default_idf)
+        dot = sum(w * vb.get(t, 0.0) for t, w in va.items())
+        na = np.sqrt(sum(w * w for w in va.values()))
+        nb = np.sqrt(sum(w * w for w in vb.values()))
+        return float(dot / (na * nb)) if na and nb else 0.0
+
+    def features(self, row) -> list[float]:
+        ta = list(row["left_tokens"])
+        tb = list(row["right_tokens"])
+        sa, sb = set(ta), set(tb)
+        union = len(sa | sb)
+        token_jac = len(sa & sb) / union if union else 1.0
+        # bigram jaccard
+        bg_a = {(ta[i], ta[i + 1]) for i in range(len(ta) - 1)}
+        bg_b = {(tb[i], tb[i + 1]) for i in range(len(tb) - 1)}
+        bg_union = len(bg_a | bg_b)
+        ngram_jac = len(bg_a & bg_b) / bg_union if bg_union else 1.0
+        edit_sim = bounded_edit_distance(ta, tb)
+        prior = 0.5 * (
+            self.repo_prior.get(row["left_repo"], 0.0)
+            + self.repo_prior.get(row["right_repo"], 0.0)
+        )
+        return [
+            self.tfidf_cosine(ta, tb),
+            token_jac,
+            ngram_jac,
+            edit_sim,
+            prior,
+        ]
+
+
+class PairScorerStage:
+    """Actor-pool `map_batches` stage: broadcast state resolved once in
+    `__init__`; per batch computes features + linear score (SURVEY.md ST6)."""
+
+    def __init__(self, idf_ref=None, repo_prior_ref=None, model_dict: dict | None = None):
+        import ray
+
+        def resolve(x):
+            return ray.get(x) if isinstance(x, ray.ObjectRef) else x
+
+        self.featurizer = PairFeaturizer(
+            resolve(idf_ref) or {}, resolve(repo_prior_ref) or {}
+        )
+        if model_dict is not None:
+            from opentapioca_ray.state.linear import LinearModel
+
+            self.model = LinearModel.from_dict(model_dict)
+        else:
+            self.model = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        feats = np.array(
+            [self.featurizer.features(r) for r in rows], dtype=np.float64
+        ) if rows else np.zeros((0, len(FEATURE_NAMES)))
+        if self.model is not None and len(rows):
+            scores = self.model.decision_function(feats)
+        else:
+            # untrained fallback: average of the similarity features
+            scores = feats[:, :4].mean(axis=1) * 2 - 1 if len(rows) else np.zeros(0)
+        out = {
+            "left_id": pa.array([r["left_id"] for r in rows], type=pa.int64()),
+            "right_id": pa.array([r["right_id"] for r in rows], type=pa.int64()),
+        }
+        for k, name in enumerate(FEATURE_NAMES):
+            out[name] = pa.array(feats[:, k] if len(rows) else [], type=pa.float64())
+        out["score"] = pa.array(scores, type=pa.float64())
+        return pa.table(out)

@@ -1,0 +1,53 @@
+import pyarrow as pa
+
+from opentapioca_ray.functions.textstats import (
+    add_fingerprint,
+    add_language_column,
+    add_token_counts,
+    count_tokens,
+    detect_language,
+    fingerprint,
+    quality_stats,
+)
+
+
+def test_detect_language():
+    assert detect_language("the cat sat on the mat and it was happy") == "en"
+    assert detect_language("le chat est dans la maison et il est content") == "fr"
+    assert detect_language("der Hund ist nicht mit der Katze") == "de"
+    assert detect_language("el perro y el gato en la casa") == "es"
+    assert detect_language("xyzzy qwerty") == "und"
+
+
+def test_quality_stats_columns():
+    batch = pa.table({"text": ["the quick brown fox is over the lazy dog", ""]})
+    out = quality_stats(batch)
+    assert out.num_rows == 2
+    row = out.to_pylist()[0]
+    assert row["n_tokens"] == 9
+    assert 0 <= row["quality_score"] <= 1
+    assert row["stopword_ratio"] > 0
+    empty = out.to_pylist()[1]
+    assert empty["n_tokens"] == 0
+
+
+def test_token_counts():
+    assert count_tokens("hello, world!") == 4  # hello , world !
+    batch = pa.table({"text": ["a b c", ""]})
+    out = add_token_counts(batch)
+    assert out.to_pylist()[0]["ws_tokens"] == 3
+    assert out.to_pylist()[1]["ws_tokens"] == 0
+
+
+def test_fingerprint_whitespace_insensitive():
+    assert fingerprint("a  b\t c") == fingerprint("a b c")
+    assert fingerprint("a b c") != fingerprint("a b d")
+    batch = pa.table({"text": ["a b", "a   b"]})
+    out = add_fingerprint(batch)
+    vals = out.column("fingerprint").to_pylist()
+    assert vals[0] == vals[1]
+
+
+def test_language_column():
+    batch = pa.table({"text": ["the cat and the dog in the house"]})
+    assert add_language_column(batch).column("lang_id").to_pylist() == ["en"]
