@@ -1,0 +1,96 @@
+import numpy as np
+import pytest
+
+
+def corpus_with_dups():
+    base = " ".join(f"tok{i} filler{i % 7} word{i % 13}" for i in range(80))
+    docs = []
+    # cluster A: 0,1,2 near-identical
+    docs.append({"doc_id": 0, "text": base})
+    docs.append({"doc_id": 1, "text": base + " trailing marker one"})
+    docs.append({"doc_id": 2, "text": "leading bit " + base})
+    # cluster B: 10, 11 exact dups
+    other = " ".join(f"alpha{i} beta{i % 5}" for i in range(70))
+    docs.append({"doc_id": 10, "text": other})
+    docs.append({"doc_id": 11, "text": other})
+    # singletons
+    docs.append({"doc_id": 20, "text": " ".join(f"unique{i}" for i in range(90))})
+    docs.append({"doc_id": 21, "text": " ".join(f"solo{i}" for i in range(90))})
+    return docs
+
+
+def test_exact_dedup(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.dedup import exact_dedup
+
+    docs = corpus_with_dups()
+    ds = ray.data.from_items(docs)
+    out = exact_dedup(ds, id_column="doc_id").take_all()
+    by_keep = {r["keep_id"]: r["dup_count"] for r in out}
+    assert by_keep[10] == 2
+    assert by_keep[0] == 1
+    assert len(out) == len(docs) - 1  # 10 and 11 merge
+
+
+def test_minhash_dedup_clusters(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.dedup import minhash_dedup
+
+    ds = ray.data.from_items(corpus_with_dups())
+    comp = {r["node"]: r["component"] for r in minhash_dedup(ds, threshold=0.5).take_all()}
+    assert comp.get(0) == comp.get(1) == comp.get(2) == 0
+    assert comp.get(10) == comp.get(11) == 10
+    assert 20 not in comp or comp[20] == 20
+    assert comp.get(20, 20) != comp.get(0, 0)
+
+
+def test_simhash_dedup(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.dedup import simhash_dedup
+
+    ds = ray.data.from_items(corpus_with_dups())
+    comp = {r["node"]: r["component"] for r in simhash_dedup(ds).take_all()}
+    # exact dups always cluster
+    assert comp.get(10) == comp.get(11) == 10
+
+
+def test_compact_by_key(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.dedup import compact_by_key
+
+    ds = ray.data.from_items(
+        [
+            {"id": "Q1", "revid": 1, "label": "old"},
+            {"id": "Q1", "revid": 5, "label": "new"},
+            {"id": "Q2", "revid": 3, "label": "only"},
+        ]
+    )
+    rows = {r["id"]: r for r in compact_by_key(ds).take_all()}
+    assert rows["Q1"]["label"] == "new"
+    assert rows["Q2"]["revid"] == 3
+
+
+def test_embedding_dedup(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.dedup import embedding_dedup
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8)
+    rows = [
+        {"vec_id": 0, "embedding": list(base)},
+        {"vec_id": 1, "embedding": list(base + 0.001 * rng.randn(8))},
+        {"vec_id": 2, "embedding": list(rng.randn(8))},
+        {"vec_id": 3, "embedding": list(rng.randn(8))},
+    ]
+    ds = ray.data.from_items(rows)
+    comp = {
+        r["node"]: r["component"]
+        for r in embedding_dedup(ds, threshold=0.99).take_all()
+    }
+    assert comp.get(0) == comp.get(1) == 0
+    assert comp.get(2, 2) == 2
