@@ -1,0 +1,201 @@
+"""Entity-annotation pipeline: the reference's online `/api/annotate` path
+(opentapioca/app.py:68-81, classifier.py:73-81,310-339) as batch dataflow:
+
+documents -> TaggerStage (actor pool; trie + BOW + pagerank broadcast)
+          -> groupby(doc_id).map_groups(classify)  [similarity graph +
+             feature propagation + linear decision + argmax>0]
+
+plus the training path (classifier.py:94-219): tag once, build the design
+matrix distributed, collect the (small) matrix, fit, optional grid search
+with k-fold CV by hash-mod fold assignment (classifier.py:99-102).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from opentapioca_ray.stages.classify import (
+    ClassifierParams,
+    classify_dataset,
+    compute_similarities,
+    doc_design_matrix,
+    evaluate_predictions,
+    mentions_from_rows,
+)
+from opentapioca_ray.stages.tagger import TaggerStage
+from opentapioca_ray.state.linear import LinearModel
+
+
+def tag_documents(
+    docs_ds,
+    entities: pa.Table,
+    bow_counts: dict,
+    pagerank: np.ndarray,
+    doc_id_column: str = "doc_id",
+    text_column: str = "text",
+    concurrency=None,
+):
+    """documents -> flat (mention, tag) rows; entity state broadcast once."""
+    import ray
+
+    return docs_ds.map_batches(
+        TaggerStage,
+        fn_constructor_kwargs={
+            "entities_ref": ray.put(entities),
+            "bow_ref": ray.put(bow_counts),
+            "pagerank_ref": ray.put(pagerank),
+            "doc_id_column": doc_id_column,
+            "text_column": text_column,
+        },
+        batch_format="pyarrow",
+        concurrency=concurrency or (1, 8),
+    )
+
+
+def annotate(
+    docs_ds,
+    entities: pa.Table,
+    bow_counts: dict,
+    pagerank: np.ndarray,
+    model: LinearModel,
+    params: ClassifierParams | None = None,
+    **tag_kwargs,
+):
+    tags = tag_documents(docs_ds, entities, bow_counts, pagerank, **tag_kwargs)
+    return classify_dataset(tags, model, params or ClassifierParams())
+
+
+# ---------------------------------------------------------------------------
+# Training (reference classifier.py:94-219)
+# ---------------------------------------------------------------------------
+
+def build_design_matrix(
+    tags_ds, gold: pd.DataFrame, params: ClassifierParams
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distributed per-doc design-matrix build; returns (X, y, doc_hash) with
+    doc_hash for fold assignment. X rows are small (15 features), collected
+    to the driver like the reference."""
+    gold_by_doc = {
+        doc_id: {(r.begin, r.end): r.gold_qid for r in grp.itertuples()}
+        for doc_id, grp in gold.groupby("doc_id")
+    }
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        doc_id = str(df["doc_id"].iloc[0])
+        mentions = mentions_from_rows(df)
+        compute_similarities(mentions, params)
+        X, y = doc_design_matrix(mentions, gold_by_doc.get(doc_id, {}), params)
+        if not X:
+            return pd.DataFrame({"doc_id": [], "features": [], "label": []})
+        return pd.DataFrame(
+            {
+                "doc_id": doc_id,
+                "features": [list(map(float, row)) for row in X],
+                "label": y,
+            }
+        )
+
+    out = tags_ds.groupby("doc_id").map_groups(fn, batch_format="pandas").take_all()
+    if not out:
+        return np.zeros((0, 5)), np.zeros(0), np.zeros(0)
+    X = np.array([r["features"] for r in out])
+    y = np.array([r["label"] for r in out])
+    import zlib
+
+    doc_ids = np.array([zlib.crc32(str(r["doc_id"]).encode()) % (2**31) for r in out])
+    return X, y, doc_ids
+
+
+def train_annotation_model(
+    tags_ds,
+    gold: pd.DataFrame,
+    params: ClassifierParams | None = None,
+    max_iter: int = 300,
+) -> LinearModel:
+    params = params or ClassifierParams()
+    X, y, _ = build_design_matrix(tags_ds, gold, params)
+    if y.sum() == 0:
+        raise ValueError("No positive sample found")
+    return LinearModel(C=params.C, max_iter=max_iter).fit(X, y)
+
+
+def grid_search(
+    tags_ds,
+    docs_df: pd.DataFrame,
+    gold: pd.DataFrame,
+    grid: dict[str, list],
+    k: int = 5,
+    max_iter: int = 200,
+):
+    """Simplified crossfit (reference classifier.py:94-158): tags are
+    materialized once; per parameter setting, k-fold CV by doc index mod k;
+    returns (best_params, best_f1, best_model)."""
+    tags_df = tags_ds.to_pandas()
+    doc_ids = sorted(docs_df["doc_id"].astype(str).unique())
+    folds = {d: i % k for i, d in enumerate(doc_ids)}
+
+    best = (None, 0.0, None)
+    keys = list(grid.keys())
+    for combo in itertools.product(*(grid[k_] for k_ in keys)):
+        params = ClassifierParams(**dict(zip(keys, combo)))
+        f1_sum = 0.0
+        for fold in range(k):
+            train_docs = {d for d in doc_ids if folds[d] != fold}
+            test_docs = {d for d in doc_ids if folds[d] == fold}
+            Xy = _design_local(tags_df, gold, params, train_docs)
+            if Xy is None:
+                continue
+            model = LinearModel(C=params.C, max_iter=max_iter).fit(*Xy)
+            f1_sum += _eval_local(tags_df, gold, params, model, test_docs)["f1"] / k
+        if f1_sum > best[1] or best[0] is None:
+            full = _design_local(tags_df, gold, params, set(doc_ids))
+            model = LinearModel(C=params.C, max_iter=max_iter).fit(*full)
+            best = (params, f1_sum, model)
+    return best
+
+
+def _design_local(tags_df, gold, params, docs):
+    X_all, y_all = [], []
+    gold_by_doc = {
+        doc_id: {(r.begin, r.end): r.gold_qid for r in grp.itertuples()}
+        for doc_id, grp in gold.groupby("doc_id")
+    }
+    for doc_id, grp in tags_df.groupby("doc_id"):
+        if str(doc_id) not in docs:
+            continue
+        mentions = mentions_from_rows(grp)
+        compute_similarities(mentions, params)
+        X, y = doc_design_matrix(mentions, gold_by_doc.get(str(doc_id), {}), params)
+        X_all.extend(X)
+        y_all.extend(y)
+    if not X_all or not sum(y_all):
+        return None
+    return np.asarray(X_all), np.asarray(y_all)
+
+
+def _eval_local(tags_df, gold, params, model, docs):
+    from opentapioca_ray.stages.classify import classify_mentions
+
+    preds = []
+    for doc_id, grp in tags_df.groupby("doc_id"):
+        if str(doc_id) not in docs:
+            continue
+        mentions = mentions_from_rows(grp)
+        compute_similarities(mentions, params)
+        classify_mentions(mentions, model, params)
+        for m in mentions:
+            preds.append(
+                {
+                    "doc_id": str(doc_id),
+                    "start": m.start,
+                    "end": m.end,
+                    "best_qid": m.best_qid,
+                }
+            )
+    pred_df = pd.DataFrame(preds, columns=["doc_id", "start", "end", "best_qid"])
+    gold_sub = gold[gold["doc_id"].astype(str).isin(docs)]
+    return evaluate_predictions(pred_df, gold_sub)

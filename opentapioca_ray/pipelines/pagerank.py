@@ -1,0 +1,148 @@
+"""Graph pipeline: edge extraction -> sort -> normalize -> PageRank.
+
+The reference's chain (opentapioca/cli.py:49-86) was dump -> TSV -> GNU
+sort -> scipy CSR -> 16 power iterations (wikidatagraph.py:24-157). Here:
+
+- `extract_edges`: per item, dedup targets + multiplicity counts
+  (A2, wikidatagraph.py:44-59) inside `map_batches`;
+- `normalize_edges`: row-normalized weights per src (A3) — a groupby(src)
+  keyed shuffle;
+- `sorted_edge_arrays`: `ds.sort("src")` (Ray's distributed external sort
+  replaces GNU sort — K1) + the reference's sortedness validation;
+- `compute_pagerank_local`: numpy kernel (semantics-identical 16 iterations
+  + L1 loss compensation) for graphs whose dense rank vector fits one node;
+- `compute_pagerank_distributed`: the scale path — per iteration one
+  `map_batches` (broadcast rank vector via ray.put) + `groupby(dst).sum()`
+  shuffle + scalar loss compensation. Same numerics, all-to-all per
+  iteration.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pyarrow as pa
+
+from opentapioca_ray.state.graph import LinkGraph
+
+
+def extract_edges_batch(batch: pa.Table) -> pa.Table:
+    """items (id, item_json) -> (src, dst, count) with per-src dedup."""
+    from opentapioca_ray.sources.items import get_outgoing_edges
+
+    out_src, out_dst, out_cnt = [], [], []
+    for qid, item_json in zip(
+        batch.column("id").to_pylist(), batch.column("item_json").to_pylist()
+    ):
+        if not qid or not qid.startswith("Q"):
+            continue
+        item = json.loads(item_json)
+        edges = get_outgoing_edges(item)
+        if not edges:
+            continue
+        src = int(qid[1:])
+        counts: dict[int, int] = {}
+        for t in edges:
+            counts[int(t)] = counts.get(int(t), 0) + 1
+        for dst in sorted(counts):
+            out_src.append(src)
+            out_dst.append(dst)
+            out_cnt.append(counts[dst])
+    return pa.table(
+        {
+            "src": pa.array(out_src, type=pa.int64()),
+            "dst": pa.array(out_dst, type=pa.int64()),
+            "count": pa.array(out_cnt, type=pa.int64()),
+        }
+    )
+
+
+def extract_edges(items_ds):
+    return items_ds.map_batches(extract_edges_batch, batch_format="pyarrow")
+
+
+def normalize_edges(edges_ds):
+    """weight = count / sum(count) per src (reference wikidatagraph.py:103-104).
+    Pre-aggregated: per-src sums via one groupby, then a map join against the
+    per-batch slice (sum table broadcast — the src-sum side is |V|-sized)."""
+    import pandas as pd
+
+    def norm_group(df: pd.DataFrame) -> pd.DataFrame:
+        total = float(df["count"].sum())
+        out = df.copy()
+        out["weight"] = df["count"] / total
+        return out[["src", "dst", "weight"]]
+
+    return edges_ds.groupby("src").map_groups(norm_group, batch_format="pandas")
+
+
+def sorted_edge_arrays(edges_ds, validate: bool = True):
+    """Globally sort by (src) with Ray's shuffle sort, collect to numpy
+    arrays, validate sortedness (reference wikidatagraph.py:76-83)."""
+    import ray
+
+    srcs, dsts, weights = [], [], []
+    for ref in edges_ds.sort(["src", "dst"]).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "src" not in t.column_names:
+            continue  # empty boundary blocks after the shuffle sort
+        srcs.append(t.column("src").to_numpy(zero_copy_only=False))
+        dsts.append(t.column("dst").to_numpy(zero_copy_only=False))
+        weights.append(t.column("weight").to_numpy(zero_copy_only=False))
+    src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
+    dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
+    weight = np.concatenate(weights) if weights else np.zeros(0)
+    if validate and len(src) and np.any(np.diff(src) < 0):
+        raise ValueError("The edge list is not sorted.")
+    return src, dst, weight
+
+
+def compute_pagerank_local(edges_ds, shape: int | None = None, iterations: int = 16):
+    """Collect normalized edges into the numpy CSR kernel (parity path)."""
+    src, dst, weight = sorted_edge_arrays(edges_ds)
+    graph = LinkGraph.from_sorted_edges(src, dst, weight, shape)
+    graph.compute_pagerank(iterations)
+    return graph
+
+
+def compute_pagerank_distributed(
+    edges_ds, shape: int, iterations: int = 16
+) -> np.ndarray:
+    """Scale path: rank vector broadcast per iteration, contributions
+    computed per edge batch, summed with groupby(dst), loss-compensated.
+
+    The rank vector is O(|V|) floats on the driver — the adjacency (the big
+    side) never leaves the cluster."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    edges = edges_ds.materialize()
+    v = np.full(shape, 1.0 / shape, dtype=np.float64)
+    for _ in range(iterations):
+        v_ref = ray.put(v)
+
+        def contrib(batch: pa.Table) -> pa.Table:
+            vec = ray.get(v_ref)
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            w = batch.column("weight").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "dst": pa.array(dst, type=pa.int64()),
+                    "mass": pa.array(w * vec[src], type=pa.float64()),
+                }
+            )
+
+        sums = (
+            edges.map_batches(contrib, batch_format="pyarrow")
+            .groupby("dst")
+            .aggregate(Sum("mass", alias_name="mass"))
+            .take_all()
+        )
+        nv = np.zeros(shape, dtype=np.float64)
+        for r in sums:
+            nv[r["dst"]] += r["mass"]
+        nv += (1.0 - nv.sum()) / shape
+        v = nv
+    return v

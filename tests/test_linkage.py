@@ -1,0 +1,71 @@
+"""Flagship-pipeline conformance: pairwise F1 >= 0.99 on the labeled
+synthetic corpus at the same blocking keys (BASELINE.json north_rule),
+plus sha256 invariant end-to-end."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from opentapioca_ray.pipelines.linkage import (
+    linkage_clusters,
+    repo_in_degree_prior,
+    train_idf,
+    train_linkage_model,
+)
+from opentapioca_ray.sources.files import verify_sha256
+from opentapioca_ray.sources.synthetic import pairwise_f1, synthesize_files
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    files_df, truth = synthesize_files(
+        n_clusters=25, cluster_size=3, n_singletons=25, seed=7
+    )
+    return files_df, truth
+
+
+def test_linkage_f1_gate(ray_session, corpus):
+    import ray.data
+
+    files_df, truth = corpus
+    files_ds = ray.data.from_pandas(files_df)
+    idf = train_idf(files_ds)
+    prior = repo_in_degree_prior(files_ds)
+    model = train_linkage_model(files_df, truth, idf, prior)
+    clusters, scored = linkage_clusters(
+        files_ds, model=model, idf=idf, prior=prior, threshold=0.0
+    )
+    assignments = {r["node"]: r["component"] for r in clusters.take_all()}
+    metrics = pairwise_f1(assignments, truth)
+    assert metrics["f1"] >= 0.99, metrics
+
+
+def test_linkage_untrained_still_clusters(ray_session, corpus):
+    import ray.data
+
+    files_df, truth = corpus
+    files_ds = ray.data.from_pandas(files_df)
+    clusters, _ = linkage_clusters(files_ds, model=None, threshold=0.2)
+    assignments = {r["node"]: r["component"] for r in clusters.take_all()}
+    metrics = pairwise_f1(assignments, truth)
+    assert metrics["f1"] >= 0.95, metrics
+
+
+def test_sha256_invariant(ray_session, corpus):
+    import ray.data
+
+    files_df, _ = corpus
+    files_ds = ray.data.from_pandas(files_df)
+    assert verify_sha256(files_ds) == 0
+
+
+def test_idf_and_prior(ray_session, corpus):
+    import ray.data
+
+    files_df, _ = corpus
+    files_ds = ray.data.from_pandas(files_df)
+    idf = train_idf(files_ds)
+    assert len(idf) > 0
+    assert all(np.isfinite(v) for v in idf.values())
+    prior = repo_in_degree_prior(files_ds)
+    assert prior and max(prior.values()) == 1.0
