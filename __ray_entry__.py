@@ -1,16 +1,11 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship record-linkage pipeline on sf0.001.
+queries(): one entry per implemented operator/pipeline (SURVEY.md §2).
+oracle_sql(): DuckDB equivalents for the SQL-expressible ones.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +13,595 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+# The reference tokenizer's separator regex (languagemodel.py:9), reused in
+# the DuckDB oracles so both sides tokenize identically (ASCII corpus).
+_SEP = r"[,\-_/:;!?)]? [,\-_/:;!?(]?"
+
+_EN_STOP = "'the','of','and','to','in','is','that','it','for','was'"
+
+
+def _docs(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: files (input_hint shape, derived from documents) ->
+    blocking -> pairwise scoring -> connected components -> clusters."""
+    from opentapioca_ray.pipelines.linkage import linkage_clusters
+    from opentapioca_ray.sources.files import read_files
+
+    files = read_files("/root/testdata/sf0.001")
+    clusters, _scored = linkage_clusters(files, model=None, threshold=0.2)
+    return clusters
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_bow_word_counts(sf_dir: str):
+    """A1: BOW training — distinct-per-doc word counts, threshold >= 2."""
+    from opentapioca_ray.state.bow import train_bow
+
+    kept, _total = train_bow(_docs(sf_dir), "text", threshold=2)
+    return kept
+
+
+def _q_exact_dedup(sf_dir: str):
+    from opentapioca_ray.stages.dedup import exact_dedup
+
+    return exact_dedup(_docs(sf_dir), id_column="doc_id", text_column="text")
+
+
+def _q_token_stats(sf_dir: str):
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.textstats import add_token_counts
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = add_token_counts(batch, "text")
+        return out.select(["doc_id", "ws_tokens", "bpe_tokens"])
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def _q_quality(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.functions.textstats import quality_stats
+
+    def fn(batch: pa.Table) -> pa.Table:
+        out = quality_stats(batch, "text")
+        return pa.table(
+            {
+                "doc_id": out.column("doc_id"),
+                "n_tokens": out.column("n_tokens"),
+                "stopword_ratio": pc.round(out.column("stopword_ratio"), 6),
+                "punct_ratio": pc.round(out.column("punct_ratio"), 6),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def _q_lang_id(sf_dir: str):
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.textstats import add_language_column
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return add_language_column(batch, "text").select(["doc_id", "lang_id"])
+
+    return _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+
+
+def _q_fingerprints(sf_dir: str):
+    """Rolling-hash doc fingerprints -> duplicate-group sizes (rows-only)."""
+    from ray.data.aggregate import Count, Min
+
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.textstats import add_fingerprint
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return add_fingerprint(batch, "text").select(["doc_id", "fingerprint"])
+
+    fps = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
+    return fps.groupby("fingerprint").aggregate(
+        Min("doc_id", alias_name="keep_id"), Count(alias_name="dup_count")
+    )
+
+
+def _q_tag_mention_counts(sf_dir: str):
+    """Tagger core over a deterministic dictionary: top-20 document tokens by
+    document frequency become entities; mentions counted per (doc, entity).
+    Single-token surface forms + case-sensitive match + prune rule make this
+    SQL-expressible (offsets and multi-token matching are pytest-covered)."""
+    import numpy as np
+    import pyarrow as pa
+    from ray.data.aggregate import Count
+
+    from opentapioca_ray.pipelines.annotate import tag_documents
+    from opentapioca_ray.functions.text import prune_phrase
+
+    dictionary = _top_tokens(sf_dir, 20)
+    ents = pa.Table.from_pylist(
+        [
+            {
+                "id": f"Q{i+1}",
+                "label": w,
+                "aliases": [],
+                "extra_aliases": [],
+                "edges": [],
+                "nb_statements": 0,
+                "nb_sitelinks": 0,
+            }
+            for i, w in enumerate(dictionary)
+            if not prune_phrase(w)
+        ],
+        schema=pa.schema(
+            [
+                ("id", pa.string()),
+                ("label", pa.string()),
+                ("aliases", pa.list_(pa.string())),
+                ("extra_aliases", pa.list_(pa.string())),
+                ("edges", pa.list_(pa.int64())),
+                ("nb_statements", pa.int32()),
+                ("nb_sitelinks", pa.int32()),
+            ]
+        ),
+    )
+    bow = {"word_count": {}, "total_count": 0}
+    pr = np.ones(1) / 1.0
+    tags = tag_documents(
+        _docs(sf_dir), ents, bow, pr, doc_id_column="doc_id", text_column="text"
+    )
+    return (
+        tags.groupby(["doc_id", "qid"])
+        .aggregate(Count(alias_name="n_mentions"))
+        .map_batches(
+            lambda b: b.set_column(
+                b.column_names.index("doc_id"),
+                "doc_id",
+                b.column("doc_id").cast("int64"),
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _top_tokens(sf_dir: str, k: int) -> list[str]:
+    """Deterministic dictionary: top-k tokens by document frequency
+    (ties broken by token) computed once, driver-side, via DuckDB for
+    determinism between queries() and oracle_sql()."""
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        SELECT word FROM (
+          SELECT trim(t.w) AS word, count(DISTINCT doc_id) AS df
+          FROM read_parquet('{sf_dir}/documents.parquet'),
+               unnest(regexp_split_to_array(' ' || text || ' ', '{_SEP}')) AS t(w)
+          WHERE trim(t.w) != ''
+          GROUP BY 1
+        ) ORDER BY df DESC, word LIMIT {k}
+        """
+    ).fetchall()
+    con.close()
+    return [r[0] for r in rows]
+
+
+def _q_graph_edges(sf_dir: str):
+    """A2/A3: weighted edge extraction + row normalization, over the
+    lineitem part->supplier graph."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentapioca_ray.pipelines.pagerank import normalize_edges
+    from ray.data.aggregate import Count
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    edges = (
+        li.groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Count(alias_name="count"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b.column("l_partkey"),
+                    "dst": b.column("l_suppkey").cast("int64"),
+                    "count": b.column("count"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    out = normalize_edges(edges)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "src": b.column("src"),
+                "dst": b.column("dst"),
+                "weight": pc.round(b.column("weight"), 6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_pagerank(sf_dir: str):
+    """A4: 16-iteration loss-compensated pagerank over the part->supplier
+    graph (numeric semantics pytest-golden; rows-only check here)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from opentapioca_ray.pipelines.pagerank import compute_pagerank_local, normalize_edges
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    edges = (
+        li.groupby(["l_partkey", "l_suppkey"])
+        .aggregate(Count(alias_name="count"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "src": b.column("l_partkey"),
+                    "dst": b.column("l_suppkey").cast("int64"),
+                    "count": b.column("count"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    graph = compute_pagerank_local(normalize_edges(edges))
+    pr = graph.pagerank
+    return pd.DataFrame(
+        {"node": range(len(pr)), "rank": pr.round(9)}
+    )
+
+
+def _q_minhash_dedup(sf_dir: str):
+    from opentapioca_ray.stages.dedup import minhash_dedup
+
+    return minhash_dedup(_docs(sf_dir), id_column="doc_id", text_column="text", threshold=0.8)
+
+
+def _q_simhash_dedup(sf_dir: str):
+    from opentapioca_ray.stages.dedup import simhash_dedup
+
+    return simhash_dedup(_docs(sf_dir), id_column="doc_id", text_column="text", max_hamming=3)
+
+
+def _q_embedding_dedup(sf_dir: str):
+    import ray.data
+
+    from opentapioca_ray.stages.dedup import embedding_dedup
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_dedup(emb, threshold=0.95)
+
+
+def _q_ann_topk(sf_dir: str):
+    """Brute-force cosine top-10 for the first 5 corpus vectors."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentapioca_ray.stages.ann import brute_force_topk
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
+    queries = np.array(head.column("embedding").to_pylist(), dtype=np.float64)
+    qids = head.column("vec_id").to_pylist()
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    out = brute_force_topk(ds, queries, qids, k=10)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "query_id": b.column("query_id"),
+                "vec_id": b.column("vec_id"),
+                "cosine": __import__("pyarrow.compute", fromlist=["round"]).round(
+                    b.column("cosine"), 6
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_ann_ivf(sf_dir: str):
+    """IVF variant (approximate; rows-only check)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentapioca_ray.stages.ann import ivf_topk, train_centroids
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
+    queries = np.array(head.column("embedding").to_pylist(), dtype=np.float64)
+    qids = head.column("vec_id").to_pylist()
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    centroids = train_centroids(ds, n_centroids=16)
+    return ivf_topk(ds, queries, qids, centroids, k=10, nprobe=4)
+
+
+def _q_compact_latest(sf_dir: str):
+    """D5 upsert semantics: last-write-wins per key (customer, version =
+    max order key)."""
+    import ray.data
+
+    from opentapioca_ray.stages.dedup import compact_by_key
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    return compact_by_key(orders, key="o_custkey", version="o_orderkey")
+
+
+def _q_top_customers(sf_dir: str):
+    """Relational coverage: join + groupby + sort + limit (K-ops)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    agg = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="revenue"), Count(alias_name="nb_orders")
+    )
+    top = agg.sort("revenue", descending=True).limit(10)
+    return top.map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "revenue": pc.round(b.column("revenue"), 4),
+                "nb_orders": b.column("nb_orders"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_events_by_type(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    agg = events.groupby("event_type").aggregate(
+        Count(alias_name="n"), Sum("value", alias_name="total_value")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "n": b.column("n"),
+                "total_value": pc.round(b.column("total_value"), 4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_linkage_clusters(sf_dir: str):
+    """Flagship linkage over the files table (rows-only; pairwise-F1
+    conformance is pytest-gated)."""
+    from opentapioca_ray.pipelines.linkage import linkage_clusters
+    from opentapioca_ray.sources.files import read_files
+
+    files = read_files(sf_dir)
+    clusters, _ = linkage_clusters(files, model=None, threshold=0.2)
+    return clusters
+
+
+def _q_files_sha256(sf_dir: str):
+    """Input-hint derivation + per-row sha256 invariant (M19)."""
+    from opentapioca_ray.sources.files import read_files
+
+    return read_files(sf_dir).select_columns(["file_id", "repo", "lang", "sha256"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "bow_word_counts": _q_bow_word_counts,
+        "exact_dedup": _q_exact_dedup,
+        "token_stats": _q_token_stats,
+        "quality_scores": _q_quality,
+        "lang_id": _q_lang_id,
+        "fingerprint_dups": _q_fingerprints,
+        "tag_mention_counts": _q_tag_mention_counts,
+        "graph_edges": _q_graph_edges,
+        "pagerank": _q_pagerank,
+        "minhash_dedup": _q_minhash_dedup,
+        "simhash_dedup": _q_simhash_dedup,
+        "embedding_dedup": _q_embedding_dedup,
+        "ann_topk": _q_ann_topk,
+        "ann_ivf": _q_ann_ivf,
+        "compact_latest": _q_compact_latest,
+        "top_customers": _q_top_customers,
+        "events_by_type": _q_events_by_type,
+        "linkage_clusters": _q_linkage_clusters,
+        "files_sha256": _q_files_sha256,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    tok_cte = f"""
+        tokens AS (
+          SELECT doc_id, trim(t.w) AS word
+          FROM documents,
+               unnest(regexp_split_to_array(' ' || text || ' ', '{_SEP}')) AS t(w)
+          WHERE trim(t.w) != ''
+        )
     """
-    return {}
+    lang_scores = f"""
+        scores AS (
+          SELECT doc_id,
+            len(list_intersect(list_distinct(regexp_split_to_array(lower(text), '\\s+')),
+                ['the','of','and','to','in','is','that','it','for','was'])) AS s_en,
+            len(list_intersect(list_distinct(regexp_split_to_array(lower(text), '\\s+')),
+                ['le','la','les','de','des','et','est','une','dans','que'])) AS s_fr,
+            len(list_intersect(list_distinct(regexp_split_to_array(lower(text), '\\s+')),
+                ['der','die','das','und','ist','nicht','ein','mit','für','von'])) AS s_de,
+            len(list_intersect(list_distinct(regexp_split_to_array(lower(text), '\\s+')),
+                ['el','los','las','de','y','es','una','en','que','por'])) AS s_es,
+            (length(text) - length(replace(replace(replace(replace(replace(replace(replace(replace(replace(replace(text,'的',''),'是',''),'了',''),'在',''),'我',''),'有',''),'和',''),'不',''),'人',''),'这',''))) AS s_zh
+          FROM documents
+        )
+    """
+    return {
+        "bow_word_counts": f"""
+            WITH {tok_cte}
+            SELECT word, count(*) AS count
+            FROM (SELECT DISTINCT doc_id, word FROM tokens)
+            GROUP BY word HAVING count(*) >= 2
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+                   count(*) AS dup_count
+            FROM documents GROUP BY md5(text)
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+              CASE WHEN trim(text) = '' THEN 0
+                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ws_tokens,
+              len(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe_tokens
+            FROM documents
+        """,
+        "quality_scores": r"""
+            WITH toks AS (
+              SELECT doc_id, text,
+                CASE WHEN trim(text) = '' THEN []::varchar[]
+                     ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+              FROM documents
+            )
+            SELECT doc_id,
+              len(ws) AS n_tokens,
+              round(CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+                len(list_filter(ws, w -> lower(w) IN (""" + _EN_STOP + r""")))
+                  / len(ws)::double END, 6) AS stopword_ratio,
+              round(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+                len(regexp_extract_all(text, '[^\w\s]')) / length(text)::double END,
+                6) AS punct_ratio
+            FROM toks
+        """,
+        "lang_id": f"""
+            WITH {lang_scores}
+            SELECT doc_id,
+              CASE WHEN greatest(s_en, s_fr, s_de, s_es, s_zh) = 0 THEN 'und'
+                   WHEN s_en >= greatest(s_fr, s_de, s_es, s_zh) THEN 'en'
+                   WHEN s_fr >= greatest(s_de, s_es, s_zh) THEN 'fr'
+                   WHEN s_de >= greatest(s_es, s_zh) THEN 'de'
+                   WHEN s_es >= s_zh THEN 'es'
+                   ELSE 'zh' END AS lang_id
+            FROM scores
+        """,
+        "tag_mention_counts": f"""
+            WITH df AS (
+              SELECT trim(t.w) AS word, count(DISTINCT doc_id) AS df
+              FROM documents,
+                   unnest(regexp_split_to_array(' ' || text || ' ', '{_SEP}')) AS t(w)
+              WHERE trim(t.w) != ''
+              GROUP BY 1
+            ),
+            dict AS (
+              SELECT word, 'Q' || row_number() OVER (ORDER BY df DESC, word) AS qid
+              FROM (SELECT * FROM df ORDER BY df DESC, word LIMIT 20)
+              -- prune rule: short all-lowercase / digit tokens are dropped
+              -- (reference tagger.py:79-89)
+            ),
+            kept_dict AS (
+              SELECT word, qid FROM dict
+              WHERE NOT (regexp_full_match(word, '(\\w\\w?|[\\d ]{{0,4}})')
+                         AND word = lower(word))
+            ),
+            toks AS (
+              SELECT doc_id, t.w AS word
+              FROM documents,
+                   unnest(string_split(text, ' ')) AS t(w)
+            )
+            SELECT toks.doc_id AS doc_id, kept_dict.qid AS qid,
+                   count(*) AS n_mentions
+            FROM toks JOIN kept_dict ON toks.word = kept_dict.word
+            GROUP BY 1, 2
+        """,
+        "graph_edges": """
+            SELECT src, dst, round(cnt / sum_cnt, 6) AS weight FROM (
+              SELECT l_partkey AS src, l_suppkey::bigint AS dst,
+                     count(*)::double AS cnt,
+                     sum(count(*)) OVER (PARTITION BY l_partkey) AS sum_cnt
+              FROM lineitem GROUP BY 1, 2
+            )
+        """,
+        "ann_topk": """
+            WITH q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+              FROM embeddings WHERE vec_id < 5
+            ),
+            sims AS (
+              SELECT q.query_id, e.vec_id,
+                     list_cosine_similarity(q.qvec, e.embedding::DOUBLE[]) AS cosine
+              FROM q CROSS JOIN embeddings e
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, cosine,
+                     row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine DESC, vec_id ASC) AS rn
+              FROM sims
+            )
+            SELECT query_id, vec_id, round(cosine, 6) AS cosine
+            FROM ranked WHERE rn <= 10
+        """,
+        "compact_latest": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+              FROM orders
+            ) WHERE rn = 1
+        """,
+        "top_customers": """
+            SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue,
+                   count(*) AS nb_orders
+            FROM orders GROUP BY o_custkey
+            ORDER BY revenue DESC LIMIT 10
+        """,
+        "events_by_type": """
+            SELECT event_type, count(*) AS n,
+                   round(sum(value), 4) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        "files_sha256": """
+            SELECT doc_id AS file_id,
+                   'org' || (doc_id % 20) || '/' || source AS repo,
+                   lang,
+                   sha256(text) AS sha256
+            FROM documents
+        """,
+        # pagerank / minhash_dedup / simhash_dedup / embedding_dedup /
+        # ann_ivf / linkage_clusters / fingerprint_dups: iterative or
+        # hash-family-specific — rows-only checks; numeric semantics are
+        # pytest-golden (tests/test_graph.py, test_dedup.py, test_ann.py,
+        # test_linkage.py).
+    }
