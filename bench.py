@@ -1,0 +1,174 @@
+"""Benchmark harness.
+
+Default: run the headline linkage pipeline + per-query timings over
+$GRAFT_SF_DIR (default /root/testdata/sf0.1) and print ONE JSON line.
+
+--scaling: run the headline pipeline twice in fresh subprocesses
+(num_cpus=8 then num_cpus=32) on the same input and report both
+throughputs + scaling efficiency (sandbox proxy for N vs 4N nodes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# queries() entries timed by the default run (a representative cross-section;
+# the full set is exercised by the driver's correctness gate at sf0.01)
+BENCH_QUERIES = [
+    "bow_word_counts",
+    "exact_dedup",
+    "token_stats",
+    "quality_scores",
+    "lang_id",
+    "tag_mention_counts",
+    "graph_edges",
+    "pagerank",
+    "minhash_dedup",
+    "simhash_dedup",
+    "ann_topk",
+    "top_customers",
+    "events_by_type",
+    "linkage_clusters",
+]
+
+
+def _consume(result) -> int:
+    """Force execution; return row count without pulling data to the driver."""
+    try:
+        import ray.data
+
+        if isinstance(result, ray.data.Dataset):
+            return result.count()
+    except ImportError:
+        pass
+    return len(result)
+
+
+def run_headline(sf_dir: str, num_cpus: int) -> dict:
+    """Headline: flagship linkage (blocking -> pair scoring -> CC) over the
+    input_hint files table; throughput in files/sec."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from opentapioca_ray.pipelines.linkage import linkage_clusters
+    from opentapioca_ray.sources.files import read_files
+
+    n_files = read_files(sf_dir).count()
+    t0 = time.time()
+    clusters, _ = linkage_clusters(read_files(sf_dir), model=None, threshold=0.2)
+    n_clustered = clusters.count()
+    dt = time.time() - t0
+    return {
+        "headline_sec": dt,
+        "n_files": n_files,
+        "files_per_sec": n_files / dt,
+        "n_clustered": n_clustered,
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _consume(qs[name](sf_dir))
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def run_scaling(sf_dir: str, low: int = 8, high: int = 32) -> dict:
+    """Same headline job at two parallelism levels in fresh processes."""
+    results = {}
+    for cpus in (low, high):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_SF_DIR"] = sf_dir
+        proc = subprocess.run(
+            [sys.executable, __file__, "--headline-only"],
+            capture_output=True,
+            text=True,
+            env=env,
+            timeout=3600,
+        )
+        line = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    tp_low = results[low]["files_per_sec"]
+    tp_high = results[high]["files_per_sec"]
+    efficiency = (tp_high / tp_low) / (high / low)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(efficiency, 4),
+        "unit": "ratio",
+        "sf": sf_dir,
+        "low_cpus": low,
+        "high_cpus": high,
+        "throughput_low": round(tp_low, 2),
+        "throughput_high": round(tp_high, 2),
+        "headline_sec_low": round(results[low]["headline_sec"], 2),
+        "headline_sec_high": round(results[high]["headline_sec"], 2),
+    }
+
+
+def main() -> None:
+    import ray
+
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(SF_DIR)))
+        return
+    if "--headline-only" in sys.argv:
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+        head = run_headline(SF_DIR, NUM_CPUS)
+        ray.shutdown()
+        print(json.dumps(head))
+        return
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    head = run_headline(SF_DIR, NUM_CPUS)
+    queries = run_queries(SF_DIR)
+    out = {
+        "metric": "linkage_files_per_sec",
+        "value": round(head["files_per_sec"], 2),
+        "unit": "files/sec",
+        "headline_sec": round(head["headline_sec"], 3),
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -96,7 +96,10 @@ def build_blocks(files_ds, num_perm=128, bands=32, shingle_k=3):
 
 
 def build_pairs(blocks_ds, max_block_size=64, window=8):
-    return blocks_ds.groupby("block_key").map_groups(
+    from opentapioca_ray.stages.pairs import prefilter_singleton_blocks
+
+    candidates = prefilter_singleton_blocks(blocks_ds)
+    return candidates.groupby("block_key").map_groups(
         make_pair_group_fn(max_block_size, window), batch_format="pandas"
     )
 

@@ -75,13 +75,39 @@ def _edge_digest(ds) -> tuple[int, int]:
     return count, acc
 
 
-def connected_components(edges_ds, max_rounds: int = 30):
+def connected_components(edges_ds, max_rounds: int = 30, local_threshold: int = 200_000):
     """edges Dataset (u, v) -> assignments Dataset (node, component).
 
-    Each round: large-star (groupby over both directions) then small-star
+    Scale-adaptive: when the (deduplicated) edge set fits comfortably on one
+    node (< `local_threshold` edges) the transitive closure runs as a single
+    union-find task — match edges are a tiny fraction of input rows, so this
+    is the common case even for huge corpora. Above the threshold it runs
+    the large-star/small-star shuffle rounds (O(log n) groupby exchanges);
+    each round: large-star (groupby over both directions) then small-star
     (groupby over high->low edges); stop when the edge digest is stable.
+    Pass `local_threshold=0` to force the distributed path (tests do).
     """
     import ray
+
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= local_threshold:
+        import ray.data
+
+        pairs: list[tuple[int, int]] = []
+        for ref in edges_ds.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows == 0 or "u" not in t.column_names:
+                continue
+            pairs.extend(
+                zip(t.column("u").to_pylist(), t.column("v").to_pylist())
+            )
+        comp = connected_components_local(pairs)
+        items = [{"node": int(n), "component": int(c)} for n, c in sorted(comp.items())]
+        if not items:
+            return ray.data.from_arrow(
+                pa.table({"node": pa.array([], pa.int64()), "component": pa.array([], pa.int64())})
+            )
+        return ray.data.from_items(items)
 
     # every input node must appear in the output even if its edges are
     # self-loops (dropped by the star rounds) — union self-assignments in

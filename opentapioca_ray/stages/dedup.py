@@ -119,7 +119,9 @@ def minhash_dedup(
         ),
         batch_format="pyarrow",
     )
-    edges = blocks.groupby("block_key").map_groups(
+    from opentapioca_ray.stages.pairs import prefilter_singleton_blocks
+
+    edges = prefilter_singleton_blocks(blocks).groupby("block_key").map_groups(
         _verify_pairs_group_fn(threshold, shingle_k), batch_format="pandas"
     )
     # dedup edges across bands before CC
@@ -171,9 +173,12 @@ def simhash_dedup(ds, id_column: str = "doc_id", text_column: str = "text", max_
                     rows.append({"u": u, "v": v})
         return pd.DataFrame(rows, columns=["u", "v"], dtype=np.int64)
 
+    from opentapioca_ray.stages.pairs import prefilter_singleton_blocks
+
     sims = ds.map_batches(
         lambda b: simhash_batch(b, id_column, text_column), batch_format="pyarrow"
     )
+    sims = prefilter_singleton_blocks(sims, min_size=2)
     edges = sims.groupby("block_key").map_groups(verify, batch_format="pandas")
     from ray.data.aggregate import Count
 
@@ -230,7 +235,10 @@ def embedding_dedup(
                 rows.append({"u": u, "v": v})
         return pd.DataFrame(rows, columns=["u", "v"], dtype=np.int64)
 
+    from opentapioca_ray.stages.pairs import prefilter_singleton_blocks
+
     buckets = ds.map_batches(bucket, batch_format="pyarrow")
+    buckets = prefilter_singleton_blocks(buckets, min_size=2)
     edges = buckets.groupby("block_key").map_groups(verify, batch_format="pandas")
     from ray.data.aggregate import Count
 

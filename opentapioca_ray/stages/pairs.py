@@ -79,6 +79,40 @@ def blocking_batch(
     )
 
 
+def prefilter_singleton_blocks(blocks_ds, min_size: int = 2):
+    """Drop blocks that cannot produce pairs BEFORE the wide group-by.
+
+    `groupby(block_key).map_groups` pays per-group Python overhead; with LSH
+    banding the overwhelming majority of block keys are singletons, so this
+    cheap arrow-native count + broadcast-set semi-join typically removes
+    >90% of rows from the expensive shuffle. The surviving-key set is
+    bounded by the number of actual near-duplicate pairs x bands (small
+    side); at extreme scale swap the broadcast set for a hash semi-join on
+    block_key — same dataflow, documented trade-off."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    from ray.data.aggregate import Count
+
+    blocks_ds = blocks_ds.materialize()  # consumed twice: count + filter
+    counts = blocks_ds.groupby("block_key").aggregate(Count(alias_name="n"))
+    keys = set()
+    for ref in counts.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "block_key" not in t.column_names:
+            continue
+        mask = pc.greater_equal(t.column("n"), min_size)
+        keys.update(t.filter(mask).column("block_key").to_pylist())
+    keys_ref = ray.put(keys)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        kset = ray.get(keys_ref)
+        mask = pa.array([k in kset for k in batch.column("block_key").to_pylist()])
+        return batch.filter(mask)
+
+    return blocks_ds.map_batches(keep, batch_format="pyarrow")
+
+
 PAIR_COLUMNS = {
     "left_id": pa.int64(),
     "right_id": pa.int64(),

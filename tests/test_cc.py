@@ -27,8 +27,15 @@ def test_distributed_matches_local(ray_session, edges):
     import ray.data
 
     ds = ray.data.from_items([{"u": u, "v": v} for u, v in edges])
+    # local_threshold=0 forces the large-star/small-star shuffle path
     got = {
-        r["node"]: r["component"] for r in connected_components(ds).take_all()
+        r["node"]: r["component"]
+        for r in connected_components(ds, local_threshold=0).take_all()
     }
     want = connected_components_local(edges)
     assert got == want
+    # scale-adaptive local path must agree
+    got_local = {
+        r["node"]: r["component"] for r in connected_components(ds).take_all()
+    }
+    assert got_local == want
