@@ -275,6 +275,28 @@ def _q_minhash_dedup(sf_dir: str):
     return minhash_dedup(_docs(sf_dir), id_column="doc_id", text_column="text", threshold=0.8)
 
 
+def _q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs (candidates share >=1 3-gram)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _docs(sf_dir), id_column="doc_id", text_column="text", k=3, threshold=0.5
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "u": b.column("u"),
+                "v": b.column("v"),
+                "jaccard": pc.round(b.column("jaccard"), 6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_simhash_dedup(sf_dir: str):
     from opentapioca_ray.stages.dedup import simhash_dedup
 
@@ -429,6 +451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_edges": _q_graph_edges,
         "pagerank": _q_pagerank,
         "minhash_dedup": _q_minhash_dedup,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "simhash_dedup": _q_simhash_dedup,
         "embedding_dedup": _q_embedding_dedup,
         "ann_topk": _q_ann_topk,
@@ -544,6 +567,41 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_mentions
             FROM toks JOIN kept_dict ON toks.word = kept_dict.word
             GROUP BY 1, 2
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                END AS gs
+              FROM toks WHERE len(arr) > 0
+            ),
+            ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            j AS (
+              SELECT u, v,
+                len(list_intersect(ga.gs, gb.gs))::double
+                  / (len(ga.gs) + len(gb.gs)
+                     - len(list_intersect(ga.gs, gb.gs)))::double AS jac
+              FROM cand
+              JOIN grams ga ON ga.doc_id = cand.u
+              JOIN grams gb ON gb.doc_id = cand.v
+            )
+            SELECT u, v, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
         """,
         "graph_edges": """
             SELECT src, dst, round(cnt / sum_cnt, 6) AS weight FROM (

@@ -53,6 +53,8 @@ def train_idf(files_ds, text_column: str = "content", max_vocab: int = 500_000) 
     rows = 0
     for ref in counts.to_arrow_refs():
         t = ray.get(ref)
+        if t.num_rows == 0 or "word" not in t.column_names:
+            continue
         for w, c in zip(t.column("word").to_pylist(), t.column("count").to_pylist()):
             idf[w] = float(np.log(n_docs / (1.0 + c)))
             rows += 1

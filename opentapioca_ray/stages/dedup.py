@@ -187,6 +187,226 @@ def simhash_dedup(ds, id_column: str = "doc_id", text_column: str = "text", max_
 
 
 # ---------------------------------------------------------------------------
+# Exact n-gram Jaccard near-dedup
+# ---------------------------------------------------------------------------
+
+def gram_table(
+    batch: pa.Table, id_column: str = "doc_id", text_column: str = "text", k: int = 3
+) -> pa.Table:
+    """Per doc: distinct word-k-gram set (strings, reference tokenizer).
+
+    Docs shorter than k tokens collapse to a single whole-doc gram; empty
+    docs yield no grams (and thus join no candidate pairs)."""
+    ids = batch.column(id_column).to_pylist()
+    texts = batch.column(text_column).to_pylist()
+    keep_ids, gram_lists = [], []
+    for fid, text in zip(ids, texts):
+        toks = tokenize(text or "")
+        if not toks:
+            continue
+        if len(toks) < k:
+            grams = [" ".join(toks)]
+        else:
+            grams = sorted({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
+        keep_ids.append(fid)
+        gram_lists.append(grams)
+    return pa.table(
+        {
+            "doc_id": pa.array(keep_ids, type=pa.int64()),
+            "grams": pa.array(gram_lists, type=pa.list_(pa.string())),
+        }
+    )
+
+
+def _explode_grams(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+
+    col = batch.column("grams")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parents = pc.list_parent_indices(col)
+    return pa.table(
+        {
+            "gram": pc.list_flatten(col),
+            "doc_id": pc.take(batch.column("doc_id"), parents),
+        }
+    )
+
+
+def _emit_cand_pairs(df: pd.DataFrame) -> pd.DataFrame:
+    ids = np.sort(df["doc_id"].unique())
+    if len(ids) < 2:
+        return pd.DataFrame({"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)})
+    iu, ju = np.triu_indices(len(ids), k=1)
+    return pd.DataFrame({"u": ids[iu], "v": ids[ju]})
+
+
+def ngram_jaccard_pairs(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    num_partitions: int | None = None,
+):
+    """Exact n-gram Jaccard near-dup pairs: candidates = pairs sharing >= 1
+    distinct word-k-gram; verified with exact Jaccard over the gram sets.
+
+    Scale note: exact gram blocking is the verification-grade variant —
+    common grams create O(n^2) blocks, so at scale pass `max_df` to drop
+    grams appearing in more than `max_df` docs (stop-gram pruning; any pair
+    sharing only ultra-common grams is then missed by design, logged via the
+    dropped-gram count). `minhash_dedup` is the approximate scale path.
+    Returns (u, v, jaccard) with u < v and jaccard >= threshold."""
+    grams = ds.map_batches(
+        lambda b: gram_table(b, id_column, text_column, k), batch_format="pyarrow"
+    )
+    exploded = grams.map_batches(_explode_grams, batch_format="pyarrow")
+    # Singleton grams (the overwhelming majority) can't produce pairs: drop
+    # them before the wide groupby; `max_df` additionally drops stop-grams.
+    from opentapioca_ray.stages.pairs import prefilter_singleton_blocks
+
+    exploded = prefilter_singleton_blocks(
+        exploded.map_batches(
+            lambda b: b.rename_columns(["block_key", "doc_id"]), batch_format="pyarrow"
+        ),
+        min_size=2,
+        max_size=max_df,
+    ).map_batches(lambda b: b.rename_columns(["gram", "doc_id"]), batch_format="pyarrow")
+    cands = exploded.groupby("gram").map_groups(_emit_cand_pairs, batch_format="pandas")
+    from ray.data.aggregate import Count
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    _EMPTY = pa.schema(
+        [("u", pa.int64()), ("v", pa.int64()), ("jaccard", pa.float64())]
+    ).empty_table()
+
+    cands = (
+        cands.groupby(["u", "v"])
+        .aggregate(Count(alias_name="nb"))
+        .materialize()  # small: candidate pairs only; consumed twice below
+    )
+    # Distinct candidate doc ids form the (small) broadcast side used to
+    # semi-join the gram table before the attach shuffle, so only docs that
+    # participate in at least one candidate pair ship their gram sets.
+    cand_ids: set[int] = set()
+    for ref in cands.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows and "u" in t.column_names:
+            cand_ids.update(t.column("u").to_pylist())
+            cand_ids.update(t.column("v").to_pylist())
+    if not cand_ids:
+        return ray.data.from_arrow(_EMPTY)
+    ids_ref = ray.put(pa.array(sorted(cand_ids), type=pa.int64()))
+
+    _SIDE_SCHEMA = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("u", pa.int64()),
+            ("v", pa.int64()),
+            ("side", pa.int8()),
+            ("packed", pa.string()),
+        ]
+    )
+
+    def membership(b: pa.Table) -> pa.Table:
+        # one row per pair endpoint, keyed by the doc that must attach grams
+        if "u" not in b.column_names:
+            return _SIDE_SCHEMA.empty_table()
+        us = b.column("u").to_pylist()
+        vs = b.column("v").to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(us + vs, type=pa.int64()),
+                "u": pa.array(us + us, type=pa.int64()),
+                "v": pa.array(vs + vs, type=pa.int64()),
+                "side": pa.array([0] * len(us) + [1] * len(vs), type=pa.int8()),
+                "packed": pa.array([""] * (2 * len(us)), type=pa.string()),
+            }
+        )
+
+    def gram_rows(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(b.column("doc_id"), value_set=ray.get(ids_ref))
+        t = b.filter(mask)
+        n = t.num_rows
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "u": pa.array([-1] * n, type=pa.int64()),
+                "v": pa.array([-1] * n, type=pa.int64()),
+                "side": pa.array([-1] * n, type=pa.int8()),
+                "packed": pa.array(
+                    ["\x1f".join(g) for g in t.column("grams").to_pylist()],
+                    type=pa.string(),
+                ),
+            }
+        )
+
+    # Reduce-side join expressed as union + groupby(doc_id): attach each
+    # doc's packed gram set to every pair endpoint it participates in.
+    sides = cands.map_batches(membership, batch_format="pyarrow").union(
+        grams.map_batches(gram_rows, batch_format="pyarrow")
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        g = df[df["side"] == -1]
+        m = df[df["side"] >= 0]
+        if g.empty or m.empty:
+            return pd.DataFrame(
+                {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64),
+                 "side": pd.Series(dtype=np.int8), "packed": pd.Series(dtype=object)}
+            )
+        packed = g["packed"].iloc[0]
+        out = m[["u", "v", "side"]].copy()
+        out["packed"] = packed
+        return out
+
+    attached = sides.groupby("doc_id").map_groups(attach, batch_format="pandas")
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        a = df[df["side"] == 0]
+        b = df[df["side"] == 1]
+        if a.empty or b.empty:
+            return pd.DataFrame(
+                {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64),
+                 "jaccard": pd.Series(dtype=np.float64)}
+            )
+        sa = set(a["packed"].iloc[0].split("\x1f"))
+        sb = set(b["packed"].iloc[0].split("\x1f"))
+        inter = len(sa & sb)
+        jac = inter / (len(sa) + len(sb) - inter)
+        if jac < threshold:
+            return pd.DataFrame(
+                {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64),
+                 "jaccard": pd.Series(dtype=np.float64)}
+            )
+        return pd.DataFrame(
+            {"u": [int(df["u"].iloc[0])], "v": [int(df["v"].iloc[0])], "jaccard": [jac]}
+        )
+
+    return attached.groupby(["u", "v"]).map_groups(verify, batch_format="pandas")
+
+
+def ngram_jaccard_dedup(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+):
+    """Transitive n-gram-Jaccard near-dedup: verified pairs -> CC clusters."""
+    pairs = ngram_jaccard_pairs(ds, id_column, text_column, k, threshold, max_df)
+    return connected_components(pairs.select_columns(["u", "v"]))
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -79,7 +79,7 @@ def blocking_batch(
     )
 
 
-def prefilter_singleton_blocks(blocks_ds, min_size: int = 2):
+def prefilter_singleton_blocks(blocks_ds, min_size: int = 2, max_size: int | None = None):
     """Drop blocks that cannot produce pairs BEFORE the wide group-by.
 
     `groupby(block_key).map_groups` pays per-group Python overhead; with LSH
@@ -102,12 +102,14 @@ def prefilter_singleton_blocks(blocks_ds, min_size: int = 2):
         if t.num_rows == 0 or "block_key" not in t.column_names:
             continue
         mask = pc.greater_equal(t.column("n"), min_size)
+        if max_size is not None:
+            mask = pc.and_(mask, pc.less_equal(t.column("n"), max_size))
         keys.update(t.filter(mask).column("block_key").to_pylist())
-    keys_ref = ray.put(keys)
+    keys_ref = ray.put(pa.array(sorted(keys), type=pa.string()))
 
     def keep(batch: pa.Table) -> pa.Table:
-        kset = ray.get(keys_ref)
-        mask = pa.array([k in kset for k in batch.column("block_key").to_pylist()])
+        keys_arr = ray.get(keys_ref)
+        mask = pc.is_in(batch.column("block_key"), value_set=keys_arr)
         return batch.filter(mask)
 
     return blocks_ds.map_batches(keep, batch_format="pyarrow")

@@ -94,3 +94,40 @@ def test_embedding_dedup(ray_session):
     }
     assert comp.get(0) == comp.get(1) == 0
     assert comp.get(2, 2) == 2
+
+
+def test_ngram_jaccard_pairs_and_dedup(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.dedup import ngram_jaccard_dedup, ngram_jaccard_pairs
+
+    ds = ray.data.from_items(corpus_with_dups())
+    pairs = ngram_jaccard_pairs(ds, k=3, threshold=0.5).take_all()
+    got = {(r["u"], r["v"]): r["jaccard"] for r in pairs}
+    # exact dups: jaccard exactly 1.0
+    assert got[(10, 11)] == 1.0
+    # near dups in cluster A all pass the 0.5 bar
+    assert got[(0, 1)] > 0.9 and got[(0, 2)] > 0.9 and got[(1, 2)] > 0.9
+    # singletons never appear
+    assert not any(20 in p or 21 in p for p in got)
+
+    comp = {r["node"]: r["component"] for r in ngram_jaccard_dedup(ds, threshold=0.5).take_all()}
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp[10] == comp[11] == 10
+
+
+def test_ngram_jaccard_max_df_drops_stop_grams(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.dedup import ngram_jaccard_pairs
+
+    # every doc shares the same 3-gram preamble; max_df=2 prunes it so only
+    # the genuinely-similar pair (sharing rarer grams) survives
+    docs = [
+        {"doc_id": i, "text": "common stop gram " + " ".join(f"w{i}x{j}" for j in range(30))}
+        for i in range(5)
+    ]
+    docs.append({"doc_id": 100, "text": docs[0]["text"]})
+    ds = ray.data.from_items(docs)
+    pairs = ngram_jaccard_pairs(ds, k=3, threshold=0.5, max_df=2).take_all()
+    assert {(r["u"], r["v"]) for r in pairs} == {(0, 100)}
