@@ -357,6 +357,34 @@ def _q_ann_ivf(sf_dir: str):
     return ivf_topk(ds, queries, qids, centroids, k=10, nprobe=4)
 
 
+def _q_multimodal_meta(sf_dir: str):
+    """Multimodal plumbing: documents -> synthetic binary media table ->
+    image-decode actor stage (deterministic fake decode; geometry is a pure
+    function of payload length) -> typed metadata."""
+    from opentapioca_ray.stages.multimodal import decode_images, synthesize_media
+
+    media = synthesize_media(_docs(sf_dir))
+    return decode_images(media).select_columns(
+        ["media_id", "kind", "n_bytes", "width", "height", "payload_sha256"]
+    )
+
+
+def _q_audio_energy(sf_dir: str):
+    """Audio-feature actor stage over the synthetic media table (rows-only:
+    the per-window RMS stand-in is pytest-golden)."""
+    from opentapioca_ray.stages.multimodal import audio_features, synthesize_media
+
+    return audio_features(synthesize_media(_docs(sf_dir)), n_windows=16)
+
+
+def _q_frame_samples(sf_dir: str):
+    """Video frame-sampling actor stage: payload -> every-2nd 1KiB frame."""
+    from opentapioca_ray.stages.multimodal import sample_frames, synthesize_media
+
+    out = sample_frames(synthesize_media(_docs(sf_dir)), frame_bytes=1024, stride=2)
+    return out.select_columns(["media_id", "frame_index", "frame_sha256"])
+
+
 def _q_compact_latest(sf_dir: str):
     """D5 upsert semantics: last-write-wins per key (customer, version =
     max order key)."""
@@ -456,6 +484,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": _q_embedding_dedup,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
+        "multimodal_meta": _q_multimodal_meta,
+        "audio_energy": _q_audio_energy,
+        "frame_samples": _q_frame_samples,
         "compact_latest": _q_compact_latest,
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
@@ -630,6 +661,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, round(cosine, 6) AS cosine
             FROM ranked WHERE rn <= 10
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS media_id,
+                   'image' AS kind,
+                   octet_length(encode(text)) AS n_bytes,
+                   octet_length(encode(text)) % 640 + 1 AS width,
+                   (octet_length(encode(text)) // 640) % 480 + 1 AS height,
+                   sha256(text) AS payload_sha256
+            FROM documents WHERE doc_id % 3 = 0
         """,
         "compact_latest": """
             SELECT o_custkey, o_orderkey, o_totalprice FROM (
