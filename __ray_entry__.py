@@ -202,27 +202,12 @@ def _q_graph_edges(sf_dir: str):
     import pyarrow.compute as pc
     import ray.data
 
-    from opentapioca_ray.pipelines.pagerank import normalize_edges
-    from ray.data.aggregate import Count
+    from opentapioca_ray.pipelines.pagerank import count_edges, normalize_edges
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
     )
-    edges = (
-        li.groupby(["l_partkey", "l_suppkey"])
-        .aggregate(Count(alias_name="count"))
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "src": b.column("l_partkey"),
-                    "dst": b.column("l_suppkey").cast("int64"),
-                    "count": b.column("count"),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-    )
-    out = normalize_edges(edges)
+    out = normalize_edges(count_edges(li, "l_partkey", "l_suppkey"))
     return out.map_batches(
         lambda b: pa.table(
             {
@@ -239,30 +224,18 @@ def _q_pagerank(sf_dir: str):
     """A4: 16-iteration loss-compensated pagerank over the part->supplier
     graph (numeric semantics pytest-golden; rows-only check here)."""
     import pandas as pd
-    import pyarrow as pa
     import ray.data
-    from ray.data.aggregate import Count
 
-    from opentapioca_ray.pipelines.pagerank import compute_pagerank_local, normalize_edges
+    from opentapioca_ray.pipelines.pagerank import (
+        compute_pagerank_local,
+        count_edges,
+        normalize_edges,
+    )
 
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
     )
-    edges = (
-        li.groupby(["l_partkey", "l_suppkey"])
-        .aggregate(Count(alias_name="count"))
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "src": b.column("l_partkey"),
-                    "dst": b.column("l_suppkey").cast("int64"),
-                    "count": b.column("count"),
-                }
-            ),
-            batch_format="pyarrow",
-        )
-    )
-    graph = compute_pagerank_local(normalize_edges(edges))
+    graph = compute_pagerank_local(normalize_edges(count_edges(li, "l_partkey", "l_suppkey")))
     pr = graph.pagerank
     return pd.DataFrame(
         {"node": range(len(pr)), "rank": pr.round(9)}

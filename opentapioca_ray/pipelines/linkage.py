@@ -114,11 +114,15 @@ def score_pairs(pairs_ds, idf: dict, prior: dict, model: LinearModel | None, con
         "repo_prior_ref": ray.put(prior),
         "model_dict": model.to_dict() if model is not None else None,
     }
+    if concurrency is None:
+        # autoscale the actor pool to the cluster (1 CPU per actor)
+        cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        concurrency = (1, max(2, cpus))
     return pairs_ds.map_batches(
         PairScorerStage,
         fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
-        concurrency=concurrency or (1, 8),
+        concurrency=concurrency,
     )
 
 

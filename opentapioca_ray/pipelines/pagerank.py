@@ -62,19 +62,75 @@ def extract_edges(items_ds):
     return items_ds.map_batches(extract_edges_batch, batch_format="pyarrow")
 
 
+def count_edges(ds, src_col: str, dst_col: str):
+    """(src, dst) multiplicity counts with a map-side combiner: each batch
+    pre-aggregates locally with Arrow's hash group-by, so the wide
+    groupby-Sum shuffles distinct (src, dst) rows per batch, not raw rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "src": batch.column(src_col).cast(pa.int64()),
+                "dst": batch.column(dst_col).cast(pa.int64()),
+            }
+        )
+        g = t.group_by(["src", "dst"]).aggregate([([], "count_all")])
+        return pa.table(
+            {
+                "src": g.column("src"),
+                "dst": g.column("dst"),
+                "count": g.column("count_all"),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby(["src", "dst"]).aggregate(Sum("count", alias_name="count"))
+
+
 def normalize_edges(edges_ds):
     """weight = count / sum(count) per src (reference wikidatagraph.py:103-104).
-    Pre-aggregated: per-src sums via one groupby, then a map join against the
-    per-batch slice (sum table broadcast — the src-sum side is |V|-sized)."""
-    import pandas as pd
 
-    def norm_group(df: pd.DataFrame) -> pd.DataFrame:
-        total = float(df["count"].sum())
-        out = df.copy()
-        out["weight"] = df["count"] / total
-        return out[["src", "dst", "weight"]]
+    Vectorized map-side join: per-src totals from one groupby-Sum aggregate
+    (the |V|-sized small side, broadcast once via ray.put as two sorted numpy
+    arrays), then a numpy searchsorted lookup inside map_batches. No
+    per-group Python: a `groupby(src).map_groups` formulation pays per-group
+    pandas overhead on millions of tiny groups. At graphs where |V| outgrows
+    driver memory, swap the broadcast for a reduce-side join keyed on src —
+    same dataflow shape."""
+    import ray
+    from ray.data.aggregate import Sum
 
-    return edges_ds.groupby("src").map_groups(norm_group, batch_format="pandas")
+    edges_ds = edges_ds.materialize()  # consumed twice: totals + normalize
+    totals = edges_ds.groupby("src").aggregate(Sum("count", alias_name="total"))
+    key_chunks, tot_chunks = [], []
+    for ref in totals.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "src" not in t.column_names:
+            continue
+        key_chunks.append(t.column("src").to_numpy(zero_copy_only=False))
+        tot_chunks.append(t.column("total").to_numpy(zero_copy_only=False))
+    keys = np.concatenate(key_chunks) if key_chunks else np.zeros(0, np.int64)
+    tots = np.concatenate(tot_chunks) if tot_chunks else np.zeros(0)
+    order = np.argsort(keys)
+    keys_ref = ray.put(keys[order])
+    tots_ref = ray.put(tots[order].astype(np.float64))
+
+    def norm(batch: pa.Table) -> pa.Table:
+        k = ray.get(keys_ref)
+        t = ray.get(tots_ref)
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        cnt = batch.column("count").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(k, src)
+        return pa.table(
+            {
+                "src": batch.column("src"),
+                "dst": batch.column("dst"),
+                "weight": pa.array(cnt / t[idx], type=pa.float64()),
+            }
+        )
+
+    return edges_ds.map_batches(norm, batch_format="pyarrow")
 
 
 def sorted_edge_arrays(edges_ds, validate: bool = True):

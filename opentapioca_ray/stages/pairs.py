@@ -184,24 +184,30 @@ FEATURE_NAMES = [
 
 def bounded_edit_distance(a: list[str], b: list[str], cap: int = 48) -> float:
     """Token-level Levenshtein on bounded prefixes, normalized to [0,1]
-    similarity (1 = identical)."""
+    similarity (1 = identical).
+
+    The DP row is numpy-vectorized: substitution/insertion terms elementwise,
+    then the left-to-right deletion dependency resolved with the prefix-min
+    identity cur[j] = min_k<=j (m[k] + (j - k)) via minimum.accumulate —
+    O(la) numpy passes instead of la*lb Python steps."""
     a, b = a[:cap], b[:cap]
     la, lb = len(a), len(b)
     if la == 0 and lb == 0:
         return 1.0
     if la == 0 or lb == 0:
         return 0.0
-    prev = np.arange(lb + 1, dtype=np.int32)
-    cur = np.zeros(lb + 1, dtype=np.int32)
+    codes: dict[str, int] = {}
+    an = np.array([codes.setdefault(t, len(codes)) for t in a], dtype=np.int64)
+    bn = np.array([codes.setdefault(t, len(codes)) for t in b], dtype=np.int64)
+    idx = np.arange(lb + 1, dtype=np.int64)
+    prev = idx.copy()
     for i in range(1, la + 1):
-        cur[0] = i
-        ai = a[i - 1]
-        for j in range(1, lb + 1):
-            cost = 0 if ai == b[j - 1] else 1
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
-        prev, cur = cur, prev
-    dist = int(prev[lb])
-    return 1.0 - dist / max(la, lb)
+        cost = (bn != an[i - 1]).astype(np.int64)
+        m = np.empty(lb + 1, dtype=np.int64)
+        m[0] = i
+        np.minimum(prev[1:] + 1, prev[:-1] + cost, out=m[1:])
+        prev = np.minimum.accumulate(m - idx) + idx
+    return 1.0 - int(prev[lb]) / max(la, lb)
 
 
 class PairFeaturizer:
