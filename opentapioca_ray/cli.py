@@ -1,0 +1,392 @@
+"""Command-line entry points.
+
+Ray-native re-expression of the reference's 11-subcommand CLI
+(reference opentapioca/cli.py:19-220). Each subcommand builds and runs a
+`ray.data` pipeline; state artifacts (BOW model, graph, pagerank, linear
+model) persist as JSON / .npy / .npz single files, datasets as partitioned
+Parquet with stage manifests. Designed to run under `ray job submit`:
+`python -m opentapioca_ray.cli <command> …` — Ray is initialised lazily and
+only if no session exists (the job driver may own one already).
+
+Mapping (reference -> here):
+  train-bow         -> train-bow           (docs parquet -> bow.json)
+  bow-shell         -> bow-shell           (--phrase, or stdin loop)
+  preprocess        -> preprocess          (JSON dump -> edges parquet)
+  compile           -> compile             (edges parquet -> graph .npz)
+  compute-pagerank  -> compute-pagerank    (graph .npz -> .npy)
+  pagerank-shell    -> pagerank-shell      (--node, or stdin loop)
+  index-dump        -> index-dump          (dump+profile -> entities parquet)
+  index-sparql      -> index-seed          (seed id list -> entities subset)
+  index-stream      -> index-delta         (delta upsert + compaction, D5)
+  delete-collection -> delete-output       (remove a stage directory)
+  train-classifier  -> train-linkage       (labeled pairs -> model.json)
+plus the graft pipelines: linkage, dedup.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+
+import numpy as np
+
+
+def _ensure_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address=os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def _read_parquet(path: str, **kw):
+    import ray.data
+
+    return ray.data.read_parquet(path, **kw)
+
+
+# ---------------------------------------------------------------------------
+# commands
+# ---------------------------------------------------------------------------
+
+def cmd_train_bow(args) -> int:
+    _ensure_ray()
+    from opentapioca_ray.state.bow import bow_from_dataset
+
+    ds = _read_parquet(args.input, columns=[args.text_column])
+    bow = bow_from_dataset(ds, text_column=args.text_column, threshold=args.threshold)
+    bow.save(args.output)
+    print(f"trained bow: {len(bow.word_count)} words, total={bow.total_count}")
+    return 0
+
+
+def cmd_bow_shell(args) -> int:
+    from opentapioca_ray.state.bow import BOWLanguageModel
+
+    bow = BOWLanguageModel()
+    bow.load(args.bow)
+    phrases = args.phrase or [line.strip() for line in sys.stdin if line.strip()]
+    for p in phrases:
+        print(f"{bow.log_likelihood(p):.6f}\t{p}")
+    return 0
+
+
+def cmd_preprocess(args) -> int:
+    _ensure_ray()
+    from opentapioca_ray.pipelines.pagerank import extract_edges
+    from opentapioca_ray.sources.dumpreader import read_wikidata_dump
+
+    items = read_wikidata_dump(args.dump)
+    edges = extract_edges(items)
+    os.makedirs(args.output, exist_ok=True)
+    edges.write_parquet(args.output)
+    print(f"edges written to {args.output}")
+    return 0
+
+
+def cmd_compile(args) -> int:
+    _ensure_ray()
+    from opentapioca_ray.pipelines.pagerank import normalize_edges, sorted_edge_arrays
+    from opentapioca_ray.state.graph import LinkGraph
+
+    edges = _read_parquet(args.input)
+    src, dst, weight = sorted_edge_arrays(normalize_edges(edges))
+    graph = LinkGraph.from_sorted_edges(src, dst, weight, args.shape)
+    np.savez(
+        args.output,
+        indptr=graph.indptr,
+        indices=graph.indices,
+        data=graph.data,
+        shape=np.int64(graph.shape),
+    )
+    print(f"graph compiled: shape={graph.shape}, nnz={len(graph.indices)}")
+    return 0
+
+
+def _load_graph(path: str):
+    from opentapioca_ray.state.graph import LinkGraph
+
+    z = np.load(path)
+    return LinkGraph(z["indptr"], z["indices"], z["data"], int(z["shape"]))
+
+
+def cmd_compute_pagerank(args) -> int:
+    graph = _load_graph(args.input)
+    graph.compute_pagerank(args.iterations)
+    graph.save_pagerank(args.output)
+    print(f"pagerank saved: N={graph.shape}, iterations={args.iterations}")
+    return 0
+
+
+def cmd_pagerank_shell(args) -> int:
+    from opentapioca_ray.state.graph import pagerank_from_vector
+
+    g = pagerank_from_vector(np.load(args.pagerank))
+    nodes = args.node or [line.strip() for line in sys.stdin if line.strip()]
+    for n in nodes:
+        nid = int(n[1:]) if str(n).startswith("Q") else int(n)
+        print(f"{n}\t{g.get_pagerank(nid):.9g}")
+    return 0
+
+
+def cmd_index_dump(args) -> int:
+    _ensure_ray()
+    import pyarrow as pa
+
+    from opentapioca_ray.sources.dumpreader import read_wikidata_dump
+    from opentapioca_ray.sources.items import IndexingProfile, TypeMatcher
+
+    profile = IndexingProfile.load(args.profile)
+    matcher = TypeMatcher(
+        json.load(open(args.type_closures)) if args.type_closures else None
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        rows = []
+        for item_json in batch.column("item_json").to_pylist():
+            doc = profile.entity_to_document(json.loads(item_json), matcher)
+            if doc is not None:
+                doc["types"] = json.dumps(doc.get("types", {}), sort_keys=True)
+                rows.append(doc)
+        return pa.Table.from_pylist(rows)
+
+    items = read_wikidata_dump(args.dump)
+    os.makedirs(args.output, exist_ok=True)
+    items.map_batches(project, batch_format="pyarrow").write_parquet(args.output)
+    print(f"entities indexed to {args.output}")
+    return 0
+
+
+def cmd_index_seed(args) -> int:
+    _ensure_ray()
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    seeds = set(
+        json.load(open(args.seeds))
+        if args.seeds.endswith(".json")
+        else [line.strip() for line in open(args.seeds) if line.strip()]
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("id"), value_set=pa.array(sorted(seeds)))
+        return batch.filter(mask)
+
+    ents = _read_parquet(args.entities).map_batches(keep, batch_format="pyarrow")
+    os.makedirs(args.output, exist_ok=True)
+    ents.write_parquet(args.output)
+    print(f"seed subset written to {args.output}")
+    return 0
+
+
+def cmd_index_delta(args) -> int:
+    """Delta upsert: union(existing, delta) -> last-write-wins per id by
+    revid (the Solr-versioning analog — reference taggerfactory.py:103-120)."""
+    _ensure_ray()
+    from opentapioca_ray.stages.dedup import compact_by_key
+
+    base = _read_parquet(args.entities)
+    delta = _read_parquet(args.delta)
+    merged = compact_by_key(base.union(delta), key="id", version=args.version_column)
+    os.makedirs(args.output, exist_ok=True)
+    merged.write_parquet(args.output)
+    print(f"compacted index written to {args.output}")
+    return 0
+
+
+def cmd_delete_output(args) -> int:
+    if not args.yes:
+        print("refusing to delete without --yes", file=sys.stderr)
+        return 1
+    if os.path.isdir(args.path):
+        shutil.rmtree(args.path)
+        print(f"deleted {args.path}")
+        return 0
+    print(f"no such directory: {args.path}", file=sys.stderr)
+    return 1
+
+
+def cmd_train_linkage(args) -> int:
+    _ensure_ray()
+    import pyarrow.parquet as pq
+
+    from opentapioca_ray.pipelines.linkage import (
+        repo_in_degree_prior,
+        train_idf,
+        train_linkage_model,
+    )
+    from opentapioca_ray.sources.files import read_files
+
+    files_ds = read_files(args.sf_dir)
+    idf = train_idf(files_ds)
+    prior = repo_in_degree_prior(files_ds)
+    labeled = pq.read_table(args.labeled).to_pandas()
+    files_df = files_ds.to_pandas()
+    model = train_linkage_model(files_df, labeled, idf, prior, C=args.C)
+    with open(args.output, "w") as f:
+        json.dump(model.to_dict(), f)
+    print(f"model saved to {args.output}")
+    return 0
+
+
+def cmd_linkage(args) -> int:
+    _ensure_ray()
+    from opentapioca_ray.checkpoint import StageCheckpoint
+    from opentapioca_ray.pipelines.linkage import linkage_clusters
+    from opentapioca_ray.sources.files import read_files
+    from opentapioca_ray.state.linear import LinearModel
+
+    model = None
+    if args.model:
+        model = LinearModel.from_dict(json.load(open(args.model)))
+    files = read_files(args.sf_dir)
+    ckpt = StageCheckpoint(args.output)
+    params = {"threshold": args.threshold, "sf_dir": args.sf_dir, "model": args.model}
+
+    def build():
+        clusters, _scored = linkage_clusters(files, model=model, threshold=args.threshold)
+        return clusters
+
+    clusters = ckpt.run("clusters", params, [], build)
+    n = clusters.count()
+    print(f"clusters written: {n} clustered files -> {args.output}/clusters")
+    return 0
+
+
+def cmd_dedup(args) -> int:
+    _ensure_ray()
+    from opentapioca_ray.stages import dedup as D
+
+    ds = _read_parquet(args.input)
+    if args.method == "exact":
+        out = D.exact_dedup(ds, id_column=args.id_column, text_column=args.text_column)
+    elif args.method == "minhash":
+        out = D.minhash_dedup(
+            ds, id_column=args.id_column, text_column=args.text_column,
+            threshold=args.threshold,
+        )
+    elif args.method == "simhash":
+        out = D.simhash_dedup(ds, id_column=args.id_column, text_column=args.text_column)
+    elif args.method == "ngram":
+        out = D.ngram_jaccard_dedup(
+            ds, id_column=args.id_column, text_column=args.text_column,
+            threshold=args.threshold,
+        )
+    else:
+        raise SystemExit(f"unknown method {args.method}")
+    os.makedirs(args.output, exist_ok=True)
+    out.write_parquet(args.output)
+    print(f"{args.method} dedup written to {args.output}")
+    return 0
+
+
+# ---------------------------------------------------------------------------
+# parser
+# ---------------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="opentapioca-ray")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    s = sub.add_parser("train-bow", help="train the BOW language model")
+    s.add_argument("input")
+    s.add_argument("-o", "--output", required=True)
+    s.add_argument("--text-column", default="text")
+    s.add_argument("--threshold", type=int, default=2)
+    s.set_defaults(fn=cmd_train_bow)
+
+    s = sub.add_parser("bow-shell", help="query phrase log-likelihoods")
+    s.add_argument("-b", "--bow", required=True)
+    s.add_argument("--phrase", action="append")
+    s.set_defaults(fn=cmd_bow_shell)
+
+    s = sub.add_parser("preprocess", help="JSON dump -> edge parquet")
+    s.add_argument("dump")
+    s.add_argument("-o", "--output", required=True)
+    s.set_defaults(fn=cmd_preprocess)
+
+    s = sub.add_parser("compile", help="edge parquet -> graph .npz")
+    s.add_argument("-i", "--input", required=True)
+    s.add_argument("-o", "--output", required=True)
+    s.add_argument("--shape", type=int, default=None)
+    s.set_defaults(fn=cmd_compile)
+
+    s = sub.add_parser("compute-pagerank", help="graph .npz -> pagerank .npy")
+    s.add_argument("-i", "--input", required=True)
+    s.add_argument("-o", "--output", required=True)
+    s.add_argument("--iterations", type=int, default=16)
+    s.set_defaults(fn=cmd_compute_pagerank)
+
+    s = sub.add_parser("pagerank-shell", help="look up pagerank values")
+    s.add_argument("-p", "--pagerank", required=True)
+    s.add_argument("--node", action="append")
+    s.set_defaults(fn=cmd_pagerank_shell)
+
+    s = sub.add_parser("index-dump", help="dump + profile -> entities parquet")
+    s.add_argument("dump")
+    s.add_argument("-p", "--profile", required=True)
+    s.add_argument("-o", "--output", required=True)
+    s.add_argument("--type-closures", default=None)
+    s.set_defaults(fn=cmd_index_dump)
+
+    s = sub.add_parser("index-seed", help="subset entities by seed id list")
+    s.add_argument("--entities", required=True)
+    s.add_argument("--seeds", required=True)
+    s.add_argument("-o", "--output", required=True)
+    s.set_defaults(fn=cmd_index_seed)
+
+    s = sub.add_parser("index-delta", help="upsert a delta into the entity index")
+    s.add_argument("--entities", required=True)
+    s.add_argument("--delta", required=True)
+    s.add_argument("-o", "--output", required=True)
+    s.add_argument("--version-column", default="revid")
+    s.set_defaults(fn=cmd_index_delta)
+
+    s = sub.add_parser("delete-output", help="remove a stage output directory")
+    s.add_argument("path")
+    s.add_argument("--yes", action="store_true")
+    s.set_defaults(fn=cmd_delete_output)
+
+    s = sub.add_parser("train-linkage", help="train the pairwise linkage model")
+    s.add_argument("sf_dir")
+    s.add_argument("--labeled", required=True)
+    s.add_argument("-o", "--output", required=True)
+    s.add_argument("-C", type=float, default=1.0)
+    s.set_defaults(fn=cmd_train_linkage)
+
+    s = sub.add_parser("linkage", help="flagship: files -> near-dup clusters")
+    s.add_argument("sf_dir")
+    s.add_argument("-o", "--output", required=True)
+    s.add_argument("--threshold", type=float, default=0.2)
+    s.add_argument("--model", default=None)
+    s.set_defaults(fn=cmd_linkage)
+
+    s = sub.add_parser("dedup", help="document deduplication")
+    s.add_argument("input")
+    s.add_argument("--method", default="minhash",
+                   choices=["exact", "minhash", "simhash", "ngram"])
+    s.add_argument("--id-column", default="doc_id")
+    s.add_argument("--text-column", default="text")
+    s.add_argument("--threshold", type=float, default=0.7)
+    s.add_argument("-o", "--output", required=True)
+    s.set_defaults(fn=cmd_dedup)
+
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

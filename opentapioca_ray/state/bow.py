@@ -161,6 +161,8 @@ def bow_from_dataset(ds, text_column: str = "text", threshold: int = 2) -> BOWLa
     word_count: dict[str, int] = {}
     for ref in tbl:
         t = ray.get(ref)
+        if t.num_rows == 0 or "word" not in t.column_names:
+            continue  # empty shuffle blocks arrive schema-less
         for w, c in zip(t.column("word").to_pylist(), t.column("count").to_pylist()):
             word_count[w] = int(c)
     return BOWLanguageModel.from_counts(word_count, total)

@@ -1,0 +1,112 @@
+"""CLI end-to-end: each subcommand drives its Ray pipeline and writes its
+artifact (the `ray job submit` surface — reference cli.py:19-220)."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from opentapioca_ray.cli import main
+
+
+@pytest.fixture()
+def docs_parquet(tmp_path):
+    path = tmp_path / "docs.parquet"
+    rows = [
+        {"doc_id": 0, "text": "invited speakers are great speakers"},
+        {"doc_id": 1, "text": "invited speakers love bow models"},
+        {"doc_id": 2, "text": "invited speakers love bow models"},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), path)
+    return str(path)
+
+
+def test_train_bow_and_shell(ray_session, docs_parquet, tmp_path, capsys):
+    bow_path = str(tmp_path / "bow.json")
+    assert main(["train-bow", docs_parquet, "-o", bow_path]) == 0
+    assert main(["bow-shell", "-b", bow_path, "--phrase", "invited speakers"]) == 0
+    out = capsys.readouterr().out
+    last = [l for l in out.splitlines() if l.endswith("invited speakers")][-1]
+    assert float(last.split("\t")[0]) < 0  # a log-likelihood
+
+
+def test_graph_chain(ray_session, tmp_path, capsys):
+    # preprocess -> compile -> compute-pagerank -> pagerank-shell
+    dump = tmp_path / "dump.json"
+    items = []
+    for i in range(1, 5):
+        claims = {
+            "P31": [
+                {
+                    "mainsnak": {
+                        "datavalue": {
+                            "value": {"numeric-id": (i % 4) + 1},
+                            "type": "wikibase-entityid",
+                        }
+                    },
+                    "qualifiers": {},
+                }
+            ]
+        }
+        items.append({"id": f"Q{i}", "claims": claims})
+    dump.write_text("\n".join(json.dumps(it) for it in items))
+    edges_dir = str(tmp_path / "edges")
+    graph_npz = str(tmp_path / "graph.npz")
+    pr_npy = str(tmp_path / "pagerank.npy")
+    assert main(["preprocess", str(dump), "-o", edges_dir]) == 0
+    assert main(["compile", "-i", edges_dir, "-o", graph_npz]) == 0
+    assert main(["compute-pagerank", "-i", graph_npz, "-o", pr_npy]) == 0
+    v = np.load(pr_npy)
+    assert abs(v.sum() - 1.0) < 1e-9
+    assert main(["pagerank-shell", "-p", pr_npy, "--node", "Q2"]) == 0
+    out = capsys.readouterr().out
+    assert out.splitlines()[-1].startswith("Q2\t")
+
+
+def test_index_delta_upsert(ray_session, tmp_path):
+    base = tmp_path / "entities.parquet"
+    delta = tmp_path / "delta.parquet"
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {"id": "Q1", "label": "old", "revid": 1},
+                {"id": "Q2", "label": "keep", "revid": 5},
+            ]
+        ),
+        base,
+    )
+    pq.write_table(
+        pa.Table.from_pylist([{"id": "Q1", "label": "new", "revid": 9}]), delta
+    )
+    out_dir = str(tmp_path / "compacted")
+    assert (
+        main(["index-delta", "--entities", str(base), "--delta", str(delta), "-o", out_dir])
+        == 0
+    )
+    got = {r["id"]: r["label"] for r in pq.read_table(out_dir).to_pylist()}
+    assert got == {"Q1": "new", "Q2": "keep"}
+
+
+def test_dedup_and_delete_output(ray_session, docs_parquet, tmp_path, capsys):
+    out_dir = str(tmp_path / "dedup_out")
+    assert main(["dedup", docs_parquet, "--method", "exact", "-o", out_dir]) == 0
+    rows = pq.read_table(out_dir).to_pylist()
+    by_keep = {r["keep_id"]: r["dup_count"] for r in rows}
+    assert by_keep[1] == 2  # docs 1 and 2 are exact dups
+    # delete-output refuses without --yes
+    assert main(["delete-output", out_dir]) == 1
+    assert main(["delete-output", out_dir, "--yes"]) == 0
+    import os
+
+    assert not os.path.exists(out_dir)
+
+
+def test_linkage_checkpoint_cli(ray_session, tmp_path, capsys):
+    out_dir = str(tmp_path / "run")
+    assert main(["linkage", "/root/testdata/sf0.001", "-o", out_dir, "--threshold", "0.2"]) == 0
+    manifest = json.load(open(f"{out_dir}/clusters/_manifest.json"))
+    assert manifest["complete"] and manifest["row_count"] > 0
+    # re-run skips (manifest fingerprint matches): still succeeds quickly
+    assert main(["linkage", "/root/testdata/sf0.001", "-o", out_dir, "--threshold", "0.2"]) == 0
