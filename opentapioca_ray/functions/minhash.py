@@ -39,6 +39,35 @@ def shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
     return np.array([hash64(s) for s in shingles(tokens, k)], dtype=np.uint64)
 
 
+_HASH_KEY = "opentapioca_ray0"  # 16 bytes, fixed: deterministic across procs
+
+
+def shingle_hashes_fast(tokens: list[str], k: int = 3) -> np.ndarray:
+    """Vectorized shingle hashing: one C-level SipHash pass over the tokens
+    (pandas.util.hash_array, fixed key), then k-1 numpy combine passes for
+    the k-gram windows — replaces a per-shingle blake2b Python loop (~100x
+    on long documents). Different hash family than `shingle_hashes`, same
+    MinHash semantics (behavioral tests only, no value goldens)."""
+    import pandas as pd
+
+    n = len(tokens)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    th = pd.util.hash_array(np.asarray(tokens, dtype=object), hash_key=_HASH_KEY)
+    if n < k:
+        acc = th[0:1].copy()
+        with np.errstate(over="ignore"):
+            for j in range(1, n):
+                acc = (acc * np.uint64(0x100000001B3)) ^ th[j : j + 1]
+        return acc
+    m = n - k + 1
+    acc = th[:m].copy()
+    with np.errstate(over="ignore"):
+        for j in range(1, k):
+            acc = (acc * np.uint64(0x100000001B3)) ^ th[j : j + m]
+    return acc
+
+
 def minhash_signature(hashes: np.ndarray, num_perm: int = 128) -> np.ndarray:
     """(a_i * h + b_i) mod p, min over the shingle set; empty -> p."""
     if len(hashes) == 0:
@@ -78,6 +107,25 @@ def band_keys(signature: np.ndarray, bands: int = 32) -> list[str]:
         digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
         keys.append(f"b{i:02d}:{digest}")
     return keys
+
+
+def band_keys_u64(signature: np.ndarray, bands: int = 32) -> np.ndarray:
+    """uint64 variant of `band_keys` for the slim/scale blocking path: the
+    whole signature hashes band-wise in one vectorized pass and each key is
+    8 bytes, so the band shuffle and the singleton-count prefilter work on
+    fixed-width ints instead of strings."""
+    rows = len(signature) // bands
+    chunks = signature[: bands * rows].reshape(bands, rows)
+    with np.errstate(over="ignore"):
+        acc = np.full(bands, 0xCBF29CE484222325, dtype=np.uint64)  # FNV offset
+        for r in range(rows):
+            acc = (acc ^ chunks[:, r]) * np.uint64(0x100000001B3)  # FNV prime
+        # mix in the band index so identical band contents in different
+        # bands never collide
+        acc = acc ^ (np.arange(bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    # reinterpret as int64: Ray's sort-shuffle boundary sampling round-trips
+    # key values through Python ints and overflows on uint64 > 2^63
+    return acc.view(np.int64)
 
 
 def simhash(hashes: np.ndarray, weights: np.ndarray | None = None) -> int:

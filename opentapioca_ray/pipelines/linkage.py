@@ -30,13 +30,22 @@ from opentapioca_ray.state.linear import LinearModel
 # Broadcast corpus statistics
 # ---------------------------------------------------------------------------
 
-def train_idf(files_ds, text_column: str = "content", max_vocab: int = 500_000) -> dict:
+def train_idf(
+    files_ds,
+    text_column: str = "content",
+    max_vocab: int = 500_000,
+    driver_limit: int = 5_000_000,
+) -> dict:
     """Document-frequency per token -> idf = log(N / (1 + df)).
 
-    Distinct-per-row extraction is combined inside `map_batches` before the
-    word groupby (same shuffle shape as BOW training, SURVEY.md A1). The
-    collected dict is the broadcast small side; vocabulary beyond
-    `max_vocab` most-frequent entries falls back to the default idf."""
+    Distinct-per-row extraction is combined inside `map_batches` before any
+    exchange (same shuffle shape as BOW training, SURVEY.md A1). Scale-
+    adaptive final merge: when the partial (word, count) rows fit under
+    `driver_limit` they merge with one vectorized pass on the driver (no
+    shuffle); above that a distributed groupby(word).sum runs first. The
+    result dict is the broadcast small side either way; vocabulary beyond
+    `max_vocab` falls back to the default idf."""
+    import ray
     from ray.data.aggregate import Sum
 
     from opentapioca_ray.state.bow import partial_word_counts
@@ -45,19 +54,34 @@ def train_idf(files_ds, text_column: str = "content", max_vocab: int = 500_000) 
     partial = files_ds.map_batches(
         lambda b: partial_word_counts(b, text_column),
         batch_format="pyarrow",
-    )
-    counts = partial.groupby("word").aggregate(Sum("count", alias_name="count"))
-    import ray
+    ).materialize()
 
     idf: dict[str, float] = {}
-    rows = 0
-    for ref in counts.to_arrow_refs():
-        t = ray.get(ref)
-        if t.num_rows == 0 or "word" not in t.column_names:
-            continue
-        for w, c in zip(t.column("word").to_pylist(), t.column("count").to_pylist()):
-            idf[w] = float(np.log(n_docs / (1.0 + c)))
-            rows += 1
+    if partial.count() <= driver_limit:
+        word_chunks, cnt_chunks = [], []
+        for ref in partial.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows == 0 or "word" not in t.column_names:
+                continue
+            col = t.column("word")
+            word_chunks.extend(col.chunks if isinstance(col, pa.ChunkedArray) else [col])
+            cnt_chunks.append(t.column("count").to_numpy(zero_copy_only=False))
+        if word_chunks:
+            # dictionary-encode: the weighted merge runs on int codes
+            enc = pa.chunked_array(word_chunks).combine_chunks().dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            cnts = np.concatenate(cnt_chunks).astype(np.int64)
+            sums = np.bincount(codes, weights=cnts).astype(np.int64)
+            vals = np.log(n_docs / (1.0 + sums))
+            idf = dict(zip(enc.dictionary.to_pylist(), vals.tolist()))
+    else:
+        counts = partial.groupby("word").aggregate(Sum("count", alias_name="count"))
+        for ref in counts.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows == 0 or "word" not in t.column_names:
+                continue
+            for w, c in zip(t.column("word").to_pylist(), t.column("count").to_pylist()):
+                idf[w] = float(np.log(n_docs / (1.0 + c)))
     if len(idf) > max_vocab:
         keep = sorted(idf.items(), key=lambda kv: kv[1])[:max_vocab]
         idf = dict(keep)
@@ -106,21 +130,49 @@ def build_pairs(blocks_ds, max_block_size=64, window=8):
     )
 
 
-def score_pairs(pairs_ds, idf: dict, prior: dict, model: LinearModel | None, concurrency=None):
+def score_pairs(
+    pairs_ds,
+    idf: dict,
+    prior: dict,
+    model: LinearModel | None,
+    concurrency=None,
+    mode: str = "tasks",
+):
+    """Pairwise feature + score stage.
+
+    `tasks` (default): stateless map_batches on the already-warm worker
+    pool; the broadcast state (idf/prior/model) ships once via ray.put and
+    each task reads it zero-copy from plasma — no actor spin-up cost.
+    `actors`: explicit actor pool (state resolved once per actor in
+    __init__) — preferable when state resolution itself is expensive
+    (large model load) and the stage runs long enough to amortize pool
+    startup."""
     import ray
 
-    kwargs = {
-        "idf_ref": ray.put(idf),
-        "repo_prior_ref": ray.put(prior),
-        "model_dict": model.to_dict() if model is not None else None,
-    }
+    idf_ref = ray.put(idf)
+    prior_ref = ray.put(prior)
+    model_dict = model.to_dict() if model is not None else None
+
+    if mode == "tasks":
+        def score_batch(batch: pa.Table) -> pa.Table:
+            stage = PairScorerStage(
+                idf_ref=idf_ref, repo_prior_ref=prior_ref, model_dict=model_dict
+            )
+            return stage(batch)
+
+        return pairs_ds.map_batches(score_batch, batch_format="pyarrow")
+
     if concurrency is None:
         # autoscale the actor pool to the cluster (1 CPU per actor)
         cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         concurrency = (1, max(2, cpus))
     return pairs_ds.map_batches(
         PairScorerStage,
-        fn_constructor_kwargs=kwargs,
+        fn_constructor_kwargs={
+            "idf_ref": idf_ref,
+            "repo_prior_ref": prior_ref,
+            "model_dict": model_dict,
+        },
         batch_format="pyarrow",
         concurrency=concurrency,
     )
@@ -148,6 +200,378 @@ def match_edges(scored_unique_ds, threshold: float = 0.0):
     return scored_unique_ds.map_batches(to_edges, batch_format="pyarrow")
 
 
+_DRIVER_PAIRS_LIMIT = 20_000_000
+
+
+def _pair_arrays(keys, ids, sigs, max_block_size: int, window: int):
+    """Vectorized pairing kernel over MANY blocks at once: rows sorted by
+    (key, sig); emits (left, right, capped) arrays. Size-2 groups (the
+    overwhelming majority under LSH banding) are fully vectorized; larger
+    groups loop with the all-pairs / sorted-neighborhood skew guard."""
+    order = np.lexsort((sigs, keys))
+    keys, ids, sigs = keys[order], ids[order], sigs[order]
+    starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+    ends = np.concatenate((starts[1:], [len(keys)]))
+    sizes = ends - starts
+    lefts, rights, caps = [], [], []
+    s2 = starts[sizes == 2]
+    if len(s2):
+        a, b = ids[s2], ids[s2 + 1]
+        valid = a != b
+        a, b = a[valid], b[valid]
+        lefts.append(np.minimum(a, b))
+        rights.append(np.maximum(a, b))
+        caps.append(np.zeros(len(a), dtype=np.int64))
+    for s, e in zip(starts[sizes > 2], ends[sizes > 2]):
+        # drop duplicate file_ids keeping first occurrence (rows are already
+        # in sig_head order within the group)
+        _, first_pos = np.unique(ids[s:e], return_index=True)
+        gid = ids[s:e][np.sort(first_pos)]
+        n = len(gid)
+        if n < 2:
+            continue
+        if n <= max_block_size:
+            iu, ju = np.triu_indices(n, k=1)
+            capped = 0
+        else:
+            offs = np.arange(1, window + 1)
+            iu = np.repeat(np.arange(n), window)
+            ju = iu + np.tile(offs, n)
+            keep = ju < n
+            iu, ju = iu[keep], ju[keep]
+            capped = n * (n - 1) // 2 - len(iu)
+        lefts.append(np.minimum(gid[iu], gid[ju]))
+        rights.append(np.maximum(gid[iu], gid[ju]))
+        caps.append(np.full(len(iu), capped, dtype=np.int64))
+    if not lefts:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    return np.concatenate(lefts), np.concatenate(rights), np.concatenate(caps)
+
+
+def _driver_id_pairs(cands_ds, max_block_size: int, window: int):
+    """Small-regime pair generation: surviving candidate rows (already a
+    tiny fraction after the singleton prefilter) are collected as three
+    numpy columns and paired + cross-band-deduplicated vectorized on the
+    driver — zero shuffles. Same semantics (all-pairs / sorted-neighborhood
+    skew guard / Max(capped) / band count) as the distributed path."""
+    import ray
+    import ray.data as rd
+
+    key_chunks, id_chunks, sig_chunks = [], [], []
+    for ref in cands_ds.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "block_key" not in t.column_names:
+            continue
+        col = t.column("block_key")
+        key_chunks.extend(col.chunks if isinstance(col, pa.ChunkedArray) else [col])
+        id_chunks.append(t.column("file_id").to_numpy(zero_copy_only=False))
+        sig_chunks.append(t.column("sig_head").to_numpy(zero_copy_only=False))
+    empty = pa.schema(
+        [("left_id", pa.int64()), ("right_id", pa.int64()),
+         ("capped", pa.int64()), ("nb_bands", pa.int64())]
+    ).empty_table()
+    if not key_chunks:
+        return rd.from_arrow(empty)
+    # int keys sort directly; string keys dictionary-encode to int codes
+    key_arr = pa.chunked_array(key_chunks).combine_chunks()
+    if pa.types.is_string(key_arr.type) or pa.types.is_large_string(key_arr.type):
+        keys = key_arr.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+    else:
+        keys = key_arr.to_numpy(zero_copy_only=False)
+    ids = np.concatenate(id_chunks).astype(np.int64)
+    sigs = np.concatenate(sig_chunks).astype(np.uint64)
+    left, right, cap = _pair_arrays(keys, ids, sigs, max_block_size, window)
+    if not len(left):
+        return rd.from_arrow(empty)
+    # cross-band dedupe: unique (left,right), Max(capped), Count(bands)
+    pair_mat = np.stack([left, right], axis=1)
+    o = np.lexsort((cap, right, left))
+    pair_mat, cap = pair_mat[o], cap[o]
+    new = np.concatenate(
+        ([True], (pair_mat[1:] != pair_mat[:-1]).any(axis=1))
+    )
+    group = np.cumsum(new) - 1
+    nb_bands = np.bincount(group)
+    max_cap = np.maximum.reduceat(cap, np.flatnonzero(new))
+    uniq = pair_mat[new]
+    table = pa.table(
+        {
+            "left_id": pa.array(uniq[:, 0], type=pa.int64()),
+            "right_id": pa.array(uniq[:, 1], type=pa.int64()),
+            "capped": pa.array(max_cap, type=pa.int64()),
+            "nb_bands": pa.array(nb_bands, type=pa.int64()),
+        }
+    )
+    return rd.from_arrow(table)
+
+
+def build_id_pairs(
+    files_ds,
+    num_perm=128,
+    bands=32,
+    shingle_k=3,
+    max_block_size=64,
+    window=8,
+    mode: str = "auto",
+    prefilter_mode: str = "auto",
+):
+    """Slim blocking + pair generation: the band shuffle moves only
+    (block_key, file_id, sig_head); candidate pairs are deduplicated across
+    bands BEFORE any payload is attached or scored.
+
+    Scale-adaptive: surviving candidate rows below `_DRIVER_PAIRS_LIMIT`
+    pair up vectorized on the driver (no shuffle); above, the
+    groupby(block_key) + groupby(pair) shuffles run distributed."""
+    from ray.data.aggregate import Count, Max
+
+    from opentapioca_ray.stages.pairs import (
+        make_id_pair_group_fn,
+        prefilter_singleton_blocks,
+    )
+
+    blocks = files_ds.map_batches(
+        lambda b: blocking_batch(
+            b,
+            id_column="file_id",
+            text_column="content",
+            repo_column=None,
+            num_perm=num_perm,
+            bands=bands,
+            shingle_k=shingle_k,
+            include_tokens=False,
+            key_type="u64",
+        ),
+        batch_format="pyarrow",
+    )
+    candidates = prefilter_singleton_blocks(blocks, mode=prefilter_mode).materialize()
+    if mode == "auto":
+        mode = "driver" if candidates.count() <= _DRIVER_PAIRS_LIMIT else "shuffle"
+    if mode == "driver":
+        return _driver_id_pairs(candidates, max_block_size, window)
+
+    # Scale path: shuffle by a COARSE partition key (hash of block_key mod
+    # P) so each group holds many whole blocks and is paired with the same
+    # vectorized kernel — per-group work is O(partition), not a per-tiny-
+    # group pandas call (which collapses at millions of singleton-ish keys).
+    n_parts = 1024
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        key = batch.column("block_key")
+        if pa.types.is_string(key.type) or pa.types.is_large_string(key.type):
+            # deterministic across worker processes (NOT builtin hash())
+            import zlib
+
+            part = pa.array(
+                [zlib.crc32(k.encode()) % n_parts for k in key.to_pylist()],
+                type=pa.int64(),
+            )
+        else:
+            part = pc.cast(
+                pc.bit_wise_and(key, pa.scalar(n_parts - 1, key.type)), pa.int64()
+            )
+        return batch.append_column("part", part)
+
+    def pair_partition(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["block_key"].to_numpy()
+        if keys.dtype == object:
+            _, keys = np.unique(keys, return_inverse=True)
+        ids = df["file_id"].to_numpy(dtype=np.int64)
+        sigs = df["sig_head"].to_numpy()
+        left, right, cap = _pair_arrays(keys, ids, sigs, max_block_size, window)
+        return pd.DataFrame({"left_id": left, "right_id": right, "capped": cap})
+
+    pairs = (
+        candidates.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pair_partition, batch_format="pandas")
+    )
+    return pairs.groupby(["left_id", "right_id"]).aggregate(
+        Max("capped", alias_name="capped"), Count(alias_name="nb_bands")
+    )
+
+
+_DRIVER_ATTACH_LIMIT = 200_000
+
+
+def attach_pair_tokens(pairs_ds, files_ds, tokens_cap: int | None = None, mode: str = "auto"):
+    """Reduce-side join: ship each candidate file's token prefix (packed as
+    one \\x1f string) to its pairs via union + groupby(file_id), one pass per
+    side. The candidate-id set is the broadcast small side (bounded by files
+    that appear in >= 1 pair); at scales where even that outgrows broadcast,
+    swap the `is_in` prefilter for a shuffle semi-join on file_id — same
+    dataflow."""
+    import ray
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.functions.text import tokenize
+    from opentapioca_ray.stages.pairs import TOKENS_CAP
+
+    cap = tokens_cap or TOKENS_CAP
+    pairs_ds = pairs_ds.materialize()  # small: deduped candidate pairs
+    cand_ids: set[int] = set()
+    for ref in pairs_ds.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "left_id" not in t.column_names:
+            continue
+        cand_ids.update(t.column("left_id").to_pylist())
+        cand_ids.update(t.column("right_id").to_pylist())
+    if not cand_ids:
+        return None
+    ids_ref = ray.put(pa.array(sorted(cand_ids), type=pa.int64()))
+
+    def token_rows(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("file_id"), value_set=ray.get(ids_ref))
+        t = batch.filter(mask)
+        packed = [
+            "\x1f".join(tokenize((c or "")[:10000])[:cap])
+            for c in t.column("content").to_pylist()
+        ]
+        return pa.table(
+            {
+                "file_id": t.column("file_id"),
+                "repo": t.column("repo"),
+                "packed": pa.array(packed, type=pa.string()),
+            }
+        )
+
+    tokens = files_ds.map_batches(token_rows, batch_format="pyarrow")
+
+    if mode == "auto":
+        mode = "driver" if pairs_ds.count() <= _DRIVER_ATTACH_LIMIT else "shuffle"
+    if mode == "driver":
+        # Small regime: tokenization stays distributed (the map above); only
+        # the packed prefixes of candidate files (bounded by cand_ids x cap)
+        # and the deduped pairs come to the driver for a vectorized dict
+        # join, then ship back as sliced Arrow blocks for the actor pool.
+        import ray.data as rd
+
+        tok_map: dict[int, tuple[str, str]] = {}
+        for ref in tokens.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows == 0 or "file_id" not in t.column_names:
+                continue
+            for fid, repo, packed in zip(
+                t.column("file_id").to_pylist(),
+                t.column("repo").to_pylist(),
+                t.column("packed").to_pylist(),
+            ):
+                tok_map[fid] = (repo, packed)
+        rows = {"left_id": [], "right_id": [], "capped": [], "nb_bands": [],
+                "left_repo": [], "left_packed": [], "right_repo": [], "right_packed": []}
+        for ref in pairs_ds.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows == 0 or "left_id" not in t.column_names:
+                continue
+            for l, r, c, nb in zip(
+                t.column("left_id").to_pylist(),
+                t.column("right_id").to_pylist(),
+                t.column("capped").to_pylist(),
+                t.column("nb_bands").to_pylist(),
+            ):
+                lt = tok_map.get(l)
+                rt = tok_map.get(r)
+                if lt is None or rt is None:
+                    continue
+                rows["left_id"].append(l)
+                rows["right_id"].append(r)
+                rows["capped"].append(c)
+                rows["nb_bands"].append(nb)
+                rows["left_repo"].append(lt[0])
+                rows["left_packed"].append(lt[1])
+                rows["right_repo"].append(rt[0])
+                rows["right_packed"].append(rt[1])
+        table = pa.table(
+            {
+                "left_id": pa.array(rows["left_id"], type=pa.int64()),
+                "right_id": pa.array(rows["right_id"], type=pa.int64()),
+                "capped": pa.array(rows["capped"], type=pa.int64()),
+                "nb_bands": pa.array(rows["nb_bands"], type=pa.int64()),
+                "left_repo": pa.array(rows["left_repo"], type=pa.string()),
+                "left_packed": pa.array(rows["left_packed"], type=pa.string()),
+                "right_repo": pa.array(rows["right_repo"], type=pa.string()),
+                "right_packed": pa.array(rows["right_packed"], type=pa.string()),
+            }
+        )
+        # slice into multiple blocks so the scorer actor pool parallelizes
+        import ray as _ray
+
+        n_slices = max(1, min(64, int(_ray.cluster_resources().get("CPU", 8)) * 2))
+        step = max(1, (table.num_rows + n_slices - 1) // n_slices)
+        slices = [table.slice(i, step) for i in range(0, table.num_rows, step)]
+        return rd.from_arrow(slices or [table])
+
+    def _attach(side_pairs_ds, key: str, prefix: str, carry: list[tuple[str, pa.DataType]]):
+        """union(pair rows keyed by `key`, token rows) -> groupby(file_id)
+        -> pair rows + {prefix}_repo/{prefix}_packed."""
+        carry_names = [c for c, _ in carry]
+        union_schema = pa.schema(
+            [("file_id", pa.int64()), ("is_token", pa.bool_()),
+             ("repo", pa.string()), ("packed", pa.string()), *carry]
+        )
+
+        def pair_rows(batch: pa.Table) -> pa.Table:
+            if "left_id" not in batch.column_names:
+                return union_schema.empty_table()
+            n = batch.num_rows
+            cols = {
+                "file_id": batch.column(key).cast(pa.int64()),
+                "is_token": pa.array([False] * n, type=pa.bool_()),
+                "repo": pa.array([""] * n, type=pa.string()),
+                "packed": pa.array([""] * n, type=pa.string()),
+            }
+            for c, typ in carry:
+                cols[c] = batch.column(c).cast(typ)
+            return pa.table(cols).cast(union_schema)
+
+        def tok_rows(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = {
+                "file_id": batch.column("file_id").cast(pa.int64()),
+                "is_token": pa.array([True] * n, type=pa.bool_()),
+                "repo": batch.column("repo"),
+                "packed": batch.column("packed"),
+            }
+            for c, typ in carry:
+                cols[c] = pa.nulls(n, type=typ)
+            return pa.table(cols).cast(union_schema)
+
+        unioned = side_pairs_ds.map_batches(pair_rows, batch_format="pyarrow").union(
+            tokens.map_batches(tok_rows, batch_format="pyarrow")
+        )
+        out_schema = pa.schema(
+            [*carry, (f"{prefix}_repo", pa.string()), (f"{prefix}_packed", pa.string())]
+        )
+
+        def attach_group(df: pd.DataFrame) -> pd.DataFrame:
+            tok = df[df["is_token"]]
+            mem = df[~df["is_token"]]
+            if tok.empty or mem.empty:
+                return out_schema.empty_table().to_pandas()
+            out = mem[carry_names].copy()
+            out[f"{prefix}_repo"] = tok["repo"].iloc[0]
+            out[f"{prefix}_packed"] = tok["packed"].iloc[0]
+            return out
+
+        return unioned.groupby("file_id").map_groups(attach_group, batch_format="pandas")
+
+    base_carry = [
+        ("left_id", pa.int64()),
+        ("right_id", pa.int64()),
+        ("capped", pa.int64()),
+        ("nb_bands", pa.int64()),
+    ]
+    with_left = _attach(pairs_ds, "left_id", "left", base_carry)
+    return _attach(
+        with_left,
+        "right_id",
+        "right",
+        base_carry + [("left_repo", pa.string()), ("left_packed", pa.string())],
+    )
+
+
 def linkage_clusters(
     files_ds,
     model: LinearModel | None = None,
@@ -160,15 +584,59 @@ def linkage_clusters(
     max_block_size: int = 64,
     window: int = 8,
     concurrency=None,
+    payload_mode: str = "auto",
+    inline_threshold: int = 200_000,
+    distributed: bool = False,
 ):
-    """Full pipeline -> (clusters_ds (node, component), scored_pairs_ds)."""
+    """Full pipeline -> (clusters_ds (node, component), scored_pairs_ds).
+
+    `distributed=True` forces every stage onto its distributed/shuffle
+    implementation (no driver-side small-regime shortcuts, no broadcast
+    assembly) — the exact configuration a multi-node 100TB run uses; used
+    by the scaling benchmark so the measured efficiency is the scale
+    path's.
+
+    Two payload strategies for the wide block shuffle:
+    - "inline": token prefixes ride along in the band shuffle (one wide
+      exchange, fewest barriers) — fastest while `bands x files x TOKENS_CAP`
+      fits comfortably through the object store;
+    - "attach": the band shuffle ships ids only, pairs are deduplicated
+      across bands FIRST, then token payloads are attached to surviving
+      pairs by a reduce-side join and each pair is scored exactly once —
+      the 100TB path (shuffle bytes independent of content width).
+    "auto" picks inline below `inline_threshold` files.
+    """
+    import ray.data as rd
+
+    files_ds = files_ds.materialize()  # consumed by idf, prior, blocks, tokens
     if idf is None:
         idf = train_idf(files_ds)
     if prior is None:
         prior = repo_in_degree_prior(files_ds)
-    blocks = build_blocks(files_ds, num_perm, bands, shingle_k)
-    pairs = build_pairs(blocks, max_block_size, window)
-    scored = dedup_scored_pairs(score_pairs(pairs, idf, prior, model, concurrency))
+    if distributed:
+        payload_mode = "attach"
+    elif payload_mode == "auto":
+        payload_mode = "inline" if files_ds.count() <= inline_threshold else "attach"
+    if payload_mode == "inline":
+        blocks = build_blocks(files_ds, num_perm, bands, shingle_k)
+        pairs = build_pairs(blocks, max_block_size, window)
+        scored = dedup_scored_pairs(score_pairs(pairs, idf, prior, model, concurrency))
+    else:
+        sub_mode = "shuffle" if distributed else "auto"
+        pairs = build_id_pairs(
+            files_ds, num_perm, bands, shingle_k, max_block_size, window,
+            mode=sub_mode, prefilter_mode=sub_mode,
+        )
+        enriched = attach_pair_tokens(pairs, files_ds, mode=sub_mode)
+        if enriched is None:  # no candidate pairs at all
+            empty_sc = pa.schema(
+                [("left_id", pa.int64()), ("right_id", pa.int64()), ("score", pa.float64())]
+            ).empty_table()
+            empty_cl = pa.schema(
+                [("node", pa.int64()), ("component", pa.int64())]
+            ).empty_table()
+            return rd.from_arrow(empty_cl), rd.from_arrow(empty_sc)
+        scored = score_pairs(enriched, idf, prior, model, concurrency)
     edges = match_edges(scored, threshold)
     clusters = connected_components(edges)
     return clusters, scored

@@ -62,11 +62,53 @@ def files_from_documents(documents_ds):
     return documents_ds.map_batches(_files_batch, batch_format="pyarrow")
 
 
-def read_files(sf_dir: str):
+_REPLICATE_STRIDE = 10_000_000
+
+
+def replicate_files(files_ds, n: int):
+    """Deterministic n-fold scale-up of the files table for saturation
+    benchmarks: copy k gets file_id + k*stride and every token suffixed
+    `_k`, so copies occupy DISJOINT shingle spaces — the near-dup structure
+    within each copy is preserved, copies never pair with each other, and
+    the workload scales linearly in shape. Purely derived — no randomness,
+    no wall-clock."""
+    if n <= 1:
+        return files_ds
+
+    def expand(batch: pa.Table) -> pa.Table:
+        tables = [batch]
+        for k in range(1, n):
+            ids = [i + k * _REPLICATE_STRIDE for i in batch.column("file_id").to_pylist()]
+            suffix = f"_{k}"
+            contents = [
+                " ".join(t + suffix for t in (c or "").split(" "))
+                for c in batch.column("content").to_pylist()
+            ]
+            tables.append(
+                pa.table(
+                    {
+                        "file_id": pa.array(ids, type=pa.int64()),
+                        "repo": batch.column("repo"),
+                        "path": batch.column("path"),
+                        "commit": batch.column("commit"),
+                        "lang": batch.column("lang"),
+                        "content": pa.array(contents, type=pa.large_string()),
+                        "sha256": pa.array(
+                            [sha256_hex(c) for c in contents], type=pa.string()
+                        ),
+                    }
+                ).cast(FILES_SCHEMA)
+            )
+        return pa.concat_tables([t.cast(FILES_SCHEMA) for t in tables])
+
+    return files_ds.map_batches(expand, batch_format="pyarrow")
+
+
+def read_files(sf_dir: str, replicate: int = 1):
     import ray.data
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    return files_from_documents(docs)
+    return replicate_files(files_from_documents(docs), replicate)
 
 
 def verify_sha256(ds, id_column: str = "file_id") -> int:

@@ -57,6 +57,14 @@ def _high_low(batch: pa.Table) -> pa.Table:
     return pa.table({"u": hi, "v": lo})
 
 
+def _as_arrow(block) -> pa.Table:
+    """`to_arrow_refs` hands back pandas blocks unconverted when the lineage
+    ends in a pandas-format op (Ray 2.49) — normalize defensively."""
+    if isinstance(block, pd.DataFrame):
+        return pa.Table.from_pandas(block, preserve_index=False)
+    return block
+
+
 def _edge_digest(ds) -> tuple[int, int]:
     """Cheap convergence check: (row count, sum of u*31+v mod 2^61)."""
     import pyarrow.compute as pc
@@ -66,7 +74,7 @@ def _edge_digest(ds) -> tuple[int, int]:
     for ref in ds.to_arrow_refs():
         import ray
 
-        t = ray.get(ref)
+        t = _as_arrow(ray.get(ref))
         count += t.num_rows
         if t.num_rows:
             u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -95,7 +103,7 @@ def connected_components(edges_ds, max_rounds: int = 30, local_threshold: int = 
 
         pairs: list[tuple[int, int]] = []
         for ref in edges_ds.to_arrow_refs():
-            t = ray.get(ref)
+            t = _as_arrow(ray.get(ref))
             if t.num_rows == 0 or "u" not in t.column_names:
                 continue
             pairs.extend(

@@ -20,7 +20,7 @@ from opentapioca_ray.functions.minhash import (
     hamming64,
     jaccard,
     minhash_signature_fast,
-    shingle_hashes,
+    shingle_hashes_fast,
     simhash,
 )
 from opentapioca_ray.functions.text import tokenize
@@ -146,7 +146,7 @@ def simhash_batch(
     out_id, out_sim, out_band = [], [], []
     for fid, text in zip(ids, texts):
         toks = tokenize((text or "")[:10000])
-        h = simhash(shingle_hashes(toks, shingle_k))
+        h = simhash(shingle_hashes_fast(toks, shingle_k))
         for band in range(4):
             chunk = (h >> (band * 16)) & 0xFFFF
             out_id.append(fid)

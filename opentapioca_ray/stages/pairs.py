@@ -31,7 +31,7 @@ import pyarrow as pa
 from opentapioca_ray.functions.minhash import (
     band_keys,
     minhash_signature_fast,
-    shingle_hashes,
+    shingle_hashes_fast,
 )
 from opentapioca_ray.functions.text import tokenize
 
@@ -46,8 +46,15 @@ def blocking_batch(
     num_perm: int = 128,
     bands: int = 16,
     shingle_k: int = 3,
+    include_tokens: bool = True,
+    key_type: str = "str",
 ) -> pa.Table:
-    """files batch -> (block_key, file_id, repo, sig_head, tokens) rows."""
+    """files batch -> (block_key, file_id, repo, sig_head[, tokens]) rows.
+
+    `include_tokens=False` is the slim/scale path: the block shuffle then
+    moves only (key, id, sig) per row — O(bytes) per band instead of
+    O(TOKENS_CAP); token payloads are attached to the (far fewer) surviving
+    candidate pairs afterwards (pipelines/linkage.py)."""
     ids = batch.column(id_column).to_pylist()
     texts = batch.column(text_column).to_pylist()
     repos = (
@@ -55,11 +62,13 @@ def blocking_batch(
         if repo_column and repo_column in batch.column_names
         else [""] * len(ids)
     )
+    from opentapioca_ray.functions.minhash import band_keys_u64
+
     out_key, out_id, out_repo, out_sig, out_tokens = [], [], [], [], []
     for fid, text, repo in zip(ids, texts, repos):
         toks = tokenize((text or "")[:10000])
-        sig = minhash_signature_fast(shingle_hashes(toks, shingle_k), num_perm)
-        keys = band_keys(sig, bands)
+        sig = minhash_signature_fast(shingle_hashes_fast(toks, shingle_k), num_perm)
+        keys = band_keys_u64(sig, bands) if key_type == "u64" else band_keys(sig, bands)
         head = int(sig[0])
         tok_prefix = toks[:TOKENS_CAP]
         for key in keys:
@@ -67,45 +76,113 @@ def blocking_batch(
             out_id.append(fid)
             out_repo.append(repo)
             out_sig.append(head)
-            out_tokens.append(tok_prefix)
-    return pa.table(
-        {
-            "block_key": pa.array(out_key, type=pa.string()),
-            "file_id": pa.array(out_id, type=pa.int64()),
-            "repo": pa.array(out_repo, type=pa.string()),
-            "sig_head": pa.array(out_sig, type=pa.uint64()),
-            "tokens": pa.array(out_tokens, type=pa.list_(pa.string())),
-        }
-    )
+            if include_tokens:
+                out_tokens.append(tok_prefix)
+    cols = {
+        "block_key": pa.array(
+            out_key, type=pa.int64() if key_type == "u64" else pa.string()
+        ),
+        "file_id": pa.array(out_id, type=pa.int64()),
+        "repo": pa.array(out_repo, type=pa.string()),
+        "sig_head": pa.array(out_sig, type=pa.uint64()),
+    }
+    if include_tokens:
+        cols["tokens"] = pa.array(out_tokens, type=pa.list_(pa.string()))
+    return pa.table(cols)
 
 
-def prefilter_singleton_blocks(blocks_ds, min_size: int = 2, max_size: int | None = None):
+# Arrow-native value_counts handles tens of millions of keys in seconds on
+# the driver; beyond this the distributed groupby-count path takes over.
+DRIVER_COMBINE_LIMIT = 50_000_000
+
+
+def prefilter_singleton_blocks(
+    blocks_ds,
+    min_size: int = 2,
+    max_size: int | None = None,
+    mode: str = "auto",
+    driver_limit: int = DRIVER_COMBINE_LIMIT,
+):
     """Drop blocks that cannot produce pairs BEFORE the wide group-by.
 
     `groupby(block_key).map_groups` pays per-group Python overhead; with LSH
     banding the overwhelming majority of block keys are singletons, so this
-    cheap arrow-native count + broadcast-set semi-join typically removes
-    >90% of rows from the expensive shuffle. The surviving-key set is
-    bounded by the number of actual near-duplicate pairs x bands (small
-    side); at extreme scale swap the broadcast set for a hash semi-join on
-    block_key — same dataflow, documented trade-off."""
+    count + broadcast-set semi-join typically removes >90% of rows from the
+    expensive shuffle. Scale-adaptive counting:
+
+    - `driver` (auto below `driver_limit` rows): the key column alone (a few
+      bytes/row) is collected and counted with one vectorized `np.unique` —
+      no shuffle at all. Bounded by the block-row count, NOT content size.
+    - `shuffle` (auto above): distributed `groupby(block_key).count()`.
+
+    The surviving-key set is bounded by actual near-duplicate pairs x bands
+    (small side); at extreme scale swap the broadcast `is_in` for a hash
+    semi-join on block_key — same dataflow, documented trade-off."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray
     from ray.data.aggregate import Count
 
     blocks_ds = blocks_ds.materialize()  # consumed twice: count + filter
-    counts = blocks_ds.groupby("block_key").aggregate(Count(alias_name="n"))
-    keys = set()
-    for ref in counts.to_arrow_refs():
-        t = ray.get(ref)
-        if t.num_rows == 0 or "block_key" not in t.column_names:
-            continue
-        mask = pc.greater_equal(t.column("n"), min_size)
-        if max_size is not None:
-            mask = pc.and_(mask, pc.less_equal(t.column("n"), max_size))
-        keys.update(t.filter(mask).column("block_key").to_pylist())
-    keys_ref = ray.put(pa.array(sorted(keys), type=pa.string()))
+    if mode == "auto":
+        mode = "driver" if blocks_ds.count() <= driver_limit else "shuffle"
+
+    if mode == "driver":
+        key_col = blocks_ds.select_columns(["block_key"])
+        chunks = []
+        for ref in key_col.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows == 0 or "block_key" not in t.column_names:
+                continue
+            col = t.column("block_key")
+            chunks.extend(col.chunks if isinstance(col, pa.ChunkedArray) else [col])
+        if not chunks:
+            return blocks_ds
+        key_arr = pa.chunked_array(chunks).combine_chunks()
+        if pa.types.is_string(key_arr.type) or pa.types.is_large_string(key_arr.type):
+            # string keys: dictionary-encode once, count int codes
+            enc = key_arr.dictionary_encode()
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            counts = np.bincount(codes, minlength=len(enc.dictionary))
+            sel = counts >= min_size
+            if max_size is not None:
+                sel &= counts <= max_size
+            survivors = enc.dictionary.filter(pa.array(sel))
+        else:
+            # fixed-width keys: avoid a full 64-bit sort. Two-pass exact
+            # count: (1) bincount over 2^28 folded buckets eliminates the
+            # overwhelmingly-singleton majority (false positives from bucket
+            # collisions survive to pass 2, never false negatives); (2)
+            # exact np.unique over the small surviving subset.
+            vals = key_arr.to_numpy(zero_copy_only=False)
+            if len(vals) > 4_000_000:
+                nbuck = 1 << 28
+                buckets = (vals & (nbuck - 1)).astype(np.int64)
+                bc = np.bincount(buckets, minlength=nbuck)
+                maybe = vals[bc[buckets] >= min_size]
+                del bc, buckets
+            else:
+                maybe = vals
+            uniq, counts = np.unique(maybe, return_counts=True)
+            sel = counts >= min_size
+            if max_size is not None:
+                sel &= counts <= max_size
+            survivors = pa.array(uniq[sel], type=key_arr.type)
+        keys_ref = ray.put(survivors)
+    else:
+        counts = blocks_ds.groupby("block_key").aggregate(Count(alias_name="n"))
+        keys = set()
+        key_type = pa.string()
+        for ref in counts.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows == 0 or "block_key" not in t.column_names:
+                continue
+            key_type = t.schema.field("block_key").type
+            mask = pc.greater_equal(t.column("n"), min_size)
+            if max_size is not None:
+                mask = pc.and_(mask, pc.less_equal(t.column("n"), max_size))
+            keys.update(t.filter(mask).column("block_key").to_pylist())
+        keys_ref = ray.put(pa.array(sorted(keys), type=key_type))
 
     def keep(batch: pa.Table) -> pa.Table:
         keys_arr = ray.get(keys_ref)
@@ -165,6 +242,46 @@ def make_pair_group_fn(max_block_size: int = 64, window: int = 8):
                 }
             )
         return pd.DataFrame(rows, columns=list(PAIR_COLUMNS))
+
+    return fn
+
+
+def make_id_pair_group_fn(max_block_size: int = 64, window: int = 8):
+    """Slim variant of `make_pair_group_fn`: emits only (left_id, right_id,
+    capped) — numpy-vectorized pair index generation, same skew-guard
+    semantics (all-pairs under `max_block_size`, else sorted-neighborhood by
+    minhash head with `window`, dropped-pair count carried, never silent)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates("file_id").sort_values("sig_head", kind="mergesort")
+        ids = df["file_id"].to_numpy(dtype=np.int64)
+        n = len(ids)
+        empty = pd.DataFrame(
+            {
+                "left_id": pd.Series(dtype=np.int64),
+                "right_id": pd.Series(dtype=np.int64),
+                "capped": pd.Series(dtype=np.int64),
+            }
+        )
+        if n < 2:
+            return empty
+        if n <= max_block_size:
+            iu, ju = np.triu_indices(n, k=1)
+            capped = 0
+        else:
+            offs = np.arange(1, window + 1)
+            iu = np.repeat(np.arange(n), window)
+            ju = iu + np.tile(offs, n)
+            keep = ju < n
+            iu, ju = iu[keep], ju[keep]
+            capped = n * (n - 1) // 2 - len(iu)
+        return pd.DataFrame(
+            {
+                "left_id": np.minimum(ids[iu], ids[ju]),
+                "right_id": np.maximum(ids[iu], ids[ju]),
+                "capped": np.full(len(iu), capped, dtype=np.int64),
+            }
+        )
 
     return fn
 
@@ -282,6 +399,15 @@ class PairScorerStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
+        if rows and "left_packed" in batch.column_names:
+            # slim pipeline: tokens arrive \x1f-packed from the attach join
+            for r in rows:
+                r["left_tokens"] = (r.pop("left_packed") or "").split("\x1f")
+                r["right_tokens"] = (r.pop("right_packed") or "").split("\x1f")
+                if r["left_tokens"] == [""]:
+                    r["left_tokens"] = []
+                if r["right_tokens"] == [""]:
+                    r["right_tokens"] = []
         feats = np.array(
             [self.featurizer.features(r) for r in rows], dtype=np.float64
         ) if rows else np.zeros((0, len(FEATURE_NAMES)))
