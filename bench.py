@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "pagerank",
     "minhash_dedup",
     "simhash_dedup",
+    "ngram_jaccard_pairs",
+    "multimodal_meta",
     "ann_topk",
     "top_customers",
     "events_by_type",

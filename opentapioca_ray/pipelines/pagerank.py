@@ -133,13 +133,20 @@ def normalize_edges(edges_ds):
     return edges_ds.map_batches(norm, batch_format="pyarrow")
 
 
-def sorted_edge_arrays(edges_ds, validate: bool = True):
-    """Globally sort by (src) with Ray's shuffle sort, collect to numpy
-    arrays, validate sortedness (reference wikidatagraph.py:76-83)."""
+def sorted_edge_arrays(edges_ds, validate: bool = True, mode: str = "driver"):
+    """Edges -> (src, dst, weight) numpy arrays globally sorted by (src, dst),
+    with the reference's sortedness validation (wikidatagraph.py:76-83).
+
+    `driver` (default): collect then one np.lexsort — the arrays are coming
+    to the driver anyway for the local CSR kernel, so a distributed shuffle
+    sort buys nothing at this regime. `shuffle`: `ds.sort` (Ray's external
+    sort, the K1 scale path — use when edges exceed driver memory and the
+    consumer streams rather than collects)."""
     import ray
 
+    ds = edges_ds.sort(["src", "dst"]) if mode == "shuffle" else edges_ds
     srcs, dsts, weights = [], [], []
-    for ref in edges_ds.sort(["src", "dst"]).to_arrow_refs():
+    for ref in ds.to_arrow_refs():
         t = ray.get(ref)
         if t.num_rows == 0 or "src" not in t.column_names:
             continue  # empty boundary blocks after the shuffle sort
@@ -149,6 +156,9 @@ def sorted_edge_arrays(edges_ds, validate: bool = True):
     src = np.concatenate(srcs) if srcs else np.zeros(0, np.int64)
     dst = np.concatenate(dsts) if dsts else np.zeros(0, np.int64)
     weight = np.concatenate(weights) if weights else np.zeros(0)
+    if mode != "shuffle":
+        order = np.lexsort((dst, src))
+        src, dst, weight = src[order], dst[order], weight[order]
     if validate and len(src) and np.any(np.diff(src) < 0):
         raise ValueError("The edge list is not sorted.")
     return src, dst, weight
