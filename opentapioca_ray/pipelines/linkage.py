@@ -88,6 +88,74 @@ def train_idf(
     return idf
 
 
+def corpus_stats(
+    files_ds,
+    text_column: str = "content",
+    repo_column: str = "repo",
+    max_vocab: int = 500_000,
+) -> tuple[dict, dict]:
+    """One pass over files -> (idf dict, repo prior dict).
+
+    Fuses `train_idf` + `repo_in_degree_prior` into a single map + driver
+    merge: each batch emits tagged partial counts (kind 0 = word document
+    frequency, kind 1 = repo file count), so the corpus is read and
+    tokenized once and there is no separate shuffle for the prior."""
+    import ray
+
+    from opentapioca_ray.state.bow import partial_word_counts
+
+    n_docs = files_ds.count()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        words = partial_word_counts(batch, text_column)
+        repos: dict[str, int] = {}
+        if repo_column in batch.column_names:
+            for r in batch.column(repo_column).to_pylist():
+                repos[r] = repos.get(r, 0) + 1
+        n_w, n_r = words.num_rows, len(repos)
+        return pa.table(
+            {
+                "kind": pa.array([0] * n_w + [1] * n_r, type=pa.int8()),
+                "key": pa.concat_arrays(
+                    [
+                        words.column("word").combine_chunks(),
+                        pa.array(list(repos.keys()), type=pa.string()),
+                    ]
+                ),
+                "count": pa.concat_arrays(
+                    [
+                        words.column("count").cast(pa.int64()).combine_chunks(),
+                        pa.array(list(repos.values()), type=pa.int64()),
+                    ]
+                ),
+            }
+        )
+
+    parts = files_ds.map_batches(partial, batch_format="pyarrow")
+    word_sum: dict[str, int] = {}
+    repo_sum: dict[str, int] = {}
+    for ref in parts.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "kind" not in t.column_names:
+            continue
+        kinds = t.column("kind").to_pylist()
+        keys = t.column("key").to_pylist()
+        cnts = t.column("count").to_pylist()
+        for kind, key, c in zip(kinds, keys, cnts):
+            tgt = word_sum if kind == 0 else repo_sum
+            tgt[key] = tgt.get(key, 0) + c
+    idf = {w: float(np.log(n_docs / (1.0 + c))) for w, c in word_sum.items()}
+    if len(idf) > max_vocab:
+        idf = dict(sorted(idf.items(), key=lambda kv: kv[1])[:max_vocab])
+    if repo_sum:
+        logs = {k: float(np.log1p(v)) for k, v in repo_sum.items()}
+        mx = max(logs.values()) or 1.0
+        prior = {k: v / mx for k, v in logs.items()}
+    else:
+        prior = {}
+    return idf, prior
+
+
 def repo_in_degree_prior(files_ds, repo_column: str = "repo") -> dict:
     """PageRank-style popularity prior from repo in-degree (north_star):
     log1p(file count per repo), normalized to [0, 1]."""
@@ -609,9 +677,11 @@ def linkage_clusters(
     import ray.data as rd
 
     files_ds = files_ds.materialize()  # consumed by idf, prior, blocks, tokens
-    if idf is None:
+    if idf is None and prior is None:
+        idf, prior = corpus_stats(files_ds)
+    elif idf is None:
         idf = train_idf(files_ds)
-    if prior is None:
+    elif prior is None:
         prior = repo_in_degree_prior(files_ds)
     if distributed:
         payload_mode = "attach"

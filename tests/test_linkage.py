@@ -69,3 +69,18 @@ def test_idf_and_prior(ray_session, corpus):
     assert all(np.isfinite(v) for v in idf.values())
     prior = repo_in_degree_prior(files_ds)
     assert prior and max(prior.values()) == 1.0
+
+
+def test_corpus_stats_matches_separate_passes(ray_session, corpus):
+    import ray.data
+
+    from opentapioca_ray.pipelines.linkage import corpus_stats
+
+    files_df, _ = corpus
+    files_ds = ray.data.from_pandas(files_df)
+    idf1, prior1 = corpus_stats(files_ds)
+    idf2 = train_idf(files_ds)
+    prior2 = repo_in_degree_prior(files_ds)
+    assert set(idf1) == set(idf2)
+    assert all(abs(idf1[k] - idf2[k]) < 1e-12 for k in idf1)
+    assert prior1 == pytest.approx(prior2)
