@@ -62,10 +62,14 @@ def extract_edges(items_ds):
     return items_ds.map_batches(extract_edges_batch, batch_format="pyarrow")
 
 
-def count_edges(ds, src_col: str, dst_col: str):
+def count_edges(ds, src_col: str, dst_col: str, mode: str = "auto", driver_limit: int = 20_000_000):
     """(src, dst) multiplicity counts with a map-side combiner: each batch
-    pre-aggregates locally with Arrow's hash group-by, so the wide
-    groupby-Sum shuffles distinct (src, dst) rows per batch, not raw rows."""
+    pre-aggregates locally with Arrow's hash group-by. Scale-adaptive final
+    merge: partial rows under `driver_limit` merge with one vectorized
+    lexsort+reduceat on the driver (no shuffle); above, a distributed
+    groupby-Sum runs."""
+    import ray
+    import ray.data as rd
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -84,24 +88,110 @@ def count_edges(ds, src_col: str, dst_col: str):
             }
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    return partials.groupby(["src", "dst"]).aggregate(Sum("count", alias_name="count"))
+    partials = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    if mode == "auto":
+        mode = "driver" if partials.count() <= driver_limit else "shuffle"
+    if mode == "shuffle":
+        return partials.groupby(["src", "dst"]).aggregate(Sum("count", alias_name="count"))
+
+    srcs, dsts, cnts = [], [], []
+    for ref in partials.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "src" not in t.column_names:
+            continue
+        srcs.append(t.column("src").to_numpy(zero_copy_only=False))
+        dsts.append(t.column("dst").to_numpy(zero_copy_only=False))
+        cnts.append(t.column("count").to_numpy(zero_copy_only=False))
+    if not srcs:
+        return rd.from_arrow(
+            pa.schema(
+                [("src", pa.int64()), ("dst", pa.int64()), ("count", pa.int64())]
+            ).empty_table()
+        )
+    src = np.concatenate(srcs)
+    dst = np.concatenate(dsts)
+    cnt = np.concatenate(cnts).astype(np.int64)
+    order = np.lexsort((dst, src))
+    src, dst, cnt = src[order], dst[order], cnt[order]
+    new = np.concatenate(([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])))
+    sums = np.add.reduceat(cnt, np.flatnonzero(new))
+    table = pa.table(
+        {
+            "src": pa.array(src[new], type=pa.int64()),
+            "dst": pa.array(dst[new], type=pa.int64()),
+            "count": pa.array(sums, type=pa.int64()),
+        }
+    )
+    return rd.from_arrow(_slices(table))
 
 
-def normalize_edges(edges_ds):
+def _slices(table: pa.Table, n: int | None = None) -> list[pa.Table]:
+    """Split a driver-built table into ~2 blocks per CPU so downstream
+    stages parallelize (a single from_arrow block serializes everything
+    after it, and Ray's sort shuffle is pathological on one big block)."""
+    import ray
+
+    if n is None:
+        n = max(1, min(64, int(ray.cluster_resources().get("CPU", 8)) * 2)) if ray.is_initialized() else 16
+    if table.num_rows == 0:
+        return [table]
+    step = max(1, (table.num_rows + n - 1) // n)
+    return [table.slice(i, step) for i in range(0, table.num_rows, step)]
+
+
+def normalize_edges(edges_ds, mode: str = "auto", driver_limit: int = 20_000_000):
     """weight = count / sum(count) per src (reference wikidatagraph.py:103-104).
 
-    Vectorized map-side join: per-src totals from one groupby-Sum aggregate
-    (the |V|-sized small side, broadcast once via ray.put as two sorted numpy
-    arrays), then a numpy searchsorted lookup inside map_batches. No
-    per-group Python: a `groupby(src).map_groups` formulation pays per-group
-    pandas overhead on millions of tiny groups. At graphs where |V| outgrows
-    driver memory, swap the broadcast for a reduce-side join keyed on src —
-    same dataflow shape."""
+    Vectorized map-side join: per-src totals from one aggregate (the
+    |V|-sized small side, broadcast once via ray.put as two sorted numpy
+    arrays), then a numpy searchsorted lookup inside map_batches. Scale-
+    adaptive totals: edge counts under `driver_limit` rows sum on the driver
+    with one lexsort+reduceat pass (no shuffle); above, a distributed
+    groupby-Sum runs. No per-group Python either way: a
+    `groupby(src).map_groups` formulation pays per-group pandas overhead on
+    millions of tiny groups. At graphs where |V| outgrows driver memory,
+    swap the broadcast for a reduce-side join keyed on src — same dataflow
+    shape."""
     import ray
     from ray.data.aggregate import Sum
 
     edges_ds = edges_ds.materialize()  # consumed twice: totals + normalize
+    if mode == "auto":
+        mode = "driver" if edges_ds.count() <= driver_limit else "shuffle"
+    if mode == "driver":
+        src_chunks, cnt_chunks = [], []
+        for ref in edges_ds.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows == 0 or "src" not in t.column_names:
+                continue
+            src_chunks.append(t.column("src").to_numpy(zero_copy_only=False))
+            cnt_chunks.append(t.column("count").to_numpy(zero_copy_only=False))
+        if not src_chunks:
+            return edges_ds
+        s = np.concatenate(src_chunks)
+        c = np.concatenate(cnt_chunks).astype(np.float64)
+        order = np.argsort(s, kind="stable")
+        s_sorted, c_sorted = s[order], c[order]
+        new = np.concatenate(([True], s_sorted[1:] != s_sorted[:-1]))
+        keys_ref = ray.put(s_sorted[new])
+        tots_ref = ray.put(np.add.reduceat(c_sorted, np.flatnonzero(new)))
+
+        def norm_driver(batch: pa.Table) -> pa.Table:
+            k = ray.get(keys_ref)
+            t = ray.get(tots_ref)
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            cnt = batch.column("count").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(k, src)
+            return pa.table(
+                {
+                    "src": batch.column("src"),
+                    "dst": batch.column("dst"),
+                    "weight": pa.array(cnt / t[idx], type=pa.float64()),
+                }
+            )
+
+        return edges_ds.map_batches(norm_driver, batch_format="pyarrow")
+
     totals = edges_ds.groupby("src").aggregate(Sum("count", alias_name="total"))
     key_chunks, tot_chunks = [], []
     for ref in totals.to_arrow_refs():
