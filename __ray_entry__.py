@@ -159,17 +159,33 @@ def _q_tag_mention_counts(sf_dir: str):
     tags = tag_documents(
         _docs(sf_dir), ents, bow, pr, doc_id_column="doc_id", text_column="text"
     )
-    return (
-        tags.groupby(["doc_id", "qid"])
-        .aggregate(Count(alias_name="n_mentions"))
-        .map_batches(
-            lambda b: b.set_column(
-                b.column_names.index("doc_id"),
-                "doc_id",
-                b.column("doc_id").cast("int64"),
-            ),
-            batch_format="pyarrow",
+    # combiner: per-batch Arrow group-by collapses tags ~10x before the
+    # (small) global groupby-sum merge
+    def local_counts(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("qid", pa.string()),
+                 ("n_mentions", pa.int64())]
+            ).empty_table()
+        g = (
+            b.select(["doc_id", "qid"])
+            .group_by(["doc_id", "qid"])
+            .aggregate([([], "count_all")])
         )
+        return pa.table(
+            {
+                "doc_id": g.column("doc_id").cast("int64"),
+                "qid": g.column("qid"),
+                "n_mentions": g.column("count_all"),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        tags.map_batches(local_counts, batch_format="pyarrow")
+        .groupby(["doc_id", "qid"])
+        .aggregate(Sum("n_mentions", alias_name="n_mentions"))
     )
 
 

@@ -125,22 +125,58 @@ def partial_word_counts(batch: pa.Table, text_column: str) -> pa.Table:
     )
 
 
-def train_bow(ds, text_column: str = "text", threshold: int = 2):
+def train_bow(ds, text_column: str = "text", threshold: int = 2,
+              mode: str = "auto", driver_limit: int = 5_000_000):
     """documents Dataset -> (word_counts Dataset, total_count int).
 
-    Pipeline: map_batches(partial combiner) -> groupby(word).sum -> filter.
+    Pipeline: map_batches(partial combiner) -> merge -> filter. The final
+    merge is scale-adaptive: partial (word, count) rows under `driver_limit`
+    merge with one vectorized dictionary-encode + bincount pass on the
+    driver (no shuffle); above, a distributed groupby(word).sum runs.
     `total_count` is the number of (row, distinct word) pairs BEFORE
     thresholding (reference counts every ingested word, then thresholds only
     at save time — languagemodel.py:78-88).
     """
-    import pyarrow.compute as pc
+    import numpy as np
+    import ray
+    import ray.data as rd
     from ray.data.aggregate import Sum
 
     partial = ds.map_batches(
         lambda b: partial_word_counts(b, text_column),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    )
+    ).materialize()
+    if mode == "auto":
+        mode = "driver" if partial.count() <= driver_limit else "shuffle"
+    if mode == "driver":
+        word_chunks, cnt_chunks = [], []
+        for ref in partial.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows == 0 or "word" not in t.column_names:
+                continue
+            col = t.column("word")
+            word_chunks.extend(col.chunks if isinstance(col, pa.ChunkedArray) else [col])
+            cnt_chunks.append(t.column("count").to_numpy(zero_copy_only=False))
+        if not word_chunks:
+            empty = pa.schema([("word", pa.string()), ("count", pa.int64())]).empty_table()
+            return rd.from_arrow(empty), 0
+        enc = pa.chunked_array(word_chunks).combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnts = np.concatenate(cnt_chunks).astype(np.int64)
+        sums = np.bincount(codes, weights=cnts).astype(np.int64)
+        total = int(sums.sum())
+        sel = sums >= threshold
+        table = pa.table(
+            {
+                "word": enc.dictionary.filter(pa.array(sel)),
+                "count": pa.array(sums[sel], type=pa.int64()),
+            }
+        )
+        n_slices = max(1, min(16, table.num_rows // 4096 + 1))
+        step = max(1, (table.num_rows + n_slices - 1) // n_slices)
+        slices = [table.slice(i, step) for i in range(0, table.num_rows, step)]
+        return rd.from_arrow(slices or [table]), total
     counts = partial.groupby("word").aggregate(Sum("count", alias_name="count"))
     total = counts.sum("count")
     kept = counts.filter(
