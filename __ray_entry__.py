@@ -438,6 +438,82 @@ def _q_events_by_type(sf_dir: str):
     )
 
 
+def _events(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+
+
+def _q_window_agg(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the event stream."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.windows import tumbling_window_agg
+
+    out = tumbling_window_agg(_events(sf_dir), window_us=3_600_000_000)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "window_start_us": b.column("window_start_us"),
+                "event_type": b.column("event_type"),
+                "n": b.column("n"),
+                # integer e4 total: immune to last-ulp float summation
+                # differences between Ray and the SQL oracle
+                "total_value_e4": pc.cast(
+                    pc.round(pc.multiply(b.column("total_value"), 10000.0), 0),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_sessions(sf_dir: str):
+    """Gap-based (30 min) sessionization per user."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.windows import sessionize
+
+    out = sessionize(_events(sf_dir), gap_us=1_800_000_000)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "session_index": b.column("session_index").cast(pa.int64()),
+                "start_us": b.column("start_us"),
+                "end_us": b.column("end_us"),
+                "n_events": b.column("n_events"),
+                "total_value_e4": pc.cast(
+                    pc.round(pc.multiply(b.column("total_value"), 10000.0), 0),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_asof_clicks(sf_dir: str):
+    """As-of join: each error event matched to the user's most recent
+    click at-or-before it (DuckDB ASOF JOIN semantics)."""
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.windows import asof_join_events
+
+    def only(kind):
+        def fn(b):
+            return b.filter(pc.equal(b.column("event_type"), kind))
+
+        return fn
+
+    errors = _events(sf_dir).map_batches(only("error"), batch_format="pyarrow")
+    clicks = _events(sf_dir).map_batches(only("click"), batch_format="pyarrow")
+    return asof_join_events(errors, clicks)
+
+
 def _q_linkage_clusters(sf_dir: str):
     """Flagship linkage over the files table (rows-only; pairwise-F1
     conformance is pytest-gated)."""
@@ -479,6 +555,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_latest": _q_compact_latest,
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
+        "window_agg": _q_window_agg,
+        "sessions": _q_sessions,
+        "asof_clicks": _q_asof_clicks,
         "linkage_clusters": _q_linkage_clusters,
         "files_sha256": _q_files_sha256,
     }
@@ -650,6 +729,42 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, round(cosine, 6) AS cosine
             FROM ranked WHERE rn <= 10
+        """,
+        "window_agg": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,
+                   event_type,
+                   count(*) AS n,
+                   CAST(round(sum(value) * 10000) AS BIGINT) AS total_value_e4
+            FROM events GROUP BY 1, 2
+        """,
+        "sessions": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS us, value,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 1800000000 THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id, us, value,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e
+            )
+            SELECT user_id, CAST(sid AS BIGINT) AS session_index,
+                   min(us) AS start_us, max(us) AS end_us,
+                   count(*) AS n_events,
+                   CAST(round(sum(value) * 10000) AS BIGINT) AS total_value_e4
+            FROM s GROUP BY user_id, sid
+        """,
+        "asof_clicks": """
+            SELECT e.event_id,
+                   epoch_us(e.ts) AS ts_us,
+                   epoch_us(c.ts) AS match_ts_us,
+                   epoch_us(e.ts) - epoch_us(c.ts) AS lag_us
+            FROM (SELECT * FROM events WHERE event_type = 'error') e
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON e.user_id = c.user_id AND e.ts >= c.ts
         """,
         "multimodal_meta": """
             SELECT doc_id AS media_id,
