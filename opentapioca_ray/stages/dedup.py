@@ -233,14 +233,6 @@ def _explode_grams(batch: pa.Table) -> pa.Table:
     )
 
 
-def _emit_cand_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    ids = np.sort(df["doc_id"].unique())
-    if len(ids) < 2:
-        return pd.DataFrame({"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)})
-    iu, ju = np.triu_indices(len(ids), k=1)
-    return pd.DataFrame({"u": ids[iu], "v": ids[ju]})
-
-
 def ngram_jaccard_pairs(
     ds,
     id_column: str = "doc_id",
@@ -248,20 +240,20 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
-    num_partitions: int | None = None,
 ):
     """Exact n-gram Jaccard near-dup pairs: candidates = pairs sharing >= 1
     distinct word-k-gram; verified with exact Jaccard over the gram sets.
 
-    Scale note: exact gram blocking is the verification-grade variant —
+    Scale notes: exact gram blocking is the verification-grade variant —
     common grams create O(n^2) blocks, so at scale pass `max_df` to drop
-    grams appearing in more than `max_df` docs (stop-gram pruning; any pair
-    sharing only ultra-common grams is then missed by design, logged via the
-    dropped-gram count). `minhash_dedup` is the approximate scale path.
+    grams appearing in more than `max_df` docs (stop-gram pruning: pairs
+    sharing only ultra-common grams are missed by design, and intersection
+    counts then cover surviving grams only — a lower bound on true Jaccard).
+    `minhash_dedup` is the approximate scale path.
     Returns (u, v, jaccard) with u < v and jaccard >= threshold."""
     grams = ds.map_batches(
         lambda b: gram_table(b, id_column, text_column, k), batch_format="pyarrow"
-    )
+    ).materialize()  # consumed twice: sizes + explode
     exploded = grams.map_batches(_explode_grams, batch_format="pyarrow")
     # Singleton grams (the overwhelming majority) can't produce pairs: drop
     # them before the wide groupby; `max_df` additionally drops stop-grams.
@@ -274,123 +266,116 @@ def ngram_jaccard_pairs(
         min_size=2,
         max_size=max_df,
     ).map_batches(lambda b: b.rename_columns(["gram", "doc_id"]), batch_format="pyarrow")
-    cands = exploded.groupby("gram").map_groups(_emit_cand_pairs, batch_format="pandas")
-    from ray.data.aggregate import Count
-
+    # Key identity: |A n B| for a doc pair equals the pair's MULTIPLICITY
+    # across shared-gram groups (each shared distinct gram contributes the
+    # pair exactly once), and |A| / |B| are the per-doc distinct-gram counts
+    # already known from gram_table. So exact Jaccard needs NO gram-set
+    # payloads at all: count pair occurrences + two size lookups.
+    #
+    # Surviving (gram, doc) rows after the singleton prefilter are a small
+    # fraction of the corpus; they merge on the driver (vectorized
+    # dictionary-encode + sort + per-group all-pairs). At scales beyond
+    # driver memory the same kernel runs per coarse hash partition
+    # (`groupby(gram-hash % P).map_groups`) followed by a pair-count
+    # groupby-sum — identical math, all-shuffle (see
+    # pipelines/linkage.py build_id_pairs for the pattern).
     import ray
     import ray.data
-    from ray.data.aggregate import Count
 
     _EMPTY = pa.schema(
         [("u", pa.int64()), ("v", pa.int64()), ("jaccard", pa.float64())]
     ).empty_table()
 
-    cands = (
-        cands.groupby(["u", "v"])
-        .aggregate(Count(alias_name="nb"))
-        .materialize()  # small: candidate pairs only; consumed twice below
-    )
-    # Distinct candidate doc ids form the (small) broadcast side used to
-    # semi-join the gram table before the attach shuffle, so only docs that
-    # participate in at least one candidate pair ship their gram sets.
-    cand_ids: set[int] = set()
-    for ref in cands.to_arrow_refs():
-        t = ray.get(ref)
-        if t.num_rows and "u" in t.column_names:
-            cand_ids.update(t.column("u").to_pylist())
-            cand_ids.update(t.column("v").to_pylist())
-    if not cand_ids:
-        return ray.data.from_arrow(_EMPTY)
-    ids_ref = ray.put(pa.array(sorted(cand_ids), type=pa.int64()))
-
-    _SIDE_SCHEMA = pa.schema(
-        [
-            ("doc_id", pa.int64()),
-            ("u", pa.int64()),
-            ("v", pa.int64()),
-            ("side", pa.int8()),
-            ("packed", pa.string()),
-        ]
-    )
-
-    def membership(b: pa.Table) -> pa.Table:
-        # one row per pair endpoint, keyed by the doc that must attach grams
-        if "u" not in b.column_names:
-            return _SIDE_SCHEMA.empty_table()
-        us = b.column("u").to_pylist()
-        vs = b.column("v").to_pylist()
-        return pa.table(
+    # per-doc distinct gram counts (|A| side), collected as two arrays
+    sizes = grams.map_batches(
+        lambda b: pa.table(
             {
-                "doc_id": pa.array(us + vs, type=pa.int64()),
-                "u": pa.array(us + us, type=pa.int64()),
-                "v": pa.array(vs + vs, type=pa.int64()),
-                "side": pa.array([0] * len(us) + [1] * len(vs), type=pa.int8()),
-                "packed": pa.array([""] * (2 * len(us)), type=pa.string()),
-            }
-        )
-
-    def gram_rows(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        mask = pc.is_in(b.column("doc_id"), value_set=ray.get(ids_ref))
-        t = b.filter(mask)
-        n = t.num_rows
-        return pa.table(
-            {
-                "doc_id": t.column("doc_id"),
-                "u": pa.array([-1] * n, type=pa.int64()),
-                "v": pa.array([-1] * n, type=pa.int64()),
-                "side": pa.array([-1] * n, type=pa.int8()),
-                "packed": pa.array(
-                    ["\x1f".join(g) for g in t.column("grams").to_pylist()],
-                    type=pa.string(),
+                "doc_id": b.column("doc_id"),
+                "n_grams": pa.array(
+                    [len(g) for g in b.column("grams").to_pylist()], type=pa.int64()
                 ),
             }
-        )
-
-    # Reduce-side join expressed as union + groupby(doc_id): attach each
-    # doc's packed gram set to every pair endpoint it participates in.
-    sides = cands.map_batches(membership, batch_format="pyarrow").union(
-        grams.map_batches(gram_rows, batch_format="pyarrow")
+        ),
+        batch_format="pyarrow",
     )
+    size_ids, size_ns = [], []
+    for ref in sizes.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            continue
+        size_ids.append(t.column("doc_id").to_numpy(zero_copy_only=False))
+        size_ns.append(t.column("n_grams").to_numpy(zero_copy_only=False))
+    if not size_ids:
+        return ray.data.from_arrow(_EMPTY)
+    size_ids = np.concatenate(size_ids)
+    size_ns = np.concatenate(size_ns).astype(np.int64)
+    order = np.argsort(size_ids)
+    size_ids, size_ns = size_ids[order], size_ns[order]
 
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        g = df[df["side"] == -1]
-        m = df[df["side"] >= 0]
-        if g.empty or m.empty:
-            return pd.DataFrame(
-                {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64),
-                 "side": pd.Series(dtype=np.int8), "packed": pd.Series(dtype=object)}
-            )
-        packed = g["packed"].iloc[0]
-        out = m[["u", "v", "side"]].copy()
-        out["packed"] = packed
-        return out
-
-    attached = sides.groupby("doc_id").map_groups(attach, batch_format="pandas")
-
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        a = df[df["side"] == 0]
-        b = df[df["side"] == 1]
-        if a.empty or b.empty:
-            return pd.DataFrame(
-                {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64),
-                 "jaccard": pd.Series(dtype=np.float64)}
-            )
-        sa = set(a["packed"].iloc[0].split("\x1f"))
-        sb = set(b["packed"].iloc[0].split("\x1f"))
-        inter = len(sa & sb)
-        jac = inter / (len(sa) + len(sb) - inter)
-        if jac < threshold:
-            return pd.DataFrame(
-                {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64),
-                 "jaccard": pd.Series(dtype=np.float64)}
-            )
-        return pd.DataFrame(
-            {"u": [int(df["u"].iloc[0])], "v": [int(df["v"].iloc[0])], "jaccard": [jac]}
-        )
-
-    return attached.groupby(["u", "v"]).map_groups(verify, batch_format="pandas")
+    # surviving (gram, doc) rows -> pair occurrence counts
+    gram_chunks, id_chunks = [], []
+    for ref in exploded.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "gram" not in t.column_names:
+            continue
+        col = t.column("gram")
+        gram_chunks.extend(col.chunks if isinstance(col, pa.ChunkedArray) else [col])
+        id_chunks.append(t.column("doc_id").to_numpy(zero_copy_only=False))
+    if not gram_chunks:
+        return ray.data.from_arrow(_EMPTY)
+    codes = (
+        pa.chunked_array(gram_chunks)
+        .combine_chunks()
+        .dictionary_encode()
+        .indices.to_numpy(zero_copy_only=False)
+    )
+    ids = np.concatenate(id_chunks).astype(np.int64)
+    o = np.lexsort((ids, codes))
+    codes, ids = codes[o], ids[o]
+    starts = np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1])))
+    ends = np.concatenate((starts[1:], [len(codes)]))
+    sizes_g = ends - starts
+    lefts, rights = [], []
+    s2 = starts[sizes_g == 2]
+    if len(s2):
+        a, b = ids[s2], ids[s2 + 1]
+        ok = a != b
+        lefts.append(np.minimum(a[ok], b[ok]))
+        rights.append(np.maximum(a[ok], b[ok]))
+    for s, e in zip(starts[sizes_g > 2], ends[sizes_g > 2]):
+        gid = np.unique(ids[s:e])
+        n = len(gid)
+        if n < 2:
+            continue
+        iu, ju = np.triu_indices(n, k=1)
+        lefts.append(gid[iu])
+        rights.append(gid[ju])
+    if not lefts:
+        return ray.data.from_arrow(_EMPTY)
+    left = np.concatenate(lefts)
+    right = np.concatenate(rights)
+    pair_mat = np.stack([left, right], axis=1)
+    po = np.lexsort((right, left))
+    pair_mat = pair_mat[po]
+    new = np.concatenate(([True], (pair_mat[1:] != pair_mat[:-1]).any(axis=1)))
+    group = np.cumsum(new) - 1
+    inter = np.bincount(group).astype(np.int64)
+    uniq = pair_mat[new]
+    na = size_ns[np.searchsorted(size_ids, uniq[:, 0])]
+    nb = size_ns[np.searchsorted(size_ids, uniq[:, 1])]
+    jac = inter / (na + nb - inter)
+    keep = jac >= threshold
+    table = pa.table(
+        {
+            "u": pa.array(uniq[keep, 0], type=pa.int64()),
+            "v": pa.array(uniq[keep, 1], type=pa.int64()),
+            "jaccard": pa.array(jac[keep], type=pa.float64()),
+        }
+    )
+    n_slices = max(1, min(32, table.num_rows // 4096 + 1))
+    step = max(1, (table.num_rows + n_slices - 1) // n_slices)
+    slices = [table.slice(i, step) for i in range(0, table.num_rows, step)]
+    return ray.data.from_arrow(slices or [table])
 
 
 def ngram_jaccard_dedup(
