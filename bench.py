@@ -103,18 +103,18 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
-def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> dict:
+def run_scaling(sf_dir: str, low: int = 1, high: int = 4) -> dict:
     """Same headline job at two parallelism levels (N and 4N CPUs) in fresh
     processes — the sandbox proxy for the north rule's N- vs 4N-node
     criterion.
 
-    The input is replicated GRAFT_REPLICATE-fold (default 256, deterministic
+    The input is replicated GRAFT_REPLICATE-fold (default 128, deterministic
     derivation, identical at BOTH levels) so the job carries enough parallel
-    work to make throughput meaningful. N=2 vs 4N=8 rather than 8 vs 32
-    because on this single box 32 workers saturate memory bandwidth — a
-    hardware ceiling a real 4N-node cluster does not share (each node brings
-    its own memory system); scaling CPU counts within the unsaturated range
-    isolates the software's scaling behavior. Override with
+    work to make throughput meaningful. N=1 vs 4N=4 rather than 8 vs 32
+    because on this single box high worker counts saturate memory bandwidth —
+    a hardware ceiling a real 4N-node cluster does not share (each node
+    brings its own memory system); scaling CPU counts within the unsaturated
+    range isolates the software's scaling behavior. Override with
     GRAFT_SCALE_LOW/GRAFT_SCALE_HIGH."""
     low = int(os.environ.get("GRAFT_SCALE_LOW", str(low)))
     high = int(os.environ.get("GRAFT_SCALE_HIGH", str(high)))
@@ -122,7 +122,7 @@ def run_scaling(sf_dir: str, low: int = 2, high: int = 8) -> dict:
     # best-of-N per level; hypervisor steal only ever slows a run, so more
     # trials on the short high-CPU runs cheaply tightens that estimate
     trials_low = int(os.environ.get("GRAFT_SCALE_TRIALS", "2"))
-    trials_high = int(os.environ.get("GRAFT_SCALE_TRIALS_HIGH", "4"))
+    trials_high = int(os.environ.get("GRAFT_SCALE_TRIALS_HIGH", "3"))
     results = {}
     for cpus in (low, high):
         trials = trials_low if cpus == low else trials_high

@@ -132,18 +132,27 @@ def corpus_stats(
         )
 
     parts = files_ds.map_batches(partial, batch_format="pyarrow")
-    word_sum: dict[str, int] = {}
-    repo_sum: dict[str, int] = {}
+    tables = []
     for ref in parts.to_arrow_refs():
         t = ray.get(ref)
-        if t.num_rows == 0 or "kind" not in t.column_names:
-            continue
-        kinds = t.column("kind").to_pylist()
-        keys = t.column("key").to_pylist()
-        cnts = t.column("count").to_pylist()
-        for kind, key, c in zip(kinds, keys, cnts):
-            tgt = word_sum if kind == 0 else repo_sum
-            tgt[key] = tgt.get(key, 0) + c
+        if t.num_rows and "kind" in t.column_names:
+            tables.append(t)
+    if not tables:
+        return {}, {}
+    merged = pa.concat_tables(tables).combine_chunks()
+
+    def _sum_by_key(t: pa.Table) -> dict:
+        # vectorized: dictionary-encode keys, bincount the counts
+        enc = t.column("key").combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnts = t.column("count").to_numpy(zero_copy_only=False).astype(np.int64)
+        sums = np.bincount(codes, weights=cnts).astype(np.int64)
+        return dict(zip(enc.dictionary.to_pylist(), sums.tolist()))
+
+    import pyarrow.compute as pc
+
+    word_sum = _sum_by_key(merged.filter(pc.equal(merged.column("kind"), 0)))
+    repo_sum = _sum_by_key(merged.filter(pc.equal(merged.column("kind"), 1)))
     idf = {w: float(np.log(n_docs / (1.0 + c))) for w, c in word_sum.items()}
     if len(idf) > max_vocab:
         idf = dict(sorted(idf.items(), key=lambda kv: kv[1])[:max_vocab])

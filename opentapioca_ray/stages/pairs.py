@@ -156,7 +156,7 @@ def prefilter_singleton_blocks(
             # exact np.unique over the small surviving subset.
             vals = key_arr.to_numpy(zero_copy_only=False)
             if len(vals) > 4_000_000:
-                nbuck = 1 << 28
+                nbuck = 1 << 26
                 buckets = (vals & (nbuck - 1)).astype(np.int64)
                 bc = np.bincount(buckets, minlength=nbuck)
                 maybe = vals[bc[buckets] >= min_size]
