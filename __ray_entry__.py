@@ -414,6 +414,44 @@ def _q_top_customers(sf_dir: str):
     )
 
 
+def _q_revenue_by_nation(sf_dir: str):
+    """Three-table pipeline: orders x customer x nation via chained
+    broadcast map-side joins (no fact-table shuffle), then one small
+    groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from opentapioca_ray.stages.relational import broadcast_join
+
+    customer = pq.read_table(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    joined = broadcast_join(orders, customer, "o_custkey", "c_custkey", ["c_nationkey"])
+    joined = broadcast_join(joined, nation, "c_nationkey", "n_nationkey", ["n_name"])
+    agg = joined.groupby("n_name").aggregate(
+        Sum("o_totalprice", alias_name="revenue"), Count(alias_name="nb_orders")
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "n_name": b.column("n_name"),
+                "revenue_e4": pc.cast(
+                    pc.round(pc.multiply(b.column("revenue"), 10000.0), 0), pa.int64()
+                ),
+                "nb_orders": b.column("nb_orders"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_events_by_type(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -555,6 +593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_latest": _q_compact_latest,
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
+        "revenue_by_nation": _q_revenue_by_nation,
         "window_agg": _q_window_agg,
         "sessions": _q_sessions,
         "asof_clicks": _q_asof_clicks,
@@ -729,6 +768,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, round(cosine, 6) AS cosine
             FROM ranked WHERE rn <= 10
+        """,
+        "revenue_by_nation": """
+            SELECT n.n_name,
+                   CAST(round(sum(o.o_totalprice) * 10000) AS BIGINT) AS revenue_e4,
+                   count(*) AS nb_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
         "window_agg": """
             SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us,

@@ -123,6 +123,21 @@ def train_annotation_model(
     return LinearModel(C=params.C, max_iter=max_iter).fit(X, y)
 
 
+def _eval_grid_combo(tags_df, gold, keys, combo, doc_ids, folds, k, max_iter):
+    """CV-evaluate one parameter setting; returns (combo, mean F1)."""
+    params = ClassifierParams(**dict(zip(keys, combo)))
+    f1_sum = 0.0
+    for fold in range(k):
+        train_docs = {d for d in doc_ids if folds[d] != fold}
+        test_docs = {d for d in doc_ids if folds[d] == fold}
+        Xy = _design_local(tags_df, gold, params, train_docs)
+        if Xy is None:
+            continue
+        model = LinearModel(C=params.C, max_iter=max_iter).fit(*Xy)
+        f1_sum += _eval_local(tags_df, gold, params, model, test_docs)["f1"] / k
+    return combo, f1_sum
+
+
 def grid_search(
     tags_ds,
     docs_df: pd.DataFrame,
@@ -130,32 +145,47 @@ def grid_search(
     grid: dict[str, list],
     k: int = 5,
     max_iter: int = 200,
+    parallel: bool = True,
 ):
-    """Simplified crossfit (reference classifier.py:94-158): tags are
-    materialized once; per parameter setting, k-fold CV by doc index mod k;
-    returns (best_params, best_f1, best_model)."""
+    """Crossfit grid search (reference classifier.py:94-158): tags are
+    materialized ONCE (mirroring the reference's docid_to_mentions cache),
+    then each of the parameter settings is cross-validated by an independent
+    Ray task over the shared broadcast tags (reference runs its 180-combo
+    grid serially; SURVEY.md A6 maps it to one task per setting). Fold
+    assignment is doc index mod k (K5). Returns (best_params, best_f1,
+    best_model); the winner is retrained on the full dev set
+    (classifier.py:147-151)."""
+    import ray
+
     tags_df = tags_ds.to_pandas()
     doc_ids = sorted(docs_df["doc_id"].astype(str).unique())
     folds = {d: i % k for i, d in enumerate(doc_ids)}
+    keys = list(grid.keys())
+    combos = list(itertools.product(*(grid[k_] for k_ in keys)))
+
+    if parallel and ray.is_initialized() and len(combos) > 1:
+        tags_ref = ray.put(tags_df)
+        gold_ref = ray.put(gold)
+        eval_remote = ray.remote(num_cpus=1)(_eval_grid_combo)
+        futures = [
+            eval_remote.remote(tags_ref, gold_ref, keys, c, doc_ids, folds, k, max_iter)
+            for c in combos
+        ]
+        scored = ray.get(futures)
+    else:
+        scored = [
+            _eval_grid_combo(tags_df, gold, keys, c, doc_ids, folds, k, max_iter)
+            for c in combos
+        ]
 
     best = (None, 0.0, None)
-    keys = list(grid.keys())
-    for combo in itertools.product(*(grid[k_] for k_ in keys)):
-        params = ClassifierParams(**dict(zip(keys, combo)))
-        f1_sum = 0.0
-        for fold in range(k):
-            train_docs = {d for d in doc_ids if folds[d] != fold}
-            test_docs = {d for d in doc_ids if folds[d] == fold}
-            Xy = _design_local(tags_df, gold, params, train_docs)
-            if Xy is None:
-                continue
-            model = LinearModel(C=params.C, max_iter=max_iter).fit(*Xy)
-            f1_sum += _eval_local(tags_df, gold, params, model, test_docs)["f1"] / k
-        if f1_sum > best[1] or best[0] is None:
-            full = _design_local(tags_df, gold, params, set(doc_ids))
-            model = LinearModel(C=params.C, max_iter=max_iter).fit(*full)
-            best = (params, f1_sum, model)
-    return best
+    for combo, f1 in scored:
+        if f1 > best[1] or best[0] is None:
+            best = (ClassifierParams(**dict(zip(keys, combo))), f1, None)
+    params = best[0]
+    full = _design_local(tags_df, gold, params, set(doc_ids))
+    model = LinearModel(C=params.C, max_iter=max_iter).fit(*full)
+    return (params, best[1], model)
 
 
 def _design_local(tags_df, gold, params, docs):

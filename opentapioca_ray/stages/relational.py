@@ -1,0 +1,66 @@
+"""Relational join helpers.
+
+`broadcast_join` is the map-side hash join for small dimension tables: the
+small side ships ONCE via ray.put (zero-copy plasma) and each batch of the
+big side attaches columns with a vectorized sorted-key lookup — no shuffle
+of the fact table at all (driver brief: "broadcast small sides with ray.put
++ lookup inside map_batches instead of a shuffle join"). For two tables of
+comparable size use the union + groupby reduce-side join pattern
+(pipelines/linkage.py `attach_pair_tokens`) instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def broadcast_join(
+    ds,
+    dim_table: pa.Table,
+    left_key: str,
+    right_key: str,
+    columns: list[str],
+    how: str = "inner",
+):
+    """Attach `columns` of `dim_table` to every row of `ds` by equi-key.
+
+    `how="inner"` drops unmatched fact rows; `how="left"` keeps them with
+    nulls. The dimension side must have unique keys (validated)."""
+    import ray
+
+    keys = dim_table.column(right_key).to_numpy(zero_copy_only=False)
+    order = np.argsort(keys)
+    keys_sorted = keys[order]
+    if len(keys_sorted) > 1 and (np.diff(keys_sorted) == 0).any():
+        raise ValueError(f"dimension key {right_key} is not unique")
+    payload = {c: dim_table.column(c).take(pa.array(order)) for c in columns}
+    state_ref = ray.put((keys_sorted, payload))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or left_key not in batch.column_names:
+            cols = list(batch.schema) + [
+                pa.field(c, dim_table.schema.field(c).type) for c in columns
+            ]
+            return pa.schema(cols).empty_table()
+        keys_s, pay = ray.get(state_ref)
+        lk = batch.column(left_key).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys_s, lk)
+        idx_clipped = np.clip(idx, 0, len(keys_s) - 1)
+        matched = keys_s[idx_clipped] == lk
+        out = batch
+        if how == "inner":
+            out = batch.filter(pa.array(matched))
+            take_idx = pa.array(idx_clipped[matched])
+            for c in columns:
+                out = out.append_column(c, pay[c].take(take_idx))
+        else:
+            for c in columns:
+                vals = pay[c].take(pa.array(idx_clipped)).to_pylist()
+                vals = [v if m else None for v, m in zip(vals, matched)]
+                out = out.append_column(
+                    c, pa.array(vals, type=dim_table.schema.field(c).type)
+                )
+        return out
+
+    return ds.map_batches(attach, batch_format="pyarrow")
