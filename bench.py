@@ -37,6 +37,10 @@ BENCH_QUERIES = [
     "ann_topk",
     "top_customers",
     "events_by_type",
+    "revenue_by_nation",
+    "window_agg",
+    "sessions",
+    "asof_clicks",
     "linkage_clusters",
 ]
 

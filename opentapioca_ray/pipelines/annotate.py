@@ -38,19 +38,34 @@ def tag_documents(
     doc_id_column: str = "doc_id",
     text_column: str = "text",
     concurrency=None,
+    mode: str = "auto",
 ):
-    """documents -> flat (mention, tag) rows; entity state broadcast once."""
+    """documents -> flat (mention, tag) rows; entity state broadcast once.
+
+    `actors` builds the trie once per actor (right when the dictionary is
+    large — the reference's full Wikidata surface-form index); `tasks` runs
+    on the already-warm worker pool rebuilding the trie per batch (right for
+    small dictionaries, where actor pool spin-up dominates). `auto` picks
+    tasks below 10k entities."""
     import ray
 
+    if mode == "auto":
+        mode = "tasks" if entities.num_rows < 10_000 else "actors"
+    kwargs = {
+        "entities_ref": ray.put(entities),
+        "bow_ref": ray.put(bow_counts),
+        "pagerank_ref": ray.put(pagerank),
+        "doc_id_column": doc_id_column,
+        "text_column": text_column,
+    }
+    if mode == "tasks":
+        def tag_batch(batch: pa.Table) -> pa.Table:
+            return TaggerStage(**kwargs)(batch)
+
+        return docs_ds.map_batches(tag_batch, batch_format="pyarrow")
     return docs_ds.map_batches(
         TaggerStage,
-        fn_constructor_kwargs={
-            "entities_ref": ray.put(entities),
-            "bow_ref": ray.put(bow_counts),
-            "pagerank_ref": ray.put(pagerank),
-            "doc_id_column": doc_id_column,
-            "text_column": text_column,
-        },
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         concurrency=concurrency or (1, 8),
     )
