@@ -240,25 +240,18 @@ def cmd_train_linkage(args) -> int:
 
 def cmd_linkage(args) -> int:
     _ensure_ray()
-    from opentapioca_ray.checkpoint import StageCheckpoint
-    from opentapioca_ray.pipelines.linkage import linkage_clusters
-    from opentapioca_ray.sources.files import read_files
+    from opentapioca_ray.pipelines.linkage import linkage_checkpointed
     from opentapioca_ray.state.linear import LinearModel
 
     model = None
     if args.model:
         model = LinearModel.from_dict(json.load(open(args.model)))
-    files = read_files(args.sf_dir)
-    ckpt = StageCheckpoint(args.output)
-    params = {"threshold": args.threshold, "sf_dir": args.sf_dir, "model": args.model}
-
-    def build():
-        clusters, _scored = linkage_clusters(files, model=model, threshold=args.threshold)
-        return clusters
-
-    clusters = ckpt.run("clusters", params, [], build)
+    clusters, ckpt = linkage_checkpointed(
+        args.sf_dir, args.output, model=model, threshold=args.threshold
+    )
     n = clusters.count()
     print(f"clusters written: {n} clustered files -> {args.output}/clusters")
+    print(json.dumps(ckpt.metrics(), indent=2, sort_keys=True))
     return 0
 
 

@@ -721,6 +721,72 @@ def linkage_clusters(
     return clusters, scored
 
 
+def linkage_checkpointed(
+    sf_dir: str,
+    out_root: str,
+    model: LinearModel | None = None,
+    threshold: float = 0.0,
+    replicate: int = 1,
+    **kwargs,
+):
+    """Stage-by-stage checkpointed run (north rule: every stage to Parquet
+    with per-partition lineage + metrics; a re-run skips stages whose
+    manifest is complete and fingerprint-matches its params + upstreams).
+
+    Stages: files -> pairs -> scored -> clusters. Returns
+    (clusters_ds, checkpoint) — `checkpoint.metrics()` is the per-stage
+    lineage/row-count roll-up."""
+    from opentapioca_ray.checkpoint import StageCheckpoint
+    from opentapioca_ray.sources.files import read_files
+
+    ckpt = StageCheckpoint(out_root)
+    base_params = {"sf_dir": sf_dir, "replicate": replicate}
+
+    files = ckpt.run("files", base_params, [], lambda: read_files(sf_dir, replicate))
+    files = files.materialize()
+
+    idf, prior = corpus_stats(files)
+
+    pair_params = {
+        **base_params,
+        **{k: kwargs[k] for k in ("num_perm", "bands", "shingle_k") if k in kwargs},
+    }
+    pairs = ckpt.run(
+        "pairs", pair_params, ["files"], lambda: build_id_pairs(files, **{
+            k: v for k, v in kwargs.items()
+            if k in ("num_perm", "bands", "shingle_k", "max_block_size", "window")
+        })
+    )
+
+    def build_scored():
+        enriched = attach_pair_tokens(pairs, files)
+        if enriched is None:
+            return _empty_scored()
+        return score_pairs(enriched, idf, prior, model)
+
+    def _empty_scored():
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.schema(
+                [("left_id", pa.int64()), ("right_id", pa.int64()),
+                 ("score", pa.float64())]
+            ).empty_table()
+        )
+
+    score_params = {**base_params, "model": model.to_dict() if model else None}
+    scored = ckpt.run("scored", score_params, ["pairs"], build_scored)
+
+    cluster_params = {**base_params, "threshold": threshold}
+    clusters = ckpt.run(
+        "clusters",
+        cluster_params,
+        ["scored"],
+        lambda: connected_components(match_edges(scored, threshold)),
+    )
+    return clusters, ckpt
+
+
 # ---------------------------------------------------------------------------
 # Training on labeled pairs
 # ---------------------------------------------------------------------------

@@ -84,3 +84,29 @@ def test_corpus_stats_matches_separate_passes(ray_session, corpus):
     assert set(idf1) == set(idf2)
     assert all(abs(idf1[k] - idf2[k]) < 1e-12 for k in idf1)
     assert prior1 == pytest.approx(prior2)
+
+
+def test_linkage_checkpointed_stages_and_resume(ray_session, tmp_path):
+    from opentapioca_ray.pipelines.linkage import linkage_checkpointed
+
+    out = str(tmp_path / "run")
+    clusters, ckpt = linkage_checkpointed(
+        "/root/testdata/sf0.001", out, threshold=0.2
+    )
+    n1 = clusters.count()
+    m = ckpt.metrics()
+    assert set(m) == {"files", "pairs", "scored", "clusters"}
+    assert m["files"]["rows"] == 500
+    assert n1 > 0
+    # re-run: every stage manifest matches -> no stage rebuilds (same rows)
+    clusters2, ckpt2 = linkage_checkpointed(
+        "/root/testdata/sf0.001", out, threshold=0.2
+    )
+    assert clusters2.count() == n1
+    # changing a downstream param invalidates only downstream stages
+    clusters3, ckpt3 = linkage_checkpointed(
+        "/root/testdata/sf0.001", out, threshold=0.9
+    )
+    m3 = ckpt3.metrics()
+    assert m3["files"]["fingerprint"] == m["files"]["fingerprint"]
+    assert m3["clusters"]["fingerprint"] != m["clusters"]["fingerprint"]
