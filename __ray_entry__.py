@@ -606,6 +606,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # oracles
 # ---------------------------------------------------------------------------
 
+def _pagerank_sql(iterations: int = 16) -> str:
+    """Loss-compensated power iteration unrolled as chained CTEs — the
+    iterative A4 semantics (16 iterations, L1 compensation, dangling nodes
+    padded into the id space) expressed in pure SQL so DuckDB can verify the
+    Ray kernel value-for-value."""
+    parts = [
+        """WITH edges AS (
+          SELECT src, dst, cnt / sum_cnt AS weight FROM (
+            SELECT l_partkey AS src, l_suppkey::bigint AS dst,
+                   count(*)::double AS cnt,
+                   sum(count(*)) OVER (PARTITION BY l_partkey) AS sum_cnt
+            FROM lineitem GROUP BY 1, 2
+          )
+        ),
+        nn AS (
+          SELECT greatest(max(src), max(dst)) + 1 AS n FROM edges
+        ),
+        nodes AS (
+          SELECT unnest(generate_series(0, (SELECT n - 1 FROM nn))) AS node
+        ),
+        pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(
+            f""",
+        c{i} AS (
+          SELECT e.dst AS node, sum(e.weight * p.rank) AS contrib
+          FROM edges e JOIN pr{i-1} p ON p.node = e.src GROUP BY e.dst
+        ),
+        pr{i} AS (
+          SELECT nd.node,
+                 COALESCE(c.contrib, 0)
+                 + (1.0 - (SELECT COALESCE(sum(contrib), 0) FROM c{i}))
+                   / (SELECT n FROM nn) AS rank
+          FROM nodes nd LEFT JOIN c{i} c ON nd.node = c.node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT node, round(rank, 9) AS rank FROM pr{iterations}"""
+    )
+    return "".join(parts)
+
+
 def oracle_sql() -> dict[str, str]:
     tok_cte = f"""
         tokens AS (
@@ -749,6 +793,7 @@ def oracle_sql() -> dict[str, str]:
               FROM lineitem GROUP BY 1, 2
             )
         """,
+        "pagerank": _pagerank_sql(16),
         "ann_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
