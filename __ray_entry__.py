@@ -610,9 +610,15 @@ def _pagerank_sql(iterations: int = 16) -> str:
     """Loss-compensated power iteration unrolled as chained CTEs — the
     iterative A4 semantics (16 iterations, L1 compensation, dangling nodes
     padded into the id space) expressed in pure SQL so DuckDB can verify the
-    Ray kernel value-for-value."""
+    Ray kernel value-for-value.
+
+    Every CTE is MATERIALIZED: each pr{i} is referenced twice (by c{i+1} and
+    pr{i+1}), so DuckDB's default inlining re-expands the chain exponentially
+    — re-opening lineitem.parquet per leaf until the fd limit ("Too many open
+    files", CORRECTNESS_r01) — while materialization evaluates each level
+    exactly once."""
     parts = [
-        """WITH edges AS (
+        """WITH edges AS MATERIALIZED (
           SELECT src, dst, cnt / sum_cnt AS weight FROM (
             SELECT l_partkey AS src, l_suppkey::bigint AS dst,
                    count(*)::double AS cnt,
@@ -620,22 +626,22 @@ def _pagerank_sql(iterations: int = 16) -> str:
             FROM lineitem GROUP BY 1, 2
           )
         ),
-        nn AS (
+        nn AS MATERIALIZED (
           SELECT greatest(max(src), max(dst)) + 1 AS n FROM edges
         ),
-        nodes AS (
+        nodes AS MATERIALIZED (
           SELECT unnest(generate_series(0, (SELECT n - 1 FROM nn))) AS node
         ),
-        pr0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
+        pr0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)"""
     ]
     for i in range(1, iterations + 1):
         parts.append(
             f""",
-        c{i} AS (
+        c{i} AS MATERIALIZED (
           SELECT e.dst AS node, sum(e.weight * p.rank) AS contrib
           FROM edges e JOIN pr{i-1} p ON p.node = e.src GROUP BY e.dst
         ),
-        pr{i} AS (
+        pr{i} AS MATERIALIZED (
           SELECT nd.node,
                  COALESCE(c.contrib, 0)
                  + (1.0 - (SELECT COALESCE(sum(contrib), 0) FROM c{i}))

@@ -48,17 +48,21 @@ class AnnotationService:
         if self._classify is not None:
             result = self._classify(tags_df)
         else:
-            # untagged fallback: every candidate kept, top-rank wins
+            # untagged fallback: every candidate kept, top-rank wins.
+            # Exactly ONE winner per (start, end): rank ties break on qid so
+            # is_best/best_qid are deterministic and the merge never fans out.
             result = tags_df.copy()
             result["score"] = result["rank"]
-            result["is_best"] = (
-                result.groupby(["start", "end"])["rank"].transform("max")
-                == result["rank"]
+            ordered = result.sort_values(
+                ["start", "end", "rank", "qid"],
+                ascending=[True, True, False, True],
+                kind="mergesort",
             )
-            best = result[result["is_best"]][["start", "end", "qid"]].rename(
-                columns={"qid": "best_qid"}
-            )
+            best = ordered.drop_duplicates(["start", "end"])[
+                ["start", "end", "qid"]
+            ].rename(columns={"qid": "best_qid"})
             result = result.merge(best, on=["start", "end"], how="left")
+            result["is_best"] = result["qid"] == result["best_qid"]
         docs = mention_json_rows(result)
         return {"text": text, "annotations": docs[0]["mentions"] if docs else []}
 

@@ -93,13 +93,20 @@ def corpus_stats(
     text_column: str = "content",
     repo_column: str = "repo",
     max_vocab: int = 500_000,
+    mode: str = "auto",
+    driver_limit: int = 5_000_000,
 ) -> tuple[dict, dict]:
     """One pass over files -> (idf dict, repo prior dict).
 
-    Fuses `train_idf` + `repo_in_degree_prior` into a single map + driver
-    merge: each batch emits tagged partial counts (kind 0 = word document
-    frequency, kind 1 = repo file count), so the corpus is read and
-    tokenized once and there is no separate shuffle for the prior."""
+    Fuses `train_idf` + `repo_in_degree_prior` into a single map: each batch
+    emits tagged partial counts (kind 0 = word document frequency, kind 1 =
+    repo file count), so the corpus is read and tokenized once and there is
+    no separate shuffle for the prior. Scale-adaptive final merge (same
+    guard as `train_idf`): partial rows under `driver_limit` merge with one
+    vectorized pass on the driver; above that — or with `mode="shuffle"`,
+    which `linkage_clusters(distributed=True)` forces — a distributed
+    groupby(kind, key).sum runs first and only the (vocab-bounded)
+    aggregated rows come back to build the broadcast dicts."""
     import ray
 
     from opentapioca_ray.state.bow import partial_word_counts
@@ -132,6 +139,15 @@ def corpus_stats(
         )
 
     parts = files_ds.map_batches(partial, batch_format="pyarrow")
+    if mode == "auto":
+        parts = parts.materialize()
+        mode = "driver" if parts.count() <= driver_limit else "shuffle"
+    if mode == "shuffle":
+        from ray.data.aggregate import Sum
+
+        parts = parts.groupby(["kind", "key"]).aggregate(
+            Sum("count", alias_name="count")
+        )
     tables = []
     for ref in parts.to_arrow_refs():
         t = ray.get(ref)
@@ -689,8 +705,9 @@ def linkage_clusters(
     import ray.data as rd
 
     files_ds = files_ds.materialize()  # consumed by idf, prior, blocks, tokens
+    stats_mode = "shuffle" if distributed else "auto"
     if idf is None and prior is None:
-        idf, prior = corpus_stats(files_ds)
+        idf, prior = corpus_stats(files_ds, mode=stats_mode)
     elif idf is None:
         idf = train_idf(files_ds)
     elif prior is None:
@@ -750,15 +767,16 @@ def linkage_checkpointed(
 
     idf, prior = corpus_stats(files)
 
-    pair_params = {
-        **base_params,
-        **{k: kwargs[k] for k in ("num_perm", "bands", "shingle_k") if k in kwargs},
-    }
+    # fingerprint EVERY param build_id_pairs consumes (max_block_size and
+    # window change the emitted pair set too) so a re-run with different
+    # values invalidates the stage instead of reusing a stale checkpoint
+    _PAIR_KEYS = ("num_perm", "bands", "shingle_k", "max_block_size", "window",
+                  "mode", "prefilter_mode")
+    pair_kwargs = {k: kwargs[k] for k in _PAIR_KEYS if k in kwargs}
+    pair_params = {**base_params, **pair_kwargs}
     pairs = ckpt.run(
-        "pairs", pair_params, ["files"], lambda: build_id_pairs(files, **{
-            k: v for k, v in kwargs.items()
-            if k in ("num_perm", "bands", "shingle_k", "max_block_size", "window")
-        })
+        "pairs", pair_params, ["files"],
+        lambda: build_id_pairs(files, **pair_kwargs),
     )
 
     def build_scored():

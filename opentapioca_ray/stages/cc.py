@@ -1,10 +1,13 @@
 """Connected components over a match-edge Dataset.
 
 Large-star / small-star alternation (Kiveris et al., "Connected Components
-in MapReduce and Beyond") expressed as Ray Data groupby-aggregate shuffles —
-the clustering step mandated by the north rule (BASELINE.json): converges in
-O(log n) rounds, each round is one `groupby(node).map_groups` exchange; the
-driver loop stops when the edge multiset hash stabilizes. A union-find
+in MapReduce and Beyond") expressed as Ray Data shuffles — the clustering
+step mandated by the north rule (BASELINE.json): converges in O(log n)
+rounds. Each round is ONE coarse-partition exchange (hash(node) % P, see
+stages/exchange.py) whose partition kernel processes every node of the
+partition with vectorized numpy — NOT a per-node `map_groups`, which pays
+per-group pandas overhead on millions of near-singleton nodes. The driver
+loop stops when the edge multiset digest stabilizes. A union-find
 `connected_components_local` provides the oracle for tests.
 
 Edges are undirected (u, v) int64 pairs; output is (node, component) where
@@ -18,27 +21,60 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-
-def _large_star_group(df: pd.DataFrame) -> pd.DataFrame:
-    u = int(df["u"].iloc[0])
-    neigh = df["v"].to_numpy()
-    m = min(u, int(neigh.min()))
-    bigger = neigh[neigh > u]
-    if len(bigger) == 0:
-        return pd.DataFrame({"u": [], "v": []}, dtype=np.int64)
-    return pd.DataFrame({"u": bigger.astype(np.int64), "v": np.int64(m)})
+from opentapioca_ray.stages.exchange import (
+    coarse_group_apply,
+    segment_ids,
+    segment_starts,
+)
 
 
-def _small_star_group(df: pd.DataFrame) -> pd.DataFrame:
-    # group key u; neighbors all have v <= u
-    u = int(df["u"].iloc[0])
-    neigh = np.unique(df["v"].to_numpy())
-    m = min(u, int(neigh.min()))
-    nodes = np.union1d(neigh, [u])
-    nodes = nodes[nodes != m]
-    if len(nodes) == 0:
-        return pd.DataFrame({"u": [], "v": []}, dtype=np.int64)
-    return pd.DataFrame({"u": nodes.astype(np.int64), "v": np.int64(m)})
+def _sorted_dedup(df: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """(u, v) rows -> u-major sorted, duplicate rows removed."""
+    u = df["u"].to_numpy(dtype=np.int64)
+    v = df["v"].to_numpy(dtype=np.int64)
+    order = np.lexsort((v, u))
+    u, v = u[order], v[order]
+    if len(u):
+        keep = np.concatenate(([True], (u[1:] != u[:-1]) | (v[1:] != v[:-1])))
+        u, v = u[keep], v[keep]
+    return u, v
+
+
+_EDGE_SCHEMA = {"u": np.int64, "v": np.int64}
+
+
+def _large_star_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """All nodes of one coarse partition at once (input: both directions).
+    Per node u: m = min(u, min neighbor); emit (v, m) for neighbors v > u."""
+    u, v = _sorted_dedup(df)
+    if len(u) == 0:
+        return pd.DataFrame({"u": [], "v": []}).astype(_EDGE_SCHEMA)
+    starts = segment_starts(u)
+    gid = segment_ids(u)
+    m = np.minimum(u[starts], v[starts])  # v sorted per group: first = min
+    mask = v > u
+    return pd.DataFrame({"u": v[mask], "v": m[gid[mask]]})
+
+
+def _small_star_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """Input orientation high -> low (u >= v). Per node u with neighbors N:
+    m = min(N ∪ {u}); emit (x, m) for x in (N ∪ {u}) \\ {m}."""
+    u, v = _sorted_dedup(df)
+    if len(u) == 0:
+        return pd.DataFrame({"u": [], "v": []}).astype(_EDGE_SCHEMA)
+    starts = segment_starts(u)
+    gid = segment_ids(u)
+    m = v[starts]  # v <= u everywhere, so min(N ∪ {u}) = first v
+    mask = (v != m[gid]) & (v != u)  # u itself is appended once below
+    out_u = [v[mask]]
+    out_v = [m[gid[mask]]]
+    gu = u[starts]
+    gmask = gu != m
+    out_u.append(gu[gmask])
+    out_v.append(m[gmask])
+    return pd.DataFrame(
+        {"u": np.concatenate(out_u), "v": np.concatenate(out_v)}
+    )
 
 
 def _both_directions(batch: pa.Table) -> pa.Table:
@@ -67,8 +103,6 @@ def _as_arrow(block) -> pa.Table:
 
 def _edge_digest(ds) -> tuple[int, int]:
     """Cheap convergence check: (row count, sum of u*31+v mod 2^61)."""
-    import pyarrow.compute as pc
-
     count = 0
     acc = 0
     for ref in ds.to_arrow_refs():
@@ -83,17 +117,21 @@ def _edge_digest(ds) -> tuple[int, int]:
     return count, acc
 
 
-def connected_components(edges_ds, max_rounds: int = 30, local_threshold: int = 200_000):
+def connected_components(
+    edges_ds,
+    max_rounds: int = 30,
+    local_threshold: int = 200_000,
+    n_parts: int | None = None,
+):
     """edges Dataset (u, v) -> assignments Dataset (node, component).
 
     Scale-adaptive: when the (deduplicated) edge set fits comfortably on one
     node (< `local_threshold` edges) the transitive closure runs as a single
     union-find task — match edges are a tiny fraction of input rows, so this
     is the common case even for huge corpora. Above the threshold it runs
-    the large-star/small-star shuffle rounds (O(log n) groupby exchanges);
-    each round: large-star (groupby over both directions) then small-star
-    (groupby over high->low edges); stop when the edge digest is stable.
-    Pass `local_threshold=0` to force the distributed path (tests do).
+    the large-star/small-star rounds, one coarse-partition exchange each
+    (O(log n) rounds); stop when the edge digest is stable. Pass
+    `local_threshold=0` to force the distributed path (tests do).
     """
     import ray
 
@@ -134,17 +172,17 @@ def connected_components(edges_ds, max_rounds: int = 30, local_threshold: int = 
     ds = edges_ds.map_batches(_high_low, batch_format="pyarrow")
     prev_digest = None
     for _ in range(max_rounds):
-        # large-star
-        ds = (
-            ds.map_batches(_both_directions, batch_format="pyarrow")
-            .groupby("u")
-            .map_groups(_large_star_group, batch_format="pandas")
+        ds = coarse_group_apply(
+            ds.map_batches(_both_directions, batch_format="pyarrow"),
+            "u",
+            _large_star_partition,
+            n_parts=n_parts,
         )
-        # small-star over (max -> min) orientation
-        ds = (
-            ds.map_batches(_high_low, batch_format="pyarrow")
-            .groupby("u")
-            .map_groups(_small_star_group, batch_format="pandas")
+        ds = coarse_group_apply(
+            ds.map_batches(_high_low, batch_format="pyarrow"),
+            "u",
+            _small_star_partition,
+            n_parts=n_parts,
         )
         ds = ds.materialize()
         digest = _edge_digest(ds)
@@ -155,7 +193,9 @@ def connected_components(edges_ds, max_rounds: int = 30, local_threshold: int = 
     out = ds.map_batches(
         lambda b: pa.table(
             {"node": b.column("u"), "component": b.column("v")}
-        ),
+        )
+        if b.num_rows and "u" in b.column_names
+        else pa.schema([("node", pa.int64()), ("component", pa.int64())]).empty_table(),
         batch_format="pyarrow",
     )
     from ray.data.aggregate import Min

@@ -59,42 +59,111 @@ def exact_dedup(ds, id_column: str, text_column: str = "text", algo: str = "md5"
 
 def compact_by_key(ds, key: str = "id", version: str = "revid"):
     """Upsert compaction: keep the row with max version per key
-    (reference Solr last-write-wins, taggerfactory.py:103-120)."""
+    (reference Solr last-write-wins, taggerfactory.py:103-120).
 
-    def keep_latest(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(version, kind="mergesort").tail(1)
+    One coarse-partition exchange (hash(key) % P); the partition kernel
+    compacts ALL its keys with a single vectorized sort + drop_duplicates —
+    not a per-key `map_groups`, which pays per-group overhead on millions of
+    near-singleton keys."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply
 
-    return ds.groupby(key).map_groups(keep_latest, batch_format="pandas")
+    def keep_latest_partition(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values([key, version], kind="mergesort").drop_duplicates(
+            key, keep="last"
+        )
+
+    return coarse_group_apply(ds, key, keep_latest_partition)
 
 
 # ---------------------------------------------------------------------------
 # MinHash-LSH near-dedup
 # ---------------------------------------------------------------------------
 
-def _verify_pairs_group_fn(threshold: float, shingle_k: int):
-    """Within a block: emit verified near-dup edges (token-shingle Jaccard on
-    the carried token prefixes >= threshold)."""
+def _shingle_set(tokens, k: int) -> set:
+    """Distinct k-token shingle strings; docs shorter than k (including
+    empty) collapse to the single whole-doc shingle — the exact semantics
+    the SQL oracle mirrors (space-join is injective: the tokenizer splits on
+    space, so no token contains one)."""
+    if len(tokens) >= k:
+        return {" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
+    return {" ".join(tokens)}
 
-    pair_fn = make_pair_group_fn()
+
+def _verify_partition_fn(threshold: float, shingle_k: int, max_block_size: int = 64, window: int = 8):
+    """ALL blocks of one coarse partition at once (not per-tiny-block
+    map_groups): per block drop duplicate members, generate candidate pairs
+    (all-pairs under `max_block_size`, else sorted-neighborhood by minhash
+    head with `window` — the same skew guard as stages/pairs.py), verify
+    with exact token-shingle Jaccard on the carried prefixes. Shingle sets
+    are cached per file within the partition."""
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        pairs = pair_fn(df)
-        rows = []
-        for r in pairs.itertuples():
-            sa = set(
-                map(tuple, zip(*[r.left_tokens[i:] for i in range(shingle_k)]))
-            ) if len(r.left_tokens) >= shingle_k else {tuple(r.left_tokens)}
-            sb = set(
-                map(tuple, zip(*[r.right_tokens[i:] for i in range(shingle_k)]))
-            ) if len(r.right_tokens) >= shingle_k else {tuple(r.right_tokens)}
-            if jaccard(sa, sb) >= threshold:
-                rows.append({"u": r.left_id, "v": r.right_id})
-        return pd.DataFrame(rows, columns=["u", "v"], dtype=np.int64)
+        empty = pd.DataFrame(
+            {
+                "u": pd.Series(dtype=np.int64),
+                "v": pd.Series(dtype=np.int64),
+                "jaccard": pd.Series(dtype=np.float64),
+            }
+        )
+        if df.empty:
+            return empty
+        df = df.sort_values(["block_key", "sig_head"], kind="mergesort")
+        keys = df["block_key"].to_numpy()
+        ids = df["file_id"].to_numpy(dtype=np.int64)
+        tokens = df["tokens"].to_numpy()
+        starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+        ends = np.concatenate((starts[1:], [len(keys)]))
+        cache: dict[int, set] = {}
+        seen_pairs: set[tuple[int, int]] = set()
+        out_u, out_v, out_j = [], [], []
+        for s, e in zip(starts, ends):
+            _, first_pos = np.unique(ids[s:e], return_index=True)
+            pos = np.sort(first_pos) + s
+            n = len(pos)
+            if n < 2:
+                continue
+            if n <= max_block_size:
+                iu, ju = np.triu_indices(n, k=1)
+            else:
+                offs = np.arange(1, window + 1)
+                iu = np.repeat(np.arange(n), window)
+                ju = iu + np.tile(offs, n)
+                keep = ju < n
+                iu, ju = iu[keep], ju[keep]
+            for i, j in zip(pos[iu], pos[ju]):
+                u, v = (ids[i], ids[j]) if ids[i] <= ids[j] else (ids[j], ids[i])
+                if (u, v) in seen_pairs:
+                    continue  # already verified within this partition
+                seen_pairs.add((u, v))
+                sa = cache.get(u)
+                if sa is None:
+                    sa = cache[u] = _shingle_set(
+                        list(tokens[i if ids[i] == u else j]), shingle_k
+                    )
+                sb = cache.get(v)
+                if sb is None:
+                    sb = cache[v] = _shingle_set(
+                        list(tokens[j if ids[j] == v else i]), shingle_k
+                    )
+                jac = jaccard(sa, sb)
+                if jac >= threshold:
+                    out_u.append(u)
+                    out_v.append(v)
+                    out_j.append(jac)
+        if not out_u:
+            return empty
+        return pd.DataFrame(
+            {
+                "u": np.array(out_u, dtype=np.int64),
+                "v": np.array(out_v, dtype=np.int64),
+                "jaccard": np.array(out_j, dtype=np.float64),
+            }
+        )
 
     return fn
 
 
-def minhash_dedup(
+def minhash_pairs(
     ds,
     id_column: str = "doc_id",
     text_column: str = "text",
@@ -102,11 +171,19 @@ def minhash_dedup(
     num_perm: int = 128,
     bands: int = 16,
     shingle_k: int = 3,
+    n_parts: int | None = None,
 ):
-    """shingle -> minhash -> band -> bucket groupby -> verify -> CC.
+    """shingle -> minhash -> band -> coarse-partition verify -> verified
+    near-dup pairs (u, v, jaccard) with u < v and jaccard >= threshold.
 
-    Returns (node, component) assignments for every doc in a near-dup
-    cluster of size >= 2."""
+    The Jaccard is EXACT over the carried token-prefix shingle sets, so the
+    pair set is SQL-oracle-checkable (the LSH banding only provides the
+    candidate filter)."""
+    from ray.data.aggregate import Max
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+    from opentapioca_ray.stages.pairs import prefilter_singleton_blocks
+
     blocks = ds.map_batches(
         lambda b: blocking_batch(
             b,
@@ -119,17 +196,33 @@ def minhash_dedup(
         ),
         batch_format="pyarrow",
     )
-    from opentapioca_ray.stages.pairs import prefilter_singleton_blocks
-
-    edges = prefilter_singleton_blocks(blocks).groupby("block_key").map_groups(
-        _verify_pairs_group_fn(threshold, shingle_k), batch_format="pandas"
+    edges = coarse_group_apply(
+        prefilter_singleton_blocks(blocks),
+        "block_key",
+        _verify_partition_fn(threshold, shingle_k),
+        n_parts=n_parts,
     )
-    # dedup edges across bands before CC
-    from ray.data.aggregate import Count
+    # a pair can surface from several bands/partitions — keep one row
+    # (jaccard is deterministic per pair, so Max == first)
+    return edges.groupby(["u", "v"]).aggregate(Max("jaccard", alias_name="jaccard"))
 
-    edges = edges.groupby(["u", "v"]).aggregate(Count(alias_name="nb_bands"))
-    edges = edges.select_columns(["u", "v"])
-    return connected_components(edges)
+
+def minhash_dedup(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    threshold: float = 0.7,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 3,
+):
+    """Transitive MinHash-LSH near-dedup: verified pairs -> CC clusters.
+    Returns (node, component) assignments for every doc in a near-dup
+    cluster of size >= 2."""
+    pairs = minhash_pairs(
+        ds, id_column, text_column, threshold, num_perm, bands, shingle_k
+    )
+    return connected_components(pairs.select_columns(["u", "v"]))
 
 
 # ---------------------------------------------------------------------------
@@ -161,25 +254,61 @@ def simhash_batch(
     )
 
 
-def simhash_dedup(ds, id_column: str = "doc_id", text_column: str = "text", max_hamming: int = 3):
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates("doc_id")
-        rows = []
-        recs = list(df.itertuples())
-        for i in range(len(recs)):
-            for j in range(i + 1, len(recs)):
-                if hamming64(int(recs[i].simhash), int(recs[j].simhash)) <= max_hamming:
-                    u, v = sorted((int(recs[i].doc_id), int(recs[j].doc_id)))
-                    rows.append({"u": u, "v": v})
-        return pd.DataFrame(rows, columns=["u", "v"], dtype=np.int64)
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array (numpy < 2 has no bit_count)."""
+    return np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(axis=1)
 
+
+def _simhash_verify_partition(max_hamming: int):
+    """ALL pigeonhole blocks of one coarse partition at once; per block the
+    pairwise Hamming distances are one vectorized XOR + popcount pass."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
+        )
+        if df.empty:
+            return empty
+        df = df.sort_values(["block_key", "doc_id"], kind="mergesort")
+        keys = df["block_key"].to_numpy()
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        sims = df["simhash"].to_numpy(dtype=np.uint64)
+        starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+        ends = np.concatenate((starts[1:], [len(keys)]))
+        out_u, out_v = [], []
+        for s, e in zip(starts, ends):
+            _, first_pos = np.unique(ids[s:e], return_index=True)
+            pos = np.sort(first_pos) + s
+            n = len(pos)
+            if n < 2:
+                continue
+            iu, ju = np.triu_indices(n, k=1)
+            a, b = pos[iu], pos[ju]
+            hit = _popcount64(sims[a] ^ sims[b]) <= max_hamming
+            if hit.any():
+                ua, vb = ids[a[hit]], ids[b[hit]]
+                out_u.append(np.minimum(ua, vb))
+                out_v.append(np.maximum(ua, vb))
+        if not out_u:
+            return empty
+        return pd.DataFrame(
+            {"u": np.concatenate(out_u), "v": np.concatenate(out_v)}
+        )
+
+    return fn
+
+
+def simhash_dedup(ds, id_column: str = "doc_id", text_column: str = "text", max_hamming: int = 3):
+    from opentapioca_ray.stages.exchange import coarse_group_apply
     from opentapioca_ray.stages.pairs import prefilter_singleton_blocks
 
     sims = ds.map_batches(
         lambda b: simhash_batch(b, id_column, text_column), batch_format="pyarrow"
     )
     sims = prefilter_singleton_blocks(sims, min_size=2)
-    edges = sims.groupby("block_key").map_groups(verify, batch_format="pandas")
+    edges = coarse_group_apply(
+        sims, "block_key", _simhash_verify_partition(max_hamming)
+    )
     from ray.data.aggregate import Count
 
     edges = edges.groupby(["u", "v"]).aggregate(Count(alias_name="nb"))
@@ -395,57 +524,188 @@ def ngram_jaccard_dedup(
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
-def embedding_dedup(
+def embedding_pairs(
     ds,
     id_column: str = "vec_id",
     vector_column: str = "embedding",
     threshold: float = 0.95,
-    num_planes: int = 16,
+    num_bands: int = 8,
+    planes_per_band: int = 8,
 ):
-    """Random-hyperplane LSH buckets + exact cosine verification + CC."""
-    rng = np.random.RandomState(997)
+    """Random-hyperplane LSH (banded) + exact cosine verification ->
+    verified pairs (u, v, cosine) with u < v and cosine >= threshold.
+
+    Banding fixes the single-code recall cliff: one 16-plane code catches a
+    cosine-0.95 pair with prob (1-θ/π)^16 ≈ 0.19, while 8 bands of 8 planes
+    catch it with 1-(1-(1-θ/π)^8)^8 ≈ 0.97 — and exact-direction duplicates
+    (cos = 1) collide in EVERY band, so recall on them is deterministic
+    regardless of the plane draw. Cosine itself is exact (unit-vector dot),
+    so the pair set is SQL-oracle-checkable.
+
+    Scale shape (same as the linkage slim path): the band shuffle ships
+    (vec_id, band_code) ONLY — vectors never ride the exchange. Candidate
+    pairs are deduplicated across bands first; then the (far fewer)
+    candidate vectors are broadcast once via ray.put and every pair is
+    cosine-verified vectorized inside map_batches. Driver/broadcast state is
+    bounded by candidate ids x dim, not the corpus."""
+    import ray
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply, segment_starts
+    from opentapioca_ray.stages.pairs import prefilter_singleton_blocks
+
+    num_planes = num_bands * planes_per_band
     planes_holder: dict = {}
 
-    def bucket(batch: pa.Table) -> pa.Table:
-        vecs = np.array(batch.column(vector_column).to_pylist(), dtype=np.float64)
-        dim = vecs.shape[1]
+    _EMPTY_PAIRS = pa.schema(
+        [("u", pa.int64()), ("v", pa.int64()), ("cosine", pa.float64())]
+    ).empty_table()
+
+    def _planes(dim: int) -> np.ndarray:
         planes = planes_holder.get(dim)
         if planes is None:
             planes = np.random.RandomState(997).randn(dim, num_planes)
             planes_holder[dim] = planes
-        signs = (vecs @ planes > 0).astype(np.uint64)
-        codes = (signs << np.arange(num_planes, dtype=np.uint64)[None, :]).sum(axis=1)
+        return planes
+
+    def _band_codes(vecs: np.ndarray) -> np.ndarray:
+        """(n, num_bands) int64: per-band sign code + band offset so the
+        same code in different bands never collides."""
+        signs = (vecs @ _planes(vecs.shape[1]) > 0).astype(np.int64)
+        codes = (
+            signs.reshape(len(vecs), num_bands, planes_per_band)
+            << np.arange(planes_per_band, dtype=np.int64)[None, None, :]
+        ).sum(axis=2)
+        return codes + (np.arange(num_bands, dtype=np.int64) << planes_per_band)[None, :]
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        """slim: one (vec_id, block_key) row per band."""
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("block_key", pa.int64()), ("vec_id", pa.int64())]
+            ).empty_table()
+        vecs = np.array(batch.column(vector_column).to_pylist(), dtype=np.float64)
+        codes = _band_codes(vecs)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "block_key": pa.array(codes.ravel(), type=pa.int64()),
+                "vec_id": pa.array(np.repeat(ids, num_bands), type=pa.int64()),
+            }
+        )
+
+    def pair_partition(df: pd.DataFrame) -> pd.DataFrame:
+        """candidate (u, v) pairs for ALL buckets of one coarse partition."""
+        empty = pd.DataFrame(
+            {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
+        )
+        if df.empty:
+            return empty
+        keys = df["block_key"].to_numpy(dtype=np.int64)
+        ids = df["vec_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((ids, keys))
+        keys, ids = keys[order], ids[order]
+        starts = segment_starts(keys)
+        ends = np.concatenate((starts[1:], [len(keys)]))
+        out_u, out_v = [], []
+        for s, e in zip(starts, ends):
+            gid = np.unique(ids[s:e])
+            n = len(gid)
+            if n < 2:
+                continue
+            iu, ju = np.triu_indices(n, k=1)
+            out_u.append(gid[iu])
+            out_v.append(gid[ju])
+        if not out_u:
+            return empty
+        return pd.DataFrame(
+            {"u": np.concatenate(out_u), "v": np.concatenate(out_v)}
+        )
+
+    from ray.data.aggregate import Count
+
+    buckets = ds.map_batches(bucket, batch_format="pyarrow")
+    buckets = prefilter_singleton_blocks(buckets, min_size=2)
+    pairs = coarse_group_apply(buckets, "block_key", pair_partition)
+    pairs = pairs.groupby(["u", "v"]).aggregate(Count(alias_name="nb_bands"))
+    pairs = pairs.materialize()
+
+    # candidate ids -> broadcast unit-vector matrix (small side by design)
+    id_chunks = []
+    for ref in pairs.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "u" not in t.column_names:
+            continue
+        id_chunks.append(t.column("u").to_numpy(zero_copy_only=False))
+        id_chunks.append(t.column("v").to_numpy(zero_copy_only=False))
+    if not id_chunks:
+        import ray.data as rd
+
+        return rd.from_arrow(_EMPTY_PAIRS)
+    cand = np.unique(np.concatenate(id_chunks)).astype(np.int64)
+    cand_ref = ray.put(pa.array(cand, type=pa.int64()))
+
+    def unit_rows(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column(id_column), value_set=ray.get(cand_ref))
+        t = batch.filter(mask)
+        if t.num_rows == 0:
+            return pa.schema(
+                [("vec_id", pa.int64()), ("unit", pa.list_(pa.float64()))]
+            ).empty_table()
+        vecs = np.array(t.column(vector_column).to_pylist(), dtype=np.float64)
         norm = np.linalg.norm(vecs, axis=1, keepdims=True)
         norm[norm == 0] = 1.0
         unit = vecs / norm
         return pa.table(
             {
-                "vec_id": batch.column(id_column),
-                "block_key": pa.array([f"e:{c:x}" for c in codes], type=pa.string()),
+                "vec_id": t.column(id_column).cast(pa.int64()),
                 "unit": pa.array(list(unit), type=pa.list_(pa.float64())),
             }
         )
 
-    def verify(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates("vec_id")
-        ids = df["vec_id"].to_numpy()
-        mat = np.array(df["unit"].tolist(), dtype=np.float64)
-        rows = []
-        if len(ids) >= 2:
-            sims = mat @ mat.T
-            iu, ju = np.triu_indices(len(ids), k=1)
-            hit = sims[iu, ju] >= threshold
-            for i, j in zip(iu[hit], ju[hit]):
-                u, v = sorted((int(ids[i]), int(ids[j])))
-                rows.append({"u": u, "v": v})
-        return pd.DataFrame(rows, columns=["u", "v"], dtype=np.int64)
+    uid_chunks, umat_chunks = [], []
+    for ref in ds.map_batches(unit_rows, batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "vec_id" not in t.column_names:
+            continue
+        uid_chunks.append(t.column("vec_id").to_numpy(zero_copy_only=False))
+        umat_chunks.append(
+            np.array(t.column("unit").to_pylist(), dtype=np.float64)
+        )
+    uids = np.concatenate(uid_chunks)
+    umat = np.concatenate(umat_chunks, axis=0)
+    order = np.argsort(uids)
+    units_ref = ray.put((uids[order], umat[order]))
 
-    from opentapioca_ray.stages.pairs import prefilter_singleton_blocks
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return _EMPTY_PAIRS
+        k, m = ray.get(units_ref)
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        cos = (m[np.searchsorted(k, u)] * m[np.searchsorted(k, v)]).sum(axis=1)
+        keep = cos >= threshold
+        return pa.table(
+            {
+                "u": pa.array(u[keep], type=pa.int64()),
+                "v": pa.array(v[keep], type=pa.int64()),
+                "cosine": pa.array(cos[keep], type=pa.float64()),
+            }
+        )
 
-    buckets = ds.map_batches(bucket, batch_format="pyarrow")
-    buckets = prefilter_singleton_blocks(buckets, min_size=2)
-    edges = buckets.groupby("block_key").map_groups(verify, batch_format="pandas")
-    from ray.data.aggregate import Count
+    return pairs.map_batches(verify, batch_format="pyarrow")
 
-    edges = edges.groupby(["u", "v"]).aggregate(Count(alias_name="nb"))
-    return connected_components(edges.select_columns(["u", "v"]))
+
+def embedding_dedup(
+    ds,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    threshold: float = 0.95,
+    num_bands: int = 8,
+    planes_per_band: int = 8,
+):
+    """Transitive embedding-cosine near-dedup: verified pairs -> CC."""
+    pairs = embedding_pairs(
+        ds, id_column, vector_column, threshold, num_bands, planes_per_band
+    )
+    return connected_components(pairs.select_columns(["u", "v"]))

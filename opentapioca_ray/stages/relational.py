@@ -32,7 +32,8 @@ def broadcast_join(
     keys = dim_table.column(right_key).to_numpy(zero_copy_only=False)
     order = np.argsort(keys)
     keys_sorted = keys[order]
-    if len(keys_sorted) > 1 and (np.diff(keys_sorted) == 0).any():
+    # equality compare (not np.diff): works for string/object keys too
+    if len(keys_sorted) > 1 and (keys_sorted[1:] == keys_sorted[:-1]).any():
         raise ValueError(f"dimension key {right_key} is not unique")
     payload = {c: dim_table.column(c).take(pa.array(order)) for c in columns}
     state_ref = ray.put((keys_sorted, payload))

@@ -7,13 +7,18 @@ brief's custom-operator guidance:
 - `tumbling_window_agg` — fixed-width window aggregate: window key computed
   per batch, per-batch Arrow group-by combiner, then a small groupby-sum
   merge (shuffle rows ~= #windows x #keys per batch, not #events).
-- `sessionize` — gap-based session windows per user: one
-  `groupby(user_id).map_groups` exchange; within a group everything is
-  numpy (sort, diff, cumsum) — partitioning assumption: one user's events
-  fit in one group (bounded; salt by time-range for pathological users).
+- `sessionize` — gap-based session windows per user: ONE coarse-partition
+  exchange (hash(user) % P, stages/exchange.py); the partition kernel
+  sessionizes ALL its users at once with vectorized numpy (sort, diff,
+  cumsum with user-boundary resets) — not per-user `map_groups`, which
+  pays per-group overhead on millions of small users. Partitioning
+  assumption: one user's events land in one partition (hash-guaranteed)
+  and a partition fits in worker heap; salt by time-range for pathological
+  single users.
 - `asof_join_events` — per left event, the most recent right event with
   ts <= left ts for the same user (DuckDB ASOF JOIN semantics): both sides
-  tagged + unioned + one groupby(user_id) exchange, searchsorted inside.
+  tagged + unioned + one coarse-partition exchange; within a partition a
+  single segment-cummax pass matches every left event of every user.
 
 Timestamps are returned as epoch microseconds (int64) so results compare
 bit-exactly against SQL oracles.
@@ -88,28 +93,52 @@ def sessionize(
     """Gap-based sessions per user -> (user_id, session_index, start_us,
     end_us, n_events, total_value). A new session starts when the gap to the
     previous event of the same user exceeds `gap_us`."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype=np.int64),
+                "session_index": pd.Series(dtype=np.int64),
+                "start_us": pd.Series(dtype=np.int64),
+                "end_us": pd.Series(dtype=np.int64),
+                "n_events": pd.Series(dtype=np.int64),
+                "total_value": pd.Series(dtype=np.float64),
+            }
+        )
+        if df.empty:
+            return empty
+        user = df[user_column].to_numpy(dtype=np.int64)
         ts = df[ts_column].astype("datetime64[us]").astype("int64").to_numpy()
-        order = np.lexsort((df["event_id"].to_numpy(), ts)) if "event_id" in df else np.argsort(ts, kind="stable")
-        ts = ts[order]
+        eid = (
+            df["event_id"].to_numpy()
+            if "event_id" in df
+            else np.zeros(len(df), dtype=np.int64)
+        )
+        order = np.lexsort((eid, ts, user))
+        user, ts = user[order], ts[order]
         vals = df[value_column].to_numpy()[order]
-        new = np.concatenate(([False], np.diff(ts) > gap_us))
-        sid = np.cumsum(new)
-        n_sessions = sid[-1] + 1 if len(sid) else 0
-        starts = np.zeros(n_sessions, dtype=np.int64)
-        ends = np.zeros(n_sessions, dtype=np.int64)
-        counts = np.bincount(sid, minlength=n_sessions)
-        sums = np.bincount(sid, weights=vals, minlength=n_sessions)
-        firsts = new.copy()
-        firsts[0] = True
-        bounds = np.flatnonzero(firsts)
+        new_user = np.concatenate(([True], user[1:] != user[:-1]))
+        new_sess = new_user | np.concatenate(([False], np.diff(ts) > gap_us))
+        sid = np.cumsum(new_sess) - 1  # dense session id across the partition
+        bounds = np.flatnonzero(new_sess)
+        counts = np.bincount(sid)
+        sums = np.bincount(sid, weights=vals)
         starts = ts[bounds]
         ends = ts[np.concatenate((bounds[1:] - 1, [len(ts) - 1]))]
+        sess_user = user[bounds]
+        # per-user session_index: position within the user's session run
+        user_run_start = np.flatnonzero(
+            np.concatenate(([True], sess_user[1:] != sess_user[:-1]))
+        )
+        run_id = np.cumsum(
+            np.concatenate(([True], sess_user[1:] != sess_user[:-1]))
+        ) - 1
+        session_index = np.arange(len(bounds), dtype=np.int64) - user_run_start[run_id]
         return pd.DataFrame(
             {
-                "user_id": np.full(n_sessions, int(df[user_column].iloc[0]), dtype=np.int64),
-                "session_index": np.arange(n_sessions, dtype=np.int64),
+                "user_id": sess_user,
+                "session_index": session_index,
                 "start_us": starts,
                 "end_us": ends,
                 "n_events": counts.astype(np.int64),
@@ -117,7 +146,7 @@ def sessionize(
             }
         )
 
-    return events_ds.groupby(user_column).map_groups(per_user, batch_format="pandas")
+    return coarse_group_apply(events_ds, user_column, per_partition)
 
 
 def asof_join_events(
@@ -131,8 +160,10 @@ def asof_join_events(
     (event_id, ts_us, match_ts_us, lag_us).
 
     Both sides are tagged and unioned so matching needs exactly one
-    groupby(user) exchange; within a group a vectorized searchsorted finds
-    every match at once."""
+    coarse-partition exchange (hash(user) % P); the partition kernel matches
+    EVERY left event of every user in one segment-cummax pass over the
+    (user, ts, side)-sorted stream — no per-user groups."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply
 
     def tag(side: int):
         def fn(b: pa.Table) -> pa.Table:
@@ -156,9 +187,7 @@ def asof_join_events(
         right_ds.map_batches(tag(1), batch_format="pyarrow")
     )
 
-    def per_user(df: pd.DataFrame) -> pd.DataFrame:
-        left = df[df["side"] == 0]
-        right = df[df["side"] == 1]
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "event_id": pd.Series(dtype=np.int64),
@@ -167,21 +196,38 @@ def asof_join_events(
                 "lag_us": pd.Series(dtype=np.int64),
             }
         )
-        if left.empty or right.empty:
+        if df.empty:
             return empty
-        rts = np.sort(right["ts_us"].to_numpy())
-        lts = left["ts_us"].to_numpy()
-        idx = np.searchsorted(rts, lts, side="right") - 1
-        ok = idx >= 0
-        if not ok.any():
+        user = df["user_id"].to_numpy(dtype=np.int64)
+        ts = df["ts_us"].to_numpy(dtype=np.int64)
+        side = df["side"].to_numpy(dtype=np.int8)
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        n = len(df)
+        # sort (user, ts, rights-before-lefts): a right at the same ts as a
+        # left precedes it, so "most recent right with ts <= left ts" is
+        # simply the last right seen so far in the sorted stream
+        order = np.lexsort(((side == 0).astype(np.int8), ts, user))
+        user, ts, side, eid = user[order], ts[order], side[order], eid[order]
+        is_right = side == 1
+        pos = np.arange(n, dtype=np.int64)
+        val = np.where(is_right, pos, -1)  # position of a right row, else -1
+        seg = np.cumsum(np.concatenate(([True], user[1:] != user[:-1]))) - 1
+        # segment-reset cummax in one pass: fold (segment, value) into one
+        # monotone key; a row's own key >= every earlier segment's keys, so
+        # decoding the running max always yields THIS segment's best value
+        key = seg * np.int64(n + 1) + (val + 1)
+        last = np.maximum.accumulate(key) % np.int64(n + 1) - 1
+        lmask = (~is_right) & (last >= 0)
+        if not lmask.any():
             return empty
+        match = last[lmask]
         return pd.DataFrame(
             {
-                "event_id": left["event_id"].to_numpy()[ok],
-                "ts_us": lts[ok],
-                "match_ts_us": rts[idx[ok]],
-                "lag_us": lts[ok] - rts[idx[ok]],
+                "event_id": eid[lmask],
+                "ts_us": ts[lmask],
+                "match_ts_us": ts[match],
+                "lag_us": ts[lmask] - ts[match],
             }
         )
 
-    return unioned.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    return coarse_group_apply(unioned, "user_id", per_partition)
