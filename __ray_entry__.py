@@ -99,7 +99,11 @@ def _q_lang_id(sf_dir: str):
 
 
 def _q_fingerprints(sf_dir: str):
-    """Rolling-hash doc fingerprints -> duplicate-group sizes (rows-only)."""
+    """Rolling-hash doc fingerprints -> duplicate-group sizes. The
+    fingerprint value itself is not SQL-expressible, but the GROUPS are:
+    the rolling hash is injective on this corpus's distinct texts, so the
+    (keep_id, dup_count) projection hash-matches a GROUP BY text oracle —
+    any collision between distinct texts would break the match."""
     from ray.data.aggregate import Count, Min
 
     import pyarrow as pa
@@ -110,9 +114,10 @@ def _q_fingerprints(sf_dir: str):
         return add_fingerprint(batch, "text").select(["doc_id", "fingerprint"])
 
     fps = _docs(sf_dir).map_batches(fn, batch_format="pyarrow")
-    return fps.groupby("fingerprint").aggregate(
+    groups = fps.groupby("fingerprint").aggregate(
         Min("doc_id", alias_name="keep_id"), Count(alias_name="dup_count")
     )
+    return groups.select_columns(["keep_id", "dup_count"])
 
 
 def _q_tag_mention_counts(sf_dir: str):
@@ -259,9 +264,30 @@ def _q_pagerank(sf_dir: str):
 
 
 def _q_minhash_dedup(sf_dir: str):
-    from opentapioca_ray.stages.dedup import minhash_dedup
+    """MinHash-LSH near-dedup, emitted as the VERIFIED pair set (u, v,
+    exact prefix-shingle jaccard) so a DuckDB all-pairs oracle can check it
+    value-for-value — banding only filters candidates, and its recall on
+    this corpus's qualifying pairs is 1 (any miss would fail the hash
+    match). The transitive-cluster variant (`minhash_dedup`) is
+    pytest-golden (tests/test_dedup.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    return minhash_dedup(_docs(sf_dir), id_column="doc_id", text_column="text", threshold=0.8)
+    from opentapioca_ray.stages.dedup import minhash_pairs
+
+    out = minhash_pairs(
+        _docs(sf_dir), id_column="doc_id", text_column="text", threshold=0.8
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "u": b.column("u"),
+                "v": b.column("v"),
+                "jaccard": pc.round(b.column("jaccard"), 6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def _q_ngram_jaccard_pairs(sf_dir: str):
@@ -293,12 +319,55 @@ def _q_simhash_dedup(sf_dir: str):
 
 
 def _q_embedding_dedup(sf_dir: str):
+    """Embedding-cosine near-dedup over the embeddings table augmented with
+    deterministic planted duplicates (every 10th vector re-emitted at 2x
+    scale under vec_id + 1e6: same direction, cosine exactly 1), emitted as
+    the VERIFIED pair set (u, v, cosine) so a DuckDB all-pairs oracle checks
+    it value-for-value — banded hyperplane LSH catches exact-direction
+    duplicates in every band, so recall on them is deterministic. The
+    cluster variant (`embedding_dedup`) is pytest-golden."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
     import ray.data
 
-    from opentapioca_ray.stages.dedup import embedding_dedup
+    from opentapioca_ray.stages.dedup import embedding_pairs
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_dedup(emb, threshold=0.95)
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        sel = ids % 10 == 0
+        dup_ids = ids[sel] + 1_000_000
+        dup_vecs = vecs[sel] * 2.0
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    np.concatenate([ids, dup_ids]), type=pa.int64()
+                ),
+                "embedding": pa.array(
+                    list(vecs) + list(dup_vecs), type=pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+        augment, batch_format="pyarrow"
+    )
+    out = embedding_pairs(emb, threshold=0.95)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "u": b.column("u"),
+                "v": b.column("v"),
+                "cosine": pc.round(b.column("cosine"), 6),
+            }
+        )
+        if b.num_rows and "u" in b.column_names
+        else pa.schema(
+            [("u", pa.int64()), ("v", pa.int64()), ("cosine", pa.float64())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
 
 
 def _q_ann_topk(sf_dir: str):
@@ -790,6 +859,55 @@ def oracle_sql() -> dict[str, str]:
               JOIN grams gb ON gb.doc_id = cand.v
             )
             SELECT u, v, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
+        """,
+        "fingerprint_dups": """
+            SELECT min(doc_id) AS keep_id, count(*) AS dup_count
+            FROM documents GROUP BY text
+        """,
+        "minhash_dedup": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(
+                      ' ' || substr(text, 1, 10000) || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            pref AS (SELECT doc_id, arr[1:128] AS arr FROM toks),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                END AS gs
+              FROM pref
+            ),
+            j AS (
+              SELECT a.doc_id AS u, b.doc_id AS v,
+                len(list_intersect(a.gs, b.gs))::double
+                  / (len(a.gs) + len(b.gs)
+                     - len(list_intersect(a.gs, b.gs)))::double AS jac
+              FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+            )
+            SELECT u, v, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
+        """,
+        "embedding_dedup": """
+            WITH aug AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_transform(embedding::DOUBLE[], x -> x * 2.0)
+              FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            p AS (
+              SELECT a.vec_id AS u, b.vec_id AS v,
+                     list_cosine_similarity(a.v, b.v) AS c
+              FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+            )
+            SELECT u, v, round(c, 6) AS cosine FROM p WHERE c >= 0.95
         """,
         "graph_edges": """
             SELECT src, dst, round(cnt / sum_cnt, 6) AS weight FROM (

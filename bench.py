@@ -3,9 +3,12 @@
 Default: run the headline linkage pipeline + per-query timings over
 $GRAFT_SF_DIR (default /root/testdata/sf0.1) and print ONE JSON line.
 
---scaling: run the headline pipeline twice in fresh subprocesses
-(num_cpus=8 then num_cpus=32) on the same input and report both
+--scaling: run the headline pipeline (distributed=True) at two CPU levels
+in fresh subprocesses on the same replicated input and report both
 throughputs + scaling efficiency (sandbox proxy for N vs 4N nodes).
+Defaults GRAFT_SCALE_LOW=1 / GRAFT_SCALE_HIGH=4 (see run_scaling docstring
+for why); the contract's 8 vs 32 configuration is run and published in
+BASELINE.md as well.
 """
 
 from __future__ import annotations
@@ -57,13 +60,18 @@ def _consume(result) -> int:
     return len(result)
 
 
-def run_headline(sf_dir: str, num_cpus: int, replicate: int = 1) -> dict:
+def run_headline(
+    sf_dir: str, num_cpus: int, replicate: int = 1, distributed: bool = False
+) -> dict:
     """Headline: flagship linkage (blocking -> pair scoring -> CC) over the
     input_hint files table; throughput in files/sec.
 
     `replicate` (env GRAFT_REPLICATE for the scaling runs) scales the input
     deterministically so the job saturates the larger CPU budget — the same
-    replicated input is used at BOTH parallelism levels."""
+    replicated input is used at BOTH parallelism levels. `distributed=True`
+    (the scaling runs) forces every stage onto its shuffle implementation so
+    the measured efficiency is the multi-node scale path's, not the driver
+    small-regime shortcuts'."""
     import ray
 
     if not ray.is_initialized():
@@ -83,7 +91,10 @@ def run_headline(sf_dir: str, num_cpus: int, replicate: int = 1) -> dict:
     n_files = read_files(sf_dir, replicate).count()
     t0 = time.time()
     clusters, _ = linkage_clusters(
-        read_files(sf_dir, replicate), model=None, threshold=0.2
+        read_files(sf_dir, replicate),
+        model=None,
+        threshold=0.2,
+        distributed=distributed,
     )
     n_clustered = clusters.count()
     dt = time.time() - t0
@@ -92,6 +103,7 @@ def run_headline(sf_dir: str, num_cpus: int, replicate: int = 1) -> dict:
         "n_files": n_files,
         "files_per_sec": n_files / dt,
         "n_clustered": n_clustered,
+        "distributed": distributed,
     }
 
 
@@ -108,18 +120,19 @@ def run_queries(sf_dir: str) -> dict:
 
 
 def run_scaling(sf_dir: str, low: int = 1, high: int = 4) -> dict:
-    """Same headline job at two parallelism levels (N and 4N CPUs) in fresh
-    processes — the sandbox proxy for the north rule's N- vs 4N-node
-    criterion.
+    """Same headline job (distributed=True: every stage forced onto its
+    shuffle implementation) at two parallelism levels in fresh processes —
+    the sandbox proxy for the north rule's N- vs 4N-node criterion.
 
     The input is replicated GRAFT_REPLICATE-fold (default 128, deterministic
     derivation, identical at BOTH levels) so the job carries enough parallel
-    work to make throughput meaningful. N=1 vs 4N=4 rather than 8 vs 32
-    because on this single box high worker counts saturate memory bandwidth —
-    a hardware ceiling a real 4N-node cluster does not share (each node
-    brings its own memory system); scaling CPU counts within the unsaturated
-    range isolates the software's scaling behavior. Override with
-    GRAFT_SCALE_LOW/GRAFT_SCALE_HIGH."""
+    work to make throughput meaningful. DEFAULTS are 1 vs 4 CPUs rather than
+    the contract's 8 vs 32 because on this single shared box ~32 workers
+    saturate memory bandwidth — a hardware ceiling a real 4N-node cluster
+    does not share (each node brings its own memory system); scaling within
+    the unsaturated range isolates the software's scaling behavior. BOTH
+    configurations are published in BASELINE.md; run the contract's with
+    GRAFT_SCALE_LOW=8 GRAFT_SCALE_HIGH=32."""
     low = int(os.environ.get("GRAFT_SCALE_LOW", str(low)))
     high = int(os.environ.get("GRAFT_SCALE_HIGH", str(high)))
     replicate = os.environ.get("GRAFT_REPLICATE", "128")
@@ -134,6 +147,7 @@ def run_scaling(sf_dir: str, low: int = 1, high: int = 4) -> dict:
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_SF_DIR"] = sf_dir
         env["GRAFT_REPLICATE"] = replicate
+        env["GRAFT_DISTRIBUTED"] = "1"  # measure the forced-shuffle scale path
         best = None
         for _ in range(trials):
             proc = subprocess.run(
@@ -181,7 +195,8 @@ def main() -> None:
             logging_level="ERROR",
         )
         repl = int(os.environ.get("GRAFT_REPLICATE", "1"))
-        head = run_headline(SF_DIR, NUM_CPUS, replicate=repl)
+        dist = os.environ.get("GRAFT_DISTRIBUTED", "0") == "1"
+        head = run_headline(SF_DIR, NUM_CPUS, replicate=repl, distributed=dist)
         ray.shutdown()
         print(json.dumps(head))
         return

@@ -87,18 +87,35 @@ def to_nif_turtle(doc_uri: str, text: str, mentions: list[dict], only_matching: 
     return "\n".join(lines)
 
 
+# Context subjects come in three shapes across the reference's corpora and
+# this engine's own output: `<doc#offset_0_N>` (our serving path and the
+# reference's), plain `<.../train/17>` (data/istex_*.ttl), and
+# `<...#char=0,150>` (data/RSS-500_wd*.ttl, NIF char-fragment style) — the
+# offset fragment, when present, is stripped to form the context key. The
+# negative lookahead keeps `nif:ContextCollection` headers from parsing as
+# contexts. Phrases are recognized by their `nif:Phrase` type and carry
+# their offsets as beginIndex/endIndex properties (falling back to the URI
+# fragment), so both fragment styles parse identically.
 _CTX_RE = re.compile(
-    r"(<[^>]*#offset_0_\d+>)\s+a[^.]*?nif:Context(?P<body>.*?)(?<!\\)\.\s*\n",
+    r"(<[^>]*>)\s+a[^.]*?nif:Context(?![A-Za-z])(?P<body>.*?)(?<!\\)\.\s*\n",
     re.DOTALL,
 )
 _IS_STRING_RE = re.compile(r'nif:isString\s+"(?P<s>(?:[^"\\]|\\.)*)"')
 _PHRASE_RE = re.compile(
-    r"<(?P<uri>[^>]*)#offset_(?P<b>\d+)_(?P<e>\d+)>\s+a[^.]*?nif:Phrase(?P<body>.*?)(?<!\\)\.\s*\n",
+    r"<(?P<uri>[^>]*)>\s+a[^.]*?nif:Phrase(?P<body>.*?)(?<!\\)\.\s*\n",
     re.DOTALL,
 )
 _REF_RE = re.compile(r"itsrdf:taIdentRef\s+<[^>]*/(?P<q>Q\d+)>")
 _ANCHOR_RE = re.compile(r'nif:anchorOf\s+"(?P<s>(?:[^"\\]|\\.)*)"')
-_REFCTX_RE = re.compile(r"nif:referenceContext\s+<(?P<uri>[^>]*)#offset_0_\d+>")
+_REFCTX_RE = re.compile(r"nif:referenceContext\s+<(?P<uri>[^>]*)>")
+_BEGIN_RE = re.compile(r'nif:beginIndex\s+"(\d+)"')
+_END_RE = re.compile(r'nif:endIndex\s+"(\d+)"')
+_FRAG_RE = re.compile(r"(.*)#(?:offset_(\d+)_(\d+)|char=(\d+),(\d+))$")
+
+
+def _ctx_key(uri: str) -> str:
+    m = _FRAG_RE.match(uri)
+    return m.group(1) if m else uri
 
 
 def _unescape(s: str) -> str:
@@ -110,7 +127,7 @@ def parse_nif_turtle(ttl: str) -> list[dict]:
     {uri, text, phrases: [{begin, end, phrase, gold_qid}]}."""
     contexts: dict[str, dict] = {}
     for m in _CTX_RE.finditer(ttl):
-        uri = m.group(1)[1:].split("#offset_")[0]
+        uri = _ctx_key(m.group(1)[1:-1])
         s = _IS_STRING_RE.search(m.group("body"))
         contexts[uri] = {
             "uri": uri,
@@ -120,15 +137,25 @@ def parse_nif_turtle(ttl: str) -> list[dict]:
     for m in _PHRASE_RE.finditer(ttl):
         body = m.group("body")
         ref = _REFCTX_RE.search(body)
-        uri = ref.group("uri") if ref else m.group("uri")
+        uri = _ctx_key(ref.group("uri") if ref else m.group("uri"))
         if uri not in contexts:
             continue
+        b = _BEGIN_RE.search(body)
+        e = _END_RE.search(body)
+        if b and e:
+            begin, end = int(b.group(1)), int(e.group(1))
+        else:
+            frag = _FRAG_RE.match(m.group("uri"))
+            if not frag:
+                continue
+            begin = int(frag.group(2) or frag.group(4))
+            end = int(frag.group(3) or frag.group(5))
         anchor = _ANCHOR_RE.search(body)
         gold = _REF_RE.search(body)
         contexts[uri]["phrases"].append(
             {
-                "begin": int(m.group("b")),
-                "end": int(m.group("e")),
+                "begin": begin,
+                "end": end,
                 "phrase": _unescape(anchor.group("s")) if anchor else "",
                 "gold_qid": gold.group("q") if gold else None,
             }

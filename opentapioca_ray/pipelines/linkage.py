@@ -504,16 +504,23 @@ def attach_pair_tokens(pairs_ds, files_ds, tokens_cap: int | None = None, mode: 
 
     cap = tokens_cap or TOKENS_CAP
     pairs_ds = pairs_ds.materialize()  # small: deduped candidate pairs
-    cand_ids: set[int] = set()
+    # candidate-id broadcast: one vectorized np.unique over the pair id
+    # columns (bounded by 2 x #pairs int64s — the small side by construction;
+    # at scales where even that outgrows broadcast, swap for the coarse-
+    # partition semi-join shape used in `_attach` below)
+    id_chunks = []
     for ref in pairs_ds.to_arrow_refs():
         t = ray.get(ref)
         if t.num_rows == 0 or "left_id" not in t.column_names:
             continue
-        cand_ids.update(t.column("left_id").to_pylist())
-        cand_ids.update(t.column("right_id").to_pylist())
-    if not cand_ids:
+        id_chunks.append(t.column("left_id").to_numpy(zero_copy_only=False))
+        id_chunks.append(t.column("right_id").to_numpy(zero_copy_only=False))
+    if not id_chunks:
         return None
-    ids_ref = ray.put(pa.array(sorted(cand_ids), type=pa.int64()))
+    cand_ids = np.unique(np.concatenate(id_chunks)).astype(np.int64)
+    if not len(cand_ids):
+        return None
+    ids_ref = ray.put(pa.array(cand_ids, type=pa.int64()))
 
     def token_rows(batch: pa.Table) -> pa.Table:
         mask = pc.is_in(batch.column("file_id"), value_set=ray.get(ids_ref))
@@ -541,51 +548,49 @@ def attach_pair_tokens(pairs_ds, files_ds, tokens_cap: int | None = None, mode: 
         # join, then ship back as sliced Arrow blocks for the actor pool.
         import ray.data as rd
 
-        tok_map: dict[int, tuple[str, str]] = {}
+        # vectorized dict join: sorted token-id arrays + two searchsorted
+        # lookups over the pair columns (no per-row Python)
+        tid_c, trepo_c, tpack_c = [], [], []
         for ref in tokens.to_arrow_refs():
             t = ray.get(ref)
             if t.num_rows == 0 or "file_id" not in t.column_names:
                 continue
-            for fid, repo, packed in zip(
-                t.column("file_id").to_pylist(),
-                t.column("repo").to_pylist(),
-                t.column("packed").to_pylist(),
-            ):
-                tok_map[fid] = (repo, packed)
-        rows = {"left_id": [], "right_id": [], "capped": [], "nb_bands": [],
-                "left_repo": [], "left_packed": [], "right_repo": [], "right_packed": []}
+            tid_c.append(t.column("file_id").to_numpy(zero_copy_only=False))
+            trepo_c.append(t.column("repo").to_numpy(zero_copy_only=False))
+            tpack_c.append(t.column("packed").to_numpy(zero_copy_only=False))
+        if not tid_c:
+            return None
+        tids = np.concatenate(tid_c).astype(np.int64)
+        o = np.argsort(tids)
+        tids = tids[o]
+        trepo = np.concatenate(trepo_c)[o]
+        tpack = np.concatenate(tpack_c)[o]
+        pl_c, pr_c, pc_c, pn_c = [], [], [], []
         for ref in pairs_ds.to_arrow_refs():
             t = ray.get(ref)
             if t.num_rows == 0 or "left_id" not in t.column_names:
                 continue
-            for l, r, c, nb in zip(
-                t.column("left_id").to_pylist(),
-                t.column("right_id").to_pylist(),
-                t.column("capped").to_pylist(),
-                t.column("nb_bands").to_pylist(),
-            ):
-                lt = tok_map.get(l)
-                rt = tok_map.get(r)
-                if lt is None or rt is None:
-                    continue
-                rows["left_id"].append(l)
-                rows["right_id"].append(r)
-                rows["capped"].append(c)
-                rows["nb_bands"].append(nb)
-                rows["left_repo"].append(lt[0])
-                rows["left_packed"].append(lt[1])
-                rows["right_repo"].append(rt[0])
-                rows["right_packed"].append(rt[1])
+            pl_c.append(t.column("left_id").to_numpy(zero_copy_only=False))
+            pr_c.append(t.column("right_id").to_numpy(zero_copy_only=False))
+            pc_c.append(t.column("capped").to_numpy(zero_copy_only=False))
+            pn_c.append(t.column("nb_bands").to_numpy(zero_copy_only=False))
+        pl = np.concatenate(pl_c).astype(np.int64)
+        pr = np.concatenate(pr_c).astype(np.int64)
+        pcap = np.concatenate(pc_c).astype(np.int64)
+        pnb = np.concatenate(pn_c).astype(np.int64)
+        li = np.clip(np.searchsorted(tids, pl), 0, len(tids) - 1)
+        ri = np.clip(np.searchsorted(tids, pr), 0, len(tids) - 1)
+        ok = (tids[li] == pl) & (tids[ri] == pr)
         table = pa.table(
             {
-                "left_id": pa.array(rows["left_id"], type=pa.int64()),
-                "right_id": pa.array(rows["right_id"], type=pa.int64()),
-                "capped": pa.array(rows["capped"], type=pa.int64()),
-                "nb_bands": pa.array(rows["nb_bands"], type=pa.int64()),
-                "left_repo": pa.array(rows["left_repo"], type=pa.string()),
-                "left_packed": pa.array(rows["left_packed"], type=pa.string()),
-                "right_repo": pa.array(rows["right_repo"], type=pa.string()),
-                "right_packed": pa.array(rows["right_packed"], type=pa.string()),
+                "left_id": pa.array(pl[ok], type=pa.int64()),
+                "right_id": pa.array(pr[ok], type=pa.int64()),
+                "capped": pa.array(pcap[ok], type=pa.int64()),
+                "nb_bands": pa.array(pnb[ok], type=pa.int64()),
+                "left_repo": pa.array(trepo[li[ok]], type=pa.string()),
+                "left_packed": pa.array(tpack[li[ok]], type=pa.string()),
+                "right_repo": pa.array(trepo[ri[ok]], type=pa.string()),
+                "right_packed": pa.array(tpack[ri[ok]], type=pa.string()),
             }
         )
         # slice into multiple blocks so the scorer actor pool parallelizes
@@ -597,8 +602,11 @@ def attach_pair_tokens(pairs_ds, files_ds, tokens_cap: int | None = None, mode: 
         return rd.from_arrow(slices or [table])
 
     def _attach(side_pairs_ds, key: str, prefix: str, carry: list[tuple[str, pa.DataType]]):
-        """union(pair rows keyed by `key`, token rows) -> groupby(file_id)
-        -> pair rows + {prefix}_repo/{prefix}_packed."""
+        """union(pair rows keyed by `key`, token rows) -> ONE coarse-
+        partition exchange on hash(file_id) % P -> pair rows +
+        {prefix}_repo/{prefix}_packed. The partition kernel joins ALL its
+        files with one sorted-array searchsorted pass — not per-file groups
+        (per-group overhead collapses at millions of candidate files)."""
         carry_names = [c for c, _ in carry]
         union_schema = pa.schema(
             [("file_id", pa.int64()), ("is_token", pa.bool_()),
@@ -638,17 +646,27 @@ def attach_pair_tokens(pairs_ds, files_ds, tokens_cap: int | None = None, mode: 
             [*carry, (f"{prefix}_repo", pa.string()), (f"{prefix}_packed", pa.string())]
         )
 
-        def attach_group(df: pd.DataFrame) -> pd.DataFrame:
+        def attach_partition(df: pd.DataFrame) -> pd.DataFrame:
             tok = df[df["is_token"]]
             mem = df[~df["is_token"]]
             if tok.empty or mem.empty:
                 return out_schema.empty_table().to_pandas()
-            out = mem[carry_names].copy()
-            out[f"{prefix}_repo"] = tok["repo"].iloc[0]
-            out[f"{prefix}_packed"] = tok["packed"].iloc[0]
+            tk = tok["file_id"].to_numpy(dtype=np.int64)
+            o = np.argsort(tk)
+            tk = tk[o]
+            trepo = tok["repo"].to_numpy()[o]
+            tpack = tok["packed"].to_numpy()[o]
+            mk = mem["file_id"].to_numpy(dtype=np.int64)
+            idx = np.clip(np.searchsorted(tk, mk), 0, len(tk) - 1)
+            ok = tk[idx] == mk
+            out = mem.loc[ok, carry_names].reset_index(drop=True)
+            out[f"{prefix}_repo"] = trepo[idx[ok]]
+            out[f"{prefix}_packed"] = tpack[idx[ok]]
             return out
 
-        return unioned.groupby("file_id").map_groups(attach_group, batch_format="pandas")
+        from opentapioca_ray.stages.exchange import coarse_group_apply
+
+        return coarse_group_apply(unioned, "file_id", attach_partition)
 
     base_carry = [
         ("left_id", pa.int64()),

@@ -294,11 +294,17 @@ def compute_pagerank_distributed(
             edges.map_batches(contrib, batch_format="pyarrow")
             .groupby("dst")
             .aggregate(Sum("mass", alias_name="mass"))
-            .take_all()
         )
+        # stream the aggregated blocks into the dense rank vector (no
+        # take_all dict-row round-trip: zero-copy Arrow -> numpy scatter)
         nv = np.zeros(shape, dtype=np.float64)
-        for r in sums:
-            nv[r["dst"]] += r["mass"]
+        for ref in sums.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows == 0 or "dst" not in t.column_names:
+                continue
+            d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+            m = t.column("mass").to_numpy(zero_copy_only=False)
+            np.add.at(nv, d, m)
         nv += (1.0 - nv.sum()) / shape
         v = nv
     return v

@@ -362,6 +362,159 @@ def _explode_grams(batch: pa.Table) -> pa.Table:
     )
 
 
+_NGRAM_DRIVER_LIMIT = 20_000_000
+
+_NGRAM_EMPTY = pa.schema(
+    [("u", pa.int64()), ("v", pa.int64()), ("jaccard", pa.float64())]
+).empty_table()
+
+
+def _ngram_pair_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """All (gram, doc) rows of one coarse gram-hash partition -> per-pair
+    shared-gram counts WITHIN the partition (vectorized dictionary-encode +
+    lexsort + per-gram all-pairs + local pair-count reduce). Every row of a
+    gram lands in the same partition, so summing the partial counts across
+    partitions gives the exact global intersection size."""
+    empty = pd.DataFrame(
+        {
+            "u": pd.Series(dtype=np.int64),
+            "v": pd.Series(dtype=np.int64),
+            "inter": pd.Series(dtype=np.int64),
+        }
+    )
+    if df.empty:
+        return empty
+    codes, _ = pd.factorize(df["gram"].to_numpy())
+    ids = df["doc_id"].to_numpy(dtype=np.int64)
+    o = np.lexsort((ids, codes))
+    codes, ids = codes[o], ids[o]
+    starts = np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1])))
+    ends = np.concatenate((starts[1:], [len(codes)]))
+    sizes_g = ends - starts
+    lefts, rights = [], []
+    s2 = starts[sizes_g == 2]
+    if len(s2):
+        a, b = ids[s2], ids[s2 + 1]
+        ok = a != b
+        lefts.append(np.minimum(a[ok], b[ok]))
+        rights.append(np.maximum(a[ok], b[ok]))
+    for s, e in zip(starts[sizes_g > 2], ends[sizes_g > 2]):
+        gid = np.unique(ids[s:e])
+        n = len(gid)
+        if n < 2:
+            continue
+        iu, ju = np.triu_indices(n, k=1)
+        lefts.append(gid[iu])
+        rights.append(gid[ju])
+    if not lefts:
+        return empty
+    left = np.concatenate(lefts)
+    right = np.concatenate(rights)
+    po = np.lexsort((right, left))
+    left, right = left[po], right[po]
+    new = np.concatenate(([True], (left[1:] != left[:-1]) | (right[1:] != right[:-1])))
+    inter = np.bincount(np.cumsum(new) - 1).astype(np.int64)
+    return pd.DataFrame({"u": left[new], "v": right[new], "inter": inter})
+
+
+def _attach_ngram_sizes(pairs_ds, sizes_ds, key: str, out_col: str, n_parts=None):
+    """Reduce-side join: attach each doc's distinct-gram count to the pair
+    rows keyed by `key`, via ONE coarse-partition exchange on hash(doc) % P
+    (not per-doc groups). The size side is unique per doc_id."""
+    import ray.data  # noqa: F401
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    carry = [c for c in ("u", "v", "inter", "na") if c != out_col]
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        cols = {"key": batch.column(key).cast(pa.int64()),
+                "is_size": pa.array([False] * batch.num_rows, type=pa.bool_()),
+                "n": pa.array([0] * batch.num_rows, type=pa.int64())}
+        for c in carry:
+            if c in batch.column_names:
+                cols[c] = batch.column(c).cast(pa.int64())
+        return pa.table(cols)
+
+    def size_rows(batch: pa.Table) -> pa.Table:
+        cols = {"key": batch.column("doc_id").cast(pa.int64()),
+                "is_size": pa.array([True] * batch.num_rows, type=pa.bool_()),
+                "n": batch.column("n_grams").cast(pa.int64())}
+        for c in carry:
+            cols[c] = pa.array([0] * batch.num_rows, type=pa.int64())
+        return pa.table(cols)
+
+    def guard(fn, names):
+        def inner(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or names[0] not in batch.column_names:
+                return pa.schema(
+                    [("key", pa.int64()), ("is_size", pa.bool_()), ("n", pa.int64())]
+                    + [(c, pa.int64()) for c in carry]
+                ).empty_table()
+            return fn(batch)
+
+        return inner
+
+    unioned = pairs_ds.map_batches(guard(pair_rows, [key]), batch_format="pyarrow").union(
+        sizes_ds.map_batches(guard(size_rows, ["doc_id"]), batch_format="pyarrow")
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = carry + [out_col]
+        empty = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in out_cols})
+        if df.empty:
+            return empty
+        sizes = df[df["is_size"]]
+        pairs = df[~df["is_size"]]
+        if pairs.empty or sizes.empty:
+            return empty
+        sk = sizes["key"].to_numpy(dtype=np.int64)
+        sn = sizes["n"].to_numpy(dtype=np.int64)
+        o = np.argsort(sk)
+        sk, sn = sk[o], sn[o]
+        pk = pairs["key"].to_numpy(dtype=np.int64)
+        idx = np.clip(np.searchsorted(sk, pk), 0, len(sk) - 1)
+        ok = sk[idx] == pk  # pair docs always have >= 1 gram, but stay safe
+        out = {c: pairs[c].to_numpy(dtype=np.int64)[ok] for c in carry}
+        out[out_col] = sn[idx[ok]]
+        return pd.DataFrame(out)
+
+    return coarse_group_apply(unioned, "key", attach, n_parts=n_parts)
+
+
+def _ngram_shuffle_pairs(exploded, sizes, threshold: float, n_parts=None):
+    """All-shuffle n-gram Jaccard: coarse gram-hash pair counting ->
+    groupby(pair).sum -> two coarse doc-hash size attaches -> jaccard.
+    Identical math to the driver merge, no driver-side materialization."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    partial = coarse_group_apply(exploded, "gram", _ngram_pair_partition, n_parts=n_parts)
+    pair_counts = partial.groupby(["u", "v"]).aggregate(Sum("inter", alias_name="inter"))
+    with_na = _attach_ngram_sizes(pair_counts, sizes, "u", "na", n_parts=n_parts)
+    with_nb = _attach_ngram_sizes(with_na, sizes, "v", "nb", n_parts=n_parts)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return _NGRAM_EMPTY
+        inter = batch.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch.column("na").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch.column("nb").to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = inter / (na + nb - inter)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "u": pc.cast(batch.column("u"), pa.int64()).filter(pa.array(keep)),
+                "v": pc.cast(batch.column("v"), pa.int64()).filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep], type=pa.float64()),
+            }
+        )
+
+    return with_nb.map_batches(finish, batch_format="pyarrow")
+
+
 def ngram_jaccard_pairs(
     ds,
     id_column: str = "doc_id",
@@ -369,6 +522,8 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    mode: str = "auto",
+    driver_limit: int = _NGRAM_DRIVER_LIMIT,
 ):
     """Exact n-gram Jaccard near-dup pairs: candidates = pairs sharing >= 1
     distinct word-k-gram; verified with exact Jaccard over the gram sets.
@@ -379,6 +534,17 @@ def ngram_jaccard_pairs(
     sharing only ultra-common grams are missed by design, and intersection
     counts then cover surviving grams only — a lower bound on true Jaccard).
     `minhash_dedup` is the approximate scale path.
+
+    Key identity both modes use: |A ∩ B| for a doc pair equals the pair's
+    MULTIPLICITY across shared-gram groups, and |A| / |B| are the per-doc
+    distinct-gram counts — exact Jaccard needs NO gram-set payloads, just
+    pair occurrence counts + two size lookups. Scale-adaptive merge: below
+    `driver_limit` surviving (gram, doc) rows the counting happens in one
+    vectorized driver pass (no shuffle); above it — or with
+    `mode="shuffle"` — the same kernel runs per coarse gram-hash partition
+    with groupby-sum pair merging and coarse-partition size joins, fully
+    distributed (`_ngram_shuffle_pairs`).
+
     Returns (u, v, jaccard) with u < v and jaccard >= threshold."""
     grams = ds.map_batches(
         lambda b: gram_table(b, id_column, text_column, k), batch_format="pyarrow"
@@ -395,27 +561,12 @@ def ngram_jaccard_pairs(
         min_size=2,
         max_size=max_df,
     ).map_batches(lambda b: b.rename_columns(["gram", "doc_id"]), batch_format="pyarrow")
-    # Key identity: |A n B| for a doc pair equals the pair's MULTIPLICITY
-    # across shared-gram groups (each shared distinct gram contributes the
-    # pair exactly once), and |A| / |B| are the per-doc distinct-gram counts
-    # already known from gram_table. So exact Jaccard needs NO gram-set
-    # payloads at all: count pair occurrences + two size lookups.
-    #
-    # Surviving (gram, doc) rows after the singleton prefilter are a small
-    # fraction of the corpus; they merge on the driver (vectorized
-    # dictionary-encode + sort + per-group all-pairs). At scales beyond
-    # driver memory the same kernel runs per coarse hash partition
-    # (`groupby(gram-hash % P).map_groups`) followed by a pair-count
-    # groupby-sum — identical math, all-shuffle (see
-    # pipelines/linkage.py build_id_pairs for the pattern).
     import ray
     import ray.data
 
-    _EMPTY = pa.schema(
-        [("u", pa.int64()), ("v", pa.int64()), ("jaccard", pa.float64())]
-    ).empty_table()
+    _EMPTY = _NGRAM_EMPTY
 
-    # per-doc distinct gram counts (|A| side), collected as two arrays
+    # per-doc distinct gram counts (|A| side)
     sizes = grams.map_batches(
         lambda b: pa.table(
             {
@@ -427,6 +578,13 @@ def ngram_jaccard_pairs(
         ),
         batch_format="pyarrow",
     )
+
+    if mode == "auto":
+        exploded = exploded.materialize()
+        mode = "driver" if exploded.count() <= driver_limit else "shuffle"
+    if mode == "shuffle":
+        return _ngram_shuffle_pairs(exploded, sizes, threshold)
+
     size_ids, size_ns = [], []
     for ref in sizes.to_arrow_refs():
         t = ray.get(ref)

@@ -299,23 +299,19 @@ FEATURE_NAMES = [
 ]
 
 
-def bounded_edit_distance(a: list[str], b: list[str], cap: int = 48) -> float:
-    """Token-level Levenshtein on bounded prefixes, normalized to [0,1]
-    similarity (1 = identical).
-
-    The DP row is numpy-vectorized: substitution/insertion terms elementwise,
-    then the left-to-right deletion dependency resolved with the prefix-min
-    identity cur[j] = min_k<=j (m[k] + (j - k)) via minimum.accumulate —
-    O(la) numpy passes instead of la*lb Python steps."""
-    a, b = a[:cap], b[:cap]
-    la, lb = len(a), len(b)
+def _edit_sim_codes(an: np.ndarray, bn: np.ndarray, cap: int = 48) -> float:
+    """Token-level Levenshtein over int-code arrays, normalized to [0,1]
+    similarity (1 = identical). The DP row is numpy-vectorized:
+    substitution/insertion terms elementwise, then the left-to-right
+    deletion dependency resolved with the prefix-min identity
+    cur[j] = min_k<=j (m[k] + (j - k)) via minimum.accumulate — O(la) numpy
+    passes instead of la*lb Python steps."""
+    an, bn = an[:cap], bn[:cap]
+    la, lb = len(an), len(bn)
     if la == 0 and lb == 0:
         return 1.0
     if la == 0 or lb == 0:
         return 0.0
-    codes: dict[str, int] = {}
-    an = np.array([codes.setdefault(t, len(codes)) for t in a], dtype=np.int64)
-    bn = np.array([codes.setdefault(t, len(codes)) for t in b], dtype=np.int64)
     idx = np.arange(lb + 1, dtype=np.int64)
     prev = idx.copy()
     for i in range(1, la + 1):
@@ -325,6 +321,15 @@ def bounded_edit_distance(a: list[str], b: list[str], cap: int = 48) -> float:
         np.minimum(prev[1:] + 1, prev[:-1] + cost, out=m[1:])
         prev = np.minimum.accumulate(m - idx) + idx
     return 1.0 - int(prev[lb]) / max(la, lb)
+
+
+def bounded_edit_distance(a: list[str], b: list[str], cap: int = 48) -> float:
+    """String-list wrapper over `_edit_sim_codes` (encoding preserves
+    equality, which is all Levenshtein sees)."""
+    codes: dict[str, int] = {}
+    an = np.array([codes.setdefault(t, len(codes)) for t in a[:cap]], dtype=np.int64)
+    bn = np.array([codes.setdefault(t, len(codes)) for t in b[:cap]], dtype=np.int64)
+    return _edit_sim_codes(an, bn, cap)
 
 
 class PairFeaturizer:
@@ -351,6 +356,154 @@ class PairFeaturizer:
         na = np.sqrt(sum(w * w for w in va.values()))
         nb = np.sqrt(sum(w * w for w in vb.values()))
         return float(dot / (na * nb)) if na and nb else 0.0
+
+    # ------------------------------------------------------------------
+    # batch-vectorized featurization (the hot path: PairScorerStage)
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def _distinct(pid: np.ndarray, code: np.ndarray):
+        """(pair_id, code) rows -> per-pair distinct (pid, code, count)."""
+        o = np.lexsort((code, pid))
+        p, c = pid[o], code[o]
+        if len(p) == 0:
+            return p, c, np.zeros(0, dtype=np.int64)
+        new = np.concatenate(([True], (p[1:] != p[:-1]) | (c[1:] != c[:-1])))
+        cnt = np.diff(np.append(np.flatnonzero(new), len(p)))
+        return p[new], c[new], cnt.astype(np.int64)
+
+    @staticmethod
+    def _jaccard_and_dot(pA, cA, wA, pB, cB, wB, n):
+        """Set Jaccard + weighted dot product per pair over distinct
+        (pid, code) rows of both sides, via one concat + lexsort pass:
+        duplicate (pid, code) runs are exactly the per-pair intersections
+        (each side is distinct within a pair)."""
+        sizeA = np.bincount(pA, minlength=n).astype(np.float64)
+        sizeB = np.bincount(pB, minlength=n).astype(np.float64)
+        pp = np.concatenate([pA, pB])
+        cc = np.concatenate([cA, cB])
+        ww = np.concatenate([wA, wB])
+        o = np.lexsort((cc, pp))
+        p2, c2, w2 = pp[o], cc[o], ww[o]
+        if len(p2) > 1:
+            dup = (p2[1:] == p2[:-1]) & (c2[1:] == c2[:-1])
+            inter = np.bincount(p2[1:][dup], minlength=n).astype(np.float64)
+            dot = np.bincount(
+                p2[1:][dup], weights=w2[1:][dup] * w2[:-1][dup], minlength=n
+            )
+        else:
+            inter = np.zeros(n)
+            dot = np.zeros(n)
+        union = sizeA + sizeB - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1.0), 1.0)
+        return jac, dot, sizeA, sizeB
+
+    @staticmethod
+    def _bigram_rows(pid: np.ndarray, code: np.ndarray, n: int, vocab_size: int):
+        """Distinct bigram codes per pair from the flat token-code stream."""
+        lens = np.bincount(pid, minlength=n)
+        if len(code) == 0:
+            return pid[:0], code[:0]
+        ends = np.cumsum(lens)[lens > 0] - 1  # last token of each row
+        keep = np.ones(len(code), dtype=bool)
+        keep[ends] = False
+        j = np.flatnonzero(keep)
+        return pid[j], code[j] * np.int64(vocab_size) + code[j + 1]
+
+    def features_batch(
+        self, left_lists, right_lists, left_repos, right_repos
+    ) -> np.ndarray:
+        """Feature matrix (n, 5) for a batch of pairs. Tokens are
+        dictionary-encoded ONCE per batch; Jaccard/TF-IDF-cosine/bigram run
+        as segment-vectorized numpy over the int codes; only the edit DP
+        (inherently sequential) loops per pair — on int codes."""
+        import pyarrow.compute as pc
+
+        n = len(left_repos)
+        if n == 0:
+            return np.zeros((0, len(FEATURE_NAMES)))
+
+        def parts(col):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            lens = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+            flat = pc.list_flatten(col)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            return np.nan_to_num(lens.astype(np.float64)).astype(np.int64), flat
+
+        lenA, flatA = parts(left_lists)
+        lenB, flatB = parts(right_lists)
+        enc = pa.concat_arrays([flatA, flatB]).dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = enc.dictionary.to_pylist()
+        nA = int(lenA.sum())
+        codesA, codesB = codes[:nA], codes[nA:]
+        pidA = np.repeat(np.arange(n, dtype=np.int64), lenA)
+        pidB = np.repeat(np.arange(n, dtype=np.int64), lenB)
+        # "" tokens are split artifacts of empty packed strings — drop them
+        # (the tokenizer never emits empties)
+        try:
+            empty_code = vocab.index("")
+        except ValueError:
+            empty_code = -1
+        if empty_code >= 0:
+            mA = codesA != empty_code
+            mB = codesB != empty_code
+            codesA, pidA = codesA[mA], pidA[mA]
+            codesB, pidB = codesB[mB], pidB[mB]
+
+        idf_get = self.idf.get
+        default = self.default_idf
+        idf_arr = np.fromiter(
+            (idf_get(w, default) for w in vocab), dtype=np.float64, count=len(vocab)
+        )
+
+        pA, cA, ctA = self._distinct(pidA, codesA)
+        pB, cB, ctB = self._distinct(pidB, codesB)
+        wA = ctA * idf_arr[cA]
+        wB = ctB * idf_arr[cB]
+        tok_jac, dot, _, _ = self._jaccard_and_dot(pA, cA, wA, pB, cB, wB, n)
+        naq = np.bincount(pA, weights=wA * wA, minlength=n)
+        nbq = np.bincount(pB, weights=wB * wB, minlength=n)
+        denom = np.sqrt(naq) * np.sqrt(nbq)
+        cos = np.where(denom > 0, dot / np.maximum(denom, 1e-300), 0.0)
+
+        V = len(vocab) + 1
+        bpA, bcA = self._bigram_rows(pidA, codesA, n, V)
+        bpB, bcB = self._bigram_rows(pidB, codesB, n, V)
+        dpA, dcA, _ = self._distinct(bpA, bcA)
+        dpB, dcB, _ = self._distinct(bpB, bcB)
+        big_jac, _, _, _ = self._jaccard_and_dot(
+            dpA, dcA, np.zeros(len(dcA)), dpB, dcB, np.zeros(len(dcB)), n
+        )
+
+        lensA = np.bincount(pidA, minlength=n)
+        lensB = np.bincount(pidB, minlength=n)
+        offA = np.concatenate(([0], np.cumsum(lensA)))
+        offB = np.concatenate(([0], np.cumsum(lensB)))
+        sA = codesA[np.argsort(pidA, kind="stable")]
+        sB = codesB[np.argsort(pidB, kind="stable")]
+        edit = np.fromiter(
+            (
+                _edit_sim_codes(sA[offA[i] : offA[i + 1]], sB[offB[i] : offB[i + 1]])
+                for i in range(n)
+            ),
+            dtype=np.float64,
+            count=n,
+        )
+
+        def prior_arr(repos):
+            codes_r, uniq = pd.factorize(np.asarray(repos, dtype=object))
+            vals = np.fromiter(
+                (self.repo_prior.get(u, 0.0) for u in uniq),
+                dtype=np.float64,
+                count=len(uniq),
+            )
+            return vals[codes_r] if len(uniq) else np.zeros(len(repos))
+
+        prior = 0.5 * (prior_arr(left_repos) + prior_arr(right_repos))
+        return np.stack([cos, tok_jac, big_jac, edit, prior], axis=1)
 
     def features(self, row) -> list[float]:
         ta = list(row["left_tokens"])
@@ -398,29 +551,44 @@ class PairScorerStage:
             self.model = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
-        if rows and "left_packed" in batch.column_names:
-            # slim pipeline: tokens arrive \x1f-packed from the attach join
-            for r in rows:
-                r["left_tokens"] = (r.pop("left_packed") or "").split("\x1f")
-                r["right_tokens"] = (r.pop("right_packed") or "").split("\x1f")
-                if r["left_tokens"] == [""]:
-                    r["left_tokens"] = []
-                if r["right_tokens"] == [""]:
-                    r["right_tokens"] = []
-        feats = np.array(
-            [self.featurizer.features(r) for r in rows], dtype=np.float64
-        ) if rows else np.zeros((0, len(FEATURE_NAMES)))
-        if self.model is not None and len(rows):
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        if n == 0 or "left_id" not in batch.column_names:
+            return pa.schema(
+                [("left_id", pa.int64()), ("right_id", pa.int64())]
+                + [(f, pa.float64()) for f in FEATURE_NAMES]
+                + [("score", pa.float64())]
+            ).empty_table()
+        if "left_packed" in batch.column_names:
+            # slim pipeline: tokens arrive \x1f-packed from the attach join;
+            # split vectorized (empty-string artifacts are dropped inside
+            # features_batch)
+            left_lists = pc.split_pattern(
+                pc.fill_null(batch.column("left_packed"), ""), "\x1f"
+            )
+            right_lists = pc.split_pattern(
+                pc.fill_null(batch.column("right_packed"), ""), "\x1f"
+            )
+        else:
+            left_lists = batch.column("left_tokens")
+            right_lists = batch.column("right_tokens")
+        feats = self.featurizer.features_batch(
+            left_lists,
+            right_lists,
+            batch.column("left_repo").to_pylist(),
+            batch.column("right_repo").to_pylist(),
+        )
+        if self.model is not None:
             scores = self.model.decision_function(feats)
         else:
             # untrained fallback: average of the similarity features
-            scores = feats[:, :4].mean(axis=1) * 2 - 1 if len(rows) else np.zeros(0)
+            scores = feats[:, :4].mean(axis=1) * 2 - 1
         out = {
-            "left_id": pa.array([r["left_id"] for r in rows], type=pa.int64()),
-            "right_id": pa.array([r["right_id"] for r in rows], type=pa.int64()),
+            "left_id": batch.column("left_id").cast(pa.int64()),
+            "right_id": batch.column("right_id").cast(pa.int64()),
         }
         for k, name in enumerate(FEATURE_NAMES):
-            out[name] = pa.array(feats[:, k] if len(rows) else [], type=pa.float64())
+            out[name] = pa.array(feats[:, k], type=pa.float64())
         out["score"] = pa.array(scores, type=pa.float64())
         return pa.table(out)

@@ -98,3 +98,41 @@ def test_sorted_edge_arrays_modes_agree(ray_session):
     assert np.array_equal(s1, s2)
     assert np.array_equal(d1, d2)
     assert np.allclose(w1, w2)
+
+
+def test_ngram_jaccard_modes_agree(ray_session):
+    from opentapioca_ray.stages.dedup import ngram_jaccard_pairs
+
+    import ray.data
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    cols = ["u", "v", "jaccard"]
+
+    def run(mode):
+        df = ngram_jaccard_pairs(
+            ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet"),
+            id_column="doc_id",
+            text_column="text",
+            k=3,
+            threshold=0.5,
+            mode=mode,
+        ).to_pandas()[cols]
+        df["jaccard"] = df["jaccard"].round(9)
+        return df.sort_values(cols).reset_index(drop=True)
+
+    a = run("driver")
+    b = run("shuffle")
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_corpus_stats_modes_agree(ray_session):
+    from opentapioca_ray.pipelines.linkage import corpus_stats
+
+    files = _files(ray_session)
+    idf_a, prior_a = corpus_stats(files, mode="driver")
+    idf_b, prior_b = corpus_stats(files, mode="shuffle")
+    assert len(idf_a) > 0 and len(prior_a) > 0
+    assert set(idf_a) == set(idf_b) and set(prior_a) == set(prior_b)
+    assert all(abs(idf_a[k] - idf_b[k]) < 1e-12 for k in idf_a)
+    assert all(abs(prior_a[k] - prior_b[k]) < 1e-12 for k in prior_a)

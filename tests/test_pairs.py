@@ -130,3 +130,49 @@ def test_scorer_stage_untrained(ray_session):
     out = stage(batch).to_pylist()
     assert out[0]["score"] > 0  # identical -> positive
     assert out[1]["score"] < 0  # disjoint -> negative
+
+
+def test_features_batch_matches_row_featurizer():
+    """The vectorized batch featurizer must reproduce the per-row reference
+    implementation exactly (modulo float summation order)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.pairs import PairFeaturizer
+
+    rng = np.random.RandomState(7)
+    vocab = [f"tok{i}" for i in range(30)]
+    idf = {w: float(0.1 + i * 0.13) for i, w in enumerate(vocab[:20])}
+    prior = {"repoA": 0.7, "repoB": 0.2}
+    feat = PairFeaturizer(idf, prior)
+
+    def rand_tokens():
+        k = rng.randint(0, 12)
+        return [vocab[rng.randint(0, len(vocab))] for _ in range(k)]
+
+    rows = []
+    for _ in range(40):
+        rows.append(
+            {
+                "left_tokens": rand_tokens(),
+                "right_tokens": rand_tokens(),
+                "left_repo": rng.choice(["repoA", "repoB", "repoC"]),
+                "right_repo": rng.choice(["repoA", "repoB", "repoC"]),
+            }
+        )
+    # edge cases: both empty, one empty, identical, shorter than bigram
+    rows += [
+        {"left_tokens": [], "right_tokens": [], "left_repo": "x", "right_repo": "y"},
+        {"left_tokens": [], "right_tokens": ["tok1"], "left_repo": "x", "right_repo": "y"},
+        {"left_tokens": ["tok1"], "right_tokens": ["tok1"], "left_repo": "repoA", "right_repo": "repoA"},
+        {"left_tokens": ["tok2"], "right_tokens": ["tok3"], "left_repo": "x", "right_repo": "y"},
+    ]
+    expected = np.array([feat.features(r) for r in rows])
+    got = feat.features_batch(
+        pa.array([r["left_tokens"] for r in rows], type=pa.list_(pa.string())),
+        pa.array([r["right_tokens"] for r in rows], type=pa.list_(pa.string())),
+        [r["left_repo"] for r in rows],
+        [r["right_repo"] for r in rows],
+    )
+    assert got.shape == expected.shape
+    assert np.allclose(got, expected, atol=1e-12)

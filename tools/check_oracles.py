@@ -126,5 +126,6 @@ def main(sf_dir: str, only: list[str] | None = None):
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+    # names: space-separated args and/or comma-separated within one arg
+    only = [n for arg in sys.argv[2:] for n in arg.split(",") if n] or None
     raise SystemExit(main(sf, only))
