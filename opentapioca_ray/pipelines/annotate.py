@@ -100,21 +100,30 @@ def build_design_matrix(
     }
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        doc_id = str(df["doc_id"].iloc[0])
-        mentions = mentions_from_rows(df)
-        compute_similarities(mentions, params)
-        X, y = doc_design_matrix(mentions, gold_by_doc.get(doc_id, {}), params)
-        if not X:
+        # whole coarse partition: split per doc at the pandas level
+        outs = []
+        for doc_id, doc_df in df.groupby("doc_id", sort=False):
+            mentions = mentions_from_rows(doc_df)
+            compute_similarities(mentions, params)
+            X, y = doc_design_matrix(mentions, gold_by_doc.get(str(doc_id), {}), params)
+            if not X:
+                continue
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "doc_id": str(doc_id),
+                        "features": [list(map(float, row)) for row in X],
+                        "label": y,
+                    }
+                )
+            )
+        if not outs:
             return pd.DataFrame({"doc_id": [], "features": [], "label": []})
-        return pd.DataFrame(
-            {
-                "doc_id": doc_id,
-                "features": [list(map(float, row)) for row in X],
-                "label": y,
-            }
-        )
+        return pd.concat(outs, ignore_index=True)
 
-    out = tags_ds.groupby("doc_id").map_groups(fn, batch_format="pandas").take_all()
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    out = coarse_group_apply(tags_ds, "doc_id", fn).take_all()
     if not out:
         return np.zeros((0, 5)), np.zeros(0), np.zeros(0)
     X = np.array([r["features"] for r in out])

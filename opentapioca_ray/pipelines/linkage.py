@@ -215,12 +215,30 @@ def build_blocks(files_ds, num_perm=128, bands=32, shingle_k=3):
 
 
 def build_pairs(blocks_ds, max_block_size=64, window=8):
-    from opentapioca_ray.stages.pairs import prefilter_singleton_blocks
+    """Inline-payload pair generation: ONE coarse-partition exchange on
+    hash(block_key) % P; the partition kernel splits its blocks at the
+    pandas level and applies the skew-guarded pair fn per block — not a
+    Ray-level per-block `map_groups` (tiny-group overhead at millions of
+    band keys)."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+    from opentapioca_ray.stages.pairs import (
+        PAIR_COLUMNS,
+        prefilter_singleton_blocks,
+    )
 
     candidates = prefilter_singleton_blocks(blocks_ds)
-    return candidates.groupby("block_key").map_groups(
-        make_pair_group_fn(max_block_size, window), batch_format="pandas"
-    )
+    block_fn = make_pair_group_fn(max_block_size, window)
+
+    def partition_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(columns=list(PAIR_COLUMNS))
+        outs = [block_fn(g) for _, g in df.groupby("block_key", sort=False)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return pd.DataFrame(columns=list(PAIR_COLUMNS))
+        return pd.concat(outs, ignore_index=True)
+
+    return coarse_group_apply(candidates, "block_key", partition_fn)
 
 
 def score_pairs(

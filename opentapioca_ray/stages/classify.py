@@ -259,10 +259,47 @@ def make_classify_group_fn(model_dict: dict, params: ClassifierParams):
 
 def classify_dataset(tags_ds, model: LinearModel, params: ClassifierParams):
     """tags Dataset -> per-tag scores + per-mention winners. The model ships
-    as a plain dict inside the group fn closure (small), the heavy per-doc
-    work runs distributed in the groupby shuffle."""
-    fn = make_classify_group_fn(model.to_dict(), params)
-    return tags_ds.groupby("doc_id").map_groups(fn, batch_format="pandas")
+    as a plain dict inside the closure (small). ONE coarse-partition
+    exchange on hash(doc_id) % P (stages/exchange.py): the partition kernel
+    deserializes the model once and classifies ALL its documents via a
+    pandas-level groupby split — not a Ray-level per-doc `map_groups`,
+    whose per-group task overhead collapses at millions of documents (the
+    per-doc similarity-graph work itself is irreducibly per-document)."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    model_dict = model.to_dict()
+
+    def partition_fn(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(columns=RESULT_COLUMNS)
+        mdl = LinearModel.from_dict(model_dict)
+        outs = []
+        for _, doc_df in df.groupby("doc_id", sort=False):
+            mentions = mentions_from_rows(doc_df)
+            compute_similarities(mentions, params)
+            classify_mentions(mentions, mdl, params)
+            outs.append(
+                pd.DataFrame(
+                    [
+                        {
+                            "doc_id": m.doc_id,
+                            "start": m.start,
+                            "end": m.end,
+                            "phrase": m.phrase,
+                            "qid": t.id,
+                            "score": t.score,
+                            "is_best": t.id == m.best_qid,
+                            "best_qid": m.best_qid,
+                        }
+                        for m in mentions
+                        for t in m.tags
+                    ],
+                    columns=RESULT_COLUMNS,
+                )
+            )
+        return pd.concat(outs, ignore_index=True) if outs else pd.DataFrame(columns=RESULT_COLUMNS)
+
+    return coarse_group_apply(tags_ds, "doc_id", partition_fn)
 
 
 def evaluate_predictions(pred_best: pd.DataFrame, gold: pd.DataFrame) -> dict:
