@@ -632,6 +632,42 @@ def _q_linkage_clusters(sf_dir: str):
     return clusters
 
 
+def _q_stream_ingest(sf_dir: str):
+    """S2/S4 plumbing: a deterministic event feed derived from the documents
+    table (title Q{doc_id}; interleaved wrong-wiki noise events are filtered
+    out), micro-batched 50 ids at a time through the retry/backoff fetcher
+    into (id, item_json) rows — the same table shape the indexing pipeline
+    consumes. The stream head is driver-side by design (a live feed is a
+    latency-bound single consumer); payload construction is deterministic so
+    the result is SQL-oracle-checkable."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from opentapioca_ray.sources.stream import (
+        EventStreamReader,
+        RetryingFetcher,
+        micro_batches_to_dataset,
+    )
+
+    doc_ids = (
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .column("doc_id")
+        .to_pylist()
+    )
+    events = []
+    for d in doc_ids:
+        events.append({"wiki": "wikidatawiki", "namespace": 0, "title": f"Q{d}"})
+        if d % 7 == 0:  # noise the filter must drop
+            events.append({"wiki": "enwiki", "namespace": 0, "title": f"Q{d}"})
+
+    def fetch(ids):
+        return [{"id": qid} for qid in ids]
+
+    reader = EventStreamReader(events, RetryingFetcher(fetch), batch_size=50)
+    return micro_batches_to_dataset(reader)
+
+
 def _q_files_sha256(sf_dir: str):
     """Input-hint derivation + per-row sha256 invariant (M19)."""
     from opentapioca_ray.sources.files import read_files
@@ -667,6 +703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": _q_sessions,
         "asof_clicks": _q_asof_clicks,
         "linkage_clusters": _q_linkage_clusters,
+        "stream_ingest": _q_stream_ingest,
         "files_sha256": _q_files_sha256,
     }
 
@@ -1010,6 +1047,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, count(*) AS n,
                    round(sum(value), 4) AS total_value
             FROM events GROUP BY event_type
+        """,
+        "stream_ingest": """
+            SELECT 'Q' || doc_id AS id,
+                   '{"id": "Q' || doc_id || '"}' AS item_json
+            FROM documents WHERE doc_id >= 1
         """,
         "files_sha256": """
             SELECT doc_id AS file_id,

@@ -282,6 +282,84 @@ def cmd_dedup(args) -> int:
     return 0
 
 
+def cmd_index_stream(args) -> int:
+    """S2: consume a JSONL event feed (the file-tailing stand-in for the
+    reference's SSE endpoint, streamreader.py:10-70) from the last committed
+    byte offset, micro-batch the filtered ids, fetch payloads from a
+    source-of-truth parquet through the retry/backoff wrapper (S4), and
+    upsert them into the item store last-write-wins. Re-running resumes at
+    the stored offset — an idle feed is a no-op."""
+    _ensure_ray()
+    import json as _json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from opentapioca_ray.sources.stream import (
+        EventStreamReader,
+        RetryingFetcher,
+        tail_jsonl_events,
+    )
+    from opentapioca_ray.stages.dedup import compact_by_key
+
+    offset_file = args.offset_file or (args.events + ".offset")
+    offset = (
+        int(open(offset_file).read().strip()) if os.path.exists(offset_file) else 0
+    )
+    events, new_offset = tail_jsonl_events(args.events, offset)
+
+    src = pq.read_table(args.source, columns=["id", "item_json"])
+    by_id = dict(zip(src.column("id").to_pylist(), src.column("item_json").to_pylist()))
+
+    def fetch(ids):
+        return [
+            _json.loads(by_id[i]) if i in by_id else {"id": i, "missing": ""}
+            for i in ids
+        ]
+
+    reader = EventStreamReader(
+        events, RetryingFetcher(fetch), batch_size=args.batch_size, wiki=args.wiki
+    )
+    ids, payloads, seqs = [], [], []
+    seq = 0
+    for batch in reader:
+        for item in batch:
+            ids.append(str(item.get("id", "")))
+            payloads.append(_json.dumps(item, sort_keys=True))
+            seqs.append(seq)
+            seq += 1
+    delta = pa.table(
+        {
+            "id": pa.array(ids, type=pa.string()),
+            "item_json": pa.array(payloads, type=pa.string()),
+            "seq": pa.array(seqs, type=pa.int64()),
+        }
+    )
+
+    if args.entities and os.path.exists(args.entities):
+        base = _read_parquet(args.entities).map_batches(
+            lambda b: b.select(["id", "item_json"]).append_column(
+                "seq", pa.array([-1] * b.num_rows, type=pa.int64())
+            ),
+            batch_format="pyarrow",
+        )
+        merged = compact_by_key(
+            base.union(ray.data.from_arrow(delta)), key="id", version="seq"
+        )
+    else:
+        merged = compact_by_key(ray.data.from_arrow(delta), key="id", version="seq")
+    os.makedirs(args.output, exist_ok=True)
+    merged.write_parquet(args.output)
+    with open(offset_file, "w") as f:
+        f.write(str(new_offset))
+    print(
+        f"ingested {len(ids)} items from {len(events)} events; "
+        f"offset {offset} -> {new_offset}; index written to {args.output}"
+    )
+    return 0
+
+
 # ---------------------------------------------------------------------------
 # parser
 # ---------------------------------------------------------------------------
@@ -343,6 +421,18 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("-o", "--output", required=True)
     s.add_argument("--version-column", default="revid")
     s.set_defaults(fn=cmd_index_delta)
+
+    s = sub.add_parser(
+        "index-stream", help="ingest a JSONL event feed into the item store"
+    )
+    s.add_argument("--events", required=True, help="JSONL event feed file")
+    s.add_argument("--source", required=True, help="source-of-truth parquet (id, item_json)")
+    s.add_argument("-o", "--output", required=True)
+    s.add_argument("--entities", default=None, help="existing index to upsert into")
+    s.add_argument("--offset-file", default=None)
+    s.add_argument("--batch-size", type=int, default=50)
+    s.add_argument("--wiki", default="wikidatawiki")
+    s.set_defaults(fn=cmd_index_stream)
 
     s = sub.add_parser("delete-output", help="remove a stage output directory")
     s.add_argument("path")

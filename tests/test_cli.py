@@ -110,3 +110,51 @@ def test_linkage_checkpoint_cli(ray_session, tmp_path, capsys):
     assert manifest["complete"] and manifest["row_count"] > 0
     # re-run skips (manifest fingerprint matches): still succeeds quickly
     assert main(["linkage", "/root/testdata/sf0.001", "-o", out_dir, "--threshold", "0.2"]) == 0
+
+
+def test_index_stream_ingest_and_resume(ray_session, tmp_path):
+    """S2 end-to-end: JSONL feed -> filter -> micro-batch -> fetch ->
+    last-write-wins upsert; a second run resumes at the stored offset and
+    only ingests new events."""
+    import json
+
+    src = tmp_path / "source.parquet"
+    pq.write_table(
+        pa.Table.from_pylist(
+            [
+                {"id": f"Q{i}", "item_json": json.dumps({"id": f"Q{i}", "v": i})}
+                for i in range(1, 8)
+            ]
+        ),
+        src,
+    )
+    events = tmp_path / "events.jsonl"
+    with open(events, "w") as f:
+        for i in (1, 2, 3):
+            f.write(json.dumps({"wiki": "wikidatawiki", "namespace": 0, "title": f"Q{i}"}) + "\n")
+        # filtered noise: wrong wiki, wrong namespace, missing in source
+        f.write(json.dumps({"wiki": "enwiki", "namespace": 0, "title": "Q4"}) + "\n")
+        f.write(json.dumps({"wiki": "wikidatawiki", "namespace": 4, "title": "Q5"}) + "\n")
+        f.write(json.dumps({"wiki": "wikidatawiki", "namespace": 0, "title": "Q99"}) + "\n")
+    out1 = str(tmp_path / "index1")
+    assert (
+        main(["index-stream", "--events", str(events), "--source", str(src), "-o", out1])
+        == 0
+    )
+    got = {r["id"] for r in pq.read_table(out1).to_pylist()}
+    assert got == {"Q1", "Q2", "Q3"}  # noise filtered, Q99 dropped as missing
+
+    # feed grows; resume picks up only the new event and upserts over out1
+    with open(events, "a") as f:
+        f.write(json.dumps({"wiki": "wikidatawiki", "namespace": 0, "title": "Q6"}) + "\n")
+    out2 = str(tmp_path / "index2")
+    assert (
+        main(
+            ["index-stream", "--events", str(events), "--source", str(src),
+             "--entities", out1, "-o", out2]
+        )
+        == 0
+    )
+    rows = pq.read_table(out2).to_pylist()
+    assert {r["id"] for r in rows} == {"Q1", "Q2", "Q3", "Q6"}
+    assert len(rows) == 4  # compacted: one row per id
