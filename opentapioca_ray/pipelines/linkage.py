@@ -143,11 +143,30 @@ def corpus_stats(
         parts = parts.materialize()
         mode = "driver" if parts.count() <= driver_limit else "shuffle"
     if mode == "shuffle":
-        from ray.data.aggregate import Sum
+        # ONE coarse exchange on hash(key) % P (int sort, not a full
+        # string-key groupby over every partial row); each partition sums
+        # its (kind, key) groups vectorized, so only vocab-sized aggregated
+        # rows come back to the driver.
+        from opentapioca_ray.stages.exchange import coarse_group_apply
 
-        parts = parts.groupby(["kind", "key"]).aggregate(
-            Sum("count", alias_name="count")
-        )
+        def sum_partition(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty:
+                return pd.DataFrame(
+                    {
+                        "kind": pd.Series(dtype=np.int8),
+                        "key": pd.Series(dtype=object),
+                        "count": pd.Series(dtype=np.int64),
+                    }
+                )
+            out = (
+                df.groupby(["kind", "key"], sort=False)["count"]
+                .sum()
+                .reset_index()
+            )
+            out["count"] = out["count"].astype(np.int64)
+            return out
+
+        parts = coarse_group_apply(parts, "key", sum_partition)
     tables = []
     for ref in parts.to_arrow_refs():
         t = ray.get(ref)
@@ -455,9 +474,19 @@ def build_id_pairs(
         ),
         batch_format="pyarrow",
     )
-    candidates = prefilter_singleton_blocks(blocks, mode=prefilter_mode).materialize()
     if mode == "auto":
+        candidates = prefilter_singleton_blocks(blocks, mode=prefilter_mode).materialize()
         mode = "driver" if candidates.count() <= _DRIVER_PAIRS_LIMIT else "shuffle"
+    elif mode == "driver":
+        candidates = prefilter_singleton_blocks(blocks, mode=prefilter_mode).materialize()
+    else:
+        # Shuffle mode: NO singleton prefilter. The prefilter exists to
+        # shrink a per-key exchange, but the coarse pair kernel drops
+        # singleton blocks vectorized at ~zero cost — and the prefilter's
+        # own count is a full groupby(block_key) sort over every band row
+        # (5M distinct keys), strictly more expensive than the one
+        # coarse-partition sort (P distinct keys) it would be saving.
+        candidates = blocks
     if mode == "driver":
         return _driver_id_pairs(candidates, max_block_size, window)
 
@@ -719,11 +748,16 @@ def linkage_clusters(
 ):
     """Full pipeline -> (clusters_ds (node, component), scored_pairs_ds).
 
-    `distributed=True` forces every stage onto its distributed/shuffle
-    implementation (no driver-side small-regime shortcuts, no broadcast
-    assembly) — the exact configuration a multi-node 100TB run uses; used
-    by the scaling benchmark so the measured efficiency is the scale
-    path's.
+    `distributed=True` forces every VOLUME-carrying stage (corpus stats,
+    blocking, singleton prefilter, pair generation, token attach) onto its
+    distributed/shuffle implementation — no driver-side small-regime
+    shortcuts on anything that scales with the input; the configuration the
+    scaling benchmark measures. Connected components keeps its own
+    scale-adaptive threshold even here: its input is the derived MATCH-EDGE
+    set (a tiny fraction of the corpus by construction), so a multi-node
+    100TB run takes the same local union-find below `local_threshold`
+    edges; the shuffle star rounds are forced and equivalence-tested
+    separately (tests/test_cc.py, local_threshold=0).
 
     Two payload strategies for the wide block shuffle:
     - "inline": token prefixes ride along in the band shuffle (one wide

@@ -105,10 +105,22 @@ def replicate_files(files_ds, n: int):
 
 
 def read_files(sf_dir: str, replicate: int = 1):
+    """files table; `replicate` scales it n-fold (disjoint token spaces).
+
+    The base parquet reads as only ~8 blocks and `replicate_files` expands
+    rows IN PLACE, so without a split the replicated dataset would keep ~8
+    blocks however large it grows — capping every downstream map stage at
+    8-way parallelism. Repartition the base table proportionally to the
+    replication factor BEFORE expanding (cheap block split, no shuffle;
+    same block structure at every CPU count, so scaling runs compare like
+    with like)."""
     import ray.data
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
-    return replicate_files(files_from_documents(docs), replicate)
+    files = files_from_documents(docs)
+    if replicate > 1:
+        files = files.repartition(max(16, min(512, replicate * 4)))
+    return replicate_files(files, replicate)
 
 
 def verify_sha256(ds, id_column: str = "file_id") -> int:

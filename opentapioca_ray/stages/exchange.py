@@ -16,12 +16,13 @@ own skew guard, e.g. the sorted-neighborhood cap in stages/pairs.py).
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+
+_HASH_KEY = "opentapioca_ray0"  # fixed 16 bytes: deterministic across procs
 
 
 def _coarse_codes(key_col, n_parts: int) -> pa.Array:
@@ -30,10 +31,13 @@ def _coarse_codes(key_col, n_parts: int) -> pa.Array:
     if isinstance(key_col, pa.ChunkedArray):
         key_col = key_col.combine_chunks()
     if pa.types.is_string(key_col.type) or pa.types.is_large_string(key_col.type):
-        return pa.array(
-            [zlib.crc32((k or "").encode()) % n_parts for k in key_col.to_pylist()],
-            type=pa.int64(),
-        )
+        # one C-level SipHash pass over the column (pd.util.hash_array with
+        # a fixed key) — not a per-row Python crc32 loop
+        import pandas as pd_  # noqa: PLC0415
+
+        vals = key_col.to_numpy(zero_copy_only=False)
+        codes = pd_.util.hash_array(vals, hash_key=_HASH_KEY) % np.uint64(n_parts)
+        return pa.array(codes.astype(np.int64), type=pa.int64())
     vals = key_col.cast(pa.int64())
     if n_parts & (n_parts - 1) == 0:
         part = pc.bit_wise_and(vals, pa.scalar(n_parts - 1, pa.int64()))

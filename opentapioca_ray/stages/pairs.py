@@ -530,15 +530,33 @@ class PairFeaturizer:
         ]
 
 
+# Per-worker-process cache for resolved broadcast state: plasma hands dict
+# payloads back by DESERIALIZING on every ray.get (unlike Arrow/numpy, which
+# are zero-copy), so the warm-tasks scorer mode would otherwise re-unpickle
+# the idf/prior dicts once per batch. Worker processes are reused across
+# tasks, so caching by object id amortizes it to once per worker.
+_RESOLVE_CACHE: dict = {}
+
+
+def _resolve_cached(x):
+    import ray
+
+    if not isinstance(x, ray.ObjectRef):
+        return x
+    key = x.hex()
+    if key not in _RESOLVE_CACHE:
+        if len(_RESOLVE_CACHE) > 8:
+            _RESOLVE_CACHE.clear()
+        _RESOLVE_CACHE[key] = ray.get(x)
+    return _RESOLVE_CACHE[key]
+
+
 class PairScorerStage:
     """Actor-pool `map_batches` stage: broadcast state resolved once in
     `__init__`; per batch computes features + linear score (SURVEY.md ST6)."""
 
     def __init__(self, idf_ref=None, repo_prior_ref=None, model_dict: dict | None = None):
-        import ray
-
-        def resolve(x):
-            return ray.get(x) if isinstance(x, ray.ObjectRef) else x
+        resolve = _resolve_cached
 
         self.featurizer = PairFeaturizer(
             resolve(idf_ref) or {}, resolve(repo_prior_ref) or {}
