@@ -21,9 +21,16 @@ _EN_STOP = "'the','of','and','to','in','is','that','it','for','was'"
 
 
 def _docs(sf_dir: str):
+    import ray
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    # split the single-file read so document maps parallelize past the
+    # default ~8 blocks (many-file inputs at real scale don't need this)
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        override_num_blocks=max(16, min(256, cpus * 2)),
+    )
 
 
 def entry() -> Any:

@@ -114,12 +114,25 @@ def read_files(sf_dir: str, replicate: int = 1):
     replication factor BEFORE expanding (cheap block split, no shuffle;
     same block structure at every CPU count, so scaling runs compare like
     with like)."""
+    import ray
     import ray.data
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+    # A single parquet file reads as ~8 blocks by default, capping every
+    # downstream map at 8 tasks regardless of cluster size — split the read
+    # to ~2 blocks per CPU (at real scale the input is many files and this
+    # is moot).
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        override_num_blocks=max(16, min(256, cpus * 2)),
+    )
     files = files_from_documents(docs)
     if replicate > 1:
-        files = files.repartition(max(16, min(512, replicate * 4)))
+        # enough blocks to keep every CPU busy, but bounded: Ray's sort
+        # shuffle materializes ~blocks x partitions intermediate objects, so
+        # oversplitting (e.g. 512 blocks x 128 partitions) multiplies
+        # coordination cost superlinearly on the wide stages
+        files = files.repartition(max(16, min(128, replicate * 4)))
     return replicate_files(files, replicate)
 
 
