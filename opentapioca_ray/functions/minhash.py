@@ -68,6 +68,51 @@ def shingle_hashes_fast(tokens: list[str], k: int = 3) -> np.ndarray:
     return acc
 
 
+def shingle_hashes_batch(token_lists: list[list[str]], k: int = 3) -> list[np.ndarray]:
+    """`shingle_hashes_fast` over a whole batch with ONE hash pass.
+
+    `pd.util.hash_array` pays ~0.3 ms of factorize/categorical setup per
+    call; calling it per document makes it the dominant cost of the blocking
+    stage (profiled: ~55% of `blocking_batch`). Hashing the concatenated
+    token array of the batch once and slicing per document is value-identical
+    (the hash is element-wise) and amortizes the setup across the batch."""
+    import pandas as pd
+
+    counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
+    total = int(counts.sum())
+    if total == 0:
+        return [np.zeros(0, dtype=np.uint64) for _ in token_lists]
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for toks in token_lists:
+        flat[pos : pos + len(toks)] = toks
+        pos += len(toks)
+    th = pd.util.hash_array(flat, hash_key=_HASH_KEY)
+    out: list[np.ndarray] = []
+    start = 0
+    fnv = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for n in counts:
+            n = int(n)
+            if n == 0:
+                out.append(np.zeros(0, dtype=np.uint64))
+                continue
+            s = start
+            start += n
+            if n < k:
+                acc = th[s : s + 1].copy()
+                for j in range(1, n):
+                    acc = (acc * fnv) ^ th[s + j : s + j + 1]
+                out.append(acc)
+                continue
+            m = n - k + 1
+            acc = th[s : s + m].copy()
+            for j in range(1, k):
+                acc = (acc * fnv) ^ th[s + j : s + j + m]
+            out.append(acc)
+    return out
+
+
 def minhash_signature(hashes: np.ndarray, num_perm: int = 128) -> np.ndarray:
     """(a_i * h + b_i) mod p, min over the shingle set; empty -> p."""
     if len(hashes) == 0:
@@ -95,6 +140,28 @@ def minhash_signature_fast(hashes: np.ndarray, num_perm: int = 128) -> np.ndarra
     with np.errstate(over="ignore"):
         vals = a * hashes[None, :].astype(np.uint64) + b
     return vals.min(axis=1)
+
+
+def minhash_signature_batch(hash_lists: list[np.ndarray], num_perm: int = 128) -> np.ndarray:
+    """`minhash_signature_fast` over a whole batch -> (n_docs, num_perm).
+
+    A per-doc (num_perm x n_shingles) multiply stays in cache and beats a
+    fully-vectorized segmented `np.minimum.reduceat` by ~3x here (reduceat's
+    per-segment dispatch dominates at typical doc sizes); sharing one
+    errstate across the batch removes the remaining per-call overhead.
+    Value-identical per document; empty documents get the all-max sentinel
+    signature."""
+    n = len(hash_lists)
+    out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+    if n == 0:
+        return out
+    A = _A[:num_perm, None]
+    B = _B[:num_perm, None]
+    with np.errstate(over="ignore"):
+        for i, h in enumerate(hash_lists):
+            if len(h):
+                out[i] = (A * h[None, :] + B).min(axis=1)
+    return out
 
 
 def band_keys(signature: np.ndarray, bands: int = 32) -> list[str]:
@@ -125,6 +192,23 @@ def band_keys_u64(signature: np.ndarray, bands: int = 32) -> np.ndarray:
         acc = acc ^ (np.arange(bands, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15))
     # reinterpret as int64: Ray's sort-shuffle boundary sampling round-trips
     # key values through Python ints and overflows on uint64 > 2^63
+    return acc.view(np.int64)
+
+
+def band_keys_u64_batch(sigs: np.ndarray, bands: int = 32) -> np.ndarray:
+    """`band_keys_u64` over a (n_docs, num_perm) signature matrix ->
+    (n_docs, bands) int64 keys, value-identical, fully vectorized."""
+    n, num_perm = sigs.shape
+    rows = num_perm // bands
+    chunks = sigs[:, : bands * rows].reshape(n, bands, rows)
+    with np.errstate(over="ignore"):
+        acc = np.full((n, bands), 0xCBF29CE484222325, dtype=np.uint64)
+        for r in range(rows):
+            acc = (acc ^ chunks[:, :, r]) * np.uint64(0x100000001B3)
+        acc = acc ^ (
+            np.arange(bands, dtype=np.uint64)[None, :]
+            * np.uint64(0x9E3779B97F4A7C15)
+        )
     return acc.view(np.int64)
 
 

@@ -19,8 +19,6 @@ import pyarrow as pa
 from opentapioca_ray.functions.minhash import (
     hamming64,
     jaccard,
-    minhash_signature_fast,
-    shingle_hashes_fast,
     simhash,
 )
 from opentapioca_ray.functions.text import tokenize
@@ -236,10 +234,14 @@ def simhash_batch(
     hamming distance 3 shares at least one band by pigeonhole)."""
     ids = batch.column(id_column).to_pylist()
     texts = batch.column(text_column).to_pylist()
+    from opentapioca_ray.functions.minhash import shingle_hashes_batch
+
+    hash_lists = shingle_hashes_batch(
+        [tokenize((text or "")[:10000]) for text in texts], shingle_k
+    )
     out_id, out_sim, out_band = [], [], []
-    for fid, text in zip(ids, texts):
-        toks = tokenize((text or "")[:10000])
-        h = simhash(shingle_hashes_fast(toks, shingle_k))
+    for fid, hashes in zip(ids, hash_lists):
+        h = simhash(hashes)
         for band in range(4):
             chunk = (h >> (band * 16)) & 0xFFFF
             out_id.append(fid)

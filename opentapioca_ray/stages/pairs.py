@@ -28,11 +28,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from opentapioca_ray.functions.minhash import (
-    band_keys,
-    minhash_signature_fast,
-    shingle_hashes_fast,
-)
+from opentapioca_ray.functions.minhash import band_keys
 from opentapioca_ray.functions.text import tokenize
 
 TOKENS_CAP = 128  # token prefix carried through the block shuffle
@@ -62,32 +58,39 @@ def blocking_batch(
         if repo_column and repo_column in batch.column_names
         else [""] * len(ids)
     )
-    from opentapioca_ray.functions.minhash import band_keys_u64
+    from opentapioca_ray.functions.minhash import (
+        band_keys_u64_batch,
+        minhash_signature_batch,
+        shingle_hashes_batch,
+    )
 
-    out_key, out_id, out_repo, out_sig, out_tokens = [], [], [], [], []
-    for fid, text, repo in zip(ids, texts, repos):
-        toks = tokenize((text or "")[:10000])
-        sig = minhash_signature_fast(shingle_hashes_fast(toks, shingle_k), num_perm)
-        keys = band_keys_u64(sig, bands) if key_type == "u64" else band_keys(sig, bands)
-        head = int(sig[0])
-        tok_prefix = toks[:TOKENS_CAP]
-        for key in keys:
-            out_key.append(key)
-            out_id.append(fid)
-            out_repo.append(repo)
-            out_sig.append(head)
-            if include_tokens:
-                out_tokens.append(tok_prefix)
+    token_lists = [tokenize((text or "")[:10000]) for text in texts]
+    hash_lists = shingle_hashes_batch(token_lists, shingle_k)
+    sigs = minhash_signature_batch(hash_lists, num_perm)  # (n, num_perm)
+    n = len(ids)
+
+    if key_type == "u64":
+        key_arr = pa.array(
+            band_keys_u64_batch(sigs, bands).reshape(-1), type=pa.int64()
+        )
+    else:
+        key_arr = pa.array(
+            [k for i in range(n) for k in band_keys(sigs[i], bands)],
+            type=pa.string(),
+        )
     cols = {
-        "block_key": pa.array(
-            out_key, type=pa.int64() if key_type == "u64" else pa.string()
+        "block_key": key_arr,
+        "file_id": pa.array(
+            np.repeat(np.asarray(ids, dtype=np.int64), bands), type=pa.int64()
         ),
-        "file_id": pa.array(out_id, type=pa.int64()),
-        "repo": pa.array(out_repo, type=pa.string()),
-        "sig_head": pa.array(out_sig, type=pa.uint64()),
+        "repo": pa.array(np.repeat(np.asarray(repos, dtype=object), bands)),
+        "sig_head": pa.array(np.repeat(sigs[:, 0], bands), type=pa.uint64()),
     }
     if include_tokens:
-        cols["tokens"] = pa.array(out_tokens, type=pa.list_(pa.string()))
+        cols["tokens"] = pa.array(
+            [toks[:TOKENS_CAP] for toks in token_lists for _ in range(bands)],
+            type=pa.list_(pa.string()),
+        )
     return pa.table(cols)
 
 
