@@ -54,3 +54,51 @@ def test_simhash_near_for_near_docs():
 def test_ngram_jaccard():
     assert ngram_jaccard(["a", "b", "c"], ["a", "b", "c"]) == 1.0
     assert ngram_jaccard(["a", "b", "c"], ["x", "y", "z"]) == 0.0
+
+
+def test_batch_kernels_value_identical_to_per_doc():
+    """The batched blocking kernels must reproduce the per-doc kernels
+    bit-for-bit (the LSH candidate sets — and every dedup oracle built on
+    them — depend on exact hash values)."""
+    import random
+
+    from opentapioca_ray.functions.minhash import (
+        band_keys_u64,
+        band_keys_u64_batch,
+        minhash_signature_batch,
+        minhash_signature_fast,
+        shingle_hashes_batch,
+        shingle_hashes_fast,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(200)]
+    # exercise empty docs, docs shorter than k, and normal docs
+    docs = [
+        [rng.choice(vocab) for _ in range(n)]
+        for n in [0, 1, 2, 3, 4, 17, 60, 0, 2, 120]
+    ]
+    per = [shingle_hashes_fast(d, 3) for d in docs]
+    bat = shingle_hashes_batch(docs, 3)
+    assert all(np.array_equal(a, b) for a, b in zip(per, bat))
+
+    sig_per = np.stack([minhash_signature_fast(h, 64) for h in per])
+    sig_bat = minhash_signature_batch(bat, 64)
+    assert np.array_equal(sig_per, sig_bat)
+
+    bk_per = np.stack([band_keys_u64(sig_per[i], 16) for i in range(len(docs))])
+    bk_bat = band_keys_u64_batch(sig_bat, 16)
+    assert np.array_equal(bk_per, bk_bat)
+
+
+def test_batch_kernels_empty_batch():
+    from opentapioca_ray.functions.minhash import (
+        band_keys_u64_batch,
+        minhash_signature_batch,
+        shingle_hashes_batch,
+    )
+
+    assert shingle_hashes_batch([], 3) == []
+    sigs = minhash_signature_batch([], 64)
+    assert sigs.shape == (0, 64)
+    assert band_keys_u64_batch(sigs, 16).shape == (0, 16)
