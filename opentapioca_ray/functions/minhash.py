@@ -76,18 +76,28 @@ def shingle_hashes_batch(token_lists: list[list[str]], k: int = 3) -> list[np.nd
     stage (profiled: ~55% of `blocking_batch`). Hashing the concatenated
     token array of the batch once and slicing per document is value-identical
     (the hash is element-wise) and amortizes the setup across the batch."""
-    import pandas as pd
-
     counts = np.fromiter((len(t) for t in token_lists), dtype=np.int64, count=len(token_lists))
     total = int(counts.sum())
-    if total == 0:
-        return [np.zeros(0, dtype=np.uint64) for _ in token_lists]
     flat = np.empty(total, dtype=object)
     pos = 0
     for toks in token_lists:
         flat[pos : pos + len(toks)] = toks
         pos += len(toks)
-    th = pd.util.hash_array(flat, hash_key=_HASH_KEY)
+    return shingle_hashes_from_flat(flat, counts, k)
+
+
+def shingle_hashes_from_flat(
+    flat_tokens: np.ndarray, counts: np.ndarray, k: int = 3
+) -> list[np.ndarray]:
+    """Batched shingle hashing over pre-flattened tokens (the layout
+    `tokenize_flat` produces): one `pd.util.hash_array` pass, then the FNV
+    k-gram fold per document slice. Value-identical to `shingle_hashes_fast`
+    per document."""
+    import pandas as pd
+
+    if int(counts.sum()) == 0:
+        return [np.zeros(0, dtype=np.uint64) for _ in range(len(counts))]
+    th = pd.util.hash_array(flat_tokens, hash_key=_HASH_KEY)
     out: list[np.ndarray] = []
     start = 0
     fnv = np.uint64(0x100000001B3)

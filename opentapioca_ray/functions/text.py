@@ -66,6 +66,51 @@ def tokenize(phrase: str) -> list[str]:
     return [w for w in words if w]
 
 
+def tokenize_flat(texts: list[str]) -> tuple:
+    """`tokenize` over a whole batch, flat form: returns
+    `(tokens: np.ndarray[object], counts: np.ndarray[int64])` where
+    `tokens[counts[:i].sum() : counts[:i+1].sum()]` are doc i's tokens.
+
+    Byte-identical to per-doc `tokenize` (pinned by tests — the BOW oracle
+    and every blocking key depend on it), but the split/trim/filter run as
+    Arrow kernels with `ascii_fold` only touching the rare non-ASCII token.
+    The flat layout is exactly what the batched shingle hasher consumes, so
+    hot callers skip building per-doc Python lists entirely."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = len(texts)
+    if n == 0:
+        return np.empty(0, dtype=object), np.zeros(0, dtype=np.int64)
+    arr = pa.array([" " + (t or "") + " " for t in texts], type=pa.string())
+    parts = pc.split_pattern_regex(arr, pattern=_SEPARATOR_RE.pattern)
+    flat = pc.utf8_trim_whitespace(parts.values)
+    keep = pc.not_equal(flat, "")
+    offs = parts.offsets.to_numpy()
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    cum = np.zeros(len(keep_np) + 1, dtype=np.int64)
+    np.cumsum(keep_np, out=cum[1:])
+    counts = cum[offs[1:]] - cum[offs[:-1]]
+    flat = flat.filter(keep)
+    toks = flat.to_numpy(zero_copy_only=False)
+    ascii_mask = pc.string_is_ascii(flat).to_numpy(zero_copy_only=False)
+    if not ascii_mask.all():
+        idx = np.nonzero(~ascii_mask)[0]
+        folded = np.array([ascii_fold(t) for t in toks[idx]], dtype=object)
+        toks = toks.copy()
+        toks[idx] = folded
+        empty = folded == ""
+        if empty.any():
+            drop_idx = idx[empty]
+            doc_of = np.searchsorted(np.cumsum(counts), drop_idx, side="right")
+            np.subtract.at(counts, doc_of, 1)
+            keep2 = np.ones(len(toks), dtype=bool)
+            keep2[drop_idx] = False
+            toks = toks[keep2]
+    return toks, counts
+
+
 # --- Analyzer chain for the tagging index / blocking keys
 # (reference managed-schema:63-75). ClassicTokenizer splits on punctuation
 # and whitespace but keeps internal periods in acronyms and digits together;

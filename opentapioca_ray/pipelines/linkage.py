@@ -200,12 +200,22 @@ def corpus_stats(
     return idf, prior
 
 
-def repo_in_degree_prior(files_ds, repo_column: str = "repo") -> dict:
+def repo_in_degree_prior(
+    files_ds, repo_column: str = "repo", max_repos: int = 2_000_000
+) -> dict:
     """PageRank-style popularity prior from repo in-degree (north_star):
-    log1p(file count per repo), normalized to [0, 1]."""
+    log1p(file count per repo), normalized to [0, 1].
+
+    The prior is broadcast state, so the per-repo aggregate must fit on the
+    driver; `max_repos` caps the collect at the top-N repos by file count
+    (missing repos score the 0.0 floor in the pair features — the same
+    OOV treatment as the reference's pagerank default,
+    opentapioca/wikidatagraph.py:165-170)."""
     from ray.data.aggregate import Count
 
     counts = files_ds.groupby(repo_column).aggregate(Count(alias_name="n"))
+    if counts.count() > max_repos:
+        counts = counts.sort("n", descending=True).limit(max_repos)
     rows = counts.take_all()
     if not rows:
         return {}
@@ -570,17 +580,30 @@ def attach_pair_tokens(pairs_ds, files_ds, tokens_cap: int | None = None, mode: 
     ids_ref = ray.put(pa.array(cand_ids, type=pa.int64()))
 
     def token_rows(batch: pa.Table) -> pa.Table:
+        from opentapioca_ray.functions.text import tokenize_flat
+
         mask = pc.is_in(batch.column("file_id"), value_set=ray.get(ids_ref))
         t = batch.filter(mask)
-        packed = [
-            "\x1f".join(tokenize((c or "")[:10000])[:cap])
-            for c in t.column("content").to_pylist()
-        ]
+        texts = [(c or "")[:10000] for c in t.column("content").to_pylist()]
+        flat, counts = tokenize_flat(texts)
+        capped = np.minimum(counts, cap)
+        starts = np.cumsum(counts) - counts
+        take_idx = (
+            np.concatenate([np.arange(s, s + c) for s, c in zip(starts, capped)])
+            if len(texts)
+            else np.zeros(0, dtype=np.int64)
+        )
+        offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum(capped, out=offsets[1:])
+        token_lists = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(flat[take_idx], type=pa.string()),
+        )
         return pa.table(
             {
                 "file_id": t.column("file_id"),
                 "repo": t.column("repo"),
-                "packed": pa.array(packed, type=pa.string()),
+                "packed": pc.binary_join(token_lists, "\x1f"),
             }
         )
 

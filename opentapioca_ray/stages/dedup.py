@@ -21,7 +21,6 @@ from opentapioca_ray.functions.minhash import (
     jaccard,
     simhash,
 )
-from opentapioca_ray.functions.text import tokenize
 from opentapioca_ray.stages.cc import connected_components
 from opentapioca_ray.stages.pairs import blocking_batch, make_pair_group_fn
 
@@ -234,11 +233,11 @@ def simhash_batch(
     hamming distance 3 shares at least one band by pigeonhole)."""
     ids = batch.column(id_column).to_pylist()
     texts = batch.column(text_column).to_pylist()
-    from opentapioca_ray.functions.minhash import shingle_hashes_batch
+    from opentapioca_ray.functions.minhash import shingle_hashes_from_flat
+    from opentapioca_ray.functions.text import tokenize_flat
 
-    hash_lists = shingle_hashes_batch(
-        [tokenize((text or "")[:10000]) for text in texts], shingle_k
-    )
+    flat, counts = tokenize_flat([(text or "")[:10000] for text in texts])
+    hash_lists = shingle_hashes_from_flat(flat, counts, shingle_k)
     out_id, out_sim, out_band = [], [], []
     for fid, hashes in zip(ids, hash_lists):
         h = simhash(hashes)
@@ -328,17 +327,21 @@ def gram_table(
 
     Docs shorter than k tokens collapse to a single whole-doc gram; empty
     docs yield no grams (and thus join no candidate pairs)."""
+    from opentapioca_ray.functions.text import tokenize_flat
+
     ids = batch.column(id_column).to_pylist()
     texts = batch.column(text_column).to_pylist()
+    flat, counts = tokenize_flat([t or "" for t in texts])
+    ends = np.cumsum(counts)
     keep_ids, gram_lists = [], []
-    for fid, text in zip(ids, texts):
-        toks = tokenize(text or "")
-        if not toks:
+    for fid, n, e in zip(ids, counts, ends):
+        if not n:
             continue
-        if len(toks) < k:
+        toks = flat[e - n : e]
+        if n < k:
             grams = [" ".join(toks)]
         else:
-            grams = sorted({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
+            grams = sorted({" ".join(toks[i : i + k]) for i in range(n - k + 1)})
         keep_ids.append(fid)
         gram_lists.append(grams)
     return pa.table(

@@ -61,11 +61,12 @@ def blocking_batch(
     from opentapioca_ray.functions.minhash import (
         band_keys_u64_batch,
         minhash_signature_batch,
-        shingle_hashes_batch,
+        shingle_hashes_from_flat,
     )
+    from opentapioca_ray.functions.text import tokenize_flat
 
-    token_lists = [tokenize((text or "")[:10000]) for text in texts]
-    hash_lists = shingle_hashes_batch(token_lists, shingle_k)
+    flat_tokens, counts = tokenize_flat([(text or "")[:10000] for text in texts])
+    hash_lists = shingle_hashes_from_flat(flat_tokens, counts, shingle_k)
     sigs = minhash_signature_batch(hash_lists, num_perm)  # (n, num_perm)
     n = len(ids)
 
@@ -87,10 +88,21 @@ def blocking_batch(
         "sig_head": pa.array(np.repeat(sigs[:, 0], bands), type=pa.uint64()),
     }
     if include_tokens:
-        cols["tokens"] = pa.array(
-            [toks[:TOKENS_CAP] for toks in token_lists for _ in range(bands)],
-            type=pa.list_(pa.string()),
+        # per-doc token prefix as ONE Arrow list array (no per-band Python
+        # sublists), band-replicated with a C-level take
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        capped = np.minimum(counts, TOKENS_CAP)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(capped, out=offsets[1:])
+        take_idx = (
+            np.concatenate([np.arange(s, s + c) for s, c in zip(starts, capped)])
+            if n
+            else np.zeros(0, dtype=np.int64)
         )
+        values = pa.array(flat_tokens[take_idx], type=pa.string())
+        per_doc = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), values)
+        cols["tokens"] = per_doc.take(pa.array(np.repeat(np.arange(n), bands)))
     return pa.table(cols)
 
 

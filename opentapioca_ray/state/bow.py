@@ -93,34 +93,51 @@ class BOWLanguageModel:
 # Distributed training (Ray Data)
 # ---------------------------------------------------------------------------
 
+def _distinct_doc_word_pairs(batch: pa.Table, text_column: str):
+    """Vectorized distinct-(row, word) pairs for a batch: tokenize the whole
+    batch flat, factorize tokens to int codes, dedupe (doc, code) with one
+    `np.unique` over a fused int64 key. Returns `(uniques, dedup_codes)`
+    where `uniques` is the object array of distinct words and `dedup_codes`
+    the code of each surviving (row, word) pair. Same multiset semantics as
+    per-row `set(tokenize(text))` — and deterministic, unlike Python set
+    iteration order."""
+    import numpy as np
+    import pandas as pd
+
+    from opentapioca_ray.functions.text import tokenize_flat
+
+    texts = batch.column(text_column).to_pylist()
+    flat, counts = tokenize_flat(texts)
+    if len(flat) == 0:
+        return np.empty(0, dtype=object), np.zeros(0, dtype=np.int64)
+    codes, uniques = pd.factorize(flat)
+    doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    key = doc_idx * np.int64(len(uniques)) + codes
+    uk = np.unique(key)
+    return np.asarray(uniques, dtype=object), (uk % len(uniques)).astype(np.int64)
+
+
 def distinct_words_batch(batch: pa.Table, text_column: str) -> pa.Table:
     """Per-row distinct tokens -> one output row per (row, word).
 
     The flat_map half of the BOW aggregation; runs vectorized over an Arrow
     batch. Dedup-per-row mirrors `ingest_phrases` set semantics.
     """
-    words: list[str] = []
-    for text in batch.column(text_column).to_pylist():
-        if text:
-            words.extend(set(tokenize(text)))
-    return pa.table({"word": pa.array(words, type=pa.string())})
+    uniques, dedup_codes = _distinct_doc_word_pairs(batch, text_column)
+    return pa.table({"word": pa.array(uniques[dedup_codes], type=pa.string())})
 
 
 def partial_word_counts(batch: pa.Table, text_column: str) -> pa.Table:
     """Combiner: count distinct-per-row words inside the batch BEFORE the
     shuffle, so the groupby moves (word, partial_count) not raw tokens."""
-    counts: dict[str, int] = {}
-    n_rows = 0
-    for text in batch.column(text_column).to_pylist():
-        if text:
-            ws = set(tokenize(text))
-            n_rows += len(ws)
-            for w in ws:
-                counts[w] = counts.get(w, 0) + 1
+    import numpy as np
+
+    uniques, dedup_codes = _distinct_doc_word_pairs(batch, text_column)
+    cnt = np.bincount(dedup_codes, minlength=len(uniques))
     return pa.table(
         {
-            "word": pa.array(list(counts.keys()), type=pa.string()),
-            "count": pa.array(list(counts.values()), type=pa.int64()),
+            "word": pa.array(uniques, type=pa.string()),
+            "count": pa.array(cnt, type=pa.int64()),
         }
     )
 

@@ -76,3 +76,28 @@ def test_sha256():
     assert sha256_hex("abc") == (
         "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad"
     )
+
+
+def test_tokenize_flat_identical_to_per_doc():
+    """The Arrow-kernel batch tokenizer must match per-doc `tokenize`
+    byte-for-byte (BOW oracle + every blocking key depend on it)."""
+    import random
+
+    import numpy as np
+
+    from opentapioca_ray.functions.text import tokenize, tokenize_flat
+
+    rng = random.Random(99)
+    alphabet = "ab cé,;-_/:!?()ß大 \t\n\xa0 'ü."
+    docs = ["", " ", ",", "a", "invited speakers", "é " * 5, "ß ß"]
+    docs += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 80)))
+        for _ in range(300)
+    ]
+    flat, counts = tokenize_flat(docs)
+    per = [tokenize(d) for d in docs]
+    assert list(counts) == [len(p) for p in per]
+    assert list(flat) == [w for p in per for w in p]
+    # empty batch
+    f0, c0 = tokenize_flat([])
+    assert len(f0) == 0 and len(c0) == 0
