@@ -682,6 +682,38 @@ def _q_files_sha256(sf_dir: str):
     return read_files(sf_dir).select_columns(["file_id", "repo", "lang", "sha256"])
 
 
+def _q_sample_lang_quota(sf_dir: str):
+    """Deterministic per-language sampling quotas (training-data corpus
+    selection): md5-threshold keep, bit-reproducible in SQL."""
+    import ray.data
+
+    from opentapioca_ray.stages.selection import stratified_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return stratified_sample(
+        docs,
+        "doc_id",
+        "lang",
+        {"en": 0.5, "fr": 0.25, "de": 0.1},
+        default_rate=0.05,
+    )
+
+
+def _q_top_docs_per_lang(sf_dir: str):
+    """Per-group top-k (keep best N per key): one coarse-partition exchange
+    + vectorized lexsort ranking, not per-group map_groups."""
+    import ray.data
+
+    from opentapioca_ray.stages.selection import group_top_k
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return group_top_k(docs, "lang", "n_chars", 5, "doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -712,6 +744,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_clusters": _q_linkage_clusters,
         "stream_ingest": _q_stream_ingest,
         "files_sha256": _q_files_sha256,
+        "sample_lang_quota": _q_sample_lang_quota,
+        "top_docs_per_lang": _q_top_docs_per_lang,
     }
 
 
@@ -1067,9 +1101,29 @@ def oracle_sql() -> dict[str, str]:
                    sha256(text) AS sha256
             FROM documents
         """,
-        # pagerank / minhash_dedup / simhash_dedup / embedding_dedup /
-        # ann_ivf / linkage_clusters / fingerprint_dups: iterative or
-        # hash-family-specific — rows-only checks; numeric semantics are
-        # pytest-golden (tests/test_graph.py, test_dedup.py, test_ann.py,
-        # test_linkage.py).
+        "sample_lang_quota": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(doc_id::VARCHAR), 1, 8) <
+                  CASE lang
+                       WHEN 'en' THEN '80000000'
+                       WHEN 'fr' THEN '40000000'
+                       WHEN 'de' THEN '19999999'
+                       ELSE '0ccccccc'
+                  END
+        """,
+        "top_docs_per_lang": """
+            SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 5
+        """,
+        # simhash_dedup / ann_ivf / audio_energy / frame_samples /
+        # linkage_clusters: hash-family-specific, approximate-by-design, or
+        # BLOB-slicing ops DuckDB cannot express — rows-only checks; the
+        # semantics are pytest-golden (tests/test_dedup.py, test_ann.py,
+        # test_multimodal.py, test_linkage.py).
     }

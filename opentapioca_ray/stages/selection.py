@@ -1,0 +1,133 @@
+"""Corpus-selection operators: deterministic sampling and per-group top-k.
+
+Training-data pipelines constantly carve sub-corpora: "deterministic 10%
+sample", "at most N documents per domain", "per-language quotas". Both
+operators here are exact, reproducible, and shuffle-frugal:
+
+- `hash_sample` / `stratified_sample`: keep a row iff the first 8 hex chars
+  of md5(key) fall below a rate threshold. A pure stateless `map_batches`
+  filter — no shuffle, no RNG state, identical row set on ANY cluster size
+  or partitioning, and bit-reproducible in SQL (`substr(md5(key), 1, 8) <
+  'xxxxxxxx'`), which is what makes the driver oracle exact.
+- `group_top_k`: keep the best k rows per group by a value column with a
+  deterministic tie-break — ONE coarse-partition exchange
+  (hash(group) % P) and a vectorized lexsort-per-partition kernel, not a
+  per-group `map_groups` (stages/exchange.py rationale).
+
+No reference analog (the reference pipeline consumes its corpus whole —
+opentapioca/cli.py:107-119 indexes every dump line); these are the
+scale-path additions mandated by the driver brief's training-data-pipeline
+inventory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def rate_to_hex_threshold(rate: float) -> str:
+    """Map a sampling rate in [0, 1] to the threshold string used by both
+    the Python filter and its SQL twin. Rows with `md5(key)[:8] < threshold`
+    are kept; 2**32 buckets give rate granularity of ~2.3e-10. rate >= 1
+    returns "g", which sorts after every hex digit (keep-all) in both
+    Python and SQL string comparison."""
+    rate = min(max(rate, 0.0), 1.0)
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * (1 << 32)), "08x")
+
+
+def _md5_prefixes(keys: np.ndarray) -> np.ndarray:
+    md5 = hashlib.md5
+    return np.fromiter(
+        (md5(str(k).encode("utf-8")).hexdigest()[:8] for k in keys),
+        dtype="U8",
+        count=len(keys),
+    )
+
+
+def hash_sample_batch(
+    batch: pa.Table, key_column: str, rate: float
+) -> pa.Table:
+    """Deterministic rate-sample of one Arrow batch (the map_batches body).
+
+    Key is stringified exactly like SQL's `key::VARCHAR` (integers print
+    identically), so the kept row set matches the DuckDB twin
+    `substr(md5(key::VARCHAR), 1, 8) < '<threshold>'` byte-for-byte."""
+    if batch.num_rows == 0 or key_column not in batch.column_names:
+        return batch
+    keys = batch.column(key_column).to_numpy(zero_copy_only=False)
+    thr = rate_to_hex_threshold(rate)
+    mask = _md5_prefixes(keys) < thr
+    return batch.filter(pa.array(mask))
+
+
+def hash_sample(ds, key_column: str, rate: float):
+    """Deterministic corpus sample: keep ~`rate` of rows, chosen by a
+    content-independent hash of `key_column`. Stateless filter — streams at
+    any scale, no shuffle."""
+    return ds.map_batches(
+        lambda b: hash_sample_batch(b, key_column, rate), batch_format="pyarrow"
+    )
+
+
+def stratified_sample(ds, key_column: str, stratum_column: str, rates: dict, default_rate: float = 0.0):
+    """Per-stratum deterministic sampling: stratum -> rate (e.g. language
+    quotas). Rows in strata missing from `rates` keep `default_rate`."""
+    thresholds = {s: rate_to_hex_threshold(r) for s, r in rates.items()}
+    default_thr = rate_to_hex_threshold(default_rate)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or key_column not in batch.column_names:
+            return batch
+        keys = batch.column(key_column).to_numpy(zero_copy_only=False)
+        strata = batch.column(stratum_column).to_numpy(zero_copy_only=False)
+        prefixes = _md5_prefixes(keys)
+        codes, uniq = pd.factorize(strata)
+        thr_by_code = np.array(
+            [thresholds.get(s, default_thr) for s in uniq], dtype="U8"
+        )
+        mask = prefixes < thr_by_code[codes]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def group_top_k(
+    ds,
+    group_column: str,
+    value_column: str,
+    k: int,
+    tiebreak_column: str,
+    descending: bool = True,
+    n_parts: int | None = None,
+):
+    """Keep the top `k` rows of each group by `value_column`
+    (`tiebreak_column` ascending breaks ties deterministically — it must be
+    unique per group for a stable result).
+
+    One hash(group) % P exchange; each partition ranks ALL its groups with
+    a single lexsort + segment-cumcount pass."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply, segment_ids
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return df
+        vals = df[value_column].to_numpy()
+        groups = df[group_column].to_numpy()
+        ties = df[tiebreak_column].to_numpy()
+        order = np.lexsort((ties, -vals if descending else vals, groups))
+        sorted_groups = groups[order]
+        seg = segment_ids(sorted_groups)  # dense 0..G-1 over the sorted run
+        # rank within group = position - start position of the group
+        starts = np.flatnonzero(
+            np.concatenate(([True], seg[1:] != seg[:-1]))
+        ).astype(np.int64)
+        rank = np.arange(len(seg), dtype=np.int64) - starts[seg]
+        return df.iloc[order[rank < k]]
+
+    return coarse_group_apply(ds, group_column, per_partition, n_parts=n_parts)

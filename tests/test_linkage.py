@@ -71,6 +71,24 @@ def test_idf_and_prior(ray_session, corpus):
     assert prior and max(prior.values()) == 1.0
 
 
+def test_repo_prior_max_repos_cap(ray_session, corpus):
+    """The broadcast-state guard keeps only the top-N repos by file count;
+    the surviving entries keep the same normalized values."""
+    import ray.data
+
+    files_df, _ = corpus
+    files_ds = ray.data.from_pandas(files_df)
+    full = repo_in_degree_prior(files_ds)
+    n_keep = max(1, len(full) // 2)
+    capped = repo_in_degree_prior(files_ds, max_repos=n_keep)
+    assert len(capped) == n_keep
+    # kept repos are the highest-count ones and retain their values
+    kept_min = min(capped.values())
+    dropped = {k: v for k, v in full.items() if k not in capped}
+    assert all(v <= kept_min for v in dropped.values())
+    assert all(full[k] == v for k, v in capped.items())
+
+
 def test_corpus_stats_matches_separate_passes(ray_session, corpus):
     import ray.data
 

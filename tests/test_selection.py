@@ -1,0 +1,101 @@
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from opentapioca_ray.stages.selection import (
+    group_top_k,
+    hash_sample,
+    hash_sample_batch,
+    rate_to_hex_threshold,
+    stratified_sample,
+)
+
+
+def _df(n=400, seed=5):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": rng.choice(["en", "fr", "de"], size=n),
+            "n_chars": rng.integers(1, 1000, size=n).astype(np.int64),
+        }
+    )
+
+
+def test_rate_to_hex_threshold_bounds():
+    assert rate_to_hex_threshold(0.0) == "00000000"
+    assert rate_to_hex_threshold(1.0) == "g"
+    assert "ffffffff" < rate_to_hex_threshold(1.0)  # keep-all really keeps all
+    assert rate_to_hex_threshold(0.5) == format(1 << 31, "08x")
+
+
+def test_hash_sample_batch_matches_reference_filter():
+    df = _df()
+    batch = pa.Table.from_pandas(df, preserve_index=False)
+    out = hash_sample_batch(batch, "doc_id", 0.25)
+    thr = rate_to_hex_threshold(0.25)
+    expected = {
+        i
+        for i in df.doc_id
+        if hashlib.md5(str(i).encode()).hexdigest()[:8] < thr
+    }
+    assert set(out.column("doc_id").to_pylist()) == expected
+    # deterministic + rate in the right ballpark
+    assert 0.1 < out.num_rows / batch.num_rows < 0.4
+
+
+def test_hash_sample_dataset_partition_invariant(ray_session):
+    import ray.data
+
+    df = _df()
+    a = hash_sample(ray.data.from_pandas(df), "doc_id", 0.3)
+    b = hash_sample(
+        ray.data.from_pandas(df).repartition(7), "doc_id", 0.3
+    )
+    ids_a = sorted(r["doc_id"] for r in a.take_all())
+    ids_b = sorted(r["doc_id"] for r in b.take_all())
+    assert ids_a == ids_b and len(ids_a) > 0
+
+
+def test_stratified_sample_rates(ray_session):
+    import ray.data
+
+    df = _df(900)
+    out = stratified_sample(
+        ray.data.from_pandas(df), "doc_id", "lang", {"en": 1.0, "fr": 0.0}
+    ).to_pandas()
+    n_en = (df.lang == "en").sum()
+    assert (out.lang == "en").sum() == n_en  # rate 1.0 keeps every row
+    assert (out.lang == "fr").sum() == 0  # rate 0.0 drops every row
+    assert (out.lang == "de").sum() == 0  # default_rate 0.0
+
+
+def test_group_top_k_matches_pandas(ray_session):
+    import ray.data
+
+    df = _df(600)
+    out = group_top_k(
+        ray.data.from_pandas(df), "lang", "n_chars", 5, "doc_id"
+    ).to_pandas()
+    expected = (
+        df.sort_values(["lang", "n_chars", "doc_id"], ascending=[True, False, True])
+        .groupby("lang")
+        .head(5)
+    )
+    got = set(map(tuple, out[["lang", "doc_id"]].itertuples(index=False)))
+    exp = set(map(tuple, expected[["lang", "doc_id"]].itertuples(index=False)))
+    assert got == exp
+    assert len(out) == 15
+
+
+def test_group_top_k_small_groups(ray_session):
+    import ray.data
+
+    df = pd.DataFrame(
+        {"g": ["a", "a", "b"], "v": [1, 2, 3], "id": [0, 1, 2]}
+    )
+    out = group_top_k(ray.data.from_pandas(df), "g", "v", 5, "id").to_pandas()
+    assert len(out) == 3  # k larger than any group keeps everything
