@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from opentapioca_ray.functions.vectors import list_to_matrix
+
 
 def _unit(mat: np.ndarray) -> np.ndarray:
     norm = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -37,24 +39,22 @@ def brute_force_topk(
     qmat_ref = ray.put(_unit(np.asarray(queries, dtype=np.float64)))
     qids = list(query_ids)
 
+    qids_arr = np.asarray(qids, dtype=np.int64)
+
     def score_batch(batch: pa.Table) -> pa.Table:
         qmat = ray.get(qmat_ref)
-        vecs = _unit(np.array(batch.column(vector_column).to_pylist(), dtype=np.float64))
-        ids = np.asarray(batch.column(id_column).to_pylist())
+        vecs = _unit(list_to_matrix(batch.column(vector_column)))
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
         sims = qmat @ vecs.T  # (nq, batch)
         kk = min(k, sims.shape[1])
-        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        out_q, out_v, out_s = [], [], []
-        for qi in range(len(qids)):
-            for j in top[qi]:
-                out_q.append(qids[qi])
-                out_v.append(int(ids[j]))
-                out_s.append(float(sims[qi, j]))
+        top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]  # (nq, kk)
         return pa.table(
             {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "vec_id": pa.array(out_v, type=pa.int64()),
-                "cosine": pa.array(out_s, type=pa.float64()),
+                "query_id": pa.array(np.repeat(qids_arr, kk), type=pa.int64()),
+                "vec_id": pa.array(ids[top].ravel(), type=pa.int64()),
+                "cosine": pa.array(
+                    np.take_along_axis(sims, top, axis=1).ravel(), type=pa.float64()
+                ),
             }
         )
 
@@ -112,32 +112,39 @@ def ivf_topk(
     qmat_ref = ray.put(qmat)
     qids = list(query_ids)
 
+    qids_arr = np.asarray(qids, dtype=np.int64)
+
     def score_batch(batch: pa.Table) -> pa.Table:
         cents = ray.get(cent_ref)
         qm = ray.get(qmat_ref)
-        vecs = _unit(np.array(batch.column(vector_column).to_pylist(), dtype=np.float64))
-        ids = np.asarray(batch.column(id_column).to_pylist())
+        vecs = _unit(list_to_matrix(batch.column(vector_column)))
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
         assign = (vecs @ cents.T).argmax(axis=1)
         out_q, out_v, out_s = [], [], []
         for b, qlist in bucket_to_queries.items():
             mask = assign == b
             if not mask.any():
                 continue
-            sub = vecs[mask]
             sub_ids = ids[mask]
-            sims = qm[qlist] @ sub.T
+            sims = qm[qlist] @ vecs[mask].T
             kk = min(k, sims.shape[1])
-            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            for row, qi in enumerate(qlist):
-                for j in top[row]:
-                    out_q.append(qids[qi])
-                    out_v.append(int(sub_ids[j]))
-                    out_s.append(float(sims[row, j]))
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]  # (len(qlist), kk)
+            out_q.append(np.repeat(qids_arr[qlist], kk))
+            out_v.append(sub_ids[top].ravel())
+            out_s.append(np.take_along_axis(sims, top, axis=1).ravel())
+        if not out_q:
+            return pa.schema(
+                [
+                    ("query_id", pa.int64()),
+                    ("vec_id", pa.int64()),
+                    ("cosine", pa.float64()),
+                ]
+            ).empty_table()
         return pa.table(
             {
-                "query_id": pa.array(out_q, type=pa.int64()),
-                "vec_id": pa.array(out_v, type=pa.int64()),
-                "cosine": pa.array(out_s, type=pa.float64()),
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "cosine": pa.array(np.concatenate(out_s), type=pa.float64()),
             }
         )
 

@@ -21,6 +21,7 @@ from opentapioca_ray.functions.minhash import (
     jaccard,
     simhash,
 )
+from opentapioca_ray.functions.vectors import list_to_matrix, matrix_to_list
 from opentapioca_ray.stages.cc import connected_components
 from opentapioca_ray.stages.pairs import blocking_batch, make_pair_group_fn
 
@@ -747,7 +748,7 @@ def embedding_pairs(
             return pa.schema(
                 [("block_key", pa.int64()), ("vec_id", pa.int64())]
             ).empty_table()
-        vecs = np.array(batch.column(vector_column).to_pylist(), dtype=np.float64)
+        vecs = list_to_matrix(batch.column(vector_column))
         codes = _band_codes(vecs)
         ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
@@ -815,14 +816,13 @@ def embedding_pairs(
             return pa.schema(
                 [("vec_id", pa.int64()), ("unit", pa.list_(pa.float64()))]
             ).empty_table()
-        vecs = np.array(t.column(vector_column).to_pylist(), dtype=np.float64)
+        vecs = list_to_matrix(t.column(vector_column))
         norm = np.linalg.norm(vecs, axis=1, keepdims=True)
         norm[norm == 0] = 1.0
-        unit = vecs / norm
         return pa.table(
             {
                 "vec_id": t.column(id_column).cast(pa.int64()),
-                "unit": pa.array(list(unit), type=pa.list_(pa.float64())),
+                "unit": matrix_to_list(vecs / norm),
             }
         )
 
@@ -832,9 +832,7 @@ def embedding_pairs(
         if t.num_rows == 0 or "vec_id" not in t.column_names:
             continue
         uid_chunks.append(t.column("vec_id").to_numpy(zero_copy_only=False))
-        umat_chunks.append(
-            np.array(t.column("unit").to_pylist(), dtype=np.float64)
-        )
+        umat_chunks.append(list_to_matrix(t.column("unit")))
     uids = np.concatenate(uid_chunks)
     umat = np.concatenate(umat_chunks, axis=0)
     order = np.argsort(uids)
