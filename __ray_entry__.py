@@ -628,6 +628,28 @@ def _q_asof_clicks(sf_dir: str):
     return asof_join_events(errors, clicks)
 
 
+def _q_session_errors(sf_dir: str):
+    """Range join (interval containment): every error event joined to each
+    session window of its user — sessionize -> interval_join_events, one
+    coarse exchange, searchsorted kernel."""
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.windows import interval_join_events, sessionize
+
+    sessions = sessionize(_events(sf_dir), gap_us=1_800_000_000)
+    errors = _events(sf_dir).map_batches(
+        lambda b: b.filter(pc.equal(b.column("event_type"), "error")),
+        batch_format="pyarrow",
+    )
+    out = interval_join_events(sessions, errors)
+    return out.map_batches(
+        lambda b: b.rename_columns(
+            ["user_id", "start_us", "end_us", "event_id", "ts_us"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_linkage_clusters(sf_dir: str):
     """Flagship linkage over the files table (rows-only; pairwise-F1
     conformance is pytest-gated)."""
@@ -741,6 +763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg": _q_window_agg,
         "sessions": _q_sessions,
         "asof_clicks": _q_asof_clicks,
+        "session_errors": _q_session_errors,
         "linkage_clusters": _q_linkage_clusters,
         "stream_ingest": _q_stream_ingest,
         "files_sha256": _q_files_sha256,
@@ -1051,6 +1074,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(round(sum(value) * 10000) AS BIGINT) AS total_value_e4
             FROM s GROUP BY user_id, sid
+        """,
+        "session_errors": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 1800000000 THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id, us,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e
+            ),
+            sess AS (
+              SELECT user_id, min(us) AS start_us, max(us) AS end_us
+              FROM s GROUP BY user_id, sid
+            )
+            SELECT sess.user_id, sess.start_us, sess.end_us,
+                   ev.event_id, epoch_us(ev.ts) AS ts_us
+            FROM sess JOIN events ev ON ev.user_id = sess.user_id
+              AND epoch_us(ev.ts) BETWEEN sess.start_us AND sess.end_us
+            WHERE ev.event_type = 'error'
         """,
         "asof_clicks": """
             SELECT e.event_id,

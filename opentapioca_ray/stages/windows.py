@@ -19,6 +19,11 @@ brief's custom-operator guidance:
   ts <= left ts for the same user (DuckDB ASOF JOIN semantics): both sides
   tagged + unioned + one coarse-partition exchange; within a partition a
   single segment-cummax pass matches every left event of every user.
+- `interval_join_events` — range join: every (interval, event) pair with
+  the same key and start <= ts <= end (SQL `BETWEEN`; intervals may
+  overlap). Same tag + union + one-exchange shape; the partition kernel
+  matches ALL intervals with two `searchsorted` calls over a
+  (key, ts)-rank composite — no per-key loop, no per-group `map_groups`.
 
 Timestamps are returned as epoch microseconds (int64) so results compare
 bit-exactly against SQL oracles.
@@ -231,3 +236,111 @@ def asof_join_events(
         )
 
     return coarse_group_apply(unioned, "user_id", per_partition)
+
+
+def interval_join_events(
+    intervals_ds,
+    events_ds,
+    key_column: str = "user_id",
+    start_column: str = "start_us",
+    end_column: str = "end_us",
+    ts_column: str = "ts",
+    id_column: str = "event_id",
+):
+    """Range join: every (interval, event) pair sharing `key_column` with
+    interval start <= event ts <= interval end (inclusive, SQL `BETWEEN`).
+    Intervals may overlap — an event matches every containing interval.
+    Returns (key, start_us, end_us, event_id, ts_us).
+
+    Both sides are tagged and unioned so the join costs ONE
+    hash(key) % P exchange. The partition kernel is loop-free: it ranks all
+    time values of the partition (so comparisons stay exact across the two
+    sides), folds (key_code, ts_rank) into one monotone int64 composite,
+    sorts the events once, and finds each interval's matching event run
+    with a left/right `searchsorted` pair; runs are expanded with the
+    repeat/cumsum range trick. Partitioning assumption: one key's rows fit
+    in a worker heap (same as `sessionize`)."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    def tag_intervals(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema(
+                [("key", pa.int64()), ("t0", pa.int64()), ("t1", pa.int64()),
+                 ("rid", pa.int64()), ("side", pa.int8())]
+            ).empty_table()
+        return pa.table(
+            {
+                "key": b.column(key_column).cast(pa.int64()),
+                "t0": b.column(start_column).cast(pa.int64()),
+                "t1": b.column(end_column).cast(pa.int64()),
+                "rid": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                "side": pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+            }
+        )
+
+    def tag_events(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.schema(
+                [("key", pa.int64()), ("t0", pa.int64()), ("t1", pa.int64()),
+                 ("rid", pa.int64()), ("side", pa.int8())]
+            ).empty_table()
+        us = _ts_us(b.column(ts_column))
+        return pa.table(
+            {
+                "key": b.column(key_column).cast(pa.int64()),
+                "t0": us,
+                "t1": us,
+                "rid": b.column(id_column).cast(pa.int64()),
+                "side": pa.array(np.ones(b.num_rows, dtype=np.int8)),
+            }
+        )
+
+    unioned = intervals_ds.map_batches(tag_intervals, batch_format="pyarrow").union(
+        events_ds.map_batches(tag_events, batch_format="pyarrow")
+    )
+
+    out_cols = ["key", "start_us", "end_us", "event_id", "ts_us"]
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in out_cols})
+        if df.empty:
+            return empty
+        side = df["side"].to_numpy(dtype=np.int8)
+        is_ev = side == 1
+        if not is_ev.any() or is_ev.all():
+            return empty
+        key = df["key"].to_numpy(dtype=np.int64)
+        t0 = df["t0"].to_numpy(dtype=np.int64)
+        t1 = df["t1"].to_numpy(dtype=np.int64)
+        rid = df["rid"].to_numpy(dtype=np.int64)
+        # dense key codes over BOTH sides; exact time ranks over all bounds
+        codes, _ = pd.factorize(key)
+        ranks = np.unique(np.concatenate((t0, t1)))
+        R = np.int64(len(ranks) + 1)
+        ev_code, ev_ts, ev_id = codes[is_ev], t0[is_ev], rid[is_ev]
+        comp_ev = ev_code * R + np.searchsorted(ranks, ev_ts)
+        order = np.argsort(comp_ev)
+        comp_sorted = comp_ev[order]
+        iv_code = codes[~is_ev]
+        iv_t0, iv_t1 = t0[~is_ev], t1[~is_ev]
+        lo = np.searchsorted(comp_sorted, iv_code * R + np.searchsorted(ranks, iv_t0), "left")
+        hi = np.searchsorted(comp_sorted, iv_code * R + np.searchsorted(ranks, iv_t1), "right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        iv_idx = np.repeat(np.arange(len(iv_code), dtype=np.int64), counts)
+        run_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        ev_pos = np.repeat(lo, counts) + np.arange(total, dtype=np.int64) - np.repeat(run_starts, counts)
+        ev_orig = order[ev_pos]
+        return pd.DataFrame(
+            {
+                "key": key[~is_ev][iv_idx],
+                "start_us": iv_t0[iv_idx],
+                "end_us": iv_t1[iv_idx],
+                "event_id": ev_id[ev_orig],
+                "ts_us": ev_ts[ev_orig],
+            }
+        )
+
+    return coarse_group_apply(unioned, "key", per_partition)

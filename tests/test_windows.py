@@ -81,3 +81,99 @@ def test_asof_join(ray_session):
     assert set(rows) == {20, 21}
     assert rows[20]["lag_us"] == 50 * US
     assert rows[21]["lag_us"] == 0
+
+
+def test_interval_join_basic_and_overlap(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.windows import interval_join_events
+
+    import pandas as pd
+
+    b = int(pd.Timestamp(T0).value // 1000)  # epoch us of T0
+    # user 1: two OVERLAPPING intervals; user 2: one interval; user 3: none
+    intervals = ray.data.from_items(
+        [
+            {"user_id": 1, "start_us": b + 10 * US, "end_us": b + 50 * US},
+            {"user_id": 1, "start_us": b + 40 * US, "end_us": b + 90 * US},
+            {"user_id": 2, "start_us": b, "end_us": b + 5 * US},
+        ]
+    )
+    events = ray.data.from_items(
+        [
+            _ev(0, 45, 1),   # inside BOTH user-1 intervals
+            _ev(1, 10, 1),   # on first interval's start bound (inclusive)
+            _ev(2, 90, 1),   # on second interval's end bound (inclusive)
+            _ev(3, 91, 1),   # outside everything
+            _ev(4, 3, 2),    # user 2's interval
+            _ev(5, 3, 3),    # user with no intervals
+        ]
+    )
+    out = interval_join_events(intervals, events).take_all()
+    got = {(r["key"], (r["start_us"] - b) // US, r["event_id"]) for r in out}
+    assert got == {
+        (1, 10, 0),
+        (1, 40, 0),
+        (1, 10, 1),
+        (1, 40, 2),
+        (2, 0, 4),
+    }
+    # ts_us is the event's own timestamp
+    by_event = {r["event_id"]: r["ts_us"] for r in out}
+    assert by_event[4] == b + 3 * US
+
+
+def test_interval_join_empty_sides(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.windows import interval_join_events
+
+    intervals = ray.data.from_items(
+        [{"user_id": 1, "start_us": 0, "end_us": 10 * US}]
+    )
+    events = ray.data.from_items([_ev(0, 5, 1)])
+    no_events = events.filter(lambda r: False)
+    no_intervals = intervals.filter(lambda r: False)
+    assert interval_join_events(intervals, no_events).count() == 0
+    assert interval_join_events(no_intervals, events).count() == 0
+
+
+def test_interval_join_matches_duckdb(ray_session):
+    """Cross-check the composite-searchsorted kernel against a DuckDB
+    range join on a randomized instance (overlaps, shared bounds, dup ts)."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from opentapioca_ray.stages.windows import interval_join_events
+
+    rng = np.random.RandomState(11)
+    n_iv, n_ev = 60, 300
+    iv = pd.DataFrame(
+        {
+            "user_id": rng.randint(0, 8, n_iv).astype(np.int64),
+            "start_us": rng.randint(0, 1000, n_iv).astype(np.int64),
+        }
+    )
+    iv["end_us"] = iv["start_us"] + rng.randint(0, 200, n_iv).astype(np.int64)
+    ev = pd.DataFrame(
+        {
+            "event_id": np.arange(n_ev, dtype=np.int64),
+            "user_id": rng.randint(0, 10, n_ev).astype(np.int64),
+            "ts": pd.to_datetime(rng.randint(0, 1100, n_ev), unit="us"),
+        }
+    )
+    out = interval_join_events(
+        ray.data.from_pandas(iv), ray.data.from_pandas(ev)
+    ).take_all()
+    got = {(r["key"], r["start_us"], r["end_us"], r["event_id"]) for r in out}
+    want = {
+        tuple(r)
+        for r in duckdb.sql(
+            """SELECT i.user_id, i.start_us, i.end_us, e.event_id
+               FROM iv i JOIN ev e ON e.user_id = i.user_id
+                AND epoch_us(e.ts) BETWEEN i.start_us AND i.end_us"""
+        ).fetchall()
+    }
+    assert got == want and len(want) > 50
