@@ -465,11 +465,15 @@ def _q_compact_latest(sf_dir: str):
 
 
 def _q_top_customers(sf_dir: str):
-    """Relational coverage: join + groupby + sort + limit (K-ops)."""
+    """Relational coverage: groupby + global top-k (K-ops). The top-10 is a
+    per-block combiner + tiny final reduce (stages/selection.py:global_top_k)
+    — no all-to-all sort of the aggregate."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data
     from ray.data.aggregate import Count, Sum
+
+    from opentapioca_ray.stages.selection import global_top_k
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
@@ -477,17 +481,19 @@ def _q_top_customers(sf_dir: str):
     agg = orders.groupby("o_custkey").aggregate(
         Sum("o_totalprice", alias_name="revenue"), Count(alias_name="nb_orders")
     )
-    top = agg.sort("revenue", descending=True).limit(10)
-    return top.map_batches(
+    rounded = agg.map_batches(
         lambda b: pa.table(
             {
                 "o_custkey": b.column("o_custkey"),
                 "revenue": pc.round(b.column("revenue"), 4),
                 "nb_orders": b.column("nb_orders"),
             }
-        ),
+        )
+        if "o_custkey" in b.column_names
+        else b,
         batch_format="pyarrow",
     )
+    return global_top_k(rounded, "revenue", 10, "o_custkey")
 
 
 def _q_revenue_by_nation(sf_dir: str):
@@ -1129,7 +1135,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue,
                    count(*) AS nb_orders
             FROM orders GROUP BY o_custkey
-            ORDER BY revenue DESC LIMIT 10
+            ORDER BY revenue DESC, o_custkey LIMIT 10
         """,
         "events_by_type": """
             SELECT event_type, count(*) AS n,

@@ -97,6 +97,38 @@ def stratified_sample(ds, key_column: str, stratum_column: str, rates: dict, def
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def global_top_k(
+    ds,
+    value_column: str,
+    k: int,
+    tiebreak_column: str,
+    descending: bool = True,
+):
+    """Dataset-global top-k WITHOUT a global sort: every block keeps only
+    its own top-k (a map_batches combiner), then the <= k-per-block
+    survivors collapse into one tiny block for the exact final ranking.
+    Exchange volume is O(k x #blocks), not O(rows) — the all-to-all
+    `sort().limit(k)` alternative moves every row.
+
+    `tiebreak_column` ascending breaks value ties deterministically;
+    `value_column` must be numeric (negated for descending order)."""
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k or value_column not in batch.column_names:
+            return batch
+        vals = batch.column(value_column).to_numpy(zero_copy_only=False)
+        ties = batch.column(tiebreak_column).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ties, -vals if descending else vals))[:k]
+        return batch.take(pa.array(order))
+
+    partial = ds.map_batches(topk, batch_format="pyarrow")
+    # batch_size=None: the final pass must see the single merged block whole,
+    # or per-1024-row batching would emit k rows per CHUNK instead of k total
+    return partial.repartition(1).map_batches(
+        topk, batch_format="pyarrow", batch_size=None
+    )
+
+
 def group_top_k(
     ds,
     group_column: str,

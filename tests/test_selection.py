@@ -99,3 +99,31 @@ def test_group_top_k_small_groups(ray_session):
     )
     out = group_top_k(ray.data.from_pandas(df), "g", "v", 5, "id").to_pandas()
     assert len(out) == 3  # k larger than any group keeps everything
+
+
+def test_global_top_k(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from opentapioca_ray.stages.selection import global_top_k
+
+    # 5000 rows over many blocks; ties on value broken by ascending id
+    n = 5000
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {"id": np.arange(n, dtype=np.int64), "score": rng.randint(0, 400, n)}
+    )
+    ds = ray.data.from_pandas([d for _, d in df.groupby(np.arange(n) % 16)])
+    out = global_top_k(ds, "score", 7, "id").take_all()
+    assert len(out) == 7
+    want = df.sort_values(["score", "id"], ascending=[False, True]).head(7)
+    assert {(r["id"], r["score"]) for r in out} == set(
+        zip(want["id"], want["score"])
+    )
+    # ascending variant
+    out_asc = global_top_k(ds, "score", 3, "id", descending=False).take_all()
+    want_asc = df.sort_values(["score", "id"]).head(3)
+    assert {(r["id"], r["score"]) for r in out_asc} == set(
+        zip(want_asc["id"], want_asc["score"])
+    )
