@@ -320,9 +320,18 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
 
 
 def _q_simhash_dedup(sf_dir: str):
-    from opentapioca_ray.stages.dedup import simhash_dedup
+    """SimHash near-dedup, emitted as the VERIFIED pair set (u, v, exact
+    Hamming distance) with the md5-derived gram hash so a DuckDB all-pairs
+    oracle checks it value-for-value: 4 x 16-bit pigeonhole bands make the
+    banded recall on hamming<=3 pairs exactly 1, so the banded output EQUALS
+    the oracle's all-pairs answer (no empirical luck involved). The
+    transitive-cluster variant (`simhash_dedup`) is pytest-golden
+    (tests/test_dedup.py)."""
+    from opentapioca_ray.stages.dedup import simhash_md5_pairs
 
-    return simhash_dedup(_docs(sf_dir), id_column="doc_id", text_column="text", max_hamming=3)
+    return simhash_md5_pairs(
+        _docs(sf_dir), id_column="doc_id", text_column="text", max_hamming=3
+    )
 
 
 def _q_embedding_dedup(sf_dir: str):
@@ -435,15 +444,39 @@ def _q_multimodal_meta(sf_dir: str):
 
 
 def _q_audio_energy(sf_dir: str):
-    """Audio-feature actor stage over the synthetic media table (rows-only:
-    the per-window RMS stand-in is pytest-golden)."""
+    """Audio-feature actor stage over the synthetic media table, flattened
+    to (media_id, window, rms) rows. The payload is the utf-8 bytes of the
+    (pure-ASCII) document text, so DuckDB recomputes every per-window RMS
+    from `ord()` arithmetic over the same characters — an exact value
+    oracle for the binary-column actor stage."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
     from opentapioca_ray.stages.multimodal import audio_features, synthesize_media
 
-    return audio_features(synthesize_media(_docs(sf_dir)), n_windows=16)
+    out = audio_features(synthesize_media(_docs(sf_dir)), n_windows=16)
+
+    def flatten(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        vals = pc.list_flatten(b.column("energy"))
+        ids = np.repeat(b.column("media_id").to_numpy(zero_copy_only=False), 16)
+        win = np.tile(np.arange(16, dtype=np.int64), n)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, type=pa.int64()),
+                "window": pa.array(win, type=pa.int64()),
+                "rms": pc.round(vals, 6),
+            }
+        )
+
+    return out.map_batches(flatten, batch_format="pyarrow")
 
 
 def _q_frame_samples(sf_dir: str):
-    """Video frame-sampling actor stage: payload -> every-2nd 1KiB frame."""
+    """Video frame-sampling actor stage: payload -> every-2nd 1KiB frame.
+    The payload is utf-8 of pure-ASCII text, so `sha256(substr(text, ...))`
+    in DuckDB reproduces each frame's sha256 exactly."""
     from opentapioca_ray.stages.multimodal import sample_frames, synthesize_media
 
     out = sample_frames(synthesize_media(_docs(sf_dir)), frame_bytes=1024, stride=2)
@@ -1001,6 +1034,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT u, v, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.8
         """,
+        "simhash_dedup": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(
+                      ' ' || substr(text, 1, 10000) || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) = 0 THEN []
+                     WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                END AS gs
+              FROM toks
+            ),
+            h AS (
+              -- the md5-derived 64-bit gram hash the Ray kernel uses
+              -- (big-endian first 8 bytes of md5), bit-for-bit
+              SELECT doc_id, ('0x' || substr(md5(g), 1, 16))::UBIGINT AS hv
+              FROM (SELECT doc_id, unnest(gs) AS g FROM grams)
+            ),
+            bits AS (
+              SELECT doc_id, i,
+                     sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+              FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS i) s
+              GROUP BY doc_id, i
+            ),
+            sh AS (
+              SELECT doc_id,
+                     sum(CASE WHEN vote > 0
+                         THEN (1::UBIGINT << i) ELSE 0::UBIGINT END)::UBIGINT AS sim
+              FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS u, b.doc_id AS v,
+                   bit_count(xor(a.sim, b.sim))::BIGINT AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3
+        """,
         "embedding_dedup": """
             WITH aug AS (
               SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1174,9 +1251,58 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE rn <= 5
         """,
-        # simhash_dedup / ann_ivf / audio_energy / frame_samples /
-        # linkage_clusters: hash-family-specific, approximate-by-design, or
-        # BLOB-slicing ops DuckDB cannot express — rows-only checks; the
-        # semantics are pytest-golden (tests/test_dedup.py, test_ann.py,
-        # test_multimodal.py, test_linkage.py).
+        "audio_energy": """
+            WITH aud AS (
+              SELECT doc_id AS media_id, coalesce(text, '') AS t
+              FROM documents WHERE doc_id % 3 = 1
+            ),
+            dims AS (
+              -- W = padded-window length = ceil(len/16); zero pad rides as
+              -- missing rows (coalesce(ss, 0)) in the final join
+              SELECT media_id, t, length(t) AS n,
+                     (length(t) + 15) // 16 AS w
+              FROM aud
+            ),
+            chars AS (
+              SELECT media_id, unnest(range(1, n + 1)) AS i, t, w
+              FROM dims WHERE n > 0
+            ),
+            sq AS (
+              SELECT media_id, (i - 1) // w AS win,
+                     ord(substr(t, i::INTEGER, 1))::DOUBLE AS c
+              FROM chars
+            ),
+            agg AS (
+              SELECT media_id, win, sum(c * c) AS ss
+              FROM sq GROUP BY media_id, win
+            ),
+            wins AS (
+              SELECT media_id, unnest(range(0, 16)) AS win, w FROM dims
+            )
+            SELECT wins.media_id, wins.win AS window,
+                   round(CASE WHEN wins.w = 0 THEN 0.0
+                         ELSE sqrt(coalesce(agg.ss, 0) / wins.w) END, 6) AS rms
+            FROM wins LEFT JOIN agg
+              ON agg.media_id = wins.media_id AND agg.win = wins.win
+        """,
+        "frame_samples": """
+            WITH vid AS (
+              SELECT doc_id AS media_id, coalesce(text, '') AS t
+              FROM documents WHERE doc_id % 3 = 2
+            ),
+            f AS (
+              SELECT media_id, t,
+                     unnest(list_filter(
+                       range(0, greatest(1, (length(t) + 1023) // 1024)),
+                       i -> i % 2 = 0)) AS frame_index
+              FROM vid
+            )
+            SELECT media_id, frame_index,
+                   sha256(substr(t, (frame_index * 1024 + 1)::INTEGER, 1024))
+                     AS frame_sha256
+            FROM f
+        """,
+        # ann_ivf / linkage_clusters: approximate-by-design or iterative —
+        # rows-only checks; the semantics are pytest-golden (tests/test_ann.py,
+        # tests/test_linkage.py).
     }

@@ -300,6 +300,161 @@ def _simhash_verify_partition(max_hamming: int):
     return fn
 
 
+def _simhash_verify_hamming_partition(max_hamming: int):
+    """Like `_simhash_verify_partition` but also emits the exact Hamming
+    distance per surviving pair (for the oracle-checkable pair-set query)."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "u": pd.Series(dtype=np.int64),
+                "v": pd.Series(dtype=np.int64),
+                "hamming": pd.Series(dtype=np.int64),
+            }
+        )
+        if df.empty:
+            return empty
+        df = df.sort_values(["block_key", "doc_id"], kind="mergesort")
+        keys = df["block_key"].to_numpy()
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        sims = df["simhash"].to_numpy(dtype=np.uint64)
+        starts = np.flatnonzero(np.concatenate(([True], keys[1:] != keys[:-1])))
+        ends = np.concatenate((starts[1:], [len(keys)]))
+        out_u, out_v, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            _, first_pos = np.unique(ids[s:e], return_index=True)
+            pos = np.sort(first_pos) + s
+            n = len(pos)
+            if n < 2:
+                continue
+            iu, ju = np.triu_indices(n, k=1)
+            a, b = pos[iu], pos[ju]
+            ham = _popcount64(sims[a] ^ sims[b])
+            hit = ham <= max_hamming
+            if hit.any():
+                ua, vb = ids[a[hit]], ids[b[hit]]
+                out_u.append(np.minimum(ua, vb))
+                out_v.append(np.maximum(ua, vb))
+                out_h.append(ham[hit].astype(np.int64))
+        if not out_u:
+            return empty
+        return pd.DataFrame(
+            {
+                "u": np.concatenate(out_u),
+                "v": np.concatenate(out_v),
+                "hamming": np.concatenate(out_h),
+            }
+        )
+
+    return fn
+
+
+_SHIFTS64 = np.arange(64, dtype=np.uint64)
+
+
+def simhash_md5_batch(
+    batch: pa.Table,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    shingle_k: int = 3,
+    max_chars: int = 10_000,
+) -> pa.Table:
+    """Per doc: 64-bit simhash over DISTINCT word-k-grams where the per-gram
+    hash is the big-endian first 8 bytes of md5(gram) — the one 64-bit hash
+    DuckDB can reproduce (`('0x' || substr(md5(g),1,16))::UBIGINT`), which
+    makes the verified pair set fully SQL-oracle-checkable. Bit i of the
+    simhash is 1 iff strictly more grams set bit i than clear it. Gram
+    definition matches `gram_table` (docs with < k tokens collapse to one
+    whole-doc gram; token-less docs emit nothing); text is truncated to
+    `max_chars` first (reference tagger truncation, tagger.py:52-55).
+
+    Emits 4 x 16-bit pigeonhole band rows per doc — a pair within Hamming
+    distance 3 shares at least one band, so banded recall on qualifying
+    pairs is exactly 1 and the banded output EQUALS the all-pairs answer."""
+    from opentapioca_ray.functions.text import tokenize_flat
+
+    ids = batch.column(id_column).to_pylist()
+    texts = batch.column(text_column).to_pylist()
+    flat, counts = tokenize_flat([(t or "")[:max_chars] for t in texts])
+    ends = np.cumsum(counts)
+    keep_ids, gram_lists = [], []
+    for fid, n, e in zip(ids, counts, ends):
+        if not n:
+            continue
+        toks = flat[e - n : e]
+        if n < shingle_k:
+            grams = [" ".join(toks)]
+        else:
+            grams = sorted(
+                {" ".join(toks[i : i + shingle_k]) for i in range(n - shingle_k + 1)}
+            )
+        keep_ids.append(fid)
+        gram_lists.append(grams)
+    if not keep_ids:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "simhash": pa.array([], type=pa.uint64()),
+                "block_key": pa.array([], type=pa.string()),
+            }
+        )
+    # hash each distinct gram once per batch (md5 is the cost center)
+    all_grams = np.concatenate([np.asarray(g, dtype=object) for g in gram_lists])
+    uniq, inv = np.unique(all_grams, return_inverse=True)
+    digests = b"".join(hashlib.md5(g.encode("utf-8")).digest()[:8] for g in uniq)
+    uniq_h = np.frombuffer(digests, dtype=">u8").astype(np.uint64)
+    flat_h = uniq_h[inv]
+    gcounts = np.array([len(g) for g in gram_lists], dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(gcounts)[:-1]))
+    bits = ((flat_h[:, None] >> _SHIFTS64) & np.uint64(1)).astype(np.uint8)
+    sums = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)  # D x 64
+    votes = 2 * sums - gcounts[:, None]
+    sims = ((votes > 0).astype(np.uint64) << _SHIFTS64).sum(axis=1, dtype=np.uint64)
+    out_id, out_sim, out_band = [], [], []
+    for fid, h in zip(keep_ids, sims.tolist()):
+        for band in range(4):
+            chunk = (h >> (band * 16)) & 0xFFFF
+            out_id.append(fid)
+            out_sim.append(h)
+            out_band.append(f"s{band}:{chunk:04x}")
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "simhash": pa.array(out_sim, type=pa.uint64()),
+            "block_key": pa.array(out_band, type=pa.string()),
+        }
+    )
+
+
+def simhash_md5_pairs(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    max_hamming: int = 3,
+    shingle_k: int = 3,
+):
+    """SimHash near-dup VERIFIED pair set (u, v, hamming) with the
+    md5-derived gram hash — exactly the all-pairs `hamming <= max_hamming`
+    answer (see `simhash_md5_batch`), so a DuckDB all-pairs oracle checks it
+    value-for-value."""
+    from ray.data.aggregate import Min
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+    from opentapioca_ray.stages.pairs import prefilter_singleton_blocks
+
+    sims = ds.map_batches(
+        lambda b: simhash_md5_batch(b, id_column, text_column, shingle_k),
+        batch_format="pyarrow",
+        batch_size=256,  # the 64-wide bit matrix is the memory driver
+    )
+    sims = prefilter_singleton_blocks(sims, min_size=2)
+    edges = coarse_group_apply(
+        sims, "block_key", _simhash_verify_hamming_partition(max_hamming)
+    )
+    # cross-band dedup; hamming is identical on every band hit, Min is a tag
+    return edges.groupby(["u", "v"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
 def simhash_dedup(ds, id_column: str = "doc_id", text_column: str = "text", max_hamming: int = 3):
     from opentapioca_ray.stages.exchange import coarse_group_apply
     from opentapioca_ray.stages.pairs import prefilter_singleton_blocks

@@ -131,3 +131,51 @@ def test_ngram_jaccard_max_df_drops_stop_grams(ray_session):
     ds = ray.data.from_items(docs)
     pairs = ngram_jaccard_pairs(ds, k=3, threshold=0.5, max_df=2).take_all()
     assert {(r["u"], r["v"]) for r in pairs} == {(0, 100)}
+
+
+def test_simhash_md5_pairs_equals_all_pairs(ray_session):
+    """The banded pipeline must EQUAL the brute-force all-pairs answer
+    (pigeonhole recall = 1 at hamming <= 3) — the property the SQL oracle
+    relies on — and the md5-derived simhash must match a straightforward
+    reimplementation."""
+    import hashlib
+
+    import ray.data
+
+    from opentapioca_ray.functions.text import tokenize
+    from opentapioca_ray.stages.dedup import simhash_md5_pairs
+
+    docs = corpus_with_dups()
+    ds = ray.data.from_items(docs)
+    got = {
+        (r["u"], r["v"]): r["hamming"]
+        for r in simhash_md5_pairs(ds, max_hamming=3).take_all()
+    }
+
+    def ref_simhash(text):
+        toks = tokenize((text or "")[:10000])
+        if not toks:
+            return None
+        if len(toks) < 3:
+            grams = {" ".join(toks)}
+        else:
+            grams = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        votes = [0] * 64
+        for g in grams:
+            h = int.from_bytes(hashlib.md5(g.encode()).digest()[:8], "big")
+            for i in range(64):
+                votes[i] += 1 if (h >> i) & 1 else -1
+        return sum(1 << i for i in range(64) if votes[i] > 0)
+
+    sims = {d["doc_id"]: ref_simhash(d["text"]) for d in docs}
+    want = {}
+    ids = sorted(sims)
+    for i, u in enumerate(ids):
+        for v in ids[i + 1 :]:
+            if sims[u] is None or sims[v] is None:
+                continue
+            ham = bin(sims[u] ^ sims[v]).count("1")
+            if ham <= 3:
+                want[(u, v)] = ham
+    assert got == want
+    assert (10, 11) in got and got[(10, 11)] == 0  # exact dups
