@@ -567,6 +567,86 @@ def _q_revenue_by_nation(sf_dir: str):
     )
 
 
+def _q_customers_no_big_orders(sf_dir: str):
+    """Broadcast anti-join: customers with no order above 450k, aggregated
+    per nation with the map-side combiner. The build side (distinct big-
+    order custkeys) is deduped distributed-first and broadcast once via
+    ray.put; the probe side streams through one vectorized searchsorted
+    filter — no shuffle of either table."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+    from opentapioca_ray.stages.relational import broadcast_semi_join, distinct_keys
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    big = orders.filter(expr="o_totalprice > 450000.0")
+    keys = distinct_keys(big, "o_custkey")
+    customers = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
+    )
+    no_big = broadcast_semi_join(customers, keys, "c_custkey", anti=True)
+    agg = partial_sum_count(
+        no_big,
+        "c_nationkey",
+        ["c_acctbal"],
+        alias={"c_acctbal": "total_acctbal", "count": "n_customers"},
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "c_nationkey": b.column("c_nationkey"),
+                "total_acctbal": pc.round(b.column("total_acctbal"), 4),
+                "n_customers": b.column("n_customers"),
+            }
+        )
+        if "c_nationkey" in b.column_names
+        else b,
+        batch_format="pyarrow",
+    )
+
+
+def _q_redact_props(sf_dir: str):
+    """PII-style redaction over the events props column (emails then digit
+    runs), value-checked against DuckDB regexp_replace — both sides are
+    RE2, so the rewrite is byte-identical."""
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.functions.redact import redact
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    out = redact(ev, "props")
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "redacted": b.column("redacted"),
+                "n_redactions": b.column("n_redactions"),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_doc_length_quantiles(sf_dir: str):
+    """Exact type-1 deciles of document length via the distributed
+    (value -> count) histogram — only the aggregated histogram is ever
+    collected; DuckDB's quantile_disc implements the same type-1
+    definition."""
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import histogram_quantiles
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    return histogram_quantiles(
+        docs, "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    )
+
+
 def _q_events_by_type(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -798,6 +878,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_latest": _q_compact_latest,
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
+        "customers_no_big_orders": _q_customers_no_big_orders,
+        "redact_props": _q_redact_props,
+        "doc_length_quantiles": _q_doc_length_quantiles,
         "revenue_by_nation": _q_revenue_by_nation,
         "window_agg": _q_window_agg,
         "sessions": _q_sessions,
@@ -1213,6 +1296,45 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS nb_orders
             FROM orders GROUP BY o_custkey
             ORDER BY revenue DESC, o_custkey LIMIT 10
+        """,
+        "customers_no_big_orders": """
+            SELECT c_nationkey,
+                   round(sum(c_acctbal), 4) AS total_acctbal,
+                   count(*) AS n_customers
+            FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT o_custkey FROM orders WHERE o_totalprice > 450000.0
+            )
+            GROUP BY c_nationkey
+        """,
+        "redact_props": """
+            WITH r1 AS (
+              SELECT event_id, props,
+                     len(regexp_extract_all(
+                       props,
+                       '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}'
+                     ))::BIGINT AS n1,
+                     regexp_replace(
+                       props,
+                       '[A-Za-z0-9._%+\\-]+@[A-Za-z0-9.\\-]+\\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g') AS s1
+              FROM events
+            )
+            SELECT event_id,
+                   regexp_replace(s1, '[0-9]+', '[NUM]', 'g') AS redacted,
+                   n1 + len(regexp_extract_all(s1, '[0-9]+'))::BIGINT
+                     AS n_redactions
+            FROM r1
+        """,
+        "doc_length_quantiles": """
+            WITH q AS (
+              SELECT quantile_disc(
+                       n_chars, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS qs
+              FROM documents
+            )
+            SELECT unnest([1000, 2500, 5000, 7500, 9000, 9900])::BIGINT AS p_e4,
+                   unnest(qs)::BIGINT AS value
+            FROM q
         """,
         "events_by_type": """
             SELECT event_type, count(*) AS n,

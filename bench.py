@@ -39,6 +39,9 @@ BENCH_QUERIES = [
     "multimodal_meta",
     "ann_topk",
     "top_customers",
+    "customers_no_big_orders",
+    "redact_props",
+    "doc_length_quantiles",
     "events_by_type",
     "revenue_by_nation",
     "window_agg",

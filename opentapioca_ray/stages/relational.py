@@ -65,3 +65,62 @@ def broadcast_join(
         return out
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def distinct_keys(ds, column: str, limit: int = 50_000_000) -> np.ndarray:
+    """Distinct values of `column` as a sorted numpy array for broadcast.
+
+    Combiner-first: per-batch unique (map side) -> groupby dedup -> the
+    distinct set (bounded by `limit`) is the only thing collected. This is
+    the build side of `broadcast_semi_join`; at cardinalities beyond the
+    broadcast budget use a shuffle semi-join (coarse_group_apply on the key)
+    instead."""
+    import ray
+    import pyarrow.compute as pc
+
+    def uniq(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or column not in batch.column_names:
+            return batch
+        return pa.table({column: pc.unique(batch.column(column).combine_chunks())})
+
+    dedup = (
+        ds.select_columns([column])
+        .map_batches(uniq, batch_format="pyarrow")
+        .groupby(column)
+        .count()
+    ).materialize()  # one execution serves both the guard and the collect
+    if dedup.count() > limit:
+        raise ValueError(
+            f"distinct({column}) exceeds broadcast limit {limit}; use a shuffle semi-join"
+        )
+    parts = [ray.get(r) for r in dedup.to_arrow_refs()]
+    parts = [t for t in parts if t.num_rows and column in t.column_names]
+    if not parts:
+        return np.empty(0, dtype=object)
+    keys = pa.concat_tables(parts).column(column).to_numpy(zero_copy_only=False)
+    return np.sort(keys)
+
+
+def broadcast_semi_join(ds, keys: np.ndarray, left_key: str, anti: bool = False):
+    """Semi-join (`anti=False`: keep rows whose key IS in `keys`) or
+    anti-join (`anti=True`: keep rows whose key is NOT in `keys`) against a
+    broadcast sorted key array. The key set ships ONCE via ray.put; each
+    batch filters with one vectorized searchsorted — no shuffle of the
+    probe side at all."""
+    import ray
+
+    keys_ref = ray.put(np.asarray(keys))
+
+    def fil(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or left_key not in batch.column_names:
+            return batch
+        ks = ray.get(keys_ref)
+        lk = batch.column(left_key).to_numpy(zero_copy_only=False)
+        if len(ks) == 0:
+            mask = np.zeros(len(lk), dtype=bool)
+        else:
+            idx = np.clip(np.searchsorted(ks, lk), 0, len(ks) - 1)
+            mask = ks[idx] == lk
+        return batch.filter(pa.array(~mask if anti else mask))
+
+    return ds.map_batches(fil, batch_format="pyarrow")

@@ -1,0 +1,91 @@
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_partial_sum_count_matches_plain_groupby(ray_session):
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+
+    rows = [
+        {"k": i % 7, "x": float(i), "y": float(i * i)} for i in range(500)
+    ]
+    ds = ray.data.from_items(rows)
+    got = {
+        r["k"]: (r["sx"], r["sy"], r["n"])
+        for r in partial_sum_count(
+            ds, "k", ["x", "y"], alias={"x": "sx", "y": "sy", "count": "n"}
+        ).take_all()
+    }
+    want = {
+        r["k"]: (r["sx"], r["sy"], r["n"])
+        for r in ds.groupby("k")
+        .aggregate(Sum("x", alias_name="sx"), Sum("y", alias_name="sy"), Count(alias_name="n"))
+        .take_all()
+    }
+    assert got == want
+
+
+def test_histogram_quantiles_type1(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import histogram_quantiles
+
+    vals = list(range(1, 11))  # 1..10
+    ds = ray.data.from_items([{"v": v} for v in vals])
+    out = histogram_quantiles(ds, "v", [0.1, 0.25, 0.5, 0.75, 0.9])
+    got = dict(zip(out.column("p_e4").to_pylist(), out.column("value").to_pylist()))
+    # type-1: smallest value with cumulative count >= ceil(p*n)
+    assert got == {1000: 1, 2500: 3, 5000: 5, 7500: 8, 9000: 9}
+
+
+def test_histogram_quantiles_cardinality_guard(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import histogram_quantiles
+
+    ds = ray.data.from_items([{"v": i} for i in range(100)])
+    with pytest.raises(ValueError, match="cardinality"):
+        histogram_quantiles(ds, "v", [0.5], limit=10)
+
+
+def test_broadcast_semi_and_anti_join(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.relational import broadcast_semi_join, distinct_keys
+
+    facts = ray.data.from_items([{"id": i, "tag": "even" if i % 2 == 0 else "odd"} for i in range(20)])
+    evens = distinct_keys(facts.filter(expr="tag == 'even'"), "id")
+    assert list(evens) == list(range(0, 20, 2))
+    semi = broadcast_semi_join(facts, evens, "id").take_all()
+    anti = broadcast_semi_join(facts, evens, "id", anti=True).take_all()
+    assert sorted(r["id"] for r in semi) == list(range(0, 20, 2))
+    assert sorted(r["id"] for r in anti) == list(range(1, 20, 2))
+    # empty key set: semi keeps nothing, anti keeps all
+    none = broadcast_semi_join(facts, np.array([], dtype=np.int64), "id").take_all()
+    assert none == []
+
+
+def test_redact_batch_rules_and_counts(ray_session):
+    from opentapioca_ray.functions.redact import redact_batch
+
+    batch = pa.table(
+        {
+            "id": [1, 2, 3],
+            "text": [
+                "mail bob@example.com and 42 things",
+                "no pii here",
+                "127 main st, a1b2@x.io, code 9",
+            ],
+        }
+    )
+    out = redact_batch(batch, "text")
+    red = out.column("redacted").to_pylist()
+    n = out.column("n_redactions").to_pylist()
+    assert red[0] == "mail [EMAIL] and [NUM] things"
+    assert red[1] == "no pii here"
+    # the email is replaced FIRST, so its digits don't double-count
+    assert red[2] == "[NUM] main st, [EMAIL], code [NUM]"
+    assert n == [2, 0, 3]
