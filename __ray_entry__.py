@@ -578,17 +578,16 @@ def _q_customers_no_big_orders(sf_dir: str):
     import ray.data
 
     from opentapioca_ray.stages.aggregates import partial_sum_count
-    from opentapioca_ray.stages.relational import broadcast_semi_join, distinct_keys
+    from opentapioca_ray.stages.relational import semi_join
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
     big = orders.filter(expr="o_totalprice > 450000.0")
-    keys = distinct_keys(big, "o_custkey")
     customers = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
     )
-    no_big = broadcast_semi_join(customers, keys, "c_custkey", anti=True)
+    no_big = semi_join(customers, big, "c_custkey", "o_custkey", anti=True)
     agg = partial_sum_count(
         no_big,
         "c_nationkey",

@@ -124,3 +124,85 @@ def broadcast_semi_join(ds, keys: np.ndarray, left_key: str, anti: bool = False)
         return batch.filter(pa.array(~mask if anti else mask))
 
     return ds.map_batches(fil, batch_format="pyarrow")
+
+
+def shuffle_semi_join(
+    ds, build_ds, left_key: str, build_key: str, anti: bool = False, n_parts=None
+):
+    """Reduce-side semi/anti join for build sides too big to broadcast: tag
+    probe and build rows, ONE coarse exchange on hash(key) % P, then a
+    vectorized membership filter per partition. Build rows ship only their
+    key column; probe rows ship whole (inherent — they are the output).
+
+    Partitioning assumption: all rows of one key land in one partition
+    (guaranteed by the hash); a partition's rows fit in a worker's heap."""
+    import pandas as pd
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    # both union legs must share the probe schema (Ray 2.49 shuffles choke
+    # on heterogenous blocks); build rows carry nulls in every payload column
+    schema = ds.schema()
+    probe_fields = list(zip(schema.names, schema.types))
+
+    def tag_probe(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__side", pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        )
+
+    def tag_build(batch: pa.Table) -> pa.Table:
+        if build_key not in batch.column_names:
+            return batch
+        n = batch.num_rows
+        cols = {}
+        for name, typ in probe_fields:
+            if name == left_key:
+                cols[name] = batch.column(build_key).cast(typ)
+            else:
+                cols[name] = pa.nulls(n, typ)
+        out = pa.table(cols)
+        return out.append_column("__side", pa.array(np.ones(n, dtype=np.int8)))
+
+    probe = ds.map_batches(tag_probe, batch_format="pyarrow")
+    build = build_ds.select_columns([build_key]).map_batches(
+        tag_build, batch_format="pyarrow"
+    )
+    both = probe.union(build)
+
+    def filter_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "__side" not in df.columns:
+            return df
+        build_keys = df.loc[df["__side"] == 1, left_key].unique()
+        probe_rows = df[df["__side"] == 0].drop(columns="__side")
+        mask = probe_rows[left_key].isin(build_keys)
+        return probe_rows[~mask if anti else mask]
+
+    return coarse_group_apply(both, left_key, filter_partition, n_parts=n_parts)
+
+
+_SEMI_BROADCAST_LIMIT = 5_000_000
+
+
+def semi_join(
+    ds,
+    build_ds,
+    left_key: str,
+    build_key: str,
+    anti: bool = False,
+    mode: str = "auto",
+    broadcast_limit: int = _SEMI_BROADCAST_LIMIT,
+):
+    """Scale-adaptive semi/anti join: broadcast the deduped build-key set
+    when it fits (`distinct_keys` + `broadcast_semi_join` — no probe
+    shuffle), else ONE coarse exchange (`shuffle_semi_join`). `mode` forces
+    a regime ("broadcast" / "shuffle") for tests and known-shape inputs."""
+    if mode == "shuffle":
+        return shuffle_semi_join(ds, build_ds, left_key, build_key, anti)
+    if mode == "broadcast":
+        keys = distinct_keys(build_ds, build_key)
+        return broadcast_semi_join(ds, keys, left_key, anti)
+    try:
+        keys = distinct_keys(build_ds, build_key, limit=broadcast_limit)
+    except ValueError:
+        return shuffle_semi_join(ds, build_ds, left_key, build_key, anti)
+    return broadcast_semi_join(ds, keys, left_key, anti)
