@@ -431,6 +431,40 @@ def _q_ann_ivf(sf_dir: str):
     return ivf_topk(ds, queries, qids, centroids, k=10, nprobe=4)
 
 
+def _q_embedding_clusters(sf_dir: str):
+    """Distributed k-means (Lloyd's, combiner partials per pass) over the
+    embeddings table, reported as per-cluster size + mean assignment cosine.
+    Iterative float numerics — rows-only check; recovery/determinism are
+    pytest-golden (tests/test_cluster.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+    from opentapioca_ray.stages.cluster import kmeans_assign, kmeans_fit
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_fit(ds, k=8, iters=5)
+    labeled = kmeans_assign(ds, cents)
+    agg = partial_sum_count(
+        labeled, "cluster", ["cosine"], alias={"cosine": "sum_cosine", "count": "n_vectors"}
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "cluster": b.column("cluster"),
+                "n_vectors": b.column("n_vectors"),
+                "mean_cosine": pc.round(
+                    pc.divide(b.column("sum_cosine"), pc.cast(b.column("n_vectors"), pa.float64())), 6
+                ),
+            }
+        )
+        if "cluster" in b.column_names
+        else b,
+        batch_format="pyarrow",
+    )
+
+
 def _q_multimodal_meta(sf_dir: str):
     """Multimodal plumbing: documents -> synthetic binary media table ->
     image-decode actor stage (deterministic fake decode; geometry is a pure
@@ -871,6 +905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": _q_embedding_dedup,
         "ann_topk": _q_ann_topk,
         "ann_ivf": _q_ann_ivf,
+        "embedding_clusters": _q_embedding_clusters,
         "multimodal_meta": _q_multimodal_meta,
         "audio_energy": _q_audio_energy,
         "frame_samples": _q_frame_samples,
@@ -1423,7 +1458,8 @@ def oracle_sql() -> dict[str, str]:
                      AS frame_sha256
             FROM f
         """,
-        # ann_ivf / linkage_clusters: approximate-by-design or iterative —
+        # ann_ivf / embedding_clusters / linkage_clusters: approximate-by-design
+        # or iterative —
         # rows-only checks; the semantics are pytest-golden (tests/test_ann.py,
-        # tests/test_linkage.py).
+        # tests/test_cluster.py, tests/test_linkage.py).
     }
