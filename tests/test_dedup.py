@@ -179,3 +179,24 @@ def test_simhash_md5_pairs_equals_all_pairs(ray_session):
                 want[(u, v)] = ham
     assert got == want
     assert (10, 11) in got and got[(10, 11)] == 0  # exact dups
+
+
+def test_simhash_md5_pairs_edge_cases(ray_session):
+    """Empty docs join no pairs; short docs (< k tokens) collapse to the
+    whole-doc gram, so two identical 2-token docs pair at hamming 0 —
+    matching the SQL oracle's CASE len(arr) < 3 branch."""
+    import ray.data
+
+    from opentapioca_ray.stages.dedup import simhash_md5_pairs
+
+    docs = [
+        {"doc_id": 1, "text": ""},
+        {"doc_id": 2, "text": None},
+        {"doc_id": 3, "text": "two tokens"},
+        {"doc_id": 4, "text": "two tokens"},
+        {"doc_id": 5, "text": "different pair"},
+    ]
+    ds = ray.data.from_items(docs)
+    got = {(r["u"], r["v"]): r["hamming"] for r in simhash_md5_pairs(ds).take_all()}
+    assert got.get((3, 4)) == 0
+    assert all(1 not in p and 2 not in p for p in got)
