@@ -601,6 +601,19 @@ def _q_revenue_by_nation(sf_dir: str):
     )
 
 
+def _q_distinct_users_by_type(sf_dir: str):
+    """Exact COUNT(DISTINCT user) per event type via the combiner-dedup
+    operator — exchange volume bounded by distinct (type, user) pairs."""
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import distinct_count
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return distinct_count(ev, "event_type", "user_id", alias="n_users")
+
+
 def _q_customers_no_big_orders(sf_dir: str):
     """Broadcast anti-join: customers with no order above 450k, aggregated
     per nation with the map-side combiner. The build side (distinct big-
@@ -913,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
         "customers_no_big_orders": _q_customers_no_big_orders,
+        "distinct_users_by_type": _q_distinct_users_by_type,
         "redact_props": _q_redact_props,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -1330,6 +1344,10 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS nb_orders
             FROM orders GROUP BY o_custkey
             ORDER BY revenue DESC, o_custkey LIMIT 10
+        """,
+        "distinct_users_by_type": """
+            SELECT event_type, count(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type
         """,
         "customers_no_big_orders": """
             SELECT c_nationkey,

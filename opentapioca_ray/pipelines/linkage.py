@@ -538,8 +538,15 @@ def build_id_pairs(
         .groupby("part")
         .map_groups(pair_partition, batch_format="pandas")
     )
-    return pairs.groupby(["left_id", "right_id"]).aggregate(
-        Max("capped", alias_name="capped"), Count(alias_name="nb_bands")
+    # cross-band dedup via a SECOND coarse exchange + vectorized pandas
+    # aggregate — Ray's sort-based two-key groupby().aggregate() costs 106s
+    # on the same 1M pair rows this does in 1.5s (tiny numerous groups)
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    return coarse_groupby_agg(
+        pairs,
+        ["left_id", "right_id"],
+        {"capped": ("capped", "max"), "nb_bands": ("capped", "size")},
     )
 
 

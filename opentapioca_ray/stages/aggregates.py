@@ -107,3 +107,36 @@ def histogram_quantiles(
             "value": pa.array(vals[idx], type=pa.int64()),
         }
     )
+
+
+def distinct_count(ds, group_column: str, value_column: str, alias: str = "n_distinct"):
+    """Exact COUNT(DISTINCT value) per group, the scalable way: per-batch
+    unique (group, value) pairs (combiner), ONE groupby dedup over unique
+    pairs, then a combiner-first count per group. No per-group Python sets,
+    no driver collect; exchange volume is bounded by the number of DISTINCT
+    pairs, not input rows. (Approximate HLL is the sketch path when even
+    distinct pairs are too many; exactness here is what the oracle checks.)"""
+
+    def uniq_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or group_column not in batch.column_names:
+            return batch
+        return (
+            batch.select([group_column, value_column])
+            .group_by([group_column, value_column])
+            .aggregate([])
+        )
+
+    pairs = ds.map_batches(uniq_pairs, batch_format="pyarrow")
+    from ray.data.aggregate import Count
+
+    dedup = pairs.groupby([group_column, value_column]).aggregate(
+        Count(alias_name="_one")
+    )
+
+    def drop_one(batch: pa.Table) -> pa.Table:
+        if "_one" in batch.column_names:
+            return batch.drop_columns("_one")
+        return batch
+
+    dedup = dedup.map_batches(drop_one, batch_format="pyarrow")
+    return partial_sum_count(dedup, group_column, [], alias={"count": alias})

@@ -110,3 +110,57 @@ def segment_ids(sorted_keys: np.ndarray) -> np.ndarray:
         return np.zeros(0, dtype=np.int64)
     new = np.concatenate(([True], sorted_keys[1:] != sorted_keys[:-1]))
     return np.cumsum(new, dtype=np.int64) - 1
+
+
+def composite_codes(batch: pa.Table, key_cols: list[str], n_parts: int) -> pa.Array:
+    """Deterministic hash(key_cols...) % n_parts for multi-column keys.
+    Collisions only affect balance, never correctness (all rows of one key
+    still co-locate)."""
+    import pandas as pd_
+
+    acc = None
+    for i, col in enumerate(key_cols):
+        vals = batch.column(col).to_numpy(zero_copy_only=False)
+        h = pd_.util.hash_array(vals, hash_key=_HASH_KEY)
+        h = (h << np.uint64(i)) | (h >> np.uint64(64 - i)) if i else h
+        acc = h if acc is None else acc ^ h
+    return pa.array((acc % np.uint64(n_parts)).astype(np.int64), type=pa.int64())
+
+
+def coarse_groupby_agg(ds, key_cols: list[str], agg_spec: dict, n_parts: int | None = None):
+    """groupby(key_cols).agg(...) via ONE coarse exchange + a vectorized
+    pandas aggregate per partition — orders of magnitude cheaper than Ray's
+    sort-based multi-key `groupby().aggregate()` when groups are tiny and
+    numerous (measured 106s -> 1.5s on 1M pair rows / 33k groups at 32
+    CPUs). `agg_spec` maps output column -> (source column, pandas agg fn
+    name), e.g. {"capped": ("capped", "max"), "nb_bands": ("capped",
+    "size")}."""
+    n_parts = default_n_parts(n_parts)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        if key_cols[0] not in batch.column_names:
+            return batch
+        return batch.append_column("__part", composite_codes(batch, key_cols, n_parts))
+
+    def agg_partition(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns="__part", errors="ignore")
+        if df.empty:
+            # preserve dtypes so empty partitions stay schema-compatible
+            out = {c: df[c] for c in key_cols}
+            for out_col, (src, fn) in agg_spec.items():
+                out[out_col] = (
+                    pd.Series(dtype=np.int64)
+                    if fn == "size"
+                    else df[src].iloc[:0]
+                )
+            return pd.DataFrame(out)
+        g = df.groupby(key_cols, sort=False).agg(
+            **{out_col: (src, fn) for out_col, (src, fn) in agg_spec.items()}
+        )
+        return g.reset_index()
+
+    return (
+        ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(agg_partition, batch_format="pandas")
+    )

@@ -89,3 +89,20 @@ def test_redact_batch_rules_and_counts(ray_session):
     # the email is replaced FIRST, so its digits don't double-count
     assert red[2] == "[NUM] main st, [EMAIL], code [NUM]"
     assert n == [2, 0, 3]
+
+
+def test_distinct_count_matches_naive(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import distinct_count
+
+    rows = [{"g": i % 3, "v": (i * i) % 7} for i in range(200)]
+    ds = ray.data.from_items(rows)
+    got = {
+        r["g"]: r["n_distinct"]
+        for r in distinct_count(ds, "g", "v").take_all()
+    }
+    want = {}
+    for r in rows:
+        want.setdefault(r["g"], set()).add(r["v"])
+    assert got == {g: len(s) for g, s in want.items()}
