@@ -614,6 +614,63 @@ def _q_distinct_users_by_type(sf_dir: str):
     return distinct_count(ev, "event_type", "user_id", alias="n_users")
 
 
+def _q_price_quantiles_by_priority(sf_dir: str):
+    """Exact per-group quantiles of a CONTINUOUS column (no histogram
+    shortcut): one coarse exchange + vectorized segment quantiles. The
+    selected values are exact input elements, so the float hash against
+    DuckDB's quantile_disc is bit-exact."""
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import grouped_quantiles
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
+    )
+    return grouped_quantiles(
+        orders, "o_orderpriority", "o_totalprice", [0.25, 0.5, 0.9, 0.99]
+    )
+
+
+def _q_rolling_user_value(sf_dir: str):
+    """SQL window-frame aggregates (running SUM + 3-row rolling AVG per
+    user ordered by ts) without per-user groups: coarse exchange +
+    segment-aware cumsum in exact integer micro-units."""
+    import ray.data
+
+    from opentapioca_ray.stages.windows import windowed_frame
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return windowed_frame(ev, preceding=2)
+
+
+def _q_value_stats_by_type(sf_dir: str):
+    """Per-group mean/stddev + Pearson corr(value, user_id) from one
+    combiner pass over sufficient statistics (n, Σx, Σx², Σy, Σy², Σxy)."""
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import group_moments
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value", "user_id"]
+    )
+    return group_moments(ev, "event_type", "value", y_column="user_id")
+
+
+def _q_rollup_revenue(sf_dir: str):
+    """GROUP BY ROLLUP(priority, status): finest grain aggregated once from
+    the facts; every coarser level re-aggregates the previous level's tiny
+    output (no second scan)."""
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import rollup_sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+    return rollup_sum(orders, ["o_orderpriority", "o_orderstatus"], "o_totalprice")
+
+
 def _q_customers_no_big_orders(sf_dir: str):
     """Broadcast anti-join: customers with no order above 450k, aggregated
     per nation with the map-side combiner. The build side (distinct big-
@@ -927,6 +984,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": _q_events_by_type,
         "customers_no_big_orders": _q_customers_no_big_orders,
         "distinct_users_by_type": _q_distinct_users_by_type,
+        "price_quantiles_by_priority": _q_price_quantiles_by_priority,
+        "rolling_user_value": _q_rolling_user_value,
+        "value_stats_by_type": _q_value_stats_by_type,
+        "rollup_revenue": _q_rollup_revenue,
         "redact_props": _q_redact_props,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -1348,6 +1409,45 @@ def oracle_sql() -> dict[str, str]:
         "distinct_users_by_type": """
             SELECT event_type, count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
+        """,
+        "price_quantiles_by_priority": """
+            WITH q AS (
+              SELECT o_orderpriority,
+                     quantile_disc(o_totalprice, [0.25, 0.5, 0.9, 0.99]) AS vs
+              FROM orders GROUP BY o_orderpriority
+            )
+            SELECT o_orderpriority,
+                   unnest([2500, 5000, 9000, 9900]::BIGINT[]) AS p_e4,
+                   unnest(vs) AS value
+            FROM q
+        """,
+        "rolling_user_value": """
+            SELECT event_id,
+                   CAST(SUM(v_u) OVER w_run AS BIGINT) AS running_sum_u,
+                   CAST(SUM(v_u) OVER w_frame AS DOUBLE)
+                       / COUNT(*) OVER w_frame AS rolling_avg_u
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(round(value * 1000000) AS BIGINT) AS v_u
+                  FROM events)
+            WINDOW
+              w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              w_frame AS (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "value_stats_by_type": """
+            SELECT event_type, count(*) AS n,
+                   round(avg(value), 4) AS mean_x,
+                   round(stddev_samp(value), 4) AS stddev_x,
+                   round(corr(value, user_id), 4) AS corr_xy
+            FROM events GROUP BY event_type
+        """,
+        "rollup_revenue": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   CAST(round(sum(o_totalprice) * 10000, 0) AS BIGINT) AS total_e4,
+                   count(*) AS n
+            FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
         """,
         "customers_no_big_orders": """
             SELECT c_nationkey,

@@ -109,6 +109,198 @@ def histogram_quantiles(
     )
 
 
+def grouped_quantiles(ds, group_column: str, value_column: str, probs: list[float]):
+    """Exact per-group type-1 quantiles (`sorted[ceil(p*n)-1]`, DuckDB's
+    `quantile_disc` rule — verified empirically, so the oracle match is by
+    definition, not luck).
+
+    Scale shape: ONE coarse exchange on hash(group) % P ships only the two
+    pruned columns; each partition then handles ALL of its logical groups in
+    a single vectorized kernel — lexsort by (group, value), segment
+    boundaries, fancy-indexed quantile positions. No per-group pandas
+    groups, no driver collect, works for continuous (float) columns where
+    `histogram_quantiles` can't. Output: (group, p_e4, value); the selected
+    value is an exact input element (no interpolation arithmetic), so
+    float hashing is bit-exact against SQL."""
+    import pandas as pd
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply, segment_starts
+
+    probs_arr = np.asarray(sorted(probs), dtype=np.float64)
+    p_e4 = np.round(probs_arr * 10_000).astype(np.int64)
+
+    def quantile_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or group_column not in df.columns:
+            return pd.DataFrame(
+                {
+                    group_column: pd.Series(dtype=object),
+                    "p_e4": pd.Series(dtype=np.int64),
+                    "value": pd.Series(dtype=np.float64),
+                }
+            )
+        keys = df[group_column].to_numpy()
+        vals = df[value_column].to_numpy()
+        order = np.lexsort((vals, keys))
+        keys, vals = keys[order], vals[order]
+        starts = segment_starts(keys)
+        ends = np.concatenate((starts[1:], [len(keys)]))
+        sizes = ends - starts
+        # position of each prob inside each segment: start + ceil(p*n) - 1
+        offs = np.ceil(probs_arr[None, :] * sizes[:, None]).astype(np.int64)
+        offs = np.clip(offs, 1, sizes[:, None]) - 1
+        idx = (starts[:, None] + offs).ravel()
+        g = np.repeat(keys[starts], len(probs_arr))
+        return pd.DataFrame(
+            {
+                group_column: g,
+                "p_e4": np.tile(p_e4, len(starts)),
+                "value": vals[idx],
+            }
+        )
+
+    return coarse_group_apply(
+        ds.select_columns([group_column, value_column]),
+        group_column,
+        quantile_partition,
+    )
+
+
+def group_moments(
+    ds,
+    group_column: str,
+    x_column: str,
+    y_column: str | None = None,
+    ndigits: int = 4,
+):
+    """Per-group mean / sample-stddev (and Pearson corr when `y_column` is
+    given) from ONE combiner pass over sufficient statistics
+    (n, Σx, Σx², [Σy, Σy², Σxy]): per-batch Arrow group_by partials, a
+    small groupby-sum exchange, then a row-wise vectorized finalize.
+    Exchange volume is O(blocks × groups), never O(rows) — the classic
+    distributed-moments pattern. float64 sums are exact enough here
+    (inputs are O(1e5), corpora O(1e12) rows keep Σx² « 2^53 per group
+    only with pre-scaled inputs; callers with wide-magnitude columns
+    should pre-center — documented trade-off vs a Chan/Welford merge)."""
+
+    def add_squares(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or group_column not in batch.column_names:
+            return batch
+        x = pc.cast(batch.column(x_column), pa.float64())
+        cols = {group_column: batch.column(group_column), "_x": x,
+                "_xx": pc.multiply(x, x)}
+        if y_column is not None:
+            y = pc.cast(batch.column(y_column), pa.float64())
+            cols.update({"_y": y, "_yy": pc.multiply(y, y), "_xy": pc.multiply(x, y)})
+        return pa.table(cols)
+
+    sum_cols = ["_x", "_xx"] + (["_y", "_yy", "_xy"] if y_column else [])
+    partial = ds.map_batches(add_squares, batch_format="pyarrow")
+    merged = partial_sum_count(partial, group_column, sum_cols)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or group_column not in batch.column_names:
+            return batch
+        n = batch.column("count").to_numpy(zero_copy_only=False).astype(np.float64)
+        sx = batch.column("sum__x").to_numpy(zero_copy_only=False)
+        sxx = batch.column("sum__xx").to_numpy(zero_copy_only=False)
+        mean = sx / n
+        var = np.maximum(sxx - n * mean * mean, 0.0) / np.maximum(n - 1, 1.0)
+        out = {
+            group_column: batch.column(group_column),
+            "n": batch.column("count"),
+            "mean_x": pa.array(np.round(mean, ndigits)),
+            "stddev_x": pa.array(np.round(np.sqrt(var), ndigits)),
+        }
+        if y_column is not None:
+            sy = batch.column("sum__y").to_numpy(zero_copy_only=False)
+            syy = batch.column("sum__yy").to_numpy(zero_copy_only=False)
+            sxy = batch.column("sum__xy").to_numpy(zero_copy_only=False)
+            my = sy / n
+            cov = (sxy - n * mean * my) / np.maximum(n - 1, 1.0)
+            vy = np.maximum(syy - n * my * my, 0.0) / np.maximum(n - 1, 1.0)
+            denom = np.sqrt(var * vy)
+            corr = np.where(denom > 0, cov / np.where(denom > 0, denom, 1.0), np.nan)
+            out["corr_xy"] = pa.array(np.round(corr, ndigits))
+        return pa.table(out)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def rollup_sum(ds, key_columns: list[str], value_column: str, sentinel: str = "ALL"):
+    """GROUP BY ROLLUP(keys...) of SUM(value) + COUNT(*), computed the
+    scalable way: ONE pass over the facts builds the finest-grain partial
+    (combiner + small exchange); every coarser level re-aggregates the
+    PREVIOUS level's already-tiny output — never a second scan of the
+    input. Coarser levels mark collapsed keys with `sentinel` (COALESCE the
+    SQL side's NULLs to the same sentinel)."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or key_columns[0] not in batch.column_names:
+            return batch
+        t = batch.select(key_columns + [value_column])
+        g = pa.TableGroupBy(t, key_columns).aggregate(
+            [(value_column, "sum"), (value_column, "count")]
+        )
+        return g.rename_columns(key_columns + ["_sum", "_n"])
+
+    def merge(level_ds, keys: list[str]):
+        from ray.data.aggregate import Sum
+
+        if keys:
+            return level_ds.groupby(keys).aggregate(
+                Sum("_sum", alias_name="_sum"), Sum("_n", alias_name="_n")
+            )
+        return level_ds.groupby(None).aggregate(
+            Sum("_sum", alias_name="_sum"), Sum("_n", alias_name="_n")
+        )
+
+    fine = merge(ds.map_batches(partial, batch_format="pyarrow"), key_columns)
+
+    levels = [fine]
+    prev = fine
+    for depth in range(len(key_columns) - 1, -1, -1):
+        keys = key_columns[:depth]
+        coarser = merge(prev, keys)
+
+        def pad(batch: pa.Table, _keys=tuple(keys)) -> pa.Table:
+            if batch.num_rows == 0 or "_sum" not in batch.column_names:
+                return batch
+            cols = {}
+            for k in key_columns:
+                cols[k] = (
+                    batch.column(k)
+                    if k in _keys
+                    else pa.array([sentinel] * batch.num_rows, type=pa.string())
+                )
+            cols["_sum"] = batch.column("_sum")
+            cols["_n"] = batch.column("_n")
+            return pa.table(cols)
+
+        levels.append(coarser.map_batches(pad, batch_format="pyarrow"))
+        prev = coarser
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "_sum" not in batch.column_names:
+            return batch
+        cols = {k: batch.column(k) for k in key_columns}
+        # e4-scaled integer total: decimal inputs keep the true sum >=5e-5
+        # away from any rounding tie, so both sides land on the same int
+        cols["total_e4"] = pc.cast(
+            pc.round(pc.multiply(batch.column("_sum"), 10000.0), 0), pa.int64()
+        )
+        cols["n"] = batch.column("_n")
+        return pa.table(cols)
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def distinct_count(ds, group_column: str, value_column: str, alias: str = "n_distinct"):
     """Exact COUNT(DISTINCT value) per group, the scalable way: per-batch
     unique (group, value) pairs (combiner), ONE groupby dedup over unique

@@ -344,3 +344,73 @@ def interval_join_events(
         )
 
     return coarse_group_apply(unioned, "key", per_partition)
+
+
+def windowed_frame(
+    events_ds,
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    value_column: str = "value",
+    preceding: int = 2,
+):
+    """SQL window-frame aggregates per partition key: running SUM and
+    rolling AVG over `ROWS BETWEEN preceding PRECEDING AND CURRENT ROW`,
+    ordered by (ts, event_id) within each user (the event_id tie-break makes
+    the frame deterministic). Sums are exact int64 micro-units
+    (`running_sum_u`) and the rolling average is ONE IEEE division of two
+    exact integers (`rolling_avg_u`, micro-units) — no float accumulation
+    order, no decimal rounding, so the value hash against SQL is bit-exact
+    (round-half ties under a 4-decimal rounding would otherwise mismatch
+    numpy's half-even vs SQL's half-away on ~0.5% of rows).
+
+    Scale shape: ONE coarse exchange on hash(user) % P, then a single
+    vectorized kernel per partition — lexsort, segment boundaries, global
+    cumsum, and the frame sum as `cum[i] - cum[max(seg_start, i-preceding)
+    - 1]`. No per-user pandas groups (the tiny-group collapse at millions
+    of users), no sort of the whole dataset — order is only ever needed
+    WITHIN a user, so a partition-local sort suffices.
+    """
+    from opentapioca_ray.stages.exchange import coarse_group_apply, segment_ids
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype=np.int64),
+                "running_sum_u": pd.Series(dtype=np.int64),
+                "rolling_avg_u": pd.Series(dtype=np.float64),
+            }
+        )
+        if df.empty or user_column not in df.columns:
+            return empty
+        user = df[user_column].to_numpy(dtype=np.int64)
+        ts = df[ts_column].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = df["event_id"].to_numpy(dtype=np.int64)
+        vals = df[value_column].to_numpy(dtype=np.float64)
+        order = np.lexsort((eid, ts, user))
+        user, eid, vals = user[order], eid[order], vals[order]
+        # exact integer micro-units: float cumsum accumulates in a different
+        # order than SQL's frame-order sum; int64 arithmetic is order-free
+        vals_u = np.round(vals * 1_000_000).astype(np.int64)
+        seg = segment_ids(user)
+        seg_start = np.flatnonzero(
+            np.concatenate(([True], seg[1:] != seg[:-1]))
+        )[seg]
+        pos = np.arange(len(user), dtype=np.int64)
+        cum = np.concatenate(([0], np.cumsum(vals_u)))
+        lo = np.maximum(seg_start, pos - preceding)
+        frame_sum = cum[pos + 1] - cum[lo]
+        frame_n = pos - lo + 1
+        running = cum[pos + 1] - cum[seg_start]
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "running_sum_u": running,
+                "rolling_avg_u": frame_sum / frame_n,
+            }
+        )
+
+    return coarse_group_apply(
+        events_ds.select_columns([user_column, ts_column, "event_id", value_column]),
+        user_column,
+        per_partition,
+    )

@@ -106,3 +106,65 @@ def test_distinct_count_matches_naive(ray_session):
     for r in rows:
         want.setdefault(r["g"], set()).add(r["v"])
     assert got == {g: len(s) for g, s in want.items()}
+
+
+def test_grouped_quantiles_rule(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import grouped_quantiles
+
+    # duck rule: sorted[ceil(p*n)-1]; group "a" has n=4, group "b" n=1
+    rows = [{"g": "a", "v": float(x)} for x in [10, 40, 20, 30]]
+    rows.append({"g": "b", "v": 7.0})
+    got = grouped_quantiles(
+        ray.data.from_items(rows), "g", "v", [0.5, 0.9]
+    ).to_pandas()
+    vals = {(r.g, r.p_e4): r.value for r in got.itertuples()}
+    assert vals == {
+        ("a", 5000): 20.0,  # ceil(.5*4)=2nd
+        ("a", 9000): 40.0,  # ceil(.9*4)=4th
+        ("b", 5000): 7.0,
+        ("b", 9000): 7.0,
+    }
+
+
+def test_group_moments_matches_numpy(ray_session):
+    import numpy as np
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import group_moments
+
+    rng = np.random.RandomState(7)
+    rows = [
+        {"g": int(i % 3), "x": float(rng.rand() * 100), "y": float(rng.rand())}
+        for i in range(300)
+    ]
+    got = group_moments(
+        ray.data.from_items(rows), "g", "x", y_column="y"
+    ).to_pandas().set_index("g")
+    for g in range(3):
+        xs = np.array([r["x"] for r in rows if r["g"] == g])
+        ys = np.array([r["y"] for r in rows if r["g"] == g])
+        assert got.loc[g, "n"] == len(xs)
+        assert got.loc[g, "mean_x"] == round(float(xs.mean()), 4)
+        assert abs(got.loc[g, "stddev_x"] - float(xs.std(ddof=1))) < 1e-3
+        assert abs(got.loc[g, "corr_xy"] - float(np.corrcoef(xs, ys)[0, 1])) < 1e-3
+
+
+def test_rollup_sum_levels(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import rollup_sum
+
+    rows = [
+        {"a": "x", "b": "p", "v": 1.5},
+        {"a": "x", "b": "q", "v": 2.0},
+        {"a": "y", "b": "p", "v": 3.0},
+    ]
+    got = rollup_sum(ray.data.from_items(rows), ["a", "b"], "v").to_pandas()
+    key = {(r.a, r.b): (r.total_e4, r.n) for r in got.itertuples()}
+    assert key[("x", "p")] == (15000, 1)
+    assert key[("x", "ALL")] == (35000, 2)
+    assert key[("y", "ALL")] == (30000, 1)
+    assert key[("ALL", "ALL")] == (65000, 3)
+    assert len(key) == 6  # 3 fine + 2 mid + 1 grand

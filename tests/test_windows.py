@@ -177,3 +177,56 @@ def test_interval_join_matches_duckdb(ray_session):
         ).fetchall()
     }
     assert got == want and len(want) > 50
+
+
+def test_windowed_frame_segments(ray_session):
+    import datetime
+
+    import ray.data
+
+    from opentapioca_ray.stages.windows import windowed_frame
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        # user 1: 4 events; user 2: 1 event (shorter than the frame)
+        {"event_id": 1, "user_id": 1, "ts": t0, "value": 1.0},
+        {"event_id": 2, "user_id": 1, "ts": t0 + datetime.timedelta(seconds=1), "value": 2.0},
+        {"event_id": 3, "user_id": 1, "ts": t0 + datetime.timedelta(seconds=2), "value": 3.0},
+        {"event_id": 4, "user_id": 1, "ts": t0 + datetime.timedelta(seconds=3), "value": 4.0},
+        {"event_id": 5, "user_id": 2, "ts": t0, "value": 10.0},
+    ]
+    got = (
+        windowed_frame(ray.data.from_items(rows), preceding=2)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert list(got["running_sum_u"]) == [
+        1_000_000, 3_000_000, 6_000_000, 10_000_000, 10_000_000,
+    ]
+    # rolling avg over <=3-row frame, micro-units
+    assert list(got["rolling_avg_u"]) == [
+        1_000_000.0, 1_500_000.0, 2_000_000.0, 3_000_000.0, 10_000_000.0,
+    ]
+
+
+def test_windowed_frame_ts_tiebreak(ray_session):
+    import datetime
+
+    import ray.data
+
+    from opentapioca_ray.stages.windows import windowed_frame
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # identical ts: order must fall back to event_id
+    rows = [
+        {"event_id": 2, "user_id": 1, "ts": t0, "value": 5.0},
+        {"event_id": 1, "user_id": 1, "ts": t0, "value": 1.0},
+    ]
+    got = (
+        windowed_frame(ray.data.from_items(rows), preceding=0)
+        .to_pandas()
+        .set_index("event_id")
+    )
+    assert got.loc[1, "running_sum_u"] == 1_000_000
+    assert got.loc[2, "running_sum_u"] == 6_000_000
