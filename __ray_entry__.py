@@ -671,6 +671,73 @@ def _q_rollup_revenue(sf_dir: str):
     return rollup_sum(orders, ["o_orderpriority", "o_orderstatus"], "o_totalprice")
 
 
+def _q_lineitem_orders_join(sf_dir: str):
+    """Big-big reduce-side equi-join (neither side broadcast): lineitem x
+    orders co-partitioned on hash(orderkey), vectorized merge per
+    partition, then a combiner-first aggregate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+    from opentapioca_ray.stages.relational import shuffle_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_extendedprice" not in batch.column_names:
+            return batch
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table(
+            {"o_orderpriority": batch.column("o_orderpriority"), "rev": rev}
+        )
+
+    joined = shuffle_join(
+        li, orders, "l_orderkey", "o_orderkey", ["o_orderpriority"]
+    ).map_batches(revenue, batch_format="pyarrow")
+    agg = partial_sum_count(joined, "o_orderpriority", ["rev"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "sum_rev" not in batch.column_names:
+            return batch
+        return pa.table(
+            {
+                "o_orderpriority": batch.column("o_orderpriority"),
+                "revenue_e4": pc.cast(
+                    pc.round(pc.multiply(batch.column("sum_rev"), 10000.0), 0),
+                    pa.int64(),
+                ),
+                "n_items": batch.column("count"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_triangle_count(sf_dir: str):
+    """Distributed triangle count of the part co-occurrence graph
+    (parts sharing an order): degree-oriented wedge generation + closure
+    join, every stage a coarse exchange + vectorized kernel."""
+    import ray.data
+
+    from opentapioca_ray.stages.triangles import cooccurrence_edges, count_triangles
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return count_triangles(edges)
+
+
 def _q_customers_no_big_orders(sf_dir: str):
     """Broadcast anti-join: customers with no order above 450k, aggregated
     per nation with the map-side combiner. The build side (distinct big-
@@ -988,6 +1055,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_value": _q_rolling_user_value,
         "value_stats_by_type": _q_value_stats_by_type,
         "rollup_revenue": _q_rollup_revenue,
+        "lineitem_orders_join": _q_lineitem_orders_join,
+        "triangle_count": _q_triangle_count,
         "redact_props": _q_redact_props,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -1448,6 +1517,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(o_totalprice) * 10000, 0) AS BIGINT) AS total_e4,
                    count(*) AS n
             FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        """,
+        "lineitem_orders_join": """
+            SELECT o_orderpriority,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 10000, 0)
+                        AS BIGINT) AS revenue_e4,
+                   count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority
+        """,
+        "triangle_count": """
+            WITH e AS (
+              SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                              GREATEST(a.l_partkey, b.l_partkey) AS v
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            )
+            SELECT count(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
         """,
         "customers_no_big_orders": """
             SELECT c_nationkey,

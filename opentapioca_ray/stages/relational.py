@@ -206,3 +206,88 @@ def semi_join(
     except ValueError:
         return shuffle_semi_join(ds, build_ds, left_key, build_key, anti)
     return broadcast_semi_join(ds, keys, left_key, anti)
+
+
+def shuffle_join(
+    probe_ds,
+    build_ds,
+    left_key: str,
+    build_key: str,
+    payload_columns: list[str],
+    how: str = "inner",
+    n_parts: int | None = None,
+):
+    """Reduce-side equi-join for two BIG tables (neither side broadcastable):
+    tag probe and build rows, pad both legs to one shared schema (Ray 2.49
+    shuffles choke on heterogeneous union blocks), ONE coarse exchange on
+    hash(key) % P, then a vectorized pandas merge per partition. Build rows
+    ship only key + payload columns; m:n keys fan out exactly like SQL.
+
+    Partitioning assumption: all rows of one key land in one partition
+    (guaranteed by the hash); a partition's probe+build rows fit in a
+    worker's heap — skewed single keys need a caller-side salt/cap."""
+    import pandas as pd
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    schema = probe_ds.schema()
+    probe_fields = list(zip(schema.names, schema.types))
+    bschema = build_ds.schema()
+    pay_fields = [
+        (c, bschema.types[bschema.names.index(c)]) for c in payload_columns
+    ]
+
+    def tag_probe(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or left_key not in batch.column_names:
+            return batch
+        out = batch
+        for c, typ in pay_fields:
+            out = out.append_column(c, pa.nulls(batch.num_rows, typ))
+        return out.append_column(
+            "__side", pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        )
+
+    def tag_build(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or build_key not in batch.column_names:
+            return batch
+        n = batch.num_rows
+        cols = {}
+        for name, typ in probe_fields:
+            if name == left_key:
+                cols[name] = batch.column(build_key).cast(typ)
+            else:
+                cols[name] = pa.nulls(n, typ)
+        for c, _ in pay_fields:
+            cols[c] = batch.column(c)
+        out = pa.table(cols)
+        return out.append_column("__side", pa.array(np.ones(n, dtype=np.int8)))
+
+    probe = probe_ds.map_batches(tag_probe, batch_format="pyarrow")
+    build = build_ds.select_columns(
+        [build_key] + [c for c in payload_columns if c != build_key]
+    ).map_batches(tag_build, batch_format="pyarrow")
+    both = probe.union(build)
+    probe_cols = [n for n, _ in probe_fields]
+    pay_cols = [c for c, _ in pay_fields]
+    # the union's null-padded build rows widen probe int columns to float64
+    # in pandas; restore the original dtypes after splitting the sides
+    probe_dtypes = dict(
+        pa.schema([pa.field(n, t) for n, t in probe_fields])
+        .empty_table()
+        .to_pandas()
+        .dtypes
+    )
+
+    def join_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "__side" not in df.columns:
+            return pd.DataFrame({c: [] for c in probe_cols + pay_cols})
+        left = df.loc[df["__side"] == 0, probe_cols]
+        for c, dt in probe_dtypes.items():
+            if left[c].dtype != dt:
+                left = left.assign(**{c: left[c].astype(dt)})
+        right = df.loc[df["__side"] == 1, [left_key] + pay_cols]
+        return left.merge(
+            right, on=left_key, how="inner" if how == "inner" else "left"
+        )
+
+    return coarse_group_apply(both, left_key, join_partition, n_parts=n_parts)

@@ -1,0 +1,247 @@
+"""Distributed triangle counting (degree-oriented wedge join).
+
+The classic scalable algorithm (Suri & Vassilvitskii's MapReduce formulation,
+"Counting triangles and the curse of the last reducer", WWW'11): orient every
+undirected edge from its lower-(degree, id) endpoint to the higher one — this
+bounds every node's OUT-degree by O(sqrt(|E|)) regardless of how skewed the
+raw degree distribution is (the hub's edges point INTO it) — generate wedges
+(a, b) from each node's oriented out-neighborhood, and count wedges that are
+themselves oriented edges. Every step is a coarse hash exchange + one
+vectorized numpy/pandas kernel per partition; nothing is per-row Python and
+nothing lands on the driver except the final P partial counts.
+
+Stages (exchanges marked *):
+  1. degrees:    flat endpoints -> combiner-first count per node        (*)
+  2. attach:     deg(u), deg(v) onto each edge — broadcast lookup when
+                 the degree table is small, reduce-side `shuffle_join`
+                 otherwise                                              (*)×2
+  3. orient:     src = argmin_{(deg, id)}(u, v)  — pure map
+  4. wedges:     exchange on src; per-partition segment pair kernel     (*)
+  5. closure:    wedges ∪ oriented edges exchanged on hash(a, b);
+                 per-partition vectorized merge-count                   (*)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _segment_pairs(keys: np.ndarray):
+    """All within-segment ordered index pairs (i, j), i<j, of a SORTED key
+    array — one vectorized kernel for every logical group in a partition.
+    Returns (left_idx, right_idx) into the input order."""
+    n = len(keys)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    new = np.concatenate(([True], keys[1:] != keys[:-1]))
+    seg_start = np.flatnonzero(new)
+    seg_id = np.cumsum(new) - 1
+    seg_end = np.concatenate((seg_start[1:], [n]))
+    pos = np.arange(n, dtype=np.int64)
+    start = seg_start[seg_id]
+    end = seg_end[seg_id]
+    # row i pairs with every later row of its segment
+    rep = end - pos - 1
+    left = np.repeat(pos, rep)
+    run_start = np.concatenate(([0], np.cumsum(rep)[:-1]))
+    right = np.arange(rep.sum(), dtype=np.int64) - np.repeat(run_start, rep) + left + 1
+    return left, right
+
+
+def cooccurrence_edges(ds, group_column: str, item_column: str):
+    """Distinct undirected item pairs (u < v) co-occurring in a group.
+    One coarse exchange on the group key, a per-partition segment pair
+    kernel over all of the partition's groups, a map-side partial dedup,
+    then one coarse dedup exchange on (u, v)."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply, coarse_groupby_agg
+
+    def pair_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
+        )
+        if df.empty or group_column not in df.columns:
+            return empty
+        g = df[group_column].to_numpy()
+        it = df[item_column].to_numpy(dtype=np.int64)
+        order = np.lexsort((it, g))
+        g, it = g[order], it[order]
+        # dedupe (group, item) so one group never emits a pair twice
+        keep = np.concatenate(([True], (g[1:] != g[:-1]) | (it[1:] != it[:-1])))
+        g, it = g[keep], it[keep]
+        li, ri = _segment_pairs(g)
+        if len(li) == 0:
+            return empty
+        u, v = it[li], it[ri]  # it sorted within group => u < v
+        # partial dedup inside the partition before the (u, v) exchange
+        return pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+
+    pairs = coarse_group_apply(
+        ds.select_columns([group_column, item_column]), group_column, pair_partition
+    )
+    dedup = coarse_groupby_agg(pairs, ["u", "v"], {"_n": ("u", "size")})
+    return dedup.map_batches(
+        lambda b: b.drop_columns("_n") if "_n" in b.column_names else b,
+        batch_format="pyarrow",
+    )
+
+
+_DEG_BROADCAST_LIMIT = 5_000_000
+
+
+def count_triangles(edges_ds, mode: str = "auto"):
+    """Total triangle count of an undirected simple graph given as distinct
+    (u < v) int64 edges. Returns a single-row dataset (n_triangles: int64).
+    `mode`: "broadcast" forces the degree lookup onto ray.put state,
+    "shuffle" forces the reduce-side attach, "auto" picks by |V|."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+    from opentapioca_ray.stages.exchange import composite_codes, default_n_parts
+    from opentapioca_ray.stages.relational import broadcast_join, shuffle_join
+
+    # -- 1. degrees (combiner-first count over both endpoints)
+    def endpoints(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.schema([pa.field("node", pa.int64())]).empty_table()
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch.column("u").combine_chunks().cast(pa.int64()),
+                        batch.column("v").combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        )
+
+    deg = partial_sum_count(
+        edges_ds.map_batches(endpoints, batch_format="pyarrow"),
+        "node",
+        [],
+        alias={"count": "deg"},
+    )
+
+    # -- 2. attach deg(u), deg(v)
+    if mode == "auto":
+        mode = "broadcast" if deg.count() <= _DEG_BROADCAST_LIMIT else "shuffle"
+    if mode == "broadcast":
+        deg_tbl = pa.concat_tables(
+            [t for t in (ray.get(r) for r in deg.to_arrow_refs())
+             if t.num_rows and "node" in t.column_names]
+        )
+        with_du = broadcast_join(edges_ds, deg_tbl, "u", "node", ["deg"])
+        with_du = with_du.map_batches(
+            lambda b: b.rename_columns(["u", "v", "deg_u"]), batch_format="pyarrow"
+        )
+        with_dv = broadcast_join(with_du, deg_tbl, "v", "node", ["deg"])
+        attached = with_dv.map_batches(
+            lambda b: b.rename_columns(["u", "v", "deg_u", "deg_v"]),
+            batch_format="pyarrow",
+        )
+    else:
+        deg_u = deg.map_batches(
+            lambda b: b.rename_columns(["node", "deg_u"])
+            if "node" in b.column_names else b,
+            batch_format="pyarrow",
+        )
+        deg_v = deg.map_batches(
+            lambda b: b.rename_columns(["node", "deg_v"])
+            if "node" in b.column_names else b,
+            batch_format="pyarrow",
+        )
+        attached = shuffle_join(edges_ds, deg_u, "u", "node", ["deg_u"])
+        attached = shuffle_join(attached, deg_v, "v", "node", ["deg_v"])
+
+    # -- 3. orient low-(deg, id) -> high-(deg, id)
+    def orient(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.schema(
+                [pa.field(c, pa.int64()) for c in ("src", "dst", "rank_dst")]
+            ).empty_table()
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        du = batch.column("deg_u").to_numpy(zero_copy_only=False)
+        dv = batch.column("deg_v").to_numpy(zero_copy_only=False)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        ddst = np.where(u_first, dv, du)
+        # single sortable rank for the wedge ordering: (deg, id) packed —
+        # degrees and ids both < 2^31 here; callers with larger domains
+        # sort by the two columns instead
+        rank_dst = ddst.astype(np.int64) * np.int64(1 << 31) + dst.astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(src.astype(np.int64)),
+                "dst": pa.array(dst.astype(np.int64)),
+                "rank_dst": pa.array(rank_dst),
+            }
+        )
+
+    oriented = attached.map_batches(orient, batch_format="pyarrow")
+
+    # -- 4. wedges from each source's oriented out-neighborhood
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    def wedge_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"a": pd.Series(dtype=np.int64), "b": pd.Series(dtype=np.int64)}
+        )
+        if df.empty or "src" not in df.columns:
+            return empty
+        src = df["src"].to_numpy(dtype=np.int64)
+        dst = df["dst"].to_numpy(dtype=np.int64)
+        rank = df["rank_dst"].to_numpy(dtype=np.int64)
+        order = np.lexsort((rank, src))
+        src, dst = src[order], dst[order]
+        li, ri = _segment_pairs(src)
+        if len(li) == 0:
+            return empty
+        # pair ordered by rank => (a, b) matches the edge orientation
+        return pd.DataFrame({"a": dst[li], "b": dst[ri]})
+
+    wedges = coarse_group_apply(oriented, "src", wedge_partition)
+
+    # -- 5. closure: count wedges that are oriented edges, co-partitioned
+    #       on hash(a, b)
+    n_parts = default_n_parts()
+
+    def tag_wedge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return batch
+        t = pa.table({"a": batch.column("a"), "b": batch.column("b")})
+        t = t.append_column(
+            "__side", pa.array(np.zeros(batch.num_rows, dtype=np.int8))
+        )
+        return t.append_column("__part", composite_codes(t, ["a", "b"], n_parts))
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src" not in batch.column_names:
+            return batch
+        t = pa.table({"a": batch.column("src"), "b": batch.column("dst")})
+        t = t.append_column(
+            "__side", pa.array(np.ones(batch.num_rows, dtype=np.int8))
+        )
+        return t.append_column("__part", composite_codes(t, ["a", "b"], n_parts))
+
+    both = wedges.map_batches(tag_wedge, batch_format="pyarrow").union(
+        oriented.map_batches(tag_edge, batch_format="pyarrow")
+    )
+
+    def close_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "__side" not in df.columns:
+            return pd.DataFrame({"n": pd.Series(dtype=np.int64)})
+        w = df.loc[df["__side"] == 0, ["a", "b"]]
+        e = df.loc[df["__side"] == 1, ["a", "b"]].drop_duplicates()
+        n = len(w.merge(e, on=["a", "b"]))
+        return pd.DataFrame({"n": [n]})
+
+    partials = both.groupby("__part").map_groups(
+        close_partition, batch_format="pandas"
+    )
+    total = partials.groupby(None).aggregate(Sum("n", alias_name="n_triangles"))
+    return total
