@@ -671,6 +671,20 @@ def _q_rollup_revenue(sf_dir: str):
     return rollup_sum(orders, ["o_orderpriority", "o_orderstatus"], "o_totalprice")
 
 
+def _q_approx_distinct_users(sf_dir: str):
+    """KMV (K-minimum-values) distinct sketch per event type: exchange
+    volume bounded at K rows per (group, block) instead of all distinct
+    pairs. Deterministic md5 hashing makes the DuckDB twin EXACT."""
+    import ray.data
+
+    from opentapioca_ray.stages.sketches import approx_distinct
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
+    )
+    return approx_distinct(ev, "event_type", "user_id", k=256, alias="n_approx")
+
+
 def _q_lineitem_orders_join(sf_dir: str):
     """Big-big reduce-side equi-join (neither side broadcast): lineitem x
     orders co-partitioned on hash(orderkey), vectorized merge per
@@ -1055,6 +1069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_user_value": _q_rolling_user_value,
         "value_stats_by_type": _q_value_stats_by_type,
         "rollup_revenue": _q_rollup_revenue,
+        "approx_distinct_users": _q_approx_distinct_users,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "triangle_count": _q_triangle_count,
         "redact_props": _q_redact_props,
@@ -1517,6 +1532,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(o_totalprice) * 10000, 0) AS BIGINT) AS total_e4,
                    count(*) AS n
             FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        """,
+        "approx_distinct_users": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     ('0x' || substr(md5(user_id::VARCHAR), 1, 16))::UBIGINT AS hv
+              FROM events
+            ),
+            r AS (
+              SELECT event_type, hv,
+                     row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+              FROM h
+            ),
+            k AS (
+              SELECT event_type,
+                     max(hv) FILTER (WHERE rk <= 256) AS kth,
+                     count(*) AS m
+              FROM r GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(CASE WHEN m < 256 THEN m
+                        ELSE floor(255 * 18446744073709551616.0 / kth + 0.5)
+                        END AS BIGINT) AS n_approx
+            FROM k
         """,
         "lineitem_orders_join": """
             SELECT o_orderpriority,

@@ -47,6 +47,13 @@ BENCH_QUERIES = [
     "window_agg",
     "sessions",
     "asof_clicks",
+    "distinct_users_by_type",
+    "price_quantiles_by_priority",
+    "rolling_user_value",
+    "value_stats_by_type",
+    "rollup_revenue",
+    "lineitem_orders_join",
+    "triangle_count",
     "linkage_clusters",
 ]
 

@@ -1,0 +1,44 @@
+"""KMV distinct sketch: exactness under K, accuracy over K, determinism."""
+import numpy as np
+import ray.data
+
+from opentapioca_ray.stages.sketches import _k_smallest, _md5_u64, approx_distinct
+
+
+def test_k_smallest_kernel():
+    g = np.array(["a", "a", "a", "b", "a"], dtype=object)
+    hv = np.array([5, 3, 3, 9, 7], dtype=np.uint64)
+    g2, hv2 = _k_smallest(g, hv, 2)
+    assert list(zip(g2, hv2.tolist())) == [("a", 3), ("a", 5), ("b", 9)]
+
+
+def test_md5_u64_matches_reference_convention():
+    import hashlib
+
+    vals = np.array(["42", "x"], dtype=object)
+    got = _md5_u64(vals)
+    want = [
+        int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") for s in vals
+    ]
+    assert got.tolist() == want
+
+
+def test_approx_distinct_exact_under_k(ray_session):
+    rows = [{"g": "a", "v": i % 17} for i in range(300)] + [
+        {"g": "b", "v": i % 5} for i in range(50)
+    ]
+    got = {
+        r["g"]: r["n_approx"]
+        for r in approx_distinct(
+            ray.data.from_items(rows), "g", "v", k=64
+        ).take_all()
+    }
+    assert got == {"a": 17, "b": 5}  # both groups under K -> exact
+
+
+def test_approx_distinct_accuracy_over_k(ray_session):
+    # 5000 distinct values, K=256 -> relative error ~6%; assert 4 sigma
+    rows = [{"g": "a", "v": i} for i in range(5000)]
+    got = approx_distinct(ray.data.from_items(rows), "g", "v", k=256).take_all()
+    est = got[0]["n_approx"]
+    assert abs(est - 5000) / 5000 < 0.25
