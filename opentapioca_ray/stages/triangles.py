@@ -88,6 +88,7 @@ def cooccurrence_edges(ds, group_column: str, item_column: str):
 
 
 _DEG_BROADCAST_LIMIT = 5_000_000
+_EDGE_BROADCAST_LIMIT = 50_000_000  # packed uint64 edge set, <= 400 MB plasma
 
 
 def count_triangles(edges_ds, mode: str = "auto"):
@@ -101,7 +102,12 @@ def count_triangles(edges_ds, mode: str = "auto"):
 
     from opentapioca_ray.stages.aggregates import partial_sum_count
     from opentapioca_ray.stages.exchange import composite_codes, default_n_parts
-    from opentapioca_ray.stages.relational import broadcast_join, shuffle_join
+    from opentapioca_ray.stages.relational import shuffle_join
+
+    # the edge list is consumed by several downstream passes (degrees,
+    # attach, wedge generation) — pin it in the object store ONCE instead
+    # of re-executing the upstream extraction per pass
+    edges_ds = edges_ds.materialize()
 
     # -- 1. degrees (combiner-first count over both endpoints)
     def endpoints(batch: pa.Table) -> pa.Table:
@@ -123,25 +129,49 @@ def count_triangles(edges_ds, mode: str = "auto"):
         "node",
         [],
         alias={"count": "deg"},
-    )
+    ).materialize()
 
     # -- 2. attach deg(u), deg(v)
     if mode == "auto":
-        mode = "broadcast" if deg.count() <= _DEG_BROADCAST_LIMIT else "shuffle"
+        mode = (
+            "broadcast"
+            if deg.count() <= _DEG_BROADCAST_LIMIT
+            and edges_ds.count() <= _EDGE_BROADCAST_LIMIT
+            else "shuffle"
+        )
     if mode == "broadcast":
+        # fused attach+orient: one ray.put of the sorted (node, deg) arrays,
+        # one map over the edges — no join passes, no renames
         deg_tbl = pa.concat_tables(
             [t for t in (ray.get(r) for r in deg.to_arrow_refs())
              if t.num_rows and "node" in t.column_names]
         )
-        with_du = broadcast_join(edges_ds, deg_tbl, "u", "node", ["deg"])
-        with_du = with_du.map_batches(
-            lambda b: b.rename_columns(["u", "v", "deg_u"]), batch_format="pyarrow"
-        )
-        with_dv = broadcast_join(with_du, deg_tbl, "v", "node", ["deg"])
-        attached = with_dv.map_batches(
-            lambda b: b.rename_columns(["u", "v", "deg_u", "deg_v"]),
-            batch_format="pyarrow",
-        )
+        nodes = deg_tbl.column("node").to_numpy(zero_copy_only=False)
+        degs = deg_tbl.column("deg").to_numpy(zero_copy_only=False)
+        o = np.argsort(nodes)
+        deg_ref = ray.put((nodes[o], degs[o].astype(np.int64)))
+
+        def attach_broadcast(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "u" not in batch.column_names:
+                return pa.schema(
+                    [pa.field(c, pa.int64())
+                     for c in ("u", "v", "deg_u", "deg_v")]
+                ).empty_table()
+            n_sorted, d_sorted = ray.get(deg_ref)
+            u = batch.column("u").to_numpy(zero_copy_only=False)
+            v = batch.column("v").to_numpy(zero_copy_only=False)
+            du = d_sorted[np.searchsorted(n_sorted, u)]
+            dv = d_sorted[np.searchsorted(n_sorted, v)]
+            return pa.table(
+                {
+                    "u": pa.array(u.astype(np.int64)),
+                    "v": pa.array(v.astype(np.int64)),
+                    "deg_u": pa.array(du),
+                    "deg_v": pa.array(dv),
+                }
+            )
+
+        attached = edges_ds.map_batches(attach_broadcast, batch_format="pyarrow")
     else:
         deg_u = deg.map_batches(
             lambda b: b.rename_columns(["node", "deg_u"])
@@ -184,8 +214,53 @@ def count_triangles(edges_ds, mode: str = "auto"):
 
     oriented = attached.map_batches(orient, batch_format="pyarrow")
 
-    # -- 4. wedges from each source's oriented out-neighborhood
     from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    # -- 4+5 fast path: when the oriented edge set fits in the object store
+    # (packed (src << 32 | dst) uint64s), broadcast it ONCE via ray.put and
+    # close wedges inside the wedge partition kernel — the O(sum outdeg^2)
+    # wedge rows never leave the worker; only P count rows move. The
+    # wedge-emission exchange below is the 100 TB fallback.
+    if mode == "broadcast":
+        oriented = oriented.materialize()
+        packed_parts = []
+        for ref in oriented.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows == 0 or "src" not in t.column_names:
+                continue
+            s = t.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
+            d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+            packed_parts.append((s << np.uint64(32)) | d)
+        if not packed_parts:
+            return ray.data.from_arrow(
+                pa.table({"n_triangles": pa.array([0], type=pa.int64())})
+            )
+        edge_set_ref = ray.put(np.sort(np.concatenate(packed_parts)))
+
+        def wedge_count_partition(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty or "src" not in df.columns:
+                return pd.DataFrame({"n": pd.Series(dtype=np.int64)})
+            src = df["src"].to_numpy(dtype=np.int64)
+            dst = df["dst"].to_numpy(dtype=np.int64)
+            rank = df["rank_dst"].to_numpy(dtype=np.int64)
+            order = np.lexsort((rank, src))
+            src, dst = src[order], dst[order]
+            li, ri = _segment_pairs(src)
+            if len(li) == 0:
+                return pd.DataFrame({"n": [0]})
+            edge_set = ray.get(edge_set_ref)
+            w = (dst[li].astype(np.uint64) << np.uint64(32)) | dst[ri].astype(
+                np.uint64
+            )
+            idx = np.searchsorted(edge_set, w)
+            idx = np.clip(idx, 0, len(edge_set) - 1)
+            n = int((edge_set[idx] == w).sum())
+            return pd.DataFrame({"n": [n]})
+
+        partials = coarse_group_apply(oriented, "src", wedge_count_partition)
+        return partials.groupby(None).aggregate(Sum("n", alias_name="n_triangles"))
+
+    # -- 4. wedges from each source's oriented out-neighborhood
 
     def wedge_partition(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
