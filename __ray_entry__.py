@@ -671,6 +671,20 @@ def _q_rollup_revenue(sf_dir: str):
     return rollup_sum(orders, ["o_orderpriority", "o_orderstatus"], "o_totalprice")
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """Top-3 TF-IDF terms per document: batch-local term frequencies, a
+    combiner-first df aggregate, broadcast IDF lookup, quantized-score
+    ranking (nothing float reaches the hash)."""
+    import ray.data
+
+    from opentapioca_ray.stages.tfidf import tfidf_top_terms
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return tfidf_top_terms(docs, "doc_id", "text", top_n=3)
+
+
 def _q_approx_distinct_users(sf_dir: str):
     """KMV (K-minimum-values) distinct sketch per event type: exchange
     volume bounded at K rows per (group, block) instead of all distinct
@@ -1070,6 +1084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_stats_by_type": _q_value_stats_by_type,
         "rollup_revenue": _q_rollup_revenue,
         "approx_distinct_users": _q_approx_distinct_users,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "triangle_count": _q_triangle_count,
         "redact_props": _q_redact_props,
@@ -1532,6 +1547,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(o_totalprice) * 10000, 0) AS BIGINT) AS total_e4,
                    count(*) AS n
             FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        """,
+        "tfidf_top_terms": f"""
+            WITH {tok_cte},
+            tf AS (
+              SELECT doc_id, word, count(*) AS tf FROM tokens GROUP BY 1, 2
+            ),
+            df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+            n AS (SELECT count(*) AS n_docs FROM documents),
+            s AS (
+              SELECT t.doc_id, t.word,
+                     CAST(floor(t.tf * ln((SELECT n_docs FROM n) / d.df)
+                                * 1000000 + 0.5) AS BIGINT) AS score_e6
+              FROM tf t JOIN df d USING (word)
+            ),
+            r AS (
+              SELECT doc_id, word,
+                     row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score_e6 DESC, word
+                     ) AS rk
+              FROM s
+            )
+            SELECT doc_id, word, rk FROM r WHERE rk <= 3
         """,
         "approx_distinct_users": """
             WITH h AS (

@@ -1,0 +1,184 @@
+"""TF-IDF top terms per document.
+
+Scale shape: term frequencies never leave their batch (documents are whole
+rows, so tf is batch-local); only the (word, df) vocabulary aggregate moves
+— combiner-first, O(blocks × vocab-in-block) rows. The IDF lookup is
+broadcast (ray.put of sorted arrays) when the vocabulary fits, else a
+reduce-side `shuffle_join` on word + a coarse per-doc top-k exchange.
+
+Scores are quantized to integer micro-units BEFORE ranking: numpy's log and
+SQL's ln can differ in the last ulp (different libm builds), and
+structurally-tied scores (tf=2 @ df=x vs tf=1 @ df=x²/N both give k·ln 2)
+would otherwise rank-flip between the two sides. Quantized equals fall back
+to the word tie-break, which both sides share. The emitted columns are
+(doc_id, word, rk) — integers and strings only, nothing float reaches the
+oracle hash.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_VOCAB_BROADCAST_LIMIT = 20_000_000
+
+
+def _tf_batch(batch: pa.Table, id_column: str, text_column: str) -> pa.Table:
+    """Per-(doc, word) term frequencies of one batch — tokenize_flat +
+    one lexsort + segment run-length counts, no Python loops."""
+    from opentapioca_ray.functions.text import tokenize_flat
+
+    empty = pa.table(
+        {
+            id_column: pa.array([], type=pa.int64()),
+            "word": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64()),
+        }
+    )
+    if batch.num_rows == 0 or id_column not in batch.column_names:
+        return empty
+    ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+    toks, counts = tokenize_flat(
+        [(t or "") for t in batch.column(text_column).to_pylist()]
+    )
+    if len(toks) == 0:
+        return empty
+    doc_rep = np.repeat(ids, counts)
+    order = np.lexsort((toks, doc_rep))
+    d, w = doc_rep[order], toks[order]
+    new = np.concatenate(([True], (d[1:] != d[:-1]) | (w[1:] != w[:-1])))
+    starts = np.flatnonzero(new)
+    tf = np.diff(np.concatenate((starts, [len(d)])))
+    return pa.table(
+        {
+            id_column: pa.array(d[starts].astype(np.int64)),
+            "word": pa.array(w[starts].astype(str)),
+            "tf": pa.array(tf.astype(np.int64)),
+        }
+    )
+
+
+def _score_and_rank(
+    t: pa.Table, id_column: str, df_log: np.ndarray, vocab: np.ndarray,
+    top_n: int,
+) -> pa.Table:
+    """Attach quantized tf*idf and keep the top_n terms per doc — assumes
+    all rows of one doc are in this table (true for batch-local tf)."""
+    empty = pa.table(
+        {
+            id_column: pa.array([], type=pa.int64()),
+            "word": pa.array([], type=pa.string()),
+            "rk": pa.array([], type=pa.int64()),
+        }
+    )
+    if t.num_rows == 0 or id_column not in t.column_names:
+        return empty
+    ids = t.column(id_column).to_numpy(zero_copy_only=False)
+    words = t.column("word").to_numpy(zero_copy_only=False)
+    tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+    pos = np.searchsorted(vocab, words)
+    score_e6 = np.floor(tf * df_log[pos] * 1e6 + 0.5).astype(np.int64)
+    order = np.lexsort((words, -score_e6, ids))
+    d = ids[order]
+    new = np.concatenate(([True], d[1:] != d[:-1]))
+    seg_start = np.flatnonzero(new)[np.cumsum(new) - 1]
+    rk = np.arange(len(d), dtype=np.int64) - seg_start + 1
+    keep = rk <= top_n
+    return pa.table(
+        {
+            id_column: pa.array(d[keep].astype(np.int64)),
+            "word": pa.array(words[order][keep].astype(str)),
+            "rk": pa.array(rk[keep]),
+        }
+    )
+
+
+def tfidf_top_terms(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    top_n: int = 3,
+    mode: str = "auto",
+    broadcast_limit: int = _VOCAB_BROADCAST_LIMIT,
+):
+    """Top `top_n` TF-IDF terms per document, score = tf * ln(N / df),
+    ranked by (quantized score desc, word asc). Returns
+    (id_column, word, rk)."""
+    import ray
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+
+    n_docs = ds.count()
+    tf_ds = ds.map_batches(
+        lambda b: _tf_batch(b, id_column, text_column), batch_format="pyarrow"
+    ).materialize()  # consumed by both the df aggregate and the scorer
+    df_ds = partial_sum_count(
+        tf_ds.select_columns(["word"]), "word", [], alias={"count": "df"}
+    )
+
+    if mode == "auto":
+        mode = "broadcast" if df_ds.count() <= broadcast_limit else "shuffle"
+
+    if mode == "broadcast":
+        parts = [
+            t for t in (ray.get(r) for r in df_ds.to_arrow_refs())
+            if t.num_rows and "word" in t.column_names
+        ]
+        if not parts:
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        id_column: pa.array([], type=pa.int64()),
+                        "word": pa.array([], type=pa.string()),
+                        "rk": pa.array([], type=pa.int64()),
+                    }
+                )
+            )
+        df_tbl = pa.concat_tables(parts)
+        vocab = df_tbl.column("word").to_numpy(zero_copy_only=False)
+        dfc = df_tbl.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        o = np.argsort(vocab)
+        state_ref = ray.put((vocab[o], np.log(n_docs / dfc[o])))
+
+        def score_batch(batch: pa.Table) -> pa.Table:
+            vocab_s, df_log = ray.get(state_ref)
+            return _score_and_rank(batch, id_column, df_log, vocab_s, top_n)
+
+        return tf_ds.map_batches(score_batch, batch_format="pyarrow")
+
+    # shuffle regime: idf rides a reduce-side join on word, ranking runs in
+    # a coarse per-doc exchange (docs are no longer batch-local after the
+    # join moves rows)
+    import pandas as pd
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+    from opentapioca_ray.stages.relational import shuffle_join
+
+    joined = shuffle_join(tf_ds, df_ds, "word", "word", ["df"])
+
+    def rank_partition(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf.empty or id_column not in pdf.columns:
+            return pd.DataFrame(
+                {
+                    id_column: pd.Series(dtype=np.int64),
+                    "word": pd.Series(dtype=object),
+                    "rk": pd.Series(dtype=np.int64),
+                }
+            )
+        t = pa.table(
+            {
+                id_column: pa.array(pdf[id_column].to_numpy(dtype=np.int64)),
+                "word": pa.array(pdf["word"].astype(str)),
+                "tf": pa.array(pdf["tf"].to_numpy(dtype=np.int64)),
+            }
+        )
+        dfv = pdf["df"].to_numpy(dtype=np.float64)
+        words = pdf["word"].to_numpy()
+        o = np.argsort(words)
+        uniq_mask = np.concatenate(([True], words[o][1:] != words[o][:-1]))
+        vocab_s = words[o][uniq_mask]
+        df_log = np.log(n_docs / dfv[o][uniq_mask])
+        return _score_and_rank(t, id_column, df_log, vocab_s, top_n).to_pandas()
+
+    return coarse_group_apply(joined, id_column, rank_partition)

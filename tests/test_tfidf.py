@@ -1,0 +1,55 @@
+"""TF-IDF top terms: kernel semantics + broadcast/shuffle equivalence."""
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from opentapioca_ray.stages.tfidf import _tf_batch, tfidf_top_terms
+
+
+def test_tf_batch_counts():
+    batch = pa.table(
+        {"doc_id": [1, 2], "text": ["a b a", "b c c c"]}
+    )
+    t = _tf_batch(batch, "doc_id", "text").to_pandas()
+    got = {(r.doc_id, r.word): r.tf for r in t.itertuples()}
+    assert got == {(1, "a"): 2, (1, "b"): 1, (2, "b"): 1, (2, "c"): 3}
+
+
+@pytest.mark.parametrize("mode", ["broadcast", "shuffle"])
+def test_tfidf_rare_term_wins(ray_session, mode):
+    # 'zebra' appears once in the corpus -> highest idf in doc 1
+    rows = [
+        {"doc_id": 1, "text": "common common zebra"},
+        {"doc_id": 2, "text": "common word word"},
+        {"doc_id": 3, "text": "common word other"},
+    ]
+    out = tfidf_top_terms(
+        ray.data.from_items(rows), "doc_id", "text", top_n=1, mode=mode
+    ).to_pandas()
+    top = {r.doc_id: r.word for r in out.itertuples()}
+    assert top[1] == "zebra"
+    assert (out["rk"] == 1).all()
+
+
+def test_tfidf_modes_equivalent(ray_session):
+    rng = np.random.RandomState(3)
+    words = ["w%d" % i for i in range(30)]
+    rows = [
+        {"doc_id": i, "text": " ".join(rng.choice(words, size=12))}
+        for i in range(40)
+    ]
+    ds = ray.data.from_items(rows)
+    a = (
+        tfidf_top_terms(ds, "doc_id", "text", top_n=3, mode="broadcast")
+        .to_pandas()
+        .sort_values(["doc_id", "rk"])
+        .reset_index(drop=True)
+    )
+    b = (
+        tfidf_top_terms(ds, "doc_id", "text", top_n=3, mode="shuffle")
+        .to_pandas()
+        .sort_values(["doc_id", "rk"])
+        .reset_index(drop=True)
+    )
+    assert a.values.tolist() == b.values.tolist()
