@@ -671,6 +671,61 @@ def _q_rollup_revenue(sf_dir: str):
     return rollup_sum(orders, ["o_orderpriority", "o_orderstatus"], "o_totalprice")
 
 
+def _q_events_above_p99(sf_dir: str):
+    """Composition: grouped exact p99 (coarse-exchange segment quantiles)
+    broadcast back as a per-type threshold filter — count + exact sum of
+    the tail per type. The quantile is an exact input element, so both
+    sides cut the tail at the identical value."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import grouped_quantiles, partial_sum_count
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "value"]
+    )
+    q = grouped_quantiles(ev, "event_type", "value", [0.99]).to_pandas()
+    types = q["event_type"].to_numpy()
+    o = np.argsort(types)
+    thr_ref = ray.put((types[o], q["value"].to_numpy()[o]))
+
+    def tail_filter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_type" not in batch.column_names:
+            return batch
+        t_sorted, thr = ray.get(thr_ref)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        vals = batch.column("value").to_numpy(zero_copy_only=False)
+        cut = thr[np.searchsorted(t_sorted, et)]
+        keep = vals > cut
+        out = batch.filter(pa.array(keep))
+        v_u = np.round(
+            out.column("value").to_numpy(zero_copy_only=False) * 1_000_000
+        ).astype(np.int64)
+        return pa.table(
+            {"event_type": out.column("event_type"),
+             "v_u": pa.array(v_u, type=pa.int64())}
+        )
+
+    tail = ev.map_batches(tail_filter, batch_format="pyarrow")
+    agg = partial_sum_count(tail, "event_type", ["v_u"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "sum_v_u" not in batch.column_names:
+            return batch
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "tail_sum_u": pc.cast(batch.column("sum_v_u"), pa.int64()),
+                "n_tail": batch.column("count"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     """Top-3 TF-IDF terms per document: batch-local term frequencies, a
     combiner-first df aggregate, broadcast IDF lookup, quantized-score
@@ -1085,6 +1140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": _q_rollup_revenue,
         "approx_distinct_users": _q_approx_distinct_users,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "events_above_p99": _q_events_above_p99,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "triangle_count": _q_triangle_count,
         "redact_props": _q_redact_props,
@@ -1547,6 +1603,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(o_totalprice) * 10000, 0) AS BIGINT) AS total_e4,
                    count(*) AS n
             FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        """,
+        "events_above_p99": """
+            WITH thr AS (
+              SELECT event_type, quantile_disc(value, 0.99) AS cut
+              FROM events GROUP BY event_type
+            )
+            SELECT e.event_type,
+                   CAST(sum(CAST(round(e.value * 1000000) AS BIGINT))
+                        AS BIGINT) AS tail_sum_u,
+                   count(*) AS n_tail
+            FROM events e JOIN thr USING (event_type)
+            WHERE e.value > thr.cut
+            GROUP BY e.event_type
         """,
         "tfidf_top_terms": f"""
             WITH {tok_cte},
