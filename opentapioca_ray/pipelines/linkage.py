@@ -678,6 +678,15 @@ def attach_pair_tokens(pairs_ds, files_ds, tokens_cap: int | None = None, mode: 
         slices = [table.slice(i, step) for i in range(0, table.num_rows, step)]
         return rd.from_arrow(slices or [table])
 
+    # shuffle regime below: the tokens dataset feeds BOTH side-attaches —
+    # materialize once, and collapse the blocks >> rows regime (the filtered
+    # candidate tokens inherit the corpus's block count; Ray's sort groupby
+    # pays per-block task overhead) before the exchanges
+    from opentapioca_ray.stages.exchange import right_size
+
+    tokens = right_size(tokens.materialize())
+    pairs_ds = right_size(pairs_ds)
+
     def _attach(side_pairs_ds, key: str, prefix: str, carry: list[tuple[str, pa.DataType]]):
         """union(pair rows keyed by `key`, token rows) -> ONE coarse-
         partition exchange on hash(file_id) % P -> pair rows +
@@ -751,7 +760,7 @@ def attach_pair_tokens(pairs_ds, files_ds, tokens_cap: int | None = None, mode: 
         ("capped", pa.int64()),
         ("nb_bands", pa.int64()),
     ]
-    with_left = _attach(pairs_ds, "left_id", "left", base_carry)
+    with_left = right_size(_attach(pairs_ds, "left_id", "left", base_carry).materialize())
     return _attach(
         with_left,
         "right_id",
