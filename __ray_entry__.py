@@ -726,6 +726,18 @@ def _q_events_above_p99(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_user_event_sequences(sf_dir: str):
+    """Ordered per-user event-type sequence (SQL string_agg ... ORDER BY)
+    without a global sort: one coarse exchange + a segment binary_join
+    kernel per partition."""
+    import ray.data
+
+    from opentapioca_ray.stages.windows import grouped_sequence
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return grouped_sequence(ev, "user_id", "ts", "event_type")
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     """Top-3 TF-IDF terms per document: batch-local term frequencies, a
     combiner-first df aggregate, broadcast IDF lookup, quantized-score
@@ -1140,6 +1152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": _q_rollup_revenue,
         "approx_distinct_users": _q_approx_distinct_users,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "user_event_sequences": _q_user_event_sequences,
         "events_above_p99": _q_events_above_p99,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "triangle_count": _q_triangle_count,
@@ -1603,6 +1616,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(round(sum(o_totalprice) * 10000, 0) AS BIGINT) AS total_e4,
                    count(*) AS n
             FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+        """,
+        "user_event_sequences": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
         """,
         "events_above_p99": """
             WITH thr AS (

@@ -414,3 +414,64 @@ def windowed_frame(
         user_column,
         per_partition,
     )
+
+
+def grouped_sequence(
+    events_ds,
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    value_column: str = "event_type",
+    sep: str = ",",
+):
+    """Ordered per-key sequence aggregation — SQL's
+    `string_agg(value, sep ORDER BY ts, event_id) GROUP BY user` — without
+    a global sort: ONE coarse exchange on hash(user) % P, then a vectorized
+    kernel per partition (lexsort, segment boundaries, one Arrow
+    `binary_join` over a ListArray built from segment offsets). Order is
+    only ever needed WITHIN a user, so a partition-local sort suffices; no
+    per-user pandas groups. Returns (user, seq, n_events)."""
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    def per_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                user_column: pd.Series(dtype=np.int64),
+                "seq": pd.Series(dtype=object),
+                "n_events": pd.Series(dtype=np.int64),
+            }
+        )
+        if df.empty or user_column not in df.columns:
+            return empty
+        user = df[user_column].to_numpy(dtype=np.int64)
+        ts = df[ts_column].astype("datetime64[us]").astype("int64").to_numpy()
+        eid = (
+            df["event_id"].to_numpy(dtype=np.int64)
+            if "event_id" in df
+            else np.zeros(len(df), dtype=np.int64)
+        )
+        vals = df[value_column].astype(str).to_numpy()
+        order = np.lexsort((eid, ts, user))
+        user, vals = user[order], vals[order]
+        new = np.concatenate(([True], user[1:] != user[:-1]))
+        starts = np.flatnonzero(new)
+        offsets = np.concatenate((starts, [len(user)])).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(vals, type=pa.string())
+        )
+        joined = pc.binary_join(lists, sep).to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                user_column: user[starts],
+                "seq": joined,
+                "n_events": np.diff(offsets).astype(np.int64),
+            }
+        )
+
+    cols = [user_column, ts_column, value_column] + (
+        ["event_id"] if "event_id" in events_ds.schema().names else []
+    )
+    return coarse_group_apply(
+        events_ds.select_columns(cols), user_column, per_partition
+    )

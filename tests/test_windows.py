@@ -230,3 +230,28 @@ def test_windowed_frame_ts_tiebreak(ray_session):
     )
     assert got.loc[1, "running_sum_u"] == 1_000_000
     assert got.loc[2, "running_sum_u"] == 6_000_000
+
+
+def test_grouped_sequence_order_and_ties(ray_session):
+    import datetime
+
+    import ray.data
+
+    from opentapioca_ray.stages.windows import grouped_sequence
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        {"event_id": 2, "user_id": 1, "ts": t0, "event_type": "b", "value": 0.0},
+        {"event_id": 1, "user_id": 1, "ts": t0, "event_type": "a", "value": 0.0},
+        {"event_id": 3, "user_id": 1, "ts": t0 + datetime.timedelta(seconds=1), "event_type": "c", "value": 0.0},
+        {"event_id": 4, "user_id": 2, "ts": t0, "event_type": "x", "value": 0.0},
+    ]
+    got = (
+        grouped_sequence(ray.data.from_items(rows), "user_id", "ts", "event_type")
+        .to_pandas()
+        .set_index("user_id")
+    )
+    # same-ts rows fall back to event_id order
+    assert got.loc[1, "seq"] == "a,b,c"
+    assert got.loc[1, "n_events"] == 3
+    assert got.loc[2, "seq"] == "x"
