@@ -269,25 +269,35 @@ def shuffle_join(
     both = probe.union(build)
     probe_cols = [n for n, _ in probe_fields]
     pay_cols = [c for c, _ in pay_fields]
-    # the union's null-padded build rows widen probe int columns to float64
-    # in pandas; restore the original dtypes after splitting the sides
-    probe_dtypes = dict(
-        pa.schema([pa.field(n, t) for n, t in probe_fields])
-        .empty_table()
-        .to_pandas()
-        .dtypes
+
+    out_schema = pa.schema(
+        [pa.field(n, t) for n, t in probe_fields]
+        + [pa.field(c, t) for c, t in pay_fields if c != left_key]
     )
 
-    def join_partition(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty or "__side" not in df.columns:
-            return pd.DataFrame({c: [] for c in probe_cols + pay_cols})
-        left = df.loc[df["__side"] == 0, probe_cols]
-        for c, dt in probe_dtypes.items():
-            if left[c].dtype != dt:
-                left = left.assign(**{c: left[c].astype(dt)})
-        right = df.loc[df["__side"] == 1, [left_key] + pay_cols]
-        return left.merge(
-            right, on=left_key, how="inner" if how == "inner" else "left"
-        )
+    def join_partition(t: pa.Table) -> pa.Table:
+        # Arrow kernel: the per-partition merge is pyarrow's C++ hash join,
+        # so the null-padded union never round-trips through pandas (no
+        # int->float64 widening to undo, no object columns).
+        if t.num_rows == 0 or "__side" not in t.column_names:
+            return out_schema.empty_table()
+        t = t.combine_chunks()
+        side = t.column("__side")
+        import pyarrow.compute as pc
 
-    return coarse_group_apply(both, left_key, join_partition, n_parts=n_parts)
+        left = t.filter(pc.equal(side, 0)).select(
+            [n for n, _ in probe_fields]
+        )
+        right = t.filter(pc.equal(side, 1)).select(
+            [left_key] + [c for c in pay_cols if c != left_key]
+        )
+        joined = left.join(
+            right,
+            keys=left_key,
+            join_type="inner" if how == "inner" else "left outer",
+        )
+        return joined.select(out_schema.names).cast(out_schema)
+
+    return coarse_group_apply(
+        both, left_key, join_partition, n_parts=n_parts, batch_format="pyarrow"
+    )
