@@ -1120,6 +1120,116 @@ def _q_top_docs_per_lang(sf_dir: str):
     return group_top_k(docs, "lang", "n_chars", 5, "doc_id")
 
 
+def _q_doc_chunks(sf_dir: str):
+    """Fixed-size overlapping character chunks per document (training-data
+    prep): stateless vectorized map_batches fan-out — no exchange; one Arrow
+    slice kernel per chunk ordinal."""
+    import ray.data
+
+    from opentapioca_ray.stages.chunking import chunk_documents
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return chunk_documents(docs, "doc_id", "text", size=200, stride=150)
+
+
+def _q_lm_scores(sf_dir: str):
+    """CCNet-style unigram LM document scores: one distributed counting
+    pass trains the model (combiner + coarse exchange), the quantized
+    integer log-prob table broadcasts once, scoring is a stateless
+    fan-out with exact int64 sums."""
+    import ray.data
+
+    from opentapioca_ray.stages.lm import unigram_lm_scores
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).materialize()  # consumed twice: train + score
+    return unigram_lm_scores(docs, "doc_id", "text")
+
+
+def _q_repetition_stats(sf_dir: str):
+    """Gopher-style repetition signals per doc (top-bigram count, duplicate
+    trigram tokens) as exact integers; stateless vectorized kernel."""
+    import ray.data
+
+    from opentapioca_ray.functions.textstats import repetition_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(repetition_stats, batch_format="pyarrow")
+
+
+def _q_funnel(sf_dir: str):
+    """Ordered view->click->purchase funnel: filter at the scan, ONE coarse
+    exchange on user, per-partition vectorized step resolution; only
+    P x steps partial counts leave the workers."""
+    import ray.data
+
+    from opentapioca_ray.stages.funnel import funnel_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
+    )
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+def _q_customers_no_urgent(sf_dir: str):
+    """Bloom-prefiltered ANTI join (exact): customers who never placed a
+    1-URGENT order. The bitmap is O(bits) broadcast state regardless of
+    build cardinality; probe rows failing the filter are definite
+    non-members and skip the verify exchange entirely."""
+    import ray.data
+
+    from opentapioca_ray.stages.relational import bloom_semi_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).materialize()  # anti composition consumes the probe twice
+    urgent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'").select_columns(["o_custkey"])
+    return bloom_semi_join(
+        cust, urgent, "c_custkey", "o_custkey", anti=True, n_bits=1 << 18
+    )
+
+
+def _q_value_regression(sf_dir: str):
+    """Per-event-type OLS fit value ~ user_id from one combiner pass of
+    integer sufficient statistics; exact bigint closed form (truncating
+    e6 quantization matches DuckDB HUGEINT `//`)."""
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import group_regression
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+    return group_regression(
+        ev, "event_type", "user_id", "value", x_scale=1, y_scale=10_000
+    )
+
+
+def _q_hopping_window(sf_dir: str):
+    """Hopping-window aggregate (1h window / 15min hop): 4-fold window
+    replication inside the per-batch combiner, exchange moves only
+    windows x keys partials."""
+    import ray.data
+
+    from opentapioca_ray.stages.windows import hopping_window_agg
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return hopping_window_agg(
+        ev,
+        window_us=3_600_000_000,
+        hop_us=900_000_000,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -1168,6 +1278,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "files_sha256": _q_files_sha256,
         "sample_lang_quota": _q_sample_lang_quota,
         "top_docs_per_lang": _q_top_docs_per_lang,
+        "doc_chunks": _q_doc_chunks,
+        "lm_scores": _q_lm_scores,
+        "repetition_stats": _q_repetition_stats,
+        "funnel": _q_funnel,
+        "customers_no_urgent": _q_customers_no_urgent,
+        "value_regression": _q_value_regression,
+        "hopping_window": _q_hopping_window,
     }
 
 
@@ -1827,6 +1944,138 @@ def oracle_sql() -> dict[str, str]:
                    sha256(substr(t, (frame_index * 1024 + 1)::INTEGER, 1024))
                      AS frame_sha256
             FROM f
+        """,
+        "doc_chunks": """
+            WITH c AS (
+              SELECT doc_id,
+                     unnest(generate_series(
+                       0, CAST(floor((length(text) - 1)::DOUBLE / 150)
+                               AS BIGINT))) AS chunk_idx,
+                     text
+              FROM documents
+            )
+            SELECT doc_id, chunk_idx,
+                   substring(text, CAST(chunk_idx * 150 + 1 AS INTEGER), 200)
+                     AS chunk_text
+            FROM c
+        """,
+        "lm_scores": r"""
+            WITH ws AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+              FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(arr) AS w FROM ws),
+            cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+            tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt),
+            lp AS (
+              SELECT w, CAST(round(ln(c::DOUBLE / t) * 1000000) AS BIGINT)
+                       AS lp_e6
+              FROM cnt, tot
+            )
+            SELECT doc_id, count(*) AS n_tokens,
+                   CAST(sum(lp_e6) AS BIGINT) AS sum_lp_e6
+            FROM tok JOIN lp USING (w) GROUP BY doc_id
+        """,
+        "repetition_stats": r"""
+            WITH ws AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+              FROM documents
+            ),
+            b AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(arr)),
+                                           i -> arr[i] || ' ' || arr[i+1])) AS g
+              FROM ws WHERE len(arr) >= 2
+            ),
+            bc AS (SELECT doc_id, g, count(*) AS c FROM b GROUP BY 1, 2),
+            btop AS (SELECT doc_id, max(c) AS top_c FROM bc GROUP BY 1),
+            t AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, len(arr) - 1),
+                       i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])) AS g
+              FROM ws WHERE len(arr) >= 3
+            ),
+            tc AS (SELECT doc_id, g, count(*) AS c FROM t GROUP BY 1, 2),
+            tdup AS (
+              SELECT doc_id,
+                     CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+                       AS dup_t
+              FROM tc GROUP BY 1
+            )
+            SELECT ws.doc_id AS doc_id,
+                   CAST(greatest(len(arr) - 1, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(btop.top_c, 0) AS BIGINT) AS top_bigram_count,
+                   COALESCE(tdup.dup_t, 0) AS dup_trigram_tokens
+            FROM ws LEFT JOIN btop USING (doc_id) LEFT JOIN tdup USING (doc_id)
+        """,
+        "funnel": """
+            WITH s0 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY 1
+            ),
+            s1 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s0 ON e.user_id = s0.user_id
+              WHERE e.event_type = 'click' AND e.ts >= s0.t GROUP BY 1
+            ),
+            s2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN s1 ON e.user_id = s1.user_id
+              WHERE e.event_type = 'purchase' AND e.ts >= s1.t GROUP BY 1
+            )
+            SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+                   count(*) AS n_users FROM s0
+            UNION ALL SELECT 1, 'click', count(*) FROM s1
+            UNION ALL SELECT 2, 'purchase', count(*) FROM s2
+        """,
+        "customers_no_urgent": """
+            SELECT c_custkey, c_nationkey FROM customer
+            WHERE c_custkey NOT IN (
+              SELECT o_custkey FROM orders
+              WHERE o_orderpriority = '1-URGENT')
+        """,
+        "value_regression": """
+            WITH m AS (
+              SELECT event_type,
+                     count(*)::HUGEINT AS n,
+                     sum(user_id::HUGEINT) AS sx,
+                     sum(CAST(round(value * 10000) AS HUGEINT)) AS sy,
+                     sum(user_id::HUGEINT
+                         * CAST(round(value * 10000) AS HUGEINT)) AS sxy,
+                     sum(user_id::HUGEINT * user_id::HUGEINT) AS sxx
+              FROM events GROUP BY 1
+            )
+            SELECT event_type,
+                   CAST(n AS BIGINT) AS n,
+                   CAST((1000000::HUGEINT * (n*sxy - sx*sy))
+                        // ((n*sxx - sx*sx) * 10000::HUGEINT) AS BIGINT)
+                     AS slope_e6,
+                   CAST((1000000::HUGEINT
+                         * (sy*(n*sxx - sx*sx) - (n*sxy - sx*sy)*sx))
+                        // ((n*sxx - sx*sx) * n * 10000::HUGEINT) AS BIGINT)
+                     AS intercept_e6
+            FROM m WHERE (n*sxx - sx*sx) != 0
+        """,
+        "hopping_window": """
+            WITH e AS (
+              SELECT epoch_us(ts) AS us, event_type,
+                     CAST(round(value * 10000) AS BIGINT) AS v_u
+              FROM events
+            ),
+            r AS (
+              SELECT (us // 900000000
+                      - unnest(generate_series(0, 3))) * 900000000
+                       AS window_start_us,
+                     event_type, v_u
+              FROM e
+            )
+            SELECT window_start_us, event_type, count(*) AS n,
+                   CAST(sum(v_u) AS BIGINT) AS total_e4
+            FROM r GROUP BY 1, 2
         """,
         # ann_ivf / embedding_clusters / linkage_clusters: approximate-by-design
         # or iterative —

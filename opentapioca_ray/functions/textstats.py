@@ -134,3 +134,97 @@ def add_fingerprint(batch: pa.Table, text_column: str = "text") -> pa.Table:
         type=pa.uint64(),
     )
     return batch.append_column("fingerprint", fps)
+
+
+def whitespace_token_lists(batch: pa.Table, text_column: str = "text") -> pa.ListArray:
+    """Whitespace tokens of trimmed text as one Arrow ListArray — parity
+    with SQL `regexp_split_to_array(trim(text), '\\s+')`, with '' -> []."""
+    txt = pc.utf8_trim_whitespace(batch.column(text_column).combine_chunks())
+    toks = pc.utf8_split_whitespace(txt)
+    flat = toks.flatten()
+    keep = pc.not_equal(flat, "")  # '' splits to [''] in Arrow; SQL gives []
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    if len(offsets) > 1:
+        new_counts = np.add.reduceat(
+            np.concatenate([keep_np.astype(np.int64), [0]]), offsets[:-1]
+        )
+        new_counts[offsets[:-1] == offsets[1:]] = 0  # empty lists
+    else:
+        new_counts = np.zeros(0, dtype=np.int64)
+    new_offsets = np.concatenate([[0], np.cumsum(new_counts)])
+    return pa.ListArray.from_arrays(
+        pa.array(new_offsets, type=pa.int32()), flat.filter(keep)
+    )
+
+
+def repetition_stats(
+    batch: pa.Table, id_column: str = "doc_id", text_column: str = "text"
+) -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021, appendix A1.1):
+    documents dominated by a few repeated n-grams are boilerplate. Emits
+    EXACT integers only — n_bigrams, top_bigram_count (count of the most
+    frequent word 2-gram), dup_trigram_tokens (trigram instances whose
+    trigram occurs >= 2x in the doc) — so ratio thresholds like
+    top_bigram_count / n_bigrams stay caller-side floats and the SQL twin
+    matches bit-for-bit. Stateless map_batches kernel: no exchange."""
+    import pandas as pd
+
+    schema = pa.schema(
+        [
+            pa.field(id_column, pa.int64()),
+            pa.field("n_bigrams", pa.int64()),
+            pa.field("top_bigram_count", pa.int64()),
+            pa.field("dup_trigram_tokens", pa.int64()),
+        ]
+    )
+    if batch.num_rows == 0 or text_column not in batch.column_names:
+        return schema.empty_table()
+    batch = batch.combine_chunks()
+    toks = whitespace_token_lists(batch, text_column)
+    flat = toks.flatten()
+    offsets = toks.offsets.to_numpy(zero_copy_only=False)
+    n_tok = np.diff(offsets)
+    n_rows = batch.num_rows
+    doc_rep = np.repeat(np.arange(n_rows), n_tok)
+    ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+    top_bi = np.zeros(n_rows, dtype=np.int64)
+    dup_tri = np.zeros(n_rows, dtype=np.int64)
+
+    def _gram_counts(k: int):
+        """(doc ordinal, gram string, count) for word k-grams, vectorized:
+        Arrow slice + binary_join for composition, pandas groupby for the
+        within-batch counting."""
+        n = len(flat)
+        if n < k:
+            return None
+        parts = [flat.slice(i, n - k + 1) for i in range(k)]
+        grams = pc.binary_join_element_wise(*parts, " ")
+        valid = doc_rep[: n - k + 1] == doc_rep[k - 1 :]
+        if not valid.any():
+            return None
+        df = pd.DataFrame(
+            {
+                "d": doc_rep[: n - k + 1][valid],
+                "g": grams.to_numpy(zero_copy_only=False)[valid],
+            }
+        )
+        return df.groupby(["d", "g"], sort=False).size().reset_index(name="c")
+
+    bi = _gram_counts(2)
+    if bi is not None:
+        m = bi.groupby("d", sort=False)["c"].max()
+        top_bi[m.index.to_numpy()] = m.to_numpy()
+    tri = _gram_counts(3)
+    if tri is not None:
+        d = tri.loc[tri["c"] >= 2].groupby("d", sort=False)["c"].sum()
+        dup_tri[d.index.to_numpy()] = d.to_numpy()
+    return pa.table(
+        {
+            id_column: pa.array(ids.astype(np.int64)),
+            "n_bigrams": pa.array(np.maximum(n_tok - 1, 0).astype(np.int64)),
+            "top_bigram_count": pa.array(top_bi),
+            "dup_trigram_tokens": pa.array(dup_tri),
+        },
+        schema=schema,
+    )

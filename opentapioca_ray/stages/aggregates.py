@@ -398,3 +398,122 @@ def distinct_count(ds, group_column: str, value_column: str, alias: str = "n_dis
 
     dedup = dedup.map_batches(drop_one, batch_format="pyarrow")
     return partial_sum_count(dedup, group_column, [], alias={"count": alias})
+
+
+def group_regression(
+    ds,
+    key: str,
+    x_column: str,
+    y_column: str,
+    x_scale: int = 1,
+    y_scale: int = 10_000,
+):
+    """Per-group OLS fit y = slope*x + intercept, combiner-first and EXACT.
+
+    One pass over the facts accumulates integer sufficient statistics per
+    (group, block) — n, Σx, Σy, Σxy, Σx² on `x*x_scale` / `y*y_scale`
+    micro-units — one coarse exchange merges them, and the closed form runs
+    per group on arbitrary-precision ints (n*Σxy - ΣxΣy overflows int64 at
+    ~1e6 rows; Python bigint here, HUGEINT in the SQL twin). Outputs
+    truncate-toward-zero e6-quantized slope/intercept so both sides do the
+    identical integer division (DuckDB `//` truncates; Python `//` floors).
+
+    Returns (key, n, slope_e6, intercept_e6); groups with zero x-variance
+    are dropped (slope undefined), matching SQL regr_slope's NULL."""
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                pa.field(key, batch.schema.field(key).type
+                         if key in batch.column_names else pa.string()),
+                pa.field("_n", pa.int64()),
+                pa.field("_sx", pa.int64()),
+                pa.field("_sy", pa.int64()),
+                pa.field("_sxy", pa.int64()),
+                pa.field("_sxx", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or key not in batch.column_names:
+            return schema.empty_table()
+        x = np.round(
+            batch.column(x_column).to_numpy(zero_copy_only=False)
+            * float(x_scale)
+        ).astype(np.int64)
+        y = np.round(
+            batch.column(y_column).to_numpy(zero_copy_only=False)
+            * float(y_scale)
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                key: batch.column(key),
+                "_one": pa.array(np.ones(len(x), dtype=np.int64)),
+                "_x": pa.array(x),
+                "_y": pa.array(y),
+                "_xy": pa.array(x * y),
+                "_xx": pa.array(x * x),
+            }
+        )
+        g = pa.TableGroupBy(t, key).aggregate(
+            [("_one", "sum"), ("_x", "sum"), ("_y", "sum"),
+             ("_xy", "sum"), ("_xx", "sum")]
+        )
+        return g.rename_columns([key, "_n", "_sx", "_sy", "_sxy", "_sxx"])
+
+    merged = coarse_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        [key],
+        {c: (c, "sum") for c in ["_n", "_sx", "_sy", "_sxy", "_sxx"]},
+    )
+
+    def _tdiv(a: int, b: int) -> int:
+        """Truncate-toward-zero bigint division (DuckDB `//` semantics)."""
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    def solve(batch: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                pa.field(key, batch.schema.field(key).type
+                         if key in batch.column_names else pa.string()),
+                pa.field("n", pa.int64()),
+                pa.field("slope_e6", pa.int64()),
+                pa.field("intercept_e6", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or "_n" not in batch.column_names:
+            return out_schema.empty_table()
+        keys, ns, slopes, intercepts = [], [], [], []
+        cols = {c: batch.column(c).to_pylist()
+                for c in [key, "_n", "_sx", "_sy", "_sxy", "_sxx"]}
+        for k, n, sx, sy, sxy, sxx in zip(
+            cols[key], cols["_n"], cols["_sx"], cols["_sy"],
+            cols["_sxy"], cols["_sxx"],
+        ):
+            den = n * sxx - sx * sx  # exact bigint
+            if den == 0:
+                continue
+            num = n * sxy - sx * sy
+            # slope in original units = (num/den) * x_scale / y_scale
+            slope_e6 = _tdiv(10**6 * num * x_scale, den * y_scale)
+            # intercept = (Σy - slope*Σx)/n in original units
+            inum = 10**6 * (sy * den - num * sx) * 1
+            iden = den * n * y_scale
+            intercepts.append(_tdiv(inum, iden))
+            keys.append(k)
+            ns.append(n)
+            slopes.append(slope_e6)
+        return pa.table(
+            {
+                key: pa.array(keys, type=out_schema.field(key).type),
+                "n": pa.array(ns, type=pa.int64()),
+                "slope_e6": pa.array(slopes, type=pa.int64()),
+                "intercept_e6": pa.array(intercepts, type=pa.int64()),
+            }
+        )
+
+    # the merged group table is tiny (one row per group); the bigint solve
+    # is a per-group scalar pass over it
+    return merged.map_batches(solve, batch_format="pyarrow")

@@ -1,0 +1,115 @@
+"""Ordered funnel analysis over an event stream.
+
+"How many users viewed, then clicked, then purchased — in that order?" is
+the canonical product-analytics query over the events table. Step k is
+reached by a user when an event of type `steps[k]` exists at a timestamp
+>= the (earliest) time step k-1 was reached; the count per step is
+monotonically non-increasing.
+
+Scale shape: filter to the step event types at the scan (column + row
+pruning), ONE coarse hash exchange on the user key co-locates each user's
+events, and a per-partition vectorized kernel resolves all of the
+partition's users step by step (pandas groupby-min per step — a few
+vectorized passes total, never per-user Python). Only P × |steps| partial
+count rows leave the partitions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def funnel_counts(
+    ds,
+    steps: list[str],
+    user_column: str = "user_id",
+    ts_column: str = "ts",
+    type_column: str = "event_type",
+):
+    """Returns (step_idx: int64, step: string, n_users: int64), one row per
+    funnel step, counting users who reached that step in order."""
+    import ray.data
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    steps = list(steps)
+    step_set = set(steps)
+
+    def prune(batch: pa.Table) -> pa.Table:
+        cols = [user_column, ts_column, type_column]
+        if batch.num_rows == 0 or type_column not in batch.column_names:
+            return batch
+        import pyarrow.compute as pc
+
+        mask = pc.is_in(
+            batch.column(type_column), value_set=pa.array(sorted(step_set))
+        )
+        return batch.select(cols).filter(mask)
+
+    def funnel_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "step_idx": pd.Series(dtype=np.int64),
+                "n_part": pd.Series(dtype=np.int64),
+            }
+        )
+        if df.empty or user_column not in df.columns:
+            return empty
+        counts = []
+        # step 0: earliest event of type steps[0] per user
+        cur = (
+            df.loc[df[type_column] == steps[0]]
+            .groupby(user_column, sort=False)[ts_column]
+            .min()
+        )
+        counts.append(len(cur))
+        for s in steps[1:]:
+            if cur.empty:
+                counts.append(0)
+                continue
+            cand = df.loc[df[type_column] == s, [user_column, ts_column]]
+            thr = cand[user_column].map(cur)
+            ok = cand.loc[thr.notna() & (cand[ts_column] >= thr)]
+            cur = ok.groupby(user_column, sort=False)[ts_column].min()
+            counts.append(len(cur))
+        return pd.DataFrame(
+            {
+                "step_idx": np.arange(len(steps), dtype=np.int64),
+                "n_part": np.asarray(counts, dtype=np.int64),
+            }
+        )
+
+    partials = coarse_group_apply(
+        ds.map_batches(prune, batch_format="pyarrow"),
+        user_column,
+        funnel_partition,
+    )
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    totals = coarse_groupby_agg(
+        partials, ["step_idx"], {"n_users": ("n_part", "sum")}
+    )
+
+    # The result is |steps| rows by construction — collect the tiny total
+    # table and fill steps no partition reached with an explicit 0 (SQL's
+    # count(*) over an empty CTE), so the output always has one row per step.
+    counts = np.zeros(len(steps), dtype=np.int64)
+    for t in (ray.get(r) for r in totals.to_arrow_refs()):
+        if t.num_rows == 0 or "step_idx" not in t.column_names:
+            continue
+        idx = t.column("step_idx").to_numpy(zero_copy_only=False).astype(int)
+        counts[idx] += t.column("n_users").to_numpy(zero_copy_only=False)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "step_idx": pa.array(
+                    np.arange(len(steps), dtype=np.int64)
+                ),
+                "step": pa.array(steps, type=pa.string()),
+                "n_users": pa.array(counts),
+            }
+        )
+    )

@@ -301,3 +301,122 @@ def shuffle_join(
     return coarse_group_apply(
         both, left_key, join_partition, n_parts=n_parts, batch_format="pyarrow"
     )
+
+
+_BLOOM_DEFAULT_BITS = 1 << 23  # 1 MiB bitmap
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer (Vigna, public domain) — vectorized uint64 mix."""
+    z = x.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        z = z + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+    return z
+
+
+def _bloom_positions(key_col, n_bits: int, n_hashes: int) -> np.ndarray:
+    """(n_rows, n_hashes) bit positions via Kirsch–Mitzenmacher double
+    hashing h1 + i*h2 from one 64-bit hash per key."""
+    if isinstance(key_col, pa.ChunkedArray):
+        key_col = key_col.combine_chunks()
+    if pa.types.is_string(key_col.type) or pa.types.is_large_string(key_col.type):
+        import pandas as pd_
+
+        from opentapioca_ray.stages.exchange import _HASH_KEY
+
+        h = pd_.util.hash_array(
+            key_col.to_numpy(zero_copy_only=False), hash_key=_HASH_KEY
+        )
+    else:
+        h = _splitmix64(
+            key_col.cast(pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+        )
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    i = np.arange(n_hashes, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        pos = (h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(n_bits)
+    return pos.astype(np.int64)
+
+
+def bloom_semi_join(
+    probe_ds,
+    build_ds,
+    left_key: str,
+    build_key: str,
+    anti: bool = False,
+    n_bits: int = _BLOOM_DEFAULT_BITS,
+    n_hashes: int = 4,
+    mode: str = "auto",
+):
+    """Semi/anti join with a Bloom-filter pre-pass — EXACT results (the
+    Bloom filter only prunes; survivors are verified by the real join).
+
+    Why it matters at scale: the broadcast state is O(n_bits) REGARDLESS of
+    build-side cardinality (a 1 MiB bitmap summarizes a billion keys, where
+    `distinct_keys` would need 8 GB), and probe rows that fail the filter
+    never enter the verify exchange. Bitmap partials are built per batch
+    and OR-merged streaming on the driver (O(n_bits) memory, one block at
+    a time).
+
+    Semi (`anti=False`): one pass — probe rows failing the filter are
+    definite non-members and are dropped; survivors go through the exact
+    `semi_join`. Anti (`anti=True`): rows failing the filter are definite
+    non-members and pass straight through; only filter-survivors ride the
+    exact anti verify. The anti composition consumes `probe_ds` twice
+    (union of two branches) — pass a materialized/cheap-to-recompute probe.
+
+    False-positive rate ~ (1 - e^{-kn/m})^k; size n_bits >= ~10x build
+    cardinality for <1% candidates passing the filter spuriously."""
+    import ray
+
+    def build_bitmap(batch: pa.Table) -> pa.Table:
+        bm = np.zeros(n_bits // 8, dtype=np.uint8)
+        if batch.num_rows and build_key in batch.column_names:
+            pos = _bloom_positions(batch.column(build_key), n_bits, n_hashes)
+            np.bitwise_or.at(
+                bm,
+                pos >> 3,
+                (np.uint8(1) << (pos & 7).astype(np.uint8)),
+            )
+        return pa.table({"bitmap": pa.array([bm.tobytes()], type=pa.large_binary())})
+
+    bitmap_ds = build_ds.select_columns([build_key]).map_batches(
+        build_bitmap, batch_format="pyarrow", batch_size=65_536
+    )
+    bm = np.zeros(n_bits // 8, dtype=np.uint8)
+    for b in bitmap_ds.iter_batches(batch_format="pyarrow", batch_size=4):
+        if b.num_rows == 0 or "bitmap" not in b.column_names:
+            continue
+        for buf in b.column("bitmap"):
+            bm |= np.frombuffer(buf.as_py(), dtype=np.uint8)
+    bm_ref = ray.put(bm)
+
+    def bloom_mask(batch: pa.Table) -> np.ndarray:
+        bitmap = ray.get(bm_ref)
+        pos = _bloom_positions(batch.column(left_key), n_bits, n_hashes)
+        bits = (bitmap[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return bits.all(axis=1)
+
+    def keep_members(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or left_key not in batch.column_names:
+            return batch
+        return batch.filter(pa.array(bloom_mask(batch)))
+
+    candidates = probe_ds.map_batches(keep_members, batch_format="pyarrow")
+    if not anti:
+        return semi_join(candidates, build_ds, left_key, build_key, mode=mode)
+
+    def keep_nonmembers(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or left_key not in batch.column_names:
+            return batch
+        return batch.filter(pa.array(~bloom_mask(batch)))
+
+    definite = probe_ds.map_batches(keep_nonmembers, batch_format="pyarrow")
+    verified = semi_join(
+        candidates, build_ds, left_key, build_key, anti=True, mode=mode
+    )
+    return definite.union(verified)

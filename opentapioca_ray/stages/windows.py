@@ -475,3 +475,64 @@ def grouped_sequence(
     return coarse_group_apply(
         events_ds.select_columns(cols), user_column, per_partition
     )
+
+
+def hopping_window_agg(
+    events_ds,
+    ts_column: str = "ts",
+    key_column: str = "event_type",
+    value_column: str = "value",
+    window_us: int = 3_600_000_000,
+    hop_us: int = 900_000_000,
+):
+    """Hopping (sliding) window aggregate: every event lands in
+    window_us/hop_us overlapping windows; -> (window_start_us, key, n,
+    total_e4) per window x key. `window_us` must be a multiple of `hop_us`.
+
+    Scale shape: the k-fold replication happens inside the per-batch
+    combiner (numpy tile + one Arrow group-by), so the exchange still moves
+    only windowsxkeys partial rows per block, never k x events. Value sums
+    are e4 micro-unit int64 (exact vs SQL)."""
+    if window_us % hop_us != 0:
+        raise ValueError("window_us must be a multiple of hop_us")
+    k = window_us // hop_us
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("window_start_us", pa.int64()), (key_column, pa.string()),
+             ("n", pa.int64()), ("total_e4", pa.int64())]
+        )
+        if batch.num_rows == 0 or ts_column not in batch.column_names:
+            return schema.empty_table()
+        us = _ts_us(batch.column(ts_column)).to_numpy(zero_copy_only=False)
+        v_e4 = np.round(
+            batch.column(value_column).to_numpy(zero_copy_only=False) * 10_000.0
+        ).astype(np.int64)
+        keys = batch.column(key_column)
+        base = (us // hop_us) * hop_us
+        # event -> its k windows: starts base, base-hop, ..., base-(k-1)*hop
+        starts = np.concatenate([base - j * hop_us for j in range(k)])
+        rep_idx = pa.array(np.tile(np.arange(batch.num_rows), k))
+        t = pa.table(
+            {
+                "window_start_us": pa.array(starts, type=pa.int64()),
+                key_column: keys.take(rep_idx),
+                "_v": pa.array(np.tile(v_e4, k)),
+                "_one": pa.array(np.ones(batch.num_rows * k, dtype=np.int64)),
+            }
+        )
+        g = t.group_by(["window_start_us", key_column]).aggregate(
+            [("_one", "sum"), ("_v", "sum")]
+        )
+        return g.rename_columns(
+            ["window_start_us", key_column, "n", "total_e4"]
+        )
+
+    partials = events_ds.map_batches(partial, batch_format="pyarrow")
+    return coarse_groupby_agg(
+        partials,
+        ["window_start_us", key_column],
+        {"n": ("n", "sum"), "total_e4": ("total_e4", "sum")},
+    )

@@ -168,3 +168,79 @@ def test_rollup_sum_levels(ray_session):
     assert key[("y", "ALL")] == (30000, 1)
     assert key[("ALL", "ALL")] == (65000, 3)
     assert len(key) == 6  # 3 fine + 2 mid + 1 grand
+
+
+def test_group_regression_exact_line(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import group_regression
+
+    # perfect line y = 2x + 3 -> slope_e6 = 2e6, intercept_e6 = 3e6
+    xs = list(range(10))
+    t = pa.table(
+        {"g": ["a"] * 10, "x": pa.array(xs, type=pa.float64()),
+         "y": pa.array([2 * x + 3 for x in xs], type=pa.float64())}
+    )
+    out = group_regression(
+        ray.data.from_arrow(t), "g", "x", "y", x_scale=1, y_scale=10_000
+    ).to_pandas()
+    assert out["slope_e6"].tolist() == [2_000_000]
+    assert out["intercept_e6"].tolist() == [3_000_000]
+    assert out["n"].tolist() == [10]
+
+
+def test_group_regression_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import group_regression
+
+    rng = np.random.RandomState(3)
+    n = 2000
+    t = pa.table(
+        {
+            "g": rng.choice(["a", "b", "c"], n).tolist(),
+            "x": rng.randint(0, 100, n).astype(np.float64),
+            "y": np.round(rng.uniform(0, 50, n), 4),
+        }
+    )
+    got = (
+        group_regression(
+            ray.data.from_arrow(t).repartition(5), "g", "x", "y",
+            x_scale=1, y_scale=10_000,
+        )
+        .to_pandas().sort_values("g").reset_index(drop=True)
+    )
+    duckdb.register("t", t)
+    want = duckdb.sql(
+        """
+        WITH m AS (
+          SELECT g, count(*)::HUGEINT AS n, sum(x::HUGEINT) AS sx,
+                 sum(CAST(round(y*10000) AS HUGEINT)) AS sy,
+                 sum(x::HUGEINT * CAST(round(y*10000) AS HUGEINT)) AS sxy,
+                 sum(x::HUGEINT * x::HUGEINT) AS sxx
+          FROM t GROUP BY 1)
+        SELECT g, CAST(n AS BIGINT) AS n,
+          CAST((1000000::HUGEINT*(n*sxy-sx*sy))
+               // ((n*sxx-sx*sx)*10000::HUGEINT) AS BIGINT) AS slope_e6,
+          CAST((1000000::HUGEINT*(sy*(n*sxx-sx*sx)-(n*sxy-sx*sy)*sx))
+               // ((n*sxx-sx*sx)*n*10000::HUGEINT) AS BIGINT) AS intercept_e6
+        FROM m ORDER BY g
+        """
+    ).df()
+    assert got["slope_e6"].tolist() == want["slope_e6"].tolist()
+    assert got["intercept_e6"].tolist() == want["intercept_e6"].tolist()
+
+
+def test_group_regression_zero_variance_dropped(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import group_regression
+
+    t = pa.table({"g": ["z", "z"], "x": [5.0, 5.0], "y": [1.0, 2.0]})
+    out = group_regression(ray.data.from_arrow(t), "g", "x", "y").to_pandas()
+    assert len(out) == 0

@@ -1,0 +1,66 @@
+"""Unigram LM scoring: hand-computed log-probs, OOV handling, empties."""
+
+import math
+
+import pyarrow as pa
+
+
+def _scores(rows, **kw):
+    import ray.data
+
+    from opentapioca_ray.stages.lm import unigram_lm_scores
+
+    ds = ray.data.from_arrow(pa.table(rows)).materialize()
+    out = unigram_lm_scores(ds, "doc_id", "text", **kw).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_hand_computed_scores(ray_session):
+    # corpus: a a b  |  b c  -> counts a:2 b:2 c:1, total 5
+    out = _scores({"doc_id": [1, 2], "text": ["a a b", "b c"]})
+    lp = {w: round(math.log(c / 5) * 1_000_000) for w, c in
+          {"a": 2, "b": 2, "c": 1}.items()}
+    assert out["n_tokens"].tolist() == [3, 2]
+    assert out["sum_lp_e6"].tolist() == [
+        2 * lp["a"] + lp["b"], lp["b"] + lp["c"]
+    ]
+
+
+def test_empty_and_whitespace_docs_dropped(ray_session):
+    out = _scores({"doc_id": [1, 2, 3], "text": ["a b", "", "   "]})
+    assert out["doc_id"].tolist() == [1]
+
+
+def test_foreign_model_oov(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.lm import train_unigram_counts, unigram_lm_scores
+
+    ref = ray.data.from_arrow(pa.table({"text": ["x x x y"]}))
+    counts = train_unigram_counts(ref).materialize()
+    target = ray.data.from_arrow(
+        pa.table({"doc_id": [1], "text": ["x z"]})
+    )
+    out = unigram_lm_scores(
+        target, "doc_id", "text", counts_ds=counts
+    ).to_pandas()
+    lp_x = round(math.log(3 / 4) * 1_000_000)
+    lp_min = round(math.log(1 / 4) * 1_000_000)  # rarest word = OOV penalty
+    assert out["sum_lp_e6"].tolist() == [lp_x + lp_min]
+
+
+def test_scores_deterministic_across_block_layouts(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.lm import unigram_lm_scores
+
+    rows = {"doc_id": list(range(20)),
+            "text": [f"w{i % 3} common w{i % 5}" for i in range(20)]}
+    a = unigram_lm_scores(
+        ray.data.from_arrow(pa.table(rows)).materialize(), "doc_id", "text"
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = unigram_lm_scores(
+        ray.data.from_arrow(pa.table(rows)).repartition(7).materialize(),
+        "doc_id", "text",
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)

@@ -78,3 +78,56 @@ def test_semi_join_auto_falls_back_to_shuffle(ray_session):
     build = ray.data.from_items([{"k": i} for i in range(0, 40, 2)])
     out = semi_join(probe, build, "id", "k", mode="auto", broadcast_limit=5).take_all()
     assert sorted(r["id"] for r in out) == list(range(0, 40, 2))
+
+
+def test_bloom_semi_join_matches_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.relational import bloom_semi_join, semi_join
+
+    rng = np.random.RandomState(7)
+    probe = pa.table(
+        {"k": rng.randint(0, 1000, 5000).astype(np.int64),
+         "payload": np.arange(5000, dtype=np.int64)}
+    )
+    build = pa.table({"bk": (np.arange(300, dtype=np.int64) * 3) % 1000})
+    p = ray.data.from_arrow(probe).materialize()
+    b = ray.data.from_arrow(build).materialize()
+    for anti in (False, True):
+        got = (
+            bloom_semi_join(p, b, "k", "bk", anti=anti, n_bits=1 << 12)
+            .to_pandas().sort_values("payload").reset_index(drop=True)
+        )
+        want = (
+            semi_join(p, b, "k", "bk", anti=anti)
+            .to_pandas().sort_values("payload").reset_index(drop=True)
+        )
+        assert got.equals(want), f"anti={anti}"
+
+
+def test_bloom_semi_join_string_keys(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.relational import bloom_semi_join
+
+    p = ray.data.from_arrow(
+        pa.table({"k": [f"u{i}" for i in range(50)]})
+    ).materialize()
+    b = ray.data.from_arrow(pa.table({"bk": [f"u{i}" for i in range(0, 50, 5)]}))
+    got = bloom_semi_join(p, b, "k", "bk", n_bits=1 << 10).to_pandas()
+    assert sorted(got["k"]) == sorted(f"u{i}" for i in range(0, 50, 5))
+
+
+def test_bloom_semi_join_empty_build(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.relational import bloom_semi_join
+
+    p = ray.data.from_arrow(pa.table({"k": [1, 2, 3]})).materialize()
+    b = ray.data.from_arrow(pa.table({"bk": pa.array([], type=pa.int64())}))
+    assert bloom_semi_join(p, b, "k", "bk").count() == 0
+    assert bloom_semi_join(p, b, "k", "bk", anti=True).count() == 3

@@ -51,3 +51,39 @@ def test_fingerprint_whitespace_insensitive():
 def test_language_column():
     batch = pa.table({"text": ["the cat and the dog in the house"]})
     assert add_language_column(batch).column("lang_id").to_pylist() == ["en"]
+
+
+def test_repetition_stats_basic():
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.textstats import repetition_stats
+
+    out = repetition_stats(
+        pa.table(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    "a b a b a b",      # bigrams: "a b"x3, "b a"x2 -> top 3
+                    "x y z",            # all unique bigrams -> top 1
+                    "w",                # no bigrams
+                    "",                 # empty
+                ],
+            }
+        )
+    ).to_pandas()
+    assert out["n_bigrams"].tolist() == [5, 2, 0, 0]
+    assert out["top_bigram_count"].tolist() == [3, 1, 0, 0]
+    # trigrams of doc1: "a b a"x2, "b a b"x2 -> 4 duplicated instances
+    assert out["dup_trigram_tokens"].tolist() == [4, 0, 0, 0]
+
+
+def test_repetition_stats_no_cross_doc_grams():
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.textstats import repetition_stats
+
+    # "q z" would be a bigram only if docs leaked into each other
+    out = repetition_stats(
+        pa.table({"doc_id": [1, 2], "text": ["p q", "z w"]})
+    ).to_pandas()
+    assert out["top_bigram_count"].tolist() == [1, 1]

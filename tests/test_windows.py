@@ -255,3 +255,44 @@ def test_grouped_sequence_order_and_ties(ray_session):
     assert got.loc[1, "seq"] == "a,b,c"
     assert got.loc[1, "n_events"] == 3
     assert got.loc[2, "seq"] == "x"
+
+
+def test_hopping_window_membership(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.windows import hopping_window_agg
+
+    # window 40us / hop 10us -> every event in exactly 4 windows
+    t = pa.table(
+        {
+            "ts": pa.array([100, 125], type=pa.timestamp("us")),
+            "event_type": ["a", "a"],
+            "value": [1.0, 2.0],
+        }
+    )
+    out = (
+        hopping_window_agg(
+            ray.data.from_arrow(t), window_us=40, hop_us=10
+        )
+        .to_pandas().sort_values("window_start_us").reset_index(drop=True)
+    )
+    # event@100 -> windows 70..100; event@125 -> 90..120
+    assert out["window_start_us"].tolist() == [70, 80, 90, 100, 110, 120]
+    assert out["n"].tolist() == [1, 1, 2, 2, 1, 1]
+    assert out["total_e4"].tolist() == [
+        10000, 10000, 30000, 30000, 20000, 20000
+    ]
+
+
+def test_hopping_window_requires_multiple(ray_session):
+    import pytest
+    import ray.data
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.windows import hopping_window_agg
+
+    t = pa.table({"ts": pa.array([1], type=pa.timestamp("us")),
+                  "event_type": ["a"], "value": [1.0]})
+    with pytest.raises(ValueError):
+        hopping_window_agg(ray.data.from_arrow(t), window_us=35, hop_us=10)
