@@ -1230,6 +1230,21 @@ def _q_hopping_window(sf_dir: str):
     )
 
 
+def _q_packed_sequences(sf_dir: str):
+    """Greedy sequence packing into 64-token training sequences per
+    deterministic 128-id partition: one coarse exchange on the range key,
+    a single sequential pass per partition (packing is inherently
+    order-dependent), partitions pack in parallel."""
+    import ray.data
+
+    from opentapioca_ray.stages.chunking import pack_sequences
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pack_sequences(docs, "doc_id", "text", budget=64, part_size=128)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -1285,6 +1300,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_urgent": _q_customers_no_urgent,
         "value_regression": _q_value_regression,
         "hopping_window": _q_hopping_window,
+        "packed_sequences": _q_packed_sequences,
     }
 
 
@@ -2076,6 +2092,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT window_start_us, event_type, count(*) AS n,
                    CAST(sum(v_u) AS BIGINT) AS total_e4
             FROM r GROUP BY 1, 2
+        """,
+        "packed_sequences": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id // 128 AS part, doc_id,
+                CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                END AS BIGINT) AS n_tok,
+                row_number() OVER (PARTITION BY doc_id // 128
+                                   ORDER BY doc_id) AS rn
+              FROM documents
+            ),
+            walk AS (
+              SELECT part, doc_id, n_tok, rn,
+                     CAST(0 AS BIGINT) AS seq, n_tok AS acc
+              FROM toks WHERE rn = 1
+              UNION ALL
+              SELECT t.part, t.doc_id, t.n_tok, t.rn,
+                CASE WHEN w.acc + t.n_tok > 64 THEN w.seq + 1 ELSE w.seq END,
+                CASE WHEN w.acc + t.n_tok > 64 THEN t.n_tok
+                     ELSE w.acc + t.n_tok END
+              FROM toks t JOIN walk w
+                ON t.part = w.part AND t.rn = w.rn + 1
+            )
+            SELECT part, seq, doc_id, n_tok FROM walk
         """,
         # ann_ivf / embedding_clusters / linkage_clusters: approximate-by-design
         # or iterative —

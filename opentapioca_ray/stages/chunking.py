@@ -84,3 +84,91 @@ def chunk_documents(
         return pa.concat_tables(pieces)
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def pack_sequences(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    budget: int = 512,
+    part_size: int = 128,
+):
+    """Greedy sequence packing: assign documents (in id order) to training
+    sequences of at most `budget` whitespace tokens — the standard
+    pre-training step that concatenates short documents so context windows
+    aren't wasted on padding.
+
+    Packing is inherently sequential (each assignment depends on the
+    running total), so it is done per deterministic id-range partition
+    (`part = id // part_size`): partitions pack independently and in
+    parallel, global sequence identity is (part, seq). One coarse exchange
+    on `part` co-locates each range; the greedy scan inside a partition is
+    a single pass over its sorted ids. A document longer than `budget`
+    gets a sequence of its own (never split — splitting is
+    `chunk_documents`' job upstream).
+
+    Returns (part, seq, id, n_tok); rule: new sequence when
+    acc + n_tok > budget, else accumulate."""
+    import pandas as pd
+    import pyarrow.compute as pc  # noqa: F401 (parity with module imports)
+
+    from opentapioca_ray.functions.textstats import whitespace_token_lists
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    def tok_counts(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [pa.field("part", pa.int64()), pa.field(id_column, pa.int64()),
+             pa.field("n_tok", pa.int64())]
+        )
+        if batch.num_rows == 0 or id_column not in batch.column_names:
+            return schema.empty_table()
+        toks = whitespace_token_lists(batch, text_column)
+        n_tok = np.diff(toks.offsets.to_numpy(zero_copy_only=False))
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "part": pa.array(ids // part_size),
+                id_column: pa.array(ids),
+                "n_tok": pa.array(n_tok.astype(np.int64)),
+            }
+        )
+
+    def pack_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "part": pd.Series(dtype=np.int64),
+                "seq": pd.Series(dtype=np.int64),
+                id_column: pd.Series(dtype=np.int64),
+                "n_tok": pd.Series(dtype=np.int64),
+            }
+        )
+        if df.empty or "part" not in df.columns:
+            return empty
+        df = df.sort_values(["part", id_column])
+        parts = df["part"].to_numpy(dtype=np.int64)
+        ntoks = df["n_tok"].to_numpy(dtype=np.int64)
+        seqs = np.empty(len(df), dtype=np.int64)
+        cur_part, seq, acc = None, 0, 0
+        # greedy accumulate-with-reset is data-dependent sequential by
+        # nature; the loop runs once per doc of THIS partition only
+        for i in range(len(df)):
+            if parts[i] != cur_part:
+                cur_part, seq, acc = parts[i], 0, ntoks[i]
+            elif acc + ntoks[i] > budget:
+                seq, acc = seq + 1, ntoks[i]
+            else:
+                acc += ntoks[i]
+            seqs[i] = seq
+        return pd.DataFrame(
+            {
+                "part": parts,
+                "seq": seqs,
+                id_column: df[id_column].to_numpy(dtype=np.int64),
+                "n_tok": ntoks,
+            }
+        )
+
+    counted = ds.map_batches(tok_counts, batch_format="pyarrow")
+    return coarse_group_apply(counted, "part", pack_partition)

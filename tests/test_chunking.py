@@ -57,3 +57,40 @@ def test_bad_stride_raises(ray_session):
     ds = ray.data.from_arrow(pa.table({"doc_id": [1], "text": ["x"]}))
     with pytest.raises(ValueError):
         chunk_documents(ds, "doc_id", "text", size=3, stride=0)
+
+
+def test_pack_sequences_greedy(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.chunking import pack_sequences
+
+    # token counts: 3, 4, 2, 5, 9, 1 with budget 8 in one partition
+    texts = ["a a a", "b b b b", "c c", "d d d d d",
+             "e e e e e e e e e", "f"]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": list(range(6)), "text": texts})
+    )
+    out = (
+        pack_sequences(ds, budget=8, part_size=100)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    # greedy: [3,4]=7 | [2,5]=7 | [9] alone (oversized) | [1]
+    assert out["seq"].tolist() == [0, 0, 1, 1, 2, 3]
+    assert out["n_tok"].tolist() == [3, 4, 2, 5, 9, 1]
+
+
+def test_pack_sequences_partition_boundaries(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.chunking import pack_sequences
+
+    # ids 0,1 in part 0; ids 2,3 in part 1 -> seq resets per part
+    ds = ray.data.from_arrow(
+        pa.table({"doc_id": [0, 1, 2, 3], "text": ["x"] * 4})
+    )
+    out = (
+        pack_sequences(ds, budget=1, part_size=2)
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    assert out["part"].tolist() == [0, 0, 1, 1]
+    assert out["seq"].tolist() == [0, 1, 0, 1]
