@@ -476,10 +476,8 @@ def simhash_dedup(ds, id_column: str = "doc_id", text_column: str = "text", max_
 # Exact n-gram Jaccard near-dedup
 # ---------------------------------------------------------------------------
 
-def gram_table(
-    batch: pa.Table, id_column: str = "doc_id", text_column: str = "text", k: int = 3
-) -> pa.Table:
-    """Per doc: distinct word-k-gram set (strings, reference tokenizer).
+def _gram_kernel(batch: pa.Table, id_column: str, text_column: str, k: int):
+    """Shared distinct word-k-gram kernel for a whole batch.
 
     Docs shorter than k tokens collapse to a single whole-doc gram; empty
     docs yield no grams (and thus join no candidate pairs).
@@ -487,22 +485,24 @@ def gram_table(
     Fully vectorized: ONE Arrow `binary_join_element_wise` composes every
     k-gram window of the whole batch, one lexsort over (doc, gram-code)
     dedups per doc — no per-doc Python sets/joins (measured 1.4s -> 0.3s
-    over 5k docs at sf0.1)."""
+    over 5k docs at sf0.1).
+
+    Returns None for a gram-less batch, else a tuple
+    `(ids_int64, kept_grams, kept_docs, per_doc)`: the batch's doc ids, a
+    flat Arrow string array of distinct grams sorted by (doc index, gram
+    code), the doc index of each kept gram, and the per-doc distinct-gram
+    counts."""
     import pyarrow.compute as pc
 
     from opentapioca_ray.functions.text import tokenize_flat
 
-    empty = pa.schema(
-        [pa.field("doc_id", pa.int64()),
-         pa.field("grams", pa.list_(pa.string()))]
-    ).empty_table()
     ids = batch.column(id_column).to_numpy(zero_copy_only=False)
     texts = batch.column(text_column).to_pylist()
     flat, counts = tokenize_flat([t or "" for t in texts])
     n = len(flat)
     ndocs = len(ids)
     if n == 0:
-        return empty
+        return None
     counts = counts.astype(np.int64)
     doc_rep = np.repeat(np.arange(ndocs), counts)
     flat_arr = pa.array(flat, type=pa.string())
@@ -537,7 +537,7 @@ def gram_table(
         piece_docs.append(sidx)
         piece_grams.append(pc.binary_join(lists, " "))
     if not piece_docs:
-        return empty
+        return None
     all_docs = np.concatenate(piece_docs)
     all_grams = pa.concat_arrays(
         [g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
@@ -552,31 +552,49 @@ def gram_table(
     kept_docs = d_s[first]
     kept_grams = all_grams.take(pa.array(o[np.flatnonzero(first)]))
     per_doc = np.bincount(kept_docs, minlength=ndocs)
-    loffs2 = np.concatenate(([0], np.cumsum(per_doc))).astype(np.int32)
-    lists_all = pa.ListArray.from_arrays(
-        pa.array(loffs2, type=pa.int32()), kept_grams
-    )
+    return ids.astype(np.int64), kept_grams, kept_docs, per_doc
+
+
+def gram_table(
+    batch: pa.Table, id_column: str = "doc_id", text_column: str = "text", k: int = 3
+) -> pa.Table:
+    """Per doc: distinct word-k-gram set as a `list<string>` column."""
+    res = _gram_kernel(batch, id_column, text_column, k)
+    if res is None:
+        return pa.schema(
+            [pa.field("doc_id", pa.int64()),
+             pa.field("grams", pa.list_(pa.string()))]
+        ).empty_table()
+    ids, kept_grams, _kept_docs, per_doc = res
+    loffs = np.concatenate(([0], np.cumsum(per_doc))).astype(np.int32)
+    lists_all = pa.ListArray.from_arrays(pa.array(loffs, type=pa.int32()), kept_grams)
     return pa.table(
-        {
-            "doc_id": pa.array(ids.astype(np.int64)),
-            "grams": lists_all,
-        }
+        {"doc_id": pa.array(ids), "grams": lists_all}
     ).filter(pa.array(per_doc > 0))
 
 
-def _explode_grams(batch: pa.Table) -> pa.Table:
-    import pyarrow.compute as pc
-
-    col = batch.column("grams")
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    parents = pc.list_parent_indices(col)
+def gram_doc_rows(
+    batch: pa.Table, id_column: str = "doc_id", text_column: str = "text", k: int = 3
+) -> pa.Table:
+    """Exploded distinct (gram, doc) rows, each carrying the doc's total
+    distinct-gram count — ONE pass produces blocking keys AND the |A| sizes
+    exact Jaccard needs, so no separate size dataset / attach exchange."""
+    res = _gram_kernel(batch, id_column, text_column, k)
+    if res is None:
+        return _GRAM_ROWS_EMPTY
+    ids, kept_grams, kept_docs, per_doc = res
     return pa.table(
         {
-            "gram": pc.list_flatten(col),
-            "doc_id": pc.take(batch.column("doc_id"), parents),
+            "gram": kept_grams,
+            "doc_id": pa.array(ids[kept_docs]),
+            "n_grams": pa.array(per_doc[kept_docs].astype(np.int64)),
         }
     )
+
+
+_GRAM_ROWS_EMPTY = pa.schema(
+    [("gram", pa.string()), ("doc_id", pa.int64()), ("n_grams", pa.int64())]
+).empty_table()
 
 
 _NGRAM_DRIVER_LIMIT = 20_000_000
@@ -586,132 +604,74 @@ _NGRAM_EMPTY = pa.schema(
 ).empty_table()
 
 
+def _pair_multiplicity(codes, ids, ngr):
+    """Sorted-by-(code, id) distinct (code, id) rows -> unique doc pairs
+    with their within-input shared-code multiplicity and each side's
+    carried per-doc size. One `_segment_pairs` sweep + one `np.unique` over
+    packed compact-id pairs — no per-group Python loop, and id magnitudes
+    never limit the packing (ids are compacted first)."""
+    from opentapioca_ray.stages.triangles import _segment_pairs
+
+    li, ri = _segment_pairs(codes)
+    if len(li) == 0:
+        return None
+    # rows are distinct (code, doc) and ids ascend within a code segment,
+    # so ids[li] < ids[ri] strictly; compact ids so packing fits uint64
+    _, inv = np.unique(ids, return_inverse=True)
+    packed = (inv[li].astype(np.uint64) << np.uint64(32)) | inv[ri].astype(np.uint64)
+    _, idx0, inter = np.unique(packed, return_index=True, return_counts=True)
+    return (
+        ids[li[idx0]],
+        ids[ri[idx0]],
+        inter.astype(np.int64),
+        ngr[li[idx0]],
+        ngr[ri[idx0]],
+    )
+
+
 def _ngram_pair_partition(df: pd.DataFrame) -> pd.DataFrame:
-    """All (gram, doc) rows of one coarse gram-hash partition -> per-pair
-    shared-gram counts WITHIN the partition (vectorized dictionary-encode +
-    lexsort + per-gram all-pairs + local pair-count reduce). Every row of a
-    gram lands in the same partition, so summing the partial counts across
-    partitions gives the exact global intersection size."""
+    """All (gram, doc, n_grams) rows of one coarse gram-hash partition ->
+    per-pair shared-gram counts WITHIN the partition plus the carried
+    per-doc sizes. Every row of a gram lands in the same partition, so
+    summing the partial counts across partitions gives the exact global
+    intersection size; na/nb are global per-doc constants and merge with
+    max."""
     empty = pd.DataFrame(
         {
-            "u": pd.Series(dtype=np.int64),
-            "v": pd.Series(dtype=np.int64),
-            "inter": pd.Series(dtype=np.int64),
+            c: pd.Series(dtype=np.int64)
+            for c in ("u", "v", "inter", "na", "nb")
         }
     )
     if df.empty:
         return empty
     codes, _ = pd.factorize(df["gram"].to_numpy())
     ids = df["doc_id"].to_numpy(dtype=np.int64)
+    ngr = df["n_grams"].to_numpy(dtype=np.int64)
     o = np.lexsort((ids, codes))
-    codes, ids = codes[o], ids[o]
-    starts = np.flatnonzero(np.concatenate(([True], codes[1:] != codes[:-1])))
-    ends = np.concatenate((starts[1:], [len(codes)]))
-    sizes_g = ends - starts
-    lefts, rights = [], []
-    s2 = starts[sizes_g == 2]
-    if len(s2):
-        a, b = ids[s2], ids[s2 + 1]
-        ok = a != b
-        lefts.append(np.minimum(a[ok], b[ok]))
-        rights.append(np.maximum(a[ok], b[ok]))
-    for s, e in zip(starts[sizes_g > 2], ends[sizes_g > 2]):
-        gid = np.unique(ids[s:e])
-        n = len(gid)
-        if n < 2:
-            continue
-        iu, ju = np.triu_indices(n, k=1)
-        lefts.append(gid[iu])
-        rights.append(gid[ju])
-    if not lefts:
+    res = _pair_multiplicity(codes[o], ids[o], ngr[o])
+    if res is None:
         return empty
-    left = np.concatenate(lefts)
-    right = np.concatenate(rights)
-    po = np.lexsort((right, left))
-    left, right = left[po], right[po]
-    new = np.concatenate(([True], (left[1:] != left[:-1]) | (right[1:] != right[:-1])))
-    inter = np.bincount(np.cumsum(new) - 1).astype(np.int64)
-    return pd.DataFrame({"u": left[new], "v": right[new], "inter": inter})
+    u, v, inter, na, nb = res
+    return pd.DataFrame({"u": u, "v": v, "inter": inter, "na": na, "nb": nb})
 
 
-def _attach_ngram_sizes(pairs_ds, sizes_ds, key: str, out_col: str, n_parts=None):
-    """Reduce-side join: attach each doc's distinct-gram count to the pair
-    rows keyed by `key`, via ONE coarse-partition exchange on hash(doc) % P
-    (not per-doc groups). The size side is unique per doc_id."""
-    import ray.data  # noqa: F401
-
-    from opentapioca_ray.stages.exchange import coarse_group_apply
-
-    carry = [c for c in ("u", "v", "inter", "na") if c != out_col]
-
-    def pair_rows(batch: pa.Table) -> pa.Table:
-        cols = {"key": batch.column(key).cast(pa.int64()),
-                "is_size": pa.array([False] * batch.num_rows, type=pa.bool_()),
-                "n": pa.array([0] * batch.num_rows, type=pa.int64())}
-        for c in carry:
-            if c in batch.column_names:
-                cols[c] = batch.column(c).cast(pa.int64())
-        return pa.table(cols)
-
-    def size_rows(batch: pa.Table) -> pa.Table:
-        cols = {"key": batch.column("doc_id").cast(pa.int64()),
-                "is_size": pa.array([True] * batch.num_rows, type=pa.bool_()),
-                "n": batch.column("n_grams").cast(pa.int64())}
-        for c in carry:
-            cols[c] = pa.array([0] * batch.num_rows, type=pa.int64())
-        return pa.table(cols)
-
-    def guard(fn, names):
-        def inner(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0 or names[0] not in batch.column_names:
-                return pa.schema(
-                    [("key", pa.int64()), ("is_size", pa.bool_()), ("n", pa.int64())]
-                    + [(c, pa.int64()) for c in carry]
-                ).empty_table()
-            return fn(batch)
-
-        return inner
-
-    unioned = pairs_ds.map_batches(guard(pair_rows, [key]), batch_format="pyarrow").union(
-        sizes_ds.map_batches(guard(size_rows, ["doc_id"]), batch_format="pyarrow")
-    )
-
-    def attach(df: pd.DataFrame) -> pd.DataFrame:
-        out_cols = carry + [out_col]
-        empty = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in out_cols})
-        if df.empty:
-            return empty
-        sizes = df[df["is_size"]]
-        pairs = df[~df["is_size"]]
-        if pairs.empty or sizes.empty:
-            return empty
-        sk = sizes["key"].to_numpy(dtype=np.int64)
-        sn = sizes["n"].to_numpy(dtype=np.int64)
-        o = np.argsort(sk)
-        sk, sn = sk[o], sn[o]
-        pk = pairs["key"].to_numpy(dtype=np.int64)
-        idx = np.clip(np.searchsorted(sk, pk), 0, len(sk) - 1)
-        ok = sk[idx] == pk  # pair docs always have >= 1 gram, but stay safe
-        out = {c: pairs[c].to_numpy(dtype=np.int64)[ok] for c in carry}
-        out[out_col] = sn[idx[ok]]
-        return pd.DataFrame(out)
-
-    return coarse_group_apply(unioned, "key", attach, n_parts=n_parts)
-
-
-def _ngram_shuffle_pairs(exploded, sizes, threshold: float, n_parts=None):
-    """All-shuffle n-gram Jaccard: coarse gram-hash pair counting ->
-    groupby(pair).sum -> two coarse doc-hash size attaches -> jaccard.
-    Identical math to the driver merge, no driver-side materialization."""
+def _ngram_shuffle_pairs(exploded, threshold: float, n_parts=None):
+    """All-shuffle n-gram Jaccard: ONE coarse gram-hash exchange computes
+    partial pair counts with both sizes riding along, then one coarse
+    (u, v) merge sums intersections (sizes are per-doc constants -> max).
+    Identical math to the driver merge, no driver-side materialization and
+    no separate size-attach exchanges."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
-    from opentapioca_ray.stages.exchange import coarse_group_apply
+    from opentapioca_ray.stages.exchange import coarse_group_apply, coarse_groupby_agg
 
     partial = coarse_group_apply(exploded, "gram", _ngram_pair_partition, n_parts=n_parts)
-    pair_counts = partial.groupby(["u", "v"]).aggregate(Sum("inter", alias_name="inter"))
-    with_na = _attach_ngram_sizes(pair_counts, sizes, "u", "na", n_parts=n_parts)
-    with_nb = _attach_ngram_sizes(with_na, sizes, "v", "nb", n_parts=n_parts)
+    pair_counts = coarse_groupby_agg(
+        partial,
+        ["u", "v"],
+        {"inter": ("inter", "sum"), "na": ("na", "max"), "nb": ("nb", "max")},
+        n_parts=n_parts,
+    )
 
     def finish(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "u" not in batch.column_names:
@@ -729,7 +689,7 @@ def _ngram_shuffle_pairs(exploded, sizes, threshold: float, n_parts=None):
             }
         )
 
-    return with_nb.map_batches(finish, batch_format="pyarrow")
+    return pair_counts.map_batches(finish, batch_format="pyarrow")
 
 
 def ngram_jaccard_pairs(
@@ -755,54 +715,39 @@ def ngram_jaccard_pairs(
     Key identity both modes use: |A ∩ B| for a doc pair equals the pair's
     MULTIPLICITY across shared-gram groups, and |A| / |B| are the per-doc
     distinct-gram counts — exact Jaccard needs NO gram-set payloads, just
-    pair occurrence counts + two size lookups. Scale-adaptive merge: below
-    `driver_limit` surviving (gram, doc) rows the counting happens in one
-    vectorized driver pass (no shuffle); above it — or with
-    `mode="shuffle"` — the same kernel runs per coarse gram-hash partition
-    with groupby-sum pair merging and coarse-partition size joins, fully
-    distributed (`_ngram_shuffle_pairs`).
+    pair occurrence counts + two size lookups (carried on the exploded rows
+    themselves). Scale-adaptive merge: below `driver_limit` surviving
+    (gram, doc) rows the counting happens in one vectorized driver pass (no
+    shuffle); above it — or with `mode="shuffle"` — the same kernel runs
+    per coarse gram-hash partition followed by one coarse (u, v) merge,
+    fully distributed (`_ngram_shuffle_pairs`).
 
     Returns (u, v, jaccard) with u < v and jaccard >= threshold."""
-    grams = ds.map_batches(
-        lambda b: gram_table(b, id_column, text_column, k), batch_format="pyarrow"
-    ).materialize()  # consumed twice: sizes + explode
-    exploded = grams.map_batches(_explode_grams, batch_format="pyarrow")
+    import ray
+    import ray.data
+
+    _EMPTY = _NGRAM_EMPTY
+
+    # ONE pass over the corpus produces the exploded (gram, doc) rows WITH
+    # each doc's distinct-gram count riding along — no gram-list dataset,
+    # no separate size pass, no size-attach exchanges downstream.
+    exploded = ds.map_batches(
+        lambda b: gram_doc_rows(b, id_column, text_column, k),
+        batch_format="pyarrow",
+    )
     # Singleton grams (the overwhelming majority) can't produce pairs: drop
     # them before the wide groupby; `max_df` additionally drops stop-grams.
     from opentapioca_ray.stages.pairs import prefilter_singleton_blocks
 
     exploded = prefilter_singleton_blocks(
         exploded.map_batches(
-            lambda b: b.rename_columns(["block_key", "doc_id"]), batch_format="pyarrow"
+            lambda b: b.rename_columns(["block_key", "doc_id", "n_grams"]),
+            batch_format="pyarrow",
         ),
         min_size=2,
         max_size=max_df,
-    ).map_batches(lambda b: b.rename_columns(["gram", "doc_id"]), batch_format="pyarrow")
-    import ray
-    import ray.data
-
-    _EMPTY = _NGRAM_EMPTY
-
-    # per-doc distinct gram counts (|A| side)
-    def _sizes_batch(b: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        if b.num_rows == 0 or "grams" not in b.column_names:
-            return pa.schema(
-                [pa.field("doc_id", pa.int64()),
-                 pa.field("n_grams", pa.int64())]
-            ).empty_table()
-        return pa.table(
-            {
-                "doc_id": b.column("doc_id"),
-                "n_grams": pc.cast(
-                    pc.list_value_length(b.column("grams")), pa.int64()
-                ),
-            }
-        )
-
-    sizes = grams.map_batches(
-        _sizes_batch,
+    ).map_batches(
+        lambda b: b.rename_columns(["gram", "doc_id", "n_grams"]),
         batch_format="pyarrow",
     )
 
@@ -810,24 +755,10 @@ def ngram_jaccard_pairs(
         exploded = exploded.materialize()
         mode = "driver" if exploded.count() <= driver_limit else "shuffle"
     if mode == "shuffle":
-        return _ngram_shuffle_pairs(exploded, sizes, threshold)
+        return _ngram_shuffle_pairs(exploded, threshold)
 
-    size_ids, size_ns = [], []
-    for ref in sizes.to_arrow_refs():
-        t = ray.get(ref)
-        if t.num_rows == 0 or "doc_id" not in t.column_names:
-            continue
-        size_ids.append(t.column("doc_id").to_numpy(zero_copy_only=False))
-        size_ns.append(t.column("n_grams").to_numpy(zero_copy_only=False))
-    if not size_ids:
-        return ray.data.from_arrow(_EMPTY)
-    size_ids = np.concatenate(size_ids)
-    size_ns = np.concatenate(size_ns).astype(np.int64)
-    order = np.argsort(size_ids)
-    size_ids, size_ns = size_ids[order], size_ns[order]
-
-    # surviving (gram, doc) rows -> pair occurrence counts
-    gram_chunks, id_chunks = [], []
+    # surviving (gram, doc, n_grams) rows -> pair occurrence counts
+    gram_chunks, id_chunks, ngr_chunks = [], [], []
     for ref in exploded.to_arrow_refs():
         t = ray.get(ref)
         if t.num_rows == 0 or "gram" not in t.column_names:
@@ -835,6 +766,7 @@ def ngram_jaccard_pairs(
         col = t.column("gram")
         gram_chunks.extend(col.chunks if isinstance(col, pa.ChunkedArray) else [col])
         id_chunks.append(t.column("doc_id").to_numpy(zero_copy_only=False))
+        ngr_chunks.append(t.column("n_grams").to_numpy(zero_copy_only=False))
     if not gram_chunks:
         return ray.data.from_arrow(_EMPTY)
     codes = (
@@ -844,35 +776,18 @@ def ngram_jaccard_pairs(
         .indices.to_numpy(zero_copy_only=False)
     )
     ids = np.concatenate(id_chunks).astype(np.int64)
+    ngr = np.concatenate(ngr_chunks).astype(np.int64)
     o = np.lexsort((ids, codes))
-    codes, ids = codes[o], ids[o]
-    # (gram, doc) rows are distinct by construction (per-doc distinct gram
-    # sets), so every within-gram index pair is a distinct doc pair with
-    # u < v — one vectorized segment-pair kernel, no per-gram Python loop
-    from opentapioca_ray.stages.triangles import _segment_pairs
-
-    li, ri = _segment_pairs(codes)
-    if len(li) == 0:
+    res = _pair_multiplicity(codes[o], ids[o], ngr[o])
+    if res is None:
         return ray.data.from_arrow(_EMPTY)
-    # pair multiplicity == |A ∩ B|: pack (u, v) into one uint64 key
-    packed = (ids[li].astype(np.uint64) << np.uint64(32)) | ids[ri].astype(
-        np.uint64
-    )
-    uniq_keys, inter = np.unique(packed, return_counts=True)
-    inter = inter.astype(np.int64)
-    uniq = np.stack(
-        [(uniq_keys >> np.uint64(32)).astype(np.int64),
-         (uniq_keys & np.uint64(0xFFFFFFFF)).astype(np.int64)],
-        axis=1,
-    )
-    na = size_ns[np.searchsorted(size_ids, uniq[:, 0])]
-    nb = size_ns[np.searchsorted(size_ids, uniq[:, 1])]
+    u, v, inter, na, nb = res
     jac = inter / (na + nb - inter)
     keep = jac >= threshold
     table = pa.table(
         {
-            "u": pa.array(uniq[keep, 0], type=pa.int64()),
-            "v": pa.array(uniq[keep, 1], type=pa.int64()),
+            "u": pa.array(u[keep], type=pa.int64()),
+            "v": pa.array(v[keep], type=pa.int64()),
             "jaccard": pa.array(jac[keep], type=pa.float64()),
         }
     )
