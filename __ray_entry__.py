@@ -319,6 +319,98 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+def _q_dup_components(sf_dir: str):
+    """Duplicate clusters: connected components over the exact n-gram
+    Jaccard pair graph (component label = min doc_id). The oracle replays
+    the pair SQL and propagates min labels with a recursive CTE, so the
+    iterative CC operator itself is hash-checked end-to-end."""
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.cc import connected_components
+    from opentapioca_ray.stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _docs(sf_dir), id_column="doc_id", text_column="text", k=3, threshold=0.5
+    )
+    comp = connected_components(pairs.select_columns(["u", "v"]))
+    return comp.map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": b.column("node").cast(pa.int64()),
+                "component": b.column("component").cast(pa.int64()),
+            }
+        )
+        if b.num_rows and "node" in b.column_names
+        else pa.schema(
+            [("doc_id", pa.int64()), ("component", pa.int64())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+
+
+def _q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: count each corpus doc's distinct 3-grams
+    that also appear in the 'benchmark' partition (doc_id % 97 == 0).
+
+    Scale shape: the benchmark gram set is the SMALL side (eval sets are
+    tiny next to a training corpus) — distinct benchmark grams are
+    collected once, broadcast via `ray.put`, and every corpus batch is
+    flagged in ONE `is_in` pass that never shuffles; per-doc counts close
+    inside the batch because `gram_doc_rows` keeps a doc's rows together.
+    At extreme benchmark sizes swap the exact set for the Bloom filter
+    stage (`stages/bloom.py`) — same dataflow, documented false-positive
+    trade-off."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from opentapioca_ray.stages.dedup import gram_doc_rows
+
+    docs = _docs(sf_dir)
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        rows = gram_doc_rows(batch.filter(pa.array(ids % 97 == 0)), "doc_id", "text", 3)
+        return pa.table({"gram": rows.column("gram")})
+
+    chunks = []
+    for ref in docs.map_batches(bench_grams, batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows and "gram" in t.column_names:
+            col = t.column("gram")
+            chunks.extend(col.chunks if isinstance(col, pa.ChunkedArray) else [col])
+    bench = (
+        pa.chunked_array(chunks).combine_chunks().unique()
+        if chunks
+        else pa.array([], type=pa.string())
+    )
+    bench_ref = ray.put(bench)
+
+    empty = pa.schema([("doc_id", pa.int64()), ("n_shared", pa.int64())]).empty_table()
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        rows = gram_doc_rows(batch.filter(pa.array(bids % 97 != 0)), "doc_id", "text", 3)
+        if rows.num_rows == 0:
+            return empty
+        hit = pc.is_in(rows.column("gram"), value_set=ray.get(bench_ref))
+        ids = rows.column("doc_id").to_numpy(zero_copy_only=False)[
+            hit.to_numpy(zero_copy_only=False)
+        ]
+        if len(ids) == 0:
+            return empty
+        uids, counts = np.unique(ids, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(uids, type=pa.int64()),
+                "n_shared": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(flag, batch_format="pyarrow")
+
+
 def _q_simhash_dedup(sf_dir: str):
     """SimHash near-dedup, emitted as the VERIFIED pair set (u, v, exact
     Hamming distance) with the md5-derived gram hash so a DuckDB all-pairs
@@ -1258,6 +1350,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "dup_components": _q_dup_components,
+        "decontaminate": _q_decontaminate,
         "simhash_dedup": _q_simhash_dedup,
         "embedding_dedup": _q_embedding_dedup,
         "ann_topk": _q_ann_topk,
@@ -1492,6 +1586,82 @@ def oracle_sql() -> dict[str, str]:
               JOIN grams gb ON gb.doc_id = cand.v
             )
             SELECT u, v, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
+        """,
+        "dup_components": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                END AS gs
+              FROM toks WHERE len(arr) > 0
+            ),
+            ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            pairs AS (
+              SELECT u, v
+              FROM cand
+              JOIN grams ga ON ga.doc_id = cand.u
+              JOIN grams gb ON gb.doc_id = cand.v
+              WHERE len(list_intersect(ga.gs, gb.gs))::double
+                    / (len(ga.gs) + len(gb.gs)
+                       - len(list_intersect(ga.gs, gb.gs)))::double >= 0.5
+            ),
+            edges AS (
+              SELECT u AS a, v AS b FROM pairs
+              UNION ALL
+              SELECT v AS a, u AS b FROM pairs
+            ),
+            lab(v, l) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, lab.l FROM edges e JOIN lab ON lab.v = e.b
+            )
+            SELECT CAST(v AS BIGINT) AS doc_id,
+                   CAST(min(l) AS BIGINT) AS component
+            FROM lab GROUP BY v
+        """,
+        "decontaminate": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                END AS gs
+              FROM toks WHERE len(arr) > 0
+            ),
+            bench AS (
+              SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0
+            ),
+            ex AS (
+              SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 97 <> 0
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+            FROM ex JOIN bench USING (g)
+            GROUP BY doc_id
         """,
         "fingerprint_dups": """
             SELECT min(doc_id) AS keep_id, count(*) AS dup_count

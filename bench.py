@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "minhash_dedup",
     "simhash_dedup",
     "ngram_jaccard_pairs",
+    "dup_components",
+    "decontaminate",
     "multimodal_meta",
     "ann_topk",
     "top_customers",

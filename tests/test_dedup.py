@@ -200,3 +200,88 @@ def test_simhash_md5_pairs_edge_cases(ray_session):
     got = {(r["u"], r["v"]): r["hamming"] for r in simhash_md5_pairs(ds).take_all()}
     assert got.get((3, 4)) == 0
     assert all(1 not in p and 2 not in p for p in got)
+
+
+def test_gram_doc_rows_matches_gram_table(ray_session):
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.dedup import gram_doc_rows, gram_table
+
+    docs = corpus_with_dups() + [
+        {"doc_id": 30, "text": ""},
+        {"doc_id": 31, "text": "two words"},
+    ]
+    batch = pa.table(
+        {
+            "doc_id": pa.array([d["doc_id"] for d in docs], type=pa.int64()),
+            "text": pa.array([d["text"] for d in docs]),
+        }
+    )
+    lists = gram_table(batch)
+    rows = gram_doc_rows(batch)
+    # same (doc, gram) multiset, and n_grams equals the doc's list length
+    want = {}
+    for did, gs in zip(lists.column("doc_id").to_pylist(), lists.column("grams").to_pylist()):
+        want[did] = sorted(gs)
+    got = {}
+    for did, g, n in zip(
+        rows.column("doc_id").to_pylist(),
+        rows.column("gram").to_pylist(),
+        rows.column("n_grams").to_pylist(),
+    ):
+        got.setdefault(did, []).append(g)
+        assert n == len(want[did])
+    assert {k: sorted(v) for k, v in got.items()} == want
+    assert 30 not in got  # empty doc yields no grams
+    assert got[31] == ["two words"]  # short doc collapses to one gram
+
+
+def test_dup_components_query(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d["doc_id"] for d in corpus_with_dups()], type=pa.int64()),
+                "text": pa.array([d["text"] for d in corpus_with_dups()]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = entrymod.queries()["dup_components"](str(tmp_path)).take_all()
+    comp = {r["doc_id"]: r["component"] for r in out}
+    assert comp[0] == comp[1] == comp[2] == 0
+    assert comp[10] == comp[11] == 10
+    assert 20 not in comp  # singletons have no dup edges
+
+
+def test_decontaminate_query(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entrymod
+
+    base = " ".join(f"bench{i} tok{i % 3}" for i in range(40))
+    docs = [
+        {"doc_id": 0, "text": base},                      # benchmark (0 % 97 == 0)
+        {"doc_id": 1, "text": base + " extra suffix"},     # heavy overlap
+        {"doc_id": 2, "text": " ".join(f"clean{i}" for i in range(40))},
+        {"doc_id": 97, "text": "more bench material only"},  # benchmark
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([d["doc_id"] for d in docs], type=pa.int64()),
+                "text": pa.array([d["text"] for d in docs]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = entrymod.queries()["decontaminate"](str(tmp_path)).take_all()
+    shared = {r["doc_id"]: r["n_shared"] for r in out}
+    assert 0 not in shared and 97 not in shared  # benchmark docs excluded
+    assert shared[1] >= 30  # near-copy of a benchmark doc is flagged hard
+    assert 2 not in shared  # clean doc shares nothing
