@@ -33,6 +33,15 @@ def _docs(sf_dir: str):
     )
 
 
+def _rel(path: str, columns=None):
+    """Sized single-file read for relational/event/embedding tables whose
+    per-row compute is trivial: fewer, fuller blocks so downstream
+    exchanges don't pay per-block task overhead (see files.read_sized)."""
+    from opentapioca_ray.sources.files import read_sized
+
+    return read_sized(path, columns=columns)
+
+
 def entry() -> Any:
     """Flagship: files (input_hint shape, derived from documents) ->
     blocking -> pairwise scoring -> connected components -> clusters."""
@@ -232,7 +241,7 @@ def _q_graph_edges(sf_dir: str):
 
     from opentapioca_ray.pipelines.pagerank import count_edges, normalize_edges
 
-    li = ray.data.read_parquet(
+    li = _rel(
         f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
     )
     out = normalize_edges(count_edges(li, "l_partkey", "l_suppkey"))
@@ -260,7 +269,7 @@ def _q_pagerank(sf_dir: str):
         normalize_edges,
     )
 
-    li = ray.data.read_parquet(
+    li = _rel(
         f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
     )
     graph = compute_pagerank_local(normalize_edges(count_edges(li, "l_partkey", "l_suppkey")))
@@ -458,7 +467,7 @@ def _q_embedding_dedup(sf_dir: str):
             }
         )
 
-    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet").map_batches(
+    emb = _rel(f"{sf_dir}/embeddings.parquet").map_batches(
         augment, batch_format="pyarrow"
     )
     out = embedding_pairs(emb, threshold=0.95)
@@ -491,7 +500,7 @@ def _q_ann_topk(sf_dir: str):
     head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
     queries = np.array(head.column("embedding").to_pylist(), dtype=np.float64)
     qids = head.column("vec_id").to_pylist()
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _rel(f"{sf_dir}/embeddings.parquet")
     out = brute_force_topk(ds, queries, qids, k=10)
     return out.map_batches(
         lambda b: pa.table(
@@ -518,7 +527,7 @@ def _q_ann_ivf(sf_dir: str):
     head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
     queries = np.array(head.column("embedding").to_pylist(), dtype=np.float64)
     qids = head.column("vec_id").to_pylist()
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _rel(f"{sf_dir}/embeddings.parquet")
     centroids = train_centroids(ds, n_centroids=16)
     return ivf_topk(ds, queries, qids, centroids, k=10, nprobe=4)
 
@@ -535,7 +544,7 @@ def _q_embedding_clusters(sf_dir: str):
     from opentapioca_ray.stages.aggregates import partial_sum_count
     from opentapioca_ray.stages.cluster import kmeans_assign, kmeans_fit
 
-    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    ds = _rel(f"{sf_dir}/embeddings.parquet")
     cents = kmeans_fit(ds, k=8, iters=5)
     labeled = kmeans_assign(ds, cents)
     agg = partial_sum_count(
@@ -616,7 +625,7 @@ def _q_compact_latest(sf_dir: str):
 
     from opentapioca_ray.stages.dedup import compact_by_key
 
-    orders = ray.data.read_parquet(
+    orders = _rel(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderkey", "o_totalprice"],
     )
@@ -634,7 +643,7 @@ def _q_top_customers(sf_dir: str):
 
     from opentapioca_ray.stages.selection import global_top_k
 
-    orders = ray.data.read_parquet(
+    orders = _rel(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
     agg = orders.groupby("o_custkey").aggregate(
@@ -671,7 +680,7 @@ def _q_revenue_by_nation(sf_dir: str):
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     )
     nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
-    orders = ray.data.read_parquet(
+    orders = _rel(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
     joined = broadcast_join(orders, customer, "o_custkey", "c_custkey", ["c_nationkey"])
@@ -700,7 +709,7 @@ def _q_distinct_users_by_type(sf_dir: str):
 
     from opentapioca_ray.stages.aggregates import distinct_count
 
-    ev = ray.data.read_parquet(
+    ev = _rel(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
     return distinct_count(ev, "event_type", "user_id", alias="n_users")
@@ -715,7 +724,7 @@ def _q_price_quantiles_by_priority(sf_dir: str):
 
     from opentapioca_ray.stages.aggregates import grouped_quantiles
 
-    orders = ray.data.read_parquet(
+    orders = _rel(
         f"{sf_dir}/orders.parquet", columns=["o_orderpriority", "o_totalprice"]
     )
     return grouped_quantiles(
@@ -731,7 +740,7 @@ def _q_rolling_user_value(sf_dir: str):
 
     from opentapioca_ray.stages.windows import windowed_frame
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ev = _rel(f"{sf_dir}/events.parquet")
     return windowed_frame(ev, preceding=2)
 
 
@@ -742,7 +751,7 @@ def _q_value_stats_by_type(sf_dir: str):
 
     from opentapioca_ray.stages.aggregates import group_moments
 
-    ev = ray.data.read_parquet(
+    ev = _rel(
         f"{sf_dir}/events.parquet", columns=["event_type", "value", "user_id"]
     )
     return group_moments(ev, "event_type", "value", y_column="user_id")
@@ -756,7 +765,7 @@ def _q_rollup_revenue(sf_dir: str):
 
     from opentapioca_ray.stages.aggregates import rollup_sum
 
-    orders = ray.data.read_parquet(
+    orders = _rel(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
     )
@@ -776,7 +785,7 @@ def _q_events_above_p99(sf_dir: str):
 
     from opentapioca_ray.stages.aggregates import grouped_quantiles, partial_sum_count
 
-    ev = ray.data.read_parquet(
+    ev = _rel(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     )
     q = grouped_quantiles(ev, "event_type", "value", [0.99]).to_pandas()
@@ -826,7 +835,7 @@ def _q_user_event_sequences(sf_dir: str):
 
     from opentapioca_ray.stages.windows import grouped_sequence
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    ev = _rel(f"{sf_dir}/events.parquet")
     return grouped_sequence(ev, "user_id", "ts", "event_type")
 
 
@@ -852,7 +861,7 @@ def _q_approx_distinct_users(sf_dir: str):
 
     from opentapioca_ray.stages.sketches import approx_distinct
 
-    ev = ray.data.read_parquet(
+    ev = _rel(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id"]
     )
     return approx_distinct(ev, "event_type", "user_id", k=256, alias="n_approx")
@@ -869,11 +878,13 @@ def _q_lineitem_orders_join(sf_dir: str):
     from opentapioca_ray.stages.aggregates import partial_sum_count
     from opentapioca_ray.stages.relational import shuffle_join
 
-    li = ray.data.read_parquet(
+    from opentapioca_ray.sources.files import read_sized
+
+    li = read_sized(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
     )
-    orders = ray.data.read_parquet(
+    orders = read_sized(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
 
@@ -918,9 +929,9 @@ def _q_triangle_count(sf_dir: str):
 
     from opentapioca_ray.stages.triangles import cooccurrence_edges, count_triangles
 
-    li = ray.data.read_parquet(
-        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
-    )
+    from opentapioca_ray.sources.files import read_sized
+
+    li = read_sized(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
     edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
     return count_triangles(edges)
 
@@ -938,11 +949,11 @@ def _q_customers_no_big_orders(sf_dir: str):
     from opentapioca_ray.stages.aggregates import partial_sum_count
     from opentapioca_ray.stages.relational import semi_join
 
-    orders = ray.data.read_parquet(
+    orders = _rel(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
     )
     big = orders.filter(expr="o_totalprice > 450000.0")
-    customers = ray.data.read_parquet(
+    customers = _rel(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey", "c_acctbal"]
     )
     no_big = semi_join(customers, big, "c_custkey", "o_custkey", anti=True)
@@ -975,7 +986,7 @@ def _q_redact_props(sf_dir: str):
 
     from opentapioca_ray.functions.redact import redact
 
-    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
+    ev = _rel(f"{sf_dir}/events.parquet", columns=["event_id", "props"])
     out = redact(ev, "props")
     return out.map_batches(
         lambda b: pa.table(
@@ -998,7 +1009,7 @@ def _q_doc_length_quantiles(sf_dir: str):
 
     from opentapioca_ray.stages.aggregates import histogram_quantiles
 
-    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["n_chars"])
+    docs = _rel(f"{sf_dir}/documents.parquet", columns=["n_chars"])
     return histogram_quantiles(
         docs, "n_chars", [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
     )
@@ -1010,7 +1021,7 @@ def _q_events_by_type(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
 
-    events = ray.data.read_parquet(
+    events = _rel(
         f"{sf_dir}/events.parquet", columns=["event_type", "value"]
     )
     agg = events.groupby("event_type").aggregate(
@@ -1031,7 +1042,7 @@ def _q_events_by_type(sf_dir: str):
 def _events(sf_dir: str):
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return _rel(f"{sf_dir}/events.parquet")
 
 
 def _q_window_agg(sf_dir: str):
@@ -1187,7 +1198,7 @@ def _q_sample_lang_quota(sf_dir: str):
 
     from opentapioca_ray.stages.selection import stratified_sample
 
-    docs = ray.data.read_parquet(
+    docs = _rel(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
     return stratified_sample(
@@ -1206,7 +1217,7 @@ def _q_top_docs_per_lang(sf_dir: str):
 
     from opentapioca_ray.stages.selection import group_top_k
 
-    docs = ray.data.read_parquet(
+    docs = _rel(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
     )
     return group_top_k(docs, "lang", "n_chars", 5, "doc_id")
@@ -1262,7 +1273,7 @@ def _q_funnel(sf_dir: str):
 
     from opentapioca_ray.stages.funnel import funnel_counts
 
-    ev = ray.data.read_parquet(
+    ev = _rel(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"]
     )
     return funnel_counts(ev, ["view", "click", "purchase"])
@@ -1277,10 +1288,10 @@ def _q_customers_no_urgent(sf_dir: str):
 
     from opentapioca_ray.stages.relational import bloom_semi_join
 
-    cust = ray.data.read_parquet(
+    cust = _rel(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
     ).materialize()  # anti composition consumes the probe twice
-    urgent = ray.data.read_parquet(
+    urgent = _rel(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
     ).filter(expr="o_orderpriority == '1-URGENT'").select_columns(["o_custkey"])
     return bloom_semi_join(
@@ -1296,7 +1307,7 @@ def _q_value_regression(sf_dir: str):
 
     from opentapioca_ray.stages.aggregates import group_regression
 
-    ev = ray.data.read_parquet(
+    ev = _rel(
         f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
     )
     return group_regression(
@@ -1312,7 +1323,7 @@ def _q_hopping_window(sf_dir: str):
 
     from opentapioca_ray.stages.windows import hopping_window_agg
 
-    ev = ray.data.read_parquet(
+    ev = _rel(
         f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
     )
     return hopping_window_agg(

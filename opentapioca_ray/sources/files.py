@@ -150,3 +150,29 @@ def verify_sha256(ds, id_column: str = "file_id") -> int:
 
     out = ds.map_batches(check, batch_format="pyarrow")
     return int(out.sum("mismatches") or 0)
+
+
+def read_sized(path, columns=None, rows_per_block: int = 16_384):
+    """`read_parquet` that right-sizes the block count for SINGLE-FILE
+    inputs: one footer read gives the row count, blocks =
+    ceil(rows / rows_per_block) clamped to [1, 4 x CPUs].
+
+    Ray's default split of one small file (~64 blocks regardless of size)
+    makes every downstream sort/groupby exchange pay per-block task
+    overhead that dwarfs the data (measured 9.3s -> <1s for a 75k-row
+    reduce-side join exchange at 32 CPUs). Directory / multi-file inputs —
+    the 100 TB shape — pass through to Ray's own partitioning untouched,
+    so this never caps parallelism at real scale."""
+    import os
+
+    import ray
+    import ray.data
+
+    if not (isinstance(path, str) and os.path.isfile(path)):
+        return ray.data.read_parquet(path, columns=columns)
+    import pyarrow.parquet as pq
+
+    rows = pq.ParquetFile(path).metadata.num_rows
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    target = max(1, min((rows + rows_per_block - 1) // rows_per_block, cpus * 4))
+    return ray.data.read_parquet(path, columns=columns, override_num_blocks=target)
