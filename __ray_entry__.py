@@ -566,13 +566,26 @@ def _q_embedding_clusters(sf_dir: str):
     )
 
 
+def _media_docs(sf_dir: str):
+    """Docs feed for the media stages: the per-row work is byte-level (no
+    tokenization), so a sized read with fuller blocks beats the 64-way text
+    split (2.9s -> 0.7s at sf0.01/32 CPUs)."""
+    from opentapioca_ray.sources.files import read_sized
+
+    return read_sized(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        rows_per_block=2048,
+    )
+
+
 def _q_multimodal_meta(sf_dir: str):
     """Multimodal plumbing: documents -> synthetic binary media table ->
     image-decode actor stage (deterministic fake decode; geometry is a pure
     function of payload length) -> typed metadata."""
     from opentapioca_ray.stages.multimodal import decode_images, synthesize_media
 
-    media = synthesize_media(_docs(sf_dir))
+    media = synthesize_media(_media_docs(sf_dir))
     return decode_images(media).select_columns(
         ["media_id", "kind", "n_bytes", "width", "height", "payload_sha256"]
     )
@@ -590,7 +603,7 @@ def _q_audio_energy(sf_dir: str):
 
     from opentapioca_ray.stages.multimodal import audio_features, synthesize_media
 
-    out = audio_features(synthesize_media(_docs(sf_dir)), n_windows=16)
+    out = audio_features(synthesize_media(_media_docs(sf_dir)), n_windows=16)
 
     def flatten(b: pa.Table) -> pa.Table:
         n = b.num_rows
@@ -614,7 +627,7 @@ def _q_frame_samples(sf_dir: str):
     in DuckDB reproduces each frame's sha256 exactly."""
     from opentapioca_ray.stages.multimodal import sample_frames, synthesize_media
 
-    out = sample_frames(synthesize_media(_docs(sf_dir)), frame_bytes=1024, stride=2)
+    out = sample_frames(synthesize_media(_media_docs(sf_dir)), frame_bytes=1024, stride=2)
     return out.select_columns(["media_id", "frame_index", "frame_sha256"])
 
 

@@ -179,7 +179,7 @@ def minhash_pairs(
     candidate filter)."""
     from ray.data.aggregate import Max
 
-    from opentapioca_ray.stages.exchange import coarse_group_apply
+    from opentapioca_ray.stages.exchange import coarse_group_apply, right_size
     from opentapioca_ray.stages.pairs import prefilter_singleton_blocks
 
     blocks = ds.map_batches(
@@ -194,15 +194,23 @@ def minhash_pairs(
         ),
         batch_format="pyarrow",
     )
+    # survivors of the singleton prefilter are a sliver of the corpus but
+    # inherit its block count — collapse before the exchanges so the sort
+    # doesn't pay per-block task overhead (blocks >> rows regime)
+    survivors = right_size(prefilter_singleton_blocks(blocks).materialize())
     edges = coarse_group_apply(
-        prefilter_singleton_blocks(blocks),
+        survivors,
         "block_key",
         _verify_partition_fn(threshold, shingle_k),
         n_parts=n_parts,
     )
     # a pair can surface from several bands/partitions — keep one row
     # (jaccard is deterministic per pair, so Max == first)
-    return edges.groupby(["u", "v"]).aggregate(Max("jaccard", alias_name="jaccard"))
+    return (
+        right_size(edges.materialize())
+        .groupby(["u", "v"])
+        .aggregate(Max("jaccard", alias_name="jaccard"))
+    )
 
 
 def minhash_dedup(
