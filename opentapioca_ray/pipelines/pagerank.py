@@ -92,7 +92,11 @@ def count_edges(ds, src_col: str, dst_col: str, mode: str = "auto", driver_limit
     if mode == "auto":
         mode = "driver" if partials.count() <= driver_limit else "shuffle"
     if mode == "shuffle":
-        return partials.groupby(["src", "dst"]).aggregate(Sum("count", alias_name="count"))
+        from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+        return coarse_groupby_agg(
+            partials, ["src", "dst"], {"count": ("count", "sum")}
+        )
 
     srcs, dsts, cnts = [], [], []
     for ref in partials.to_arrow_refs():

@@ -177,9 +177,11 @@ def minhash_pairs(
     The Jaccard is EXACT over the carried token-prefix shingle sets, so the
     pair set is SQL-oracle-checkable (the LSH banding only provides the
     candidate filter)."""
-    from ray.data.aggregate import Max
-
-    from opentapioca_ray.stages.exchange import coarse_group_apply, right_size
+    from opentapioca_ray.stages.exchange import (
+        coarse_group_apply,
+        coarse_groupby_agg,
+        right_size,
+    )
     from opentapioca_ray.stages.pairs import prefilter_singleton_blocks
 
     blocks = ds.map_batches(
@@ -205,11 +207,13 @@ def minhash_pairs(
         n_parts=n_parts,
     )
     # a pair can surface from several bands/partitions — keep one row
-    # (jaccard is deterministic per pair, so Max == first)
-    return (
-        right_size(edges.materialize())
-        .groupby(["u", "v"])
-        .aggregate(Max("jaccard", alias_name="jaccard"))
+    # (jaccard is deterministic per pair, so max == first); ONE coarse
+    # (u, v) exchange, not Ray's sort-based multi-key groupby
+    return coarse_groupby_agg(
+        right_size(edges.materialize()),
+        ["u", "v"],
+        {"jaccard": ("jaccard", "max")},
+        n_parts=n_parts,
     )
 
 
@@ -445,8 +449,6 @@ def simhash_md5_pairs(
     md5-derived gram hash — exactly the all-pairs `hamming <= max_hamming`
     answer (see `simhash_md5_batch`), so a DuckDB all-pairs oracle checks it
     value-for-value."""
-    from ray.data.aggregate import Min
-
     from opentapioca_ray.stages.exchange import coarse_group_apply
     from opentapioca_ray.stages.pairs import prefilter_singleton_blocks
 
@@ -459,8 +461,10 @@ def simhash_md5_pairs(
     edges = coarse_group_apply(
         sims, "block_key", _simhash_verify_hamming_partition(max_hamming)
     )
-    # cross-band dedup; hamming is identical on every band hit, Min is a tag
-    return edges.groupby(["u", "v"]).aggregate(Min("hamming", alias_name="hamming"))
+    # cross-band dedup; hamming is identical on every band hit, min is a tag
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    return coarse_groupby_agg(edges, ["u", "v"], {"hamming": ("hamming", "min")})
 
 
 def simhash_dedup(ds, id_column: str = "doc_id", text_column: str = "text", max_hamming: int = 3):
@@ -474,9 +478,9 @@ def simhash_dedup(ds, id_column: str = "doc_id", text_column: str = "text", max_
     edges = coarse_group_apply(
         sims, "block_key", _simhash_verify_partition(max_hamming)
     )
-    from ray.data.aggregate import Count
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
 
-    edges = edges.groupby(["u", "v"]).aggregate(Count(alias_name="nb"))
+    edges = coarse_groupby_agg(edges, ["u", "v"], {"nb": ("u", "size")})
     return connected_components(edges.select_columns(["u", "v"]))
 
 
@@ -849,7 +853,11 @@ def embedding_pairs(
     import ray
     import pyarrow.compute as pc
 
-    from opentapioca_ray.stages.exchange import coarse_group_apply, segment_starts
+    from opentapioca_ray.stages.exchange import (
+        coarse_group_apply,
+        coarse_groupby_agg,
+        segment_starts,
+    )
     from opentapioca_ray.stages.pairs import prefilter_singleton_blocks
 
     num_planes = num_bands * planes_per_band
@@ -920,12 +928,12 @@ def embedding_pairs(
             {"u": np.concatenate(out_u), "v": np.concatenate(out_v)}
         )
 
-    from ray.data.aggregate import Count
-
     buckets = ds.map_batches(bucket, batch_format="pyarrow")
     buckets = prefilter_singleton_blocks(buckets, min_size=2)
     pairs = coarse_group_apply(buckets, "block_key", pair_partition)
-    pairs = pairs.groupby(["u", "v"]).aggregate(Count(alias_name="nb_bands"))
+    # cross-band dedup: ONE coarse (u, v) exchange, not Ray's sort-based
+    # two-key groupby (per-key overhead collapses at many tiny pair keys)
+    pairs = coarse_groupby_agg(pairs, ["u", "v"], {"nb_bands": ("u", "size")})
     pairs = pairs.materialize()
 
     # candidate ids -> broadcast unit-vector matrix (small side by design)
