@@ -201,12 +201,12 @@ def _q_tag_mention_counts(sf_dir: str):
             }
         )
 
-    from ray.data.aggregate import Sum
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
 
-    return (
-        tags.map_batches(local_counts, batch_format="pyarrow")
-        .groupby(["doc_id", "qid"])
-        .aggregate(Sum("n_mentions", alias_name="n_mentions"))
+    return coarse_groupby_agg(
+        tags.map_batches(local_counts, batch_format="pyarrow"),
+        ["doc_id", "qid"],
+        {"n_mentions": ("n_mentions", "sum")},
     )
 
 
@@ -949,6 +949,73 @@ def _q_triangle_count(sf_dir: str):
     return count_triangles(edges)
 
 
+def _q_event_type_pivot(sf_dir: str):
+    """Wide pivot: per user, one count column per event type. Map-side
+    partial pivot (lexsort + bincount) -> one coarse key exchange of
+    O(users x 5) partial rows."""
+    from opentapioca_ray.stages.aggregates import pivot_counts
+
+    ev = _rel(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return pivot_counts(
+        ev, "user_id", "event_type", ["click", "error", "purchase", "signup", "view"]
+    )
+
+
+def _q_priority_sample(sf_dir: str):
+    """Deterministic uniform 200-doc sample by md5-hash priority — the
+    reproducible-sampling operator (same k rows on any cluster shape, no
+    RNG state). Runs as the global top-k combiner, so only k rows per
+    block ever move."""
+    from opentapioca_ray.stages.selection import priority_sample
+
+    docs = _rel(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return priority_sample(docs, "doc_id", 200, ["doc_id", "lang"])
+
+
+def _q_customer_big_order_counts(sf_dir: str):
+    """LEFT OUTER reduce-side join: every customer, with their count of
+    orders above 300k (zero when none match — the outer rows survive)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+    from opentapioca_ray.stages.relational import shuffle_join
+
+    cust = _rel(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    orders = _rel(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+
+    def big(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch.column("o_totalprice"), 300_000.0))
+        return pa.table({"o_custkey": t.column("o_custkey"), "hit": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+
+    joined = shuffle_join(
+        cust,
+        orders.map_batches(big, batch_format="pyarrow"),
+        "c_custkey",
+        "o_custkey",
+        payload_columns=["hit"],
+        how="left",
+    )
+
+    def indicator(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "c_custkey" not in batch.column_names:
+            return pa.schema(
+                [("c_custkey", pa.int64()), ("hit", pa.int64())]
+            ).empty_table()
+        hit = pc.fill_null(batch.column("hit"), 0).cast(pa.int64())
+        return pa.table(
+            {"c_custkey": batch.column("c_custkey").cast(pa.int64()), "hit": hit}
+        )
+
+    counts = coarse_groupby_agg(
+        joined.map_batches(indicator, batch_format="pyarrow"),
+        ["c_custkey"],
+        {"n_big": ("hit", "sum")},
+    )
+    return counts
+
+
 def _q_customers_no_big_orders(sf_dir: str):
     """Broadcast anti-join: customers with no order above 450k, aggregated
     per nation with the map-side combiner. The build side (distinct big-
@@ -1388,6 +1455,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
         "customers_no_big_orders": _q_customers_no_big_orders,
+        "event_type_pivot": _q_event_type_pivot,
+        "priority_sample": _q_priority_sample,
+        "customer_big_order_counts": _q_customer_big_order_counts,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "price_quantiles_by_priority": _q_price_quantiles_by_priority,
         "rolling_user_value": _q_rolling_user_value,
@@ -2027,6 +2097,28 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
             JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+        """,
+        "event_type_pivot": """
+            SELECT user_id,
+                   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+                   CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+                   CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+                   CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+            FROM events GROUP BY user_id
+        """,
+        "priority_sample": """
+            SELECT doc_id, lang FROM documents
+            ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT, doc_id
+            LIMIT 200
+        """,
+        "customer_big_order_counts": """
+            SELECT c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS n_big
+            FROM customer
+            LEFT JOIN (
+              SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+            ) o ON o.o_custkey = c_custkey
+            GROUP BY c_custkey
         """,
         "customers_no_big_orders": """
             SELECT c_nationkey,

@@ -517,3 +517,50 @@ def group_regression(
     # the merged group table is tiny (one row per group); the bigint solve
     # is a per-group scalar pass over it
     return merged.map_batches(solve, batch_format="pyarrow")
+
+
+def pivot_counts(ds, key_column: str, pivot_column: str, categories: list[str]):
+    """Wide pivot: one row per key with a count column per category value
+    (`n_<category>`), zero-filled.
+
+    Map-side partial pivot per batch (one lexsort + bincount over
+    key x category codes — no per-key loop), then ONE coarse exchange on
+    the key merges partials with vectorized sums. Exchange volume is
+    O(distinct keys per batch x |categories|), not O(rows); |categories|
+    must be small and known (the wide schema is fixed up front)."""
+    import pandas as pd
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    cat_index = {c: i for i, c in enumerate(categories)}
+    ncat = len(categories)
+    out_cols = [f"n_{c}" for c in categories]
+    empty = pa.schema(
+        [(key_column, pa.int64())] + [(c, pa.int64()) for c in out_cols]
+    ).empty_table()
+
+    def partial_pivot(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or key_column not in batch.column_names:
+            return empty
+        keys = batch.column(key_column).to_numpy(zero_copy_only=False)
+        cats = batch.column(pivot_column).to_numpy(zero_copy_only=False)
+        # dictionary-encode the category column once per batch
+        uniq, inv = np.unique(cats, return_inverse=True)
+        cmap = np.array([cat_index.get(u, -1) for u in uniq], dtype=np.int64)
+        ccodes = cmap[inv]
+        ok = ccodes >= 0
+        keys, ccodes = keys[ok], ccodes[ok]
+        if len(keys) == 0:
+            return empty
+        ukeys, kinv = np.unique(keys, return_inverse=True)
+        counts = np.bincount(kinv * ncat + ccodes, minlength=len(ukeys) * ncat)
+        mat = counts.reshape(len(ukeys), ncat)
+        cols = {key_column: pa.array(ukeys.astype(np.int64))}
+        for j, c in enumerate(out_cols):
+            cols[c] = pa.array(mat[:, j].astype(np.int64))
+        return pa.table(cols)
+
+    partial = ds.map_batches(partial_pivot, batch_format="pyarrow")
+    return coarse_groupby_agg(
+        partial, [key_column], {c: (c, "sum") for c in out_cols}
+    )

@@ -163,3 +163,29 @@ def group_top_k(
         return df.iloc[order[rank < k]]
 
     return coarse_group_apply(ds, group_column, per_partition, n_parts=n_parts)
+
+
+def priority_sample(ds, id_column: str, k: int, keep_columns: list[str]):
+    """Deterministic uniform sample of k rows: rank every row by the
+    md5-derived 64-bit hash of its id (the KMV hash, reproducible in SQL as
+    ('0x' || substr(md5(id::VARCHAR), 1, 16))::UBIGINT) and keep the k
+    smallest. Runs as the global top-k combiner — per-block k survivors,
+    one tiny final merge — so no all-to-all sort and no driver loop."""
+    from opentapioca_ray.stages.sketches import _md5_u64
+
+    def add_priority(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        t = batch.select(keep_columns)
+        return t.append_column("__prio", pa.array(_md5_u64(ids), type=pa.uint64()))
+
+    ranked = global_top_k(
+        ds.map_batches(add_priority, batch_format="pyarrow"),
+        "__prio",
+        k,
+        tiebreak_column=id_column,
+        descending=False,
+    )
+    return ranked.map_batches(
+        lambda b: b.drop_columns("__prio") if "__prio" in b.column_names else b,
+        batch_format="pyarrow",
+    )

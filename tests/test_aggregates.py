@@ -244,3 +244,24 @@ def test_group_regression_zero_variance_dropped(ray_session):
     t = pa.table({"g": ["z", "z"], "x": [5.0, 5.0], "y": [1.0, 2.0]})
     out = group_regression(ray.data.from_arrow(t), "g", "x", "y").to_pandas()
     assert len(out) == 0
+
+
+def test_pivot_counts(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import pivot_counts
+
+    rows = (
+        [{"user_id": 1, "event_type": "click"}] * 3
+        + [{"user_id": 1, "event_type": "view"}]
+        + [{"user_id": 2, "event_type": "error"}] * 2
+        + [{"user_id": 2, "event_type": "unknown"}]  # outside categories: dropped
+    )
+    out = pivot_counts(
+        ray.data.from_items(rows).repartition(3),
+        "user_id",
+        "event_type",
+        ["click", "error", "view"],
+    ).take_all()
+    got = {r["user_id"]: (r["n_click"], r["n_error"], r["n_view"]) for r in out}
+    assert got == {1: (3, 0, 1), 2: (0, 2, 0)}

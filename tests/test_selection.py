@@ -127,3 +127,26 @@ def test_global_top_k(ray_session):
     assert {(r["id"], r["score"]) for r in out_asc} == set(
         zip(want_asc["id"], want_asc["score"])
     )
+
+
+def test_priority_sample_deterministic(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.selection import priority_sample
+
+    items = [{"doc_id": i, "lang": "en"} for i in range(500)]
+    ds = ray.data.from_items(items)
+    a = sorted(r["doc_id"] for r in priority_sample(ds, "doc_id", 50, ["doc_id", "lang"]).take_all())
+    # same sample regardless of block structure
+    ds2 = ray.data.from_items(items).repartition(7)
+    b = sorted(r["doc_id"] for r in priority_sample(ds2, "doc_id", 50, ["doc_id", "lang"]).take_all())
+    assert a == b
+    assert len(a) == 50
+    # matches the SQL-side md5 priority definition
+    import hashlib
+
+    def prio(i):
+        return int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
+
+    want = sorted(sorted(range(500), key=lambda i: (prio(i), i))[:50])
+    assert a == want
