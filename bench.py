@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "value_stats_by_type",
     "rollup_revenue",
     "lineitem_orders_join",
+    "event_type_pivot",
+    "priority_sample",
+    "customer_big_order_counts",
     "triangle_count",
     "linkage_clusters",
 ]
