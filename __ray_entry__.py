@@ -949,6 +949,101 @@ def _q_triangle_count(sf_dir: str):
     return count_triangles(edges)
 
 
+def _q_zscore_by_type(sf_dir: str):
+    """Grouped feature normalization: per-event z-score of `value` within
+    its event_type. Sufficient stats (n, Σu, Σu²) accumulate in EXACT int64
+    centi-units via the map-side combiner, the tiny per-type table is
+    broadcast, and the z pass replays the SQL twin's IEEE op order
+    term-for-term — so the rounded output is hash-stable, not
+    approximately-equal."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+
+    ev = _rel(f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"])
+
+    def to_units(batch: pa.Table) -> pa.Table:
+        u = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+                "u": pa.array(u),
+                "uu": pa.array(u * u),
+            }
+        )
+
+    units = ev.map_batches(to_units, batch_format="pyarrow").materialize()
+    stats = partial_sum_count(units, "event_type", ["u", "uu"])
+    lut = {}
+    for ref in stats.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "event_type" not in t.column_names:
+            continue
+        for et, su, suu, n in zip(
+            t.column("event_type").to_pylist(),
+            t.column("sum_u").to_pylist(),
+            t.column("sum_uu").to_pylist(),
+            t.column("count").to_pylist(),
+        ):
+            lut[et] = (float(su), float(suu), float(n))
+    lut_ref = ray.put(lut)
+
+    def zpass(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "event_id" not in batch.column_names:
+            return pa.schema(
+                [("event_id", pa.int64()), ("z", pa.float64())]
+            ).empty_table()
+        table = ray.get(lut_ref)
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.float64)
+        types = batch.column("event_type").to_pylist()
+        z = np.empty(len(u), dtype=np.float64)
+        for et, (su, suu, n) in table.items():
+            mask = np.array([t == et for t in types], dtype=bool)
+            if not mask.any():
+                continue
+            mean = su / n
+            z[mask] = (u[mask] - mean) / np.sqrt(suu / n - mean * mean)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "z": pa.array(np.round(z, 6)),
+            }
+        )
+
+    return units.map_batches(zpass, batch_format="pyarrow")
+
+
+def _q_dataset_split(sf_dir: str):
+    """Deterministic train/val/test split (80/10/10) by md5-hash bucket of
+    doc_id — one stateless map, no shuffle, identical assignment on any
+    cluster shape (the reproducible-split operator every training pipeline
+    needs)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.sketches import _md5_u64
+
+    docs = _rel(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def split(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        b = (_md5_u64(ids) % np.uint64(100)).astype(np.int64)
+        lab = np.where(b < 80, "train", np.where(b < 90, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "split": pa.array([str(s) for s in lab], type=pa.string()),
+            }
+        )
+
+    return docs.map_batches(split, batch_format="pyarrow")
+
+
 def _q_event_type_pivot(sf_dir: str):
     """Wide pivot: per user, one count column per event type. Map-side
     partial pivot (lexsort + bincount) -> one coarse key exchange of
@@ -1455,6 +1550,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
         "customers_no_big_orders": _q_customers_no_big_orders,
+        "zscore_by_type": _q_zscore_by_type,
+        "dataset_split": _q_dataset_split,
         "event_type_pivot": _q_event_type_pivot,
         "priority_sample": _q_priority_sample,
         "customer_big_order_counts": _q_customer_big_order_counts,
@@ -2097,6 +2194,33 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
             JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+        """,
+        "zscore_by_type": """
+            WITH u AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100, 0) AS BIGINT) AS u
+              FROM events
+            ),
+            s AS (
+              SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(u) AS BIGINT) AS su,
+                     CAST(sum(u * u) AS BIGINT) AS suu
+              FROM u GROUP BY event_type
+            )
+            SELECT event_id,
+                   round((u - su / n) / sqrt(suu / n - (su / n) * (su / n)), 6) AS z
+            FROM u JOIN s USING (event_type)
+        """,
+        "dataset_split": """
+            SELECT doc_id,
+                   CASE WHEN h < 80 THEN 'train'
+                        WHEN h < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (
+              SELECT doc_id,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT % 100 AS h
+              FROM documents
+            )
         """,
         "event_type_pivot": """
             SELECT user_id,

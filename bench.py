@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "rollup_revenue",
     "lineitem_orders_join",
     "event_type_pivot",
+    "zscore_by_type",
+    "dataset_split",
     "priority_sample",
     "customer_big_order_counts",
     "triangle_count",
