@@ -517,19 +517,46 @@ def _q_ann_topk(sf_dir: str):
 
 
 def _q_ann_ivf(sf_dir: str):
-    """IVF variant (approximate; rows-only check)."""
-    import numpy as np
-    import pyarrow.parquet as pq
-    import ray.data
+    """IVF ANN with DETERMINISTIC centroids — the 16 corpus vectors of
+    smallest md5-priority (selected distributed via the top-k combiner, not
+    trained) — so bucket assignment, probe sets and the final top-10 are
+    all reproducible in SQL and the approximate index itself is
+    value-hash-checked, not rows-only. IVF recall vs brute force stays a
+    pytest property (tests/test_ann.py); this query pins the exact
+    semantics of the scale path."""
+    import hashlib
 
-    from opentapioca_ray.stages.ann import ivf_topk, train_centroids
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from opentapioca_ray.stages.ann import ivf_topk
+    from opentapioca_ray.stages.selection import priority_sample
 
     head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
     queries = np.array(head.column("embedding").to_pylist(), dtype=np.float64)
     qids = head.column("vec_id").to_pylist()
     ds = _rel(f"{sf_dir}/embeddings.parquet")
-    centroids = train_centroids(ds, n_centroids=16)
-    return ivf_topk(ds, queries, qids, centroids, k=10, nprobe=4)
+
+    cent_rows = priority_sample(ds, "vec_id", 16, ["vec_id", "embedding"]).take_all()
+
+    def prio(i):
+        return int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
+
+    cent_rows.sort(key=lambda r: (prio(r["vec_id"]), r["vec_id"]))
+    centroids = np.array([list(r["embedding"]) for r in cent_rows], dtype=np.float64)
+    out = ivf_topk(ds, queries, qids, centroids, k=10, nprobe=4)
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "query_id": b.column("query_id"),
+                "vec_id": b.column("vec_id"),
+                "cosine": pc.round(b.column("cosine"), 6),
+            }
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def _q_embedding_clusters(sf_dir: str):
@@ -1976,6 +2003,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, round(cosine, 6) AS cosine
             FROM ranked WHERE rn <= 10
         """,
+        "ann_ivf": """
+            WITH cents AS (
+              SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec,
+                     row_number() OVER (
+                       ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 16))::UBIGINT,
+                                vec_id) AS rk
+              FROM embeddings
+              QUALIFY rk <= 16
+            ),
+            q AS (
+              SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+              FROM embeddings WHERE vec_id < 5
+            ),
+            assign AS (
+              SELECT e.vec_id, e.embedding::DOUBLE[] AS vec, c.rk AS bucket
+              FROM embeddings e CROSS JOIN cents c
+              QUALIFY row_number() OVER (
+                PARTITION BY e.vec_id
+                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+                         c.rk ASC) = 1
+            ),
+            probes AS (
+              SELECT q.query_id, c.rk AS bucket
+              FROM q CROSS JOIN cents c
+              QUALIFY row_number() OVER (
+                PARTITION BY q.query_id
+                ORDER BY list_cosine_similarity(q.qvec, c.cvec) DESC,
+                         c.rk ASC) <= 4
+            ),
+            sims AS (
+              SELECT q.query_id, a.vec_id,
+                     list_cosine_similarity(q.qvec, a.vec) AS cosine
+              FROM q
+              JOIN probes p ON p.query_id = q.query_id
+              JOIN assign a ON a.bucket = p.bucket
+            )
+            SELECT query_id, vec_id, round(cosine, 6) AS cosine
+            FROM sims
+            QUALIFY row_number() OVER (
+              PARTITION BY query_id
+              ORDER BY cosine DESC, vec_id ASC) <= 10
+        """,
         "revenue_by_nation": """
             SELECT n.n_name,
                    CAST(round(sum(o.o_totalprice) * 10000) AS BIGINT) AS revenue_e4,
@@ -2527,8 +2596,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT part, seq, doc_id, n_tok FROM walk
         """,
-        # ann_ivf / embedding_clusters / linkage_clusters: approximate-by-design
-        # or iterative —
-        # rows-only checks; the semantics are pytest-golden (tests/test_ann.py,
-        # tests/test_cluster.py, tests/test_linkage.py).
+        # embedding_clusters / linkage_clusters: iterative float numerics —
+        # rows-only checks; the semantics are pytest-golden
+        # (tests/test_cluster.py, tests/test_linkage.py).
     }

@@ -102,9 +102,13 @@ def ivf_topk(
     qmat = _unit(np.asarray(queries, dtype=np.float64))
     cent_ref = ray.put(_unit(np.asarray(centroids, dtype=np.float64)))
     # per-query probe sets (small, in closure)
-    probe = np.argsort(-(qmat @ _unit(np.asarray(centroids, dtype=np.float64)).T), axis=1)[
-        :, :nprobe
-    ]
+    # stable sort: cosine ties resolve to the lower centroid index, the
+    # same tie-break an ORDER BY (cos DESC, centroid_rank ASC) oracle uses
+    probe = np.argsort(
+        -(qmat @ _unit(np.asarray(centroids, dtype=np.float64)).T),
+        axis=1,
+        kind="stable",
+    )[:, :nprobe]
     bucket_to_queries: dict[int, list[int]] = {}
     for qi, buckets in enumerate(probe):
         for b in buckets:
