@@ -1027,10 +1027,10 @@ def _q_zscore_by_type(sf_dir: str):
             ).empty_table()
         table = ray.get(lut_ref)
         u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.float64)
-        types = batch.column("event_type").to_pylist()
+        types = batch.column("event_type").to_numpy(zero_copy_only=False)
         z = np.empty(len(u), dtype=np.float64)
         for et, (su, suu, n) in table.items():
-            mask = np.array([t == et for t in types], dtype=bool)
+            mask = types == et  # one vectorized compare per (few) types
             if not mask.any():
                 continue
             mean = su / n
