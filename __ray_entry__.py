@@ -201,10 +201,15 @@ def _q_tag_mention_counts(sf_dir: str):
             }
         )
 
-    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg, right_size
 
+    # the combined partials are a sliver of the tagged corpus but inherit
+    # its 64-way block split — collapse before the exchange
+    partials = right_size(
+        tags.map_batches(local_counts, batch_format="pyarrow").materialize()
+    )
     return coarse_groupby_agg(
-        tags.map_batches(local_counts, batch_format="pyarrow"),
+        partials,
         ["doc_id", "qid"],
         {"n_mentions": ("n_mentions", "sum")},
     )
@@ -976,6 +981,33 @@ def _q_triangle_count(sf_dir: str):
     return count_triangles(edges)
 
 
+def _q_props_k_stats(sf_dir: str):
+    """Semi-structured field extraction: pull the integer `k` out of the
+    JSON props column with ONE vectorized Arrow extract_regex kernel (no
+    per-row json.loads), then a combiner-first per-type aggregate — the
+    metadata-parsing stage every training pipeline runs over raw crawl
+    records."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+
+    ev = _rel(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        s = pc.extract_regex(batch.column("props"), r'"k": (?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(s, "k"), pa.int64())
+        t = pa.table({"event_type": batch.column("event_type"), "k": k})
+        return t.filter(pc.is_valid(k))
+
+    return partial_sum_count(
+        ev.map_batches(extract, batch_format="pyarrow"),
+        "event_type",
+        ["k"],
+        alias={"k": "sum_k", "count": "n"},
+    )
+
+
 def _q_zscore_by_type(sf_dir: str):
     """Grouped feature normalization: per-event z-score of `value` within
     its event_type. Sufficient stats (n, Σu, Σu²) accumulate in EXACT int64
@@ -1577,6 +1609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
         "customers_no_big_orders": _q_customers_no_big_orders,
+        "props_k_stats": _q_props_k_stats,
         "zscore_by_type": _q_zscore_by_type,
         "dataset_split": _q_dataset_split,
         "event_type_pivot": _q_event_type_pivot,
@@ -2263,6 +2296,14 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
             JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+        """,
+        "props_k_stats": """
+            SELECT event_type,
+                   CAST(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events
+            WHERE regexp_extract(props, '"k": ([0-9]+)', 1) != ''
+            GROUP BY event_type
         """,
         "zscore_by_type": """
             WITH u AS (

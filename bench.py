@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "lineitem_orders_join",
     "event_type_pivot",
     "zscore_by_type",
+    "props_k_stats",
     "dataset_split",
     "priority_sample",
     "customer_big_order_counts",
