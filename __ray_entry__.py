@@ -1582,6 +1582,162 @@ def _q_packed_sequences(sf_dir: str):
     return pack_sequences(docs, "doc_id", "text", budget=64, part_size=128)
 
 
+def _q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shape multi-aggregate over the fact table with a COMPOSITE
+    key: derived measures (disc price, charge) computed per batch in Arrow,
+    then the multi-key combiner — the exchange carries one partial row per
+    (returnflag, linestatus) per block, never the facts."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
+
+    li = _rel(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+        ],
+    )
+
+    def derive(batch: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "qty": batch.column("l_quantity"),
+                "base": batch.column("l_extendedprice"),
+                "disc_price": disc,
+            }
+        )
+
+    agg = partial_multi_sum_count(
+        li.map_batches(derive, batch_format="pyarrow"),
+        ["l_returnflag", "l_linestatus"],
+        ["qty", "base", "disc_price"],
+        alias={"count": "n_items"},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "sum_qty" not in batch.column_names:
+            return batch
+        def e2(col):
+            return pc.cast(pc.round(pc.multiply(col, 100.0), 0), pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": pc.cast(pc.round(batch.column("sum_qty"), 0), pa.int64()),
+                "sum_base_e2": e2(batch.column("sum_base")),
+                "sum_disc_e2": e2(batch.column("sum_disc_price")),
+                "n_items": batch.column("n_items"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_supplier_region_revenue(sf_dir: str):
+    """Star join: the lineitem facts pick up supplier -> nation -> region
+    through chained broadcast map-side joins (dimensions ride ray.put; the
+    fact table never shuffles), then the single-key combiner aggregate."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+    from opentapioca_ray.stages.relational import broadcast_join
+
+    supplier = pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = pq.read_table(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    )
+    region = pq.read_table(
+        f"{sf_dir}/region.parquet", columns=["r_regionkey", "r_name"]
+    )
+    li = _rel(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table({"l_suppkey": batch.column("l_suppkey"), "rev": rev})
+
+    facts = li.map_batches(revenue, batch_format="pyarrow")
+    facts = broadcast_join(facts, supplier, "l_suppkey", "s_suppkey", ["s_nationkey"])
+    facts = broadcast_join(facts, nation, "s_nationkey", "n_nationkey", ["n_regionkey"])
+    facts = broadcast_join(facts, region, "n_regionkey", "r_regionkey", ["r_name"])
+    agg = partial_sum_count(facts, "r_name", ["rev"], alias={"count": "n_items"})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "sum_rev" not in batch.column_names:
+            return batch
+        return pa.table(
+            {
+                "r_name": batch.column("r_name"),
+                "revenue_e2": pc.cast(
+                    pc.round(pc.multiply(batch.column("sum_rev"), 100.0), 0),
+                    pa.int64(),
+                ),
+                "n_items": batch.column("n_items"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_cheapest_supplier_per_part(sf_dir: str):
+    """Distributed ARGMIN: per part, the (price, suppkey)-lexicographic
+    cheapest line — combiner keeps one candidate per part per block, one
+    coarse exchange finishes. The deterministic tie-break is what makes the
+    answer hashable at any parallelism."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.aggregates import group_arg_extreme
+
+    li = _rel(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+    best = group_arg_extreme(
+        li,
+        key_cols=["l_partkey"],
+        order_cols=["l_extendedprice", "l_suppkey"],
+        keep_cols=[],
+        ascending=True,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_extendedprice" not in batch.column_names:
+            return batch
+        return pa.table(
+            {
+                "l_partkey": batch.column("l_partkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "price_e2": pc.cast(
+                    pc.round(pc.multiply(batch.column("l_extendedprice"), 100.0), 0),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return best.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -1646,6 +1802,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_regression": _q_value_regression,
         "hopping_window": _q_hopping_window,
         "packed_sequences": _q_packed_sequences,
+        "pricing_summary": _q_pricing_summary,
+        "supplier_region_revenue": _q_supplier_region_revenue,
+        "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
     }
 
 
@@ -2636,6 +2795,39 @@ def oracle_sql() -> dict[str, str]:
                 ON t.part = w.part AND t.rn = w.rn + 1
             )
             SELECT part, seq, doc_id, n_tok FROM walk
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                   CAST(round(sum(l_extendedprice) * 100) AS BIGINT)
+                     AS sum_base_e2,
+                   CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100)
+                        AS BIGINT) AS sum_disc_e2,
+                   count(*) AS n_items
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "supplier_region_revenue": """
+            SELECT r.r_name,
+                   CAST(round(sum(l.l_extendedprice * (1 - l.l_discount)) * 100)
+                        AS BIGINT) AS revenue_e2,
+                   count(*) AS n_items
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "cheapest_supplier_per_part": """
+            SELECT l_partkey, l_suppkey,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_e2
+            FROM (
+              SELECT l_partkey, l_suppkey, l_extendedprice,
+                     row_number() OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY l_extendedprice, l_suppkey
+                     ) AS rn
+              FROM lineitem
+            ) WHERE rn = 1
         """,
         # embedding_clusters / linkage_clusters: iterative float numerics —
         # rows-only checks; the semantics are pytest-golden

@@ -564,3 +564,79 @@ def pivot_counts(ds, key_column: str, pivot_column: str, categories: list[str]):
     return coarse_groupby_agg(
         partial, [key_column], {c: (c, "sum") for c in out_cols}
     )
+
+
+def _multi_partial(batch: pa.Table, keys: list[str], sum_cols: list[str]) -> pa.Table:
+    names = list(keys) + [f"_psum_{c}" for c in sum_cols] + ["_pcount"]
+    if batch.num_rows == 0 or keys[0] not in batch.column_names:
+        fields = [batch.schema.field(k) for k in keys if k in batch.column_names]
+        if len(fields) != len(keys):
+            return batch  # schema-less shuffle filler block
+        fields += [batch.schema.field(c) for c in sum_cols]
+        fields += [pa.field("_pcount", pa.int64())]
+        return pa.schema(
+            [pa.field(n, f.type) for n, f in zip(names, fields)]
+        ).empty_table()
+    cols = list(keys) + [c for c in sum_cols if c not in keys]
+    aggs = [(c, "sum") for c in sum_cols] + [(keys[0], "count")]
+    out = pa.TableGroupBy(batch.select(cols), keys).aggregate(aggs)
+    return out.rename_columns(names)
+
+
+def partial_multi_sum_count(
+    ds, keys: list[str], sum_cols: list[str], alias: dict | None = None
+):
+    """`partial_sum_count` generalized to a COMPOSITE group key: per-batch
+    Arrow group_by partials over `keys`, then ONE coarse hash exchange on
+    the key tuple + a vectorized per-partition merge. Exchange volume is
+    O(blocks x distinct key tuples per block), never O(rows) — the combiner
+    shape TPC-H Q1-style multi-aggregate summaries need at 100 TB (the key
+    space is tiny; the fact table is not)."""
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    alias = alias or {}
+    partials = ds.map_batches(
+        lambda b: _multi_partial(b, keys, sum_cols), batch_format="pyarrow"
+    )
+    spec = {alias.get(c, f"sum_{c}"): (f"_psum_{c}", "sum") for c in sum_cols}
+    spec[alias.get("count", "count")] = ("_pcount", "sum")
+    return coarse_groupby_agg(partials, keys, spec)
+
+
+def group_arg_extreme(
+    ds,
+    key_cols: list[str],
+    order_cols: list[str],
+    keep_cols: list[str],
+    ascending: bool = True,
+):
+    """First row per key tuple under a total lexicographic order — the
+    distributed ARGMIN/ARGMAX (e.g. "cheapest supplier per part"). The
+    order MUST be total (include a unique tie-break column in `order_cols`)
+    so the winner is deterministic at any partitioning.
+
+    Combiner-first: each batch keeps one candidate row per key it sees
+    (a sort + segment-first kernel), so the exchange moves at most
+    |distinct keys| rows per block; the final pass is the SAME kernel per
+    coarse hash partition. argmin is associative, so partial winners
+    compose exactly."""
+    import pandas as pd
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    out_cols = list(dict.fromkeys(key_cols + order_cols + keep_cols))
+
+    def best_per_key(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or key_cols[0] not in df.columns:
+            return df
+        df = df.sort_values(
+            key_cols + order_cols,
+            ascending=[True] * len(key_cols) + [ascending] * len(order_cols),
+            kind="mergesort",
+        )
+        return df.drop_duplicates(key_cols, keep="first")[out_cols]
+
+    partials = ds.select_columns(out_cols).map_batches(
+        best_per_key, batch_format="pandas"
+    )
+    return coarse_group_apply(partials, key_cols[0], best_per_key)

@@ -265,3 +265,69 @@ def test_pivot_counts(ray_session):
     ).take_all()
     got = {r["user_id"]: (r["n_click"], r["n_error"], r["n_view"]) for r in out}
     assert got == {1: (3, 0, 1), 2: (0, 2, 0)}
+
+
+def test_partial_multi_sum_count(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
+
+    t = pa.table(
+        {
+            "a": ["x", "x", "y", "x"],
+            "b": [1, 2, 1, 1],
+            "v": [10.0, 20.0, 5.0, 2.5],
+        }
+    )
+    out = partial_multi_sum_count(
+        ray.data.from_arrow(t).repartition(3), ["a", "b"], ["v"]
+    ).to_pandas()
+    got = {
+        (r["a"], r["b"]): (r["sum_v"], r["count"]) for _, r in out.iterrows()
+    }
+    assert got == {("x", 1): (12.5, 2), ("x", 2): (20.0, 1), ("y", 1): (5.0, 1)}
+
+
+def test_group_arg_extreme_min_and_tiebreak(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import group_arg_extreme
+
+    t = pa.table(
+        {
+            "k": [1, 1, 1, 2, 2],
+            "price": [5.0, 3.0, 3.0, 7.0, 7.0],
+            "supp": [10, 30, 20, 9, 4],
+            "extra": ["a", "b", "c", "d", "e"],
+        }
+    )
+    # split across blocks so the combiner + final exchange both run
+    out = group_arg_extreme(
+        ray.data.from_arrow(t).repartition(4),
+        key_cols=["k"],
+        order_cols=["price", "supp"],
+        keep_cols=["extra"],
+    ).to_pandas()
+    got = {r["k"]: (r["price"], r["supp"], r["extra"]) for _, r in out.iterrows()}
+    # ties on price resolve by the lowest supp — deterministic at any split
+    assert got == {1: (3.0, 20, "c"), 2: (7.0, 4, "e")}
+
+
+def test_group_arg_extreme_max(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import group_arg_extreme
+
+    t = pa.table({"k": [1, 1, 2], "v": [5.0, 9.0, 1.0], "id": [1, 2, 3]})
+    out = group_arg_extreme(
+        ray.data.from_arrow(t).repartition(2),
+        key_cols=["k"],
+        order_cols=["v", "id"],
+        keep_cols=[],
+        ascending=False,
+    ).to_pandas()
+    got = {r["k"]: r["v"] for _, r in out.iterrows()}
+    assert got == {1: 9.0, 2: 1.0}
