@@ -1738,6 +1738,131 @@ def _q_cheapest_supplier_per_part(sf_dir: str):
     return best.map_batches(finish, batch_format="pyarrow")
 
 
+def _doc_budget_facts(sf_dir: str):
+    """Per-doc (q_e6 stopword-density rank, bpe_tokens cost) in EXACT
+    integer arithmetic — both the order key and the cost are integers so
+    the greedy cutoff is bit-deterministic on both engines."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.textstats import (
+        _EN_STOPWORDS,
+        count_tokens,
+        whitespace_token_lists,
+    )
+
+    stop = frozenset(_EN_STOPWORDS)
+
+    def facts(batch: pa.Table) -> pa.Table:
+        toks = whitespace_token_lists(batch, "text")
+        texts = batch.column("text").to_pylist()
+        q = np.zeros(batch.num_rows, dtype=np.int64)
+        for i, lst in enumerate(toks.to_pylist()):
+            if lst:
+                n_stop = sum(1 for w in lst if w.lower() in stop)
+                q[i] = n_stop * 1_000_000 // len(lst)
+        bpe = np.array([count_tokens(t or "") for t in texts], dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "q_e6": pa.array(q),
+                "bpe_tokens": pa.array(bpe),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(facts, batch_format="pyarrow")
+
+
+def _q_token_budget_selection(sf_dir: str):
+    """Budgeted corpus selection: rank docs by stopword density (a cheap
+    fluency proxy), keep the best until 25% of the corpus token budget is
+    spent — a distributed ORDER BY + prefix-scan cutoff where the driver
+    only ever holds one scalar per block."""
+    from opentapioca_ray.stages.selection import prefix_scan_select
+
+    facts = _doc_budget_facts(sf_dir).materialize()
+    total = facts.sum("bpe_tokens") or 0
+    return prefix_scan_select(
+        facts,
+        order_columns=["q_e6", "doc_id"],
+        descending=[True, False],
+        value_column="bpe_tokens",
+        budget=int(total) // 4,
+    )
+
+
+def _q_source_quality_filter(sf_dir: str):
+    """Two-pass source-level filter (the C4/RefinedWeb 'drop weak domains'
+    shape): per-source token totals via the combiner aggregate, the global
+    mean comparison done in exact integer cross-multiplication, kept
+    sources broadcast back as a semi-join — the corpus never shuffles."""
+    import pyarrow as pa
+    import ray
+
+    from opentapioca_ray.functions.textstats import count_tokens
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+
+    import numpy as np
+
+    def facts(batch: pa.Table) -> pa.Table:
+        bpe = np.array(
+            [count_tokens(t or "") for t in batch.column("text").to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "source": batch.column("source"),
+                "bpe": pa.array(bpe),
+            }
+        )
+
+    docs = _docs(sf_dir).map_batches(facts, batch_format="pyarrow").materialize()
+    per_source = partial_sum_count(docs, "source", ["bpe"]).to_arrow_refs()
+    tbl = pa.concat_tables(
+        [t for t in (ray.get(r) for r in per_source) if t.num_rows]
+    )
+    sb = tbl.column("sum_bpe").to_numpy(zero_copy_only=False).astype(np.int64)
+    nd = tbl.column("count").to_numpy(zero_copy_only=False).astype(np.int64)
+    total_b, total_d = int(sb.sum()), int(nd.sum())
+    kept = tbl.column("source").to_numpy(zero_copy_only=False)[
+        sb * total_d >= total_b * nd
+    ]
+
+    from opentapioca_ray.stages.relational import broadcast_semi_join
+
+    return broadcast_semi_join(
+        docs.select_columns(["doc_id", "source"]), np.sort(kept), "source"
+    )
+
+
+def _q_retention_cohorts(sf_dir: str):
+    """Cohort retention: users cohorted by first active day; counts per
+    (cohort, day-offset). One coarse exchange on user + combiner merges."""
+    from opentapioca_ray.stages.funnel import retention_cohorts
+
+    ev = _rel(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return retention_cohorts(ev, "user_id", "ts")
+
+
+def _q_similarity_join(sf_dir: str):
+    """Threshold cosine similarity join: the 32 query vectors broadcast
+    once, the corpus streams through one matmul per batch, only surviving
+    pairs are emitted."""
+    import numpy as np
+
+    from opentapioca_ray.functions.vectors import list_to_matrix
+    from opentapioca_ray.stages.ann import cosine_threshold_join
+
+    emb = _rel(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qdf = emb.filter(expr="vec_id < 32").to_pandas().sort_values("vec_id")
+    qmat = np.array(qdf["embedding"].tolist(), dtype=np.float64)
+    corpus = emb.filter(expr="vec_id >= 32")
+    return cosine_threshold_join(
+        corpus, qmat, qdf["vec_id"].tolist(), threshold=0.3
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -1805,6 +1930,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "supplier_region_revenue": _q_supplier_region_revenue,
         "cheapest_supplier_per_part": _q_cheapest_supplier_per_part,
+        "token_budget_selection": _q_token_budget_selection,
+        "source_quality_filter": _q_source_quality_filter,
+        "retention_cohorts": _q_retention_cohorts,
+        "similarity_join": _q_similarity_join,
     }
 
 
@@ -2828,6 +2957,67 @@ def oracle_sql() -> dict[str, str]:
                      ) AS rn
               FROM lineitem
             ) WHERE rn = 1
+        """,
+        "token_budget_selection": r"""
+            WITH f AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+                     ELSE (len(list_filter(
+                             regexp_split_to_array(trim(text), '\s+'),
+                             w -> lower(w) IN (""" + _EN_STOP + r""")))::BIGINT
+                           * 1000000)
+                          // len(regexp_split_to_array(trim(text), '\s+'))
+                END AS q_e6,
+                len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT
+                  AS bpe_tokens
+              FROM documents
+            )
+            SELECT doc_id, q_e6, bpe_tokens
+            FROM (
+              SELECT *, sum(bpe_tokens)
+                          OVER (ORDER BY q_e6 DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS run
+              FROM f
+            )
+            WHERE run <= (SELECT sum(bpe_tokens) FROM f) // 4
+        """,
+        "source_quality_filter": r"""
+            WITH f AS (
+              SELECT doc_id, source,
+                len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT AS bpe
+              FROM documents
+            ),
+            s AS (SELECT source, sum(bpe) AS sb, count(*) AS nd
+                  FROM f GROUP BY source),
+            g AS (SELECT sum(bpe) AS tb, count(*) AS td FROM f)
+            SELECT f.doc_id, f.source
+            FROM f JOIN s USING (source), g
+            WHERE s.sb * g.td >= g.tb * s.nd
+        """,
+        "retention_cohorts": """
+            WITH p AS (
+              SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+              FROM events
+            ),
+            c AS (SELECT user_id, min(day) AS cohort FROM p GROUP BY user_id)
+            SELECT c.cohort AS cohort_day,
+                   p.day - c.cohort AS offset_days,
+                   count(*) AS n_users
+            FROM p JOIN c USING (user_id)
+            GROUP BY 1, 2
+        """,
+        "similarity_join": """
+            WITH e AS (
+              SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+              FROM embeddings
+            ),
+            q AS (SELECT * FROM e WHERE vec_id < 32),
+            c AS (SELECT * FROM e WHERE vec_id >= 32)
+            SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                   CAST(round(list_cosine_similarity(q.v, c.v) * 1000000)
+                        AS BIGINT) AS cos_e6
+            FROM q, c
+            WHERE list_cosine_similarity(q.v, c.v) >= 0.3
         """,
         # embedding_clusters / linkage_clusters: iterative float numerics —
         # rows-only checks; the semantics are pytest-golden

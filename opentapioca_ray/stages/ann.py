@@ -159,3 +159,50 @@ def ivf_topk(
 
     partial = ds.map_batches(score_batch, batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def cosine_threshold_join(
+    ds,
+    queries: np.ndarray,
+    query_ids: list,
+    threshold: float,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+):
+    """Similarity JOIN (not top-k): every (query, corpus) pair with cosine
+    >= threshold. The query matrix is broadcast once via ray.put; each
+    corpus batch does one float64 matmul and emits only the surviving
+    pairs with the score in exact-comparable e6 micro-units — the corpus
+    streams, nothing is materialized, output volume is the matches."""
+    import ray
+
+    qmat_ref = ray.put(_unit(np.asarray(queries, dtype=np.float64)))
+    qids_arr = np.asarray(list(query_ids), dtype=np.int64)
+
+    out_schema = pa.schema(
+        [
+            pa.field("query_id", pa.int64()),
+            pa.field("vec_id", pa.int64()),
+            pa.field("cos_e6", pa.int64()),
+        ]
+    )
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or vector_column not in batch.column_names:
+            return out_schema.empty_table()
+        qmat = ray.get(qmat_ref)
+        vecs = _unit(list_to_matrix(batch.column(vector_column)))
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = qmat @ vecs.T  # (nq, batch)
+        iq, iv = np.nonzero(sims >= threshold)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_arr[iq]),
+                "vec_id": pa.array(ids[iv]),
+                "cos_e6": pa.array(
+                    np.round(sims[iq, iv] * 1e6).astype(np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(score_batch, batch_format="pyarrow")

@@ -113,3 +113,61 @@ def funnel_counts(
             }
         )
     )
+
+
+def retention_cohorts(ds, user_column: str = "user_id", ts_column: str = "ts"):
+    """Cohort retention counts: users are cohorted by their FIRST active
+    day; output (cohort_day, offset_days, n_users) = how many of each
+    cohort's users were active `offset` days later.
+
+    One coarse exchange total: per-batch distinct (user, day) pairs
+    (combiner), shuffle on user so each partition holds whole users, a
+    vectorized segment-min kernel computes every user's cohort and offsets
+    in one pass, then the tiny (cohort, offset) counts merge combiner-first."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    day_us = 86_400_000_000
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or user_column not in batch.column_names:
+            return pa.schema(
+                [pa.field("user_id", pa.int64()), pa.field("day", pa.int64())]
+            ).empty_table()
+        us = batch.column(ts_column).cast(pa.int64())
+        t = pa.table(
+            {
+                "user_id": batch.column(user_column).cast(pa.int64()),
+                "day": pa.compute.divide(us, day_us),
+            }
+        )
+        return t.group_by(["user_id", "day"]).aggregate([])  # batch-local dedup
+
+    def cohort_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "user_id" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "cohort_day": pd.Series(dtype=np.int64),
+                    "offset_days": pd.Series(dtype=np.int64),
+                }
+            )
+        df = df.drop_duplicates(["user_id", "day"])
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        d = df["day"].to_numpy(dtype=np.int64)
+        order = np.lexsort((d, u))
+        u, d = u[order], d[order]
+        new = np.concatenate(([True], u[1:] != u[:-1]))
+        seg = np.cumsum(new) - 1
+        first = d[np.flatnonzero(new)]  # per-user min day (sorted within user)
+        cohort = first[seg]
+        return pd.DataFrame({"cohort_day": cohort, "offset_days": d - cohort})
+
+    pairs = ds.map_batches(to_pairs, batch_format="pyarrow")
+    per_user = coarse_group_apply(pairs, "user_id", cohort_partition)
+    return partial_multi_sum_count(
+        per_user, ["cohort_day", "offset_days"], [], alias={"count": "n_users"}
+    )

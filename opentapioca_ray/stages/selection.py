@@ -189,3 +189,58 @@ def priority_sample(ds, id_column: str, k: int, keep_columns: list[str]):
         lambda b: b.drop_columns("__prio") if "__prio" in b.column_names else b,
         batch_format="pyarrow",
     )
+
+
+def prefix_scan_select(
+    ds,
+    order_columns: list[str],
+    descending: list[bool],
+    value_column: str,
+    budget: int,
+):
+    """Greedy budgeted selection: global ORDER BY `order_columns`, then keep
+    rows while the running total of `value_column` stays <= `budget`
+    (SQL: cumulative SUM() OVER (ORDER BY ...) <= budget) — the
+    "take the best documents until the token budget is spent" selector
+    every curriculum/corpus-curation pipeline needs.
+
+    Distributed prefix scan, driver holds O(#blocks) scalars only:
+      1. `ds.sort(order_columns)` — Ray's external shuffle sort; sorted
+         block ORDER is the global order.
+      2. one tiny Ray task per block computes its value sum; the driver
+         turns those into exclusive prefix offsets (O(blocks) floats).
+      3. one Ray task per block filters it with a vectorized cumsum
+         against its offset; blocks entirely past the budget collapse to
+         empty without touching their rows.
+
+    The order must be total (include a unique tie-break column) for the
+    cutoff to be deterministic."""
+    import ray
+    import ray.data
+
+    sorted_ds = ds.sort(order_columns, descending=descending).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def block_sum(t: pa.Table) -> int:
+        if t.num_rows == 0 or value_column not in t.column_names:
+            return 0
+        import pyarrow.compute as pc
+
+        return int(pc.sum(t.column(value_column)).as_py() or 0)
+
+    sums = ray.get([block_sum.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(sums)[:-1])).astype(np.int64)
+
+    @ray.remote
+    def cut_block(t: pa.Table, offset: int) -> pa.Table:
+        if t.num_rows == 0 or value_column not in t.column_names:
+            return t
+        if offset >= budget:
+            return t.schema.empty_table()
+        vals = t.column(value_column).to_numpy(zero_copy_only=False)
+        running = offset + np.cumsum(vals)
+        return t.filter(pa.array(running <= budget))
+
+    out_refs = [cut_block.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    return ray.data.from_arrow_refs(out_refs)

@@ -57,3 +57,29 @@ def test_ivf_recall(ray_session):
     for qi in range(5):
         assert qi in got[qi]
         assert len(got[qi] & oracle[qi]) >= 3
+
+
+def test_cosine_threshold_join(ray_session):
+    import numpy as np
+    import ray.data
+
+    from opentapioca_ray.stages.ann import cosine_threshold_join
+
+    rows = [
+        {"vec_id": 10, "embedding": [1.0, 0.0]},   # cos 1.0 with q0
+        {"vec_id": 11, "embedding": [0.0, 1.0]},   # cos 0.0 with q0, 1.0 q1
+        {"vec_id": 12, "embedding": [1.0, 1.0]},   # cos ~0.707 with both
+    ]
+    out = cosine_threshold_join(
+        ray.data.from_items(rows).repartition(2),
+        queries=np.array([[1.0, 0.0], [0.0, 1.0]]),
+        query_ids=[0, 1],
+        threshold=0.5,
+    ).to_pandas()
+    got = {(r["query_id"], r["vec_id"]): r["cos_e6"] for _, r in out.iterrows()}
+    assert got == {
+        (0, 10): 1_000_000,
+        (0, 12): 707_107,
+        (1, 11): 1_000_000,
+        (1, 12): 707_107,
+    }

@@ -43,3 +43,28 @@ def test_noise_types_ignored_and_empty(ray_session):
     rows = {"user_id": [1, 1], "ts": [1, 2], "event_type": ["error", "signup"]}
     c = _counts(rows, ["view", "click"])
     assert c == {"view": 0, "click": 0}
+
+
+def test_retention_cohorts(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.funnel import retention_cohorts
+
+    day = 86_400_000_000
+    # user 1: days 0, 0 (dup), 2; user 2: days 1, 1; user 3: day 2
+    t = pa.table(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "ts": pa.array(
+                [0, 1000, 2 * day, day, day + 5, 2 * day],
+                type=pa.timestamp("us"),
+            ),
+        }
+    )
+    out = retention_cohorts(ray.data.from_arrow(t).repartition(3)).to_pandas()
+    got = {
+        (r["cohort_day"], r["offset_days"]): r["n_users"]
+        for _, r in out.iterrows()
+    }
+    assert got == {(0, 0): 1, (0, 2): 1, (1, 0): 1, (2, 0): 1}

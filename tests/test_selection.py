@@ -150,3 +150,42 @@ def test_priority_sample_deterministic(ray_session):
 
     want = sorted(sorted(range(500), key=lambda i: (prio(i), i))[:50])
     assert a == want
+
+
+def test_prefix_scan_select_budget_cutoff(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.selection import prefix_scan_select
+
+    t = pa.table(
+        {
+            "id": [1, 2, 3, 4, 5],
+            "score": [50, 40, 40, 30, 20],
+            "cost": [10, 10, 10, 10, 10],
+        }
+    )
+    out = prefix_scan_select(
+        ray.data.from_arrow(t).repartition(3),
+        order_columns=["score", "id"],
+        descending=[True, False],
+        value_column="cost",
+        budget=25,
+    ).to_pandas()
+    # greedy in (score desc, id asc) order: ids 1 (10), 2 (20); 3 would hit 30
+    assert sorted(out["id"].tolist()) == [1, 2]
+
+
+def test_prefix_scan_select_exact_boundary_and_zero_budget(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.selection import prefix_scan_select
+
+    t = pa.table({"id": [1, 2, 3], "cost": [5, 5, 5]})
+    ds = ray.data.from_arrow(t).repartition(2)
+    # running total <= budget keeps the row landing exactly ON the budget
+    full = prefix_scan_select(ds, ["id"], [False], "cost", 15).to_pandas()
+    assert sorted(full["id"].tolist()) == [1, 2, 3]
+    none = prefix_scan_select(ds, ["id"], [False], "cost", 0).to_pandas()
+    assert len(none) == 0
