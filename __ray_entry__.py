@@ -1863,6 +1863,13 @@ def _q_similarity_join(sf_dir: str):
     )
 
 
+def _q_dup_gram_fraction(sf_dir: str):
+    """Per-doc duplicated-3-gram fraction (corpus-boilerplate share)."""
+    from opentapioca_ray.stages.dedup import duplicated_gram_stats
+
+    return duplicated_gram_stats(_docs(sf_dir), "doc_id", "text", k=3)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -1934,6 +1941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_quality_filter": _q_source_quality_filter,
         "retention_cohorts": _q_retention_cohorts,
         "similarity_join": _q_similarity_join,
+        "dup_gram_fraction": _q_dup_gram_fraction,
     }
 
 
@@ -3018,6 +3026,37 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS cos_e6
             FROM q, c
             WHERE list_cosine_similarity(q.v, c.v) >= 0.3
+        """,
+        "dup_gram_fraction": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                END AS gs
+              FROM toks WHERE len(arr) > 0
+            ),
+            ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            df AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+            d AS (
+              SELECT ex.doc_id,
+                     count(*) AS n_grams,
+                     count(*) FILTER (df.df >= 2) AS n_dup
+              FROM ex JOIN df USING (g) GROUP BY ex.doc_id
+            )
+            SELECT doc_id, n_grams, n_dup,
+                   (n_dup * 1000000) // n_grams AS dup_frac_e6
+            FROM d
         """,
         # embedding_clusters / linkage_clusters: iterative float numerics —
         # rows-only checks; the semantics are pytest-golden

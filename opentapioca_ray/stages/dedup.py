@@ -1012,3 +1012,82 @@ def embedding_dedup(
         ds, id_column, vector_column, threshold, num_bands, planes_per_band
     )
     return connected_components(pairs.select_columns(["u", "v"]))
+
+
+def duplicated_gram_stats(
+    ds, id_column: str = "doc_id", text_column: str = "text", k: int = 3
+):
+    """Per-doc duplicated-n-gram fraction — the "how much of this document
+    is corpus boilerplate" quality signal (the doc-level aggregate of the
+    duplicate-text analysis in Lee et al., "Deduplicating Training Data
+    Makes Language Models Better"): for each doc, the share of its DISTINCT
+    word-k-grams that appear in >= 2 documents.
+
+    Two coarse exchanges, both carrying bounded rows: (1) distinct
+    (gram, doc) rows shuffle on gram so each partition sees every holder
+    of its grams — document frequency and the per-doc dup counts are one
+    vectorized kernel; (2) the per-partition (doc, n_dup) partials merge
+    combiner-first on doc. Gram semantics (short docs collapse to one
+    whole-doc gram, empty docs drop) match `gram_doc_rows` exactly."""
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply, coarse_groupby_agg
+
+    rows = ds.map_batches(
+        lambda b: gram_doc_rows(b, id_column, text_column, k),
+        batch_format="pyarrow",
+    )
+
+    def dup_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "gram" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "n_dup": pd.Series(dtype=np.int64),
+                    "n_grams": pd.Series(dtype=np.int64),
+                }
+            )
+        # rows are distinct (gram, doc): df(gram) = run length after a sort
+        codes, _uniq = pd.factorize(df["gram"], sort=False)
+        dfreq = np.bincount(codes)
+        is_dup = dfreq[codes] >= 2
+        docs = df["doc_id"].to_numpy(dtype=np.int64)
+        udocs, dinv = np.unique(docs, return_inverse=True)
+        n_dup = np.bincount(dinv, weights=is_dup).astype(np.int64)
+        # n_grams is a per-doc constant carried on every row
+        n_grams = np.zeros(len(udocs), dtype=np.int64)
+        n_grams[dinv] = df["n_grams"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": udocs, "n_dup": n_dup, "n_grams": n_grams}
+        )
+
+    partials = coarse_group_apply(rows, "gram", dup_partition)
+    merged = coarse_groupby_agg(
+        partials,
+        ["doc_id"],
+        {"n_dup": ("n_dup", "sum"), "n_grams": ("n_grams", "max")},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n_dup" not in batch.column_names:
+            return pa.schema(
+                [
+                    pa.field("doc_id", pa.int64()),
+                    pa.field("n_grams", pa.int64()),
+                    pa.field("n_dup", pa.int64()),
+                    pa.field("dup_frac_e6", pa.int64()),
+                ]
+            ).empty_table()
+        nd = batch.column("n_dup").cast(pa.int64())
+        ng = batch.column("n_grams").cast(pa.int64())
+        frac = pc.divide(pc.multiply(nd, pa.scalar(1_000_000, pa.int64())), ng)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_grams": ng,
+                "n_dup": nd,
+                "dup_frac_e6": frac,
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -285,3 +285,29 @@ def test_decontaminate_query(ray_session, tmp_path):
     assert 0 not in shared and 97 not in shared  # benchmark docs excluded
     assert shared[1] >= 30  # near-copy of a benchmark doc is flagged hard
     assert 2 not in shared  # clean doc shares nothing
+
+
+def test_duplicated_gram_stats(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.dedup import duplicated_gram_stats
+
+    rows = [
+        # docs 1/2 share the gram "a b c"; doc 1 also has a unique tail
+        {"doc_id": 1, "text": "a b c d e"},   # grams: "a b c","b c d","c d e"
+        {"doc_id": 2, "text": "a b c"},       # gram: "a b c" (all duplicated)
+        {"doc_id": 3, "text": "x y"},         # short: whole-doc gram, unique
+        {"doc_id": 4, "text": ""},            # empty: dropped
+    ]
+    out = duplicated_gram_stats(
+        ray.data.from_items(rows).repartition(3), "doc_id", "text", k=3
+    ).to_pandas()
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup"], r["dup_frac_e6"])
+        for _, r in out.iterrows()
+    }
+    assert got == {
+        1: (3, 1, 333_333),
+        2: (1, 1, 1_000_000),
+        3: (1, 0, 0),
+    }
