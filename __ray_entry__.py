@@ -1870,6 +1870,73 @@ def _q_dup_gram_fraction(sf_dir: str):
     return duplicated_gram_stats(_docs(sf_dir), "doc_id", "text", k=3)
 
 
+def _q_customers_all_priorities(sf_dir: str):
+    """Relational DIVISION: customers who placed orders in EVERY order
+    priority — combiner-first distinct counts vs the divisor cardinality."""
+    from opentapioca_ray.stages.relational import relational_division
+
+    orders = _rel(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderpriority"]
+    )
+    return relational_division(orders, "o_custkey", "o_orderpriority")
+
+
+def _q_top_prop_per_type(sf_dir: str):
+    """Grouped MODE: the most frequent props-k value per event type —
+    counted pairs (combiner) + the distributed argmax with a deterministic
+    smallest-value tie-break."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.aggregates import (
+        group_arg_extreme,
+        partial_multi_sum_count,
+    )
+
+    ev = _rel(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        s = pc.extract_regex(batch.column("props"), r'"k": (?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(s, "k"), pa.int64())
+        t = pa.table({"event_type": batch.column("event_type"), "k": k})
+        return t.filter(pc.is_valid(k))
+
+    counts = partial_multi_sum_count(
+        ev.map_batches(extract, batch_format="pyarrow"),
+        ["event_type", "k"],
+        [],
+        alias={"count": "n"},
+    )
+
+    def neg(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n" not in batch.column_names:
+            return batch
+        return batch.append_column(
+            "neg_n", pc.negate(batch.column("n").cast(pa.int64()))
+        )
+
+    best = group_arg_extreme(
+        counts.map_batches(neg, batch_format="pyarrow"),
+        key_cols=["event_type"],
+        order_cols=["neg_n", "k"],
+        keep_cols=["n"],
+    )
+    return best.map_batches(
+        lambda b: b.select(["event_type", "k", "n"])
+        if "n" in b.column_names
+        else b,
+        batch_format="pyarrow",
+    )
+
+
+def _q_inverted_index(sf_dir: str):
+    """Search-style inverted index: per word, document frequency + sorted
+    posting list capped at 64 docs (df keeps counting past the cap)."""
+    from opentapioca_ray.stages.tfidf import inverted_index
+
+    return inverted_index(_docs(sf_dir), "doc_id", "text", max_postings=64)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -1942,6 +2009,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention_cohorts,
         "similarity_join": _q_similarity_join,
         "dup_gram_fraction": _q_dup_gram_fraction,
+        "customers_all_priorities": _q_customers_all_priorities,
+        "top_prop_per_type": _q_top_prop_per_type,
+        "inverted_index": _q_inverted_index,
     }
 
 
@@ -3057,6 +3127,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_grams, n_dup,
                    (n_dup * 1000000) // n_grams AS dup_frac_e6
             FROM d
+        """,
+        "customers_all_priorities": """
+            SELECT o_custkey, count(DISTINCT o_orderpriority) AS n_attrs
+            FROM orders
+            GROUP BY o_custkey
+            HAVING count(DISTINCT o_orderpriority)
+                   = (SELECT count(DISTINCT o_orderpriority) FROM orders)
+        """,
+        "top_prop_per_type": """
+            WITH k AS (
+              SELECT event_type,
+                     CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)
+                       AS k
+              FROM events
+              WHERE regexp_extract(props, '"k": ([0-9]+)', 1) != ''
+            ),
+            c AS (SELECT event_type, k, count(*) AS n FROM k GROUP BY 1, 2)
+            SELECT event_type, k, n
+            FROM c
+            QUALIFY row_number() OVER (
+              PARTITION BY event_type ORDER BY n DESC, k ASC) = 1
+        """,
+        "inverted_index": f"""
+            WITH {tok_cte},
+            t AS (SELECT DISTINCT word, doc_id FROM tokens),
+            r AS (
+              SELECT word, doc_id,
+                     row_number() OVER (PARTITION BY word ORDER BY doc_id)
+                       AS rn,
+                     count(*) OVER (PARTITION BY word) AS df
+              FROM t
+            )
+            SELECT word, any_value(df) AS df,
+                   string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+            FROM r WHERE rn <= 64 GROUP BY word
         """,
         # embedding_clusters / linkage_clusters: iterative float numerics —
         # rows-only checks; the semantics are pytest-golden

@@ -420,3 +420,23 @@ def bloom_semi_join(
         candidates, build_ds, left_key, build_key, anti=True, mode=mode
     )
     return definite.union(verified)
+
+
+def relational_division(ds, key_column: str, attr_column: str):
+    """Relational DIVISION: keys associated with EVERY distinct value of
+    `attr_column` ("customers who ordered in all priorities"). The divisor
+    set is small by the operator's nature, so its cardinality is the one
+    scalar the driver holds; the per-key distinct counts run combiner-first
+    (`distinct_count`), bounded by distinct pairs, never input rows."""
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.aggregates import distinct_count
+
+    n_attrs = len(distinct_keys(ds, attr_column))
+    per_key = distinct_count(ds, key_column, attr_column, alias="n_attrs")
+    return per_key.map_batches(
+        lambda b: b.filter(pc.equal(b.column("n_attrs"), n_attrs))
+        if "n_attrs" in b.column_names
+        else b,
+        batch_format="pyarrow",
+    )

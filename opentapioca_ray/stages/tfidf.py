@@ -182,3 +182,74 @@ def tfidf_top_terms(
         return _score_and_rank(t, id_column, df_log, vocab_s, top_n).to_pandas()
 
     return coarse_group_apply(joined, id_column, rank_partition)
+
+
+def inverted_index(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    max_postings: int = 64,
+):
+    """Build a search-style inverted index: per word, its document
+    frequency and a sorted posting list (doc ids joined by ','), capped at
+    `max_postings` entries per word — the cap bounds the hot-stopword rows
+    that would otherwise dominate output size at corpus scale (df still
+    counts ALL holders, so nothing is silently lost).
+
+    One coarse exchange on word; the posting-list build is a vectorized
+    segment kernel (lexsort + rank cap + one Arrow binary_join), never
+    per-word Python groups."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.dedup import gram_doc_rows
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    rows = ds.map_batches(
+        lambda b: gram_doc_rows(b, id_column, text_column, k=1).select(
+            ["gram", "doc_id"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def build_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "word": pd.Series(dtype=object),
+                "df": pd.Series(dtype=np.int64),
+                "postings": pd.Series(dtype=object),
+            }
+        )
+        if df.empty or "gram" not in df.columns:
+            return empty
+        words = df["gram"].to_numpy()
+        docs = df["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((docs, words))
+        words, docs = words[order], docs[order]
+        new = np.concatenate(([True], words[1:] != words[:-1]))
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        df_counts = np.diff(np.concatenate((starts, [len(words)])))
+        rank = np.arange(len(words)) - starts[seg]
+        keep = rank < max_postings
+        kept_docs = docs[keep]
+        kept_seg = seg[keep]
+        kstarts = np.flatnonzero(
+            np.concatenate(([True], kept_seg[1:] != kept_seg[:-1]))
+        )
+        offsets = np.concatenate((kstarts, [len(kept_docs)])).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(kept_docs.astype(str), type=pa.string()),
+        )
+        postings = pc.binary_join(lists, ",").to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {
+                "word": words[starts],
+                "df": df_counts.astype(np.int64),
+                "postings": postings,
+            }
+        )
+
+    return coarse_group_apply(rows, "gram", build_partition)

@@ -131,3 +131,19 @@ def test_bloom_semi_join_empty_build(ray_session):
     b = ray.data.from_arrow(pa.table({"bk": pa.array([], type=pa.int64())}))
     assert bloom_semi_join(p, b, "k", "bk").count() == 0
     assert bloom_semi_join(p, b, "k", "bk", anti=True).count() == 3
+
+
+def test_relational_division(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.relational import relational_division
+
+    rows = [
+        {"k": 1, "a": "x"}, {"k": 1, "a": "y"}, {"k": 1, "a": "x"},
+        {"k": 2, "a": "x"},
+        {"k": 3, "a": "y"}, {"k": 3, "a": "x"},
+    ]
+    out = relational_division(
+        ray.data.from_items(rows).repartition(3), "k", "a"
+    ).to_pandas()
+    assert sorted(out["k"].tolist()) == [1, 3]

@@ -53,3 +53,23 @@ def test_tfidf_modes_equivalent(ray_session):
         .reset_index(drop=True)
     )
     assert a.values.tolist() == b.values.tolist()
+
+
+def test_inverted_index_cap_and_df(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.tfidf import inverted_index
+
+    rows = [
+        {"doc_id": 3, "text": "apple banana"},
+        {"doc_id": 1, "text": "apple apple cherry"},
+        {"doc_id": 2, "text": "apple"},
+    ]
+    out = inverted_index(
+        ray.data.from_items(rows).repartition(2), max_postings=2
+    ).to_pandas()
+    got = {r["word"]: (r["df"], r["postings"]) for _, r in out.iterrows()}
+    # df counts ALL holders; postings capped at 2, sorted by doc_id
+    assert got["apple"] == (3, "1,2")
+    assert got["banana"] == (1, "3")
+    assert got["cherry"] == (1, "1")
