@@ -1937,6 +1937,120 @@ def _q_inverted_index(sf_dir: str):
     return inverted_index(_docs(sf_dir), "doc_id", "text", max_postings=64)
 
 
+def _q_ann_recall(sf_dir: str):
+    """Index-quality evaluation: recall@10 of the IVF index against brute
+    force, per query — the two ANN pipelines run as-is, one tiny exchange
+    on query_id intersects their result sets."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    def tag(ds, side: int):
+        return ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "query_id": b.column("query_id").cast(pa.int64()),
+                    "vec_id": b.column("vec_id").cast(pa.int64()),
+                    "side": pa.array(
+                        np.full(b.num_rows, side, dtype=np.int8)
+                    ),
+                }
+            )
+            if "query_id" in b.column_names
+            else b,
+            batch_format="pyarrow",
+        )
+
+    both = tag(_q_ann_topk(sf_dir), 0).union(tag(_q_ann_ivf(sf_dir), 1))
+
+    def recall_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "side" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype=np.int64),
+                    "n_hit": pd.Series(dtype=np.int64),
+                    "recall_e6": pd.Series(dtype=np.int64),
+                }
+            )
+        bf = df[df["side"] == 0][["query_id", "vec_id"]]
+        iv = df[df["side"] == 1][["query_id", "vec_id"]]
+        hit = bf.merge(iv, on=["query_id", "vec_id"]).groupby("query_id").size()
+        n_hit = (
+            bf.groupby("query_id").size() * 0 + hit
+        ).fillna(0).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "query_id": n_hit.index.to_numpy(dtype=np.int64),
+                "n_hit": n_hit.to_numpy(),
+                "recall_e6": n_hit.to_numpy() * 1_000_000 // 10,
+            }
+        )
+
+    return coarse_group_apply(both, "query_id", recall_partition)
+
+
+def _q_degree_distribution(sf_dir: str):
+    """Graph degree histogram of the part co-occurrence graph: two chained
+    combiner aggregates (node degree, then nodes per degree)."""
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+    from opentapioca_ray.stages.triangles import cooccurrence_edges
+
+    from opentapioca_ray.sources.files import read_sized
+
+    li = read_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.schema([pa.field("node", pa.int64())]).empty_table()
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch.column("u").combine_chunks().cast(pa.int64()),
+                        batch.column("v").combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        )
+
+    deg = partial_sum_count(
+        edges.map_batches(endpoints, batch_format="pyarrow"),
+        "node",
+        [],
+        alias={"count": "degree"},
+    )
+    return partial_sum_count(
+        deg.select_columns(["degree"]), "degree", [], alias={"count": "n_nodes"}
+    )
+
+
+def _q_event_ntile(sf_dir: str):
+    """Per-group quartile bucketing (SQL ntile(4) OVER (PARTITION BY type
+    ORDER BY value, event_id)): one coarse exchange on the group key, a
+    vectorized segment rank kernel — no per-group pandas groups."""
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.windows import group_ntile
+
+    ev = _rel(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    out = group_ntile(ev, "event_type", "value", "event_id", n_buckets=4)
+    return out.map_batches(
+        lambda b: b.rename_columns(["event_id", "event_type", "quartile"])
+        if "bucket" in b.column_names
+        else b,
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -2012,6 +2126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_all_priorities": _q_customers_all_priorities,
         "top_prop_per_type": _q_top_prop_per_type,
         "inverted_index": _q_inverted_index,
+        "ann_recall": _q_ann_recall,
+        "degree_distribution": _q_degree_distribution,
+        "event_ntile": _q_event_ntile,
     }
 
 
@@ -2093,7 +2210,7 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         )
     """
-    return {
+    out = {
         "bow_word_counts": f"""
             WITH {tok_cte}
             SELECT word, count(*) AS count
@@ -3163,7 +3280,42 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(doc_id, ',' ORDER BY doc_id) AS postings
             FROM r WHERE rn <= 64 GROUP BY word
         """,
+        "degree_distribution": """
+            WITH e AS (
+              SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                              GREATEST(a.l_partkey, b.l_partkey) AS v
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            ),
+            deg AS (
+              SELECT node, count(*) AS degree FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e
+              ) GROUP BY node
+            )
+            SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+        """,
+        "event_ntile": """
+            SELECT event_id, event_type,
+                   ntile(4) OVER (
+                     PARTITION BY event_type ORDER BY value, event_id
+                   ) AS quartile
+            FROM events
+        """,
         # embedding_clusters / linkage_clusters: iterative float numerics —
         # rows-only checks; the semantics are pytest-golden
         # (tests/test_cluster.py, tests/test_linkage.py).
     }
+    # ann_recall composes the two existing ANN twins so the evaluation
+    # harness itself is value-checked (recall@10 of the IVF index against
+    # brute force, exact integer micro-units)
+    out["ann_recall"] = f"""
+        WITH bf AS ({out['ann_topk']}),
+             iv AS ({out['ann_ivf']})
+        SELECT bf.query_id,
+               count(iv.vec_id) AS n_hit,
+               (count(iv.vec_id) * 1000000) // 10 AS recall_e6
+        FROM bf LEFT JOIN iv
+          ON bf.query_id = iv.query_id AND bf.vec_id = iv.vec_id
+        GROUP BY bf.query_id
+    """
+    return out

@@ -536,3 +536,58 @@ def hopping_window_agg(
         ["window_start_us", key_column],
         {"n": ("n", "sum"), "total_e4": ("total_e4", "sum")},
     )
+
+
+def group_ntile(
+    ds,
+    group_column: str,
+    value_column: str,
+    id_column: str,
+    n_buckets: int = 4,
+):
+    """SQL `ntile(n) OVER (PARTITION BY group ORDER BY value, id)` — equal
+    rank buckets per group, first (size % n) buckets one row larger, the
+    id column as the deterministic tie-break. One coarse exchange on the
+    group key + a vectorized segment rank kernel; no per-group pandas."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    def ntile_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or group_column not in df.columns:
+            return pd.DataFrame(
+                {
+                    id_column: pd.Series(dtype=np.int64),
+                    group_column: pd.Series(dtype=object),
+                    "bucket": pd.Series(dtype=np.int64),
+                }
+            )
+        g = df[group_column].to_numpy()
+        val = df[value_column].to_numpy()
+        rid = df[id_column].to_numpy(dtype=np.int64)
+        order = np.lexsort((rid, val, g))
+        g_s, rid_s = g[order], rid[order]
+        new = np.concatenate(([True], g_s[1:] != g_s[:-1]))
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        sizes = np.diff(np.concatenate((starts, [len(g_s)])))
+        rank = np.arange(len(g_s)) - starts[seg]
+        n = sizes[seg]
+        q, r = n // n_buckets, n % n_buckets
+        big = (q + 1) * r
+        bucket = np.where(
+            rank < big,
+            rank // np.maximum(q + 1, 1),
+            r + (rank - big) // np.maximum(q, 1),
+        ) + 1
+        return pd.DataFrame(
+            {
+                id_column: rid_s,
+                group_column: g_s,
+                "bucket": bucket.astype(np.int64),
+            }
+        )
+
+    return coarse_group_apply(
+        ds.select_columns([group_column, value_column, id_column]),
+        group_column,
+        ntile_partition,
+    )

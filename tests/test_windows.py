@@ -296,3 +296,24 @@ def test_hopping_window_requires_multiple(ray_session):
                   "event_type": ["a"], "value": [1.0]})
     with pytest.raises(ValueError):
         hopping_window_agg(ray.data.from_arrow(t), window_us=35, hop_us=10)
+
+
+def test_group_ntile_uneven_and_small_groups(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.windows import group_ntile
+
+    rows = (
+        # group "a": 6 rows -> ntile(4) buckets of sizes 2,2,1,1
+        [{"g": "a", "v": float(i), "id": i} for i in range(6)]
+        # group "b": 3 rows (< n_buckets) -> buckets 1,2,3
+        + [{"g": "b", "v": 0.0, "id": 10 + i} for i in range(3)]
+    )
+    out = group_ntile(
+        ray.data.from_items(rows).repartition(3), "g", "v", "id", n_buckets=4
+    ).to_pandas()
+    got = {r["id"]: r["bucket"] for _, r in out.iterrows()}
+    assert got == {
+        0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 4,   # sizes 2,2,1,1
+        10: 1, 11: 2, 12: 3,                   # ties broken by id
+    }
