@@ -2051,6 +2051,108 @@ def _q_event_ntile(sf_dir: str):
     )
 
 
+def _q_word_cooccurrence(sf_dir: str):
+    """Within-doc word co-occurrence counts (PMI statistic), pairs in >= 2
+    docs; fan-out capped per doc, counted combiner-first."""
+    from opentapioca_ray.stages.tfidf import word_cooccurrence
+
+    return word_cooccurrence(
+        _docs(sf_dir), "doc_id", "text", max_words_per_doc=256, min_count=2
+    )
+
+
+def _q_lang_confusion(sf_dir: str):
+    """Label-vs-prediction confusion matrix: the declared `lang` column
+    against the n-gram language detector, counted combiner-first — the
+    standard classifier-evaluation aggregate."""
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.textstats import add_language_column
+    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
+
+    def detect(batch: pa.Table) -> pa.Table:
+        out = add_language_column(batch, "text")
+        return out.select(["lang", "lang_id"])
+
+    labeled = _docs(sf_dir).map_batches(detect, batch_format="pyarrow")
+    return partial_multi_sum_count(
+        labeled, ["lang", "lang_id"], [], alias={"count": "n_docs"}
+    )
+
+
+def _q_monthly_revenue_ma(sf_dir: str):
+    """Time-series downsample + centered moving window: monthly order
+    revenue with a 3-month rolling sum/count (integer micro-units; the
+    month table is tiny, so the rolling pass is one block after the
+    combiner aggregate)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+
+    orders = _rel(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def to_month(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").cast(pa.int64())
+        # month id = year*12 + (month-1), computed from epoch days
+        days = pc.divide(ts, 86_400_000_000)
+        d = days.to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        month = d.astype("datetime64[M]").astype(np.int64)  # months since 1970
+        rev_e2 = np.round(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"month": pa.array(month), "rev_e2": pa.array(rev_e2)})
+
+    monthly = partial_sum_count(
+        orders.map_batches(to_month, batch_format="pyarrow"),
+        "month",
+        ["rev_e2"],
+        alias={"count": "n_orders"},
+    )
+
+    def rolling(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "month" not in batch.column_names:
+            return pa.schema(
+                [
+                    pa.field("month", pa.int64()),
+                    pa.field("rev_e2", pa.int64()),
+                    pa.field("n_orders", pa.int64()),
+                    pa.field("ma3_sum_e2", pa.int64()),
+                    pa.field("ma3_n", pa.int64()),
+                ]
+            ).empty_table()
+        m = batch.column("month").to_numpy(zero_copy_only=False)
+        rev = batch.column("sum_rev_e2").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.column("n_orders").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(m)
+        m, rev, n = m[o], rev[o], n[o]
+        # centered 3-row window over consecutive ROWS (SQL ROWS BETWEEN
+        # 1 PRECEDING AND 1 FOLLOWING) — months here are contiguous
+        pad = np.concatenate(([0], np.cumsum(rev)))
+        lo = np.maximum(np.arange(len(m)) - 1, 0)
+        hi = np.minimum(np.arange(len(m)) + 1, len(m) - 1)
+        ma_sum = pad[hi + 1] - pad[lo]
+        ma_n = hi - lo + 1
+        return pa.table(
+            {
+                "month": pa.array(m.astype(np.int64)),
+                "rev_e2": pa.array(rev),
+                "n_orders": pa.array(n),
+                "ma3_sum_e2": pa.array(ma_sum.astype(np.int64)),
+                "ma3_n": pa.array(ma_n.astype(np.int64)),
+            }
+        )
+
+    # the monthly table is tiny (one row per month): collapse to one block
+    # for the order-sensitive rolling pass
+    return monthly.repartition(1).map_batches(
+        rolling, batch_format="pyarrow", batch_size=None
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -2129,6 +2231,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall": _q_ann_recall,
         "degree_distribution": _q_degree_distribution,
         "event_ntile": _q_event_ntile,
+        "word_cooccurrence": _q_word_cooccurrence,
+        "lang_confusion": _q_lang_confusion,
+        "monthly_revenue_ma": _q_monthly_revenue_ma,
     }
 
 
@@ -3300,6 +3405,51 @@ def oracle_sql() -> dict[str, str]:
                      PARTITION BY event_type ORDER BY value, event_id
                    ) AS quartile
             FROM events
+        """,
+        "word_cooccurrence": f"""
+            WITH {tok_cte},
+            t AS (SELECT DISTINCT doc_id, word FROM tokens),
+            r AS (
+              SELECT doc_id, word,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY word)
+                       AS rn
+              FROM t
+            ),
+            capped AS (SELECT doc_id, word FROM r WHERE rn <= 256)
+            SELECT a.word AS u, b.word AS v, count(*) AS n_docs
+            FROM capped a JOIN capped b
+              ON a.doc_id = b.doc_id AND a.word < b.word
+            GROUP BY a.word, b.word
+            HAVING count(*) >= 2
+        """,
+        "lang_confusion": f"""
+            WITH {lang_scores}
+            SELECT d.lang,
+              CASE WHEN greatest(s_en, s_fr, s_de, s_es, s_zh) = 0 THEN 'und'
+                   WHEN s_en >= greatest(s_fr, s_de, s_es, s_zh) THEN 'en'
+                   WHEN s_fr >= greatest(s_de, s_es, s_zh) THEN 'fr'
+                   WHEN s_de >= greatest(s_es, s_zh) THEN 'de'
+                   WHEN s_es >= s_zh THEN 'es'
+                   ELSE 'zh' END AS lang_id,
+              count(*) AS n_docs
+            FROM documents d JOIN scores USING (doc_id)
+            GROUP BY 1, 2
+        """,
+        "monthly_revenue_ma": """
+            WITH m AS (
+              SELECT (year(o_orderdate) - 1970) * 12 + month(o_orderdate) - 1
+                       AS month,
+                     CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS rev_e2,
+                     count(*) AS n_orders
+              FROM orders GROUP BY 1
+            )
+            SELECT month, rev_e2, n_orders,
+                   CAST(sum(rev_e2) OVER w AS BIGINT) AS ma3_sum_e2,
+                   CAST(count(*) OVER w AS BIGINT) AS ma3_n
+            FROM m
+            WINDOW w AS (ORDER BY month ROWS BETWEEN 1 PRECEDING
+                         AND 1 FOLLOWING)
         """,
         # embedding_clusters / linkage_clusters: iterative float numerics —
         # rows-only checks; the semantics are pytest-golden

@@ -253,3 +253,72 @@ def inverted_index(
         )
 
     return coarse_group_apply(rows, "gram", build_partition)
+
+
+def word_cooccurrence(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    max_words_per_doc: int = 256,
+    min_count: int = 2,
+):
+    """Document-level word co-occurrence counts: for every unordered word
+    pair (u < v), the number of documents containing both. The classic
+    PMI/embedding-training statistic.
+
+    Scale guards: each doc contributes its first `max_words_per_doc`
+    distinct words in lexicographic order (a doc's pair fan-out is bounded
+    at O(cap^2), never O(vocab^2)); pairs below `min_count` are dropped
+    AFTER the combiner merge so nothing is silently lost before counting.
+    Shape: distinct (doc, word) rows exchange on doc (whole docs
+    co-locate), the segment pair kernel emits each doc's pairs, then the
+    multi-key combiner counts them."""
+    import pandas as pd
+
+    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
+    from opentapioca_ray.stages.dedup import gram_doc_rows
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+    from opentapioca_ray.stages.triangles import _segment_pairs
+
+    rows = ds.map_batches(
+        lambda b: gram_doc_rows(b, id_column, text_column, k=1).select(
+            ["doc_id", "gram"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    def pair_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"u": pd.Series(dtype=object), "v": pd.Series(dtype=object)}
+        )
+        if df.empty or "gram" not in df.columns:
+            return empty
+        docs = df["doc_id"].to_numpy(dtype=np.int64)
+        words = df["gram"].to_numpy()
+        order = np.lexsort((words, docs))
+        docs, words = docs[order], words[order]
+        # cap: keep each doc's first max_words_per_doc distinct words
+        new = np.concatenate(([True], docs[1:] != docs[:-1]))
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        rank = np.arange(len(docs)) - starts[seg]
+        keep = rank < max_words_per_doc
+        docs, words = docs[keep], words[keep]
+        li, ri = _segment_pairs(docs)
+        if len(li) == 0:
+            return empty
+        return pd.DataFrame({"u": words[li], "v": words[ri]})
+
+    pairs = coarse_group_apply(rows, "doc_id", pair_partition)
+    counts = partial_multi_sum_count(pairs, ["u", "v"], [], alias={"count": "n_docs"})
+
+    def threshold(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or "n_docs" not in batch.column_names:
+            return batch
+        return batch.filter(
+            pc.greater_equal(batch.column("n_docs"), min_count)
+        )
+
+    return counts.map_batches(threshold, batch_format="pyarrow")

@@ -73,3 +73,24 @@ def test_inverted_index_cap_and_df(ray_session):
     assert got["apple"] == (3, "1,2")
     assert got["banana"] == (1, "3")
     assert got["cherry"] == (1, "1")
+
+
+def test_word_cooccurrence_cap_and_threshold(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.tfidf import word_cooccurrence
+
+    rows = [
+        {"doc_id": 1, "text": "a b c"},
+        {"doc_id": 2, "text": "a b"},
+        {"doc_id": 3, "text": "a c d e"},
+    ]
+    out = word_cooccurrence(
+        ray.data.from_items(rows).repartition(2),
+        max_words_per_doc=3,
+        min_count=2,
+    ).to_pandas()
+    got = {(r["u"], r["v"]): r["n_docs"] for _, r in out.iterrows()}
+    # (a,b) in docs 1+2; (a,c) in docs 1+3; doc 3's 'e' is capped away
+    # (first 3 distinct words lexicographically: a c d)
+    assert got == {("a", "b"): 2, ("a", "c"): 2}
