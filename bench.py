@@ -63,6 +63,23 @@ BENCH_QUERIES = [
     "customer_big_order_counts",
     "triangle_count",
     "linkage_clusters",
+    "pricing_summary",
+    "supplier_region_revenue",
+    "cheapest_supplier_per_part",
+    "token_budget_selection",
+    "source_quality_filter",
+    "retention_cohorts",
+    "similarity_join",
+    "dup_gram_fraction",
+    "customers_all_priorities",
+    "top_prop_per_type",
+    "inverted_index",
+    "ann_recall",
+    "degree_distribution",
+    "event_ntile",
+    "word_cooccurrence",
+    "lang_confusion",
+    "monthly_revenue_ma",
 ]
 
 
