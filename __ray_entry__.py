@@ -2153,6 +2153,56 @@ def _q_monthly_revenue_ma(sf_dir: str):
     )
 
 
+def _q_event_value_delta(sf_dir: str):
+    """Per-user LAG delta: value minus the previous event's value (micro
+    units), first-in-group rows dropped."""
+    from opentapioca_ray.stages.windows import group_lag_delta
+
+    ev = _rel(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+    return group_lag_delta(ev, "user_id", "ts", "value", "event_id")
+
+
+def _q_event_value_share(sf_dir: str):
+    """Ratio-to-report: each event's share of its type's total value,
+    exact integer division — broadcast totals, no fact shuffle."""
+    from opentapioca_ray.stages.windows import ratio_to_report
+
+    ev = _rel(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return ratio_to_report(ev, "event_type", "value", "event_id")
+
+
+def _q_unpivot_token_stats(sf_dir: str):
+    """UNPIVOT: the wide per-doc token-count columns melted into
+    (doc_id, metric, value) rows — one stateless Arrow map, no exchange."""
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.textstats import add_token_counts
+
+    def melt(batch: pa.Table) -> pa.Table:
+        out = add_token_counts(batch, "text")
+        n = out.num_rows
+        ids = out.column("doc_id")
+        parts = []
+        for metric in ("ws_tokens", "bpe_tokens"):
+            parts.append(
+                pa.table(
+                    {
+                        "doc_id": ids,
+                        "metric": pa.array([metric] * n, type=pa.string()),
+                        "value": out.column(metric).cast(pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    return _docs(sf_dir).map_batches(melt, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -2234,6 +2284,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_cooccurrence": _q_word_cooccurrence,
         "lang_confusion": _q_lang_confusion,
         "monthly_revenue_ma": _q_monthly_revenue_ma,
+        "event_value_delta": _q_event_value_delta,
+        "event_value_share": _q_event_value_share,
+        "unpivot_token_stats": _q_unpivot_token_stats,
     }
 
 
@@ -3450,6 +3503,46 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             WINDOW w AS (ORDER BY month ROWS BETWEEN 1 PRECEDING
                          AND 1 FOLLOWING)
+        """,
+        "event_value_delta": """
+            WITH u AS (
+              SELECT event_id, user_id, ts,
+                     CAST(round(value * 10000) AS BIGINT) AS v_e4
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   v_e4 - lag(v_e4) OVER w AS delta_e4
+            FROM u
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            QUALIFY lag(v_e4) OVER w IS NOT NULL
+        """,
+        "event_value_share": """
+            WITH u AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 10000) AS BIGINT) AS value_e4
+              FROM events
+            )
+            SELECT event_id, event_type, value_e4,
+                   CAST(sum(value_e4) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS group_total_e4,
+                   CAST((value_e4 * 1000000)
+                        // sum(value_e4) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS share_ppm
+            FROM u
+        """,
+        "unpivot_token_stats": r"""
+            WITH t AS (
+              SELECT doc_id,
+                CAST(CASE WHEN trim(text) = '' THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                END AS BIGINT) AS ws_tokens,
+                len(regexp_extract_all(text, '\w+|[^\w\s]'))::BIGINT
+                  AS bpe_tokens
+              FROM documents
+            )
+            SELECT doc_id, 'ws_tokens' AS metric, ws_tokens AS value FROM t
+            UNION ALL
+            SELECT doc_id, 'bpe_tokens', bpe_tokens FROM t
         """,
         # embedding_clusters / linkage_clusters: iterative float numerics —
         # rows-only checks; the semantics are pytest-golden

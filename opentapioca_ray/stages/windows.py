@@ -591,3 +591,112 @@ def group_ntile(
         group_column,
         ntile_partition,
     )
+
+
+def group_lag_delta(
+    ds,
+    group_column: str = "user_id",
+    order_column: str = "ts",
+    value_column: str = "value",
+    id_column: str = "event_id",
+):
+    """SQL `value - lag(value) OVER (PARTITION BY group ORDER BY order, id)`
+    in exact int64 micro-units (e4): per-row delta to the previous row of
+    the same group. Rows with no predecessor (each group's first) are
+    DROPPED rather than emitted as NULL, so the output is a dense integer
+    column on both engines. One coarse exchange on the group key + a
+    vectorized shift kernel — order is only needed WITHIN a group, so no
+    global sort."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    def delta_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or group_column not in df.columns:
+            return pd.DataFrame(
+                {
+                    id_column: pd.Series(dtype=np.int64),
+                    group_column: pd.Series(dtype=np.int64),
+                    "delta_e4": pd.Series(dtype=np.int64),
+                }
+            )
+        g = df[group_column].to_numpy(dtype=np.int64)
+        o = df[order_column].astype("datetime64[us]").astype("int64").to_numpy()
+        rid = df[id_column].to_numpy(dtype=np.int64)
+        v = np.round(df[value_column].to_numpy() * 10_000.0).astype(np.int64)
+        order = np.lexsort((rid, o, g))
+        g_s, rid_s, v_s = g[order], rid[order], v[order]
+        delta = np.empty(len(v_s), dtype=np.int64)
+        delta[1:] = v_s[1:] - v_s[:-1]
+        delta[0] = 0
+        first = np.concatenate(([True], g_s[1:] != g_s[:-1]))
+        keep = ~first
+        return pd.DataFrame(
+            {
+                id_column: rid_s[keep],
+                group_column: g_s[keep],
+                "delta_e4": delta[keep],
+            }
+        )
+
+    return coarse_group_apply(
+        ds.select_columns(
+            [group_column, order_column, value_column, id_column]
+        ),
+        group_column,
+        delta_partition,
+    )
+
+
+def ratio_to_report(
+    ds,
+    group_column: str,
+    value_column: str,
+    id_column: str,
+):
+    """SQL ratio-to-report: each row's share of its group's total —
+    emitted as exact integers (value_e4, group_total_e4, share_ppm =
+    value_e4 * 1e6 // total_e4) so the division is bit-deterministic.
+    Group totals come from the combiner aggregate and ride back as a
+    broadcast lookup; the fact rows never shuffle."""
+    import pyarrow.compute as pc
+    import ray
+
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+
+    def to_units(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or value_column not in batch.column_names:
+            return batch
+        v_e4 = pc.cast(
+            pc.round(pc.multiply(batch.column(value_column), 10_000.0), 0),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                group_column: batch.column(group_column),
+                "value_e4": v_e4,
+            }
+        )
+
+    units = ds.map_batches(to_units, batch_format="pyarrow").materialize()
+    totals = partial_sum_count(units, group_column, ["value_e4"])
+    tbl = pa.concat_tables(
+        [t for t in (ray.get(r) for r in totals.to_arrow_refs()) if t.num_rows]
+    )
+    keys = tbl.column(group_column).to_numpy(zero_copy_only=False)
+    sums = tbl.column("sum_value_e4").to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.argsort(keys)
+    state_ref = ray.put((keys[o], sums[o]))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "value_e4" not in batch.column_names:
+            return batch
+        ks, ss = ray.get(state_ref)
+        g = batch.column(group_column).to_numpy(zero_copy_only=False)
+        tot = ss[np.searchsorted(ks, g)]
+        v = batch.column("value_e4").to_numpy(zero_copy_only=False)
+        share = np.where(tot != 0, v * 1_000_000 // np.where(tot == 0, 1, tot), 0)
+        return batch.append_column(
+            "group_total_e4", pa.array(tot)
+        ).append_column("share_ppm", pa.array(share.astype(np.int64)))
+
+    return units.map_batches(attach, batch_format="pyarrow")

@@ -317,3 +317,43 @@ def test_group_ntile_uneven_and_small_groups(ray_session):
         0: 1, 1: 1, 2: 2, 3: 2, 4: 3, 5: 4,   # sizes 2,2,1,1
         10: 1, 11: 2, 12: 3,                   # ties broken by id
     }
+
+
+def test_group_lag_delta_drops_first_rows(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.windows import group_lag_delta
+
+    t = pa.table(
+        {
+            "event_id": [1, 2, 3, 4],
+            "user_id": [7, 7, 7, 8],
+            "ts": pa.array([0, 10, 20, 5], type=pa.timestamp("us")),
+            "value": [1.0, 3.5, 2.0, 9.0],
+        }
+    )
+    out = group_lag_delta(ray.data.from_arrow(t).repartition(2)).to_pandas()
+    got = {r["event_id"]: r["delta_e4"] for _, r in out.iterrows()}
+    # user 8's single event has no predecessor -> dropped
+    assert got == {2: 25_000, 3: -15_000}
+
+
+def test_ratio_to_report_shares(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.windows import ratio_to_report
+
+    t = pa.table(
+        {
+            "event_id": [1, 2, 3],
+            "event_type": ["a", "a", "b"],
+            "value": [1.0, 3.0, 5.0],
+        }
+    )
+    out = ratio_to_report(
+        ray.data.from_arrow(t).repartition(2), "event_type", "value", "event_id"
+    ).to_pandas()
+    got = {r["event_id"]: (r["group_total_e4"], r["share_ppm"]) for _, r in out.iterrows()}
+    assert got == {1: (40_000, 250_000), 2: (40_000, 750_000), 3: (50_000, 1_000_000)}
