@@ -385,19 +385,29 @@ def distinct_count(ds, group_column: str, value_column: str, alias: str = "n_dis
         )
 
     pairs = ds.map_batches(uniq_pairs, batch_format="pyarrow")
-    from ray.data.aggregate import Count
+    from opentapioca_ray.stages.exchange import coarse_group_apply
 
-    dedup = pairs.groupby([group_column, value_column]).aggregate(
-        Count(alias_name="_one")
-    )
+    # ONE coarse exchange on the group key finishes both steps: all rows of
+    # a group co-locate, so the partition kernel dedups (group, value) and
+    # counts per group in one vectorized pass (the former sort-based
+    # two-key groupby paid per-row sort cost on every distinct pair)
+    import pandas as pd
 
-    def drop_one(batch: pa.Table) -> pa.Table:
-        if "_one" in batch.column_names:
-            return batch.drop_columns("_one")
-        return batch
+    def count_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or group_column not in df.columns:
+            return pd.DataFrame(
+                {
+                    group_column: pd.Series(dtype=object),
+                    alias: pd.Series(dtype=np.int64),
+                }
+            )
+        d = df.drop_duplicates([group_column, value_column])
+        g = d.groupby(group_column, sort=False).size()
+        return pd.DataFrame(
+            {group_column: g.index.to_numpy(), alias: g.to_numpy(dtype=np.int64)}
+        )
 
-    dedup = dedup.map_batches(drop_one, batch_format="pyarrow")
-    return partial_sum_count(dedup, group_column, [], alias={"count": alias})
+    return coarse_group_apply(pairs, group_column, count_partition)
 
 
 def group_regression(
