@@ -2203,6 +2203,41 @@ def _q_unpivot_token_stats(sf_dir: str):
     return _docs(sf_dir).map_batches(melt, batch_format="pyarrow")
 
 
+def _q_event_transitions(sf_dir: str):
+    """Markov transition matrix: counts of consecutive (prev_type ->
+    next_type) pairs within each user's time-ordered event sequence,
+    summed globally. Coarse exchange by user + bincount shift kernel."""
+    from opentapioca_ray.stages.windows import group_transition_counts
+
+    ev = _rel(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+    )
+    return group_transition_counts(ev, "user_id", "ts", "event_type", "event_id")
+
+
+def _q_interarrival_stats(sf_dir: str):
+    """Per-user inter-arrival gaps (count / total / max, exact int64
+    microseconds); single-event users dropped."""
+    from opentapioca_ray.stages.windows import interarrival_stats
+
+    ev = _rel(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    return interarrival_stats(ev, "user_id", "ts", "event_id")
+
+
+def _q_gini_by_nation(sf_dir: str):
+    """Per-nation Gini concentration of customer account balances as
+    exact integer numerator/denominator terms (cents units)."""
+    from opentapioca_ray.stages.aggregates import group_gini
+
+    cust = _rel(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_acctbal"]
+    )
+    return group_gini(cust, "c_nationkey", "c_acctbal", scale=100)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -2287,6 +2322,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_delta": _q_event_value_delta,
         "event_value_share": _q_event_value_share,
         "unpivot_token_stats": _q_unpivot_token_stats,
+        "event_transitions": _q_event_transitions,
+        "interarrival_stats": _q_interarrival_stats,
+        "gini_by_nation": _q_gini_by_nation,
     }
 
 
@@ -3503,6 +3541,51 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             WINDOW w AS (ORDER BY month ROWS BETWEEN 1 PRECEDING
                          AND 1 FOLLOWING)
+        """,
+        "event_transitions": """
+            WITH s AS (
+              SELECT event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS prev_type
+              FROM events
+            )
+            SELECT prev_type, event_type AS next_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, next_type
+        """,
+        "interarrival_stats": """
+            WITH s AS (
+              SELECT user_id,
+                     epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                     ) AS gap_us
+              FROM events
+            )
+            SELECT user_id,
+                   CAST(count(gap_us) AS BIGINT) AS n_gaps,
+                   CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+                   CAST(max(gap_us) AS BIGINT) AS max_gap_us
+            FROM s WHERE gap_us IS NOT NULL
+            GROUP BY user_id
+        """,
+        "gini_by_nation": """
+            WITH r AS (
+              SELECT c_nationkey,
+                     CAST(round(c_acctbal * 100) AS BIGINT) AS x,
+                     CAST(row_number() OVER (
+                       PARTITION BY c_nationkey ORDER BY c_acctbal
+                     ) AS BIGINT) AS i
+              FROM customer
+            )
+            SELECT c_nationkey,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sum_units,
+                   CAST(2 * sum(i * x) - (count(*) + 1) * sum(x)
+                        AS BIGINT) AS gini_num,
+                   CAST(count(*) * sum(x) AS BIGINT) AS gini_den
+            FROM r GROUP BY c_nationkey
         """,
         "event_value_delta": """
             WITH u AS (

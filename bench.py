@@ -80,6 +80,9 @@ BENCH_QUERIES = [
     "word_cooccurrence",
     "lang_confusion",
     "monthly_revenue_ma",
+    "event_transitions",
+    "interarrival_stats",
+    "gini_by_nation",
 ]
 
 

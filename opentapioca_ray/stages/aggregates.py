@@ -650,3 +650,59 @@ def group_arg_extreme(
         best_per_key, batch_format="pandas"
     )
     return coarse_group_apply(partials, key_cols[0], best_per_key)
+
+
+def group_gini(ds, group_column: str, value_column: str, scale: int = 100):
+    """Exact per-group Gini concentration terms in integer units:
+    with x_1 <= ... <= x_n the group's values in `1/scale` units,
+      gini_num = 2 * sum(i * x_i) - (n + 1) * sum(x)
+      gini_den = n * sum(x)
+    so Gini = gini_num / gini_den without ever dividing (both engines emit
+    the same int64s; ties contribute identically regardless of sort order,
+    so the result is deterministic at any partitioning). SQL twin:
+    row_number() OVER (PARTITION BY g ORDER BY x) + one GROUP BY.
+
+    One coarse exchange on the group key; each partition sorts once and
+    reduces all its groups with contiguous-segment numpy ops."""
+    import pandas as pd
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    def gini_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or group_column not in df.columns:
+            return pd.DataFrame(
+                {
+                    group_column: pd.Series(dtype=np.int64),
+                    "n": pd.Series(dtype=np.int64),
+                    "sum_units": pd.Series(dtype=np.int64),
+                    "gini_num": pd.Series(dtype=np.int64),
+                    "gini_den": pd.Series(dtype=np.int64),
+                }
+            )
+        g = df[group_column].to_numpy(dtype=np.int64)
+        x = np.round(df[value_column].to_numpy() * float(scale)).astype(np.int64)
+        order = np.lexsort((x, g))
+        g_s, x_s = g[order], x[order]
+        new = np.concatenate(([True], g_s[1:] != g_s[:-1]))
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        n_seg = len(starts)
+        rank = np.arange(len(g_s), dtype=np.int64) - starts[seg] + 1  # 1-based
+        n = np.bincount(seg, minlength=n_seg).astype(np.int64)
+        sx = np.bincount(seg, weights=x_s, minlength=n_seg).astype(np.int64)
+        six = np.bincount(seg, weights=rank * x_s, minlength=n_seg).astype(np.int64)
+        return pd.DataFrame(
+            {
+                group_column: g_s[starts],
+                "n": n,
+                "sum_units": sx,
+                "gini_num": 2 * six - (n + 1) * sx,
+                "gini_den": n * sx,
+            }
+        )
+
+    return coarse_group_apply(
+        ds.select_columns([group_column, value_column]),
+        group_column,
+        gini_partition,
+    )

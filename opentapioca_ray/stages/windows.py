@@ -700,3 +700,131 @@ def ratio_to_report(
         ).append_column("share_ppm", pa.array(share.astype(np.int64)))
 
     return units.map_batches(attach, batch_format="pyarrow")
+
+
+def group_transition_counts(
+    ds,
+    group_column: str = "user_id",
+    order_column: str = "ts",
+    type_column: str = "event_type",
+    id_column: str = "event_id",
+):
+    """Markov transition counts: how often `type_column` value A is
+    immediately followed by value B within a group's (order, id)-ordered
+    sequence, summed over ALL groups. SQL twin: LAG(type) OVER (PARTITION
+    BY group ORDER BY order, id) then GROUP BY (prev, next).
+
+    Scale shape: one coarse exchange on the group key (order matters only
+    within a group — no global sort); each partition reduces its rows to at
+    most |types|^2 partial-count rows with a vectorized shift kernel, so
+    the final exchange moves O(P x |types|^2), never O(rows)."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply, coarse_groupby_agg
+
+    def transitions_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or group_column not in df.columns:
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series(dtype=object),
+                    "next_type": pd.Series(dtype=object),
+                    "_pn": pd.Series(dtype=np.int64),
+                }
+            )
+        g = df[group_column].to_numpy(dtype=np.int64)
+        o = df[order_column].astype("datetime64[us]").astype("int64").to_numpy()
+        rid = df[id_column].to_numpy(dtype=np.int64)
+        t_codes, t_uniques = pd.factorize(df[type_column], sort=True)
+        order = np.lexsort((rid, o, g))
+        g_s, t_s = g[order], t_codes[order]
+        same = g_s[1:] == g_s[:-1]
+        prev_c, next_c = t_s[:-1][same], t_s[1:][same]
+        if len(prev_c) == 0:
+            return pd.DataFrame(
+                {
+                    "prev_type": pd.Series(dtype=object),
+                    "next_type": pd.Series(dtype=object),
+                    "_pn": pd.Series(dtype=np.int64),
+                }
+            )
+        k = len(t_uniques)
+        counts = np.bincount(prev_c * k + next_c, minlength=k * k)
+        nz = np.flatnonzero(counts)
+        return pd.DataFrame(
+            {
+                "prev_type": t_uniques.take(nz // k),
+                "next_type": t_uniques.take(nz % k),
+                "_pn": counts[nz].astype(np.int64),
+            }
+        )
+
+    partials = coarse_group_apply(
+        ds.select_columns([group_column, order_column, type_column, id_column]),
+        group_column,
+        transitions_partition,
+    )
+    return coarse_groupby_agg(
+        partials, ["prev_type", "next_type"], {"n": ("_pn", "sum")}
+    )
+
+
+def interarrival_stats(
+    ds,
+    group_column: str = "user_id",
+    order_column: str = "ts",
+    id_column: str = "event_id",
+):
+    """Per-group inter-arrival-time summary over the (order, id)-ordered
+    event sequence: number of gaps, total gap, and max gap — all in exact
+    int64 microseconds so the SQL twin hashes bit-for-bit. Groups with a
+    single event (no gap) are dropped, keeping every output column dense.
+
+    One coarse exchange on the group key; each partition sorts once and
+    reduces every group it holds with contiguous-segment numpy ops (no
+    per-group pandas objects)."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    def gaps_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                group_column: pd.Series(dtype=np.int64),
+                "n_gaps": pd.Series(dtype=np.int64),
+                "sum_gap_us": pd.Series(dtype=np.int64),
+                "max_gap_us": pd.Series(dtype=np.int64),
+            }
+        )
+        if df.empty or group_column not in df.columns:
+            return empty
+        g = df[group_column].to_numpy(dtype=np.int64)
+        o = df[order_column].astype("datetime64[us]").astype("int64").to_numpy()
+        rid = df[id_column].to_numpy(dtype=np.int64)
+        order = np.lexsort((rid, o, g))
+        g_s, o_s = g[order], o[order]
+        same = np.concatenate(([False], g_s[1:] == g_s[:-1]))
+        gap = np.empty(len(o_s), dtype=np.int64)
+        gap[1:] = o_s[1:] - o_s[:-1]
+        gap[0] = 0
+        # contiguous segments: one row per group present in this partition
+        new = ~same
+        seg = np.cumsum(new) - 1
+        n_seg = seg[-1] + 1 if len(seg) else 0
+        n_gaps = np.bincount(seg, weights=same.astype(np.int64), minlength=n_seg)
+        keep_gap = np.where(same, gap, 0)
+        sum_gap = np.bincount(seg, weights=keep_gap, minlength=n_seg)
+        max_gap = np.full(n_seg, np.iinfo(np.int64).min, dtype=np.int64)
+        np.maximum.at(max_gap, seg[same], gap[same])
+        has = n_gaps > 0
+        if not has.any():
+            return empty
+        return pd.DataFrame(
+            {
+                group_column: g_s[np.flatnonzero(new)][has],
+                "n_gaps": n_gaps[has].astype(np.int64),
+                "sum_gap_us": sum_gap[has].astype(np.int64),
+                "max_gap_us": max_gap[has],
+            }
+        )
+
+    return coarse_group_apply(
+        ds.select_columns([group_column, order_column, id_column]),
+        group_column,
+        gaps_partition,
+    )

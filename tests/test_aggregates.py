@@ -331,3 +331,48 @@ def test_group_arg_extreme_max(ray_session):
     ).to_pandas()
     got = {r["k"]: r["v"] for _, r in out.iterrows()}
     assert got == {1: 9.0, 2: 1.0}
+
+
+def test_group_gini_matches_direct_formula(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import group_gini
+
+    rng = np.random.default_rng(7)
+    g = rng.integers(0, 5, size=200)
+    v = np.round(rng.uniform(-100, 1000, size=200), 2)
+    t = pa.table({"g": g, "v": v})
+    out = (
+        group_gini(ray.data.from_arrow(t).repartition(6), "g", "v", scale=100)
+        .to_pandas()
+        .set_index("g")
+        .sort_index()
+    )
+    for key in np.unique(g):
+        x = np.sort(np.round(v[g == key] * 100).astype(np.int64))
+        n = len(x)
+        i = np.arange(1, n + 1)
+        assert out.loc[key, "n"] == n
+        assert out.loc[key, "sum_units"] == x.sum()
+        assert out.loc[key, "gini_num"] == 2 * (i * x).sum() - (n + 1) * x.sum()
+        assert out.loc[key, "gini_den"] == n * x.sum()
+
+
+def test_group_gini_tie_invariance(ray_session):
+    """Tied values must produce the same terms at any partitioning."""
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import group_gini
+
+    t = pa.table({"g": [1] * 6, "v": [2.0, 2.0, 2.0, 5.0, 5.0, 9.0]})
+    a = group_gini(ray.data.from_arrow(t).repartition(1), "g", "v").to_pandas()
+    b = group_gini(ray.data.from_arrow(t).repartition(5), "g", "v").to_pandas()
+    assert a.to_dict("records") == b.to_dict("records")
+    # hand check: x=[200,200,200,500,500,900], n=6, sum=2500
+    # sum(i*x) = 200+400+600+2000+2500+5400 = 11100
+    rec = a.to_dict("records")[0]
+    assert rec["gini_num"] == 2 * 11100 - 7 * 2500
+    assert rec["gini_den"] == 6 * 2500

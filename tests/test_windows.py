@@ -357,3 +357,62 @@ def test_ratio_to_report_shares(ray_session):
     ).to_pandas()
     got = {r["event_id"]: (r["group_total_e4"], r["share_ppm"]) for _, r in out.iterrows()}
     assert got == {1: (40_000, 250_000), 2: (40_000, 750_000), 3: (50_000, 1_000_000)}
+
+
+def test_group_transition_counts(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.windows import group_transition_counts
+
+    # user 1: a -> b -> a ; user 2: b -> b ; user 3: single event (no pair)
+    t = pa.table(
+        {
+            "user_id": [1, 1, 1, 2, 2, 3],
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:01:00",
+                 "2024-01-01 00:02:00", "2024-01-01 00:00:30",
+                 "2024-01-01 00:03:00", "2024-01-01 00:00:10"]
+            ),
+            "event_type": ["a", "b", "a", "b", "b", "a"],
+        }
+    )
+    out = group_transition_counts(
+        ray.data.from_arrow(t).repartition(4), "user_id", "ts", "event_type", "event_id"
+    ).to_pandas()
+    got = {(r["prev_type"], r["next_type"]): r["n"] for _, r in out.iterrows()}
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "b"): 1}
+
+
+def test_interarrival_stats(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.windows import interarrival_stats
+
+    t = pa.table(
+        {
+            "user_id": [1, 1, 1, 2, 3],
+            "event_id": [1, 2, 3, 4, 5],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:00:10",
+                 "2024-01-01 00:01:10", "2024-01-01 05:00:00",
+                 "2024-01-01 06:00:00"]
+            ),
+        }
+    )
+    out = (
+        interarrival_stats(
+            ray.data.from_arrow(t).repartition(3), "user_id", "ts", "event_id"
+        )
+        .to_pandas()
+        .set_index("user_id")
+    )
+    # users 2 and 3 have one event each -> dropped
+    assert sorted(out.index) == [1]
+    assert out.loc[1, "n_gaps"] == 2
+    assert out.loc[1, "sum_gap_us"] == 70_000_000
+    assert out.loc[1, "max_gap_us"] == 60_000_000
