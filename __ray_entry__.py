@@ -2238,6 +2238,36 @@ def _q_gini_by_nation(sf_dir: str):
     return group_gini(cust, "c_nationkey", "c_acctbal", scale=100)
 
 
+def _q_orders_above_avg(sf_dir: str):
+    """Correlated-subquery filter: orders strictly pricier than their
+    customer's average order (exact integer compare, one exchange)."""
+    from opentapioca_ray.stages.aggregates import above_group_mean
+
+    orders = _rel(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    return above_group_mean(orders, "o_custkey", "o_totalprice", "o_orderkey", scale=100)
+
+
+def _q_type_overlap(sf_dir: str):
+    """Audience overlap: distinct-user intersection counts for every
+    event-type pair (diagonal = the type's distinct-user count)."""
+    from opentapioca_ray.stages.aggregates import group_set_overlap
+
+    ev = _rel(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return group_set_overlap(ev, "event_type", "user_id")
+
+
+def _q_user_streaks(sf_dir: str):
+    """Gaps-and-islands: per-user active-day count, streak count, and
+    longest consecutive-day streak."""
+    from opentapioca_ray.stages.windows import activity_streaks
+
+    ev = _rel(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return activity_streaks(ev, "user_id", "ts")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -2325,6 +2355,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": _q_event_transitions,
         "interarrival_stats": _q_interarrival_stats,
         "gini_by_nation": _q_gini_by_nation,
+        "orders_above_avg": _q_orders_above_avg,
+        "type_overlap": _q_type_overlap,
+        "user_streaks": _q_user_streaks,
     }
 
 
@@ -3541,6 +3574,46 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             WINDOW w AS (ORDER BY month ROWS BETWEEN 1 PRECEDING
                          AND 1 FOLLOWING)
+        """,
+        "orders_above_avg": """
+            WITH u AS (
+              SELECT o_orderkey, o_custkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders
+            )
+            SELECT o_orderkey, o_custkey, v AS value_units
+            FROM u
+            QUALIFY v * count(*) OVER (PARTITION BY o_custkey)
+                    > sum(v) OVER (PARTITION BY o_custkey)
+        """,
+        "type_overlap": """
+            WITH d AS (SELECT DISTINCT event_type, user_id FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_common
+            FROM d a JOIN d b
+              ON a.user_id = b.user_id AND a.event_type <= b.event_type
+            GROUP BY type_a, type_b
+        """,
+        "user_streaks": """
+            WITH d AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+              FROM events
+            ), i AS (
+              SELECT user_id, day,
+                     day - row_number() OVER (
+                       PARTITION BY user_id ORDER BY day
+                     ) AS grp
+              FROM d
+            ), s AS (
+              SELECT user_id, grp, count(*) AS len
+              FROM i GROUP BY user_id, grp
+            )
+            SELECT user_id,
+                   CAST(sum(len) AS BIGINT) AS n_active_days,
+                   CAST(count(*) AS BIGINT) AS n_streaks,
+                   CAST(max(len) AS BIGINT) AS longest_streak
+            FROM s GROUP BY user_id
         """,
         "event_transitions": """
             WITH s AS (

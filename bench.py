@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "event_transitions",
     "interarrival_stats",
     "gini_by_nation",
+    "orders_above_avg",
+    "type_overlap",
+    "user_streaks",
 ]
 
 

@@ -706,3 +706,124 @@ def group_gini(ds, group_column: str, value_column: str, scale: int = 100):
         group_column,
         gini_partition,
     )
+
+
+def above_group_mean(
+    ds,
+    group_column: str,
+    value_column: str,
+    id_column: str,
+    scale: int = 100,
+):
+    """The correlated-subquery filter `WHERE x > (SELECT avg(x) ... same
+    group)`: keep rows whose value strictly exceeds their group's mean.
+    The compare is exact — `v * n > sum` over int64 `1/scale` units — so
+    both engines agree on every boundary row without float division.
+
+    One coarse exchange on the group key; each partition computes all its
+    group sums with a factorize+bincount kernel and filters vectorized
+    (no second pass over the input, no broadcast of a per-group table
+    that is O(|groups|) at scale)."""
+    import pandas as pd
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    def filter_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or group_column not in df.columns:
+            return pd.DataFrame(
+                {
+                    id_column: pd.Series(dtype=np.int64),
+                    group_column: pd.Series(dtype=np.int64),
+                    "value_units": pd.Series(dtype=np.int64),
+                }
+            )
+        g = df[group_column].to_numpy(dtype=np.int64)
+        v = np.round(df[value_column].to_numpy() * float(scale)).astype(np.int64)
+        rid = df[id_column].to_numpy(dtype=np.int64)
+        codes, _ = pd.factorize(g, sort=False)
+        sums = np.bincount(codes, weights=v).astype(np.int64)
+        ns = np.bincount(codes).astype(np.int64)
+        keep = v * ns[codes] > sums[codes]
+        return pd.DataFrame(
+            {
+                id_column: rid[keep],
+                group_column: g[keep],
+                "value_units": v[keep],
+            }
+        )
+
+    return coarse_group_apply(
+        ds.select_columns([id_column, group_column, value_column]),
+        group_column,
+        filter_partition,
+    )
+
+
+def group_set_overlap(ds, key_column: str, member_column: str):
+    """Audience overlap between set keys: for every unordered key pair
+    (a <= b), the number of DISTINCT members present in both sets —
+    diagonal rows (a == b) carry each set's distinct-member count, so
+    Jaccard/overlap coefficients are one division away. SQL twin: a
+    self-join of SELECT DISTINCT (key, member) on the member.
+
+    Shape: per-batch distinct partials, one coarse exchange on the MEMBER
+    (a member's keys co-locate), a segment pair kernel + k*k bincount per
+    partition (exchange out is O(P x |keys|^2)), then the multi-key
+    combiner merge. Assumes |distinct keys| is small (categories, not
+    ids); members may be billions."""
+    import pandas as pd
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply, coarse_groupby_agg
+    from opentapioca_ray.stages.triangles import _segment_pairs
+
+    def distinct_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or key_column not in batch.column_names:
+            return pa.schema(
+                [
+                    pa.field(key_column, pa.string()),
+                    pa.field(member_column, pa.int64()),
+                ]
+            ).empty_table()
+        return (
+            batch.select([key_column, member_column])
+            .group_by([key_column, member_column])
+            .aggregate([])
+        )
+
+    rows = ds.map_batches(distinct_partial, batch_format="pyarrow")
+    empty = pd.DataFrame(
+        {
+            "type_a": pd.Series(dtype=object),
+            "type_b": pd.Series(dtype=object),
+            "_pn": pd.Series(dtype=np.int64),
+        }
+    )
+
+    def pair_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or key_column not in df.columns:
+            return empty
+        df = df.drop_duplicates([member_column, key_column])
+        m = df[member_column].to_numpy(dtype=np.int64)
+        codes, uniques = pd.factorize(df[key_column], sort=True)
+        order = np.lexsort((codes, m))
+        m_s, c_s = m[order], codes[order]
+        left, right = _segment_pairs(m_s)
+        k = len(uniques)
+        pair_idx = c_s[left] * k + c_s[right]  # c_s sorted within member: a <= b
+        counts = np.bincount(pair_idx, minlength=k * k)
+        counts += np.bincount(c_s * k + c_s, minlength=k * k)  # diagonal
+        nz = np.flatnonzero(counts)
+        if len(nz) == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "type_a": uniques.take(nz // k),
+                "type_b": uniques.take(nz % k),
+                "_pn": counts[nz].astype(np.int64),
+            }
+        )
+
+    partials = coarse_group_apply(rows, member_column, pair_partition)
+    return coarse_groupby_agg(
+        partials, ["type_a", "type_b"], {"n_common": ("_pn", "sum")}
+    )

@@ -828,3 +828,83 @@ def interarrival_stats(
         group_column,
         gaps_partition,
     )
+
+
+def activity_streaks(
+    ds,
+    group_column: str = "user_id",
+    ts_column: str = "ts",
+    day_us: int = 86_400_000_000,
+):
+    """Gaps-and-islands: per group, the count of distinct active days, the
+    number of maximal consecutive-day runs (streaks), and the longest run.
+    SQL twin: the classic `day - row_number() OVER (...)` island trick.
+
+    Shape: per-batch distinct (group, day) partials shrink the exchange,
+    one coarse exchange on the group key, then a single sorted-segment
+    numpy kernel per partition handles every group it holds (global
+    dedup is safe because all rows of a group co-locate)."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    def day_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or group_column not in batch.column_names:
+            return pa.schema(
+                [
+                    pa.field(group_column, pa.int64()),
+                    pa.field("day", pa.int64()),
+                ]
+            ).empty_table()
+        day = pc.divide(
+            _ts_us(batch.column(ts_column)), pa.scalar(day_us, pa.int64())
+        )
+        t = pa.table(
+            {group_column: batch.column(group_column), "day": day}
+        )
+        return t.group_by([group_column, "day"]).aggregate([])
+
+    rows = ds.select_columns([group_column, ts_column]).map_batches(
+        day_partial, batch_format="pyarrow"
+    )
+
+    def streak_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                group_column: pd.Series(dtype=np.int64),
+                "n_active_days": pd.Series(dtype=np.int64),
+                "n_streaks": pd.Series(dtype=np.int64),
+                "longest_streak": pd.Series(dtype=np.int64),
+            }
+        )
+        if df.empty or group_column not in df.columns:
+            return empty
+        df = df.drop_duplicates([group_column, "day"])
+        g = df[group_column].to_numpy(dtype=np.int64)
+        d = df["day"].to_numpy(dtype=np.int64)
+        order = np.lexsort((d, g))
+        g_s, d_s = g[order], d[order]
+        new_group = np.concatenate(([True], g_s[1:] != g_s[:-1]))
+        consec = np.empty(len(d_s), dtype=bool)
+        consec[0] = False
+        consec[1:] = (d_s[1:] == d_s[:-1] + 1) & ~new_group[1:]
+        new_island = ~consec
+        island = np.cumsum(new_island) - 1
+        n_islands = island[-1] + 1
+        island_len = np.bincount(island, minlength=n_islands).astype(np.int64)
+        # one group-index per island (islands never span groups)
+        grp_seg = np.cumsum(new_group) - 1
+        island_grp = grp_seg[np.flatnonzero(new_island)]
+        n_groups = grp_seg[-1] + 1
+        n_days = np.bincount(grp_seg, minlength=n_groups).astype(np.int64)
+        n_streaks = np.bincount(island_grp, minlength=n_groups).astype(np.int64)
+        longest = np.zeros(n_groups, dtype=np.int64)
+        np.maximum.at(longest, island_grp, island_len)
+        return pd.DataFrame(
+            {
+                group_column: g_s[np.flatnonzero(new_group)],
+                "n_active_days": n_days,
+                "n_streaks": n_streaks,
+                "longest_streak": longest,
+            }
+        )
+
+    return coarse_group_apply(rows, group_column, streak_partition)

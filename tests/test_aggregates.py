@@ -376,3 +376,48 @@ def test_group_gini_tie_invariance(ray_session):
     rec = a.to_dict("records")[0]
     assert rec["gini_num"] == 2 * 11100 - 7 * 2500
     assert rec["gini_den"] == 6 * 2500
+
+
+def test_above_group_mean(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import above_group_mean
+
+    t = pa.table(
+        {
+            "id": [1, 2, 3, 4, 5, 6],
+            "g": [10, 10, 10, 20, 20, 30],
+            "v": [1.0, 2.0, 3.0, 5.0, 5.0, 7.0],
+        }
+    )
+    out = above_group_mean(
+        ray.data.from_arrow(t).repartition(4), "g", "v", "id", scale=100
+    ).to_pandas()
+    # group 10: mean 2.0 -> only id 3; group 20: all equal mean -> none
+    # (strict); group 30: single row equals its mean -> none
+    assert sorted(out["id"]) == [3]
+    assert out.set_index("id").loc[3, "value_units"] == 300
+
+
+def test_group_set_overlap(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import group_set_overlap
+
+    # members: 1 in {a,b}, 2 in {a}, 3 in {a,b,c}; duplicates must not count
+    t = pa.table(
+        {
+            "k": ["a", "b", "a", "a", "b", "c", "a"],
+            "m": [1, 1, 2, 3, 3, 3, 1],
+        }
+    )
+    out = group_set_overlap(
+        ray.data.from_arrow(t).repartition(4), "k", "m"
+    ).to_pandas()
+    got = {(r["type_a"], r["type_b"]): r["n_common"] for _, r in out.iterrows()}
+    assert got == {
+        ("a", "a"): 3, ("b", "b"): 2, ("c", "c"): 1,
+        ("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1,
+    }

@@ -416,3 +416,34 @@ def test_interarrival_stats(ray_session):
     assert out.loc[1, "n_gaps"] == 2
     assert out.loc[1, "sum_gap_us"] == 70_000_000
     assert out.loc[1, "max_gap_us"] == 60_000_000
+
+
+def test_activity_streaks(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.windows import activity_streaks
+
+    # user 1: days 0,1,2 and 5 -> 4 active days, 2 streaks, longest 3
+    # user 2: day 9 twice (same day) -> 1 active day, 1 streak of 1
+    t = pa.table(
+        {
+            "user_id": [1, 1, 1, 1, 2, 2],
+            "ts": pd.to_datetime(
+                ["1970-01-01 03:00", "1970-01-02 07:00", "1970-01-03 01:00",
+                 "1970-01-06 23:59", "1970-01-10 05:00", "1970-01-10 18:00"]
+            ),
+        }
+    )
+    out = (
+        activity_streaks(ray.data.from_arrow(t).repartition(4), "user_id", "ts")
+        .to_pandas()
+        .set_index("user_id")
+    )
+    assert out.loc[1, "n_active_days"] == 4
+    assert out.loc[1, "n_streaks"] == 2
+    assert out.loc[1, "longest_streak"] == 3
+    assert out.loc[2, "n_active_days"] == 1
+    assert out.loc[2, "n_streaks"] == 1
+    assert out.loc[2, "longest_streak"] == 1
