@@ -2268,6 +2268,35 @@ def _q_user_streaks(sf_dir: str):
     return activity_streaks(ev, "user_id", "ts")
 
 
+def _q_bigram_counts(sf_dir: str):
+    """Global ordered token-bigram counts (collocations), min_count=2 —
+    combiner partials per batch, one pair-key merge, no corpus exchange."""
+    from opentapioca_ray.stages.tfidf import bigram_counts
+
+    return bigram_counts(_docs(sf_dir), "text", min_count=2)
+
+
+def _q_lexical_diversity(sf_dir: str):
+    """Per-doc lexical concentration: token count, distinct tokens, and
+    the exact Simpson collision numerator sum(c*(c-1))."""
+    from opentapioca_ray.functions.textstats import lexical_diversity
+
+    return _docs(sf_dir).map_batches(
+        lambda b: lexical_diversity(b, "text"), batch_format="pyarrow"
+    )
+
+
+def _q_event_rank(sf_dir: str):
+    """RANK() with ties: events ranked by value (desc, exact micro-units)
+    within their type."""
+    from opentapioca_ray.stages.windows import group_rank
+
+    ev = _rel(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+    return group_rank(ev, "event_type", "value", "event_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -2358,6 +2387,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_above_avg": _q_orders_above_avg,
         "type_overlap": _q_type_overlap,
         "user_streaks": _q_user_streaks,
+        "bigram_counts": _q_bigram_counts,
+        "lexical_diversity": _q_lexical_diversity,
+        "event_rank": _q_event_rank,
     }
 
 
@@ -3574,6 +3606,45 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             WINDOW w AS (ORDER BY month ROWS BETWEEN 1 PRECEDING
                          AND 1 FOLLOWING)
+        """,
+        "bigram_counts": """
+            WITH arr AS (
+              SELECT regexp_split_to_array(trim(text), '\\s+') AS a
+              FROM documents
+            ), z AS (
+              SELECT unnest(list_zip(a[1:len(a)-1], a[2:])) AS pr
+              FROM arr WHERE len(a) >= 2 AND a[1] != ''
+            )
+            SELECT pr[1] AS w1, pr[2] AS w2, CAST(count(*) AS BIGINT) AS n
+            FROM z GROUP BY w1, w2 HAVING count(*) >= 2
+        """,
+        "lexical_diversity": """
+            WITH arr AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS a
+              FROM documents
+            ), t AS (
+              SELECT doc_id, unnest(a) AS w
+              FROM arr WHERE len(a) >= 1 AND a[1] != ''
+            ), c AS (
+              SELECT doc_id, w, count(*) AS c FROM t GROUP BY doc_id, w
+            )
+            SELECT doc_id,
+                   CAST(sum(c) AS BIGINT) AS n_tokens,
+                   CAST(count(*) AS BIGINT) AS n_unique,
+                   CAST(sum(c * (c - 1)) AS BIGINT) AS simpson_num
+            FROM c GROUP BY doc_id
+        """,
+        "event_rank": """
+            WITH u AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 10000) AS BIGINT) AS v
+              FROM events
+            )
+            SELECT event_id, event_type, v AS value_units,
+                   CAST(rank() OVER (
+                     PARTITION BY event_type ORDER BY v DESC
+                   ) AS BIGINT) AS rnk
+            FROM u
         """,
         "orders_above_avg": """
             WITH u AS (

@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "orders_above_avg",
     "type_overlap",
     "user_streaks",
+    "bigram_counts",
+    "lexical_diversity",
+    "event_rank",
 ]
 
 

@@ -228,3 +228,54 @@ def repetition_stats(
         },
         schema=schema,
     )
+
+
+def lexical_diversity(batch: pa.Table, text_column: str = "text") -> pa.Table:
+    """Per-doc lexical-concentration stats over whitespace tokens, all
+    exact int64: token count, distinct-token count, and the Simpson
+    collision numerator sum(c_i * (c_i - 1)) (repeated-token pair mass —
+    0 means every token distinct). Docs with no tokens are dropped so the
+    output stays dense. Row-local: pure map_batches, no exchange."""
+    import pandas as pd
+
+    empty = pa.schema(
+        [
+            pa.field("doc_id", pa.int64()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("n_unique", pa.int64()),
+            pa.field("simpson_num", pa.int64()),
+        ]
+    ).empty_table()
+    if batch.num_rows == 0 or text_column not in batch.column_names:
+        return empty
+    toks = whitespace_token_lists(batch, text_column)
+    flat = toks.values.to_numpy(zero_copy_only=False)
+    if len(flat) == 0:
+        return empty
+    offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = offsets[1:] - offsets[:-1]
+    doc_idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), counts)
+    # per-(doc, token) multiplicities: exact two-level factorize (string
+    # equality, no hashing — collisions would silently merge tokens)
+    tok_codes, tok_uniques = pd.factorize(flat, sort=False)
+    pair_key = doc_idx * np.int64(len(tok_uniques)) + tok_codes
+    codes, _ = pd.factorize(pair_key, sort=False)
+    c = np.bincount(codes).astype(np.int64)
+    per_doc_of_code = np.zeros(len(c), dtype=np.int64)
+    per_doc_of_code[codes] = doc_idx  # any occurrence maps code -> its doc
+    n_unique = np.bincount(
+        per_doc_of_code, minlength=batch.num_rows
+    ).astype(np.int64)
+    simpson = np.bincount(
+        per_doc_of_code, weights=c * (c - 1), minlength=batch.num_rows
+    ).astype(np.int64)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    has = counts > 0
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[has], type=pa.int64()),
+            "n_tokens": pa.array(counts[has]),
+            "n_unique": pa.array(n_unique[has]),
+            "simpson_num": pa.array(simpson[has]),
+        }
+    )

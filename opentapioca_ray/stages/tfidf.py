@@ -322,3 +322,57 @@ def word_cooccurrence(
         )
 
     return counts.map_batches(threshold, batch_format="pyarrow")
+
+
+def bigram_counts(ds, text_column: str = "text", min_count: int = 2):
+    """Global ordered token-bigram counts: (w1, w2, n) for every adjacent
+    whitespace-token pair across the corpus — the n-gram LM / collocation
+    statistic. Unlike `word_cooccurrence` this is ORDER-sensitive and
+    adjacency-bounded, so the pair fan-out is O(tokens), not O(cap^2).
+
+    Shape: bigrams are row-local, so there is NO keyed exchange on the
+    corpus — each batch emits (w1, w2, partial_count) combiner rows and
+    one coarse merge on the pair sums them. `min_count` prunes AFTER the
+    merge so nothing is lost before counting."""
+    import pandas as pd
+
+    from opentapioca_ray.functions.textstats import whitespace_token_lists
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [
+                pa.field("w1", pa.string()),
+                pa.field("w2", pa.string()),
+                pa.field("_pn", pa.int64()),
+            ]
+        ).empty_table()
+        if batch.num_rows == 0 or text_column not in batch.column_names:
+            return empty
+        toks = whitespace_token_lists(batch, text_column)
+        flat = toks.values.to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return empty
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.ones(len(flat), dtype=bool)
+        mask[offsets[1:] - 1] = False  # last token of each list has no successor
+        idx = np.flatnonzero(mask)
+        if len(idx) == 0:
+            return empty
+        df = pd.DataFrame({"w1": flat[idx], "w2": flat[idx + 1]})
+        part = df.groupby(["w1", "w2"], sort=False).size().reset_index(name="_pn")
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    partials = ds.select_columns([text_column]).map_batches(
+        pair_partial, batch_format="pyarrow"
+    )
+    merged = coarse_groupby_agg(partials, ["w1", "w2"], {"n": ("_pn", "sum")})
+
+    def prune(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n" not in batch.column_names:
+            return batch
+        import pyarrow.compute as pc_
+
+        return batch.filter(pc_.greater_equal(batch.column("n"), min_count))
+
+    return merged.map_batches(prune, batch_format="pyarrow")

@@ -908,3 +908,59 @@ def activity_streaks(
         )
 
     return coarse_group_apply(rows, group_column, streak_partition)
+
+
+def group_rank(
+    ds,
+    group_column: str = "event_type",
+    value_column: str = "value",
+    id_column: str = "event_id",
+    descending: bool = True,
+    scale: int = 10_000,
+):
+    """SQL RANK() with tie semantics: within each group, rows ordered by
+    value (desc by default, compared in exact `1/scale` integer units so
+    both engines agree on every tie) get rank = 1 + number of strictly
+    better rows; ties share a rank and the next rank skips.
+
+    One coarse exchange on the group key; each partition ranks all its
+    groups with a sorted-segment kernel (rank of a row = index of the
+    first row with its (group, value), relative to the group start)."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    def rank_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or group_column not in df.columns:
+            return pd.DataFrame(
+                {
+                    id_column: pd.Series(dtype=np.int64),
+                    group_column: pd.Series(dtype=object),
+                    "value_units": pd.Series(dtype=np.int64),
+                    "rnk": pd.Series(dtype=np.int64),
+                }
+            )
+        g = df[group_column].to_numpy()
+        v = np.round(df[value_column].to_numpy() * float(scale)).astype(np.int64)
+        rid = df[id_column].to_numpy(dtype=np.int64)
+        sort_v = -v if descending else v
+        order = np.lexsort((rid, sort_v, g))
+        g_s, v_s, rid_s = g[order], v[order], rid[order]
+        new_group = np.concatenate(([True], g_s[1:] != g_s[:-1]))
+        new_val = new_group | np.concatenate(([True], v_s[1:] != v_s[:-1]))
+        pos = np.arange(len(g_s), dtype=np.int64)
+        group_start = np.maximum.accumulate(np.where(new_group, pos, 0))
+        val_start = np.maximum.accumulate(np.where(new_val, pos, 0))
+        rnk = val_start - group_start + 1
+        return pd.DataFrame(
+            {
+                id_column: rid_s,
+                group_column: g_s,
+                "value_units": v_s,
+                "rnk": rnk,
+            }
+        )
+
+    return coarse_group_apply(
+        ds.select_columns([id_column, group_column, value_column]),
+        group_column,
+        rank_partition,
+    )

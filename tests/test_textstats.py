@@ -87,3 +87,25 @@ def test_repetition_stats_no_cross_doc_grams():
         pa.table({"doc_id": [1, 2], "text": ["p q", "z w"]})
     ).to_pandas()
     assert out["top_bigram_count"].tolist() == [1, 1]
+
+
+def test_lexical_diversity(ray_session):
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.textstats import lexical_diversity
+
+    batch = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b a  c a", "", "x x"],
+        }
+    )
+    out = lexical_diversity(batch, "text").to_pandas().set_index("doc_id")
+    # doc 2 has no tokens -> dropped
+    assert sorted(out.index) == [1, 3]
+    assert out.loc[1, "n_tokens"] == 5
+    assert out.loc[1, "n_unique"] == 3
+    assert out.loc[1, "simpson_num"] == 3 * 2  # 'a' appears 3 times
+    assert out.loc[3, "n_tokens"] == 2
+    assert out.loc[3, "n_unique"] == 1
+    assert out.loc[3, "simpson_num"] == 2

@@ -94,3 +94,24 @@ def test_word_cooccurrence_cap_and_threshold(ray_session):
     # (a,b) in docs 1+2; (a,c) in docs 1+3; doc 3's 'e' is capped away
     # (first 3 distinct words lexicographically: a c d)
     assert got == {("a", "b"): 2, ("a", "c"): 2}
+
+
+def test_bigram_counts(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.tfidf import bigram_counts
+
+    t = pa.table(
+        {
+            "text": [
+                "the cat sat", "the cat ran", "", "sat",
+            ]
+        }
+    )
+    out = bigram_counts(
+        ray.data.from_arrow(t).repartition(3), "text", min_count=2
+    ).to_pandas()
+    got = {(r["w1"], r["w2"]): r["n"] for _, r in out.iterrows()}
+    # only ('the','cat') crosses min_count=2; bigrams never span docs
+    assert got == {("the", "cat"): 2}

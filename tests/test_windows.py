@@ -447,3 +447,28 @@ def test_activity_streaks(ray_session):
     assert out.loc[2, "n_active_days"] == 1
     assert out.loc[2, "n_streaks"] == 1
     assert out.loc[2, "longest_streak"] == 1
+
+
+def test_group_rank_tie_semantics(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.windows import group_rank
+
+    t = pa.table(
+        {
+            "event_id": [1, 2, 3, 4, 5],
+            "event_type": ["a", "a", "a", "a", "b"],
+            "value": [9.0, 9.0, 5.0, 1.0, 3.0],
+        }
+    )
+    out = (
+        group_rank(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("event_id")
+    )
+    # ties share rank 1; next rank skips to 3
+    assert out.loc[1, "rnk"] == 1 and out.loc[2, "rnk"] == 1
+    assert out.loc[3, "rnk"] == 3
+    assert out.loc[4, "rnk"] == 4
+    assert out.loc[5, "rnk"] == 1
