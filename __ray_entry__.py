@@ -2297,6 +2297,64 @@ def _q_event_rank(sf_dir: str):
     return group_rank(ev, "event_type", "value", "event_id")
 
 
+def _q_blocking_metrics(sf_dir: str):
+    """ER blocking-quality masses: candidate pairs (same first token),
+    true duplicate pairs (same md5), and their intersection — reduction
+    ratio and pair completeness are one division away. No pair is ever
+    materialized; only per-key counts move."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.textstats import whitespace_token_lists
+    from opentapioca_ray.stages.blocking_eval import blocking_quality
+
+    def keys(batch: pa.Table) -> pa.Table:
+        toks = whitespace_token_lists(batch, "text")
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        nonempty = offsets[1:] > offsets[:-1]
+        first = np.full(batch.num_rows, "", dtype=object)
+        if nonempty.any():
+            first[nonempty] = (
+                toks.values.take(pa.array(offsets[:-1][nonempty]))
+                .to_numpy(zero_copy_only=False)
+            )
+        texts = batch.column("text").to_pylist()
+        tkey = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        return pa.table(
+            {
+                "bkey": pa.array(first, pa.string()),
+                "tkey": pa.array(tkey, pa.string()),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(keys, batch_format="pyarrow")
+    return blocking_quality(ds, ["bkey"], ["tkey"])
+
+
+def _q_weighted_median_price(sf_dir: str):
+    """Quantity-weighted lower-median extended price per return flag
+    (exact cents units, integral weights)."""
+    from opentapioca_ray.stages.aggregates import weighted_median
+
+    li = _rel(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+    return weighted_median(li, "l_returnflag", "l_extendedprice", "l_quantity", scale=100)
+
+
+def _q_curriculum_order(sf_dir: str):
+    """Global curriculum ordering: dataset-wide row_number by
+    (value, event_id) without a global sort — histogram offsets broadcast
+    once, ties ranked per value partition."""
+    from opentapioca_ray.stages.windows import global_order_index
+
+    ev = _rel(f"{sf_dir}/events.parquet", columns=["event_id", "value"])
+    return global_order_index(ev, "value", "event_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -2390,6 +2448,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_counts": _q_bigram_counts,
         "lexical_diversity": _q_lexical_diversity,
         "event_rank": _q_event_rank,
+        "blocking_metrics": _q_blocking_metrics,
+        "weighted_median_price": _q_weighted_median_price,
+        "curriculum_order": _q_curriculum_order,
     }
 
 
@@ -3606,6 +3667,55 @@ def oracle_sql() -> dict[str, str]:
             FROM m
             WINDOW w AS (ORDER BY month ROWS BETWEEN 1 PRECEDING
                          AND 1 FOLLOWING)
+        """,
+        "weighted_median_price": """
+            WITH u AS (
+              SELECT l_returnflag,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                     CAST(round(l_quantity) AS BIGINT) AS w
+              FROM lineitem
+            ), c AS (
+              SELECT l_returnflag, v, w,
+                     sum(w) OVER (PARTITION BY l_returnflag
+                                  ORDER BY v) AS cw,
+                     sum(w) OVER (PARTITION BY l_returnflag) AS tw
+              FROM u
+            )
+            SELECT l_returnflag,
+                   CAST(min(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT)
+                     AS median_units,
+                   CAST(max(tw) AS BIGINT) AS total_weight
+            FROM c GROUP BY l_returnflag
+        """,
+        "curriculum_order": """
+            WITH u AS (
+              SELECT event_id,
+                     CAST(round(value * 10000) AS BIGINT) AS v_units
+              FROM events
+            )
+            SELECT event_id, v_units,
+                   CAST(row_number() OVER (ORDER BY v_units, event_id)
+                        AS BIGINT) AS row_idx
+            FROM u
+        """,
+        "blocking_metrics": """
+            WITH k AS (
+              SELECT CASE WHEN trim(text) = '' THEN ''
+                     ELSE regexp_split_to_array(trim(text), '\\s+')[1]
+                     END AS bkey,
+                     md5(text) AS tkey
+              FROM documents
+            ), c1 AS (SELECT bkey, count(*) AS c FROM k GROUP BY bkey),
+               c2 AS (SELECT tkey, count(*) AS c FROM k GROUP BY tkey),
+               c3 AS (SELECT bkey, tkey, count(*) AS c
+                      FROM k GROUP BY bkey, tkey)
+            SELECT
+              CAST((SELECT sum(c*(c-1)//2) FROM c1) AS BIGINT)
+                AS n_candidate_pairs,
+              CAST((SELECT sum(c*(c-1)//2) FROM c2) AS BIGINT)
+                AS n_true_pairs,
+              CAST((SELECT sum(c*(c-1)//2) FROM c3) AS BIGINT)
+                AS n_covered_pairs
         """,
         "bigram_counts": """
             WITH arr AS (

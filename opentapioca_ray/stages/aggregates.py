@@ -827,3 +827,63 @@ def group_set_overlap(ds, key_column: str, member_column: str):
     return coarse_groupby_agg(
         partials, ["type_a", "type_b"], {"n_common": ("_pn", "sum")}
     )
+
+
+def weighted_median(
+    ds,
+    group_column: str,
+    value_column: str,
+    weight_column: str,
+    scale: int = 100,
+):
+    """Per-group weighted lower median: the smallest value v (in exact
+    `1/scale` int64 units) whose cumulative weight reaches half the
+    group's total weight (2 * cumw >= total, integer compare — identical
+    to SQL's RANGE-framed cumulative-sum formulation on both engines,
+    including tied values). Weights must be integral.
+
+    One coarse exchange on the group key; each partition resolves all its
+    groups with a sorted-segment cumulative-sum kernel."""
+    import pandas as pd
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    def median_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or group_column not in df.columns:
+            return pd.DataFrame(
+                {
+                    group_column: pd.Series(dtype=object),
+                    "median_units": pd.Series(dtype=np.int64),
+                    "total_weight": pd.Series(dtype=np.int64),
+                }
+            )
+        g = df[group_column].to_numpy()
+        v = np.round(df[value_column].to_numpy() * float(scale)).astype(np.int64)
+        w = np.round(df[weight_column].to_numpy()).astype(np.int64)
+        order = np.lexsort((v, g))
+        g_s, v_s, w_s = g[order], v[order], w[order]
+        new = np.concatenate(([True], g_s[1:] != g_s[:-1]))
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        n_seg = len(starts)
+        totals = np.bincount(seg, weights=w_s, minlength=n_seg).astype(np.int64)
+        cum = np.cumsum(w_s)
+        base = np.concatenate((np.zeros(1, dtype=np.int64), cum[starts[1:] - 1]))
+        cum_in = cum - base[seg]
+        # first row per segment where 2*cum_in >= total: count the misses
+        miss = (2 * cum_in < totals[seg]).astype(np.int64)
+        n_miss = np.bincount(seg, weights=miss, minlength=n_seg).astype(np.int64)
+        idx = starts + n_miss
+        return pd.DataFrame(
+            {
+                group_column: g_s[starts],
+                "median_units": v_s[idx],
+                "total_weight": totals,
+            }
+        )
+
+    return coarse_group_apply(
+        ds.select_columns([group_column, value_column, weight_column]),
+        group_column,
+        median_partition,
+    )

@@ -1,0 +1,75 @@
+"""Blocking-quality evaluation for entity resolution.
+
+A blocking scheme is judged by two numbers (Christen, "Data Matching",
+Springer 2012, ch. 7): REDUCTION RATIO (how many of the n*(n-1)/2
+possible pairs the blocks avoid) and PAIR COMPLETENESS (what fraction of
+TRUE duplicate pairs share a block). Both derive from three pair masses:
+
+  n_candidate_pairs = sum over blocking keys  of c*(c-1)/2
+  n_true_pairs      = sum over duplicate keys of c*(c-1)/2
+  n_covered_pairs   = sum over (block, dup)   of c*(c-1)/2
+
+This module computes those masses WITHOUT materializing any pair: a
+combiner counts rows per key (exchange volume O(blocks x distinct keys)),
+then a second combiner folds c*(c-1)/2 into one row. At 100 TB nothing
+larger than the per-key count table ever moves, and that table itself is
+only ever aggregated, never collected.
+
+Reference parity: the reference's blocking is its Solr `/tag` candidate
+lookup (tagger.py); it reports no blocking metrics. This evaluator is part
+of the beyond-reference ER surface, with the blocking key abstracted so
+SQL oracles can pin the arithmetic.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def blocking_quality(ds, block_cols: list[str], truth_cols: list[str]):
+    """One row: (n_candidate_pairs, n_true_pairs, n_covered_pairs) for a
+    blocking scheme (`block_cols`) against ground-truth duplicate identity
+    (`truth_cols`). Reduction ratio and pair completeness are one division
+    away; the integers hash exactly against SQL.
+
+    ONE combiner exchange over the facts builds the (block, truth) count
+    table; all three masses then come from that table (covered directly;
+    candidate/true by re-summing it per block / per truth key — the combo
+    table is O(distinct combos), orders of magnitude smaller than the
+    corpus, so the extra aggregations are cheap)."""
+    import ray
+
+    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
+
+    key_cols = list(dict.fromkeys(block_cols + truth_cols))
+    combos = partial_multi_sum_count(
+        ds.select_columns(key_cols), key_cols, [], alias={"count": "_c"}
+    ).materialize()
+
+    def mass_of(counts_ds, name: str) -> int:
+        refs = counts_ds.to_arrow_refs()
+        total = 0
+        for t in (ray.get(r) for r in refs):
+            if t.num_rows == 0 or "_c" not in t.column_names:
+                continue
+            c = t.column("_c").to_numpy(zero_copy_only=False).astype(np.int64)
+            total += int((c * (c - 1) // 2).sum())
+        return total
+
+    n_covered = mass_of(combos, "covered")
+    by_block = partial_multi_sum_count(
+        combos, block_cols, ["_c"], alias={"_c": "_c", "count": "_n"}
+    )
+    by_truth = partial_multi_sum_count(
+        combos, truth_cols, ["_c"], alias={"_c": "_c", "count": "_n"}
+    )
+    n_candidate = mass_of(by_block, "candidate")
+    n_true = mass_of(by_truth, "true")
+    return pa.table(
+        {
+            "n_candidate_pairs": pa.array([n_candidate], pa.int64()),
+            "n_true_pairs": pa.array([n_true], pa.int64()),
+            "n_covered_pairs": pa.array([n_covered], pa.int64()),
+        }
+    )
