@@ -421,3 +421,29 @@ def test_group_set_overlap(ray_session):
         ("a", "a"): 3, ("b", "b"): 2, ("c", "c"): 1,
         ("a", "b"): 2, ("a", "c"): 1, ("b", "c"): 1,
     }
+
+
+def test_weighted_median(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import weighted_median
+
+    # group a: values 1,2,3 with weights 1,1,4 -> cum 1,2,6; first v with
+    # 2*cum >= 6 is v=3. group b: equal weights over 10,20 -> lower median 10.
+    t = pa.table(
+        {
+            "g": ["a", "a", "a", "b", "b"],
+            "v": [1.0, 2.0, 3.0, 10.0, 20.0],
+            "w": [1.0, 1.0, 4.0, 2.0, 2.0],
+        }
+    )
+    out = (
+        weighted_median(ray.data.from_arrow(t).repartition(3), "g", "v", "w", scale=100)
+        .to_pandas()
+        .set_index("g")
+    )
+    assert out.loc["a", "median_units"] == 300
+    assert out.loc["a", "total_weight"] == 6
+    assert out.loc["b", "median_units"] == 1000
+    assert out.loc["b", "total_weight"] == 4

@@ -472,3 +472,31 @@ def test_group_rank_tie_semantics(ray_session):
     assert out.loc[3, "rnk"] == 3
     assert out.loc[4, "rnk"] == 4
     assert out.loc[5, "rnk"] == 1
+
+
+def test_global_order_index(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.windows import global_order_index
+
+    # global row_number over (value, id): ties on value break by id
+    t = pa.table(
+        {
+            "event_id": [10, 11, 12, 13, 14, 15],
+            "value": [0.5, 0.1, 0.5, 0.9, 0.1, 0.1],
+        }
+    )
+    out = (
+        global_order_index(ray.data.from_arrow(t).repartition(3))
+        .to_pandas()
+        .set_index("event_id")
+    )
+    # sorted (value, id): (0.1,11) (0.1,14) (0.1,15) (0.5,10) (0.5,12) (0.9,13)
+    assert out.loc[11, "row_idx"] == 1
+    assert out.loc[14, "row_idx"] == 2
+    assert out.loc[15, "row_idx"] == 3
+    assert out.loc[10, "row_idx"] == 4
+    assert out.loc[12, "row_idx"] == 5
+    assert out.loc[13, "row_idx"] == 6
+    assert sorted(out["row_idx"]) == [1, 2, 3, 4, 5, 6]
