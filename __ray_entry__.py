@@ -2355,6 +2355,98 @@ def _q_curriculum_order(sf_dir: str):
     return global_order_index(ev, "value", "event_id")
 
 
+def _q_snm_pairs(sf_dir: str):
+    """Corpus-wide sorted-neighborhood candidate pairs: global order by the
+    40-char text prefix (near-dups sort adjacently), window 5. Fully
+    distributed rank: sampled range boundaries + a P-row count table are the
+    only broadcast state."""
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.snm import sorted_neighborhood_pairs
+
+    def key(batch):
+        txt = pc.fill_null(batch.column("text"), "")
+        return batch.set_column(
+            batch.schema.get_field_index("text"),
+            "snm_key",
+            pc.utf8_slice_codeunits(txt, 0, 40),
+        )
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        key, batch_format="pyarrow"
+    )
+    return sorted_neighborhood_pairs(docs, "snm_key", "doc_id", window=5)
+
+
+def _q_fuzzy_customer_pairs(sf_dir: str):
+    """Within-nation fuzzy customer-name matching: exact character
+    Levenshtein <= 2 (DuckDB `levenshtein` parity), pairs bounded per
+    nation block."""
+    from opentapioca_ray.stages.fuzzy import fuzzy_block_pairs
+
+    cust = _rel(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    return fuzzy_block_pairs(
+        cust, "c_custkey", "c_name", "c_nationkey", max_dist=2
+    )
+
+
+def _q_snapshot_diff(sf_dir: str):
+    """Delta detection between two deterministic snapshots of orders:
+    old = keys not divisible by 7, new = keys not divisible by 5 with
+    every 3rd key's price doubled — added/removed/changed rows only."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.diff import snapshot_diff
+
+    orders = _rel(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+
+    def units(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(batch.column("o_totalprice"), 100.0)),
+            pa.int64(),
+        )
+        return pa.table(
+            {"o_orderkey": batch.column("o_orderkey"), "cents": cents}
+        )
+
+    def perturb(batch: pa.Table) -> pa.Table:
+        keys = batch.column("o_orderkey")
+        tripled = pc.equal(
+            pc.subtract(keys, pc.multiply(pc.divide(keys, 3), 3)), 0
+        )
+        return pa.table(
+            {
+                "o_orderkey": keys,
+                "cents": pc.if_else(
+                    tripled,
+                    pc.multiply(batch.column("cents"), 2),
+                    batch.column("cents"),
+                ),
+            }
+        )
+
+    def mod_filter(m: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column("o_orderkey")
+            rem = pc.subtract(keys, pc.multiply(pc.divide(keys, m), m))
+            return batch.filter(pc.not_equal(rem, 0))
+
+        return fn
+
+    base = orders.map_batches(units, batch_format="pyarrow")
+    old = base.map_batches(mod_filter(7), batch_format="pyarrow")
+    new = base.map_batches(mod_filter(5), batch_format="pyarrow").map_batches(
+        perturb, batch_format="pyarrow"
+    )
+    return snapshot_diff(old, new, "o_orderkey", "cents")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -2451,6 +2543,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocking_metrics": _q_blocking_metrics,
         "weighted_median_price": _q_weighted_median_price,
         "curriculum_order": _q_curriculum_order,
+        "snm_pairs": _q_snm_pairs,
+        "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
+        "snapshot_diff": _q_snapshot_diff,
     }
 
 
@@ -3697,6 +3792,46 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY v_units, event_id)
                         AS BIGINT) AS row_idx
             FROM u
+        """,
+        "snm_pairs": """
+            WITH r AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       ORDER BY substr(COALESCE(text, ''), 1, 40), doc_id
+                     ) AS rn
+              FROM documents
+            )
+            SELECT a.doc_id AS u, b.doc_id AS v,
+                   CAST(b.rn - a.rn AS BIGINT) AS gap
+            FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 5
+        """,
+        "fuzzy_customer_pairs": """
+            SELECT a.c_custkey AS u, b.c_custkey AS v,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS lev
+            FROM customer a JOIN customer b
+              ON a.c_nationkey = b.c_nationkey
+             AND a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 2
+        """,
+        "snapshot_diff": """
+            WITH o AS (
+              SELECT o_orderkey AS k,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS p
+              FROM orders WHERE o_orderkey % 7 != 0
+            ), n AS (
+              SELECT o_orderkey AS k,
+                     CAST(round(o_totalprice * 100) AS BIGINT)
+                       * (CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END) AS p
+              FROM orders WHERE o_orderkey % 5 != 0
+            )
+            SELECT COALESCE(o.k, n.k) AS key,
+                   CASE WHEN o.k IS NULL THEN 'added'
+                        WHEN n.k IS NULL THEN 'removed'
+                        ELSE 'changed' END AS status,
+                   COALESCE(o.p, -1) AS old_units,
+                   COALESCE(n.p, -1) AS new_units
+            FROM o FULL OUTER JOIN n ON o.k = n.k
+            WHERE o.k IS NULL OR n.k IS NULL OR o.p != n.p
         """,
         "blocking_metrics": """
             WITH k AS (

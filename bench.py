@@ -89,6 +89,15 @@ BENCH_QUERIES = [
     "bigram_counts",
     "lexical_diversity",
     "event_rank",
+    "event_value_delta",
+    "event_value_share",
+    "unpivot_token_stats",
+    "blocking_metrics",
+    "weighted_median_price",
+    "curriculum_order",
+    "snm_pairs",
+    "fuzzy_customer_pairs",
+    "snapshot_diff",
 ]
 
 

@@ -1,0 +1,161 @@
+"""Blocked fuzzy string matching with exact character Levenshtein.
+
+The within-block edit-distance join every ER pipeline needs (the reference
+scores candidate pairs with similarity features — similarities.py — but has
+no standalone fuzzy-match operator; this is part of the beyond-reference ER
+surface). Blocks bound the candidate space; the distance itself is the
+classic unit-cost Levenshtein, so DuckDB's `levenshtein()` pins the answer
+value-for-value.
+
+Scale shape: ONE coarse exchange on the block key ships slim
+(id, name, block) rows; the partition kernel handles ALL its blocks in one
+pass. Inside a block: all-pairs under `max_block_size`, else the
+sorted-neighborhood window skew guard used everywhere else in this repo
+(stages/pairs.py) — capped blocks lose cross-window pairs BY DESIGN and the
+cap is sized so oracle-scale inputs never hit it. The DP is vectorized
+ACROSS pairs (one (n_pairs,) vector op per DP cell), names are encoded to
+int32 code matrices once per partition, and a length-difference prefilter
+drops pairs that cannot be within `max_dist` before any DP runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_PAIR_SCHEMA = pa.schema(
+    [("u", pa.int64()), ("v", pa.int64()), ("lev", pa.int64())]
+)
+
+
+def _code_matrix(names: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Object array of strings -> (codes, lengths): int32 code-point matrix
+    padded with -1 (never a real code point) + per-string lengths. One
+    utf-32 decode over the whole partition, no per-char Python loop."""
+    lens = np.array([len(s) for s in names], dtype=np.int64)
+    max_len = int(lens.max()) if len(lens) else 0
+    if max_len == 0:
+        return np.full((len(names), 1), -1, dtype=np.int32), lens
+    joined = "".join(s.ljust(max_len, "\0") for s in names)
+    codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    codes = codes.reshape(len(names), max_len).astype(np.int32)
+    codes[np.arange(max_len)[None, :] >= lens[:, None]] = -1
+    return codes, lens
+
+
+def levenshtein_pairs(
+    codes: np.ndarray,
+    lens: np.ndarray,
+    ai: np.ndarray,
+    bi: np.ndarray,
+) -> np.ndarray:
+    """Exact Levenshtein for each (ai[p], bi[p]) row pair of the code
+    matrix. DP rows iterate in Python (bounded by name length); every cell
+    update is one vectorized op across ALL pairs."""
+    npairs = len(ai)
+    if npairs == 0:
+        return np.zeros(0, dtype=np.int64)
+    a_codes, b_codes = codes[ai], codes[bi]
+    la, lb = lens[ai], lens[bi]
+    max_a = int(la.max()) if npairs else 0
+    max_b = int(lb.max()) if npairs else 0
+    out = np.where(la == 0, lb, 0).astype(np.int64)
+    dp = np.broadcast_to(
+        np.arange(max_b + 1, dtype=np.int64), (npairs, max_b + 1)
+    ).copy()
+    for i in range(1, max_a + 1):
+        ndp = np.empty_like(dp)
+        ndp[:, 0] = i
+        sub = dp[:, :-1] + (a_codes[:, i - 1 : i] != b_codes[:, :max_b])
+        dele = dp[:, 1:] + 1
+        np.minimum(sub, dele, out=sub)
+        # insertion column has a left-to-right dependency
+        for j in range(1, max_b + 1):
+            ndp[:, j] = np.minimum(sub[:, j - 1], ndp[:, j - 1] + 1)
+        dp = ndp
+        done = la == i
+        if done.any():
+            out[done] = dp[done, lb[done]]
+    return out
+
+
+def fuzzy_block_pairs(
+    ds,
+    id_column: str,
+    name_column: str,
+    block_column: str,
+    max_dist: int = 2,
+    max_block_size: int = 512,
+    window: int = 16,
+    n_parts: int | None = None,
+):
+    """Within-block fuzzy pairs (u, v, lev): u < v by id, exact character
+    Levenshtein <= `max_dist`, candidates bounded per block by the skew
+    guard. Length-difference > max_dist pairs never reach the DP."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply, segment_starts
+
+    def pair_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "u": pd.Series(dtype=np.int64),
+                "v": pd.Series(dtype=np.int64),
+                "lev": pd.Series(dtype=np.int64),
+            }
+        )
+        if df.empty:
+            return empty
+        blocks = df[block_column].to_numpy()
+        ids = df[id_column].to_numpy(dtype=np.int64)
+        names = df[name_column].to_numpy()
+        _, bcodes = np.unique(blocks, return_inverse=True)
+        order = np.lexsort((ids, bcodes))
+        bcodes, ids, names = bcodes[order], ids[order], names[order]
+        # drop duplicate ids within a block
+        first = np.concatenate(
+            ([True], (bcodes[1:] != bcodes[:-1]) | (ids[1:] != ids[:-1]))
+        )
+        bcodes, ids, names = bcodes[first], ids[first], names[first]
+        codes, lens = _code_matrix(names)
+        starts = segment_starts(bcodes)
+        ends = np.concatenate((starts[1:], [len(bcodes)]))
+        ai_all, bi_all = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            if n <= max_block_size:
+                iu, ju = np.triu_indices(n, k=1)
+            else:  # skew guard: sorted-neighborhood by (name, id)
+                sub = np.lexsort(
+                    (ids[s:e], np.unique(names[s:e], return_inverse=True)[1])
+                )
+                offs = np.arange(1, window + 1)
+                iu = np.repeat(np.arange(n), window)
+                ju = iu + np.tile(offs, n)
+                keep = ju < n
+                iu, ju = sub[iu[keep]], sub[ju[keep]]
+            ai_all.append(iu + s)
+            bi_all.append(ju + s)
+        if not ai_all:
+            return empty
+        ai = np.concatenate(ai_all)
+        bi = np.concatenate(bi_all)
+        # length prefilter: |la - lb| > max_dist can never pass
+        ok = np.abs(lens[ai] - lens[bi]) <= max_dist
+        ai, bi = ai[ok], bi[ok]
+        lev = levenshtein_pairs(codes, lens, ai, bi)
+        hit = lev <= max_dist
+        if not hit.any():
+            return empty
+        ua, vb = ids[ai[hit]], ids[bi[hit]]
+        return pd.DataFrame(
+            {
+                "u": np.minimum(ua, vb),
+                "v": np.maximum(ua, vb),
+                "lev": lev[hit],
+            }
+        )
+
+    slim = ds.select_columns([id_column, name_column, block_column])
+    return coarse_group_apply(slim, block_column, pair_partition, n_parts=n_parts)

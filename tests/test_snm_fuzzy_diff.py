@@ -1,0 +1,102 @@
+"""Sorted-neighborhood pairs, blocked Levenshtein matching, snapshot diff."""
+
+import numpy as np
+import pyarrow as pa
+
+
+def test_global_rank_string_keys(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.snm import global_rank
+
+    t = pa.table(
+        {
+            "id": [5, 1, 3, 2, 4],
+            "k": ["b", "a", "b", "c", "a"],
+        }
+    )
+    out = (
+        global_rank(ray.data.from_arrow(t).repartition(3), "k", "id")
+        .to_pandas()
+        .set_index("id")["rn"]
+        .to_dict()
+    )
+    # order by (k, id): (a,1) (a,4) (b,3) (b,5) (c,2)
+    assert out == {1: 1, 4: 2, 3: 3, 5: 4, 2: 5}
+
+
+def test_snm_pairs_matches_bruteforce(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.snm import sorted_neighborhood_pairs
+
+    rng = np.random.RandomState(7)
+    n = 300
+    ids = np.arange(n, dtype=np.int64)
+    keys = np.array([f"k{v:03d}" for v in rng.randint(0, 40, n)])
+    t = pa.table({"id": ids, "k": keys})
+    w = 4
+    out = sorted_neighborhood_pairs(
+        ray.data.from_arrow(t).repartition(5), "k", "id", window=w, chunk=32
+    ).to_pandas()
+    got = set(zip(out["u"], out["v"], out["gap"]))
+    order = np.lexsort((ids, keys))
+    expect = set()
+    for d in range(1, w + 1):
+        for i in range(n - d):
+            expect.add((ids[order[i]], ids[order[i + d]], d))
+    assert got == expect
+
+
+def test_fuzzy_block_pairs_known_distances(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.fuzzy import fuzzy_block_pairs, levenshtein_pairs, _code_matrix
+
+    # classic values, same block
+    names = np.array(["kitten", "sitting", "kitten", "flaw", "lawn", ""], dtype=object)
+    codes, lens = _code_matrix(names)
+    ai = np.array([0, 3, 0, 5])
+    bi = np.array([1, 4, 2, 0])
+    lev = levenshtein_pairs(codes, lens, ai, bi)
+    assert list(lev) == [3, 2, 0, 6]
+
+    t = pa.table(
+        {
+            "id": [1, 2, 3, 4],
+            "name": ["kitten", "sitting", "mitten", "bitten"],
+            "blk": [0, 0, 0, 1],
+        }
+    )
+    out = fuzzy_block_pairs(
+        ray.data.from_arrow(t).repartition(3), "id", "name", "blk", max_dist=2
+    ).to_pandas()
+    got = {(r["u"], r["v"]): r["lev"] for _, r in out.iterrows()}
+    # kitten-mitten 1; kitten-sitting 3 (dropped); sitting-mitten 4 (dropped);
+    # bitten in its own block -> nothing
+    assert got == {(1, 3): 1}
+
+
+def test_snapshot_diff_statuses(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.diff import snapshot_diff
+
+    old = pa.table({"k": [1, 2, 3, 4], "p": [10, 20, 30, 40]})
+    new = pa.table({"k": [2, 3, 4, 5], "p": [20, 31, 40, 50]})
+    out = snapshot_diff(
+        ray.data.from_arrow(old).repartition(2),
+        ray.data.from_arrow(new).repartition(2),
+        "k",
+        "p",
+    ).to_pandas()
+    got = {
+        r["key"]: (r["status"], r["old_units"], r["new_units"])
+        for _, r in out.iterrows()
+    }
+    # 1 removed, 2 unchanged (absent), 3 changed, 4 unchanged, 5 added
+    assert got == {
+        1: ("removed", 10, -1),
+        3: ("changed", 30, 31),
+        5: ("added", -1, 50),
+    }
