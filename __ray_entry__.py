@@ -2447,6 +2447,48 @@ def _q_snapshot_diff(sf_dir: str):
     return snapshot_diff(old, new, "o_orderkey", "cents")
 
 
+def _q_heavy_tokens(sf_dir: str):
+    """Exact phi-heavy-hitter tokens (count > 1% of all token occurrences)
+    via Misra-Gries bounded candidates + an exact verify pass."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.text import tokenize_flat
+    from opentapioca_ray.stages.sketches import heavy_hitters
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        flat, _counts = tokenize_flat([t or "" for t in texts])
+        return pa.table({"word": pa.array(flat.astype(object), type=pa.string())})
+
+    tok = _docs(sf_dir).select_columns(["text"]).map_batches(
+        tokens, batch_format="pyarrow"
+    )
+    return heavy_hitters(tok, "word", phi=0.01)
+
+
+def _q_mutual_best_fuzzy(sf_dir: str):
+    """Reciprocal-best one-to-one assignment over the within-nation fuzzy
+    customer pairs: keep (u, v) iff each is the other's minimum-Levenshtein
+    partner (ties by partner id)."""
+    from opentapioca_ray.stages.matching import mutual_best_match
+
+    pairs = _q_fuzzy_customer_pairs(sf_dir)
+    return mutual_best_match(pairs, "u", "v", "lev", ascending=True)
+
+
+def _q_user_state_intervals(sf_dir: str):
+    """SCD2-style interval compaction: per user, consecutive runs of the
+    same event_type collapse to (state, start_us, end_us, n_rows)."""
+    from opentapioca_ray.stages.windows import state_intervals
+
+    ev = _rel(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type", "event_id"],
+    )
+    return state_intervals(ev, "user_id", "ts", "event_type", "event_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -2546,6 +2588,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_pairs": _q_snm_pairs,
         "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
         "snapshot_diff": _q_snapshot_diff,
+        "heavy_tokens": _q_heavy_tokens,
+        "mutual_best_fuzzy": _q_mutual_best_fuzzy,
+        "user_state_intervals": _q_user_state_intervals,
     }
 
 
@@ -3792,6 +3837,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY v_units, event_id)
                         AS BIGINT) AS row_idx
             FROM u
+        """,
+        "heavy_tokens": f"""
+            WITH {tok_cte}
+            SELECT word AS item, count(*) AS count
+            FROM tokens
+            GROUP BY word
+            HAVING count(*) > 0.01 * (SELECT count(*) FROM tokens)
+        """,
+        "mutual_best_fuzzy": """
+            WITH p AS (
+              SELECT a.c_custkey AS u, b.c_custkey AS v,
+                     levenshtein(a.c_name, b.c_name) AS s
+              FROM customer a JOIN customer b
+                ON a.c_nationkey = b.c_nationkey
+               AND a.c_custkey < b.c_custkey
+              WHERE levenshtein(a.c_name, b.c_name) <= 2
+            ), sym AS (
+              SELECT u AS a, v AS b, s FROM p
+              UNION ALL
+              SELECT v AS a, u AS b, s FROM p
+            ), best AS (
+              SELECT a, b, s,
+                     row_number() OVER (PARTITION BY a ORDER BY s, b) AS rk
+              FROM sym
+            )
+            SELECT x.a AS u, x.b AS v, CAST(x.s AS BIGINT) AS lev
+            FROM best x JOIN best y ON x.b = y.a AND y.b = x.a
+            WHERE x.rk = 1 AND y.rk = 1 AND x.a < x.b
+        """,
+        "user_state_intervals": """
+            WITH s AS (
+              SELECT user_id, epoch_us(ts) AS tus, event_id, event_type,
+                     CASE WHEN LAG(event_type) OVER w
+                               IS DISTINCT FROM event_type
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), i AS (
+              SELECT user_id, tus, event_type,
+                     sum(brk) OVER (PARTITION BY user_id
+                                    ORDER BY tus, event_id) AS island
+              FROM s
+            )
+            SELECT user_id, event_type AS state,
+                   min(tus) AS start_us, max(tus) AS end_us,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM i GROUP BY user_id, island, event_type
         """,
         "snm_pairs": """
             WITH r AS (

@@ -98,6 +98,9 @@ BENCH_QUERIES = [
     "snm_pairs",
     "fuzzy_customer_pairs",
     "snapshot_diff",
+    "heavy_tokens",
+    "mutual_best_fuzzy",
+    "user_state_intervals",
 ]
 
 

@@ -112,3 +112,112 @@ def approx_distinct(
         return pd.DataFrame({group_column: g2[seg_start], alias: n})
 
     return coarse_group_apply(partials, group_column, finalize)
+
+
+def heavy_hitters(ds, column: str, phi: float = 0.01, slack: float = 2.0):
+    """EXACT phi-heavy hitters (items with count > phi * N) found with a
+    bounded candidate pass: each block summarizes its items with a
+    Misra-Gries sketch of k = ceil(slack / phi) counters (Misra & Gries
+    1982; mergeable-summaries guarantee, Agarwal et al. PODS'12: summing MG
+    counters preserves the count-undercounts-by-at-most-N/k property), so
+    every true heavy hitter survives into the candidate set no matter how
+    its occurrences are spread across blocks. Exchange volume is k rows per
+    block, NOT the per-block distinct count.
+
+    Pass 2 broadcasts the (tiny) candidate set and takes exact counts for
+    candidates only, plus the exact total N, then filters count > phi * N.
+    The answer is therefore EXACT and SQL-oracle-checkable (GROUP BY +
+    HAVING count > phi * N); the sketch only bounds the candidate volume.
+
+    Returns (item, count) rows."""
+    import ray
+    import ray.data
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    k = max(8, int(np.ceil(slack / phi)))
+
+    def mg_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or column not in batch.column_names:
+            return pa.schema(
+                [("item", pa.string()), ("mg", pa.int64())]
+            ).empty_table()
+        vals = batch.column(column).to_numpy(zero_copy_only=False)
+        uniq, counts = np.unique(vals.astype(str), return_counts=True)
+        if len(uniq) > k:
+            # MG decrement in one shot: subtract the (k+1)-th largest count
+            # from everything, keep positive survivors (equivalent to
+            # repeated decrement-all-by-one rounds)
+            thresh = np.partition(counts, len(counts) - k - 1)[len(counts) - k - 1]
+            keep = counts > thresh
+            uniq, counts = uniq[keep], counts[keep] - thresh
+        return pa.table(
+            {
+                "item": pa.array(uniq, type=pa.string()),
+                "mg": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    partials = ds.map_batches(mg_partial, batch_format="pyarrow").materialize()
+    # merged MG counters (sum) — k-bounded per block, tiny after merge
+    merged = coarse_groupby_agg(partials, ["item"], {"mg": ("mg", "sum")})
+    cand_chunks = []
+    # exact corpus total: one row per occurrence by contract
+    total_n = ds.count()
+    for ref in merged.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "item" not in t.column_names:
+            continue
+        mg = t.column("mg").to_numpy(zero_copy_only=False)
+        items = t.column("item").to_numpy(zero_copy_only=False)
+        cand_chunks.append(items[mg > 0])
+    if not cand_chunks or total_n == 0:
+        return ray.data.from_arrow(
+            pa.schema([("item", pa.string()), ("count", pa.int64())]).empty_table()
+        )
+    cand = np.unique(np.concatenate(cand_chunks))
+    cand_ref = ray.put(pa.array(cand, type=pa.string()))
+
+    def exact_partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or column not in batch.column_names:
+            return pa.schema(
+                [("item", pa.string()), ("count", pa.int64())]
+            ).empty_table()
+        col = pa.array(
+            batch.column(column).to_numpy(zero_copy_only=False).astype(str),
+            type=pa.string(),
+        )
+        mask = pc.is_in(col, value_set=ray.get(cand_ref))
+        vals = col.filter(mask)
+        if len(vals) == 0:
+            return pa.schema(
+                [("item", pa.string()), ("count", pa.int64())]
+            ).empty_table()
+        uniq, counts = np.unique(
+            vals.to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {
+                "item": pa.array(uniq, type=pa.string()),
+                "count": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    exact = coarse_groupby_agg(
+        ds.map_batches(exact_partial, batch_format="pyarrow"),
+        ["item"],
+        {"count": ("count", "sum")},
+    )
+    cut = phi * total_n
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "count" not in batch.column_names:
+            return pa.schema(
+                [("item", pa.string()), ("count", pa.int64())]
+            ).empty_table()
+        c = batch.column("count").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(c > cut)).select(["item", "count"])
+
+    return exact.map_batches(finish, batch_format="pyarrow")

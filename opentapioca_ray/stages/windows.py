@@ -1057,3 +1057,62 @@ def global_order_index(
         )
 
     return coarse_group_apply(units, "v_units", rank_partition)
+
+
+def state_intervals(
+    ds,
+    key_column: str = "user_id",
+    ts_column: str = "ts",
+    state_column: str = "event_type",
+    id_column: str = "event_id",
+):
+    """Gaps-and-islands state history (SCD2-style interval compaction):
+    per key, order rows by (ts, id) and collapse CONSECUTIVE runs of the
+    same state into one interval row
+    (key, state, start_us, end_us, n_rows). The SQL twin is the classic
+    LAG -> running-sum island id -> GROUP BY.
+
+    ONE coarse exchange on the key; the partition kernel sorts once and
+    reduces ALL its keys' islands with contiguous-segment numpy ops
+    (no per-key groups). Timestamps compare as exact int64 epoch-us."""
+    import pandas as pd
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    def island_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key_column: pd.Series(dtype=np.int64),
+                "state": pd.Series(dtype=object),
+                "start_us": pd.Series(dtype=np.int64),
+                "end_us": pd.Series(dtype=np.int64),
+                "n_rows": pd.Series(dtype=np.int64),
+            }
+        )
+        if df.empty:
+            return empty
+        keys = df[key_column].to_numpy(dtype=np.int64)
+        tus = df[ts_column].to_numpy(dtype="datetime64[us]").astype(np.int64)
+        ids = df[id_column].to_numpy(dtype=np.int64)
+        states = df[state_column].to_numpy()
+        _, scodes = np.unique(states, return_inverse=True)
+        order = np.lexsort((ids, tus, keys))
+        keys, tus, scodes = keys[order], tus[order], scodes[order]
+        states = states[order]
+        brk = np.concatenate(
+            ([True], (keys[1:] != keys[:-1]) | (scodes[1:] != scodes[:-1]))
+        )
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate((starts[1:], [len(keys)]))
+        return pd.DataFrame(
+            {
+                key_column: keys[starts],
+                "state": states[starts],
+                "start_us": tus[starts],
+                "end_us": tus[ends - 1],
+                "n_rows": (ends - starts).astype(np.int64),
+            }
+        )
+
+    slim = ds.select_columns([key_column, ts_column, state_column, id_column])
+    return coarse_group_apply(slim, key_column, island_partition)
