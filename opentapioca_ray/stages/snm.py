@@ -125,10 +125,23 @@ def global_rank(
     import ray
 
     from opentapioca_ray.stages.aggregates import partial_sum_count
-    from opentapioca_ray.stages.exchange import coarse_group_apply, default_n_parts
+    from opentapioca_ray.stages.exchange import (
+        coarse_group_apply,
+        default_n_parts,
+        right_size,
+    )
 
-    n_parts = default_n_parts(n_parts)
-    slim = ds.select_columns([id_column, key_column]).materialize()
+    slim = right_size(
+        ds.select_columns([id_column, key_column]).materialize()
+    )
+    # size P to the data: tiny inputs take ONE partition (three exchanges
+    # over 128 near-empty partitions is pure scheduling overhead), large
+    # inputs get the full CPU-proportional fan-out
+    n_rows = slim.count()
+    if n_parts is None:
+        n_parts = min(
+            default_n_parts(), max(1, (n_rows + 65_535) // 65_536)
+        )
     bounds = _sample_boundaries(slim, key_column, id_column, n_parts)
 
     def add_pid(batch: pa.Table) -> pa.Table:
@@ -205,9 +218,20 @@ def sorted_neighborhood_pairs(
     if window >= chunk:
         raise ValueError("chunk must exceed window")
 
-    from opentapioca_ray.stages.exchange import coarse_group_apply
+    from opentapioca_ray.stages.exchange import (
+        coarse_group_apply,
+        default_n_parts,
+        right_size,
+    )
 
-    ranked = global_rank(ds, key_column, id_column, n_parts=n_parts)
+    ranked = right_size(
+        global_rank(ds, key_column, id_column, n_parts=n_parts).materialize()
+    )
+    if n_parts is None:
+        n_parts = min(
+            default_n_parts(),
+            max(1, (ranked.count() + 65_535) // 65_536),
+        )
 
     def to_chunks(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "rn" not in batch.column_names:
