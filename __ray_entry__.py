@@ -2489,6 +2489,37 @@ def _q_user_state_intervals(sf_dir: str):
     return state_intervals(ev, "user_id", "ts", "event_type", "event_id")
 
 
+def _q_fd_violations(sf_dir: str):
+    """Functional-dependency audit: sources whose docs span >= 2 languages
+    (the 'same key, conflicting attribute' smell before any ER merge)."""
+    from opentapioca_ray.stages.quality import fd_violations
+
+    docs = _docs(sf_dir).select_columns(["source", "lang"])
+    return fd_violations(docs, "source", "lang")
+
+
+def _q_iqr_outliers(sf_dir: str):
+    """Per-type Tukey-fence outliers over event values in exact integer
+    units (quantiles are input elements; fences compare as pure int64)."""
+    from opentapioca_ray.stages.quality import iqr_outliers
+
+    ev = _rel(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+    )
+    return iqr_outliers(ev, "event_type", "value", "event_id")
+
+
+def _q_profile_orders(sf_dir: str):
+    """Per-column ingest profile of orders: nulls, distinct cardinality,
+    string min/max — one combiner exchange over distinct values."""
+    from opentapioca_ray.stages.quality import profile_columns
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    orders = _rel(f"{sf_dir}/orders.parquet", columns=cols)
+    return profile_columns(orders, cols)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -2591,6 +2622,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_tokens": _q_heavy_tokens,
         "mutual_best_fuzzy": _q_mutual_best_fuzzy,
         "user_state_intervals": _q_user_state_intervals,
+        "fd_violations": _q_fd_violations,
+        "iqr_outliers": _q_iqr_outliers,
+        "profile_orders": _q_profile_orders,
     }
 
 
@@ -3837,6 +3871,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY v_units, event_id)
                         AS BIGINT) AS row_idx
             FROM u
+        """,
+        "fd_violations": """
+            SELECT source, count(DISTINCT lang) AS n_rhs,
+                   count(*) AS n_rows
+            FROM documents
+            GROUP BY source
+            HAVING count(DISTINCT lang) >= 2
+        """,
+        "iqr_outliers": """
+            WITH u AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 1000000) AS BIGINT) AS v_u
+              FROM events
+            ), q AS (
+              SELECT event_type,
+                     quantile_disc(v_u, 0.25) AS q1,
+                     quantile_disc(v_u, 0.75) AS q3
+              FROM u GROUP BY event_type
+            )
+            SELECT u.event_id, u.event_type, u.v_u
+            FROM u JOIN q USING (event_type)
+            WHERE 2 * u.v_u < 2 * q.q1 - 3 * (q.q3 - q.q1)
+               OR 2 * u.v_u > 2 * q.q3 + 3 * (q.q3 - q.q1)
+        """,
+        "profile_orders": """
+            SELECT 'o_orderkey' AS "column",
+                   count(*) - count(o_orderkey) AS n_null,
+                   count(DISTINCT o_orderkey) AS n_distinct,
+                   min(CAST(o_orderkey AS VARCHAR)) AS min_v,
+                   max(CAST(o_orderkey AS VARCHAR)) AS max_v
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', count(*) - count(o_custkey),
+                   count(DISTINCT o_custkey),
+                   min(CAST(o_custkey AS VARCHAR)),
+                   max(CAST(o_custkey AS VARCHAR))
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', count(*) - count(o_orderstatus),
+                   count(DISTINCT o_orderstatus),
+                   min(o_orderstatus), max(o_orderstatus)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', count(*) - count(o_orderpriority),
+                   count(DISTINCT o_orderpriority),
+                   min(o_orderpriority), max(o_orderpriority)
+            FROM orders
         """,
         "heavy_tokens": f"""
             WITH {tok_cte}

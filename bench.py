@@ -101,6 +101,9 @@ BENCH_QUERIES = [
     "heavy_tokens",
     "mutual_best_fuzzy",
     "user_state_intervals",
+    "fd_violations",
+    "iqr_outliers",
+    "profile_orders",
 ]
 
 

@@ -1,0 +1,254 @@
+"""Data-quality audit operators: FD violations, IQR outliers, profiling.
+
+Entity resolution lives or dies on input hygiene, and the reference's
+pipeline simply trusts its dump (readers/dumpreader.py never validates).
+These operators are the audit pass a 100 TB ingest runs FIRST:
+
+- `fd_violations` — which left-hand-side keys break a functional
+  dependency X -> Y (the "same entity id, different canonical name"
+  smell that precedes every bad merge);
+- `iqr_outliers` — per-group Tukey-fence outliers in EXACT integer
+  arithmetic (quantiles are input elements; fences compare as
+  2*v vs 2*q1 - 3*iqr, so no float division ever happens);
+- `profile_columns` — per-column null/distinct/min/max profile in ONE
+  exchange over (column, value) partial-distinct rows.
+
+All three are combiner-first: the exchange ships per-block DISTINCT rows
+or per-group thresholds, never the fact table.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def fd_violations(ds, lhs_column: str, rhs_column: str):
+    """Keys violating the functional dependency lhs -> rhs: one row per
+    lhs with >= 2 distinct rhs values — (lhs, n_rhs, n_rows).
+
+    Per-batch combiner reduces to distinct (lhs, rhs, count) triples, so
+    the exchange is bounded by the distinct-pair cardinality; the
+    partition kernel counts distinct rhs per lhs with one segment pass."""
+    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    pairs = partial_multi_sum_count(
+        ds.select_columns([lhs_column, rhs_column]),
+        [lhs_column, rhs_column],
+        [],
+        alias={"count": "_n"},
+    )
+
+    def violations_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                lhs_column: pd.Series(dtype=object),
+                "n_rhs": pd.Series(dtype=np.int64),
+                "n_rows": pd.Series(dtype=np.int64),
+            }
+        )
+        if df.empty or lhs_column not in df.columns:
+            return empty
+        lhs = df[lhs_column].to_numpy()
+        rhs = df[rhs_column].to_numpy()
+        n = df["_n"].to_numpy(dtype=np.int64)
+        _, lcodes = np.unique(lhs, return_inverse=True)
+        _, rcodes = np.unique(rhs, return_inverse=True)
+        order = np.lexsort((rcodes, lcodes))
+        lhs, lcodes, rcodes, n = lhs[order], lcodes[order], rcodes[order], n[order]
+        new_l = np.concatenate(([True], lcodes[1:] != lcodes[:-1]))
+        # distinct rhs per lhs: pairs arrive pre-deduped per block but can
+        # repeat ACROSS blocks — count rhs transitions within lhs segments
+        new_pair = np.concatenate(
+            ([True], (lcodes[1:] != lcodes[:-1]) | (rcodes[1:] != rcodes[:-1]))
+        )
+        seg = np.cumsum(new_l) - 1
+        n_seg = int(seg[-1]) + 1
+        n_rhs = np.bincount(seg, weights=new_pair, minlength=n_seg).astype(np.int64)
+        n_rows = np.bincount(seg, weights=n, minlength=n_seg).astype(np.int64)
+        keep = n_rhs >= 2
+        starts = np.flatnonzero(new_l)
+        return pd.DataFrame(
+            {
+                lhs_column: lhs[starts][keep],
+                "n_rhs": n_rhs[keep],
+                "n_rows": n_rows[keep],
+            }
+        )
+
+    return coarse_group_apply(pairs, lhs_column, violations_partition)
+
+
+def iqr_outliers(
+    ds,
+    group_column: str,
+    value_column: str,
+    id_column: str,
+    scale: int = 1_000_000,
+    k_halves: int = 3,
+):
+    """Per-group Tukey-fence outliers: rows whose value (in exact
+    `1/scale` integer units) falls outside
+    [q1 - (k_halves/2) * iqr, q3 + (k_halves/2) * iqr], with q1/q3 the
+    exact type-1 quartiles. The fence compare is pure int64
+    (2*v < 2*q1 - k*iqr), so Ray and SQL agree bit-for-bit.
+
+    Quartiles come from the grouped-quantile kernel (one coarse exchange);
+    the per-group fence table is broadcast once via ray.put and the filter
+    streams — outlier detection never re-shuffles the fact table."""
+    import ray
+
+    from opentapioca_ray.stages.aggregates import grouped_quantiles
+
+    def to_units(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or value_column not in batch.column_names:
+            return pa.schema(
+                [
+                    (id_column, pa.int64()),
+                    (group_column, pa.string()),
+                    ("v_u", pa.int64()),
+                ]
+            ).empty_table()
+        v = np.round(
+            batch.column(value_column).to_numpy(zero_copy_only=False)
+            * float(scale)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                id_column: batch.column(id_column),
+                group_column: batch.column(group_column),
+                "v_u": pa.array(v),
+            }
+        )
+
+    units = ds.select_columns(
+        [id_column, group_column, value_column]
+    ).map_batches(to_units, batch_format="pyarrow").materialize()
+
+    q = grouped_quantiles(units, group_column, "v_u", [0.25, 0.75]).to_pandas()
+    if q.empty:
+        return units.map_batches(
+            lambda b: pa.schema(
+                [
+                    (id_column, pa.int64()),
+                    (group_column, pa.string()),
+                    ("v_u", pa.int64()),
+                ]
+            ).empty_table(),
+            batch_format="pyarrow",
+        )
+    piv = q.pivot_table(
+        index=group_column, columns="p_e4", values="value", aggfunc="first"
+    )
+    groups = piv.index.to_numpy()
+    order = np.argsort(groups)
+    q1 = piv[2500].to_numpy(dtype=np.int64)[order]
+    q3 = piv[7500].to_numpy(dtype=np.int64)[order]
+    groups = groups[order]
+    lo2 = 2 * q1 - k_halves * (q3 - q1)  # fences in doubled units
+    hi2 = 2 * q3 + k_halves * (q3 - q1)
+    fence_ref = ray.put((groups, lo2, hi2))
+
+    def outlier_filter(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or group_column not in batch.column_names:
+            return batch
+        g_sorted, lo, hi = ray.get(fence_ref)
+        g = batch.column(group_column).to_numpy(zero_copy_only=False)
+        v2 = 2 * batch.column("v_u").to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.searchsorted(g_sorted, g)
+        keep = (v2 < lo[pos]) | (v2 > hi[pos])
+        return batch.filter(pa.array(keep))
+
+    return units.map_batches(outlier_filter, batch_format="pyarrow")
+
+
+def profile_columns(ds, columns: list[str]):
+    """Per-column profile: (column, n_null, n_distinct, min_v, max_v) with
+    min/max compared as strings (values are stringified with str(), so use
+    int/string columns for cross-engine parity — float formatting differs
+    between engines).
+
+    Combiner emits per-block DISTINCT (column, value, count, n_null) rows;
+    ONE coarse exchange on the column name merges them. Exchange volume is
+    the distinct-value cardinality, never the row count."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out_c, out_v, out_n, out_nulls = [], [], [], []
+        if batch.num_rows:
+            for col in columns:
+                if col not in batch.column_names:
+                    continue
+                arr = batch.column(col)
+                n_null = int(arr.null_count)
+                vals = arr.drop_null().to_numpy(zero_copy_only=False)
+                svals = np.array([str(x) for x in vals], dtype=object)
+                uniq, cnt = np.unique(svals, return_counts=True)
+                out_c.append(np.full(len(uniq), col, dtype=object))
+                out_v.append(uniq)
+                out_n.append(cnt.astype(np.int64))
+                # carry the block's null count on the first row (0 rows ->
+                # a dedicated null-only marker row)
+                nn = np.zeros(len(uniq), dtype=np.int64)
+                if len(nn):
+                    nn[0] = n_null
+                    out_nulls.append(nn)
+                else:
+                    out_c.append(np.array([col], dtype=object))
+                    out_v.append(np.array([None], dtype=object))
+                    out_n.append(np.zeros(1, dtype=np.int64))
+                    out_nulls.append(np.array([n_null], dtype=np.int64))
+        if not out_c:
+            return pa.schema(
+                [
+                    ("column", pa.string()),
+                    ("value", pa.string()),
+                    ("_n", pa.int64()),
+                    ("_nulls", pa.int64()),
+                ]
+            ).empty_table()
+        return pa.table(
+            {
+                "column": pa.array(np.concatenate(out_c), type=pa.string()),
+                "value": pa.array(np.concatenate(out_v), type=pa.string()),
+                "_n": pa.array(np.concatenate(out_n)),
+                "_nulls": pa.array(np.concatenate(out_nulls)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "column": pd.Series(dtype=object),
+                "n_null": pd.Series(dtype=np.int64),
+                "n_distinct": pd.Series(dtype=np.int64),
+                "min_v": pd.Series(dtype=object),
+                "max_v": pd.Series(dtype=object),
+            }
+        )
+        if df.empty or "column" not in df.columns:
+            return empty
+        cols = df["column"].to_numpy()
+        vals = df["value"].to_numpy()
+        nulls = df["_nulls"].to_numpy(dtype=np.int64)
+        real = pd.notna(vals)
+        out = []
+        for c in np.unique(cols):
+            m = cols == c
+            vs = np.unique(vals[m & real].astype(str)) if (m & real).any() else None
+            out.append(
+                {
+                    "column": c,
+                    "n_null": int(nulls[m].sum()),
+                    "n_distinct": 0 if vs is None else len(vs),
+                    "min_v": None if vs is None else vs[0],
+                    "max_v": None if vs is None else vs[-1],
+                }
+            )
+        return pd.DataFrame(out)
+
+    return coarse_group_apply(partials, "column", merge_partition)
