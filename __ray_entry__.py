@@ -2520,6 +2520,68 @@ def _q_profile_orders(sf_dir: str):
     return profile_columns(orders, cols)
 
 
+def _q_ngram_containment(sf_dir: str):
+    """Near-subset duplication: overlap coefficient >= 0.8 over distinct
+    word-3-gram sets (catches boilerplate inclusion Jaccard misses)."""
+    from opentapioca_ray.stages.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _docs(sf_dir), id_column="doc_id", text_column="text", k=3, threshold=0.8
+    )
+
+
+def _q_bcubed_stats(sf_dir: str):
+    """B-cubed ER evaluation statistics: per (predicted block, true
+    cluster) combo — record count + both cluster sizes; B^3 precision and
+    recall are one weighted sum away. Predicted = first-token block,
+    truth = md5(text) (same keys as blocking_metrics)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.textstats import whitespace_token_lists
+    from opentapioca_ray.stages.blocking_eval import bcubed_combo_stats
+
+    def keys(batch: pa.Table) -> pa.Table:
+        toks = whitespace_token_lists(batch, "text")
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        nonempty = offsets[1:] > offsets[:-1]
+        first = np.full(batch.num_rows, "", dtype=object)
+        if nonempty.any():
+            first[nonempty] = (
+                toks.values.take(pa.array(offsets[:-1][nonempty]))
+                .to_numpy(zero_copy_only=False)
+            )
+        texts = batch.column("text").to_pylist()
+        tkey = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+        return pa.table(
+            {
+                "bkey": pa.array(first, pa.string()),
+                "tkey": pa.array(tkey, pa.string()),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(keys, batch_format="pyarrow")
+    return bcubed_combo_stats(ds, "bkey", "tkey")
+
+
+def _q_component_sizes(sf_dir: str):
+    """Dedup health report: histogram of near-dup component sizes over the
+    exact n-gram Jaccard pair graph."""
+    from opentapioca_ray.stages.cc import (
+        component_size_histogram,
+        connected_components,
+    )
+    from opentapioca_ray.stages.dedup import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        _docs(sf_dir), id_column="doc_id", text_column="text", k=3, threshold=0.5
+    )
+    comp = connected_components(pairs.select_columns(["u", "v"]))
+    return component_size_histogram(comp)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -2625,6 +2687,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fd_violations": _q_fd_violations,
         "iqr_outliers": _q_iqr_outliers,
         "profile_orders": _q_profile_orders,
+        "ngram_containment": _q_ngram_containment,
+        "bcubed_stats": _q_bcubed_stats,
+        "component_sizes": _q_component_sizes,
     }
 
 
@@ -3871,6 +3936,103 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY v_units, event_id)
                         AS BIGINT) AS row_idx
             FROM u
+        """,
+        "ngram_containment": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                END AS gs
+              FROM toks WHERE len(arr) > 0
+            ),
+            ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            )
+            SELECT u, v,
+                   len(list_intersect(ga.gs, gb.gs))::double
+                     / least(len(ga.gs), len(gb.gs))::double AS containment
+            FROM cand
+            JOIN grams ga ON ga.doc_id = cand.u
+            JOIN grams gb ON gb.doc_id = cand.v
+            WHERE len(list_intersect(ga.gs, gb.gs))::double
+                  / least(len(ga.gs), len(gb.gs))::double >= 0.8
+        """,
+        "bcubed_stats": """
+            WITH k AS (
+              SELECT CASE WHEN trim(text) = '' THEN ''
+                     ELSE regexp_split_to_array(trim(text), '\\s+')[1]
+                     END AS bkey,
+                     md5(text) AS tkey
+              FROM documents
+            ), c AS (
+              SELECT bkey, tkey, count(*) AS n FROM k GROUP BY bkey, tkey
+            )
+            SELECT bkey, tkey, CAST(n AS BIGINT) AS n,
+                   CAST(sum(n) OVER (PARTITION BY bkey) AS BIGINT) AS csize,
+                   CAST(sum(n) OVER (PARTITION BY tkey) AS BIGINT) AS tsize
+            FROM c
+        """,
+        "component_sizes": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                END AS gs
+              FROM toks WHERE len(arr) > 0
+            ),
+            ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            pairs AS (
+              SELECT u, v
+              FROM cand
+              JOIN grams ga ON ga.doc_id = cand.u
+              JOIN grams gb ON gb.doc_id = cand.v
+              WHERE len(list_intersect(ga.gs, gb.gs))::double
+                    / (len(ga.gs) + len(gb.gs)
+                       - len(list_intersect(ga.gs, gb.gs)))::double >= 0.5
+            ),
+            edges AS (
+              SELECT u AS a, v AS b FROM pairs
+              UNION ALL
+              SELECT v AS a, u AS b FROM pairs
+            ),
+            lab(v, l) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, lab.l FROM edges e JOIN lab ON lab.v = e.b
+            ),
+            comp AS (SELECT v, min(l) AS l FROM lab GROUP BY v),
+            s AS (SELECT l, count(*) AS size FROM comp GROUP BY l)
+            SELECT CAST(size AS BIGINT) AS size,
+                   CAST(count(*) AS BIGINT) AS n_components
+            FROM s GROUP BY size
         """,
         "fd_violations": """
             SELECT source, count(DISTINCT lang) AS n_rhs,

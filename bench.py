@@ -104,6 +104,9 @@ BENCH_QUERIES = [
     "fd_violations",
     "iqr_outliers",
     "profile_orders",
+    "ngram_containment",
+    "bcubed_stats",
+    "component_sizes",
 ]
 
 

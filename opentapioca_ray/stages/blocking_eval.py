@@ -73,3 +73,47 @@ def blocking_quality(ds, block_cols: list[str], truth_cols: list[str]):
             "n_covered_pairs": pa.array([n_covered], pa.int64()),
         }
     )
+
+
+def bcubed_combo_stats(ds, pred_col: str, truth_col: str):
+    """B-cubed evaluation statistics (Bagga & Baldwin 1998, the standard
+    ER cluster-quality metric): for every (predicted cluster, true
+    cluster) combination, its record count `n`, the predicted cluster's
+    total size `csize`, and the true cluster's total size `tsize`. From
+    these, B^3 precision = sum(n * n/csize) / N and
+    B^3 recall = sum(n * n/tsize) / N — both one aggregation away; the
+    emitted table is all-integer so SQL pins it exactly.
+
+    ONE combiner exchange builds the (pred, truth) count table; two more
+    SLIM exchanges over that table (orders of magnitude smaller than the
+    corpus) attach the per-pred and per-truth totals — the fact table
+    never moves twice."""
+    import pandas as pd
+
+    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    combos = partial_multi_sum_count(
+        ds.select_columns(list(dict.fromkeys([pred_col, truth_col]))),
+        [pred_col, truth_col],
+        [],
+        alias={"count": "n"},
+    )
+
+    def attach_total(key: str, out: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            if df.empty or key not in df.columns:
+                cols = {c: pd.Series(dtype=object) for c in df.columns}
+                cols[out] = pd.Series(dtype=np.int64)
+                return pd.DataFrame(cols)
+            _, codes = np.unique(df[key].to_numpy(), return_inverse=True)
+            n = df["n"].to_numpy(dtype=np.int64)
+            totals = np.bincount(codes, weights=n).astype(np.int64)
+            df = df.copy()
+            df[out] = totals[codes]
+            return df
+
+        return fn
+
+    with_c = coarse_group_apply(combos, pred_col, attach_total(pred_col, "csize"))
+    return coarse_group_apply(with_c, truth_col, attach_total(truth_col, "tsize"))

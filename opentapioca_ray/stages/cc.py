@@ -225,3 +225,26 @@ def connected_components_local(edges: list[tuple[int, int]]) -> dict[int, int]:
             else:
                 parent[ru] = rv
     return {node: find(node) for node in parent}
+
+
+def component_size_histogram(assign_ds, component_column: str = "component"):
+    """(size, n_components) histogram of connected-component sizes —
+    the dedup health report (how much of the corpus sits in mega-clusters
+    vs pairs). Two chained combiner aggregates; nothing bigger than the
+    per-size counts ever moves."""
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+
+    sizes = partial_sum_count(
+        assign_ds.select_columns([component_column]), component_column, []
+    )
+
+    def as_size(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "count" not in batch.column_names:
+            return pa.schema([("size", pa.int64())]).empty_table()
+        return pa.table({"size": batch.column("count").cast(pa.int64())})
+
+    per_size = sizes.map_batches(as_size, batch_format="pyarrow")
+    hist = partial_sum_count(per_size, "size", [], alias={"count": "n_components"})
+    return hist

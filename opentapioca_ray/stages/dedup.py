@@ -1091,3 +1091,78 @@ def duplicated_gram_stats(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+_CONTAIN_EMPTY = pa.schema(
+    [("u", pa.int64()), ("v", pa.int64()), ("containment", pa.float64())]
+).empty_table()
+
+
+def ngram_containment_pairs(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+    n_parts: int | None = None,
+):
+    """Near-SUBSET duplication: pairs where the smaller doc's distinct
+    word-k-gram set is >= `threshold` contained in the larger's
+    (containment = |A ∩ B| / min(|A|, |B|), the overlap coefficient).
+    Jaccard misses these — a doc pasted inside a 10x larger one scores
+    Jaccard ~0.1 but containment 1.0 (the boilerplate-inclusion case
+    n-gram dedup exists to catch).
+
+    Same scale shape as `_ngram_shuffle_pairs`: the pair-multiplicity
+    identity means only (gram, doc, n_grams) rows and per-pair count
+    partials ever move; sizes ride the exploded rows. Always the shuffle
+    path (no driver merge) — containment's candidate mass equals
+    Jaccard's, already bounded by the singleton/`max_df` prefilter."""
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply, coarse_groupby_agg
+    from opentapioca_ray.stages.pairs import prefilter_singleton_blocks
+
+    exploded = ds.map_batches(
+        lambda b: gram_doc_rows(b, id_column, text_column, k),
+        batch_format="pyarrow",
+    )
+    exploded = prefilter_singleton_blocks(
+        exploded.map_batches(
+            lambda b: b.rename_columns(["block_key", "doc_id", "n_grams"]),
+            batch_format="pyarrow",
+        ),
+        min_size=2,
+        max_size=max_df,
+    ).map_batches(
+        lambda b: b.rename_columns(["gram", "doc_id", "n_grams"]),
+        batch_format="pyarrow",
+    )
+    partial = coarse_group_apply(
+        exploded, "gram", _ngram_pair_partition, n_parts=n_parts
+    )
+    pair_counts = coarse_groupby_agg(
+        partial,
+        ["u", "v"],
+        {"inter": ("inter", "sum"), "na": ("na", "max"), "nb": ("nb", "max")},
+        n_parts=n_parts,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return _CONTAIN_EMPTY
+        inter = batch.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch.column("na").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch.column("nb").to_numpy(zero_copy_only=False).astype(np.float64)
+        cont = inter / np.minimum(na, nb)
+        keep = cont >= threshold
+        return pa.table(
+            {
+                "u": pc.cast(batch.column("u"), pa.int64()).filter(pa.array(keep)),
+                "v": pc.cast(batch.column("v"), pa.int64()).filter(pa.array(keep)),
+                "containment": pa.array(cont[keep], type=pa.float64()),
+            }
+        )
+
+    return pair_counts.map_batches(finish, batch_format="pyarrow")
