@@ -2582,6 +2582,37 @@ def _q_component_sizes(sf_dir: str):
     return component_size_histogram(comp)
 
 
+def _q_k_anonymity(sf_dir: str):
+    """Privacy release audit: customer quasi-identifier combos
+    (nation, market segment) held by fewer than 10 rows."""
+    from opentapioca_ray.stages.quality import k_anonymity_violations
+
+    cust = _rel(
+        f"{sf_dir}/customer.parquet", columns=["c_nationkey", "c_mktsegment"]
+    )
+    return k_anonymity_violations(cust, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+def _q_pareto_users(sf_dir: str):
+    """Concentration audit: per event type, how many users contribute 80%
+    of total value (exact integer cross-multiplied reach test)."""
+    from opentapioca_ray.stages.quality import pareto_count
+
+    ev = _rel(
+        f"{sf_dir}/events.parquet", columns=["event_type", "user_id", "value"]
+    )
+    return pareto_count(ev, "event_type", "user_id", "value", scale=100)
+
+
+def _q_price_deciles(sf_dir: str):
+    """Global decile summary of extended prices: exact type-1 edges from
+    the distributed histogram, per-bucket count + exact cent sums."""
+    from opentapioca_ray.stages.aggregates import decile_summary
+
+    li = _rel(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+    return decile_summary(li, "l_extendedprice", scale=100)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -2690,6 +2721,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment": _q_ngram_containment,
         "bcubed_stats": _q_bcubed_stats,
         "component_sizes": _q_component_sizes,
+        "k_anonymity": _q_k_anonymity,
+        "pareto_users": _q_pareto_users,
+        "price_deciles": _q_price_deciles,
     }
 
 
@@ -3936,6 +3970,53 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY v_units, event_id)
                         AS BIGINT) AS row_idx
             FROM u
+        """,
+        "k_anonymity": """
+            SELECT c_nationkey, c_mktsegment, count(*) AS n
+            FROM customer
+            GROUP BY c_nationkey, c_mktsegment
+            HAVING count(*) < 10
+        """,
+        "pareto_users": """
+            WITH m AS (
+              SELECT event_type, user_id,
+                     CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS mv
+              FROM events GROUP BY event_type, user_id
+            ), r AS (
+              SELECT event_type, mv,
+                     sum(mv) OVER (PARTITION BY event_type
+                                   ORDER BY mv DESC, user_id) AS cum,
+                     sum(mv) OVER (PARTITION BY event_type) AS total,
+                     count(*) OVER (PARTITION BY event_type) AS n_members,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY mv DESC, user_id) AS rn
+              FROM m
+            )
+            SELECT event_type,
+                   CAST(min(CASE WHEN 5 * cum >= 4 * total THEN rn END)
+                        AS BIGINT) AS n_top,
+                   CAST(max(n_members) AS BIGINT) AS n_members,
+                   CAST(max(total) AS BIGINT) AS total_units
+            FROM r GROUP BY event_type
+        """,
+        "price_deciles": """
+            WITH u AS (
+              SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v_u
+              FROM lineitem
+            ), q AS (
+              SELECT unnest(quantile_disc(v_u,
+                [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9])) AS e
+              FROM u
+            ), b AS (
+              SELECT v_u,
+                     1 + (SELECT count(*) FROM q WHERE q.e < u.v_u) AS decile
+              FROM u
+            )
+            SELECT CAST(decile AS BIGINT) AS decile,
+                   CAST(sum(v_u) AS BIGINT) AS sum_units,
+                   count(*) AS n
+            FROM b GROUP BY decile
         """,
         "ngram_containment": f"""
             WITH toks AS (

@@ -107,6 +107,9 @@ BENCH_QUERIES = [
     "ngram_containment",
     "bcubed_stats",
     "component_sizes",
+    "k_anonymity",
+    "pareto_users",
+    "price_deciles",
 ]
 
 

@@ -887,3 +887,47 @@ def weighted_median(
         group_column,
         median_partition,
     )
+
+
+def decile_summary(ds, value_column: str, scale: int = 100, n_buckets: int = 10):
+    """Global distribution summary: exact type-1 decile edges (input
+    elements, from the distributed value histogram) split the column into
+    `n_buckets` buckets; per bucket the row count and exact unit sum.
+    bucket = 1 + (number of edges strictly below the value), matching the
+    SQL twin's correlated count, so ties land identically on both engines.
+
+    Scale shape: the histogram pass bounds driver state by DISTINCT values
+    (guarded in `histogram_quantiles`); the edges (9 ints) broadcast in the
+    closure; bucket assignment + partial sums stream map-side and ONE
+    combiner groupby over <= n_buckets keys finishes."""
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+
+    def to_units(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or value_column not in batch.column_names:
+            return pa.schema([("v_u", pa.int64())]).empty_table()
+        v = np.round(
+            batch.column(value_column).to_numpy(zero_copy_only=False)
+            * float(scale)
+        ).astype(np.int64)
+        return pa.table({"v_u": pa.array(v)})
+
+    units = ds.select_columns([value_column]).map_batches(
+        to_units, batch_format="pyarrow"
+    ).materialize()
+    q = histogram_quantiles(units, "v_u", probs)
+    edges = np.sort(q.column("value").to_numpy(zero_copy_only=False).astype(np.int64))
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "v_u" not in batch.column_names:
+            return pa.schema(
+                [("decile", pa.int64()), ("v_u", pa.int64())]
+            ).empty_table()
+        v = batch.column("v_u").to_numpy(zero_copy_only=False).astype(np.int64)
+        # strictly-below edge count: ties with an edge stay in its bucket
+        b = np.searchsorted(edges, v, side="left") + 1
+        return pa.table({"decile": pa.array(b.astype(np.int64)), "v_u": batch.column("v_u")})
+
+    bucketed = units.map_batches(bucketize, batch_format="pyarrow")
+    return partial_sum_count(
+        bucketed, "decile", ["v_u"], alias={"v_u": "sum_units", "count": "n"}
+    )

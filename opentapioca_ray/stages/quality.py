@@ -252,3 +252,124 @@ def profile_columns(ds, columns: list[str]):
         return pd.DataFrame(out)
 
     return coarse_group_apply(partials, "column", merge_partition)
+
+
+def k_anonymity_violations(ds, quasi_columns: list[str], k: int = 10):
+    """Privacy audit: quasi-identifier combinations held by FEWER than `k`
+    rows (the re-identifiable slices a release gate must suppress or
+    generalize; Sweeney 2002). Output: one row per violating combo with its
+    group size.
+
+    Combiner-first: per-block distinct combo counts merge in one coarse
+    exchange; the fact table never moves."""
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
+
+    combos = partial_multi_sum_count(
+        ds.select_columns(quasi_columns), quasi_columns, [], alias={"count": "n"}
+    )
+
+    def violating(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n" not in batch.column_names:
+            return batch
+        return batch.filter(pc.less(batch.column("n"), k))
+
+    return combos.map_batches(violating, batch_format="pyarrow")
+
+
+def pareto_count(
+    ds,
+    group_column: str,
+    member_column: str,
+    value_column: str,
+    scale: int = 100,
+    num: int = 4,
+    den: int = 5,
+):
+    """Concentration audit ("how many members make num/den of the
+    value"): per group, the minimum number of members whose summed value
+    (in exact `1/scale` units, members ranked by value desc then id)
+    reaches num/den of the group total — plus the member count and total.
+    The reach test is pure integer cross-multiplication
+    (den * cum >= num * total), so SQL pins it exactly.
+
+    Two stages, both slim: a combiner reduces to per-(group, member)
+    sums, then ONE coarse exchange on the group ranks all of a
+    partition's groups in a single lexsort + segment scan."""
+    import pandas as pd
+
+    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    def to_units(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or value_column not in batch.column_names:
+            return pa.schema(
+                [
+                    (group_column, pa.string()),
+                    (member_column, pa.int64()),
+                    ("v_u", pa.int64()),
+                ]
+            ).empty_table()
+        v = np.round(
+            batch.column(value_column).to_numpy(zero_copy_only=False)
+            * float(scale)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                group_column: batch.column(group_column),
+                member_column: batch.column(member_column),
+                "v_u": pa.array(v),
+            }
+        )
+
+    units = ds.select_columns(
+        [group_column, member_column, value_column]
+    ).map_batches(to_units, batch_format="pyarrow")
+    per_member = partial_multi_sum_count(
+        units, [group_column, member_column], ["v_u"], alias={"v_u": "mv"}
+    )
+
+    def rank_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                group_column: pd.Series(dtype=object),
+                "n_top": pd.Series(dtype=np.int64),
+                "n_members": pd.Series(dtype=np.int64),
+                "total_units": pd.Series(dtype=np.int64),
+            }
+        )
+        if df.empty or group_column not in df.columns:
+            return empty
+        g = df[group_column].to_numpy()
+        m = df[member_column].to_numpy(dtype=np.int64)
+        v = df["mv"].to_numpy(dtype=np.int64)
+        _, gcodes = np.unique(g, return_inverse=True)
+        # rank by value DESC then member id ASC within each group
+        order = np.lexsort((m, -v, gcodes))
+        g, gcodes, v = g[order], gcodes[order], v[order]
+        new = np.concatenate(([True], gcodes[1:] != gcodes[:-1]))
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        n_seg = len(starts)
+        sizes = np.diff(np.concatenate((starts, [len(g)])))
+        totals = np.bincount(seg, weights=v, minlength=n_seg).astype(np.int64)
+        cum = np.cumsum(v)
+        base = np.concatenate(
+            (np.zeros(1, dtype=np.int64), cum[starts[1:] - 1])
+        )
+        cum_in = cum - base[seg]
+        miss = (den * cum_in < num * totals[seg]).astype(np.int64)
+        n_top = np.bincount(seg, weights=miss, minlength=n_seg).astype(np.int64) + 1
+        # groups whose total is 0 reach trivially with the first member
+        n_top = np.minimum(n_top, sizes)
+        return pd.DataFrame(
+            {
+                group_column: g[starts],
+                "n_top": n_top,
+                "n_members": sizes.astype(np.int64),
+                "total_units": totals,
+            }
+        )
+
+    return coarse_group_apply(per_member, group_column, rank_partition)
