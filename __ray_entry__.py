@@ -2613,6 +2613,53 @@ def _q_price_deciles(sf_dir: str):
     return decile_summary(li, "l_extendedprice", scale=100)
 
 
+def _q_orders_checksum(sf_dir: str):
+    """Order-independent content checksum of (key, status): the O(1)-state
+    snapshot-integrity primitive behind `snapshot_diff`."""
+    from opentapioca_ray.stages.quality import table_checksum
+
+    orders = _rel(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    return table_checksum(orders, ["o_orderkey", "o_orderstatus"])
+
+
+def _q_multipass_pairs(sf_dir: str):
+    """Multi-pass blocking union with provenance: first-token blocks
+    (bit 1) UNION sorted-neighborhood prefix window (bit 2); `schemes` is
+    the bit-OR of the passes proposing each pair."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.textstats import whitespace_token_lists
+    from opentapioca_ray.stages.snm import block_key_pairs, multi_pass_pairs
+
+    def bkeys(batch: pa.Table) -> pa.Table:
+        toks = whitespace_token_lists(batch, "text")
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        nonempty = offsets[1:] > offsets[:-1]
+        first = np.full(batch.num_rows, "", dtype=object)
+        if nonempty.any():
+            first[nonempty] = (
+                toks.values.take(pa.array(offsets[:-1][nonempty]))
+                .to_numpy(zero_copy_only=False)
+            )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "bkey": pa.array(first, pa.string()),
+            }
+        )
+
+    docs = _docs(sf_dir)
+    blocked = docs.select_columns(["doc_id", "text"]).map_batches(
+        bkeys, batch_format="pyarrow"
+    )
+    bp = block_key_pairs(blocked, "bkey", "doc_id", max_block_size=4096)
+    sp = _q_snm_pairs(sf_dir).select_columns(["u", "v"])
+    return multi_pass_pairs([(bp, 1), (sp, 2)])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -2724,6 +2771,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": _q_k_anonymity,
         "pareto_users": _q_pareto_users,
         "price_deciles": _q_price_deciles,
+        "orders_checksum": _q_orders_checksum,
+        "multipass_pairs": _q_multipass_pairs,
     }
 
 
@@ -3970,6 +4019,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY v_units, event_id)
                         AS BIGINT) AS row_idx
             FROM u
+        """,
+        "orders_checksum": """
+            WITH h AS (
+              SELECT ('0x' || substr(md5(
+                       CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus
+                     ), 1, 16))::UBIGINT AS hv
+              FROM orders
+            ), s AS (
+              SELECT sum(CAST(hv AS HUGEINT)) AS t FROM h
+            )
+            SELECT CAST((t % 18446744073709551616) // 4294967296 AS BIGINT)
+                     AS hi,
+                   CAST((t % 18446744073709551616) % 4294967296 AS BIGINT)
+                     AS lo
+            FROM s
+        """,
+        "multipass_pairs": """
+            WITH k AS (
+              SELECT doc_id,
+                     CASE WHEN trim(text) = '' THEN ''
+                     ELSE regexp_split_to_array(trim(text), '\\s+')[1]
+                     END AS bkey
+              FROM documents
+            ), bp AS (
+              SELECT a.doc_id AS u, b.doc_id AS v, 1 AS s
+              FROM k a JOIN k b
+                ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+            ), r AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       ORDER BY substr(COALESCE(text, ''), 1, 40), doc_id
+                     ) AS rn
+              FROM documents
+            ), sp AS (
+              SELECT least(a.doc_id, b.doc_id) AS u,
+                     greatest(a.doc_id, b.doc_id) AS v, 2 AS s
+              FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 5
+            ), un AS (
+              SELECT * FROM bp UNION ALL SELECT * FROM sp
+            )
+            SELECT u, v, CAST(sum(s) AS BIGINT) AS schemes
+            FROM un GROUP BY u, v
         """,
         "k_anonymity": """
             SELECT c_nationkey, c_mktsegment, count(*) AS n

@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "k_anonymity",
     "pareto_users",
     "price_deciles",
+    "orders_checksum",
+    "multipass_pairs",
 ]
 
 

@@ -373,3 +373,60 @@ def pareto_count(
         )
 
     return coarse_group_apply(per_member, group_column, rank_partition)
+
+
+def table_checksum(ds, columns: list[str], sep: str = "|"):
+    """Order-independent content checksum of a table: the mod-2^64 sum of
+    the big-endian first 8 md5 bytes of each row's `sep`-joined string
+    serialization. Two snapshots are content-identical iff their checksums
+    match — the O(1)-state integrity primitive behind snapshot
+    reconciliation (`snapshot_diff` tells you WHAT changed; this tells you
+    WHETHER, at a millionth of the cost). Addition is commutative, so the
+    checksum is partition-order-invariant by construction.
+
+    Pure map + driver sum of one uint64 per block — no exchange at all.
+    Returns a 1-row table (hi, lo): the 64-bit sum split into two int64s
+    so SQL HUGEINT arithmetic pins it exactly."""
+    import hashlib
+
+    import ray
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or columns[0] not in batch.column_names:
+            return pa.table({"_psum": pa.array([], type=pa.uint64())})
+        parts = [
+            np.asarray(
+                [str(x) for x in batch.column(c).to_numpy(zero_copy_only=False)],
+                dtype=object,
+            )
+            for c in columns
+        ]
+        rows = parts[0]
+        for p in parts[1:]:
+            rows = np.char.add(np.char.add(rows.astype(str), sep), p.astype(str))
+        digests = b"".join(
+            hashlib.md5(r.encode("utf-8")).digest()[:8] for r in rows
+        )
+        hv = np.frombuffer(digests, dtype=">u8").astype(np.uint64)
+        with np.errstate(over="ignore"):
+            s = np.uint64(hv.sum(dtype=np.uint64))
+        return pa.table({"_psum": pa.array([s], type=pa.uint64())})
+
+    total = np.uint64(0)
+    partials = ds.select_columns(columns).map_batches(
+        partial, batch_format="pyarrow"
+    )
+    for ref in partials.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "_psum" not in t.column_names:
+            continue
+        vals = t.column("_psum").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            total = np.uint64(total + np.uint64(vals.sum(dtype=np.uint64)))
+    total_int = int(total)
+    return pa.table(
+        {
+            "hi": pa.array([total_int >> 32], type=pa.int64()),
+            "lo": pa.array([total_int & 0xFFFFFFFF], type=pa.int64()),
+        }
+    )

@@ -301,3 +301,102 @@ def sorted_neighborhood_pairs(
         )
 
     return coarse_group_apply(chunked, "chunk", pair_partition, n_parts=n_parts)
+
+
+def block_key_pairs(
+    ds,
+    key_column: str,
+    id_column: str,
+    max_block_size: int = 512,
+    window: int = 16,
+    n_parts: int | None = None,
+):
+    """All candidate pairs sharing a blocking key, canonicalized to
+    (u, v) with u < v by id. Oversized blocks fall back to the
+    sorted-neighborhood window by id — the standard skew guard used across
+    this repo (documented recall loss, sized so oracle-scale inputs never
+    hit it). ONE coarse exchange on the key; the partition kernel pairs
+    ALL its blocks vectorized."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply, segment_starts
+
+    def pair_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
+        )
+        if df.empty:
+            return empty
+        keys = df[key_column].to_numpy()
+        ids = df[id_column].to_numpy(dtype=np.int64)
+        _, kcodes = np.unique(keys, return_inverse=True)
+        order = np.lexsort((ids, kcodes))
+        kcodes, ids = kcodes[order], ids[order]
+        first = np.concatenate(
+            ([True], (kcodes[1:] != kcodes[:-1]) | (ids[1:] != ids[:-1]))
+        )
+        kcodes, ids = kcodes[first], ids[first]
+        starts = segment_starts(kcodes)
+        ends = np.concatenate((starts[1:], [len(kcodes)]))
+        out_u, out_v = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            if n <= max_block_size:
+                iu, ju = np.triu_indices(n, k=1)
+            else:
+                offs = np.arange(1, window + 1)
+                iu = np.repeat(np.arange(n), window)
+                ju = iu + np.tile(offs, n)
+                keep = ju < n
+                iu, ju = iu[keep], ju[keep]
+            out_u.append(ids[iu + s])
+            out_v.append(ids[ju + s])
+        if not out_u:
+            return empty
+        return pd.DataFrame(
+            {"u": np.concatenate(out_u), "v": np.concatenate(out_v)}
+        )
+
+    slim = ds.select_columns([id_column, key_column])
+    return coarse_group_apply(slim, key_column, pair_partition, n_parts=n_parts)
+
+
+def multi_pass_pairs(pair_sets: list):
+    """Multi-pass blocking union with provenance: given [(pairs_ds, bit)]
+    where each dataset holds canonical (u, v) pairs emitted AT MOST ONCE
+    per scheme, returns (u, v, schemes) with `schemes` the bit-OR of the
+    passes that proposed the pair. Classic ER practice (Hernandez &
+    Stolfo 1995 multi-pass sorted neighborhood): cheap independent keys
+    whose UNION recovers recall any single key misses.
+
+    One tagged union + ONE coarse (u, v) merge (bits are disjoint, so sum
+    == OR); no pair payloads ride the exchange."""
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    def tag(bit: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "u" not in batch.column_names:
+                return pa.schema(
+                    [("u", pa.int64()), ("v", pa.int64()), ("schemes", pa.int64())]
+                ).empty_table()
+            u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+            v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "u": pa.array(np.minimum(u, v)),
+                    "v": pa.array(np.maximum(u, v)),
+                    "schemes": pa.array(
+                        np.full(batch.num_rows, bit, dtype=np.int64)
+                    ),
+                }
+            )
+
+        return fn
+
+    tagged = None
+    for ds_i, bit in pair_sets:
+        t = ds_i.map_batches(tag(bit), batch_format="pyarrow")
+        tagged = t if tagged is None else tagged.union(t)
+    return coarse_groupby_agg(tagged, ["u", "v"], {"schemes": ("schemes", "sum")})
