@@ -2660,6 +2660,56 @@ def _q_multipass_pairs(sf_dir: str):
     return multi_pass_pairs([(bp, 1), (sp, 2)])
 
 
+def _split_docs(sf_dir: str):
+    """Deterministic delta split of documents: doc_id % 10 == 0 is the NEW
+    delta, the rest is the existing corpus."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def side_filter(new_side: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column("doc_id")
+            rem = pc.subtract(keys, pc.multiply(pc.divide(keys, 10), 10))
+            mask = pc.equal(rem, 0) if new_side else pc.not_equal(rem, 0)
+            return batch.filter(mask)
+
+        return fn
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    return (
+        docs.map_batches(side_filter(True), batch_format="pyarrow"),
+        docs.map_batches(side_filter(False), batch_format="pyarrow"),
+    )
+
+
+def _q_incremental_dedup(sf_dir: str):
+    """Streaming dedup: exact n-gram Jaccard pairs of the NEW delta
+    (doc_id % 10 == 0) against the EXISTING corpus only — never
+    corpus x corpus."""
+    from opentapioca_ray.stages.dedup import incremental_jaccard_pairs
+
+    new_docs, old_docs = _split_docs(sf_dir)
+    return incremental_jaccard_pairs(
+        new_docs, old_docs, "doc_id", "text", k=3, threshold=0.3
+    )
+
+
+def _q_cluster_survivorship(sf_dir: str):
+    """Canonical-record merge: per near-dup cluster and attribute
+    (lang, source), the majority value with a deterministic tie-break."""
+    from opentapioca_ray.stages.cc import connected_components
+    from opentapioca_ray.stages.dedup import ngram_jaccard_pairs
+    from opentapioca_ray.stages.matching import survivorship
+
+    docs = _docs(sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, id_column="doc_id", text_column="text", k=3, threshold=0.5
+    )
+    comp = connected_components(pairs.select_columns(["u", "v"]))
+    attrs = docs.select_columns(["doc_id", "lang", "source"])
+    return survivorship(comp, attrs, "doc_id", ["lang", "source"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -2773,6 +2823,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_deciles": _q_price_deciles,
         "orders_checksum": _q_orders_checksum,
         "multipass_pairs": _q_multipass_pairs,
+        "incremental_dedup": _q_incremental_dedup,
+        "cluster_survivorship": _q_cluster_survivorship,
     }
 
 
@@ -4019,6 +4071,111 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY v_units, event_id)
                         AS BIGINT) AS row_idx
             FROM u
+        """,
+        "incremental_dedup": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                END AS gs
+              FROM toks WHERE len(arr) > 0
+            ),
+            ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              FROM ex a JOIN ex b
+                ON a.g = b.g
+               AND a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+            )
+            SELECT u, v,
+                   len(list_intersect(ga.gs, gb.gs))::double
+                     / (len(ga.gs) + len(gb.gs)
+                        - len(list_intersect(ga.gs, gb.gs)))::double
+                     AS jaccard
+            FROM cand
+            JOIN grams ga ON ga.doc_id = cand.u
+            JOIN grams gb ON gb.doc_id = cand.v
+            WHERE len(list_intersect(ga.gs, gb.gs))::double
+                  / (len(ga.gs) + len(gb.gs)
+                     - len(list_intersect(ga.gs, gb.gs)))::double >= 0.3
+        """,
+        "cluster_survivorship": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                END AS gs
+              FROM toks WHERE len(arr) > 0
+            ),
+            ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            pairs AS (
+              SELECT u, v
+              FROM cand
+              JOIN grams ga ON ga.doc_id = cand.u
+              JOIN grams gb ON gb.doc_id = cand.v
+              WHERE len(list_intersect(ga.gs, gb.gs))::double
+                    / (len(ga.gs) + len(gb.gs)
+                       - len(list_intersect(ga.gs, gb.gs)))::double >= 0.5
+            ),
+            edges AS (
+              SELECT u AS a, v AS b FROM pairs
+              UNION ALL
+              SELECT v AS a, u AS b FROM pairs
+            ),
+            lab(v, l) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, lab.l FROM edges e JOIN lab ON lab.v = e.b
+            ),
+            comp AS (SELECT v AS doc_id, min(l) AS component FROM lab GROUP BY v),
+            melted AS (
+              SELECT c.component, 'lang' AS attr, d.lang AS value
+              FROM comp c JOIN documents d USING (doc_id)
+              UNION ALL
+              SELECT c.component, 'source' AS attr, d.source AS value
+              FROM comp c JOIN documents d USING (doc_id)
+            ),
+            votes AS (
+              SELECT component, attr, value, count(*) AS n_votes
+              FROM melted GROUP BY component, attr, value
+            ),
+            ranked AS (
+              SELECT component, attr, value, n_votes,
+                     row_number() OVER (
+                       PARTITION BY component, attr
+                       ORDER BY n_votes DESC, value
+                     ) AS rk
+              FROM votes
+            )
+            SELECT CAST(component AS BIGINT) AS component, attr, value,
+                   CAST(n_votes AS BIGINT) AS n_votes
+            FROM ranked WHERE rk = 1
         """,
         "orders_checksum": """
             WITH h AS (

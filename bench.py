@@ -112,6 +112,8 @@ BENCH_QUERIES = [
     "price_deciles",
     "orders_checksum",
     "multipass_pairs",
+    "incremental_dedup",
+    "cluster_survivorship",
 ]
 
 

@@ -1166,3 +1166,124 @@ def ngram_containment_pairs(
         )
 
     return pair_counts.map_batches(finish, batch_format="pyarrow")
+
+
+def incremental_jaccard_pairs(
+    new_ds,
+    old_ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    n_parts: int | None = None,
+):
+    """Streaming-dedup primitive: exact n-gram Jaccard pairs between a
+    NEW delta and the EXISTING corpus only — never corpus x corpus (the
+    re-pairing a production ingest cannot afford). Same pair-multiplicity
+    identity as `ngram_jaccard_pairs`; the gram exchange carries a side
+    bit, the kernel emits cross-side pairs only, and the (u, v) merge sums
+    the partial intersections. Returns (u, v, jaccard) with u the NEW
+    doc's id and jaccard >= threshold.
+
+    Contract: the two inputs are disjoint id spaces (the delta's ids are
+    new); a doc present in both sides would pair with itself."""
+    import pandas as pd
+
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply, coarse_groupby_agg
+    from opentapioca_ray.stages.pairs import prefilter_singleton_blocks
+    from opentapioca_ray.stages.triangles import _segment_pairs
+
+    def explode(ds, side: int):
+        def add_side(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "side", pa.array(np.full(batch.num_rows, side, dtype=np.int64))
+            )
+
+        return ds.map_batches(
+            lambda b: gram_doc_rows(b, id_column, text_column, k),
+            batch_format="pyarrow",
+        ).map_batches(add_side, batch_format="pyarrow")
+
+    exploded = explode(new_ds, 0).union(explode(old_ds, 1))
+    exploded = prefilter_singleton_blocks(
+        exploded.map_batches(
+            lambda b: b.rename_columns(["block_key", "doc_id", "n_grams", "side"]),
+            batch_format="pyarrow",
+        ),
+        min_size=2,
+        max_size=max_df,
+    ).map_batches(
+        lambda b: b.rename_columns(["gram", "doc_id", "n_grams", "side"]),
+        batch_format="pyarrow",
+    )
+
+    def cross_pair_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                c: pd.Series(dtype=np.int64)
+                for c in ("u", "v", "inter", "na", "nb")
+            }
+        )
+        if df.empty:
+            return empty
+        codes, _ = pd.factorize(df["gram"].to_numpy())
+        ids = df["doc_id"].to_numpy(dtype=np.int64)
+        ngr = df["n_grams"].to_numpy(dtype=np.int64)
+        side = df["side"].to_numpy(dtype=np.int64)
+        o = np.lexsort((ids, side, codes))
+        codes, ids, ngr, side = codes[o], ids[o], ngr[o], side[o]
+        li, ri = _segment_pairs(codes)
+        if len(li) == 0:
+            return empty
+        # sides ascend within a segment, so cross-side pairs have
+        # side[li] == 0 (new) and side[ri] == 1 (old)
+        cross = side[li] != side[ri]
+        li, ri = li[cross], ri[cross]
+        if len(li) == 0:
+            return empty
+        # rows are distinct (gram, doc): multiplicity over compacted pairs
+        _, inv = np.unique(ids, return_inverse=True)
+        packed = (
+            inv[li].astype(np.uint64) << np.uint64(32)
+        ) | inv[ri].astype(np.uint64)
+        _, idx0, inter = np.unique(packed, return_index=True, return_counts=True)
+        return pd.DataFrame(
+            {
+                "u": ids[li[idx0]],
+                "v": ids[ri[idx0]],
+                "inter": inter.astype(np.int64),
+                "na": ngr[li[idx0]],
+                "nb": ngr[ri[idx0]],
+            }
+        )
+
+    partial = coarse_group_apply(
+        exploded, "gram", cross_pair_partition, n_parts=n_parts
+    )
+    pair_counts = coarse_groupby_agg(
+        partial,
+        ["u", "v"],
+        {"inter": ("inter", "sum"), "na": ("na", "max"), "nb": ("nb", "max")},
+        n_parts=n_parts,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return _NGRAM_EMPTY
+        inter = batch.column("inter").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch.column("na").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch.column("nb").to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = inter / (na + nb - inter)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "u": pc.cast(batch.column("u"), pa.int64()).filter(pa.array(keep)),
+                "v": pc.cast(batch.column("v"), pa.int64()).filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep], type=pa.float64()),
+            }
+        )
+
+    return pair_counts.map_batches(finish, batch_format="pyarrow")

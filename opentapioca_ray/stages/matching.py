@@ -96,3 +96,113 @@ def mutual_best_match(
         )
 
     return counted.map_batches(mutual, batch_format="pyarrow")
+
+
+def survivorship(
+    assign_ds,
+    attr_ds,
+    id_column: str,
+    attr_columns: list[str],
+    node_column: str = "node",
+    component_column: str = "component",
+):
+    """Canonical-record merge (survivorship): per cluster and attribute,
+    the MAJORITY value — most frequent wins, ties break on the lexically
+    smallest value — the deterministic merge rule record-linkage systems
+    apply after clustering (Christen 2012, ch. 6 data fusion). Output:
+    (component, attr, value, n_votes).
+
+    Scale shape: ONE reduce-side join attaches the component to each
+    member's attributes (shuffle_join — neither side broadcast); the
+    melted (component, attr, value) votes reduce with the combiner
+    counter, and the winner per (component, attr) is the combiner-first
+    grouped argmin on (-votes, value)."""
+    from opentapioca_ray.stages.aggregates import (
+        group_arg_extreme,
+        partial_multi_sum_count,
+    )
+    from opentapioca_ray.stages.relational import shuffle_join
+
+    joined = shuffle_join(
+        attr_ds.select_columns([id_column] + attr_columns),
+        assign_ds,
+        id_column,
+        node_column,
+        [component_column],
+        how="inner",
+    )
+
+    def melt(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or component_column not in batch.column_names:
+            return pa.schema(
+                [
+                    ("component", pa.int64()),
+                    ("attr", pa.string()),
+                    ("value", pa.string()),
+                ]
+            ).empty_table()
+        comp = batch.column(component_column).cast(pa.int64())
+        parts = []
+        for col in attr_columns:
+            vals = batch.column(col).to_numpy(zero_copy_only=False)
+            parts.append(
+                pa.table(
+                    {
+                        "component": comp,
+                        "attr": pa.array(
+                            np.full(batch.num_rows, col, dtype=object),
+                            type=pa.string(),
+                        ),
+                        "value": pa.array(
+                            np.asarray([str(x) for x in vals], dtype=object),
+                            type=pa.string(),
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    votes = partial_multi_sum_count(
+        joined.map_batches(melt, batch_format="pyarrow"),
+        ["component", "attr", "value"],
+        [],
+        alias={"count": "n_votes"},
+    )
+
+    def neg(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n_votes" not in batch.column_names:
+            return pa.schema(
+                [
+                    ("component", pa.int64()),
+                    ("attr", pa.string()),
+                    ("value", pa.string()),
+                    ("n_votes", pa.int64()),
+                    ("_neg", pa.int64()),
+                ]
+            ).empty_table()
+        n = batch.column("n_votes").cast(pa.int64())
+        import pyarrow.compute as pc
+
+        return batch.append_column("_neg", pc.negate(n))
+
+    winners = group_arg_extreme(
+        votes.map_batches(neg, batch_format="pyarrow"),
+        ["component", "attr"],
+        ["_neg", "value"],
+        ["n_votes"],
+        ascending=True,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "component" not in batch.column_names:
+            return pa.schema(
+                [
+                    ("component", pa.int64()),
+                    ("attr", pa.string()),
+                    ("value", pa.string()),
+                    ("n_votes", pa.int64()),
+                ]
+            ).empty_table()
+        return batch.select(["component", "attr", "value", "n_votes"])
+
+    return winners.map_batches(finish, batch_format="pyarrow")

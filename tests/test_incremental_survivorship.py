@@ -1,0 +1,66 @@
+"""Incremental cross-side dedup and cluster survivorship."""
+
+import pyarrow as pa
+
+
+def test_incremental_jaccard_pairs_cross_side_only(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.dedup import incremental_jaccard_pairs
+
+    base = "alpha beta gamma delta epsilon"
+    new = pa.table(
+        {
+            "doc_id": [100, 101],
+            "text": [base, "totally different content here now"],
+        }
+    )
+    # old corpus: 1 near-identical to doc 100, plus two docs that are
+    # near-identical to EACH OTHER (must NOT pair: both are old)
+    old = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [base + " zeta", base + " zeta eta", base + " zeta"],
+        }
+    )
+    out = incremental_jaccard_pairs(
+        ray.data.from_arrow(new).repartition(2),
+        ray.data.from_arrow(old).repartition(2),
+        threshold=0.3,
+    ).to_pandas()
+    got = set(zip(out["u"], out["v"]))
+    # doc 100 pairs with all three olds (shared prefix grams); old-old and
+    # new-new pairs never appear
+    assert got == {(100, 1), (100, 2), (100, 3)}
+    assert all(u >= 100 and v < 100 for u, v in got)
+
+
+def test_survivorship_majority_with_tiebreak(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.matching import survivorship
+
+    assign = pa.table(
+        {
+            "node": [1, 2, 3, 4, 5],
+            "component": [1, 1, 1, 4, 4],
+        }
+    )
+    attrs = pa.table(
+        {
+            "id": [1, 2, 3, 4, 5],
+            "lang": ["en", "en", "fr", "de", "zh"],
+        }
+    )
+    out = survivorship(
+        ray.data.from_arrow(assign).repartition(2),
+        ray.data.from_arrow(attrs).repartition(2),
+        "id",
+        ["lang"],
+    ).to_pandas()
+    got = {
+        (r["component"], r["attr"]): (r["value"], r["n_votes"])
+        for _, r in out.iterrows()
+    }
+    # component 1: en wins 2-1; component 4: tie de/zh -> lexical min 'de'
+    assert got == {(1, "lang"): ("en", 2), (4, "lang"): ("de", 1)}
