@@ -2710,6 +2710,144 @@ def _q_cluster_survivorship(sf_dir: str):
     return survivorship(comp, attrs, "doc_id", ["lang", "source"])
 
 
+def _q_ab_conversion(sf_dir: str):
+    """Experimentation lift readout: users split A/B by md5 bucket
+    (identical assignment on any cluster shape); per arm, distinct users
+    and distinct converters (>= 1 purchase). Combiner-first: per-user any
+    flag -> bucket counts; the event table never re-shuffles."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+    from opentapioca_ray.stages.sketches import _md5_u64
+
+    ev = _rel(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return pa.schema(
+                [("user_id", pa.int64()), ("p", pa.int64())]
+            ).empty_table()
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "p": pa.array((et == "purchase").astype(np.int64)),
+            }
+        )
+
+    per_user = coarse_groupby_agg(
+        ev.map_batches(flags, batch_format="pyarrow"),
+        ["user_id"],
+        {"p": ("p", "max")},
+    )
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return pa.schema(
+                [("arm", pa.int64()), ("p", pa.int64())]
+            ).empty_table()
+        ids = batch.column("user_id").to_numpy(zero_copy_only=False)
+        arm = (_md5_u64(ids) % np.uint64(2)).astype(np.int64)
+        return pa.table({"arm": pa.array(arm), "p": batch.column("p")})
+
+    armed = per_user.map_batches(bucketize, batch_format="pyarrow")
+    return partial_sum_count(
+        armed, "arm", ["p"], alias={"p": "n_converted", "count": "n_users"}
+    )
+
+
+def _q_first_event_per_day(sf_dir: str):
+    """Windowed compaction: per (user, UTC day) the FIRST event by
+    (ts, event_id) — the keep-first dedup every sessionized ingest runs."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.aggregates import group_arg_extreme
+
+    ev = _rel(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"],
+    )
+
+    def add_day(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "ts" not in batch.column_names:
+            return pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("day", pa.int64()),
+                    ("tus", pa.int64()),
+                    ("event_id", pa.int64()),
+                    ("event_type", pa.string()),
+                ]
+            ).empty_table()
+        tus = batch.column("ts").to_numpy(zero_copy_only=False).astype(
+            "datetime64[us]"
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "day": pa.array(tus // 86_400_000_000),
+                "tus": pa.array(tus),
+                "event_id": batch.column("event_id"),
+                "event_type": batch.column("event_type"),
+            }
+        )
+
+    days = ev.map_batches(add_day, batch_format="pyarrow")
+    out = group_arg_extreme(
+        days,
+        ["user_id", "day"],
+        ["tus", "event_id"],
+        ["event_type"],
+        ascending=True,
+    )
+    return out.map_batches(
+        lambda b: b.select(["user_id", "day", "event_id", "event_type"])
+        if b.num_rows and "user_id" in b.column_names
+        else pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("day", pa.int64()),
+                ("event_id", pa.int64()),
+                ("event_type", pa.string()),
+            ]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+
+
+def _q_hot_keys(sf_dir: str):
+    """Skew diagnostic: the 10 hottest first-token blocking keys with
+    row counts — the hot-key detector a shuffle planner consults before
+    salting. Combiner counts + per-block top-k, no global sort."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.textstats import whitespace_token_lists
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+    from opentapioca_ray.stages.selection import global_top_k
+
+    def bkeys(batch: pa.Table) -> pa.Table:
+        toks = whitespace_token_lists(batch, "text")
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        nonempty = offsets[1:] > offsets[:-1]
+        first = np.full(batch.num_rows, "", dtype=object)
+        if nonempty.any():
+            first[nonempty] = (
+                toks.values.take(pa.array(offsets[:-1][nonempty]))
+                .to_numpy(zero_copy_only=False)
+            )
+        return pa.table({"bkey": pa.array(first, pa.string())})
+
+    keys = _docs(sf_dir).select_columns(["text"]).map_batches(
+        bkeys, batch_format="pyarrow"
+    )
+    counts = partial_sum_count(keys, "bkey", [], alias={"count": "n"})
+    return global_top_k(counts, "n", 10, "bkey", descending=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -2825,6 +2963,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multipass_pairs": _q_multipass_pairs,
         "incremental_dedup": _q_incremental_dedup,
         "cluster_survivorship": _q_cluster_survivorship,
+        "ab_conversion": _q_ab_conversion,
+        "first_event_per_day": _q_first_event_per_day,
+        "hot_keys": _q_hot_keys,
     }
 
 
@@ -4071,6 +4212,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY v_units, event_id)
                         AS BIGINT) AS row_idx
             FROM u
+        """,
+        "ab_conversion": """
+            WITH pu AS (
+              SELECT user_id,
+                     max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS p
+              FROM events GROUP BY user_id
+            )
+            SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 16)
+                        )::UBIGINT % 2 AS BIGINT) AS arm,
+                   CAST(sum(p) AS BIGINT) AS n_converted,
+                   count(*) AS n_users
+            FROM pu GROUP BY arm
+        """,
+        "first_event_per_day": """
+            WITH d AS (
+              SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                     event_id, event_type,
+                     row_number() OVER (
+                       PARTITION BY user_id, epoch_us(ts) // 86400000000
+                       ORDER BY ts, event_id
+                     ) AS rk
+              FROM events
+            )
+            SELECT user_id, CAST(day AS BIGINT) AS day, event_id, event_type
+            FROM d WHERE rk = 1
+        """,
+        "hot_keys": """
+            WITH k AS (
+              SELECT CASE WHEN trim(text) = '' THEN ''
+                     ELSE regexp_split_to_array(trim(text), '\\s+')[1]
+                     END AS bkey
+              FROM documents
+            )
+            SELECT bkey, count(*) AS n
+            FROM k GROUP BY bkey
+            ORDER BY n DESC, bkey
+            LIMIT 10
         """,
         "incremental_dedup": f"""
             WITH toks AS (

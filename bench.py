@@ -114,6 +114,9 @@ BENCH_QUERIES = [
     "multipass_pairs",
     "incremental_dedup",
     "cluster_survivorship",
+    "ab_conversion",
+    "first_event_per_day",
+    "hot_keys",
 ]
 
 
