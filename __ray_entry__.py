@@ -2848,6 +2848,26 @@ def _q_hot_keys(sf_dir: str):
     return global_top_k(counts, "n", 10, "bkey", descending=True)
 
 
+def _q_two_hop_candidates(sf_dir: str):
+    """Candidate expansion over the fuzzy match graph: node pairs joined
+    through a common neighbor but not yet edges, with the common-neighbor
+    count (the transitive candidates a second matching round scores)."""
+    from opentapioca_ray.stages.graphops import two_hop_pairs
+
+    return two_hop_pairs(_q_fuzzy_customer_pairs(sf_dir))
+
+
+def _q_sparsify_fuzzy(sf_dir: str):
+    """Degree-capped sparsification of the fuzzy match graph: each node
+    nominates its 2 lowest-distance edges; an edge survives if either
+    endpoint nominated it (mutual-kNN guard against hub-glued clusters)."""
+    from opentapioca_ray.stages.graphops import sparsify_edges
+
+    return sparsify_edges(
+        _q_fuzzy_customer_pairs(sf_dir), "lev", k=2, ascending=True
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -2966,6 +2986,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ab_conversion": _q_ab_conversion,
         "first_event_per_day": _q_first_event_per_day,
         "hot_keys": _q_hot_keys,
+        "two_hop_candidates": _q_two_hop_candidates,
+        "sparsify_fuzzy": _q_sparsify_fuzzy,
     }
 
 
@@ -4212,6 +4234,49 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY v_units, event_id)
                         AS BIGINT) AS row_idx
             FROM u
+        """,
+        "two_hop_candidates": """
+            WITH p AS (
+              SELECT a.c_custkey AS u, b.c_custkey AS v
+              FROM customer a JOIN customer b
+                ON a.c_nationkey = b.c_nationkey
+               AND a.c_custkey < b.c_custkey
+              WHERE levenshtein(a.c_name, b.c_name) <= 2
+            ), sym AS (
+              SELECT u AS a, v AS b FROM p
+              UNION ALL
+              SELECT v AS a, u AS b FROM p
+            ), cand AS (
+              SELECT s1.b AS u, s2.b AS v, count(*) AS n_mids
+              FROM sym s1 JOIN sym s2
+                ON s1.a = s2.a AND s1.b < s2.b
+              GROUP BY s1.b, s2.b
+            )
+            SELECT c.u, c.v, CAST(c.n_mids AS BIGINT) AS n_mids
+            FROM cand c LEFT JOIN p ON p.u = c.u AND p.v = c.v
+            WHERE p.u IS NULL
+        """,
+        "sparsify_fuzzy": """
+            WITH p AS (
+              SELECT a.c_custkey AS u, b.c_custkey AS v,
+                     levenshtein(a.c_name, b.c_name) AS w
+              FROM customer a JOIN customer b
+                ON a.c_nationkey = b.c_nationkey
+               AND a.c_custkey < b.c_custkey
+              WHERE levenshtein(a.c_name, b.c_name) <= 2
+            ), sym AS (
+              SELECT u AS a, v AS b, w FROM p
+              UNION ALL
+              SELECT v AS a, u AS b, w FROM p
+            ), r AS (
+              SELECT a, b, w,
+                     row_number() OVER (PARTITION BY a ORDER BY w, b) AS rk
+              FROM sym
+            )
+            SELECT least(a, b) AS u, greatest(a, b) AS v,
+                   CAST(max(w) AS BIGINT) AS lev
+            FROM r WHERE rk <= 2
+            GROUP BY least(a, b), greatest(a, b)
         """,
         "ab_conversion": """
             WITH pu AS (

@@ -117,6 +117,8 @@ BENCH_QUERIES = [
     "ab_conversion",
     "first_event_per_day",
     "hot_keys",
+    "two_hop_candidates",
+    "sparsify_fuzzy",
 ]
 
 
