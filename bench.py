@@ -304,7 +304,26 @@ def main() -> None:
         "num_cpus": NUM_CPUS,
     }
     ray.shutdown()
+    # The full record (per-query map) first, then a SHORT headline line LAST:
+    # the driver keeps only the tail of stdout and parses the final line, so
+    # the ~90-entry query map must not be what gets truncated (BENCH_r02 had
+    # `parsed: null` because the long line's leading fields were cut off).
     print(json.dumps(out))
+    print(
+        json.dumps(
+            {
+                "metric": "linkage_files_per_sec",
+                "value": round(head["files_per_sec"], 2),
+                "unit": "files/sec",
+                "headline_sec": round(head["headline_sec"], 3),
+                "headline_reps": max(1, reps),
+                "n_queries": len(queries),
+                "queries_sec_total": round(sum(queries.values()), 3),
+                "sf": SF_DIR,
+                "num_cpus": NUM_CPUS,
+            }
+        )
+    )
 
 
 if __name__ == "__main__":

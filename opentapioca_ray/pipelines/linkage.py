@@ -398,6 +398,7 @@ def _driver_id_pairs(cands_ds, max_block_size: int, window: int):
     import ray
     import ray.data as rd
 
+    DRIVER_COLLECTS["pairs_proportional"] += 1  # candidate rows
     key_chunks, id_chunks, sig_chunks = [], [], []
     for ref in cands_ds.to_arrow_refs():
         t = ray.get(ref)
@@ -507,22 +508,13 @@ def build_id_pairs(
     n_parts = 1024
 
     def add_part(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        # one C-level hash pass for string or int keys alike (never a
+        # per-row Python loop on a shuffle path) — stages/exchange.py
+        from opentapioca_ray.stages.exchange import _coarse_codes
 
-        key = batch.column("block_key")
-        if pa.types.is_string(key.type) or pa.types.is_large_string(key.type):
-            # deterministic across worker processes (NOT builtin hash())
-            import zlib
-
-            part = pa.array(
-                [zlib.crc32(k.encode()) % n_parts for k in key.to_pylist()],
-                type=pa.int64(),
-            )
-        else:
-            part = pc.cast(
-                pc.bit_wise_and(key, pa.scalar(n_parts - 1, key.type)), pa.int64()
-            )
-        return batch.append_column("part", part)
+        return batch.append_column(
+            "part", _coarse_codes(batch.column("block_key"), n_parts)
+        )
 
     def pair_partition(df: pd.DataFrame) -> pd.DataFrame:
         keys = df["block_key"].to_numpy()
@@ -552,14 +544,27 @@ def build_id_pairs(
 
 _DRIVER_ATTACH_LIMIT = 200_000
 
+# Telemetry for the scaling contract: every driver-side collect whose volume
+# is proportional to #pairs / #candidate-files bumps this counter (the
+# broadcast-small-side collects in corpus_stats/train_idf are vocab-bounded
+# and exempt). The distributed paths (mode="shuffle", i.e. what
+# linkage_clusters(distributed=True) forces) must leave it untouched —
+# asserted in tests/test_distributed_modes.py.
+DRIVER_COLLECTS = {"pairs_proportional": 0}
+
 
 def attach_pair_tokens(pairs_ds, files_ds, tokens_cap: int | None = None, mode: str = "auto"):
     """Reduce-side join: ship each candidate file's token prefix (packed as
     one \\x1f string) to its pairs via union + groupby(file_id), one pass per
-    side. The candidate-id set is the broadcast small side (bounded by files
-    that appear in >= 1 pair); at scales where even that outgrows broadcast,
-    swap the `is_in` prefilter for a shuffle semi-join on file_id — same
-    dataflow."""
+    side.
+
+    mode="driver" (small regime, <= _DRIVER_ATTACH_LIMIT pairs): candidate
+    ids come to the driver once for a broadcast `is_in` prefilter and a
+    vectorized dict join. mode="shuffle" (the 100 TB path): NOTHING
+    proportional to #pairs touches the driver — candidate token rows are
+    selected by a distributed semi-join on the slim pair-id column
+    (stages/exchange.coarse_semi_join), then attached to both pair sides
+    with coarse exchanges."""
     import ray
     import pyarrow.compute as pc
 
@@ -568,57 +573,68 @@ def attach_pair_tokens(pairs_ds, files_ds, tokens_cap: int | None = None, mode: 
 
     cap = tokens_cap or TOKENS_CAP
     pairs_ds = pairs_ds.materialize()  # small: deduped candidate pairs
-    # candidate-id broadcast: one vectorized np.unique over the pair id
-    # columns (bounded by 2 x #pairs int64s — the small side by construction;
-    # at scales where even that outgrows broadcast, swap for the coarse-
-    # partition semi-join shape used in `_attach` below)
-    id_chunks = []
-    for ref in pairs_ds.to_arrow_refs():
-        t = ray.get(ref)
-        if t.num_rows == 0 or "left_id" not in t.column_names:
-            continue
-        id_chunks.append(t.column("left_id").to_numpy(zero_copy_only=False))
-        id_chunks.append(t.column("right_id").to_numpy(zero_copy_only=False))
-    if not id_chunks:
+    if pairs_ds.count() == 0:
         return None
-    cand_ids = np.unique(np.concatenate(id_chunks)).astype(np.int64)
-    if not len(cand_ids):
-        return None
-    ids_ref = ray.put(pa.array(cand_ids, type=pa.int64()))
-
-    def token_rows(batch: pa.Table) -> pa.Table:
-        from opentapioca_ray.functions.text import tokenize_flat
-
-        mask = pc.is_in(batch.column("file_id"), value_set=ray.get(ids_ref))
-        t = batch.filter(mask)
-        texts = [(c or "")[:10000] for c in t.column("content").to_pylist()]
-        flat, counts = tokenize_flat(texts)
-        capped = np.minimum(counts, cap)
-        starts = np.cumsum(counts) - counts
-        take_idx = (
-            np.concatenate([np.arange(s, s + c) for s, c in zip(starts, capped)])
-            if len(texts)
-            else np.zeros(0, dtype=np.int64)
-        )
-        offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-        np.cumsum(capped, out=offsets[1:])
-        token_lists = pa.ListArray.from_arrays(
-            pa.array(offsets, type=pa.int32()),
-            pa.array(flat[take_idx], type=pa.string()),
-        )
-        return pa.table(
-            {
-                "file_id": t.column("file_id"),
-                "repo": t.column("repo"),
-                "packed": pc.binary_join(token_lists, "\x1f"),
-            }
-        )
-
-    tokens = files_ds.map_batches(token_rows, batch_format="pyarrow")
-
     if mode == "auto":
         mode = "driver" if pairs_ds.count() <= _DRIVER_ATTACH_LIMIT else "shuffle"
+
+    def make_token_rows(ids_ref):
+        """Tokenize file contents into packed \\x1f-joined prefixes. With
+        `ids_ref` (driver mode) a broadcast `is_in` prefilter keeps only
+        candidate files; without (shuffle mode) every file is tokenized and
+        the semi-join exchange drops non-candidates."""
+
+        def token_rows(batch: pa.Table) -> pa.Table:
+            from opentapioca_ray.functions.text import tokenize_flat
+
+            if ids_ref is not None:
+                mask = pc.is_in(batch.column("file_id"), value_set=ray.get(ids_ref))
+                t = batch.filter(mask)
+            else:
+                t = batch
+            texts = [(c or "")[:10000] for c in t.column("content").to_pylist()]
+            flat, counts = tokenize_flat(texts)
+            capped = np.minimum(counts, cap)
+            starts = np.cumsum(counts) - counts
+            take_idx = (
+                np.concatenate([np.arange(s, s + c) for s, c in zip(starts, capped)])
+                if len(texts)
+                else np.zeros(0, dtype=np.int64)
+            )
+            offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+            np.cumsum(capped, out=offsets[1:])
+            token_lists = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                pa.array(flat[take_idx], type=pa.string()),
+            )
+            return pa.table(
+                {
+                    "file_id": t.column("file_id"),
+                    "repo": t.column("repo"),
+                    "packed": pc.binary_join(token_lists, "\x1f"),
+                }
+            )
+
+        return token_rows
+
     if mode == "driver":
+        # candidate-id broadcast: one vectorized np.unique over the pair id
+        # columns (bounded by 2 x #pairs int64s — small by the mode guard)
+        DRIVER_COLLECTS["pairs_proportional"] += 1
+        id_chunks = []
+        for ref in pairs_ds.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows == 0 or "left_id" not in t.column_names:
+                continue
+            id_chunks.append(t.column("left_id").to_numpy(zero_copy_only=False))
+            id_chunks.append(t.column("right_id").to_numpy(zero_copy_only=False))
+        if not id_chunks:
+            return None
+        cand_ids = np.unique(np.concatenate(id_chunks)).astype(np.int64)
+        if not len(cand_ids):
+            return None
+        ids_ref = ray.put(pa.array(cand_ids, type=pa.int64()))
+        tokens = files_ds.map_batches(make_token_rows(ids_ref), batch_format="pyarrow")
         # Small regime: tokenization stays distributed (the map above); only
         # the packed prefixes of candidate files (bounded by cand_ids x cap)
         # and the deduped pairs come to the driver for a vectorized dict
@@ -627,6 +643,7 @@ def attach_pair_tokens(pairs_ds, files_ds, tokens_cap: int | None = None, mode: 
 
         # vectorized dict join: sorted token-id arrays + two searchsorted
         # lookups over the pair columns (no per-row Python)
+        DRIVER_COLLECTS["pairs_proportional"] += 2  # token rows + pair rows
         tid_c, trepo_c, tpack_c = [], [], []
         for ref in tokens.to_arrow_refs():
             t = ray.get(ref)
@@ -678,12 +695,37 @@ def attach_pair_tokens(pairs_ds, files_ds, tokens_cap: int | None = None, mode: 
         slices = [table.slice(i, step) for i in range(0, table.num_rows, step)]
         return rd.from_arrow(slices or [table])
 
-    # shuffle regime below: the tokens dataset feeds BOTH side-attaches —
-    # materialize once, and collapse the blocks >> rows regime (the filtered
-    # candidate tokens inherit the corpus's block count; Ray's sort groupby
-    # pays per-block task overhead) before the exchanges
-    from opentapioca_ray.stages.exchange import right_size
+    # Shuffle regime below — the 100 TB path. Candidate tokens are selected
+    # by ONE distributed semi-join exchange: every file is tokenized in
+    # place (a local map; packed prefixes are capped, so the exchanged
+    # volume is O(corpus prefixes), the same order as reading the corpus
+    # once), the slim pair-id column (int64s) is unioned in as key rows,
+    # and each hash(file_id) % P partition keeps only files present in some
+    # pair. No driver collect anywhere on this path. The surviving token
+    # set feeds BOTH side-attaches — materialize once, and collapse the
+    # blocks >> rows regime (the filtered candidate tokens inherit the
+    # corpus's block count; Ray's sort groupby pays per-block task
+    # overhead) before the exchanges.
+    from opentapioca_ray.stages.exchange import coarse_semi_join, right_size
 
+    key_schema = pa.schema([("file_id", pa.int64())])
+
+    def pair_id_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "left_id" not in batch.column_names:
+            return key_schema.empty_table()
+        left = batch.select(["left_id"]).rename_columns(["file_id"])
+        right = batch.select(["right_id"]).rename_columns(["file_id"])
+        return pa.concat_tables([left, right]).cast(key_schema)
+
+    token_schema = pa.schema(
+        [("file_id", pa.int64()), ("repo", pa.string()), ("packed", pa.string())]
+    )
+    tokens = coarse_semi_join(
+        files_ds.map_batches(make_token_rows(None), batch_format="pyarrow"),
+        "file_id",
+        pairs_ds.map_batches(pair_id_rows, batch_format="pyarrow"),
+        schema=token_schema,
+    )
     tokens = right_size(tokens.materialize())
     pairs_ds = right_size(pairs_ds)
 
@@ -746,6 +788,11 @@ def attach_pair_tokens(pairs_ds, files_ds, tokens_cap: int | None = None, mode: 
             idx = np.clip(np.searchsorted(tk, mk), 0, len(tk) - 1)
             ok = tk[idx] == mk
             out = mem.loc[ok, carry_names].reset_index(drop=True)
+            # token rows carry nulls in the pair columns, so pandas widened
+            # the ints to float64 across the union — restore the schema dtype
+            for c, typ in carry:
+                if pa.types.is_integer(typ):
+                    out[c] = out[c].astype(np.int64)
             out[f"{prefix}_repo"] = trepo[idx[ok]]
             out[f"{prefix}_packed"] = tpack[idx[ok]]
             return out

@@ -67,17 +67,44 @@ def test_count_edges_modes_agree(ray_session):
 
 
 def test_linkage_distributed_matches_adaptive(ray_session):
-    from opentapioca_ray.pipelines.linkage import linkage_clusters
+    from opentapioca_ray.pipelines.linkage import DRIVER_COLLECTS, linkage_clusters
     from opentapioca_ray.sources.files import read_files
 
     files = read_files("/root/testdata/sf0.001")
     adaptive, _ = linkage_clusters(files, model=None, threshold=0.2)
+    before = DRIVER_COLLECTS["pairs_proportional"]
     dist, _ = linkage_clusters(
         read_files("/root/testdata/sf0.001"), model=None, threshold=0.2, distributed=True
     )
     a = {r["node"]: r["component"] for r in adaptive.take_all()}
     b = {r["node"]: r["component"] for r in dist.take_all()}
     assert a == b and len(a) > 0
+    # the scaling contract: the forced-distributed path moves NOTHING
+    # proportional to #pairs/#candidates through the driver
+    assert DRIVER_COLLECTS["pairs_proportional"] == before
+
+
+def test_attach_pair_tokens_modes_agree(ray_session):
+    from opentapioca_ray.pipelines.linkage import (
+        DRIVER_COLLECTS,
+        attach_pair_tokens,
+        build_id_pairs,
+    )
+
+    files = _files(ray_session)
+    pairs = build_id_pairs(files, mode="driver").materialize()
+    cols = [
+        "left_id", "right_id", "capped", "nb_bands",
+        "left_repo", "left_packed", "right_repo", "right_packed",
+    ]
+    a = attach_pair_tokens(pairs, files, mode="driver").to_pandas()[cols]
+    before = DRIVER_COLLECTS["pairs_proportional"]
+    b = attach_pair_tokens(pairs, files, mode="shuffle").to_pandas()[cols]
+    assert DRIVER_COLLECTS["pairs_proportional"] == before
+    a = a.sort_values(cols).reset_index(drop=True)
+    b = b.sort_values(cols).reset_index(drop=True)
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
 
 
 def test_sorted_edge_arrays_modes_agree(ray_session):
