@@ -42,6 +42,41 @@ def _rel(path: str, columns=None):
     return read_sized(path, columns=columns)
 
 
+_ORACLE_AUX = "/tmp/otr_oracle_aux"
+
+
+def _dump_for_oracle(ds_or_table, name: str) -> None:
+    """Write a (small, deterministic) intermediate to a fixed scratch path so
+    the DuckDB oracle can replay the downstream operator over EXACTLY the
+    same input (the dup_components recipe, extended to pipelines whose edge
+    provenance isn't SQL-expressible: MinHash-scored pairs, fitted k-means
+    centroids). The dump is an intermediate, not the answer — the oracle
+    still recomputes the operator under test (min-label closure / nearest-
+    centroid assignment) independently in SQL."""
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    path = os.path.join(_ORACLE_AUX, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    if isinstance(ds_or_table, pa.Table):
+        pq.write_table(ds_or_table, os.path.join(path, "part-0.parquet"))
+        return
+    ds = ds_or_table.materialize()
+    if ds.count() == 0:
+        # write_parquet of an empty dataset emits no files; the oracle's
+        # read_parquet glob must still resolve
+        pq.write_table(
+            ds.schema().base_schema.empty_table(),
+            os.path.join(path, "part-0.parquet"),
+        )
+        return
+    ds.write_parquet(path)
+
+
 def entry() -> Any:
     """Flagship: files (input_hint shape, derived from documents) ->
     blocking -> pairwise scoring -> connected components -> clusters."""
@@ -567,8 +602,12 @@ def _q_ann_ivf(sf_dir: str):
 def _q_embedding_clusters(sf_dir: str):
     """Distributed k-means (Lloyd's, combiner partials per pass) over the
     embeddings table, reported as per-cluster size + mean assignment cosine.
-    Iterative float numerics — rows-only check; recovery/determinism are
-    pytest-golden (tests/test_cluster.py)."""
+    The fitted centroids are deterministic (seeded init, fixed pass count;
+    pytest-golden in tests/test_cluster.py), so the query dumps them to
+    scratch parquet and the DuckDB oracle independently recomputes the
+    nearest-centroid assignment + per-cluster aggregate in SQL — the
+    assignment/aggregation stages are hash-verified."""
+    import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
     import ray.data
@@ -578,6 +617,15 @@ def _q_embedding_clusters(sf_dir: str):
 
     ds = _rel(f"{sf_dir}/embeddings.parquet")
     cents = kmeans_fit(ds, k=8, iters=5)
+    _dump_for_oracle(
+        pa.table(
+            {
+                "cluster": pa.array(np.arange(len(cents)), type=pa.int64()),
+                "centroid": pa.array(list(cents), type=pa.list_(pa.float64())),
+            }
+        ),
+        "kmeans_centroids",
+    )
     labeled = kmeans_assign(ds, cents)
     agg = partial_sum_count(
         labeled, "cluster", ["cosine"], alias={"cosine": "sum_cosine", "count": "n_vectors"}
@@ -1372,13 +1420,19 @@ def _q_session_errors(sf_dir: str):
 
 
 def _q_linkage_clusters(sf_dir: str):
-    """Flagship linkage over the files table (rows-only; pairwise-F1
-    conformance is pytest-gated)."""
-    from opentapioca_ray.pipelines.linkage import linkage_clusters
+    """Flagship linkage over the files table — HASH-verified end-to-end:
+    the scored match edges are deterministic, so the query dumps its own
+    match-edge set to scratch parquet and the DuckDB oracle replays
+    threshold + min-label transitive closure with a recursive CTE over
+    exactly those edges (the dup_components recipe). Pairwise-F1
+    conformance of the scores themselves is pytest-gated
+    (tests/test_linkage.py)."""
+    from opentapioca_ray.pipelines.linkage import linkage_clusters, match_edges
     from opentapioca_ray.sources.files import read_files
 
     files = read_files(sf_dir)
-    clusters, _ = linkage_clusters(files, model=None, threshold=0.2)
+    clusters, scored = linkage_clusters(files, model=None, threshold=0.2)
+    _dump_for_oracle(match_edges(scored, 0.2), "linkage_edges")
     return clusters
 
 
@@ -4924,9 +4978,61 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, 'bpe_tokens', bpe_tokens FROM t
         """,
-        # embedding_clusters / linkage_clusters: iterative float numerics —
-        # rows-only checks; the semantics are pytest-golden
-        # (tests/test_cluster.py, tests/test_linkage.py).
+        # linkage_clusters / embedding_clusters: edge provenance (MinHash-
+        # scored pairs / fitted centroids) isn't SQL-expressible, so each
+        # query dumps that deterministic intermediate to scratch parquet
+        # (_dump_for_oracle) and the oracle recomputes the downstream
+        # operator — min-label closure / nearest-centroid assignment —
+        # independently in SQL over exactly the same input.
+        "linkage_clusters": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT u, v
+              FROM read_parquet('{_ORACLE_AUX}/linkage_edges/*.parquet')
+            ),
+            edges AS (
+              SELECT u AS a, v AS b FROM pairs
+              UNION ALL
+              SELECT v AS a, u AS b FROM pairs
+            ),
+            lab(v, l) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, lab.l FROM edges e JOIN lab ON lab.v = e.b
+            )
+            SELECT CAST(v AS BIGINT) AS node,
+                   CAST(min(l) AS BIGINT) AS component
+            FROM lab GROUP BY v
+        """,
+        "embedding_clusters": f"""
+            WITH c AS (
+              SELECT cluster, centroid
+              FROM read_parquet('{_ORACLE_AUX}/kmeans_centroids/*.parquet')
+            ),
+            e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ),
+            n AS (
+              SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+            ),
+            sims AS (
+              SELECT n.vec_id, c.cluster,
+                     list_dot_product(n.v, c.centroid)
+                       / (CASE WHEN n.nrm = 0 THEN 1.0 ELSE n.nrm END) AS cos
+              FROM n CROSS JOIN c
+            ),
+            best AS (
+              SELECT vec_id, cluster, cos,
+                     row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY cos DESC, cluster ASC) AS rn
+              FROM sims
+            )
+            SELECT cluster,
+                   CAST(count(*) AS BIGINT) AS n_vectors,
+                   round(sum(cos) / count(*), 6) AS mean_cosine
+            FROM best WHERE rn = 1
+            GROUP BY cluster
+        """,
     }
     # ann_recall composes the two existing ANN twins so the evaluation
     # harness itself is value-checked (recall@10 of the IVF index against

@@ -870,10 +870,18 @@ def weighted_median(
         cum = np.cumsum(w_s)
         base = np.concatenate((np.zeros(1, dtype=np.int64), cum[starts[1:] - 1]))
         cum_in = cum - base[seg]
-        # first row per segment where 2*cum_in >= total: count the misses
-        miss = (2 * cum_in < totals[seg]).astype(np.int64)
-        n_miss = np.bincount(seg, weights=miss, minlength=n_seg).astype(np.int64)
-        idx = starts + n_miss
+        # EARLIEST row per segment where 2*cum_in >= total — the true
+        # min-over-reach-set (SQL's MIN(CASE WHEN 2*cum >= total THEN rn END)),
+        # correct even when negative weights make the cumulative sum
+        # non-monotonic (a miss COUNT would diverge there). Groups where no
+        # row reaches (possible only with a negative total) fall back to the
+        # last row; the SQL twin yields NULL for those — don't feed negative
+        # totals if the twin must hash-match.
+        sizes = np.diff(np.concatenate((starts, [len(g_s)])))
+        pos_in = np.arange(len(g_s), dtype=np.int64) - starts[seg]
+        reached = 2 * cum_in >= totals[seg]
+        cand = np.where(reached, pos_in, sizes[seg] - 1)
+        idx = starts + np.minimum.reduceat(cand, starts)
         return pd.DataFrame(
             {
                 group_column: g_s[starts],

@@ -17,8 +17,10 @@ import pyarrow as pa
 _EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
 
 
-def _symmetrize(pairs_ds, weight_column: str | None = None):
+def _symmetrize(pairs_ds, weight_column: str | None = None, weight_scale: int | None = None):
     def fn(batch: pa.Table) -> pa.Table:
+        from opentapioca_ray.stages.matching import to_fixed_point
+
         cols = [("a", pa.int64()), ("b", pa.int64())]
         if weight_column:
             cols.append(("w", pa.int64()))
@@ -31,10 +33,10 @@ def _symmetrize(pairs_ds, weight_column: str | None = None):
             "b": pa.array(np.concatenate((v, u))),
         }
         if weight_column:
-            w = (
-                batch.column(weight_column)
-                .to_numpy(zero_copy_only=False)
-                .astype(np.int64)
+            w = to_fixed_point(
+                batch.column(weight_column).to_numpy(zero_copy_only=False),
+                weight_scale,
+                weight_column,
             )
             out["w"] = pa.array(np.concatenate((w, w)))
         return pa.table(out)
@@ -144,6 +146,7 @@ def sparsify_edges(
     k: int = 2,
     ascending: bool = True,
     n_parts: int | None = None,
+    weight_scale: int | None = None,
 ):
     """Degree-capped sparsification: each node nominates its `k`
     best-weighted incident edges (ties by partner id); an edge survives if
@@ -153,10 +156,12 @@ def sparsify_edges(
     construction, standard before clustering).
 
     ONE exchange on the node ranks all its incident edges vectorized; one
-    slim (u, v) merge dedups dual nominations."""
+    slim (u, v) merge dedups dual nominations. Weights compare as int64:
+    float weight columns must pass `weight_scale` (fixed-point units; the
+    output weight column is in those units)."""
     from opentapioca_ray.stages.exchange import coarse_group_apply, coarse_groupby_agg
 
-    sym = _symmetrize(pairs_ds, weight_column)
+    sym = _symmetrize(pairs_ds, weight_column, weight_scale)
 
     def nominate(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(

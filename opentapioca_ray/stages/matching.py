@@ -21,16 +21,37 @@ import pandas as pd
 import pyarrow as pa
 
 
+def to_fixed_point(
+    arr: np.ndarray, scale: int | None, what: str
+) -> np.ndarray:
+    """Int64 scores for the exchange kernels. Integer inputs pass through;
+    float inputs REQUIRE an explicit `scale` (fixed-point units,
+    np.round(s * scale) — the repo-wide convention) because a bare int64
+    cast would truncate similarities like 0.93 to 0 and silently degrade
+    'best partner' to a smallest-id tie-break."""
+    if np.issubdtype(arr.dtype, np.floating):
+        if scale is None:
+            raise TypeError(
+                f"{what} is float-typed; pass an integer scale= to convert "
+                "to fixed-point units (values become round(x * scale))"
+            )
+        return np.round(arr * float(scale)).astype(np.int64)
+    return arr.astype(np.int64)
+
+
 def mutual_best_match(
     pairs_ds,
     u_column: str = "u",
     v_column: str = "v",
     score_column: str = "lev",
     ascending: bool = True,
+    score_scale: int | None = None,
 ):
     """(u, v, score) candidate pairs -> the reciprocal-best subset, same
     columns, u < v. `ascending=True` treats smaller scores as better
-    (distances); False for similarities."""
+    (distances); False for similarities. Scores compare as int64: float
+    score columns must pass `score_scale` (fixed-point units; the output
+    score column is in those units)."""
     from opentapioca_ray.stages.aggregates import group_arg_extreme
     from opentapioca_ray.stages.exchange import coarse_groupby_agg
 
@@ -41,7 +62,11 @@ def mutual_best_match(
             ).empty_table()
         u = batch.column(u_column).to_numpy(zero_copy_only=False).astype(np.int64)
         v = batch.column(v_column).to_numpy(zero_copy_only=False).astype(np.int64)
-        s = batch.column(score_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        s = to_fixed_point(
+            batch.column(score_column).to_numpy(zero_copy_only=False),
+            score_scale,
+            score_column,
+        )
         return pa.table(
             {
                 "a": pa.array(np.concatenate((u, v))),

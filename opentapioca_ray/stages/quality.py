@@ -359,10 +359,16 @@ def pareto_count(
             (np.zeros(1, dtype=np.int64), cum[starts[1:] - 1])
         )
         cum_in = cum - base[seg]
-        miss = (den * cum_in < num * totals[seg]).astype(np.int64)
-        n_top = np.bincount(seg, weights=miss, minlength=n_seg).astype(np.int64) + 1
-        # groups whose total is 0 reach trivially with the first member
-        n_top = np.minimum(n_top, sizes)
+        # EARLIEST rank per group reaching den*cum >= num*total — the true
+        # min-over-reach-set (SQL's MIN(CASE WHEN ... THEN rn END)), correct
+        # even when negative member values make the cumulative sum
+        # non-monotonic (a miss COUNT would diverge there). Groups where no
+        # rank reaches (possible only with a negative total) fall back to
+        # n_members; the SQL twin yields NULL for those.
+        pos_in = np.arange(len(g), dtype=np.int64) - starts[seg]
+        reached = den * cum_in >= num * totals[seg]
+        cand = np.where(reached, pos_in, sizes[seg] - 1)
+        n_top = np.minimum.reduceat(cand, starts).astype(np.int64) + 1
         return pd.DataFrame(
             {
                 group_column: g[starts],
@@ -389,23 +395,36 @@ def table_checksum(ds, columns: list[str], sep: str = "|"):
     so SQL HUGEINT arithmetic pins it exactly."""
     import hashlib
 
+    import pyarrow.compute as pc
     import ray
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or columns[0] not in batch.column_names:
             return pa.table({"_psum": pa.array([], type=pa.uint64())})
-        parts = [
-            np.asarray(
-                [str(x) for x in batch.column(c).to_numpy(zero_copy_only=False)],
-                dtype=object,
-            )
-            for c in columns
-        ]
-        rows = parts[0]
-        for p in parts[1:]:
-            rows = np.char.add(np.char.add(rows.astype(str), sep), p.astype(str))
+        # serialization is one C-level pass: cast + element-wise join (the
+        # md5-per-row itself is pinned by parity with the DuckDB oracle's
+        # md5(), so hashlib stays — but over pre-built bytes, not per-row
+        # Python string assembly)
+        cols = []
+        for c in columns:
+            col = batch.column(c).combine_chunks()
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                cols.append(col)
+            elif pa.types.is_integer(col.type):
+                cols.append(pc.cast(col, pa.string()))
+            else:
+                # non-int/string types: Python str() fallback keeps the
+                # historical serialization for floats/bools exactly
+                cols.append(
+                    pa.array(
+                        [str(x) for x in col.to_numpy(zero_copy_only=False)],
+                        type=pa.string(),
+                    )
+                )
+        joined = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(*cols, sep)
+        md5 = hashlib.md5
         digests = b"".join(
-            hashlib.md5(r.encode("utf-8")).digest()[:8] for r in rows
+            md5(r).digest()[:8] for r in pc.cast(joined, pa.binary()).to_pylist()
         )
         hv = np.frombuffer(digests, dtype=">u8").astype(np.uint64)
         with np.errstate(over="ignore"):

@@ -79,8 +79,9 @@ def _sample_boundaries(slim, key_column: str, id_column: str, n_parts: int):
         return None
     k = np.concatenate(keys)
     i = np.concatenate(ids).astype(np.int64)
-    # np.lexsort rejects object (string) arrays: lexsort on sorted-unique
-    # codes instead (np.unique codes are order-preserving)
+    # lexsort on sorted-unique codes (np.unique codes are order-preserving):
+    # integer codes sort faster than object arrays and pin a deterministic
+    # code-based ordering for the boundary pick
     _, codes = np.unique(k, return_inverse=True)
     order = np.lexsort((i, codes))
     k, i = k[order], i[order]
