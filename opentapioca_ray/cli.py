@@ -150,14 +150,55 @@ def cmd_index_dump(args) -> int:
         json.load(open(args.type_closures)) if args.type_closures else None
     )
 
+    delete_excluded = bool(getattr(args, "delete_excluded", False))
+    # explicit schema: type inference on a batch of all-empty lists would
+    # yield list<null>, which breaks downstream pandas exchanges
+    fields = [
+        ("id", pa.string()),
+        ("revid", pa.int64()),
+        ("label", pa.string()),
+        ("desc", pa.string()),
+        ("edges", pa.list_(pa.int64())),
+        ("types", pa.string()),
+        ("aliases", pa.list_(pa.string())),
+        ("extra_aliases", pa.list_(pa.string())),
+        ("nb_statements", pa.int64()),
+        ("nb_sitelinks", pa.int64()),
+    ]
+    if delete_excluded:
+        fields.append(("_deleted", pa.bool_()))
+    doc_schema = pa.schema(fields)
+
     def project(batch: pa.Table) -> pa.Table:
         rows = []
         for item_json in batch.column("item_json").to_pylist():
-            doc = profile.entity_to_document(json.loads(item_json), matcher)
+            item = json.loads(item_json)
+            doc = profile.entity_to_document(item, matcher)
             if doc is not None:
                 doc["types"] = json.dumps(doc.get("types", {}), sort_keys=True)
+                if delete_excluded:
+                    doc["_deleted"] = False
                 rows.append(doc)
-        return pa.Table.from_pylist(rows)
+            elif delete_excluded:
+                # the reference pushes a None doc as a deletion when
+                # delete_excluded=True (taggerfactory.py:55-124): emit a
+                # tombstone row; delta compaction anti-joins it away
+                rows.append(
+                    {
+                        "id": item.get("id"),
+                        "revid": item.get("lastrevid") or 1,
+                        "label": "",
+                        "desc": "",
+                        "edges": [],
+                        "types": "{}",
+                        "aliases": [],
+                        "extra_aliases": [],
+                        "nb_statements": 0,
+                        "nb_sitelinks": 0,
+                        "_deleted": True,
+                    }
+                )
+        return pa.Table.from_pylist(rows, schema=doc_schema)
 
     items = read_wikidata_dump(args.dump)
     os.makedirs(args.output, exist_ok=True)
@@ -190,13 +231,31 @@ def cmd_index_seed(args) -> int:
 
 def cmd_index_delta(args) -> int:
     """Delta upsert: union(existing, delta) -> last-write-wins per id by
-    revid (the Solr-versioning analog — reference taggerfactory.py:103-120)."""
+    revid (the Solr-versioning analog — reference taggerfactory.py:103-120).
+    With --tombstone-column, delta rows marked deleted (the
+    delete_excluded re-index path, taggerfactory.py:103-124) remove their
+    key from the compacted index."""
     _ensure_ray()
+    import pyarrow as pa
+
     from opentapioca_ray.stages.dedup import compact_by_key
 
     base = _read_parquet(args.entities)
     delta = _read_parquet(args.delta)
-    merged = compact_by_key(base.union(delta), key="id", version=args.version_column)
+    ts = getattr(args, "tombstone_column", None)
+    if ts:
+        def ensure_ts(batch: pa.Table) -> pa.Table:
+            if batch.num_rows and ts not in batch.column_names:
+                batch = batch.append_column(
+                    ts, pa.array([False] * batch.num_rows, type=pa.bool_())
+                )
+            return batch
+
+        base = base.map_batches(ensure_ts, batch_format="pyarrow")
+        delta = delta.map_batches(ensure_ts, batch_format="pyarrow")
+    merged = compact_by_key(
+        base.union(delta), key="id", version=args.version_column, tombstone=ts or None
+    )
     os.makedirs(args.output, exist_ok=True)
     merged.write_parquet(args.output)
     print(f"compacted index written to {args.output}")
@@ -407,6 +466,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("-p", "--profile", required=True)
     s.add_argument("-o", "--output", required=True)
     s.add_argument("--type-closures", default=None)
+    s.add_argument(
+        "--delete-excluded",
+        action="store_true",
+        help="emit tombstone rows for profile-excluded entities "
+        "(reference delete_excluded)",
+    )
     s.set_defaults(fn=cmd_index_dump)
 
     s = sub.add_parser("index-seed", help="subset entities by seed id list")
@@ -420,6 +485,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--delta", required=True)
     s.add_argument("-o", "--output", required=True)
     s.add_argument("--version-column", default="revid")
+    s.add_argument(
+        "--tombstone-column",
+        default=None,
+        help="boolean delete-marker column; keys whose latest row is a "
+        "tombstone are dropped from the compacted index",
+    )
     s.set_defaults(fn=cmd_index_delta)
 
     s = sub.add_parser(

@@ -77,6 +77,37 @@ def _small_star_partition(df: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def _contract_partition(df: pd.DataFrame) -> pd.DataFrame:
+    """Local pre-contraction: replace one coarse partition's edge set by the
+    star edges (node -> local min root) of its LOCAL connectivity.
+    Connectivity-equivalent (a spanning star per local component), so the
+    global star rounds start from depth-1 chains instead of arbitrary local
+    chains — typically 1 global round instead of 3-4. Fully vectorized:
+    min-label propagation with pointer jumping on dense codes (each sweep is
+    O(E) numpy; sum of labels strictly decreases, so the fixpoint loop
+    terminates in O(log n) sweeps)."""
+    u = df["u"].to_numpy(dtype=np.int64)
+    v = df["v"].to_numpy(dtype=np.int64)
+    if len(u) == 0:
+        return pd.DataFrame({"u": [], "v": []}).astype(_EDGE_SCHEMA)
+    nodes, codes = np.unique(np.concatenate((u, v)), return_inverse=True)
+    uc, vc = codes[: len(u)], codes[len(u) :]
+    lab = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = np.minimum(lab[uc], lab[vc])
+        new = lab.copy()
+        np.minimum.at(new, uc, m)
+        np.minimum.at(new, vc, m)
+        new = new[new]  # pointer jump
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    mask = lab != np.arange(len(nodes))
+    # nodes[] is sorted ascending, so code order == value order: the min
+    # code IS the min node id, and every emitted edge is high -> low
+    return pd.DataFrame({"u": nodes[mask], "v": nodes[lab[mask]]})
+
+
 def _both_directions(batch: pa.Table) -> pa.Table:
     fwd = pa.table({"u": batch.column("u"), "v": batch.column("v")})
     rev = pa.table({"u": batch.column("v"), "v": batch.column("u")})
@@ -169,7 +200,14 @@ def connected_components(
 
     self_assign = edges_ds.map_batches(_self_assign, batch_format="pyarrow")
 
-    ds = edges_ds.map_batches(_high_low, batch_format="pyarrow")
+    # local union-find pre-contraction (one coarse exchange): each partition
+    # collapses its local chains to depth-1 stars before the global rounds
+    ds = coarse_group_apply(
+        edges_ds.map_batches(_high_low, batch_format="pyarrow"),
+        "u",
+        _contract_partition,
+        n_parts=n_parts,
+    )
     prev_digest = None
     for _ in range(max_rounds):
         ds = coarse_group_apply(

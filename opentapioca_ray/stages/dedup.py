@@ -55,22 +55,50 @@ def exact_dedup(ds, id_column: str, text_column: str = "text", algo: str = "md5"
     )
 
 
-def compact_by_key(ds, key: str = "id", version: str = "revid"):
+def compact_by_key(
+    ds, key: str = "id", version: str = "revid", tombstone: str | None = None
+):
     """Upsert compaction: keep the row with max version per key
     (reference Solr last-write-wins, taggerfactory.py:103-120).
 
+    `tombstone` names an optional boolean column marking delete markers
+    (reference `_push_documents` interprets None docs as deletions when
+    `delete_excluded=True`, taggerfactory.py:103-124): a key whose WINNING
+    (latest) row is a tombstone is dropped entirely — the anti-join runs
+    vectorized inside the same partition kernel, no extra exchange.
+
     One coarse-partition exchange (hash(key) % P); the partition kernel
-    compacts ALL its keys with a single vectorized sort + drop_duplicates —
-    not a per-key `map_groups`, which pays per-group overhead on millions of
-    near-singleton keys."""
+    compacts ALL its keys with one vectorized lexsort + last-per-segment
+    take — not a per-key `map_groups`, which pays per-group overhead on
+    millions of near-singleton keys. The kernel is Arrow-native (`take` on
+    the zero-copy table), so nested columns (list<...>) survive untouched —
+    a pandas round-trip would mangle empty list columns."""
+    import pyarrow.compute as pc
+
     from opentapioca_ray.stages.exchange import coarse_group_apply
 
-    def keep_latest_partition(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values([key, version], kind="mergesort").drop_duplicates(
-            key, keep="last"
-        )
+    def keep_latest_partition(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or key not in t.column_names:
+            return t
+        k = t.column(key).to_numpy(zero_copy_only=False)
+        ver = t.column(version).to_numpy(zero_copy_only=False)
+        _, codes = np.unique(k, return_inverse=True)  # string-safe sort key
+        order = np.lexsort((ver, codes))
+        sc = codes[order]
+        last = np.flatnonzero(np.concatenate((sc[1:] != sc[:-1], [True])))
+        take = order[last]
+        if tombstone is not None and tombstone in t.column_names:
+            dead = (
+                pc.fill_null(t.column(tombstone).cast(pa.bool_()), False)
+                .to_numpy(zero_copy_only=False)
+                .astype(bool)
+            )
+            take = take[~dead[take]]
+        return t.take(pa.array(np.sort(take)))
 
-    return coarse_group_apply(ds, key, keep_latest_partition)
+    return coarse_group_apply(
+        ds, key, keep_latest_partition, batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -158,3 +158,78 @@ def test_index_stream_ingest_and_resume(ray_session, tmp_path):
     rows = pq.read_table(out2).to_pylist()
     assert {r["id"] for r in rows} == {"Q1", "Q2", "Q3", "Q6"}
     assert len(rows) == 4  # compacted: one row per id
+
+
+def test_index_dump_delete_excluded(ray_session, tmp_path):
+    """Re-index with a narrower profile + --delete-excluded: now-excluded
+    entities become tombstones; delta compaction drops them (reference
+    taggerfactory.py:55-124, delete_excluded + None-doc deletions)."""
+
+    def item(qid, rev, label, p31_qid, p31_num):
+        return {
+            "id": qid,
+            "lastrevid": rev,
+            "labels": {"en": {"value": label}},
+            "claims": {
+                "P31": [
+                    {"mainsnak": {"datavalue": {"value": {"id": p31_qid, "numeric-id": p31_num}}}}
+                ]
+            },
+            "sitelinks": {},
+        }
+
+    def write_dump(path, rev):
+        with open(path, "w") as f:
+            f.write(json.dumps(item("Q1", rev, "Human One", "Q5", 5)) + "\n")
+            f.write(json.dumps(item("Q2", rev, "Org Two", "Q43229", 43229)) + "\n")
+
+    dump1 = str(tmp_path / "dump1.jsonl")
+    dump2 = str(tmp_path / "dump2.jsonl")
+    write_dump(dump1, 10)
+    write_dump(dump2, 20)
+
+    profile_all = str(tmp_path / "profile_all.json")
+    json.dump(
+        {"name": "all", "language": "en", "restrict_types": [],
+         "restrict_properties": [], "alias_properties": []},
+        open(profile_all, "w"),
+    )
+    profile_humans = str(tmp_path / "profile_humans.json")
+    json.dump(
+        {"name": "humans", "language": "en",
+         "restrict_types": [{"type": "Q5", "property": "P31"}],
+         "restrict_properties": [], "alias_properties": []},
+        open(profile_humans, "w"),
+    )
+    closures = str(tmp_path / "closures.json")
+    json.dump({"Q5": [5]}, open(closures, "w"))
+
+    base = str(tmp_path / "entities")
+    assert main(["index-dump", dump1, "-p", profile_all, "-o", base]) == 0
+    assert {r["id"] for r in pq.read_table(base).to_pylist()} == {"Q1", "Q2"}
+
+    delta = str(tmp_path / "delta")
+    assert (
+        main(["index-dump", dump2, "-p", profile_humans,
+              "--type-closures", closures, "--delete-excluded", "-o", delta])
+        == 0
+    )
+    drows = {r["id"]: r["_deleted"] for r in pq.read_table(delta).to_pylist()}
+    assert drows == {"Q1": False, "Q2": True}
+
+    merged = str(tmp_path / "merged")
+    assert (
+        main(["index-delta", "--entities", base, "--delta", delta,
+              "--tombstone-column", "_deleted", "-o", merged])
+        == 0
+    )
+    rows = pq.read_table(merged).to_pylist()
+    assert {r["id"] for r in rows} == {"Q1"}
+    assert rows[0]["revid"] == 20  # the re-indexed row won last-write-wins
+
+    # without the tombstone column the merge keeps Solr LWW semantics
+    merged2 = str(tmp_path / "merged2")
+    assert (
+        main(["index-delta", "--entities", base, "--delta", delta, "-o", merged2]) == 0
+    )
+    assert {r["id"] for r in pq.read_table(merged2).to_pylist()} == {"Q1", "Q2"}
