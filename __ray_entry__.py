@@ -756,6 +756,159 @@ def _q_compact_latest(sf_dir: str):
     return compact_by_key(orders, key="o_custkey", version="o_orderkey")
 
 
+def _q_jw_part_pairs(sf_dir: str):
+    """Blocked Jaro-Winkler similarity join (the other classic ER string
+    metric next to Levenshtein): within-brand part pairs with jw >= 0.9.
+    The vectorized-across-pairs kernel (stages/fuzzy.jaro_winkler_pairs) is
+    pinned bit-for-bit to DuckDB's jaro_winkler_similarity (fuzz-tested);
+    values reported in round-6 units. max_block_size=1024 keeps sf0.1's
+    ~800-row brand blocks on the exact all-pairs path (the skew-guard
+    window only engages beyond that)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.fuzzy import jw_block_pairs
+
+    part = _rel(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name", "p_brand"]
+    )
+    pairs = jw_block_pairs(
+        part,
+        id_column="p_partkey",
+        name_column="p_name",
+        block_column="p_brand",
+        min_sim=0.9,
+        max_block_size=1024,
+    )
+    return pairs.map_batches(
+        lambda b: pa.table(
+            {
+                "u": b.column("u"),
+                "v": b.column("v"),
+                "jw": pc.round(b.column("jw"), 6),
+            }
+        )
+        if b.num_rows and "u" in b.column_names
+        else pa.schema(
+            [("u", pa.int64()), ("v", pa.int64()), ("jw", pa.float64())]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+
+
+def _q_fs_part_weights(sf_dir: str):
+    """Fellegi-Sunter m/u agreement weights (Fellegi & Sunter 1969) over a
+    deterministic labeled pair sample: within-brand part pairs with key
+    distance <= 25 (numeric-key window blocking), label = Jaro-Winkler of
+    p_name >= 0.9 (the DuckDB-pinned kernel), agreement fields = p_type
+    equality, p_size equality, retail price within 10. Per field the oracle
+    replays m = P(agree|match), u = P(agree|non-match) and the log2
+    agreement/disagreement weights from the same exact counts."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.fuzzy import _code_matrix, jaro_winkler_pairs
+    from opentapioca_ray.stages.matching import fs_weights, key_window_pairs
+
+    part = _rel(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_name", "p_type", "p_size", "p_retailprice"],
+    )
+    pairs = key_window_pairs(
+        part,
+        id_column="p_partkey",
+        block_column="p_brand",
+        window=25,
+        carry_columns=["p_name", "p_type", "p_size", "p_retailprice"],
+    )
+
+    def label_and_agree(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("is_match", pa.bool_()),
+                ("ag_type", pa.bool_()),
+                ("ag_size", pa.bool_()),
+                ("ag_price", pa.bool_()),
+            ]
+        )
+        if batch.num_rows == 0 or "p_name_u" not in batch.column_names:
+            return schema.empty_table()
+        nu = batch.column("p_name_u").to_numpy(zero_copy_only=False)
+        nv = batch.column("p_name_v").to_numpy(zero_copy_only=False)
+        names = np.concatenate((nu, nv))
+        codes, lens = _code_matrix(names)
+        n = batch.num_rows
+        jw = jaro_winkler_pairs(codes, lens, np.arange(n), np.arange(n, 2 * n))
+        tu = batch.column("p_type_u").to_numpy(zero_copy_only=False)
+        tv = batch.column("p_type_v").to_numpy(zero_copy_only=False)
+        su = batch.column("p_size_u").to_numpy(zero_copy_only=False).astype(np.int64)
+        sv = batch.column("p_size_v").to_numpy(zero_copy_only=False).astype(np.int64)
+        pu = batch.column("p_retailprice_u").to_numpy(zero_copy_only=False)
+        pv = batch.column("p_retailprice_v").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "is_match": pa.array(jw >= 0.9),
+                "ag_type": pa.array(tu == tv),
+                "ag_size": pa.array(su == sv),
+                "ag_price": pa.array(np.abs(pu - pv) < 10.0),
+            }
+        )
+
+    labeled = pairs.map_batches(label_and_agree, batch_format="pyarrow")
+    return fs_weights(labeled, "is_match", ["ag_type", "ag_size", "ag_price"])
+
+
+def _q_compact_tombstones(sf_dir: str):
+    """S6 exclusion-delete semantics (reference taggerfactory.py:103-124,
+    delete_excluded): rows carrying a delete marker participate in
+    last-write-wins; a key whose LATEST row is a tombstone drops out of the
+    compacted index entirely. Marker synthesized deterministically
+    (o_orderkey % 7 == 0) so the SQL twin replays it exactly."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.dedup import compact_by_key
+
+    orders = _rel(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+
+    def mark(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_orderkey" not in batch.column_names:
+            return batch
+        dead = pc.equal(
+            pc.subtract(
+                batch.column("o_orderkey"),
+                pc.multiply(
+                    pc.divide(batch.column("o_orderkey"), 7),
+                    pa.scalar(7, pa.int64()),
+                ),
+            ),
+            pa.scalar(0, pa.int64()),
+        )
+        return batch.append_column("_deleted", dead)
+
+    compacted = compact_by_key(
+        orders.map_batches(mark, batch_format="pyarrow"),
+        key="o_custkey",
+        version="o_orderkey",
+        tombstone="_deleted",
+    )
+    return compacted.map_batches(
+        lambda b: b.select(["o_custkey", "o_orderkey", "o_totalprice"])
+        if b.num_rows and "o_custkey" in b.column_names
+        else pa.schema(
+            [
+                ("o_custkey", pa.int64()),
+                ("o_orderkey", pa.int64()),
+                ("o_totalprice", pa.float64()),
+            ]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+
+
 def _q_top_customers(sf_dir: str):
     """Relational coverage: groupby + global top-k (K-ops). The top-10 is a
     per-block combiner + tiny final reduce (stages/selection.py:global_top_k)
@@ -975,6 +1128,21 @@ def _q_tfidf_top_terms(sf_dir: str):
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
     return tfidf_top_terms(docs, "doc_id", "text", top_n=3)
+
+
+def _q_bm25_scores(sf_dir: str):
+    """Okapi BM25 document scores for a fixed 3-term query (the retrieval
+    score family behind the reference's Solr candidate ranking; Lucene idf
+    shape, k1=1.2 b=0.75). Integer micro-unit scores so nothing float
+    reaches the hash."""
+    import ray.data
+
+    from opentapioca_ray.stages.tfidf import bm25_scores
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return bm25_scores(docs, "doc_id", "text", ["spark", "window", "merge"])
 
 
 def _q_approx_distinct_users(sf_dir: str):
@@ -1203,6 +1371,43 @@ def _q_priority_sample(sf_dir: str):
 
     docs = _rel(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
     return priority_sample(docs, "doc_id", 200, ["doc_id", "lang"])
+
+
+def _q_weighted_sample(sf_dir: str):
+    """Deterministic weighted sample without replacement (Efraimidis-
+    Spirakis exponential keys over md5-derived uniforms): 100 documents
+    with inclusion probability proportional to text length — the
+    quality/size-weighted corpus subsampler. No RNG state; identical
+    selection on any cluster shape."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.selection import weighted_priority_sample
+
+    docs = _docs(sf_dir)
+
+    def add_weight(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("lang", pa.string()), ("w", pa.float64())]
+            ).empty_table()
+        texts = batch.column("text").to_numpy(zero_copy_only=False)
+        w = np.array([len(t or "") + 1 for t in texts], dtype=np.float64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang": batch.column("lang"),
+                "w": pa.array(w),
+            }
+        )
+
+    return weighted_priority_sample(
+        docs.map_batches(add_weight, batch_format="pyarrow"),
+        "doc_id",
+        "w",
+        100,
+        ["doc_id", "lang"],
+    )
 
 
 def _q_customer_big_order_counts(sf_dir: str):
@@ -2964,6 +3169,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_energy": _q_audio_energy,
         "frame_samples": _q_frame_samples,
         "compact_latest": _q_compact_latest,
+        "compact_tombstones": _q_compact_tombstones,
+        "jw_part_pairs": _q_jw_part_pairs,
+        "fs_part_weights": _q_fs_part_weights,
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
         "customers_no_big_orders": _q_customers_no_big_orders,
@@ -2972,6 +3180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": _q_dataset_split,
         "event_type_pivot": _q_event_type_pivot,
         "priority_sample": _q_priority_sample,
+        "weighted_sample": _q_weighted_sample,
         "customer_big_order_counts": _q_customer_big_order_counts,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "price_quantiles_by_priority": _q_price_quantiles_by_priority,
@@ -2980,6 +3189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": _q_rollup_revenue,
         "approx_distinct_users": _q_approx_distinct_users,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "bm25_scores": _q_bm25_scores,
         "user_event_sequences": _q_user_event_sequences,
         "events_above_p99": _q_events_above_p99,
         "lineitem_orders_join": _q_lineitem_orders_join,
@@ -3578,6 +3788,55 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             ) WHERE rn = 1
         """,
+        "fs_part_weights": """
+            WITH pairs AS (
+              SELECT (jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9) AS is_match,
+                     (a.p_type = b.p_type) AS ag_type,
+                     (a.p_size = b.p_size) AS ag_size,
+                     (abs(a.p_retailprice - b.p_retailprice) < 10.0) AS ag_price
+              FROM part a JOIN part b
+                ON a.p_brand = b.p_brand
+               AND b.p_partkey > a.p_partkey
+               AND b.p_partkey <= a.p_partkey + 25
+            ),
+            melt AS (
+              SELECT 'ag_type' AS field, is_match, ag_type AS agree FROM pairs
+              UNION ALL
+              SELECT 'ag_size', is_match, ag_size FROM pairs
+              UNION ALL
+              SELECT 'ag_price', is_match, ag_price FROM pairs
+            ),
+            stats AS (
+              SELECT field,
+                     CAST(sum(CASE WHEN is_match AND agree THEN 1 ELSE 0 END) AS DOUBLE)
+                       / NULLIF(sum(CASE WHEN is_match THEN 1 ELSE 0 END), 0) AS m,
+                     CAST(sum(CASE WHEN NOT is_match AND agree THEN 1 ELSE 0 END) AS DOUBLE)
+                       / NULLIF(sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END), 0) AS u
+              FROM melt GROUP BY field
+            )
+            SELECT field, round(m, 6) AS m, round(u, 6) AS u,
+                   CASE WHEN m > 0 AND u > 0
+                        THEN round(log2(m / u), 6) END AS w_agree,
+                   CASE WHEN m < 1 AND u < 1
+                        THEN round(log2((1 - m) / (1 - u)), 6) END AS w_disagree
+            FROM stats
+        """,
+        "jw_part_pairs": """
+            SELECT a.p_partkey AS u, b.p_partkey AS v,
+                   round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+            FROM part a JOIN part b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9
+        """,
+        "compact_tombstones": """
+            SELECT o_custkey, o_orderkey, o_totalprice FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     (o_orderkey % 7 = 0) AS dead,
+                     row_number() OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+              FROM orders
+            ) WHERE rn = 1 AND NOT dead
+        """,
         "top_customers": """
             SELECT o_custkey, round(sum(o_totalprice), 4) AS revenue,
                    count(*) AS nb_orders
@@ -3645,6 +3904,34 @@ def oracle_sql() -> dict[str, str]:
             FROM events e JOIN thr USING (event_type)
             WHERE e.value > thr.cut
             GROUP BY e.event_type
+        """,
+        "bm25_scores": f"""
+            WITH {tok_cte},
+            dl AS (SELECT doc_id, count(*) AS dl FROM tokens GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+            tf AS (
+              SELECT doc_id, word, count(*) AS tf FROM tokens
+              WHERE word IN ('spark', 'window', 'merge') GROUP BY 1, 2
+            ),
+            df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+            s AS (
+              SELECT t.doc_id,
+                     sum(
+                       ln((stats.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * (t.tf * (1.2 + 1.0))
+                       / (t.tf + 1.2 * (1.0 - 0.75
+                            + 0.75 * CAST(dl.dl * stats.n_docs AS DOUBLE)
+                              / stats.sum_dl))
+                     ) AS score
+              FROM tf t
+              JOIN df d USING (word)
+              JOIN dl USING (doc_id)
+              CROSS JOIN stats
+              GROUP BY t.doc_id
+            )
+            SELECT doc_id,
+                   CAST(floor(score * 1000000 + 0.5) AS BIGINT) AS bm25_e6
+            FROM s
         """,
         "tfidf_top_terms": f"""
             WITH {tok_cte},
@@ -3759,6 +4046,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             ORDER BY ('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT, doc_id
             LIMIT 200
+        """,
+        "weighted_sample": """
+            SELECT doc_id, lang, round(es_key, 6) AS es_key FROM (
+              SELECT doc_id, lang,
+                     -ln((CAST(('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT
+                               AS DOUBLE) + 0.5) / 18446744073709551616.0)
+                       / (length(text) + 1) AS es_key
+              FROM documents
+            ) ORDER BY es_key, doc_id LIMIT 100
         """,
         "customer_big_order_counts": """
             SELECT c_custkey, CAST(count(o.o_custkey) AS BIGINT) AS n_big

@@ -80,6 +80,79 @@ def levenshtein_pairs(
     return out
 
 
+def jaro_winkler_pairs(
+    codes: np.ndarray,
+    lens: np.ndarray,
+    ai: np.ndarray,
+    bi: np.ndarray,
+    prefix_weight: float = 0.1,
+    boost_threshold: float = 0.7,
+) -> np.ndarray:
+    """Jaro-Winkler similarity for each (ai[p], bi[p]) row pair of the code
+    matrix, vectorized ACROSS pairs like `levenshtein_pairs` (the outer
+    loops are bounded by name length; every inner op spans all pairs).
+    Semantics pinned to DuckDB's `jaro_winkler_similarity` (fuzz-tested):
+    empty-vs-anything -> 0.0, window floor(max/2)-1, half-transposition
+    count, prefix bonus (<= 4 chars, weight 0.1) only when jaro exceeds the
+    0.7 boost threshold."""
+    npairs = len(ai)
+    if npairs == 0:
+        return np.zeros(0, dtype=np.float64)
+    A, B = codes[ai], codes[bi]
+    la, lb = lens[ai], lens[bi]
+    max_a = int(la.max()) if npairs else 0
+    max_b = int(lb.max()) if npairs else 0
+    d = np.maximum(np.maximum(la, lb) // 2 - 1, 0)
+    d_max = int(d.max()) if npairs else 0
+    a_matched = np.zeros((npairs, max(max_a, 1)), dtype=bool)
+    b_matched = np.zeros((npairs, max(max_b, 1)), dtype=bool)
+    for i in range(max_a):
+        in_a = i < la
+        found = np.zeros(npairs, dtype=bool)
+        jlo, jhi = np.maximum(0, i - d), np.minimum(lb - 1, i + d)
+        for j in range(max(0, i - d_max), min(max_b, i + d_max + 1)):
+            hit = (
+                in_a
+                & ~found
+                & (j >= jlo)
+                & (j <= jhi)
+                & ~b_matched[:, j]
+                & (B[:, j] == A[:, i])
+            )
+            b_matched[:, j] |= hit
+            found |= hit
+        a_matched[:, i] = found
+    m = a_matched.sum(axis=1)
+    # transpositions: k-th matched char of A vs k-th matched char of B —
+    # np.nonzero is row-major, so both listings are grouped by pair with
+    # positions ascending and align element-wise (equal counts per pair)
+    pa_idx, ai_pos = np.nonzero(a_matched)
+    pb_idx, bj_pos = np.nonzero(b_matched)
+    diff = (A[pa_idx, ai_pos] != B[pb_idx, bj_pos]).astype(np.int64)
+    t2 = np.zeros(npairs, dtype=np.int64)
+    np.add.at(t2, pa_idx, diff)
+    t = t2 // 2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (m / la + m / lb + (m - t) / np.maximum(m, 1)) / 3.0
+    jaro = np.where(m == 0, 0.0, jaro)
+    lcap = min(4, max_a, max_b)
+    if lcap > 0:
+        pos = np.arange(lcap)[None, :]
+        pref = (
+            (A[:, :lcap] == B[:, :lcap])
+            & (pos < la[:, None])
+            & (pos < lb[:, None])
+        )
+        ell = pref.cumprod(axis=1).sum(axis=1)
+    else:
+        ell = np.zeros(npairs, dtype=np.int64)
+    return np.where(
+        jaro > boost_threshold,
+        jaro + ell * prefix_weight * (1.0 - jaro),
+        jaro,
+    )
+
+
 def fuzzy_block_pairs(
     ds,
     id_column: str,
@@ -154,6 +227,84 @@ def fuzzy_block_pairs(
                 "u": np.minimum(ua, vb),
                 "v": np.maximum(ua, vb),
                 "lev": lev[hit],
+            }
+        )
+
+    slim = ds.select_columns([id_column, name_column, block_column])
+    return coarse_group_apply(slim, block_column, pair_partition, n_parts=n_parts)
+
+
+def jw_block_pairs(
+    ds,
+    id_column: str,
+    name_column: str,
+    block_column: str,
+    min_sim: float = 0.9,
+    max_block_size: int = 512,
+    window: int = 16,
+    n_parts: int | None = None,
+):
+    """Within-block Jaro-Winkler pairs (u, v, jw): u < v by id,
+    jw >= `min_sim`, same coarse-exchange + skew-guard shape as
+    `fuzzy_block_pairs`. DuckDB's `jaro_winkler_similarity` pins the values
+    bit-for-bit (see `jaro_winkler_pairs`)."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply, segment_starts
+
+    def pair_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "u": pd.Series(dtype=np.int64),
+                "v": pd.Series(dtype=np.int64),
+                "jw": pd.Series(dtype=np.float64),
+            }
+        )
+        if df.empty:
+            return empty
+        blocks = df[block_column].to_numpy()
+        ids = df[id_column].to_numpy(dtype=np.int64)
+        names = df[name_column].to_numpy()
+        _, bcodes = np.unique(blocks, return_inverse=True)
+        order = np.lexsort((ids, bcodes))
+        bcodes, ids, names = bcodes[order], ids[order], names[order]
+        first = np.concatenate(
+            ([True], (bcodes[1:] != bcodes[:-1]) | (ids[1:] != ids[:-1]))
+        )
+        bcodes, ids, names = bcodes[first], ids[first], names[first]
+        codes, lens = _code_matrix(names)
+        starts = segment_starts(bcodes)
+        ends = np.concatenate((starts[1:], [len(bcodes)]))
+        ai_all, bi_all = [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            if n <= max_block_size:
+                iu, ju = np.triu_indices(n, k=1)
+            else:  # skew guard: sorted-neighborhood by (name, id)
+                sub = np.lexsort(
+                    (ids[s:e], np.unique(names[s:e], return_inverse=True)[1])
+                )
+                offs = np.arange(1, window + 1)
+                iu = np.repeat(np.arange(n), window)
+                ju = iu + np.tile(offs, n)
+                keep = ju < n
+                iu, ju = sub[iu[keep]], sub[ju[keep]]
+            ai_all.append(iu + s)
+            bi_all.append(ju + s)
+        if not ai_all:
+            return empty
+        ai = np.concatenate(ai_all)
+        bi = np.concatenate(bi_all)
+        jw = jaro_winkler_pairs(codes, lens, ai, bi)
+        hit = jw >= min_sim
+        if not hit.any():
+            return empty
+        ua, vb = ids[ai[hit]], ids[bi[hit]]
+        return pd.DataFrame(
+            {
+                "u": np.minimum(ua, vb),
+                "v": np.maximum(ua, vb),
+                "jw": jw[hit],
             }
         )
 

@@ -231,3 +231,171 @@ def survivorship(
         return batch.select(["component", "attr", "value", "n_votes"])
 
     return winners.map_batches(finish, batch_format="pyarrow")
+
+
+def key_window_pairs(
+    ds,
+    id_column: str,
+    block_column: str,
+    window: int,
+    carry_columns: list[str],
+    n_parts: int | None = None,
+):
+    """Numeric-key window blocking: within each block, candidate pairs
+    (u, v) with u < v <= u + `window` (key VALUE distance, not rank), both
+    sides' `carry_columns` attached with `_u` / `_v` suffixes. A classic
+    cheap blocking scheme when the numeric id correlates with record
+    locality; one coarse exchange, two-pointer pair expansion per block
+    (searchsorted, no per-row loop)."""
+    from opentapioca_ray.stages.exchange import (
+        coarse_group_apply,
+        segment_starts,
+    )
+
+    def pair_partition(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
+        for c in carry_columns:
+            cols[f"{c}_u"] = pd.Series(dtype=object)
+            cols[f"{c}_v"] = pd.Series(dtype=object)
+        empty = pd.DataFrame(cols)
+        if df.empty:
+            return empty
+        blocks = df[block_column].to_numpy()
+        ids = df[id_column].to_numpy(dtype=np.int64)
+        _, bcodes = np.unique(blocks, return_inverse=True)
+        order = np.lexsort((ids, bcodes))
+        bcodes, ids = bcodes[order], ids[order]
+        df = df.iloc[order]
+        starts = segment_starts(bcodes)
+        ends = np.concatenate((starts[1:], [len(bcodes)]))
+        ai_all, bi_all = [], []
+        for s, e in zip(starts, ends):
+            k = ids[s:e]
+            hi = np.searchsorted(k, k + window, side="right")
+            n_nb = hi - np.arange(1, len(k) + 1)
+            if n_nb.sum() <= 0:
+                continue
+            n_nb = np.maximum(n_nb, 0)
+            iu = np.repeat(np.arange(len(k)), n_nb)
+            # offsets 1..n_nb[i] per i
+            off = np.arange(int(n_nb.sum())) - np.repeat(
+                np.cumsum(n_nb) - n_nb, n_nb
+            )
+            ju = iu + 1 + off
+            ai_all.append(iu + s)
+            bi_all.append(ju + s)
+        if not ai_all:
+            return empty
+        ai = np.concatenate(ai_all)
+        bi = np.concatenate(bi_all)
+        out = {"u": ids[ai], "v": ids[bi]}
+        for c in carry_columns:
+            vals = df[c].to_numpy()
+            out[f"{c}_u"] = vals[ai]
+            out[f"{c}_v"] = vals[bi]
+        return pd.DataFrame(out)
+
+    slim = ds.select_columns(
+        [id_column, block_column] + [c for c in carry_columns if c != id_column]
+    )
+    return coarse_group_apply(slim, block_column, pair_partition, n_parts=n_parts)
+
+
+def fs_weights(pairs_ds, label_column: str, agreement_columns: list[str]):
+    """Fellegi-Sunter conditional agreement weights (Fellegi & Sunter 1969;
+    Christen 2012 ch. 6): per comparison field, m = P(agree | match),
+    u = P(agree | non-match), and the log2 agreement / disagreement
+    weights. Combiner-first: each batch melts to (field, label, agree)
+    partial counts; only the 4-row-per-field count table ever reduces —
+    O(fields) driver state regardless of pair volume.
+
+    Output: (field, m, u, w_agree, w_disagree) in round-6 units."""
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    melt_schema = pa.schema(
+        [
+            ("field", pa.string()),
+            ("label", pa.int8()),
+            ("agree", pa.int8()),
+            ("_n", pa.int64()),
+        ]
+    )
+
+    def melt_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or label_column not in batch.column_names:
+            return melt_schema.empty_table()
+        lab = pc.cast(batch.column(label_column), pa.int8())
+        parts = []
+        for c in agreement_columns:
+            parts.append(
+                pa.table(
+                    {
+                        "field": pa.array(
+                            np.full(batch.num_rows, c, dtype=object),
+                            type=pa.string(),
+                        ),
+                        "label": lab,
+                        "agree": pc.cast(batch.column(c), pa.int8()),
+                    }
+                )
+            )
+        melted = pa.concat_tables(parts)
+        out = pa.TableGroupBy(melted, ["field", "label", "agree"]).aggregate(
+            [("field", "count")]
+        )
+        return out.rename_columns(["field", "label", "agree", "_n"])
+
+    counts = coarse_groupby_agg(
+        pairs_ds.map_batches(melt_partial, batch_format="pyarrow"),
+        ["field", "label", "agree"],
+        {"count": ("_n", "sum")},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("field", pa.string()),
+                ("m", pa.float64()),
+                ("u", pa.float64()),
+                ("w_agree", pa.float64()),
+                ("w_disagree", pa.float64()),
+            ]
+        )
+        if batch.num_rows == 0 or "field" not in batch.column_names:
+            return schema.empty_table()
+        df = batch.to_pandas()
+        rows = []
+        for field, g in df.groupby("field", sort=True):
+            c = {
+                (int(r["label"]), int(r["agree"])): int(r["count"])
+                for _, r in g.iterrows()
+            }
+            m_den = c.get((1, 1), 0) + c.get((1, 0), 0)
+            u_den = c.get((0, 1), 0) + c.get((0, 0), 0)
+            m = c.get((1, 1), 0) / m_den if m_den else None
+            u = c.get((0, 1), 0) / u_den if u_den else None
+
+            def _w(num, den):
+                # degenerate categories (all/none agree) have no finite
+                # weight: NULL, mirroring the SQL twin's CASE guards
+                if num is None or den is None or num <= 0 or den <= 0:
+                    return None
+                return round(float(np.log2(num / den)), 6)
+
+            rows.append(
+                {
+                    "field": field,
+                    "m": round(m, 6) if m is not None else None,
+                    "u": round(u, 6) if u is not None else None,
+                    "w_agree": _w(m, u),
+                    "w_disagree": _w(
+                        None if m is None else 1 - m,
+                        None if u is None else 1 - u,
+                    ),
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=schema)
+
+    return counts.repartition(1).map_batches(finish, batch_format="pyarrow")

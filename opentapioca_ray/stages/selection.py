@@ -244,3 +244,47 @@ def prefix_scan_select(
 
     out_refs = [cut_block.remote(r, int(o)) for r, o in zip(refs, offsets)]
     return ray.data.from_arrow_refs(out_refs)
+
+
+def weighted_priority_sample(
+    ds, id_column: str, weight_column: str, k: int, keep_columns: list[str]
+):
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis &
+    Spirakis 2006, exponential-jumps formulation): each row gets the
+    priority key -ln(u) / w with u = (md5_u64(id) + 0.5) / 2^64, and the k
+    SMALLEST keys win — inclusion probability proportional to weight, no
+    RNG state, identical selection on any cluster shape. Same global top-k
+    combiner shape as `priority_sample` (per-block k survivors, tiny final
+    merge). Output carries `es_key` in round-6 units."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.sketches import _md5_u64
+
+    def add_priority(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        w = (
+            batch.column(weight_column)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        u = (_md5_u64(ids).astype(np.float64) + 0.5) / float(2**64)
+        key = -np.log(u) / w
+        t = batch.select(keep_columns)
+        return t.append_column("es_key", pa.array(key, type=pa.float64()))
+
+    ranked = global_top_k(
+        ds.map_batches(add_priority, batch_format="pyarrow"),
+        "es_key",
+        k,
+        tiebreak_column=id_column,
+        descending=False,
+    )
+    return ranked.map_batches(
+        lambda b: b.set_column(
+            b.column_names.index("es_key"), "es_key", pc.round(b.column("es_key"), 6)
+        )
+        if "es_key" in b.column_names
+        else b,
+        batch_format="pyarrow",
+    )

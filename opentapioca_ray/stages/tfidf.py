@@ -376,3 +376,118 @@ def bigram_counts(ds, text_column: str = "text", min_count: int = 2):
         return batch.filter(pc_.greater_equal(batch.column("n"), min_count))
 
     return merged.map_batches(prune, batch_format="pyarrow")
+
+
+def bm25_scores(
+    ds,
+    id_column: str,
+    text_column: str,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """Okapi BM25 document scores for a fixed query (the classic retrieval
+    score behind the reference's Solr/BM25 candidate ranking): per document
+    containing >= 1 query term,
+
+        score = sum_t idf(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+        idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1)      (Lucene shape)
+
+    Documents with zero tokens don't count toward N / avgdl (they can never
+    match). Scale shape: ONE tokenize pass emits a slim tagged intermediate
+    — per doc a ('', dl) row and a (term, tf) row per query-term hit; the
+    corpus stats (N, sum_dl, per-term df: O(#terms) scalars) reduce
+    combiner-first and broadcast back into a vectorized per-batch scorer.
+    Scores quantized to integer micro-units (see module docstring).
+    Output: (doc_id, bm25_e6)."""
+    import math
+
+    import ray
+
+    qset = sorted(set(query_terms))
+
+    def slim(batch: pa.Table) -> pa.Table:
+        tf = _tf_batch(batch, id_column, text_column)
+        if tf.num_rows == 0:
+            return pa.table(
+                {
+                    id_column: pa.array([], type=pa.int64()),
+                    "term": pa.array([], type=pa.string()),
+                    "tf": pa.array([], type=pa.int64()),
+                }
+            )
+        d = tf.column(id_column).to_numpy(zero_copy_only=False)
+        w = tf.column("word").to_numpy(zero_copy_only=False).astype(object)
+        t = tf.column("tf").to_numpy(zero_copy_only=False)
+        # per-doc dl rows (term = ''): tf output is doc-sorted
+        new = np.concatenate(([True], d[1:] != d[:-1]))
+        starts = np.flatnonzero(new)
+        dl = np.add.reduceat(t, starts)
+        hit = np.isin(w, qset)
+        return pa.table(
+            {
+                id_column: pa.array(
+                    np.concatenate((d[starts], d[hit])).astype(np.int64)
+                ),
+                "term": pa.array(
+                    np.concatenate(
+                        (np.full(len(starts), "", dtype=object), w[hit])
+                    ),
+                    type=pa.string(),
+                ),
+                "tf": pa.array(np.concatenate((dl, t[hit])).astype(np.int64)),
+            }
+        )
+
+    rows = ds.map_batches(slim, batch_format="pyarrow").materialize()
+
+    # O(#terms) corpus stats via per-batch combiner partials
+    n_docs = 0
+    sum_dl = 0
+    df: dict[str, int] = {t: 0 for t in qset}
+    for ref in rows.to_arrow_refs():
+        t = ray.get(ref)
+        if isinstance(t, pa.Table) and t.num_rows and "term" in t.column_names:
+            terms = t.column("term").to_numpy(zero_copy_only=False)
+            tfs = t.column("tf").to_numpy(zero_copy_only=False)
+            is_dl = terms == ""
+            n_docs += int(is_dl.sum())
+            sum_dl += int(tfs[is_dl].sum())
+            for q in qset:
+                df[q] += int((terms == q).sum())
+    idf = {
+        q: math.log((n_docs - df[q] + 0.5) / (df[q] + 0.5) + 1.0) for q in qset
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("doc_id", pa.int64()), ("bm25_e6", pa.int64())])
+        if batch.num_rows == 0 or "term" not in batch.column_names:
+            return schema.empty_table()
+        d = batch.column(id_column).to_numpy(zero_copy_only=False)
+        terms = batch.column("term").to_numpy(zero_copy_only=False)
+        tfs = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_dl = terms == ""
+        dl_of = dict(zip(d[is_dl].tolist(), tfs[is_dl].tolist()))
+        hd, ht, htf = d[~is_dl], terms[~is_dl], tfs[~is_dl]
+        if len(hd) == 0:
+            return schema.empty_table()
+        dl = np.array([dl_of[x] for x in hd.tolist()], dtype=np.int64)
+        idf_v = np.array([idf[t] for t in ht.tolist()], dtype=np.float64)
+        rel = (dl * n_docs).astype(np.float64) / float(sum_dl)
+        part = idf_v * (htf * (k1 + 1.0)) / (htf + k1 * (1.0 - b + b * rel))
+        order = np.argsort(hd, kind="stable")
+        hd, part = hd[order], part[order]
+        starts = np.flatnonzero(np.concatenate(([True], hd[1:] != hd[:-1])))
+        score_v = np.add.reduceat(part, starts)
+        return pa.table(
+            {
+                "doc_id": pa.array(hd[starts].astype(np.int64)),
+                "bm25_e6": pa.array(
+                    np.floor(score_v * 1_000_000 + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    # batch_size=None: whole blocks, so a doc's dl row and hit rows (emitted
+    # together by `slim`) are never split across scoring batches
+    return rows.map_batches(score, batch_format="pyarrow", batch_size=None)

@@ -83,3 +83,57 @@ def test_state_intervals(ray_session):
         (1, 30): ("a", 30, 1),
         (2, 40): ("c", 50, 2),
     }
+
+
+def test_key_window_pairs(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.matching import key_window_pairs
+
+    t = pa.table(
+        {
+            "id": [1, 3, 10, 30, 31, 100],
+            "blk": ["a", "a", "a", "b", "b", "b"],
+            "name": ["x1", "x3", "x10", "y30", "y31", "y100"],
+        }
+    )
+    out = key_window_pairs(
+        ray.data.from_arrow(t), "id", "blk", window=9, carry_columns=["name"]
+    ).to_pandas()
+    got = {(r["u"], r["v"]): (r["name_u"], r["name_v"]) for _, r in out.iterrows()}
+    # window is by KEY DISTANCE: 1-3 (d=2), 3-10 (d=7), 30-31; never 1-10
+    # (d=9 <= 9 actually) -> 1-10 IS within 9; 31-100 and cross-block never
+    assert got == {
+        (1, 3): ("x1", "x3"),
+        (1, 10): ("x1", "x10"),
+        (3, 10): ("x3", "x10"),
+        (30, 31): ("y30", "y31"),
+    }
+
+
+def test_fs_weights_exact_counts(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.matching import fs_weights
+
+    # 4 matches: agree on f 3/4 times; 6 non-matches: agree 1/6 times
+    t = pa.table(
+        {
+            "is_match": [True] * 4 + [False] * 6,
+            "f": [True, True, True, False] + [True] + [False] * 5,
+        }
+    )
+    out = (
+        fs_weights(ray.data.from_arrow(t).repartition(3), "is_match", ["f"])
+        .to_pandas()
+    )
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["field"] == "f"
+    assert r["m"] == 0.75
+    assert r["u"] == round(1 / 6, 6)
+    assert r["w_agree"] == round(float(np.log2(0.75 / (1 / 6))), 6)
+    assert r["w_disagree"] == round(float(np.log2(0.25 / (5 / 6))), 6)

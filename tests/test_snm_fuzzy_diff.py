@@ -100,3 +100,58 @@ def test_snapshot_diff_statuses(ray_session):
         3: ("changed", 30, 31),
         5: ("added", -1, 50),
     }
+
+
+def test_jaro_winkler_matches_duckdb_bitwise():
+    """jaro_winkler_pairs is pinned to DuckDB's jaro_winkler_similarity
+    (window, half-transpositions, 0.7 boost threshold, <=4-char prefix,
+    empty-string -> 0.0)."""
+    import random
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from opentapioca_ray.stages.fuzzy import _code_matrix, jaro_winkler_pairs
+
+    rng = random.Random(11)
+    names = [
+        "".join(rng.choice("abcde") for _ in range(rng.randint(0, 10)))
+        for _ in range(150)
+    ] + ["MARTHA", "MARHTA", "DIXON", "DICKSONX", "", "a", "prefixlong", "prefixlonk"]
+    arr = np.array(names, dtype=object)
+    codes, lens = _code_matrix(arr)
+    ai = np.random.RandomState(1).randint(0, len(names), 800)
+    bi = np.random.RandomState(2).randint(0, len(names), 800)
+    mine = jaro_winkler_pairs(codes, lens, ai, bi)
+    df = pd.DataFrame({"a": [names[i] for i in ai], "b": [names[i] for i in bi]})
+    want = (
+        duckdb.connect()
+        .execute("SELECT jaro_winkler_similarity(a, b) FROM df")
+        .df()
+        .iloc[:, 0]
+        .to_numpy()
+    )
+    assert np.max(np.abs(mine - want)) < 1e-12
+
+
+def test_jw_block_pairs_end_to_end(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.fuzzy import jw_block_pairs
+
+    t = pa.table(
+        {
+            "id": [1, 2, 3, 4, 5],
+            "name": ["martha", "marhta", "jones", "janes", "zzzzz"],
+            "blk": ["a", "a", "a", "a", "b"],
+        }
+    )
+    out = jw_block_pairs(
+        ray.data.from_arrow(t), "id", "name", "blk", min_sim=0.85
+    ).to_pandas()
+    got = {(r["u"], r["v"]): round(r["jw"], 4) for _, r in out.iterrows()}
+    assert (1, 2) in got and got[(1, 2)] == round(0.9611111111111111, 4)
+    assert (3, 4) in got
+    assert all(u != 5 and v != 5 for u, v in got)
