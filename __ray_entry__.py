@@ -3145,6 +3145,29 @@ def _q_sparsify_fuzzy(sf_dir: str):
     )
 
 
+def _q_event_user_entropy(sf_dir: str):
+    """Shannon entropy of each event type's user-occurrence distribution
+    from EXACT integer counts — a skew/diversity diagnostic for choosing
+    blocking keys (a low-entropy key is a hot-partition risk). Two
+    combiner-first reductions, no row-level double shuffle."""
+    from opentapioca_ray.stages.aggregates import group_entropy
+
+    ev = _rel(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return group_entropy(ev, "event_type", "user_id")
+
+
+def _q_hll_distinct_users(sf_dir: str):
+    """HyperLogLog distinct-user sketch per event type (p=8, 256
+    registers) over the same deterministic md5-u64 hash as the KMV
+    sketch; exchange volume is <= 256 rows per (group, block). The SQL
+    twin reproduces every register and the estimate bit-for-bit (the
+    harmonic sum is carried as an exact integer)."""
+    from opentapioca_ray.stages.sketches import hll_distinct
+
+    ev = _rel(f"{sf_dir}/events.parquet", columns=["event_type", "user_id"])
+    return hll_distinct(ev, "event_type", "user_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -3270,6 +3293,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hot_keys": _q_hot_keys,
         "two_hop_candidates": _q_two_hop_candidates,
         "sparsify_fuzzy": _q_sparsify_fuzzy,
+        "event_user_entropy": _q_event_user_entropy,
+        "hll_distinct_users": _q_hll_distinct_users,
     }
 
 
@@ -5346,6 +5371,70 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(cos) / count(*), 6) AS mean_cosine
             FROM best WHERE rn = 1
             GROUP BY cluster
+        """,
+        "event_user_entropy": """
+            WITH c AS (
+              SELECT event_type, user_id,
+                     CAST(count(*) AS DOUBLE) AS c
+              FROM events GROUP BY event_type, user_id
+            ),
+            r AS (
+              SELECT event_type,
+                     CAST(sum(CAST(c AS BIGINT)) AS BIGINT) AS n_rows,
+                     sum(c * ln(c)) AS sclnc
+              FROM c GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(floor((ln(CAST(n_rows AS DOUBLE))
+                               - sclnc / CAST(n_rows AS DOUBLE))
+                              * 1000000.0 + 0.5) AS BIGINT) AS entropy_e6,
+                   n_rows
+            FROM r
+        """,
+        "hll_distinct_users": """
+            WITH h AS (
+              SELECT DISTINCT event_type,
+                     ('0x' || substr(md5(user_id::VARCHAR), 1, 16))::UBIGINT AS hv
+              FROM events
+            ),
+            rho AS (
+              SELECT event_type, CAST(hv >> 56 AS BIGINT) AS reg,
+                     CASE WHEN (hv & 72057594037927935) = 0 THEN 57
+                          ELSE 57 - length(bin(hv & 72057594037927935))
+                     END AS rho
+              FROM h
+            ),
+            regs AS (
+              SELECT event_type, reg, max(rho) AS max_rho
+              FROM rho GROUP BY event_type, reg
+            ),
+            st AS (
+              -- absent registers are rho 0: they add 2^57 to the exact
+              -- harmonic sum T = sum(2^(57-rho)) and count as zeros
+              SELECT event_type,
+                     256 - count(*) AS v,
+                     sum(max_rho) AS sum_rho,
+                     sum(1::HUGEINT << (57 - max_rho))
+                       + (256 - count(*)) * (1::HUGEINT << 57) AS t
+              FROM regs GROUP BY event_type
+            ),
+            est AS (
+              SELECT event_type, v, sum_rho,
+                     CAST(0.7213 AS DOUBLE)
+                       / (CAST(1.0 AS DOUBLE)
+                          + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+                       * 65536.0 * 144115188075855872.0
+                       / CAST(t AS DOUBLE) AS e
+              FROM st
+            )
+            SELECT event_type,
+                   CAST(v AS BIGINT) AS n_registers_zero,
+                   CAST(sum_rho AS BIGINT) AS sum_rho,
+                   CAST(floor(CASE WHEN e <= 640.0 AND v > 0
+                                   THEN 256.0 * ln(256.0 / v)
+                                   ELSE e END * 100.0 + 0.5)
+                        AS BIGINT) AS hll_estimate_e2
+            FROM est
         """,
     }
     # ann_recall composes the two existing ANN twins so the evaluation

@@ -939,3 +939,87 @@ def decile_summary(ds, value_column: str, scale: int = 100, n_buckets: int = 10)
     return partial_sum_count(
         bucketed, "decile", ["v_u"], alias={"v_u": "sum_units", "count": "n"}
     )
+
+
+def group_entropy(ds, group_column: str, item_column: str, n_parts=None):
+    """Shannon entropy (nats) of each group's item-occurrence distribution
+    from EXACT integer counts: H = ln(N) - (sum c*ln(c)) / N over the
+    per-(group, item) counts c. Two combiner-first reductions — the
+    (group, item) count table, then the O(groups) (N, sum c*ln c) roll-up;
+    no row-level data ever reshuffles twice. Output:
+    (group, entropy_e6 fixed-point micro-nats, n_rows)."""
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                (group_column, pa.string()),
+                (item_column, pa.int64()),
+                ("_n", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or group_column not in batch.column_names:
+            return schema.empty_table()
+        out = pa.TableGroupBy(
+            batch.select([group_column, item_column]), [group_column, item_column]
+        ).aggregate([(group_column, "count")])
+        return out.rename_columns([group_column, item_column, "_n"])
+
+    counts = coarse_groupby_agg(
+        ds.map_batches(count_partial, batch_format="pyarrow"),
+        [group_column, item_column],
+        {"c": ("_n", "sum")},
+        n_parts=n_parts,
+    )
+
+    def clnc(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                (group_column, pa.string()),
+                ("_nn", pa.int64()),
+                ("_clnc", pa.float64()),
+            ]
+        )
+        if batch.num_rows == 0 or "c" not in batch.column_names:
+            return schema.empty_table()
+        c = batch.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                group_column: batch.column(group_column),
+                "_nn": batch.column("c").cast(pa.int64()),
+                "_clnc": pa.array(c * np.log(c)),
+            }
+        )
+
+    rolled = coarse_groupby_agg(
+        counts.map_batches(clnc, batch_format="pyarrow"),
+        [group_column],
+        {"n_rows": ("_nn", "sum"), "sclnc": ("_clnc", "sum")},
+        n_parts=n_parts,
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                (group_column, pa.string()),
+                ("entropy_e6", pa.int64()),
+                ("n_rows", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or "n_rows" not in batch.column_names:
+            return schema.empty_table()
+        n = batch.column("n_rows").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = batch.column("sclnc").to_numpy(zero_copy_only=False)
+        # fixed-point half-up, matching the SQL twin's floor(x*1e6 + 0.5)
+        h = np.floor((np.log(n) - s / n) * 1e6 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                group_column: batch.column(group_column),
+                "entropy_e6": pa.array(h),
+                "n_rows": batch.column("n_rows").cast(pa.int64()),
+            }
+        )
+
+    return rolled.map_batches(finish, batch_format="pyarrow")

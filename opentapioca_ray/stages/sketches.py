@@ -21,6 +21,7 @@ report their exact count (the sketch holds every hash).
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -221,3 +222,104 @@ def heavy_hitters(ds, column: str, phi: float = 0.01, slack: float = 2.0):
         return batch.filter(pa.array(c > cut)).select(["item", "count"])
 
     return exact.map_batches(finish, batch_format="pyarrow")
+
+
+_HLL_ALPHA_256 = 0.7213 / (1.0 + 1.079 / 256.0)
+
+
+def hll_distinct(ds, group_column: str, value_column: str, n_parts=None):
+    """HyperLogLog distinct sketch per group (Flajolet et al. 2007),
+    p=8 / 256 registers, over the SAME deterministic md5-u64 hash as the
+    KMV sketch so the DuckDB twin reproduces every register exactly:
+    register = hv >> 56, rho = 57 - bit_length(low 56 bits) (57 when 0).
+    Per-batch combiner emits (group, register, max rho) partials — at most
+    256 rows per (group, block) regardless of input volume; one tiny merge,
+    then the standard estimator with the small-range (linear counting)
+    correction. Output: (group, n_registers_zero, sum_rho,
+    hll_estimate_e2) — the register state is pure integers, and the raw
+    estimate's harmonic sum is carried as the EXACT integer
+    T = sum(2^(57-rho)) (Python int here, HUGEINT in the SQL twin) so the
+    only float ops are a fixed left-to-right expression both engines
+    evaluate identically; only the final estimate is quantized
+    (centi-units)."""
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                (group_column, pa.string()),
+                ("reg", pa.int64()),
+                ("_rho", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or group_column not in batch.column_names:
+            return schema.empty_table()
+        g = batch.column(group_column).to_numpy(zero_copy_only=False)
+        hv = _md5_u64(batch.column(value_column).to_numpy(zero_copy_only=False))
+        reg = (hv >> np.uint64(56)).astype(np.int64)
+        suffix = hv & np.uint64((1 << 56) - 1)
+        # rho = 57 - bit_length(suffix), bit_length(0) = 0 -> rho 57.
+        # bit_length computed EXACTLY by threshold counting (float log2 is
+        # unsafe for 56-bit ints): bit_length(x) = #{b in 0..55 : x >= 2^b}
+        pows = (np.uint64(1) << np.arange(56, dtype=np.uint64))[None, :]
+        nbits = (suffix[:, None] >= pows).sum(axis=1).astype(np.int64)
+        rho = 57 - nbits
+        t = pa.table(
+            {group_column: pa.array(g.astype(object), type=pa.string()),
+             "reg": pa.array(reg), "rho": pa.array(rho)}
+        )
+        out = pa.TableGroupBy(t, [group_column, "reg"]).aggregate([("rho", "max")])
+        return out.rename_columns([group_column, "reg", "_rho"])
+
+    regs = coarse_groupby_agg(
+        ds.select_columns([group_column, value_column]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        [group_column, "reg"],
+        {"max_rho": ("_rho", "max")},
+        n_parts=n_parts,
+    )
+
+    def estimate(df):
+        import pandas as pd
+
+        cols = {
+            group_column: pd.Series(dtype=object),
+            "n_registers_zero": pd.Series(dtype=np.int64),
+            "sum_rho": pd.Series(dtype=np.int64),
+            "hll_estimate_e2": pd.Series(dtype=np.int64),
+        }
+        if df.empty:
+            return pd.DataFrame(cols)
+        rows = []
+        m = 256
+        for gval, grp in df.groupby(group_column, sort=True):
+            M = np.zeros(m, dtype=np.int64)
+            M[grp["reg"].to_numpy(dtype=np.int64)] = grp["max_rho"].to_numpy(
+                dtype=np.int64
+            )
+            v = int((M == 0).sum())
+            # harmonic sum scaled by 2^57: T = sum(2^(57-rho)) is an EXACT
+            # integer (rho <= 57), immune to float summation order — the
+            # one divergence channel between numpy and the SQL twin. The
+            # estimate is then ONE fixed float expression, evaluated
+            # left-to-right identically here and in DuckDB.
+            t = sum(1 << (57 - int(r)) for r in M)
+            e = _HLL_ALPHA_256 * 65536.0 * 144115188075855872.0 / float(t)
+            if e <= 2.5 * m and v > 0:
+                e = 256.0 * math.log(256.0 / v)
+            rows.append(
+                {
+                    group_column: gval,
+                    "n_registers_zero": v,
+                    "sum_rho": int(M.sum()),
+                    "hll_estimate_e2": int(np.floor(e * 100.0 + 0.5)),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    return coarse_group_apply(regs, group_column, estimate, n_parts=n_parts)

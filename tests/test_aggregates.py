@@ -447,3 +447,31 @@ def test_weighted_median(ray_session):
     assert out.loc["a", "total_weight"] == 6
     assert out.loc["b", "median_units"] == 1000
     assert out.loc["b", "total_weight"] == 4
+
+
+def test_group_entropy(ray_session):
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import group_entropy
+
+    # group a: items 1,1,2,3 -> p = (1/2, 1/4, 1/4), H = 1.5*ln(2)
+    # group b: uniform single item -> H = 0
+    t = pa.table(
+        {
+            "g": ["a", "a", "a", "a", "b", "b"],
+            "i": [1, 1, 2, 3, 7, 7],
+        }
+    )
+    out = (
+        group_entropy(ray.data.from_arrow(t).repartition(3), "g", "i")
+        .to_pandas()
+        .set_index("g")
+    )
+    want_a = int(math.floor(1.5 * math.log(2.0) * 1e6 + 0.5))
+    assert out.loc["a", "entropy_e6"] == want_a
+    assert out.loc["a", "n_rows"] == 4
+    assert out.loc["b", "entropy_e6"] == 0
+    assert out.loc["b", "n_rows"] == 2

@@ -42,3 +42,51 @@ def test_approx_distinct_accuracy_over_k(ray_session):
     got = approx_distinct(ray.data.from_items(rows), "g", "v", k=256).take_all()
     est = got[0]["n_approx"]
     assert abs(est - 5000) / 5000 < 0.25
+
+
+def test_hll_distinct_register_state_matches_reference_hash(ray_session):
+    """Registers are derived from the md5-u64 convention: recompute them
+    row-by-row in pure Python and compare the integer register summaries."""
+    import hashlib
+
+    from opentapioca_ray.stages.sketches import hll_distinct
+
+    rows = [{"g": "a", "v": i % 37} for i in range(200)] + [
+        {"g": "b", "v": i} for i in range(900)
+    ]
+    got = {
+        r["g"]: r
+        for r in hll_distinct(ray.data.from_items(rows), "g", "v").take_all()
+    }
+
+    for gname, vals in (("a", range(37)), ("b", range(900))):
+        M = [0] * 256
+        for v in vals:
+            hv = int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
+            reg = hv >> 56
+            suffix = hv & ((1 << 56) - 1)
+            rho = 57 - suffix.bit_length()
+            M[reg] = max(M[reg], rho)
+        assert got[gname]["sum_rho"] == sum(M)
+        assert got[gname]["n_registers_zero"] == M.count(0)
+
+
+def test_hll_distinct_accuracy(ray_session):
+    # 256 registers -> ~6.5% standard error; assert a loose 4-sigma band
+    from opentapioca_ray.stages.sketches import hll_distinct
+
+    rows = [{"g": "a", "v": i} for i in range(10_000)]
+    got = hll_distinct(ray.data.from_items(rows), "g", "v").take_all()
+    est = got[0]["hll_estimate_e2"] / 100.0
+    assert abs(est - 10_000) / 10_000 < 0.26
+
+
+def test_hll_distinct_small_range_linear_counting(ray_session):
+    # far below 2.5*m -> linear-counting branch; small counts come out
+    # close to exact (LC error at n<<m is tiny)
+    from opentapioca_ray.stages.sketches import hll_distinct
+
+    rows = [{"g": "a", "v": i % 12} for i in range(100)]
+    got = hll_distinct(ray.data.from_items(rows), "g", "v").take_all()
+    est = got[0]["hll_estimate_e2"] / 100.0
+    assert abs(est - 12) <= 1.0
