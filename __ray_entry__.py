@@ -3168,6 +3168,21 @@ def _q_hll_distinct_users(sf_dir: str):
     return hll_distinct(ev, "event_type", "user_id")
 
 
+def _q_winnow_pairs(sf_dir: str):
+    """Doc pairs sharing >= 2 winnowing fingerprints (Schleimer et al.,
+    SIGMOD 2003 — the MOSS selection: min word-3-gram md5 hash per sliding
+    window of 4, rightmost on ties). Selection is per-doc/per-batch with
+    zero shuffles and moves only ~2/(w+1) of the grams into the blocking
+    exchange; hot fingerprints are purged at doc-frequency 32 (exactly
+    replicated by the SQL twin). The oracle recomputes every fingerprint
+    bit-for-bit from the shared md5-u64 convention."""
+    from opentapioca_ray.stages.winnow import winnow_pairs
+
+    return winnow_pairs(
+        _docs(sf_dir), k=3, w=4, max_doc_freq=32, min_shared=2
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -3295,6 +3310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparsify_fuzzy": _q_sparsify_fuzzy,
         "event_user_entropy": _q_event_user_entropy,
         "hll_distinct_users": _q_hll_distinct_users,
+        "winnow_pairs": _q_winnow_pairs,
     }
 
 
@@ -5435,6 +5451,61 @@ def oracle_sql() -> dict[str, str]:
                                    ELSE e END * 100.0 + 0.5)
                         AS BIGINT) AS hll_estimate_e2
             FROM est
+        """,
+        "winnow_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    x -> trim(x)),
+                  x -> x != '') AS arr
+              FROM documents
+            ),
+            gl AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_transform(range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2])
+                END AS gs
+              FROM toks WHERE len(arr) > 0
+            ),
+            h AS (
+              SELECT doc_id, unnest(gs) AS gram,
+                     unnest(range(1, len(gs) + 1)) AS pos, len(gs) AS m
+              FROM gl
+            ),
+            hh AS (
+              SELECT doc_id, pos, m,
+                     ('0x' || substr(md5(gram), 1, 16))::UBIGINT AS hv
+              FROM h
+            ),
+            -- windows of w=4 gram hashes; a doc with m < 4 grams has one
+            -- degenerate window ending at its last gram
+            wins AS (SELECT doc_id, pos AS e FROM hh WHERE pos >= least(4, m)),
+            pick AS (
+              SELECT w.doc_id, w.e, hh.pos,
+                     row_number() OVER (PARTITION BY w.doc_id, w.e
+                                        ORDER BY hh.hv ASC, hh.pos DESC) AS rk
+              FROM wins w JOIN hh ON hh.doc_id = w.doc_id
+                                  AND hh.pos BETWEEN w.e - 3 AND w.e
+            ),
+            selpos AS (SELECT DISTINCT doc_id, pos FROM pick WHERE rk = 1),
+            fps AS (
+              SELECT DISTINCT hh.doc_id, hh.hv
+              FROM selpos JOIN hh ON hh.doc_id = selpos.doc_id
+                                  AND hh.pos = selpos.pos
+            ),
+            keepfp AS (
+              SELECT hv FROM fps GROUP BY hv HAVING count(*) <= 32
+            )
+            SELECT CAST(a.doc_id AS BIGINT) AS u,
+                   CAST(b.doc_id AS BIGINT) AS v,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM fps a
+            JOIN keepfp kf ON kf.hv = a.hv
+            JOIN fps b ON b.hv = a.hv AND a.doc_id < b.doc_id
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
     }
     # ann_recall composes the two existing ANN twins so the evaluation

@@ -516,28 +516,24 @@ def simhash_dedup(ds, id_column: str = "doc_id", text_column: str = "text", max_
 # Exact n-gram Jaccard near-dedup
 # ---------------------------------------------------------------------------
 
-def _gram_kernel(batch: pa.Table, id_column: str, text_column: str, k: int):
-    """Shared distinct word-k-gram kernel for a whole batch.
+def _gram_pieces(ids, texts, k: int):
+    """Tokenize a batch and compose its word-k-gram rows.
 
     Docs shorter than k tokens collapse to a single whole-doc gram; empty
-    docs yield no grams (and thus join no candidate pairs).
+    docs yield no grams. Fully vectorized: ONE Arrow
+    `binary_join_element_wise` composes every k-gram window of the whole
+    batch.
 
-    Fully vectorized: ONE Arrow `binary_join_element_wise` composes every
-    k-gram window of the whole batch, one lexsort over (doc, gram-code)
-    dedups per doc — no per-doc Python sets/joins (measured 1.4s -> 0.3s
-    over 5k docs at sf0.1).
-
-    Returns None for a gram-less batch, else a tuple
-    `(ids_int64, kept_grams, kept_docs, per_doc)`: the batch's doc ids, a
-    flat Arrow string array of distinct grams sorted by (doc index, gram
-    code), the doc index of each kept gram, and the per-doc distinct-gram
-    counts."""
+    Returns None for a gram-less batch, else `(all_docs, all_grams)` —
+    the doc index of each gram row and the flat Arrow string grams, with
+    every regular doc's window grams in POSITIONAL order (flat order) and
+    the short docs' single whole-doc grams appended after. Callers that
+    need per-doc positional sequences (winnowing) stable-sort by doc;
+    `_gram_kernel` sorts by (doc, gram code) to dedup."""
     import pyarrow.compute as pc
 
     from opentapioca_ray.functions.text import tokenize_flat
 
-    ids = batch.column(id_column).to_numpy(zero_copy_only=False)
-    texts = batch.column(text_column).to_pylist()
     flat, counts = tokenize_flat([t or "" for t in texts])
     n = len(flat)
     ndocs = len(ids)
@@ -583,6 +579,25 @@ def _gram_kernel(batch: pa.Table, id_column: str, text_column: str, k: int):
         [g.combine_chunks() if isinstance(g, pa.ChunkedArray) else g
          for g in piece_grams]
     )
+    return all_docs, all_grams
+
+
+def _gram_kernel(batch: pa.Table, id_column: str, text_column: str, k: int):
+    """Shared distinct word-k-gram kernel for a whole batch: `_gram_pieces`
+    plus one lexsort over (doc, gram-code) to dedup per doc — no per-doc
+    Python sets/joins (measured 1.4s -> 0.3s over 5k docs at sf0.1).
+
+    Returns None for a gram-less batch, else a tuple
+    `(ids_int64, kept_grams, kept_docs, per_doc)`: the batch's doc ids, a
+    flat Arrow string array of distinct grams sorted by (doc index, gram
+    code), the doc index of each kept gram, and the per-doc distinct-gram
+    counts."""
+    ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+    ndocs = len(ids)
+    res = _gram_pieces(ids, batch.column(text_column).to_pylist(), k)
+    if res is None:
+        return None
+    all_docs, all_grams = res
     codes = all_grams.dictionary_encode().indices.to_numpy(zero_copy_only=False)
     o = np.lexsort((codes, all_docs))
     d_s, c_s = all_docs[o], codes[o]
