@@ -3183,6 +3183,19 @@ def _q_winnow_pairs(sf_dir: str):
     )
 
 
+def _q_metablocking_wnp(sf_dir: str):
+    """Meta-blocking (Papadakis et al., TKDE 2014): purge 3-gram blocks
+    bigger than 24 docs, weight candidate pairs by CBS (shared-block
+    count), and keep edges clearing BOTH endpoints' mean incident weight
+    (reciprocal weighted node pruning). The WNP comparison is exact
+    integer math (w * degree >= weight_sum) so the SQL twin matches
+    bit-for-bit; thresholds attach via two reduce-side lookup exchanges,
+    never a driver collect."""
+    from opentapioca_ray.stages.metablocking import metablocking_wnp_pairs
+
+    return metablocking_wnp_pairs(_docs(sf_dir), k=3, max_block_size=24)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -3311,6 +3324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_user_entropy": _q_event_user_entropy,
         "hll_distinct_users": _q_hll_distinct_users,
         "winnow_pairs": _q_winnow_pairs,
+        "metablocking_wnp": _q_metablocking_wnp,
     }
 
 
@@ -5506,6 +5520,48 @@ def oracle_sql() -> dict[str, str]:
             JOIN keepfp kf ON kf.hv = a.hv
             JOIN fps b ON b.hv = a.hv AND a.doc_id < b.doc_id
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        "metablocking_wnp": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    x -> trim(x)),
+                  x -> x != '') AS arr
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                END AS gs
+              FROM toks WHERE len(arr) > 0
+            ),
+            ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            blocks AS (
+              SELECT g FROM ex GROUP BY g HAVING count(*) <= 24
+            ),
+            kept AS (SELECT ex.doc_id, ex.g FROM ex JOIN blocks USING (g)),
+            edges AS (
+              SELECT a.doc_id AS u, b.doc_id AS v, count(*) AS w
+              FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            nodes AS (
+              SELECT node, sum(w) AS s, count(*) AS d
+              FROM (SELECT u AS node, w FROM edges
+                    UNION ALL SELECT v AS node, w FROM edges)
+              GROUP BY node
+            )
+            SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+                   CAST(w AS BIGINT) AS cbs
+            FROM edges
+            JOIN nodes nu ON nu.node = edges.u
+            JOIN nodes nv ON nv.node = edges.v
+            WHERE w * nu.d >= nu.s AND w * nv.d >= nv.s
         """,
     }
     # ann_recall composes the two existing ANN twins so the evaluation

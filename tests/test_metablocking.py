@@ -1,0 +1,58 @@
+"""Meta-blocking WNP: purge + CBS weights + reciprocal node pruning."""
+
+import pyarrow as pa
+
+
+def test_wnp_prunes_weak_edges(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.metablocking import metablocking_wnp_pairs
+
+    # docs 0/1 near-identical (many shared 3-grams); docs 2/3 share only a
+    # couple of grams with them -> their edges fall below the means
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        {"doc_id": 0, "text": base + " one"},
+        {"doc_id": 1, "text": base + " two"},
+        {"doc_id": 2, "text": "alpha beta gamma nope xx yy zz qq ww ee"},
+        {"doc_id": 3, "text": "rr tt uu ii oo pp aa ss dd ff"},
+    ]
+    out = metablocking_wnp_pairs(
+        ray.data.from_items(rows).repartition(3), k=3, max_block_size=24
+    ).to_pandas()
+    pairs = {(r.u, r.v): r.cbs for r in out.itertuples()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 7
+    # the weak 0-2 / 1-2 edges (1 shared gram vs mean ~ high) are pruned
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_block_purge_drops_hot_blocks(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.metablocking import metablocking_wnp_pairs
+
+    # every doc shares the same single 3-gram; cap at 3 purges the block
+    rows = [{"doc_id": i, "text": "same old gram"} for i in range(5)]
+    out = metablocking_wnp_pairs(
+        ray.data.from_items(rows), k=3, max_block_size=3
+    ).to_pandas()
+    assert len(out) == 0
+
+
+def test_partition_invariance(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.metablocking import metablocking_wnp_pairs
+
+    rows = [
+        {"doc_id": i, "text": f"tok{i % 4} common word here tok{i % 3} end{i}"}
+        for i in range(20)
+    ]
+
+    def run(nblocks):
+        out = metablocking_wnp_pairs(
+            ray.data.from_items(rows).repartition(nblocks)
+        ).to_pandas()
+        return set(zip(out["u"], out["v"], out["cbs"]))
+
+    assert run(1) == run(7)
