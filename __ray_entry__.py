@@ -3196,6 +3196,23 @@ def _q_metablocking_wnp(sf_dir: str):
     return metablocking_wnp_pairs(_docs(sf_dir), k=3, max_block_size=24)
 
 
+def _q_order_skyline(sf_dir: str):
+    """Pareto frontier of orders (maximize o_totalprice, minimize
+    o_orderdate) — the Skyline operator (Börzsönyi et al., ICDE 2001) in
+    its distribute-then-merge form: every block prefilters to its local
+    skyline (zero communication), only the ~O(log n)-per-block survivors
+    reach the single tiny merge partition. Exact-tie duplicates of a
+    frontier point are all kept, matching the SQL twin's group-min
+    formulation."""
+    from opentapioca_ray.stages.skyline import skyline2d
+
+    orders = _rel(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    return skyline2d(orders, "o_totalprice", "o_orderdate")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -3325,6 +3342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _q_hll_distinct_users,
         "winnow_pairs": _q_winnow_pairs,
         "metablocking_wnp": _q_metablocking_wnp,
+        "order_skyline": _q_order_skyline,
     }
 
 
@@ -5562,6 +5580,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN nodes nu ON nu.node = edges.u
             JOIN nodes nv ON nv.node = edges.v
             WHERE w * nu.d >= nu.s AND w * nv.d >= nv.s
+        """,
+        "order_skyline": """
+            WITH g AS (
+              SELECT o_totalprice AS p, min(o_orderdate) AS dmin
+              FROM orders GROUP BY 1
+            ),
+            r AS (
+              SELECT p, dmin,
+                     min(dmin) OVER (
+                       ORDER BY p DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ) AS prevmin
+              FROM g
+            )
+            SELECT o.o_orderkey, o.o_totalprice, o.o_orderdate
+            FROM orders o JOIN r ON o.o_totalprice = r.p
+            WHERE o.o_orderdate = r.dmin
+              AND (r.prevmin IS NULL OR o.o_orderdate < r.prevmin)
         """,
     }
     # ann_recall composes the two existing ANN twins so the evaluation
