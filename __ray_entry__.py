@@ -3213,6 +3213,44 @@ def _q_order_skyline(sf_dir: str):
     return skyline2d(orders, "o_totalprice", "o_orderdate")
 
 
+def _q_clustering_ari(sf_dir: str):
+    """Adjusted Rand Index (Hubert & Arabie 1985) between two blocking
+    assignments of the documents — 80-char-prefix hash groups vs
+    first-token blocks — the label-free way to quantify how much two
+    dedup/blocking methods agree. All pair-count sums are exact integers
+    reduced combiner-first; only the final ARI is one fixed float
+    expression quantized to micro-units."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.textstats import whitespace_token_lists
+    from opentapioca_ray.stages.blocking_eval import adjusted_rand_stats
+
+    def keys(batch: pa.Table) -> pa.Table:
+        toks = whitespace_token_lists(batch, "text")
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        nonempty = offsets[1:] > offsets[:-1]
+        first = np.full(batch.num_rows, "", dtype=object)
+        if nonempty.any():
+            first[nonempty] = (
+                toks.values.take(pa.array(offsets[:-1][nonempty]))
+                .to_numpy(zero_copy_only=False)
+            )
+        texts = batch.column("text").to_pylist()
+        la = [hashlib.md5((t or "")[:80].encode()).hexdigest() for t in texts]
+        return pa.table(
+            {
+                "la": pa.array(la, pa.string()),
+                "lb": pa.array(first, pa.string()),
+            }
+        )
+
+    labeled = _docs(sf_dir).map_batches(keys, batch_format="pyarrow")
+    return adjusted_rand_stats(labeled, "la", "lb")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -3343,6 +3381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_pairs": _q_winnow_pairs,
         "metablocking_wnp": _q_metablocking_wnp,
         "order_skyline": _q_order_skyline,
+        "clustering_ari": _q_clustering_ari,
     }
 
 
@@ -5598,6 +5637,46 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN r ON o.o_totalprice = r.p
             WHERE o.o_orderdate = r.dmin
               AND (r.prevmin IS NULL OR o.o_orderdate < r.prevmin)
+        """,
+        "clustering_ari": r"""
+            WITH lab AS (
+              SELECT md5(substr(text, 1, 80)) AS la,
+                     CASE WHEN trim(text) = '' THEN ''
+                          ELSE regexp_split_to_array(trim(text), '\s+')[1]
+                     END AS lb
+              FROM documents
+            ),
+            cells AS (
+              SELECT la, lb, count(*) AS n FROM lab GROUP BY la, lb
+            ),
+            ma AS (SELECT la, sum(n) AS sz FROM cells GROUP BY la),
+            mb AS (SELECT lb, sum(n) AS sz FROM cells GROUP BY lb),
+            s AS (
+              SELECT
+                (SELECT sum(n) FROM cells) AS n,
+                (SELECT sum(n * (n - 1) // 2) FROM cells) AS si,
+                (SELECT sum(sz * (sz - 1) // 2) FROM ma) AS sa,
+                (SELECT sum(sz * (sz - 1) // 2) FROM mb) AS sb
+            )
+            SELECT CAST(n AS BIGINT) AS n_items,
+                   CAST(si AS BIGINT) AS sum_comb_cells,
+                   CAST(sa AS BIGINT) AS sum_comb_a,
+                   CAST(sb AS BIGINT) AS sum_comb_b,
+                   CAST(floor(
+                     CASE
+                       WHEN n * (n - 1) // 2 = 0 THEN 1.0
+                       WHEN 0.5 * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+                            - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                              / CAST(n * (n - 1) // 2 AS DOUBLE) = 0.0
+                         THEN 1.0
+                       ELSE (CAST(si AS DOUBLE)
+                             - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                               / CAST(n * (n - 1) // 2 AS DOUBLE))
+                            / (0.5 * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+                               - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                                 / CAST(n * (n - 1) // 2 AS DOUBLE))
+                     END * 1000000.0 + 0.5) AS BIGINT) AS ari_e6
+            FROM s
         """,
     }
     # ann_recall composes the two existing ANN twins so the evaluation

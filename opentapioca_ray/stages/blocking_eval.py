@@ -117,3 +117,68 @@ def bcubed_combo_stats(ds, pred_col: str, truth_col: str):
 
     with_c = coarse_group_apply(combos, pred_col, attach_total(pred_col, "csize"))
     return coarse_group_apply(with_c, truth_col, attach_total(truth_col, "tsize"))
+
+
+def adjusted_rand_stats(ds, a_col: str, b_col: str):
+    """Pair-counting agreement between two clusterings/blockings of the
+    same records: the Adjusted Rand Index (Hubert & Arabie 1985), the
+    standard way to compare two dedup methods' outputs without labels.
+
+    Everything reduces through exact integers: ONE combiner exchange
+    builds the (a, b) contingency cells, two slim exchanges roll up the
+    marginal cluster sizes, and the three pair-count sums
+    (sum C(n_ij,2), sum C(a_i,2), sum C(b_j,2)) are per-batch partials +
+    a scalar `sum()` — O(1) driver state, nothing proportional to the
+    corpus. The ARI itself is ONE fixed float expression over those four
+    integers (quantized to micro-units) so the SQL twin matches
+    bit-for-bit. Returns a single-row Arrow table:
+    (n_items, sum_comb_cells, sum_comb_a, sum_comb_b, ari_e6)."""
+    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    cells = partial_multi_sum_count(
+        ds.select_columns(list(dict.fromkeys([a_col, b_col]))),
+        [a_col, b_col],
+        [],
+        alias={"count": "n"},
+    ).materialize()  # tiny (<= #distinct label pairs); read 3x below
+
+    def comb2(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or col not in batch.column_names:
+                return pa.table({"c2": pa.array([], pa.int64())})
+            x = batch.column(col).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"c2": pa.array(x * (x - 1) // 2)})
+
+        return fn
+
+    def total_c2(d, col):
+        v = d.map_batches(comb2(col), batch_format="pyarrow").sum("c2")
+        return int(v or 0)
+
+    n = int(cells.sum("n") or 0)
+    si = total_c2(cells, "n")
+    sa = total_c2(
+        coarse_groupby_agg(cells, [a_col], {"sz": ("n", "sum")}), "sz"
+    )
+    sb = total_c2(
+        coarse_groupby_agg(cells, [b_col], {"sz": ("n", "sum")}), "sz"
+    )
+    cn2 = n * (n - 1) // 2
+    if cn2 == 0:
+        ari = 1.0
+    else:
+        exp = float(sa) * float(sb) / float(cn2)
+        denom = 0.5 * (float(sa) + float(sb)) - exp
+        ari = 1.0 if denom == 0.0 else (float(si) - exp) / denom
+    return pa.table(
+        {
+            "n_items": pa.array([n], pa.int64()),
+            "sum_comb_cells": pa.array([si], pa.int64()),
+            "sum_comb_a": pa.array([sa], pa.int64()),
+            "sum_comb_b": pa.array([sb], pa.int64()),
+            "ari_e6": pa.array(
+                [int(np.floor(ari * 1e6 + 0.5))], pa.int64()
+            ),
+        }
+    )

@@ -56,3 +56,47 @@ def test_partition_invariance(ray_session):
         return set(zip(out["u"], out["v"], out["cbs"]))
 
     assert run(1) == run(7)
+
+
+def test_adjusted_rand_stats_reference(ray_session):
+    import itertools
+
+    import numpy as np
+    import ray.data
+
+    from opentapioca_ray.stages.blocking_eval import adjusted_rand_stats
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 6, size=200)
+    b = np.where(rng.random(200) < 0.7, a, rng.integers(0, 6, size=200))
+    rows = [{"la": f"a{x}", "lb": f"b{y}"} for x, y in zip(a, b)]
+    got = adjusted_rand_stats(
+        ray.data.from_items(rows).repartition(4), "la", "lb"
+    ).to_pandas().iloc[0]
+
+    # pair-counting reference: classify all C(n,2) pairs
+    n = len(a)
+    same_both = same_a = same_b = 0
+    for i, j in itertools.combinations(range(n), 2):
+        sa_, sb_ = a[i] == a[j], b[i] == b[j]
+        same_a += sa_
+        same_b += sb_
+        same_both += sa_ and sb_
+    cn2 = n * (n - 1) // 2
+    exp = same_a * same_b / cn2
+    want = (same_both - exp) / (0.5 * (same_a + same_b) - exp)
+    assert got["n_items"] == n
+    assert got["sum_comb_cells"] == same_both
+    assert got["sum_comb_a"] == same_a
+    assert got["sum_comb_b"] == same_b
+    assert abs(got["ari_e6"] / 1e6 - want) < 2e-6
+
+
+def test_ari_identical_and_independent(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.blocking_eval import adjusted_rand_stats
+
+    rows = [{"la": f"g{i % 5}", "lb": f"h{i % 5}"} for i in range(100)]
+    same = adjusted_rand_stats(ray.data.from_items(rows), "la", "lb").to_pandas()
+    assert same["ari_e6"].iloc[0] == 1_000_000
