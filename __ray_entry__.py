@@ -3251,6 +3251,68 @@ def _q_clustering_ari(sf_dir: str):
     return adjusted_rand_stats(labeled, "la", "lb")
 
 
+def _q_kcore_nodes(sf_dir: str):
+    """Fixed-round k-core peel (k=2, 12 rounds — the bounded-iteration
+    contract the repo's 16-iteration PageRank uses) over the part-supplier
+    co-purchase graph thresholded at lineitem multiplicity >= 3. Node ids
+    disambiguate the bipartite sides as 2*partkey / 2*suppkey+1; output is
+    (entity, key, degree) of the surviving core. All-integer, so the
+    unrolled 12-round SQL twin matches exactly whether or not the peel
+    converged."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
+    from opentapioca_ray.stages.graphops import kcore_degrees
+
+    li = _rel(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    mult = partial_multi_sum_count(
+        li, ["l_partkey", "l_suppkey"], [], alias={"count": "n"}
+    )
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+        if batch.num_rows == 0 or "n" not in batch.column_names:
+            return schema.empty_table()
+        t = batch.filter(pc.greater_equal(batch.column("n"), 3))
+        p = t.column("l_partkey").cast(pa.int64())
+        s = t.column("l_suppkey").cast(pa.int64())
+        return pa.table(
+            {
+                "u": pc.multiply(p, pa.scalar(2, pa.int64())),
+                "v": pc.add(
+                    pc.multiply(s, pa.scalar(2, pa.int64())),
+                    pa.scalar(1, pa.int64()),
+                ),
+            }
+        )
+
+    deg = kcore_degrees(
+        mult.map_batches(mk_edges, batch_format="pyarrow"), k=2, rounds=12
+    )
+
+    def label(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("entity", pa.string()), ("key", pa.int64()), ("degree", pa.int64())]
+        )
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return schema.empty_table()
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        is_part = node % 2 == 0
+        return pa.table(
+            {
+                "entity": pa.array(
+                    np.where(is_part, "part", "supplier"), pa.string()
+                ),
+                "key": pa.array(node // 2),
+                "degree": batch.column("degree").cast(pa.int64()),
+            }
+        )
+
+    return deg.map_batches(label, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -3382,12 +3444,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metablocking_wnp": _q_metablocking_wnp,
         "order_skyline": _q_order_skyline,
         "clustering_ari": _q_clustering_ari,
+        "kcore_nodes": _q_kcore_nodes,
     }
 
 
 # ---------------------------------------------------------------------------
 # oracles
 # ---------------------------------------------------------------------------
+
+def _kcore_sql(k: int = 2, rounds: int = 12, mult: int = 3) -> str:
+    """Fixed-round k-core peel unrolled as chained CTEs (same bounded-
+    iteration verification recipe as `_pagerank_sql`), over the
+    multiplicity-thresholded part-supplier bipartite graph."""
+    # MATERIALIZED: each e_r is referenced twice per round, so inlined
+    # CTEs would expand the base scan 2^rounds times (the round-1 pagerank
+    # fd-limit lesson)
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+          SELECT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v
+          FROM lineitem GROUP BY 1, 2 HAVING count(*) >= {mult}
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+              SELECT node, count(*) AS c FROM (
+                SELECT u AS node FROM e{r - 1}
+                UNION ALL SELECT v FROM e{r - 1})
+              GROUP BY node
+            )"""
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+              SELECT e.u, e.v FROM e{r - 1} e
+              JOIN d{r} du ON du.node = e.u
+              JOIN d{r} dv ON dv.node = e.v
+              WHERE du.c >= {k} AND dv.c >= {k}
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS entity,
+               CAST(node // 2 AS BIGINT) AS key,
+               CAST(count(*) AS BIGINT) AS degree
+        FROM (SELECT u AS node FROM e{rounds}
+              UNION ALL SELECT v FROM e{rounds})
+        GROUP BY 1, 2
+    """
+    )
+
 
 def _pagerank_sql(iterations: int = 16) -> str:
     """Loss-compensated power iteration unrolled as chained CTEs — the
@@ -5678,6 +5785,7 @@ def oracle_sql() -> dict[str, str]:
                      END * 1000000.0 + 0.5) AS BIGINT) AS ari_e6
             FROM s
         """,
+        "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
     }
     # ann_recall composes the two existing ANN twins so the evaluation
     # harness itself is value-checked (recall@10 of the IVF index against

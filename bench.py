@@ -119,6 +119,12 @@ BENCH_QUERIES = [
     "hot_keys",
     "two_hop_candidates",
     "sparsify_fuzzy",
+    "event_user_entropy",
+    "hll_distinct_users",
+    "winnow_pairs",
+    "metablocking_wnp",
+    "order_skyline",
+    "clustering_ari",
 ]
 
 

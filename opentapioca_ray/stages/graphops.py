@@ -214,3 +214,133 @@ def sparsify_edges(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def _peel_kernel(u: np.ndarray, v: np.ndarray, k: int, rounds: int):
+    """In-memory fixed-round k-core peel: drop edges with an endpoint of
+    degree < k, up to `rounds` times (a fixpoint makes further rounds
+    identity, so early exit never changes the result)."""
+    for _ in range(rounds):
+        if len(u) == 0:
+            break
+        nodes, inv = np.unique(np.concatenate([u, v]), return_inverse=True)
+        deg = np.bincount(inv)
+        iu, iv = inv[: len(u)], inv[len(u):]
+        keep = (deg[iu] >= k) & (deg[iv] >= k)
+        if keep.all():
+            break
+        u, v = u[keep], v[keep]
+    return u, v
+
+
+def kcore_degrees(
+    edges,
+    k: int = 2,
+    rounds: int = 12,
+    local_threshold: int = 2_000_000,
+    n_parts=None,
+):
+    """Fixed-round k-core peel (Seidman 1983 coreness, bounded-round form
+    mirroring the repo's 16-iteration PageRank contract): repeatedly drop
+    edges touching a node of degree < k, `rounds` times. Because a
+    fixpoint is stable, the output is well-defined whether or not the
+    peel converged, and the SQL twin unrolls the identical rounds.
+
+    Input: (u, v) edge rows (distinct). Output: (node, degree) of the
+    surviving subgraph. Distributed shape per round: ONE combiner degree
+    roll-up + TWO coarse semi-joins (edges keyed by u, then v) — all
+    integer, nothing driver-side. Small graphs (< `local_threshold`
+    edges, e.g. after an upstream multiplicity filter) collapse to a
+    single-partition numpy kernel, the same escape hatch cc.py uses;
+    `local_threshold=0` forces the distributed path (tests do)."""
+    from opentapioca_ray.stages.exchange import (
+        coarse_groupby_agg,
+        coarse_semi_join,
+        right_size,
+    )
+
+    deg_schema = pa.schema([("node", pa.int64()), ("degree", pa.int64())])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.schema([("node", pa.int64())]).empty_table()
+        u = batch.column("u").cast(pa.int64()).combine_chunks()
+        v = batch.column("v").cast(pa.int64()).combine_chunks()
+        return pa.table({"node": pa.concat_arrays([u, v])})
+
+    def final_degrees(ds):
+        return coarse_groupby_agg(
+            ds.map_batches(explode, batch_format="pyarrow"),
+            ["node"],
+            {"degree": ("node", "size")},
+            n_parts=n_parts,
+        ).map_batches(
+            lambda b: (
+                pa.table(
+                    {
+                        "node": b.column("node").cast(pa.int64()),
+                        "degree": b.column("degree").cast(pa.int64()),
+                    }
+                )
+                if b.num_rows and "node" in b.column_names
+                else deg_schema.empty_table()
+            ),
+            batch_format="pyarrow",
+        )
+
+    edges = edges.materialize()
+    if edges.count() <= local_threshold:
+        def local(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "u" not in t.column_names:
+                return deg_schema.empty_table()
+            u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+            u, v = _peel_kernel(u, v, k, rounds)
+            nodes, inv = (
+                np.unique(np.concatenate([u, v]), return_inverse=True)
+                if len(u)
+                else (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
+            )
+            return pa.table(
+                {
+                    "node": pa.array(nodes.astype(np.int64)),
+                    "degree": pa.array(np.bincount(inv).astype(np.int64))
+                    if len(u)
+                    else pa.array([], pa.int64()),
+                }
+            )
+
+        return edges.repartition(1).map_batches(
+            local, batch_format="pyarrow", batch_size=None
+        )
+
+    for _ in range(rounds):
+        core = coarse_groupby_agg(
+            edges.map_batches(explode, batch_format="pyarrow"),
+            ["node"],
+            {"c": ("node", "size")},
+            n_parts=n_parts,
+        ).map_batches(
+            lambda b: (
+                b.filter(pa.compute.greater_equal(b.column("c"), k)).select(
+                    ["node"]
+                )
+                if b.num_rows and "node" in b.column_names
+                else pa.schema([("node", pa.int64())]).empty_table()
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+        # Re-block both sides each round: union+groupby preserves input
+        # block counts, so without this the 2-semi-join round TRIPLES the
+        # block count every iteration (4 -> 3^rounds blocks — observed as
+        # a 26GB driver-memory sort on a 400-edge test graph).
+        core = right_size(core)
+        edges = coarse_semi_join(
+            edges, "u", core, _EDGE_SCHEMA, keys_column="node", n_parts=n_parts
+        )
+        edges = right_size(
+            coarse_semi_join(
+                edges, "v", core, _EDGE_SCHEMA, keys_column="node", n_parts=n_parts
+            ).materialize()
+        )
+    return final_degrees(edges)
