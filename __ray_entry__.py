@@ -3313,6 +3313,119 @@ def _q_kcore_nodes(sf_dir: str):
     return deg.map_batches(label, batch_format="pyarrow")
 
 
+def _q_bfs_hops(sf_dir: str):
+    """Fixed-round BFS hop distances (6 rounds — the bounded-iteration
+    contract of the 16-round PageRank / 12-round k-core) from the sampled
+    part nodes (p_partkey % 97 == 0) over the sparse quantity-1 co-purchase
+    graph. Node ids disambiguate the bipartite sides as 2*partkey /
+    2*suppkey+1; isolated seeds are reachable at dist 0. All-integer, so
+    the unrolled 6-round SQL twin matches exactly whether or not the
+    relaxation converged."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.graphops import bfs_hops
+
+    li = _rel(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return schema.empty_table()
+        t = batch.filter(
+            pc.equal(batch.column("l_quantity").cast(pa.int64()), 1)
+        )
+        return pa.table(
+            {
+                "u": pc.multiply(
+                    t.column("l_partkey").cast(pa.int64()),
+                    pa.scalar(2, pa.int64()),
+                ),
+                "v": pc.add(
+                    pc.multiply(
+                        t.column("l_suppkey").cast(pa.int64()),
+                        pa.scalar(2, pa.int64()),
+                    ),
+                    pa.scalar(1, pa.int64()),
+                ),
+            }
+        )
+
+    # distinct edges: the BFS contract takes a deduped edge list
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    edges = coarse_groupby_agg(
+        li.map_batches(mk_edges, batch_format="pyarrow"),
+        ["u", "v"],
+        {"n": ("u", "size")},
+    ).map_batches(
+        lambda b: (
+            b.select(["u", "v"])
+            if b.num_rows and "u" in b.column_names
+            else pa.schema([("u", pa.int64()), ("v", pa.int64())]).empty_table()
+        ),
+        batch_format="pyarrow",
+    )
+
+    def mk_seeds(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("node", pa.int64())])
+        if batch.num_rows == 0 or "p_partkey" not in batch.column_names:
+            return schema.empty_table()
+        k = batch.column("p_partkey").cast(pa.int64())
+        import numpy as np
+
+        keep = (k.to_numpy(zero_copy_only=False) % 97) == 0
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "node": pc.multiply(
+                    t.column("p_partkey").cast(pa.int64()),
+                    pa.scalar(2, pa.int64()),
+                )
+            }
+        )
+
+    seeds = _rel(f"{sf_dir}/part.parquet", columns=["p_partkey"]).map_batches(
+        mk_seeds, batch_format="pyarrow"
+    )
+    dist = bfs_hops(edges, seeds, rounds=6)
+
+    def label(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        schema = pa.schema(
+            [("entity", pa.string()), ("key", pa.int64()), ("dist", pa.int64())]
+        )
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return schema.empty_table()
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "entity": pa.array(
+                    np.where(node % 2 == 0, "part", "supplier"), pa.string()
+                ),
+                "key": pa.array(node // 2),
+                "dist": batch.column("dist").cast(pa.int64()),
+            }
+        )
+
+    return dist.map_batches(label, batch_format="pyarrow")
+
+
+def _q_score_auc(sf_dir: str):
+    """Threshold-free ranking metric: exact Mann-Whitney ROC AUC (ties at
+    half credit) of the event value ranking purchase events. u2 = 2*U is
+    exact integer pair arithmetic; only auc_e6 is one fixed quantized
+    float expression, identical in the SQL twin."""
+    from opentapioca_ray.stages.evaluation import roc_auc
+
+    ev = _rel(f"{sf_dir}/events.parquet", columns=["value", "event_type"])
+    return roc_auc(ev, "value", "event_type", "purchase")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "bow_word_counts": _q_bow_word_counts,
@@ -3445,6 +3558,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_skyline": _q_order_skyline,
         "clustering_ari": _q_clustering_ari,
         "kcore_nodes": _q_kcore_nodes,
+        "bfs_hops": _q_bfs_hops,
+        "score_auc": _q_score_auc,
     }
 
 
@@ -3492,6 +3607,48 @@ def _kcore_sql(k: int = 2, rounds: int = 12, mult: int = 3) -> str:
         FROM (SELECT u AS node FROM e{rounds}
               UNION ALL SELECT v FROM e{rounds})
         GROUP BY 1, 2
+    """
+    )
+
+
+def _bfs_sql(rounds: int = 6) -> str:
+    """Fixed-round BFS relaxation unrolled as chained CTEs (the same
+    bounded-iteration recipe as `_pagerank_sql` / `_kcore_sql`) over the
+    quantity-1 co-purchase graph, seeded at p_partkey % 97 == 0."""
+    ctes = [
+        """sym AS MATERIALIZED (
+          SELECT u, v FROM (
+            SELECT DISTINCT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v
+            FROM lineitem WHERE l_quantity = 1)
+          UNION ALL
+          SELECT v, u FROM (
+            SELECT DISTINCT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v
+            FROM lineitem WHERE l_quantity = 1)
+        )""",
+        """d0 AS MATERIALIZED (
+          SELECT 2 * p_partkey AS node, 0 AS dist
+          FROM part WHERE p_partkey % 97 = 0
+        )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d{r - 1}
+                UNION ALL
+                SELECT e.v AS node, d.dist + 1 AS dist
+                FROM sym e JOIN d{r - 1} d ON d.node = e.u)
+              GROUP BY node
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS entity,
+               CAST(node // 2 AS BIGINT) AS key,
+               CAST(dist AS BIGINT) AS dist
+        FROM d{rounds}
     """
     )
 
@@ -5786,6 +5943,30 @@ def oracle_sql() -> dict[str, str]:
             FROM s
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
+        "bfs_hops": _bfs_sql(rounds=6),
+        "score_auc": """
+            WITH s AS (
+              SELECT value AS score,
+                     count(*) FILTER (WHERE event_type = 'purchase') AS pos,
+                     count(*) FILTER (WHERE event_type <> 'purchase') AS neg
+              FROM events GROUP BY value
+            ), c AS (
+              SELECT pos, neg,
+                     COALESCE(SUM(neg) OVER (ORDER BY score
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS negbelow
+              FROM s
+            ), t AS (
+              SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+                     CAST(SUM(neg) AS BIGINT) AS n_neg,
+                     CAST(SUM(2 * pos * negbelow + pos * neg) AS BIGINT) AS u2
+              FROM c
+            )
+            SELECT n_pos, n_neg, u2,
+                   CAST(FLOOR(1000000.0 * u2 / (2.0 * n_pos * n_neg) + 0.5)
+                        AS BIGINT) AS auc_e6
+            FROM t
+        """,
     }
     # ann_recall composes the two existing ANN twins so the evaluation
     # harness itself is value-checked (recall@10 of the IVF index against

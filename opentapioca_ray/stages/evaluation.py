@@ -1,0 +1,230 @@
+"""Model-evaluation operators over scored rows.
+
+The classifier stages (stages/classify.py, reference classifier.py:221-260)
+report P/R/F1 at a fixed threshold; production eval also needs the
+threshold-free ranking metric. `roc_auc` computes the EXACT Mann-Whitney
+AUC (ties counted half, the Wilcoxon convention) with integer pair
+arithmetic, so the DuckDB window-function twin matches bit-for-bit.
+
+Scale shape: one combiner pass collapses the corpus to per-distinct-score
+(pos, neg) counts; the distinct-score table is RANGE-partitioned on the
+score via sampled boundaries (equal scores co-locate by construction —
+each partition owns a half-open score interval); each partition reduces to
+ONE (pos_sum, neg_sum, local_pair_term) summary row; the driver combines
+only those P summary rows — O(n_parts) driver state, like the k-means
+centroid and pagerank-compensation combines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_SUMMARY = pa.schema(
+    [
+        ("pid", pa.int64()),
+        ("s_pos", pa.int64()),
+        ("s_neg", pa.int64()),
+        ("l2", pa.int64()),
+    ]
+)
+_OUT = pa.schema(
+    [
+        ("n_pos", pa.int64()),
+        ("n_neg", pa.int64()),
+        ("u2", pa.int64()),
+        ("auc_e6", pa.int64()),
+    ]
+)
+
+
+def roc_auc(
+    ds,
+    score_column: str,
+    label_column: str,
+    positive_value,
+    n_parts: int | None = None,
+):
+    """Exact ROC AUC of `score_column` ranking `label_column ==
+    positive_value`, as one summary row (n_pos, n_neg, u2, auc_e6) where
+    u2 = 2*U (U the Mann-Whitney statistic with half-credit ties:
+    u2 = sum over distinct scores v of 2*pos_v*neg_below(v) +
+    pos_v*neg_v) and auc_e6 = round(1e6 * u2 / (2*n_pos*n_neg)).
+    Everything upstream of auc_e6 is exact integer math."""
+    import ray
+
+    from opentapioca_ray.stages.exchange import (
+        coarse_groupby_agg,
+        default_n_parts,
+        right_size,
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("score", pa.float64()), ("pos", pa.int64()), ("neg", pa.int64())]
+        )
+        if batch.num_rows == 0 or score_column not in batch.column_names:
+            return schema.empty_table()
+        s = (
+            batch.column(score_column)
+            .cast(pa.float64())
+            .to_numpy(zero_copy_only=False)
+        )
+        lab = batch.column(label_column).to_numpy(zero_copy_only=False)
+        is_pos = lab == positive_value
+        vals, inv = np.unique(s, return_inverse=True)
+        pos = np.bincount(inv, weights=is_pos).astype(np.int64)
+        neg = np.bincount(inv, weights=~is_pos).astype(np.int64)
+        return pa.table(
+            {"score": pa.array(vals), "pos": pa.array(pos), "neg": pa.array(neg)}
+        )
+
+    distinct = right_size(
+        coarse_groupby_agg(
+            ds.map_batches(partials, batch_format="pyarrow"),
+            ["score"],
+            {"pos": ("pos", "sum"), "neg": ("neg", "sum")},
+            n_parts=n_parts,
+        ).materialize()
+    )
+
+    n_parts_eff = default_n_parts(n_parts)
+    n_distinct = distinct.count()
+    n_parts_eff = min(n_parts_eff, max(1, (n_distinct + 4095) // 4096))
+
+    # deterministic score-range boundaries from a bounded sample: hash the
+    # score's bit pattern (scores are distinct after the merge, so the
+    # sample is uniform over distinct scores)
+    bounds = None
+    if n_parts_eff > 1:
+        import pandas as pd_
+
+        target = max(n_parts_eff * 64, 2048)
+        prob_mod = max(1, n_distinct // target)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "score" not in batch.column_names:
+                return pa.schema([("score", pa.float64())]).empty_table()
+            s = batch.column("score").to_numpy(zero_copy_only=False)
+            keep = (
+                pd_.util.hash_array(s.view(np.int64), hash_key="opentapioca_ray0")
+                % np.uint64(prob_mod)
+            ) == 0
+            return pa.table({"score": pa.array(s[keep])})
+
+        sampled = []
+        for ref in distinct.select_columns(["score"]).map_batches(
+            pick, batch_format="pyarrow"
+        ).to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows and "score" in t.column_names:
+                sampled.append(t.column("score").to_numpy(zero_copy_only=False))
+        if sampled:
+            k = np.sort(np.concatenate(sampled))
+            pos_idx = (np.arange(1, n_parts_eff) * len(k)) // n_parts_eff
+            pos_idx = np.unique(pos_idx[(pos_idx > 0) & (pos_idx < len(k))])
+            if len(pos_idx):
+                bounds = np.unique(k[pos_idx])
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("score", pa.float64()),
+                ("pos", pa.int64()),
+                ("neg", pa.int64()),
+                ("pid", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or "score" not in batch.column_names:
+            return schema.empty_table()
+        s = batch.column("score").to_numpy(zero_copy_only=False)
+        pid = (
+            np.searchsorted(bounds, s, side="right").astype(np.int64)
+            if bounds is not None
+            else np.zeros(len(s), dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "score": batch.column("score"),
+                "pos": batch.column("pos").cast(pa.int64()),
+                "neg": batch.column("neg").cast(pa.int64()),
+                "pid": pa.array(pid),
+            }
+        )
+
+    def summarize(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in _SUMMARY.names}
+            )
+        # one partition can host several pids (hash co-location) — segment
+        # the vectorized prefix per pid, never across
+        s = df["score"].to_numpy(dtype=np.float64)
+        pos = df["pos"].to_numpy(dtype=np.int64)
+        neg = df["neg"].to_numpy(dtype=np.int64)
+        pid = df["pid"].to_numpy(dtype=np.int64)
+        o = np.lexsort((s, pid))
+        s, pos, neg, pid = s[o], pos[o], neg[o], pid[o]
+        new = np.concatenate(([True], pid[1:] != pid[:-1]))
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        cum = np.concatenate(([0], np.cumsum(neg)[:-1]))
+        negbelow = cum - cum[starts[seg]]
+        term = 2 * pos * negbelow + pos * neg
+        n_seg = int(seg[-1]) + 1
+        return pd.DataFrame(
+            {
+                "pid": pid[starts].astype(np.int64),
+                "s_pos": np.bincount(seg, weights=pos, minlength=n_seg).astype(
+                    np.int64
+                ),
+                "s_neg": np.bincount(seg, weights=neg, minlength=n_seg).astype(
+                    np.int64
+                ),
+                "l2": np.bincount(seg, weights=term, minlength=n_seg).astype(
+                    np.int64
+                ),
+            }
+        )
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    summaries = coarse_group_apply(
+        distinct.map_batches(add_pid, batch_format="pyarrow"),
+        "pid",
+        summarize,
+        n_parts=n_parts_eff,
+    )
+
+    # O(n_parts) driver combine — the only rows that ever leave the cluster
+    rows = []
+    for ref in summaries.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows and "pid" in t.column_names:
+            rows.append(t.to_pandas())
+    if not rows:
+        return ray.data.from_arrow(_OUT.empty_table())
+    agg = pd.concat(rows).sort_values("pid")
+    s_pos = agg["s_pos"].to_numpy(dtype=np.int64)
+    s_neg = agg["s_neg"].to_numpy(dtype=np.int64)
+    l2 = agg["l2"].to_numpy(dtype=np.int64)
+    neg_before = np.concatenate(([0], np.cumsum(s_neg)[:-1]))
+    u2 = int(np.sum(l2 + 2 * s_pos * neg_before))
+    n_pos, n_neg = int(s_pos.sum()), int(s_neg.sum())
+    auc_e6 = (
+        int(np.floor(1e6 * u2 / (2.0 * n_pos * n_neg) + 0.5))
+        if n_pos and n_neg
+        else 0
+    )
+    out = pa.table(
+        {
+            "n_pos": pa.array([n_pos], pa.int64()),
+            "n_neg": pa.array([n_neg], pa.int64()),
+            "u2": pa.array([u2], pa.int64()),
+            "auc_e6": pa.array([auc_e6], pa.int64()),
+        }
+    )
+    import ray.data
+
+    return ray.data.from_arrow(out)
