@@ -3415,6 +3415,87 @@ def _q_bfs_hops(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_ab_value_ttest(sf_dir: str):
+    """A/B significance readout: Welch's two-sample t statistic of event
+    value (exact int64 centi-units) between the md5-bucket arms. The six
+    sufficient statistics are exact integers reduced combiner-first; only
+    t_e6 is one fixed quantized float expression, replayed term-for-term
+    by the SQL twin."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.evaluation import welch_t_stats
+    from opentapioca_ray.stages.sketches import _md5_u64
+
+    ev = _rel(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("arm", pa.int64()), ("u", pa.int64())])
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return schema.empty_table()
+        ids = batch.column("user_id").to_numpy(zero_copy_only=False)
+        arm = (_md5_u64(ids) % np.uint64(2)).astype(np.int64)
+        u = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"arm": pa.array(arm), "u": pa.array(u)})
+
+    return welch_t_stats(
+        ev.map_batches(prep, batch_format="pyarrow"), "arm", "u"
+    )
+
+
+def _q_split_leakage(sf_dir: str):
+    """Train/eval contamination check: near-dup pairs (exact 3-gram
+    Jaccard >= 0.5, the memoized pair graph) whose endpoints fall in
+    DIFFERENT md5-bucket splits — the leakage a training pipeline must
+    catch before eval numbers mean anything. The split label is a
+    stateless function of the id, so this adds ZERO shuffles on top of
+    the pair pipeline."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.sketches import _md5_u64
+
+    pairs, _ = _ngram_cc(sf_dir)
+
+    def _split_of(ids: np.ndarray) -> np.ndarray:
+        b = (_md5_u64(ids) % np.uint64(100)).astype(np.int64)
+        return np.where(b < 80, "train", np.where(b < 90, "val", "test"))
+
+    def label(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("u", pa.int64()),
+                ("v", pa.int64()),
+                ("jaccard", pa.float64()),
+                ("split_u", pa.string()),
+                ("split_v", pa.string()),
+            ]
+        )
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return schema.empty_table()
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        su, sv = _split_of(u), _split_of(v)
+        keep = su != sv
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "u": t.column("u").cast(pa.int64()),
+                "v": t.column("v").cast(pa.int64()),
+                "jaccard": pc.round(
+                    t.column("jaccard").cast(pa.float64()), 6
+                ),
+                "split_u": pa.array(su[keep], pa.string()),
+                "split_v": pa.array(sv[keep], pa.string()),
+            }
+        )
+
+    return pairs.map_batches(label, batch_format="pyarrow")
+
+
 def _q_score_auc(sf_dir: str):
     """Threshold-free ranking metric: exact Mann-Whitney ROC AUC (ties at
     half credit) of the event value ranking purchase events. u2 = 2*U is
@@ -3560,6 +3641,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_nodes": _q_kcore_nodes,
         "bfs_hops": _q_bfs_hops,
         "score_auc": _q_score_auc,
+        "split_leakage": _q_split_leakage,
+        "ab_value_ttest": _q_ab_value_ttest,
     }
 
 
@@ -5944,6 +6027,78 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
+        "ab_value_ttest": """
+            WITH u AS (
+              SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 16))::UBIGINT % 2 AS arm,
+                     CAST(round(value * 100, 0) AS BIGINT) AS u
+              FROM events
+            ), s AS (
+              SELECT
+                CAST(count(*) FILTER (WHERE arm = 0) AS BIGINT) AS n_a,
+                CAST(count(*) FILTER (WHERE arm = 1) AS BIGINT) AS n_b,
+                CAST(COALESCE(sum(u) FILTER (WHERE arm = 0), 0) AS BIGINT) AS sum_a,
+                CAST(COALESCE(sum(u) FILTER (WHERE arm = 1), 0) AS BIGINT) AS sum_b,
+                CAST(COALESCE(sum(u * u) FILTER (WHERE arm = 0), 0) AS BIGINT) AS ssq_a,
+                CAST(COALESCE(sum(u * u) FILTER (WHERE arm = 1), 0) AS BIGINT) AS ssq_b
+              FROM u
+            )
+            SELECT n_a, n_b, sum_a, sum_b, ssq_a, ssq_b,
+                   CAST(FLOOR(
+                     1000000.0 * ((sum_a / n_a) - (sum_b / n_b)) /
+                     sqrt(
+                       ((ssq_a - CAST(sum_a AS DOUBLE) * CAST(sum_a AS DOUBLE) / n_a)
+                          / (n_a - 1)) / n_a
+                       + ((ssq_b - CAST(sum_b AS DOUBLE) * CAST(sum_b AS DOUBLE) / n_b)
+                          / (n_b - 1)) / n_b
+                     ) + 0.5) AS BIGINT) AS t_e6
+            FROM s
+        """,
+        "split_leakage": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                END AS gs
+              FROM toks WHERE len(arr) > 0
+            ),
+            ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            j AS (
+              SELECT u, v,
+                len(list_intersect(ga.gs, gb.gs))::double
+                  / (len(ga.gs) + len(gb.gs)
+                     - len(list_intersect(ga.gs, gb.gs)))::double AS jac
+              FROM cand
+              JOIN grams ga ON ga.doc_id = cand.u
+              JOIN grams gb ON gb.doc_id = cand.v
+            ),
+            lab AS (
+              SELECT u, v, round(jac, 6) AS jaccard,
+                CASE WHEN ('0x' || substr(md5(u::VARCHAR), 1, 16))::UBIGINT % 100 < 80 THEN 'train'
+                     WHEN ('0x' || substr(md5(u::VARCHAR), 1, 16))::UBIGINT % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split_u,
+                CASE WHEN ('0x' || substr(md5(v::VARCHAR), 1, 16))::UBIGINT % 100 < 80 THEN 'train'
+                     WHEN ('0x' || substr(md5(v::VARCHAR), 1, 16))::UBIGINT % 100 < 90 THEN 'val'
+                     ELSE 'test' END AS split_v
+              FROM j WHERE jac >= 0.5
+            )
+            SELECT u, v, jaccard, split_u, split_v
+            FROM lab WHERE split_u <> split_v
+        """,
         "score_auc": """
             WITH s AS (
               SELECT value AS score,

@@ -228,3 +228,96 @@ def roc_auc(
     import ray.data
 
     return ray.data.from_arrow(out)
+
+
+def welch_t_stats(ds, arm_column: str, units_column: str):
+    """Welch two-sample t statistic between arm 0 and arm 1 over an
+    integer-unit value column (the repo's fixed-point convention: callers
+    rint-scale floats to int64 units so the sufficient statistics
+    n / Σu / Σu² accumulate EXACTLY — no float-summation order
+    dependence). Combiner-first: the corpus reduces map-side to per-arm
+    (n, sum, sumsq); only the two arm rows reach the driver; the t value
+    is ONE fixed float expression quantized to micro-units, replayed
+    term-for-term by the SQL twin."""
+    import ray
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+
+    out_schema = pa.schema(
+        [
+            ("n_a", pa.int64()),
+            ("n_b", pa.int64()),
+            ("sum_a", pa.int64()),
+            ("sum_b", pa.int64()),
+            ("ssq_a", pa.int64()),
+            ("ssq_b", pa.int64()),
+            ("t_e6", pa.int64()),
+        ]
+    )
+
+    def add_sq(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                (arm_column, pa.int64()),
+                ("u", pa.int64()),
+                ("uu", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or units_column not in batch.column_names:
+            return schema.empty_table()
+        u = (
+            batch.column(units_column)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                arm_column: batch.column(arm_column).cast(pa.int64()),
+                "u": pa.array(u),
+                "uu": pa.array(u * u),
+            }
+        )
+
+    stats = partial_sum_count(
+        ds.map_batches(add_sq, batch_format="pyarrow"), arm_column, ["u", "uu"]
+    )
+    acc = {}
+    for ref in stats.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or arm_column not in t.column_names:
+            continue
+        for row in t.to_pylist():
+            a = int(row[arm_column])
+            n, s, q = acc.get(a, (0, 0, 0))
+            acc[a] = (
+                n + int(row["count"]),
+                s + int(row["sum_u"]),
+                q + int(row["sum_uu"]),
+            )
+    na, sa, qa = acc.get(0, (0, 0, 0))
+    nb, sb, qb = acc.get(1, (0, 0, 0))
+    if na > 1 and nb > 1:
+        # the SQL twin replays this expression with identical IEEE op order
+        va = (qa - float(sa) * float(sa) / na) / (na - 1)
+        vb = (qb - float(sb) * float(sb) / nb) / (nb - 1)
+        denom = np.sqrt(va / na + vb / nb)
+        t_e6 = (
+            int(np.floor(1e6 * (sa / na - sb / nb) / denom + 0.5))
+            if denom > 0
+            else 0
+        )
+    else:
+        t_e6 = 0
+    out = pa.table(
+        {
+            "n_a": pa.array([na], pa.int64()),
+            "n_b": pa.array([nb], pa.int64()),
+            "sum_a": pa.array([sa], pa.int64()),
+            "sum_b": pa.array([sb], pa.int64()),
+            "ssq_a": pa.array([qa], pa.int64()),
+            "ssq_b": pa.array([qb], pa.int64()),
+            "t_e6": pa.array([t_e6], pa.int64()),
+        }
+    )
+    return ray.data.from_arrow(out)

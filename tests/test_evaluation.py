@@ -54,3 +54,32 @@ def test_roc_auc_degenerate_single_class(ray_session):
     out = roc_auc(ray.data.from_items(rows), "s", "y", "pos").to_pandas()
     assert int(out["n_neg"].iloc[0]) == 0
     assert int(out["auc_e6"].iloc[0]) == 0
+
+
+def test_welch_t_matches_manual(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.evaluation import welch_t_stats
+
+    rng = np.random.default_rng(5)
+    ua = rng.integers(50, 150, 200)
+    ub = rng.integers(60, 160, 150)
+    rows = [{"arm": 0, "u": int(x)} for x in ua] + [
+        {"arm": 1, "u": int(x)} for x in ub
+    ]
+    out = welch_t_stats(
+        ray.data.from_items(rows).repartition(4), "arm", "u"
+    ).to_pandas()
+    na, nb = len(ua), len(ub)
+    sa, sb = int(ua.sum()), int(ub.sum())
+    qa, qb = int((ua * ua).sum()), int((ub * ub).sum())
+    va = (qa - float(sa) * float(sa) / na) / (na - 1)
+    vb = (qb - float(sb) * float(sb) / nb) / (nb - 1)
+    want = int(
+        np.floor(1e6 * (sa / na - sb / nb) / np.sqrt(va / na + vb / nb) + 0.5)
+    )
+    assert int(out["t_e6"].iloc[0]) == want
+    assert int(out["n_a"].iloc[0]) == na and int(out["n_b"].iloc[0]) == nb
+    # sanity vs textbook Welch on the same data
+    mean_diff = sa / na - sb / nb
+    assert (want < 0) == (mean_diff < 0)
