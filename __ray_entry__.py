@@ -3415,6 +3415,183 @@ def _q_bfs_hops(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_chi2_cells(sf_dir: str):
+    """Chi-square independence audit (event_type x md5 A/B arm): the full
+    contingency table with per-cell expected counts and chi-square
+    contributions. Counts reduce combiner-first; only the O(types x arms)
+    table reaches the driver; each float is ONE fixed quantized
+    expression (no float accumulation anywhere), so the SQL twin matches
+    bit-for-bit."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
+    from opentapioca_ray.stages.sketches import _md5_u64
+
+    ev = _rel(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+
+    def arm(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("event_type", pa.string()), ("arm", pa.int64())])
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return schema.empty_table()
+        ids = batch.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                "arm": pa.array((_md5_u64(ids) % np.uint64(2)).astype(np.int64)),
+            }
+        )
+
+    counts = partial_multi_sum_count(
+        ev.map_batches(arm, batch_format="pyarrow"),
+        ["event_type", "arm"],
+        [],
+        alias={"count": "observed"},
+    )
+    # O(types x arms) rows — the only driver-side table
+    parts = [ray.get(r) for r in counts.to_arrow_refs()]
+    parts = [t for t in parts if t.num_rows and "event_type" in t.column_names]
+    schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("arm", pa.int64()),
+            ("observed", pa.int64()),
+            ("e_e6", pa.int64()),
+            ("cell_chi2_e6", pa.int64()),
+        ]
+    )
+    if not parts:
+        return ray.data.from_arrow(schema.empty_table())
+    t = pa.concat_tables([p.cast(parts[0].schema) for p in parts])
+    et = t.column("event_type").to_numpy(zero_copy_only=False)
+    am = t.column("arm").to_numpy(zero_copy_only=False).astype(np.int64)
+    o = t.column("observed").to_numpy(zero_copy_only=False).astype(np.int64)
+    _, ei = np.unique(et, return_inverse=True)
+    _, ai = np.unique(am, return_inverse=True)
+    rt = np.bincount(ei, weights=o)[ei].astype(np.int64)
+    ct = np.bincount(ai, weights=o)[ai].astype(np.int64)
+    n = int(o.sum())
+    # identical IEEE op order to the SQL twin (left-assoc mult chains)
+    e = 1e6 * rt * ct / n
+    d = o - rt.astype(np.float64) * ct / n
+    cell = 1e6 * d * d / (rt.astype(np.float64) * ct / n)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": pa.array(et, pa.string()),
+                "arm": pa.array(am),
+                "observed": pa.array(o),
+                "e_e6": pa.array(np.floor(e + 0.5).astype(np.int64)),
+                "cell_chi2_e6": pa.array(np.floor(cell + 0.5).astype(np.int64)),
+            }
+        )
+    )
+
+
+def _q_score_calibration(sf_dir: str):
+    """Calibration readout: equal-width 10-bin histogram of event value
+    with per-bin purchase rate (the reliability-diagram table). Global
+    min/max are one tiny aggregate; bin assignment and the per-bin rate
+    are single fixed quantized float expressions."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+
+    ev = _rel(f"{sf_dir}/events.parquet", columns=["value", "event_type"])
+
+    mm = ev.map_batches(
+        lambda b: pa.table(
+            {
+                "k": pa.array([0] * (1 if b.num_rows else 0), pa.int64()),
+                "mn": pa.array(
+                    [float(np.min(b.column("value").to_numpy(zero_copy_only=False)))]
+                    if b.num_rows
+                    else [],
+                    pa.float64(),
+                ),
+                "mx": pa.array(
+                    [float(np.max(b.column("value").to_numpy(zero_copy_only=False)))]
+                    if b.num_rows
+                    else [],
+                    pa.float64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    lo, hi = None, None
+    for ref in mm.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "mn" not in t.column_names:
+            continue
+        bmn = float(np.min(t.column("mn").to_numpy(zero_copy_only=False)))
+        bmx = float(np.max(t.column("mx").to_numpy(zero_copy_only=False)))
+        lo = bmn if lo is None else min(lo, bmn)
+        hi = bmx if hi is None else max(hi, bmx)
+
+    def binize(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("bin", pa.int64()), ("p", pa.int64())])
+        if batch.num_rows == 0 or "value" not in batch.column_names:
+            return schema.empty_table()
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        # same expression as the SQL twin: LEAST(9, FLOOR((v-lo)*10.0/(hi-lo)))
+        b = np.minimum(9, np.floor((v - lo) * 10.0 / (hi - lo))).astype(np.int64)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bin": pa.array(b),
+                "p": pa.array((et == "purchase").astype(np.int64)),
+            }
+        )
+
+    stats = partial_sum_count(
+        ev.map_batches(binize, batch_format="pyarrow"),
+        "bin",
+        ["p"],
+        alias={"p": "n_pos", "count": "n"},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("bin", pa.int64()),
+                ("n", pa.int64()),
+                ("n_pos", pa.int64()),
+                ("pos_rate_e6", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or "bin" not in batch.column_names:
+            return schema.empty_table()
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch.column("n_pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        rate = np.floor(1e6 * p / n + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "bin": batch.column("bin").cast(pa.int64()),
+                "n": pa.array(n),
+                "n_pos": pa.array(p),
+                "pos_rate_e6": pa.array(rate),
+            }
+        )
+
+    return stats.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_stratified_split(sf_dir: str):
+    """Exact-quota stratified train/val/test split (80/10/10 within each
+    language): rows ranked by (md5(id), id) inside their stratum, quota
+    boundaries at floor(n*frac) — per-stratum proportions exact, not just
+    in expectation like the global md5-mod split. One exchange total."""
+    from opentapioca_ray.stages.selection import stratified_split_labels
+
+    docs = _rel(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return stratified_split_labels(docs, "doc_id", "lang")
+
+
 def _q_ab_value_ttest(sf_dir: str):
     """A/B significance readout: Welch's two-sample t statistic of event
     value (exact int64 centi-units) between the md5-bucket arms. The six
@@ -3643,6 +3820,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_auc": _q_score_auc,
         "split_leakage": _q_split_leakage,
         "ab_value_ttest": _q_ab_value_ttest,
+        "stratified_split": _q_stratified_split,
+        "chi2_cells": _q_chi2_cells,
+        "score_calibration": _q_score_calibration,
     }
 
 
@@ -6027,6 +6207,61 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
+        "chi2_cells": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 16))::UBIGINT % 2
+                          AS BIGINT) AS arm,
+                     CAST(count(*) AS BIGINT) AS observed
+              FROM events GROUP BY 1, 2
+            ), t AS (
+              SELECT c.*,
+                     sum(observed) OVER (PARTITION BY event_type) AS rt,
+                     sum(observed) OVER (PARTITION BY arm) AS ct,
+                     sum(observed) OVER () AS n
+              FROM c
+            )
+            SELECT event_type, arm, observed,
+                   CAST(FLOOR(1000000.0 * rt * ct / n + 0.5) AS BIGINT) AS e_e6,
+                   CAST(FLOOR(
+                     1000000.0 * (observed - CAST(rt AS DOUBLE) * ct / n)
+                               * (observed - CAST(rt AS DOUBLE) * ct / n)
+                               / (CAST(rt AS DOUBLE) * ct / n)
+                     + 0.5) AS BIGINT) AS cell_chi2_e6
+            FROM t
+        """,
+        "score_calibration": """
+            WITH mm AS (
+              SELECT min(value) AS lo, max(value) AS hi FROM events
+            ), b AS (
+              SELECT LEAST(9, CAST(FLOOR((value - lo) * 10.0 / (hi - lo)) AS BIGINT))
+                       AS bin,
+                     CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS p
+              FROM events, mm
+            )
+            SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(p) AS BIGINT) AS n_pos,
+                   CAST(FLOOR(1000000.0 * sum(p) / count(*) + 0.5) AS BIGINT)
+                     AS pos_rate_e6
+            FROM b GROUP BY bin
+        """,
+        "stratified_split": """
+            WITH h AS (
+              SELECT doc_id, lang,
+                     ('0x' || substr(md5(doc_id::VARCHAR), 1, 16))::UBIGINT AS hv
+              FROM documents
+            ), r AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang ORDER BY hv, doc_id) AS rn,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM h
+            )
+            SELECT doc_id, lang,
+                   CASE WHEN rn <= FLOOR(n * 0.8) THEN 'train'
+                        WHEN rn <= FLOOR(n * 0.9) THEN 'val'
+                        ELSE 'test' END AS split
+            FROM r
+        """,
         "ab_value_ttest": """
             WITH u AS (
               SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 16))::UBIGINT % 2 AS arm,

@@ -288,3 +288,62 @@ def weighted_priority_sample(
         else b,
         batch_format="pyarrow",
     )
+
+
+def stratified_split_labels(
+    ds,
+    id_column: str,
+    stratum_column: str,
+    fracs: tuple = (0.8, 0.9),
+    labels: tuple = ("train", "val", "test"),
+    n_parts=None,
+):
+    """Exact-quota stratified split: within every stratum, rows ordered by
+    (md5(id), id) get `train` up to floor(n*fracs[0]), `val` up to
+    floor(n*fracs[1]), else `test` — so each stratum's split proportions
+    are exact (global md5-mod splits are only proportional in
+    expectation). ONE coarse exchange on the stratum key; each partition
+    ranks all its whole strata with a sorted-segment kernel.
+
+    Partitioning assumption: a stratum's rows fit in a worker's heap (a
+    stratum is a language/source/domain — bounded by corpus share, the
+    same contract as every coarse_group_apply stage); extreme single-
+    stratum skew needs an upstream salt+merge, documented trade-off."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+    from opentapioca_ray.stages.sketches import _md5_u64
+
+    def label_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or stratum_column not in df.columns:
+            return pd.DataFrame(
+                {
+                    id_column: pd.Series(dtype=np.int64),
+                    stratum_column: pd.Series(dtype=object),
+                    "split": pd.Series(dtype=object),
+                }
+            )
+        ids = df[id_column].to_numpy(dtype=np.int64)
+        strat = df[stratum_column].to_numpy()
+        h = _md5_u64(ids)
+        _, scodes = np.unique(strat, return_inverse=True)
+        order = np.lexsort((ids, h, scodes))
+        ids_s, strat_s, codes_s = ids[order], strat[order], scodes[order]
+        new = np.concatenate(([True], codes_s[1:] != codes_s[:-1]))
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        n_per = np.bincount(seg)
+        rn = np.arange(len(ids_s), dtype=np.int64) - starts[seg] + 1
+        n_g = n_per[seg]
+        # same quantized quota expression as the SQL twin: FLOOR(n * frac)
+        q0 = np.floor(n_g * fracs[0])
+        q1 = np.floor(n_g * fracs[1])
+        lab = np.where(rn <= q0, labels[0], np.where(rn <= q1, labels[1], labels[2]))
+        return pd.DataFrame(
+            {id_column: ids_s, stratum_column: strat_s, "split": lab}
+        )
+
+    return coarse_group_apply(
+        ds.select_columns([id_column, stratum_column]),
+        stratum_column,
+        label_partition,
+        n_parts=n_parts,
+    )
