@@ -3415,6 +3415,88 @@ def _q_bfs_hops(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_winsorized_means(sf_dir: str):
+    """Robust per-type value means: clip to the exact type-1 [p05, p95]
+    group quantiles in int64 centi-units, then average — clipping and
+    summing never leave integers; only the mean is one quantized float
+    expression."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.aggregates import winsorized_group_means
+
+    ev = _rel(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def units(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("event_type", pa.string()), ("c", pa.int64())])
+        if batch.num_rows == 0 or "value" not in batch.column_names:
+            return schema.empty_table()
+        c = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {"event_type": batch.column("event_type"), "c": pa.array(c)}
+        )
+
+    return winsorized_group_means(
+        ev.map_batches(units, batch_format="pyarrow"), "event_type", "c"
+    )
+
+
+def _q_degree_assortativity(sf_dir: str):
+    """Degree assortativity of the quantity-1 co-purchase graph — does a
+    high-degree part connect to high-degree suppliers? Sufficient
+    statistics are exact int64 sums over the symmetrized edge list; r is
+    one quantized float expression."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+    from opentapioca_ray.stages.graphops import degree_assortativity
+
+    li = _rel(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return schema.empty_table()
+        t = batch.filter(
+            pc.equal(batch.column("l_quantity").cast(pa.int64()), 1)
+        )
+        return pa.table(
+            {
+                "u": pc.multiply(
+                    t.column("l_partkey").cast(pa.int64()),
+                    pa.scalar(2, pa.int64()),
+                ),
+                "v": pc.add(
+                    pc.multiply(
+                        t.column("l_suppkey").cast(pa.int64()),
+                        pa.scalar(2, pa.int64()),
+                    ),
+                    pa.scalar(1, pa.int64()),
+                ),
+            }
+        )
+
+    edges = coarse_groupby_agg(
+        li.map_batches(mk_edges, batch_format="pyarrow"),
+        ["u", "v"],
+        {"n": ("u", "size")},
+    ).map_batches(
+        lambda b: (
+            b.select(["u", "v"])
+            if b.num_rows and "u" in b.column_names
+            else pa.schema([("u", pa.int64()), ("v", pa.int64())]).empty_table()
+        ),
+        batch_format="pyarrow",
+    )
+    return degree_assortativity(edges)
+
+
 def _q_chi2_cells(sf_dir: str):
     """Chi-square independence audit (event_type x md5 A/B arm): the full
     contingency table with per-cell expected counts and chi-square
@@ -3823,6 +3905,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_split": _q_stratified_split,
         "chi2_cells": _q_chi2_cells,
         "score_calibration": _q_score_calibration,
+        "winsorized_means": _q_winsorized_means,
+        "degree_assortativity": _q_degree_assortativity,
     }
 
 
@@ -6207,6 +6291,56 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
+        "winsorized_means": """
+            WITH u AS (
+              SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+              FROM events
+            ), q AS (
+              SELECT event_type,
+                     quantile_disc(c, 0.05) AS lo,
+                     quantile_disc(c, 0.95) AS hi
+              FROM u GROUP BY 1
+            ), w AS (
+              SELECT u.event_type, LEAST(GREATEST(c, lo), hi) AS cc
+              FROM u JOIN q USING (event_type)
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cc) AS BIGINT) AS sum_c,
+                   CAST(FLOOR(10000.0 * sum(cc) / count(*) + 0.5) AS BIGINT)
+                     AS wmean_c_e4
+            FROM w GROUP BY event_type
+        """,
+        "degree_assortativity": """
+            WITH e AS (
+              SELECT DISTINCT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v
+              FROM lineitem WHERE l_quantity = 1
+            ), sym AS (
+              SELECT u, v FROM e UNION ALL SELECT v, u FROM e
+            ), deg AS (
+              SELECT u AS node, CAST(count(*) AS BIGINT) AS d
+              FROM sym GROUP BY u
+            ), j AS (
+              SELECT du.d AS du, dv.d AS dv
+              FROM sym
+              JOIN deg du ON du.node = sym.u
+              JOIN deg dv ON dv.node = sym.v
+            ), s AS (
+              SELECT CAST(count(*) AS BIGINT) AS m2,
+                     CAST(sum(du) AS BIGINT) AS sx,
+                     CAST(sum(du * dv) AS BIGINT) AS sxy,
+                     CAST(sum(du * du) AS BIGINT) AS sxx
+              FROM j
+            )
+            SELECT m2, sx, sxy, sxx,
+                   CAST(FLOOR(
+                     1000000.0
+                     * (CAST(sxy AS DOUBLE) / m2
+                        - (CAST(sx AS DOUBLE) / m2) * (CAST(sx AS DOUBLE) / m2))
+                     / (CAST(sxx AS DOUBLE) / m2
+                        - (CAST(sx AS DOUBLE) / m2) * (CAST(sx AS DOUBLE) / m2))
+                     + 0.5) AS BIGINT) AS r_e6
+            FROM s
+        """,
         "chi2_cells": """
             WITH c AS (
               SELECT event_type,

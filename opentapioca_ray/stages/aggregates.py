@@ -1023,3 +1023,73 @@ def group_entropy(ds, group_column: str, item_column: str, n_parts=None):
         )
 
     return rolled.map_batches(finish, batch_format="pyarrow")
+
+
+def winsorized_group_means(
+    ds,
+    group_column: str,
+    units_column: str,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+    mean_scale: int = 10_000,
+):
+    """Robust per-group mean: clip each row's integer-unit value to the
+    group's exact type-1 [lo_p, hi_p] quantiles (`sorted[ceil(p*n)-1]`,
+    DuckDB's quantile_disc rule), then average. Clipping and summing stay
+    in exact int64 units; only the mean is one fixed quantized float
+    expression — so the SQL twin matches bit-for-bit.
+
+    ONE coarse exchange on the group key; each partition winsorizes all
+    its whole groups in a single lexsort + segment kernel (no per-group
+    pandas, no second pass: the quantile bounds and the clipped sum come
+    from the same sorted array)."""
+    import pandas as pd
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply, segment_starts
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or group_column not in df.columns:
+            return pd.DataFrame(
+                {
+                    group_column: pd.Series(dtype=object),
+                    "n": pd.Series(dtype=np.int64),
+                    "sum_c": pd.Series(dtype=np.int64),
+                    "wmean_c_e4": pd.Series(dtype=np.int64),
+                }
+            )
+        keys = df[group_column].to_numpy()
+        vals = df[units_column].to_numpy(dtype=np.int64)
+        order = np.lexsort((vals, keys))
+        keys, vals = keys[order], vals[order]
+        starts = segment_starts(keys)
+        ends = np.concatenate((starts[1:], [len(keys)]))
+        sizes = ends - starts
+        seg = np.cumsum(
+            np.concatenate(([True], keys[1:] != keys[:-1]))
+        ) - 1
+
+        def qpos(p: float) -> np.ndarray:
+            off = np.clip(np.ceil(p * sizes).astype(np.int64), 1, sizes) - 1
+            return starts + off
+
+        lo = vals[qpos(lo_p)][seg]
+        hi = vals[qpos(hi_p)][seg]
+        clipped = np.minimum(np.maximum(vals, lo), hi)
+        sum_c = np.bincount(seg, weights=clipped).astype(np.int64)
+        # same quantized expression as the SQL twin:
+        # FLOOR(scale * sum / n + 0.5)
+        wmean = np.floor(
+            float(mean_scale) * sum_c / sizes + 0.5
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                group_column: keys[starts],
+                "n": sizes.astype(np.int64),
+                "sum_c": sum_c,
+                "wmean_c_e4": wmean,
+            }
+        )
+
+    return coarse_group_apply(
+        ds.select_columns([group_column, units_column]), group_column, kernel
+    )

@@ -559,3 +559,129 @@ def bfs_hops(
             .materialize()
         )
     return dist
+
+
+def degree_assortativity(edges, n_parts=None):
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the SYMMETRIZED edge list (each
+    undirected edge counted in both directions, the standard convention).
+    One summary row (m2, sx, sxy, sxx, r_e6): all sufficient statistics
+    are exact int64 sums (symmetry makes the x/y marginals identical);
+    r is ONE fixed quantized float expression replayed by the SQL twin.
+
+    Shape: degree roll-up (one combiner exchange) + two reduce-side
+    lookup exchanges attaching each endpoint's degree + a map-side
+    partial-sum combine; only O(1) summary rows reach the driver."""
+    import ray
+    import ray.data
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg, right_size
+    from opentapioca_ray.stages.metablocking import _attach_node_stats
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return _EDGE_SCHEMA.empty_table()
+        u = batch.column("u").cast(pa.int64()).combine_chunks()
+        v = batch.column("v").cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {"u": pa.concat_arrays([u, v]), "v": pa.concat_arrays([v, u])}
+        )
+
+    sym = right_size(
+        edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.schema([("node", pa.int64())]).empty_table()
+        return pa.table({"node": batch.column("u").cast(pa.int64())})
+
+    deg = coarse_groupby_agg(
+        sym.map_batches(explode, batch_format="pyarrow"),
+        ["node"],
+        {"d": ("node", "size")},
+        n_parts=n_parts,
+    ).map_batches(
+        lambda b: (
+            pa.table(
+                {
+                    "node": b.column("node").cast(pa.int64()),
+                    "s": b.column("d").cast(pa.int64()),
+                    "d": b.column("d").cast(pa.int64()),
+                }
+            )
+            if b.num_rows and "node" in b.column_names
+            else pa.schema(
+                [("node", pa.int64()), ("s", pa.int64()), ("d", pa.int64())]
+            ).empty_table()
+        ),
+        batch_format="pyarrow",
+    )
+    deg = right_size(deg.materialize())
+
+    with_u = _attach_node_stats(
+        sym, deg, "u", ["u", "v"], "du", "_du2", n_parts
+    )
+    both = _attach_node_stats(
+        with_u, deg, "v", ["u", "v", "du", "_du2"], "dv", "_dv2", n_parts
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("m2", pa.int64()),
+                ("sx", pa.int64()),
+                ("sxy", pa.int64()),
+                ("sxx", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or "du" not in batch.column_names:
+            return schema.empty_table()
+        du = batch.column("du").to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = batch.column("dv").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "m2": pa.array([len(du)], pa.int64()),
+                "sx": pa.array([int(du.sum())], pa.int64()),
+                "sxy": pa.array([int((du * dv).sum())], pa.int64()),
+                "sxx": pa.array([int((du * du).sum())], pa.int64()),
+            }
+        )
+
+    m2 = sx = sxy = sxx = 0
+    for ref in both.map_batches(partial, batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "m2" not in t.column_names:
+            continue
+        m2 += int(t.column("m2").to_numpy().sum())
+        sx += int(t.column("sx").to_numpy().sum())
+        sxy += int(t.column("sxy").to_numpy().sum())
+        sxx += int(t.column("sxx").to_numpy().sum())
+    out_schema = pa.schema(
+        [
+            ("m2", pa.int64()),
+            ("sx", pa.int64()),
+            ("sxy", pa.int64()),
+            ("sxx", pa.int64()),
+            ("r_e6", pa.int64()),
+        ]
+    )
+    if m2 == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    # symmetric list: x/y marginals identical, so one mean/variance pair.
+    # Same IEEE op order as the SQL twin.
+    mean = float(sx) / m2
+    var = float(sxx) / m2 - mean * mean
+    cov = float(sxy) / m2 - mean * mean
+    r_e6 = int(np.floor(1e6 * cov / var + 0.5)) if var > 0 else 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "m2": pa.array([m2], pa.int64()),
+                "sx": pa.array([sx], pa.int64()),
+                "sxy": pa.array([sxy], pa.int64()),
+                "sxx": pa.array([sxx], pa.int64()),
+                "r_e6": pa.array([r_e6], pa.int64()),
+            }
+        )
+    )
