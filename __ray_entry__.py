@@ -3415,6 +3415,43 @@ def _q_bfs_hops(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_mad_by_type(sf_dir: str):
+    """Robust per-type scale estimate: median absolute deviation around
+    the exact type-1 group median, all in int64 centi-units — every
+    output column integer, zero float arithmetic anywhere."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.aggregates import grouped_mad
+
+    ev = _rel(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def units(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("event_type", pa.string()), ("c", pa.int64())])
+        if batch.num_rows == 0 or "value" not in batch.column_names:
+            return schema.empty_table()
+        c = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {"event_type": batch.column("event_type"), "c": pa.array(c)}
+        )
+
+    return grouped_mad(
+        ev.map_batches(units, batch_format="pyarrow"), "event_type", "c"
+    )
+
+
+def _q_pmi_bigrams(sf_dir: str):
+    """PMI collocations over the documents corpus (bigrams with n >= 5):
+    counts and marginals are exact integers via combiner partials and
+    string-keyed lookup exchanges; pmi_e6 is one fixed quantized float
+    expression."""
+    from opentapioca_ray.stages.tfidf import pmi_bigrams
+
+    return pmi_bigrams(_docs(sf_dir), "text", min_count=5)
+
+
 def _q_winsorized_means(sf_dir: str):
     """Robust per-type value means: clip to the exact type-1 [p05, p95]
     group quantiles in int64 centi-units, then average — clipping and
@@ -3907,6 +3944,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_calibration": _q_score_calibration,
         "winsorized_means": _q_winsorized_means,
         "degree_assortativity": _q_degree_assortativity,
+        "mad_by_type": _q_mad_by_type,
+        "pmi_bigrams": _q_pmi_bigrams,
     }
 
 
@@ -6291,6 +6330,54 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
+        "mad_by_type": """
+            WITH u AS (
+              SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c
+              FROM events
+            ), m AS (
+              SELECT event_type, quantile_disc(c, 0.5) AS med
+              FROM u GROUP BY 1
+            ), d AS (
+              SELECT u.event_type, med, abs(c - med) AS dev
+              FROM u JOIN m USING (event_type)
+            )
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(med) AS BIGINT) AS med_c,
+                   CAST(quantile_disc(dev, 0.5) AS BIGINT) AS mad_c
+            FROM d GROUP BY event_type
+        """,
+        "pmi_bigrams": """
+            WITH arr AS (
+              SELECT regexp_split_to_array(trim(text), '\\s+') AS a
+              FROM documents
+            ), toks AS (
+              SELECT unnest(a) AS w FROM arr WHERE len(a) >= 1 AND a[1] != ''
+            ), uni AS (
+              SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY w
+            ), tot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS t FROM uni
+            ), z AS (
+              SELECT unnest(list_zip(a[1:len(a)-1], a[2:])) AS pr
+              FROM arr WHERE len(a) >= 2 AND a[1] != ''
+            ), big AS (
+              SELECT pr[1] AS w1, pr[2] AS w2, CAST(count(*) AS BIGINT) AS n
+              FROM z GROUP BY 1, 2
+            ), btot AS (
+              SELECT CAST(sum(n) AS BIGINT) AS b FROM big
+            ), f AS (
+              SELECT w1, w2, big.n, u1.n AS c1, u2.n AS c2
+              FROM big
+              JOIN uni u1 ON u1.w = big.w1
+              JOIN uni u2 ON u2.w = big.w2
+              WHERE big.n >= 5
+            )
+            SELECT w1, w2, n, c1, c2,
+                   CAST(FLOOR(1000000.0 * ln(
+                     (CAST(n AS DOUBLE) * t * t)
+                     / (CAST(b AS DOUBLE) * c1 * c2)
+                   ) + 0.5) AS BIGINT) AS pmi_e6
+            FROM f, tot, btot
+        """,
         "winsorized_means": """
             WITH u AS (
               SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c

@@ -1093,3 +1093,62 @@ def winsorized_group_means(
     return coarse_group_apply(
         ds.select_columns([group_column, units_column]), group_column, kernel
     )
+
+
+def grouped_mad(ds, group_column: str, units_column: str):
+    """Per-group median absolute deviation in exact int64 units: the
+    type-1 group median (`sorted[ceil(n/2)-1]`, DuckDB's quantile_disc
+    rule), then the type-1 median of |x - median| — both selections are
+    exact input elements, so every output column is integer and the SQL
+    twin matches bit-for-bit (the robust scale estimate next to
+    `winsorized_group_means`' robust location).
+
+    ONE coarse exchange; each partition runs two lexsort+segment passes
+    over all its whole groups (the deviations need re-sorting — that
+    second sort is partition-local, never a shuffle)."""
+    import pandas as pd
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply, segment_starts
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or group_column not in df.columns:
+            return pd.DataFrame(
+                {
+                    group_column: pd.Series(dtype=object),
+                    "n": pd.Series(dtype=np.int64),
+                    "med_c": pd.Series(dtype=np.int64),
+                    "mad_c": pd.Series(dtype=np.int64),
+                }
+            )
+        keys = df[group_column].to_numpy()
+        vals = df[units_column].to_numpy(dtype=np.int64)
+        order = np.lexsort((vals, keys))
+        keys, vals = keys[order], vals[order]
+        starts = segment_starts(keys)
+        ends = np.concatenate((starts[1:], [len(keys)]))
+        sizes = ends - starts
+        seg = np.cumsum(np.concatenate(([True], keys[1:] != keys[:-1]))) - 1
+
+        def qpos(sorted_vals, p=0.5):
+            off = np.clip(np.ceil(p * sizes).astype(np.int64), 1, sizes) - 1
+            return sorted_vals[starts + off]
+
+        med = qpos(vals)
+        dev = np.abs(vals - med[seg])
+        # re-sort deviations within each segment (keys already grouped,
+        # so lexsort on (dev, seg) keeps segment layout identical)
+        order2 = np.lexsort((dev, seg))
+        dev = dev[order2]
+        mad = qpos(dev)
+        return pd.DataFrame(
+            {
+                group_column: keys[starts],
+                "n": sizes.astype(np.int64),
+                "med_c": med.astype(np.int64),
+                "mad_c": mad.astype(np.int64),
+            }
+        )
+
+    return coarse_group_apply(
+        ds.select_columns([group_column, units_column]), group_column, kernel
+    )

@@ -491,3 +491,201 @@ def bm25_scores(
     # batch_size=None: whole blocks, so a doc's dl row and hit rows (emitted
     # together by `slim`) are never split across scoring batches
     return rows.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
+def _attach_unigram_count(pairs, uni, key_word: str, out_col: str, carry: list):
+    """Reduce-side lookup: each (w1, w2, ...) bigram row gains the corpus
+    count of its `key_word` endpoint. ONE coarse exchange on the word
+    string with the slim (w, n) unigram rows riding the same shuffle —
+    the string-keyed sibling of metablocking's int-keyed attach; nothing
+    is broadcast or collected."""
+    import pandas as pd
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    carry_fields = [("w1", pa.string()), ("w2", pa.string())] + [
+        (c, pa.int64()) for c in carry
+    ]
+    union_schema = pa.schema(
+        [*carry_fields, ("__cnt", pa.int64()), ("__is_uni", pa.bool_())]
+    )
+    out_schema = pa.schema([*carry_fields, (out_col, pa.int64())])
+
+    def pair_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "w1" not in batch.column_names:
+            return union_schema.empty_table()
+        cols = {name: batch.column(name).cast(typ) for name, typ in carry_fields}
+        cols["__cnt"] = pa.nulls(batch.num_rows, pa.int64())
+        cols["__is_uni"] = pa.array(np.zeros(batch.num_rows, dtype=bool))
+        return pa.table(cols).cast(union_schema)
+
+    def uni_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "w" not in batch.column_names:
+            return union_schema.empty_table()
+        n = batch.num_rows
+        cols = {}
+        for name, typ in carry_fields:
+            if name == key_word:
+                cols[name] = batch.column("w").cast(pa.string())
+            elif typ == pa.string():
+                cols[name] = pa.nulls(n, pa.string())
+            else:
+                cols[name] = pa.nulls(n, pa.int64())
+        cols["__cnt"] = batch.column("n").cast(pa.int64())
+        cols["__is_uni"] = pa.array(np.ones(n, dtype=bool))
+        return pa.table(cols).cast(union_schema)
+
+    unioned = pairs.map_batches(pair_rows, batch_format="pyarrow").union(
+        uni.map_batches(uni_rows, batch_format="pyarrow")
+    )
+
+    def merge(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__is_uni" not in t.column_names:
+            return out_schema.empty_table()
+        isu = t.column("__is_uni").to_numpy(zero_copy_only=False).astype(bool)
+        data = t.filter(pa.array(~isu))
+        if data.num_rows == 0:
+            return out_schema.empty_table()
+        keys = t.filter(pa.array(isu))
+        kw = keys.column(key_word).to_numpy(zero_copy_only=False)
+        kc = keys.column("__cnt").to_numpy(zero_copy_only=False)
+        o = np.argsort(kw)
+        kw, kc = kw[o], kc[o]
+        dw = data.column(key_word).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(kw, dw)
+        # every bigram word exists in the unigram table by construction
+        cols = {name: data.column(name) for name, _ in carry_fields}
+        cols[out_col] = pa.array(kc[idx].astype(np.int64))
+        return pa.table(cols).cast(out_schema)
+
+    return coarse_group_apply(
+        unioned, key_word, merge, batch_format="pyarrow"
+    )
+
+
+def pmi_bigrams(ds, text_column: str = "text", min_count: int = 5):
+    """Pointwise mutual information collocations: for every bigram with
+    n >= min_count, pmi = ln(p(xy) / (p(x)p(y))) = ln(n*T*T / (B*c1*c2))
+    with T total tokens and B total bigrams. Counts are exact integers
+    end-to-end (combiner partials, string-keyed lookup exchanges for the
+    unigram marginals); pmi_e6 is ONE fixed quantized float expression.
+    Output: (w1, w2, n, c1, c2, pmi_e6)."""
+    import ray
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg, right_size
+    from opentapioca_ray.functions.textstats import whitespace_token_lists
+
+    big = right_size(bigram_counts(ds, text_column, min_count=1).materialize())
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        empty = pa.schema(
+            [pa.field("w", pa.string()), pa.field("_pn", pa.int64())]
+        ).empty_table()
+        if batch.num_rows == 0 or text_column not in batch.column_names:
+            return empty
+        toks = whitespace_token_lists(batch, text_column)
+        flat = toks.values.to_numpy(zero_copy_only=False)
+        if len(flat) == 0:
+            return empty
+        part = (
+            pd.DataFrame({"w": flat})
+            .groupby("w", sort=False)
+            .size()
+            .reset_index(name="_pn")
+        )
+        return pa.Table.from_pandas(part, preserve_index=False)
+
+    uni = right_size(
+        coarse_groupby_agg(
+            ds.select_columns([text_column]).map_batches(
+                uni_partial, batch_format="pyarrow"
+            ),
+            ["w"],
+            {"n": ("_pn", "sum")},
+        ).materialize()
+    )
+
+    def _total(counts_ds, col: str) -> int:
+        tot = 0
+        for ref in counts_ds.map_batches(
+            lambda b: pa.table(
+                {
+                    "t": pa.array(
+                        [
+                            int(
+                                b.column(col)
+                                .to_numpy(zero_copy_only=False)
+                                .sum()
+                            )
+                        ]
+                        if b.num_rows and col in b.column_names
+                        else [],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows:
+                tot += int(t.column("t").to_numpy().sum())
+        return tot
+
+    t_tokens = _total(uni, "n")
+    b_bigrams = _total(big, "n")
+
+    import pyarrow.compute as pc
+
+    filtered = big.map_batches(
+        lambda b: (
+            b.filter(pc.greater_equal(b.column("n"), min_count))
+            if b.num_rows and "n" in b.column_names
+            else pa.schema(
+                [("w1", pa.string()), ("w2", pa.string()), ("n", pa.int64())]
+            ).empty_table()
+        ),
+        batch_format="pyarrow",
+    )
+    with_c1 = _attach_unigram_count(filtered, uni, "w1", "c1", ["n"])
+    both = _attach_unigram_count(with_c1, uni, "w2", "c2", ["n", "c1"])
+
+    out_schema = pa.schema(
+        [
+            ("w1", pa.string()),
+            ("w2", pa.string()),
+            ("n", pa.int64()),
+            ("c1", pa.int64()),
+            ("c2", pa.int64()),
+            ("pmi_e6", pa.int64()),
+        ]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n" not in batch.column_names:
+            return out_schema.empty_table()
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = batch.column("c1").to_numpy(zero_copy_only=False).astype(np.float64)
+        c2 = batch.column("c2").to_numpy(zero_copy_only=False).astype(np.float64)
+        # identical IEEE op order to the SQL twin
+        pmi = np.floor(
+            1e6
+            * np.log(
+                (n * float(t_tokens) * float(t_tokens))
+                / (float(b_bigrams) * c1 * c2)
+            )
+            + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "w1": batch.column("w1").cast(pa.string()),
+                "w2": batch.column("w2").cast(pa.string()),
+                "n": batch.column("n").cast(pa.int64()),
+                "c1": batch.column("c1").cast(pa.int64()),
+                "c2": batch.column("c2").cast(pa.int64()),
+                "pmi_e6": pa.array(pmi),
+            }
+        )
+
+    return both.map_batches(finish, batch_format="pyarrow")
