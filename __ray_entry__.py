@@ -3415,6 +3415,21 @@ def _q_bfs_hops(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_rank_disagreement(sf_dir: str):
+    """Spearman-footrule disagreement between two orderings of the orders
+    table (price rank vs recency rank, ties broken by key): exact global
+    row_number ranks via sampled-boundary range exchanges; the rank join
+    is one groupby-sum (+rn vs -rn), so the whole statistic is pure
+    integer arithmetic."""
+    from opentapioca_ray.stages.evaluation import footrule_stats
+
+    orders = _rel(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+    return footrule_stats(orders, "o_orderkey", "o_totalprice", "o_orderdate")
+
+
 def _q_mad_by_type(sf_dir: str):
     """Robust per-type scale estimate: median absolute deviation around
     the exact type-1 group median, all in int64 centi-units — every
@@ -3946,6 +3961,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": _q_degree_assortativity,
         "mad_by_type": _q_mad_by_type,
         "pmi_bigrams": _q_pmi_bigrams,
+        "rank_disagreement": _q_rank_disagreement,
     }
 
 
@@ -6330,6 +6346,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
+        "rank_disagreement": """
+            WITH ra AS (
+              SELECT o_orderkey AS id,
+                     row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+              FROM orders
+            ), rb AS (
+              SELECT o_orderkey AS id,
+                     row_number() OVER (ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(abs(ra.rn - rb.rn)) AS BIGINT) AS footrule
+            FROM ra JOIN rb USING (id)
+        """,
         "mad_by_type": """
             WITH u AS (
               SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS c

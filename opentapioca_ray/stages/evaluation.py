@@ -321,3 +321,71 @@ def welch_t_stats(ds, arm_column: str, units_column: str):
         }
     )
     return ray.data.from_arrow(out)
+
+
+def footrule_stats(ds, id_column: str, key_a: str, key_b: str):
+    """Spearman's footrule disagreement between two orderings of the same
+    rows: n and sum(|rank_a - rank_b|), ranks being exact global
+    row_number() OVER (ORDER BY key, id) — deterministic tie-break, so
+    the result is a pure integer and the SQL window twin matches
+    bit-for-bit. The label-free way to quantify how much two ranking
+    criteria (price vs recency, quality vs length) disagree.
+
+    Shape: two `global_rank` passes (sampled-boundary range exchange,
+    O(n_parts) driver offsets each); the rank join is ONE coarse
+    groupby-sum on the id — ranking A rides in as +rn, ranking B as -rn,
+    so the group sum IS rank_a - rank_b and no join kernel exists at
+    all. Final |d| roll-up is a map-side partial combine."""
+    import ray
+    import ray.data
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+    from opentapioca_ray.stages.snm import global_rank
+
+    def signed(rank_ds, sign: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            schema = pa.schema([("id", pa.int64()), ("rn", pa.int64())])
+            if batch.num_rows == 0 or id_column not in batch.column_names:
+                return schema.empty_table()
+            rn = batch.column("rn").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "id": batch.column(id_column).cast(pa.int64()),
+                    "rn": pa.array(sign * rn),
+                }
+            )
+
+        return rank_ds.map_batches(fn, batch_format="pyarrow")
+
+    ra = signed(global_rank(ds, key_a, id_column), 1)
+    rb = signed(global_rank(ds, key_b, id_column), -1)
+    diffs = coarse_groupby_agg(
+        ra.union(rb), ["id"], {"d": ("rn", "sum")}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("n", pa.int64()), ("s", pa.int64())])
+        if batch.num_rows == 0 or "d" not in batch.column_names:
+            return schema.empty_table()
+        d = batch.column("d").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([len(d)], pa.int64()),
+                "s": pa.array([int(np.abs(d).sum())], pa.int64()),
+            }
+        )
+
+    n = s = 0
+    for ref in diffs.map_batches(partial, batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows and "n" in t.column_names:
+            n += int(t.column("n").to_numpy().sum())
+            s += int(t.column("s").to_numpy().sum())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([n], pa.int64()),
+                "footrule": pa.array([s], pa.int64()),
+            }
+        )
+    )
