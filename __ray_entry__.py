@@ -3415,6 +3415,39 @@ def _q_bfs_hops(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_lsh_candidate_quality(sf_dir: str):
+    """LSH filter-quality eval: the RAW MinHash band candidates (verify
+    threshold 0.0 — every banded pair survives with its exact Jaccard
+    attached) bucketed by Jaccard decile. Shows where the band-collision
+    false-positive mass sits below the dedup threshold. The candidate set
+    depends on the minhash permutations, so it is dumped to scratch
+    parquet (the linkage_clusters recipe) and the oracle independently
+    recomputes each pair's exact Jaccard + bucket in SQL."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+    from opentapioca_ray.stages.dedup import minhash_pairs
+
+    cands = minhash_pairs(_docs(sf_dir), threshold=0.0).materialize()
+    _dump_for_oracle(cands.select_columns(["u", "v"]), "lsh_candidates")
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("bucket", pa.int64())])
+        if batch.num_rows == 0 or "jaccard" not in batch.column_names:
+            return schema.empty_table()
+        j = batch.column("jaccard").to_numpy(zero_copy_only=False)
+        b = np.minimum(9, np.floor(j * 10.0)).astype(np.int64)
+        return pa.table({"bucket": pa.array(b)})
+
+    return partial_sum_count(
+        cands.map_batches(bucketize, batch_format="pyarrow"),
+        "bucket",
+        [],
+        alias={"count": "n_pairs"},
+    )
+
+
 def _q_rank_disagreement(sf_dir: str):
     """Spearman-footrule disagreement between two orderings of the orders
     table (price rank vs recency rank, ties broken by key): exact global
@@ -3962,6 +3995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_by_type": _q_mad_by_type,
         "pmi_bigrams": _q_pmi_bigrams,
         "rank_disagreement": _q_rank_disagreement,
+        "lsh_candidate_quality": _q_lsh_candidate_quality,
     }
 
 
@@ -6346,6 +6380,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
+        "lsh_candidate_quality": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(
+                      ' ' || substr(text, 1, 10000) || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            pref AS (SELECT doc_id, arr[1:128] AS arr FROM toks),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                END AS gs
+              FROM pref
+            ),
+            cand AS (
+              SELECT u, v
+              FROM read_parquet('{_ORACLE_AUX}/lsh_candidates/*.parquet')
+            ),
+            j AS (
+              SELECT len(list_intersect(ga.gs, gb.gs))::double
+                       / (len(ga.gs) + len(gb.gs)
+                          - len(list_intersect(ga.gs, gb.gs)))::double AS jac
+              FROM cand
+              JOIN grams ga ON ga.doc_id = cand.u
+              JOIN grams gb ON gb.doc_id = cand.v
+            )
+            SELECT LEAST(9, CAST(FLOOR(jac * 10.0) AS BIGINT)) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_pairs
+            FROM j GROUP BY 1
+        """,
         "rank_disagreement": """
             WITH ra AS (
               SELECT o_orderkey AS id,
