@@ -3415,6 +3415,112 @@ def _q_bfs_hops(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_cluster_conflicts(sf_dir: str):
+    """ER consistency audit: near-dup clusters (the memoized ngram CC)
+    whose members disagree on a strong attribute (source) — the
+    contradiction that flags a bad merge before survivorship hides it.
+    One reduce-side attach exchange (component labels ride the doc-id
+    shuffle) + one component roll-up counting members and distinct
+    sources vectorized."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    _, comp = _ngram_cc(sf_dir)
+    docs = _docs(sf_dir).select_columns(["doc_id", "source"])
+
+    union_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("component", pa.int64()),
+            ("source", pa.string()),
+            ("__is_comp", pa.bool_()),
+        ]
+    )
+
+    def comp_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return union_schema.empty_table()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch.column("node").cast(pa.int64()),
+                "component": batch.column("component").cast(pa.int64()),
+                "source": pa.nulls(n, pa.string()),
+                "__is_comp": pa.array(np.ones(n, dtype=bool)),
+            }
+        ).cast(union_schema)
+
+    def doc_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return union_schema.empty_table()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "component": pa.nulls(n, pa.int64()),
+                "source": batch.column("source").cast(pa.string()),
+                "__is_comp": pa.array(np.zeros(n, dtype=bool)),
+            }
+        ).cast(union_schema)
+
+    unioned = comp.map_batches(comp_rows, batch_format="pyarrow").union(
+        docs.map_batches(doc_rows, batch_format="pyarrow")
+    )
+
+    def attach(t: pa.Table) -> pa.Table:
+        schema = pa.schema([("component", pa.int64()), ("source", pa.string())])
+        if t.num_rows == 0 or "__is_comp" not in t.column_names:
+            return schema.empty_table()
+        isc = t.column("__is_comp").to_numpy(zero_copy_only=False).astype(bool)
+        comps = t.filter(pa.array(isc))
+        if comps.num_rows == 0:
+            return schema.empty_table()
+        data = t.filter(pa.array(~isc))
+        kd = comps.column("doc_id").to_numpy(zero_copy_only=False)
+        kc = comps.column("component").to_numpy(zero_copy_only=False)
+        o = np.argsort(kd)
+        kd, kc = kd[o], kc[o]
+        dd = data.column("doc_id").to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(kd, dd)
+        idx_c = np.clip(idx, 0, len(kd) - 1)
+        hit = kd[idx_c] == dd  # only clustered docs carry a component
+        keep = data.filter(pa.array(hit))
+        return pa.table(
+            {
+                "component": pa.array(kc[idx_c[hit]].astype(np.int64)),
+                "source": keep.column("source").cast(pa.string()),
+            }
+        )
+
+    attached = coarse_group_apply(
+        unioned, "doc_id", attach, batch_format="pyarrow"
+    )
+
+    def roll_up(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "component" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "component": pd.Series(dtype=np.int64),
+                    "n_docs": pd.Series(dtype=np.int64),
+                    "n_sources": pd.Series(dtype=np.int64),
+                }
+            )
+        g = df.groupby("component", sort=False)["source"].agg(["size", "nunique"])
+        g = g[g["nunique"] > 1]
+        return pd.DataFrame(
+            {
+                "component": g.index.to_numpy(dtype=np.int64),
+                "n_docs": g["size"].to_numpy(dtype=np.int64),
+                "n_sources": g["nunique"].to_numpy(dtype=np.int64),
+            }
+        )
+
+    return coarse_group_apply(attached, "component", roll_up)
+
+
 def _q_lsh_candidate_quality(sf_dir: str):
     """LSH filter-quality eval: the RAW MinHash band candidates (verify
     threshold 0.0 — every banded pair survives with its exact Jaccard
@@ -3996,6 +4102,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_bigrams": _q_pmi_bigrams,
         "rank_disagreement": _q_rank_disagreement,
         "lsh_candidate_quality": _q_lsh_candidate_quality,
+        "cluster_conflicts": _q_cluster_conflicts,
     }
 
 
@@ -6380,6 +6487,60 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
+        "cluster_conflicts": f"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                END AS gs
+              FROM toks WHERE len(arr) > 0
+            ),
+            ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            pairs AS (
+              SELECT u, v
+              FROM cand
+              JOIN grams ga ON ga.doc_id = cand.u
+              JOIN grams gb ON gb.doc_id = cand.v
+              WHERE len(list_intersect(ga.gs, gb.gs))::double
+                    / (len(ga.gs) + len(gb.gs)
+                       - len(list_intersect(ga.gs, gb.gs)))::double >= 0.5
+            ),
+            edges AS (
+              SELECT u AS a, v AS b FROM pairs
+              UNION ALL
+              SELECT v AS a, u AS b FROM pairs
+            ),
+            lab(v, l) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e.a, lab.l FROM edges e JOIN lab ON lab.v = e.b
+            ),
+            comp AS (
+              SELECT CAST(v AS BIGINT) AS doc_id,
+                     CAST(min(l) AS BIGINT) AS component
+              FROM lab GROUP BY v
+            )
+            SELECT component, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+            FROM comp JOIN documents USING (doc_id)
+            GROUP BY component
+            HAVING count(DISTINCT source) > 1
+        """,
         "lsh_candidate_quality": f"""
             WITH toks AS (
               SELECT doc_id,
