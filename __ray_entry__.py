@@ -3415,6 +3415,78 @@ def _q_bfs_hops(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_late_events(sf_dir: str):
+    """Streaming watermark accounting: per event type, how many events
+    arrive with an event time more than 30 minutes behind the running max
+    event time of all prior arrivals — the late-data discard rule of a
+    windowed streaming engine, decomposed into a range exchange +
+    per-partition prefix max + O(n_parts) carry-in combine. The synthetic
+    events table is time-ordered, so arrival order is simulated as a
+    deterministic md5 permutation (unique: the id folds into the low 20
+    bits), the standard out-of-order-network model."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.sketches import _md5_u64
+    from opentapioca_ray.stages.windows import late_event_counts
+
+    ev = _rel(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "event_type"]
+    )
+
+    def arrival(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("arrival", pa.int64()),
+                ("ts", pa.timestamp("us")),
+                ("event_type", pa.string()),
+            ]
+        )
+        if batch.num_rows == 0 or "event_id" not in batch.column_names:
+            return schema.empty_table()
+        ids = (
+            batch.column("event_id")
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+        )
+        o = ((_md5_u64(ids.astype(np.int64)) >> np.uint64(1)) & np.uint64(
+            ~np.uint64(0xFFFFF)
+        )) | (ids & np.uint64(0xFFFFF))
+        return pa.table(
+            {
+                "arrival": pa.array(o.astype(np.int64)),
+                "ts": batch.column("ts").cast(pa.timestamp("us")),
+                "event_type": batch.column("event_type").cast(pa.string()),
+            }
+        )
+
+    out = late_event_counts(
+        ev.map_batches(arrival, batch_format="pyarrow"),
+        order_column="arrival",
+    )
+    return out.map_batches(
+        lambda b: (
+            pa.table(
+                {
+                    "event_type": b.column("g").cast(pa.string()),
+                    "n_late": b.column("n_late").cast(pa.int64()),
+                    "n_events": b.column("n_events").cast(pa.int64()),
+                }
+            )
+            if b.num_rows and "g" in b.column_names
+            else pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("n_late", pa.int64()),
+                    ("n_events", pa.int64()),
+                ]
+            ).empty_table()
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_cluster_conflicts(sf_dir: str):
     """ER consistency audit: near-dup clusters (the memoized ngram CC)
     whose members disagree on a strong attribute (source) — the
@@ -4103,6 +4175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_disagreement": _q_rank_disagreement,
         "lsh_candidate_quality": _q_lsh_candidate_quality,
         "cluster_conflicts": _q_cluster_conflicts,
+        "late_events": _q_late_events,
     }
 
 
@@ -6487,6 +6560,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
+        "late_events": """
+            WITH a AS (
+              SELECT event_type, ts,
+                     CAST(
+                       (((('0x' || substr(md5(event_id::VARCHAR), 1, 16))::UBIGINT >> 1)
+                         & 18446744073709550592::UBIGINT)
+                        | (CAST(event_id AS UBIGINT) & 1048575::UBIGINT))
+                       AS BIGINT) AS arrival
+              FROM events
+            ), w AS (
+              SELECT event_type, ts,
+                     MAX(ts) OVER (ORDER BY arrival
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+              FROM a
+            )
+            SELECT event_type,
+                   CAST(count(*) FILTER (
+                     WHERE pm IS NOT NULL
+                       AND ts < pm - INTERVAL 30 MINUTE) AS BIGINT) AS n_late,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM w GROUP BY event_type
+        """,
         "cluster_conflicts": f"""
             WITH RECURSIVE toks AS (
               SELECT doc_id,

@@ -125,6 +125,21 @@ BENCH_QUERIES = [
     "metablocking_wnp",
     "order_skyline",
     "clustering_ari",
+    "kcore_nodes",
+    "bfs_hops",
+    "score_auc",
+    "split_leakage",
+    "ab_value_ttest",
+    "stratified_split",
+    "chi2_cells",
+    "score_calibration",
+    "winsorized_means",
+    "degree_assortativity",
+    "mad_by_type",
+    "pmi_bigrams",
+    "rank_disagreement",
+    "lsh_candidate_quality",
+    "cluster_conflicts",
 ]
 
 

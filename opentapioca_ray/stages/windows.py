@@ -1116,3 +1116,188 @@ def state_intervals(
 
     slim = ds.select_columns([key_column, ts_column, state_column, id_column])
     return coarse_group_apply(slim, key_column, island_partition)
+
+
+def late_event_counts(
+    ds,
+    order_column: str = "event_id",
+    ts_column: str = "ts",
+    group_column: str = "event_type",
+    allowed_lateness_us: int = 30 * 60 * 1_000_000,
+    n_parts: int | None = None,
+):
+    """Streaming watermark accounting: an event is LATE when its event
+    time trails the running maximum event time of all PRIOR arrivals
+    (arrival order = `order_column`) by more than `allowed_lateness_us`
+    — exactly `ts < MAX(ts) OVER (ORDER BY order ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING) - lateness`, the discard rule a windowed
+    streaming engine applies at ingest. Output: (group, n_events,
+    n_late), all integers.
+
+    Scale shape: the global ordered prefix-max decomposes — ONE range
+    exchange on sampled `order_column` boundaries, a vectorized prefix
+    max inside each ordered partition, and an O(n_parts) driver combine
+    of per-partition maxima whose running max is re-broadcast as each
+    partition's carry-in (the same two-pass recipe as `roc_auc`'s
+    range-partitioned prefix). Nothing row-proportional touches the
+    driver."""
+    import ray
+
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+    from opentapioca_ray.stages.exchange import (
+        coarse_group_apply,
+        default_n_parts,
+        right_size,
+    )
+
+    slim_schema = pa.schema(
+        [
+            ("o", pa.int64()),
+            ("t", pa.int64()),
+            ("g", pa.string()),
+        ]
+    )
+
+    def slim(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or order_column not in batch.column_names:
+            return slim_schema.empty_table()
+        return pa.table(
+            {
+                "o": batch.column(order_column).cast(pa.int64()),
+                "t": _ts_us(batch.column(ts_column).combine_chunks()),
+                "g": batch.column(group_column).cast(pa.string()),
+            }
+        )
+
+    rows = right_size(
+        ds.select_columns([order_column, ts_column, group_column])
+        .map_batches(slim, batch_format="pyarrow")
+        .materialize()
+    )
+    n_rows = rows.count()
+    n_parts_eff = min(
+        default_n_parts(n_parts), max(1, (n_rows + 65_535) // 65_536)
+    )
+
+    # sampled order-boundaries (deterministic md5-hash pick, like roc_auc)
+    bounds = None
+    if n_parts_eff > 1:
+        import pandas as pd_
+
+        target = max(n_parts_eff * 64, 2048)
+        prob_mod = max(1, n_rows // target)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "o" not in batch.column_names:
+                return pa.schema([("o", pa.int64())]).empty_table()
+            o = batch.column("o").to_numpy(zero_copy_only=False)
+            keep = (
+                pd_.util.hash_array(
+                    o.astype(np.int64), hash_key="opentapioca_ray0"
+                )
+                % np.uint64(prob_mod)
+            ) == 0
+            return pa.table({"o": pa.array(o[keep])})
+
+        sampled = []
+        for ref in rows.select_columns(["o"]).map_batches(
+            pick, batch_format="pyarrow"
+        ).to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows and "o" in t.column_names:
+                sampled.append(t.column("o").to_numpy(zero_copy_only=False))
+        if sampled:
+            k = np.sort(np.concatenate(sampled))
+            pos = (np.arange(1, n_parts_eff) * len(k)) // n_parts_eff
+            pos = np.unique(pos[(pos > 0) & (pos < len(k))])
+            if len(pos):
+                bounds = np.unique(k[pos])
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o" not in batch.column_names:
+            return pa.schema(
+                [*zip(slim_schema.names, slim_schema.types), ("pid", pa.int64())]
+            ).empty_table()
+        o = batch.column("o").to_numpy(zero_copy_only=False)
+        pid = (
+            np.searchsorted(bounds, o, side="right").astype(np.int64)
+            if bounds is not None
+            else np.zeros(len(o), dtype=np.int64)
+        )
+        return batch.append_column("pid", pa.array(pid))
+
+    parted = right_size(
+        rows.map_batches(add_pid, batch_format="pyarrow").materialize()
+    )
+
+    # pass 1: per-pid max event time -> running-max carry-ins (O(P) driver)
+    def pid_partials(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("pid", pa.int64()), ("mx", pa.int64())])
+        if b.num_rows == 0 or "pid" not in b.column_names:
+            return schema.empty_table()
+        pid = b.column("pid").to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.column("t").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, inv = np.unique(pid, return_inverse=True)
+        mx = np.full(len(uniq), -(1 << 62), dtype=np.int64)
+        np.maximum.at(mx, inv, t)
+        return pa.table({"pid": pa.array(uniq), "mx": pa.array(mx)})
+
+    pid_max: dict[int, int] = {}
+    for ref in parted.map_batches(
+        pid_partials, batch_format="pyarrow"
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "pid" not in t.column_names:
+            continue
+        for p, m in zip(
+            t.column("pid").to_numpy(zero_copy_only=False),
+            t.column("mx").to_numpy(zero_copy_only=False),
+        ):
+            p = int(p)
+            pid_max[p] = max(pid_max.get(p, -(1 << 62)), int(m))
+    carry = np.full(n_parts_eff + 1, -(1 << 62), dtype=np.int64)
+    run = -(1 << 62)
+    for p in range(n_parts_eff + 1):
+        carry[p] = run
+        run = max(run, pid_max.get(p, -(1 << 62)))
+    carry_ref = ray.put(carry)
+
+    # pass 2: ordered prefix max within each pid + the carry-in
+    def flag_partition(df) -> "pa.Table":
+        out_schema = pa.schema([("g", pa.string()), ("late", pa.int64())])
+        if df.empty or "o" not in df.columns:
+            return out_schema.empty_table()
+        cr = ray.get(carry_ref)
+        o = df["o"].to_numpy(dtype=np.int64)
+        t = df["t"].to_numpy(dtype=np.int64)
+        g = df["g"].to_numpy()
+        pid = df["pid"].to_numpy(dtype=np.int64)
+        order = np.lexsort((o, pid))
+        o, t, g, pid = o[order], t[order], g[order], pid[order]
+        new = np.concatenate(([True], pid[1:] != pid[:-1]))
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [len(t)]))
+        seg_carry = cr[np.clip(pid[starts], 0, len(cr) - 1)]
+        # per-SEGMENT loop (segments = pids hosted here, n_parts-bounded —
+        # never a per-row loop): ordered prefix max with the carry-in of
+        # all earlier partitions as each segment's seed
+        pmax = np.empty(len(t), dtype=np.int64)
+        for s_i, e_i, c_in in zip(starts, ends, seg_carry):
+            seg_t = t[s_i:e_i]
+            pr = np.concatenate(([c_in], np.maximum.accumulate(seg_t)[:-1]))
+            pmax[s_i:e_i] = np.maximum(pr, c_in)
+        late = (t < pmax - allowed_lateness_us) & (pmax > -(1 << 61))
+        import pandas as pd__
+
+        return pa.Table.from_pandas(
+            pd__.DataFrame({"g": g, "late": late.astype(np.int64)}),
+            preserve_index=False,
+        ).cast(out_schema)
+
+    flagged = coarse_group_apply(
+        parted, "pid", flag_partition, n_parts=n_parts_eff,
+        batch_format="pandas",
+    )
+    return partial_sum_count(
+        flagged, "g", ["late"], alias={"late": "n_late", "count": "n_events"}
+    )

@@ -133,3 +133,41 @@ def test_footrule_matches_bruteforce(ray_session):
     want = sum(abs(ra[i] - rb[i]) for i in ra)
     assert int(out["footrule"].iloc[0]) == want
     assert int(out["n"].iloc[0]) == len(rows)
+
+
+def test_late_event_counts_matches_bruteforce(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from opentapioca_ray.stages.windows import late_event_counts
+
+    rng = np.random.default_rng(31)
+    base = 1_700_000_000_000_000  # us
+    rows = []
+    for i in range(400):
+        rows.append(
+            {
+                "arrival": int(i * 7919 % 400000 * 1000 + i),
+                "ts": pd.Timestamp(base + int(rng.integers(0, 3_600_000_000)), unit="us"),
+                "event_type": str(rng.integers(0, 3)),
+            }
+        )
+    ds = ray.data.from_items(rows).repartition(5)
+    out = late_event_counts(
+        ds, order_column="arrival", allowed_lateness_us=600_000_000
+    ).to_pandas()
+    got = {
+        r["g"]: (int(r["n_late"]), int(r["n_events"]))
+        for _, r in out.iterrows()
+    }
+    srt = sorted(rows, key=lambda r: r["arrival"])
+    want = {}
+    run = None
+    for r in srt:
+        t = int(pd.Timestamp(r["ts"]).value // 1000)  # ns -> us
+        g = r["event_type"]
+        n_late, n = want.get(g, (0, 0))
+        late = run is not None and t < run - 600_000_000
+        want[g] = (n_late + (1 if late else 0), n + 1)
+        run = t if run is None else max(run, t)
+    assert got == want
