@@ -3415,6 +3415,181 @@ def _q_bfs_hops(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_blocking_modularity(sf_dir: str):
+    """Newman modularity of the FIRST-TOKEN blocking assignment measured
+    against the near-dup pair graph — does the cheap blocking key
+    actually concentrate the true match edges? (Within-cluster edges of
+    the CC clustering itself are trivially all edges; the blocking
+    assignment is the non-trivial clustering worth scoring.)
+    Q = SI/m - SD2/(4m²) needs only THREE integers (m edges, SI
+    within-block edges, SD2 = Σ per-block degree-sum²), each reduced
+    combiner-first over the memoized graph; q_e6 is one quantized float
+    expression."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from opentapioca_ray.functions.textstats import whitespace_token_lists
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg, right_size
+    from opentapioca_ray.stages.metablocking import _attach_node_stats
+    from opentapioca_ray.stages.sketches import _md5_u64
+
+    pairs, _ = _ngram_cc(sf_dir)
+    edges = pairs.select_columns(["u", "v"])
+
+    # blocking label per doc: md5(first whitespace token) >> 1 (int64)
+    def label_rows(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("node", pa.int64()), ("s", pa.int64()), ("d", pa.int64())]
+        )
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return schema.empty_table()
+        toks = whitespace_token_lists(batch, "text")
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        nonempty = offsets[1:] > offsets[:-1]
+        first = np.full(batch.num_rows, "", dtype=object)
+        if nonempty.any():
+            first[nonempty] = (
+                toks.values.take(pa.array(offsets[:-1][nonempty]))
+                .to_numpy(zero_copy_only=False)
+            )
+        lab = (_md5_u64(first) >> np.uint64(1)).astype(np.int64)
+        return pa.table(
+            {
+                "node": batch.column("doc_id").cast(pa.int64()),
+                "s": pa.array(lab),
+                "d": pa.array(lab),
+            }
+        )
+
+    stats = right_size(
+        _docs(sf_dir)
+        .select_columns(["doc_id", "text"])
+        .map_batches(label_rows, batch_format="pyarrow")
+        .materialize()
+    )
+    with_u = _attach_node_stats(edges, stats, "u", ["u", "v"], "cu", "_cu2", None)
+    both = _attach_node_stats(
+        with_u, stats, "v", ["u", "v", "cu", "_cu2"], "cv", "_cv2", None
+    )
+
+    def edge_partial(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("m", pa.int64()), ("si", pa.int64())])
+        if batch.num_rows == 0 or "cu" not in batch.column_names:
+            return schema.empty_table()
+        cu = batch.column("cu").to_numpy(zero_copy_only=False)
+        cv = batch.column("cv").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "m": pa.array([len(cu)], pa.int64()),
+                "si": pa.array([int((cu == cv).sum())], pa.int64()),
+            }
+        )
+
+    m = si = 0
+    for ref in both.map_batches(
+        edge_partial, batch_format="pyarrow"
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows and "m" in t.column_names:
+            m += int(t.column("m").to_numpy().sum())
+            si += int(t.column("si").to_numpy().sum())
+
+    # per-node degree over the symmetrized graph -> per-component degree
+    # sums -> SD2 = sum of squares (combiner + O(components) partials)
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.schema([("node", pa.int64())]).empty_table()
+        u = batch.column("u").cast(pa.int64()).combine_chunks()
+        v = batch.column("v").cast(pa.int64()).combine_chunks()
+        return pa.table({"node": pa.concat_arrays([u, v])})
+
+    deg = coarse_groupby_agg(
+        edges.map_batches(explode, batch_format="pyarrow"),
+        ["node"],
+        {"deg": ("node", "size")},
+    ).map_batches(
+        lambda b: (
+            pa.table(
+                {
+                    "u": b.column("node").cast(pa.int64()),
+                    "v": b.column("deg").cast(pa.int64()),
+                }
+            )
+            if b.num_rows and "node" in b.column_names
+            else pa.schema([("u", pa.int64()), ("v", pa.int64())]).empty_table()
+        ),
+        batch_format="pyarrow",
+    )
+    # reuse the int-keyed attach: deg rows (u=node, v=deg) gain the
+    # component of their node
+    deg_c = _attach_node_stats(deg, stats, "u", ["u", "v"], "c", "_c2", None)
+    dsum = coarse_groupby_agg(
+        deg_c.map_batches(
+            lambda b: (
+                pa.table(
+                    {
+                        "c": b.column("c").cast(pa.int64()),
+                        "d": b.column("v").cast(pa.int64()),
+                    }
+                )
+                if b.num_rows and "c" in b.column_names
+                else pa.schema([("c", pa.int64()), ("d", pa.int64())]).empty_table()
+            ),
+            batch_format="pyarrow",
+        ),
+        ["c"],
+        {"dsum": ("d", "sum")},
+    )
+    sd2 = 0
+    for ref in dsum.map_batches(
+        lambda b: pa.table(
+            {
+                "x": pa.array(
+                    [
+                        int(
+                            (
+                                b.column("dsum")
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64)
+                                ** 2
+                            ).sum()
+                        )
+                    ]
+                    if b.num_rows and "dsum" in b.column_names
+                    else [],
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            sd2 += int(t.column("x").to_numpy().sum())
+
+    q_e6 = (
+        int(
+            np.floor(
+                1e6 * (float(si) / m - float(sd2) / (4.0 * m * m)) + 0.5
+            )
+        )
+        if m
+        else 0
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "m": pa.array([m], pa.int64()),
+                "within_edges": pa.array([si], pa.int64()),
+                "sum_deg_sq": pa.array([sd2], pa.int64()),
+                "q_e6": pa.array([q_e6], pa.int64()),
+            }
+        )
+    )
+
+
 def _q_late_events(sf_dir: str):
     """Streaming watermark accounting: per event type, how many events
     arrive with an event time more than 30 minutes behind the running max
@@ -4176,6 +4351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_candidate_quality": _q_lsh_candidate_quality,
         "cluster_conflicts": _q_cluster_conflicts,
         "late_events": _q_late_events,
+        "blocking_modularity": _q_blocking_modularity,
     }
 
 
@@ -6560,6 +6736,74 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
+        "blocking_modularity": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                END AS gs
+              FROM toks WHERE len(arr) > 0
+            ),
+            ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            pairs AS (
+              SELECT u, v
+              FROM cand
+              JOIN grams ga ON ga.doc_id = cand.u
+              JOIN grams gb ON gb.doc_id = cand.v
+              WHERE len(list_intersect(ga.gs, gb.gs))::double
+                    / (len(ga.gs) + len(gb.gs)
+                       - len(list_intersect(ga.gs, gb.gs)))::double >= 0.5
+            ),
+            lab AS (
+              SELECT doc_id,
+                     CAST((('0x' || substr(md5(
+                       CASE WHEN trim(text) = '' THEN ''
+                            ELSE regexp_split_to_array(trim(text), '\\s+')[1]
+                       END), 1, 16))::UBIGINT >> 1) AS BIGINT) AS c
+              FROM documents
+            ),
+            sym AS (
+              SELECT u AS node FROM pairs
+              UNION ALL SELECT v FROM pairs
+            ),
+            deg AS (SELECT node, count(*) AS d FROM sym GROUP BY node),
+            dc AS (
+              SELECT c, CAST(sum(d) AS BIGINT) AS dsum
+              FROM deg JOIN lab ON lab.doc_id = deg.node GROUP BY c
+            ),
+            s AS (
+              SELECT
+                (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS m,
+                (SELECT CAST(count(*) AS BIGINT)
+                 FROM pairs p
+                 JOIN lab lu ON lu.doc_id = p.u
+                 JOIN lab lv ON lv.doc_id = p.v
+                 WHERE lu.c = lv.c) AS within_edges,
+                (SELECT CAST(sum(dsum * dsum) AS BIGINT) FROM dc)
+                  AS sum_deg_sq
+            )
+            SELECT m, within_edges, sum_deg_sq,
+                   CAST(FLOOR(1000000.0 * (
+                     CAST(within_edges AS DOUBLE) / m
+                     - CAST(sum_deg_sq AS DOUBLE) / (4.0 * m * m)
+                   ) + 0.5) AS BIGINT) AS q_e6
+            FROM s
+        """,
         "late_events": """
             WITH a AS (
               SELECT event_type, ts,
