@@ -3415,6 +3415,72 @@ def _q_bfs_hops(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_incremental_components(sf_dir: str):
+    """Warm-start incremental connected components: instead of
+    re-clustering the whole corpus when a delta arrives, close over
+    (old label edges ∪ delta-vs-corpus pairs ∪ delta-vs-delta pairs) —
+    one (node, old_component) edge per already-clustered node replaces
+    the ENTIRE old pair graph, because the label edges have the same
+    transitive closure. The output provably equals a full recompute, and
+    the oracle IS the full-recompute SQL (dup_components' recursive
+    min-label CTE over all pairs)."""
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.cc import connected_components
+    from opentapioca_ray.stages.dedup import (
+        incremental_jaccard_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    new_docs, old_docs = _split_docs(sf_dir)
+    old_pairs = ngram_jaccard_pairs(
+        old_docs, id_column="doc_id", text_column="text", k=3, threshold=0.5
+    )
+    old_comp = connected_components(old_pairs.select_columns(["u", "v"]))
+
+    edge_schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+    def as_edges(cols: tuple):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or cols[0] not in batch.column_names:
+                return edge_schema.empty_table()
+            return pa.table(
+                {
+                    "u": batch.column(cols[0]).cast(pa.int64()),
+                    "v": batch.column(cols[1]).cast(pa.int64()),
+                }
+            )
+
+        return fn
+
+    label_edges = old_comp.map_batches(
+        as_edges(("node", "component")), batch_format="pyarrow"
+    )
+    cross = incremental_jaccard_pairs(
+        new_docs, old_docs, "doc_id", "text", k=3, threshold=0.5
+    ).map_batches(as_edges(("u", "v")), batch_format="pyarrow")
+    new_new = ngram_jaccard_pairs(
+        new_docs, id_column="doc_id", text_column="text", k=3, threshold=0.5
+    ).map_batches(as_edges(("u", "v")), batch_format="pyarrow")
+
+    comp = connected_components(label_edges.union(cross).union(new_new))
+    return comp.map_batches(
+        lambda b: (
+            pa.table(
+                {
+                    "doc_id": b.column("node").cast(pa.int64()),
+                    "component": b.column("component").cast(pa.int64()),
+                }
+            )
+            if b.num_rows and "node" in b.column_names
+            else pa.schema(
+                [("doc_id", pa.int64()), ("component", pa.int64())]
+            ).empty_table()
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_blocking_modularity(sf_dir: str):
     """Newman modularity of the FIRST-TOKEN blocking assignment measured
     against the near-dup pair graph — does the cheap blocking key
@@ -4352,6 +4418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_conflicts": _q_cluster_conflicts,
         "late_events": _q_late_events,
         "blocking_modularity": _q_blocking_modularity,
+        "incremental_components": _q_incremental_components,
     }
 
 
@@ -7180,6 +7247,9 @@ def oracle_sql() -> dict[str, str]:
             FROM t
         """,
     }
+    # incremental warm-start CC provably equals a full recompute, so its
+    # oracle IS dup_components' full-recompute recursive min-label SQL
+    out["incremental_components"] = out["dup_components"]
     # ann_recall composes the two existing ANN twins so the evaluation
     # harness itself is value-checked (recall@10 of the IVF index against
     # brute force, exact integer micro-units)

@@ -140,6 +140,9 @@ BENCH_QUERIES = [
     "rank_disagreement",
     "lsh_candidate_quality",
     "cluster_conflicts",
+    "late_events",
+    "blocking_modularity",
+    "incremental_components",
 ]
 
 
