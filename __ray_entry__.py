@@ -3415,6 +3415,50 @@ def _q_bfs_hops(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_quantile_transform(sf_dir: str):
+    """Per-group quantile (percentile-rank) normalization: each event's
+    RANK within its type (value ties share the min rank, compared in
+    exact micro-units) over the group size — the rank-uniformizing
+    feature transform. One exchange; rank and size come from the same
+    sorted-segment kernel; prank_e6 is one quantized expression."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    ev = _rel(
+        f"{sf_dir}/events.parquet", columns=["event_id", "event_type", "value"]
+    )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "event_type" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype=np.int64),
+                    "prank_e6": pd.Series(dtype=np.int64),
+                }
+            )
+        g = df["event_type"].to_numpy()
+        v = np.round(df["value"].to_numpy() * 1e6).astype(np.int64)
+        rid = df["event_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((rid, v, g))
+        g, v, rid = g[order], v[order], rid[order]
+        new_g = np.concatenate(([True], g[1:] != g[:-1]))
+        new_v = new_g | np.concatenate(([True], v[1:] != v[:-1]))
+        pos = np.arange(len(g), dtype=np.int64)
+        gstart = np.maximum.accumulate(np.where(new_g, pos, 0))
+        vstart = np.maximum.accumulate(np.where(new_v, pos, 0))
+        rnk = vstart - gstart + 1
+        starts = np.flatnonzero(new_g)
+        seg = np.cumsum(new_g) - 1
+        n = np.bincount(seg)[seg]
+        prank = np.floor(1e6 * rnk / n + 0.5).astype(np.int64)
+        return pd.DataFrame({"event_id": rid, "prank_e6": prank})
+
+    return coarse_group_apply(ev, "event_type", kernel)
+
+
 def _q_incremental_components(sf_dir: str):
     """Warm-start incremental connected components: instead of
     re-clustering the whole corpus when a delta arrives, close over
@@ -4419,6 +4463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _q_late_events,
         "blocking_modularity": _q_blocking_modularity,
         "incremental_components": _q_incremental_components,
+        "quantile_transform": _q_quantile_transform,
     }
 
 
@@ -6803,6 +6848,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
+        "quantile_transform": """
+            SELECT event_id,
+                   CAST(FLOOR(
+                     1000000.0 * RANK() OVER (
+                       PARTITION BY event_type
+                       ORDER BY CAST(round(value * 1000000) AS BIGINT))
+                     / (COUNT(*) OVER (PARTITION BY event_type)) + 0.5
+                   ) AS BIGINT) AS prank_e6
+            FROM events
+        """,
         "blocking_modularity": f"""
             WITH toks AS (
               SELECT doc_id,
