@@ -3415,6 +3415,87 @@ def _q_bfs_hops(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_trailing_window_sum(sf_dir: str):
+    """RANGE-frame windowed aggregate (value-based window, not row
+    count): per user and event, the sum of that user's event values
+    within the trailing hour INCLUDING all timestamp peers — SQL's
+    `RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW`. One
+    exchange on the user; each partition handles all its users with a
+    sorted-segment cumsum + two searchsorted bound lookups, in exact
+    int64 centi-units."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    ev = _rel(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    def to_units(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("t", pa.int64()),
+                ("c", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or "ts" not in batch.column_names:
+            return schema.empty_table()
+        t = pc.cast(
+            pc.cast(batch.column("ts").combine_chunks(), pa.timestamp("us")),
+            pa.int64(),
+        )
+        c = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "t": t,
+                "c": pa.array(c),
+            }
+        )
+
+    HOUR_US = 3_600_000_000
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "user_id" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype=np.int64),
+                    "trailing_sum_c": pd.Series(dtype=np.int64),
+                }
+            )
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        t = df["t"].to_numpy(dtype=np.int64)
+        c = df["c"].to_numpy(dtype=np.int64)
+        rid = df["event_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((rid, t, u))
+        u, t, c, rid = u[order], t[order], c[order], rid[order]
+        new = np.concatenate(([True], u[1:] != u[:-1]))
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [len(u)]))
+        out = np.empty(len(u), dtype=np.int64)
+        for s, e in zip(starts, ends):  # per USER segment (vector ops inside)
+            seg_t, seg_c = t[s:e], c[s:e]
+            cum = np.concatenate(([0], np.cumsum(seg_c)))
+            lo = np.searchsorted(seg_t, seg_t - HOUR_US, side="left")
+            hi = np.searchsorted(seg_t, seg_t, side="right")
+            out[s:e] = cum[hi] - cum[lo]
+        return pd.DataFrame({"event_id": rid, "trailing_sum_c": out})
+
+    return coarse_group_apply(
+        ev.map_batches(to_units, batch_format="pyarrow"), "user_id", kernel
+    )
+
+
 def _q_quantile_transform(sf_dir: str):
     """Per-group quantile (percentile-rank) normalization: each event's
     RANK within its type (value ties share the min rank, compared in
@@ -4464,6 +4545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocking_modularity": _q_blocking_modularity,
         "incremental_components": _q_incremental_components,
         "quantile_transform": _q_quantile_transform,
+        "trailing_window_sum": _q_trailing_window_sum,
     }
 
 
@@ -6848,6 +6930,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
+        "trailing_window_sum": """
+            SELECT event_id,
+                   CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS trailing_sum_c
+            FROM events
+        """,
         "quantile_transform": """
             SELECT event_id,
                    CAST(FLOOR(
