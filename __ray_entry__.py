@@ -3415,6 +3415,85 @@ def _q_bfs_hops(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_token_apportionment(sf_dir: str):
+    """Data-mixing quota assignment: apportion a 1M-token training budget
+    across sources proportional to their token mass with Hamilton's
+    largest-remainder method — floor quotas plus one extra token-block to
+    the largest remainders (ties by source name). Every step is integer
+    division/modulo on combiner-reduced counts, so the SQL twin matches
+    bit-for-bit and the allocations sum to the budget exactly."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from opentapioca_ray.functions.textstats import whitespace_token_lists
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+
+    BUDGET = 1_000_000
+    docs = _docs(sf_dir).select_columns(["source", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("source", pa.string()), ("n", pa.int64())])
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return schema.empty_table()
+        toks = whitespace_token_lists(batch, "text")
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": batch.column("source").cast(pa.string()),
+                "n": pa.array((offsets[1:] - offsets[:-1]).astype(np.int64)),
+            }
+        )
+
+    per_source = partial_sum_count(
+        docs.map_batches(counts, batch_format="pyarrow"),
+        "source",
+        ["n"],
+        alias={"n": "n_tokens", "count": "n_docs"},
+    )
+    rows = []
+    for ref in per_source.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows and "source" in t.column_names:
+            rows.append(t.to_pandas())
+    schema = pa.schema(
+        [
+            ("source", pa.string()),
+            ("n_docs", pa.int64()),
+            ("n_tokens", pa.int64()),
+            ("alloc", pa.int64()),
+        ]
+    )
+    if not rows:
+        return ray.data.from_arrow(schema.empty_table())
+    df = (
+        pd.concat(rows)
+        .groupby("source", sort=True)
+        .agg(n_docs=("n_docs", "sum"), n_tokens=("n_tokens", "sum"))
+        .reset_index()
+    )
+    n = df["n_tokens"].to_numpy(dtype=np.int64)
+    total = int(n.sum())
+    base = BUDGET * n // total
+    rem = BUDGET * n % total
+    leftover = BUDGET - int(base.sum())
+    order = np.lexsort((df["source"].to_numpy(), -rem))
+    bonus = np.zeros(len(df), dtype=np.int64)
+    bonus[order[:leftover]] = 1
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "source": pa.array(df["source"].to_numpy(), pa.string()),
+                "n_docs": pa.array(df["n_docs"].to_numpy(dtype=np.int64)),
+                "n_tokens": pa.array(n),
+                "alloc": pa.array(base + bonus),
+            }
+        )
+    )
+
+
 def _q_trailing_window_sum(sf_dir: str):
     """RANGE-frame windowed aggregate (value-based window, not row
     count): per user and event, the sum of that user's event values
@@ -4546,6 +4625,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_components": _q_incremental_components,
         "quantile_transform": _q_quantile_transform,
         "trailing_window_sum": _q_trailing_window_sum,
+        "token_apportionment": _q_token_apportionment,
     }
 
 
@@ -6930,6 +7010,31 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
+        "token_apportionment": """
+            WITH c AS (
+              SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                              END) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source
+            ), t AS (
+              SELECT c.*, (SELECT sum(n_tokens) FROM c) AS total FROM c
+            ), q AS (
+              SELECT source, n_docs, n_tokens,
+                     1000000 * n_tokens // total AS base,
+                     1000000 * n_tokens % total AS rem
+              FROM t
+            ), r AS (
+              SELECT q.*,
+                     row_number() OVER (ORDER BY rem DESC, source) AS rk,
+                     (SELECT 1000000 - sum(base) FROM q) AS leftover
+              FROM q
+            )
+            SELECT source, n_docs, n_tokens,
+                   CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                        AS BIGINT) AS alloc
+            FROM r
+        """,
         "trailing_window_sum": """
             SELECT event_id,
                    CAST(SUM(CAST(round(value * 100, 0) AS BIGINT)) OVER (
