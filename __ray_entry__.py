@@ -3415,6 +3415,105 @@ def _q_bfs_hops(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_hourly_locf(sf_dir: str):
+    """Time-series resampling with gap filling: each user's event value
+    resampled onto an hourly grid by last-observation-carried-forward
+    (ties at one timestamp resolved by max event_id, pinned on both
+    sides). One exchange on the user; each partition sorts its users'
+    events once and answers every grid point with one searchsorted —
+    values stay exact int64 centi-units."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    ev = _rel(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"],
+    )
+
+    HOUR_US = 3_600_000_000
+
+    def to_units(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("t", pa.int64()),
+                ("c", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or "ts" not in batch.column_names:
+            return schema.empty_table()
+        t = pc.cast(
+            pc.cast(batch.column("ts").combine_chunks(), pa.timestamp("us")),
+            pa.int64(),
+        )
+        c = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "t": t,
+                "c": pa.array(c),
+            }
+        )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "user_id" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype=np.int64),
+                    "h": pd.Series(dtype="datetime64[us]"),
+                    "locf_c": pd.Series(dtype=np.int64),
+                }
+            )
+        u = df["user_id"].to_numpy(dtype=np.int64)
+        t = df["t"].to_numpy(dtype=np.int64)
+        c = df["c"].to_numpy(dtype=np.int64)
+        rid = df["event_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((rid, t, u))
+        u, t, c = u[order], t[order], c[order]
+        new = np.concatenate(([True], u[1:] != u[:-1]))
+        starts = np.flatnonzero(new)
+        ends = np.concatenate((starts[1:], [len(u)]))
+        out_u, out_h, out_c = [], [], []
+        for s, e in zip(starts, ends):  # per USER (vector ops inside)
+            seg_t, seg_c = t[s:e], c[s:e]
+            first_h = (seg_t[0] // HOUR_US) * HOUR_US + HOUR_US
+            if first_h > seg_t[-1]:
+                continue
+            grid = np.arange(first_h, seg_t[-1] + 1, HOUR_US, dtype=np.int64)
+            idx = np.searchsorted(seg_t, grid, side="right") - 1
+            out_u.append(np.full(len(grid), u[s], dtype=np.int64))
+            out_h.append(grid)
+            out_c.append(seg_c[idx])
+        if not out_u:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series(dtype=np.int64),
+                    "h": pd.Series(dtype="datetime64[us]"),
+                    "locf_c": pd.Series(dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "user_id": np.concatenate(out_u),
+                "h": np.concatenate(out_h).astype("datetime64[us]"),
+                "locf_c": np.concatenate(out_c),
+            }
+        )
+
+    return coarse_group_apply(
+        ev.map_batches(to_units, batch_format="pyarrow"), "user_id", kernel
+    )
+
+
 def _q_token_apportionment(sf_dir: str):
     """Data-mixing quota assignment: apportion a 1M-token training budget
     across sources proportional to their token mass with Hamilton's
@@ -4626,6 +4725,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_transform": _q_quantile_transform,
         "trailing_window_sum": _q_trailing_window_sum,
         "token_apportionment": _q_token_apportionment,
+        "hourly_locf": _q_hourly_locf,
     }
 
 
@@ -7010,6 +7110,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
+        "hourly_locf": """
+            WITH b AS (
+              SELECT user_id,
+                     date_trunc('hour', min(ts)) + INTERVAL 1 HOUR AS start_h,
+                     max(ts) AS mx
+              FROM events GROUP BY user_id
+            ), g AS (
+              SELECT user_id,
+                     unnest(generate_series(start_h, mx, INTERVAL 1 HOUR)) AS h
+              FROM b WHERE start_h <= mx
+            )
+            SELECT g.user_id, g.h,
+                   CAST(arg_max(e.c, e.rn) AS BIGINT) AS locf_c
+            FROM g JOIN (
+              SELECT user_id, ts,
+                     CAST(round(value * 100, 0) AS BIGINT) AS c,
+                     row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events
+            ) e ON e.user_id = g.user_id AND e.ts <= g.h
+            GROUP BY g.user_id, g.h
+        """,
         "token_apportionment": """
             WITH c AS (
               SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
