@@ -143,6 +143,10 @@ BENCH_QUERIES = [
     "late_events",
     "blocking_modularity",
     "incremental_components",
+    "quantile_transform",
+    "trailing_window_sum",
+    "token_apportionment",
+    "hourly_locf",
 ]
 
 
