@@ -3415,6 +3415,43 @@ def _q_bfs_hops(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_kendall_tau(sf_dir: str):
+    """Exact Kendall tau-b between lineitem quantity (bounded 1..50 bins)
+    and extended price, WITHOUT enumerating the ~10^9 pairs: 2-D
+    dominance counts via a y-range exchange, per-partition one-hot
+    cumulative sums anchored at y-tie blocks, and an O(n_parts x bins)
+    carry-in — the vector generalization of the watermark carry. The
+    oracle pays the quadratic inequality-join honestly; this pipeline
+    never does."""
+    from opentapioca_ray.stages.evaluation import kendall_tau_binned
+
+    import numpy as np
+    import pyarrow as pa
+
+    li = _rel(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity", "l_extendedprice"]
+    )
+
+    def units(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("x", pa.int64()), ("y", pa.int64())])
+        if batch.num_rows == 0 or "l_quantity" not in batch.column_names:
+            return schema.empty_table()
+        y = np.rint(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "x": batch.column("l_quantity").cast(pa.int64()),
+                "y": pa.array(y),
+            }
+        )
+
+    return kendall_tau_binned(
+        li.map_batches(units, batch_format="pyarrow"), "x", "y"
+    )
+
+
 def _q_hourly_locf(sf_dir: str):
     """Time-series resampling with gap filling: each user's event value
     resampled onto an hourly grid by last-observation-carried-forward
@@ -4726,6 +4763,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trailing_window_sum": _q_trailing_window_sum,
         "token_apportionment": _q_token_apportionment,
         "hourly_locf": _q_hourly_locf,
+        "kendall_tau": _q_kendall_tau,
     }
 
 
@@ -7110,6 +7148,34 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
+        "kendall_tau": """
+            WITH t AS (
+              SELECT CAST(l_quantity AS BIGINT) AS x,
+                     CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+              FROM lineitem
+            ), nn AS (
+              SELECT CAST(count(*) AS BIGINT) AS n FROM t
+            ), tx AS (
+              SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n1
+              FROM (SELECT count(*) AS c FROM t GROUP BY x)
+            ), ty AS (
+              SELECT CAST(sum(c * (c - 1) // 2) AS BIGINT) AS n2
+              FROM (SELECT count(*) AS c FROM t GROUP BY y)
+            ), cc AS (
+              SELECT CAST(count(*) AS BIGINT) AS c
+              FROM t a JOIN t b ON a.y < b.y AND a.x < b.x
+            ), dd AS (
+              SELECT CAST(count(*) AS BIGINT) AS d
+              FROM t a JOIN t b ON a.y < b.y AND a.x > b.x
+            )
+            SELECT n, c, d, n1, n2,
+                   CAST(FLOOR(
+                     1000000.0 * (c - d) / sqrt(
+                       CAST(n * (n - 1) // 2 - n1 AS DOUBLE)
+                       * CAST(n * (n - 1) // 2 - n2 AS DOUBLE))
+                     + 0.5) AS BIGINT) AS taub_e6
+            FROM nn, cc, dd, tx, ty
+        """,
         "hourly_locf": """
             WITH b AS (
               SELECT user_id,

@@ -389,3 +389,268 @@ def footrule_stats(ds, id_column: str, key_a: str, key_b: str):
             }
         )
     )
+
+
+def kendall_tau_binned(ds, x_column: str, y_column: str, n_parts=None):
+    """Exact Kendall tau-b between a BOUNDED-cardinality variable
+    (`x_column`, e.g. a 1..50 quantity, a grade, a bucket id) and an
+    arbitrary numeric (`y_column`), without enumerating pairs:
+    tau_b = (C - D) / sqrt((n0 - n1)(n0 - n2)). Output one row
+    (n, c, d, n1, n2, taub_e6) — everything left of taub_e6 exact int64.
+
+    The concordant/discordant counts are 2-D dominance sums: C = the
+    number of row pairs with y_a < y_b AND x_a < x_b. Scale shape: rows
+    are RANGE-partitioned on y (sampled boundaries); each partition
+    builds a per-row "rows strictly below my y, per x-bin" table from
+    ONE one-hot cumulative sum anchored at y-tie-block starts plus an
+    O(n_parts x bins) carry-in of earlier partitions' bin totals — the
+    vector generalization of the late-event carry-in. Tie terms n1/n2
+    are combiner roll-ups. Nothing row-proportional reaches the driver.
+
+    Partitioning assumption: the x cardinality is bounded (the one-hot
+    cum is rows x bins per partition); unbounded x needs the pairwise
+    IEJoin formulation instead."""
+    import ray
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+    from opentapioca_ray.stages.exchange import (
+        coarse_group_apply,
+        coarse_groupby_agg,
+        default_n_parts,
+        right_size,
+    )
+
+    slim_schema = pa.schema([("y", pa.int64()), ("x", pa.int64())])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or x_column not in batch.column_names:
+            return slim_schema.empty_table()
+        return pa.table(
+            {
+                "y": batch.column(y_column).cast(pa.int64()),
+                "x": batch.column(x_column).cast(pa.int64()),
+            }
+        )
+
+    rows = right_size(
+        ds.select_columns([x_column, y_column])
+        .map_batches(slim, batch_format="pyarrow")
+        .materialize()
+    )
+    n_rows = rows.count()
+
+    # distinct x bins (bounded by contract) — combiner distinct + collect
+    xs = set()
+    for ref in partial_sum_count(
+        rows.select_columns(["x"]), "x", []
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows and "x" in t.column_names:
+            xs.update(t.column("x").to_pylist())
+    bins = np.sort(np.array(sorted(xs), dtype=np.int64))
+    n_bins = len(bins)
+
+    # tie terms: n1 over x (bounded), n2 over y (combiner sum of C(t,2))
+    def tie_sum(key: str) -> int:
+        grp = coarse_groupby_agg(
+            rows.select_columns([key]), [key], {"c": (key, "size")}
+        )
+        tot = 0
+        for ref in grp.map_batches(
+            lambda b, k=key: pa.table(
+                {
+                    "s": pa.array(
+                        [
+                            int(
+                                (
+                                    lambda c: (c * (c - 1) // 2).sum()
+                                )(
+                                    b.column("c")
+                                    .to_numpy(zero_copy_only=False)
+                                    .astype(np.int64)
+                                )
+                            )
+                        ]
+                        if b.num_rows and "c" in b.column_names
+                        else [],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows:
+                tot += int(t.column("s").to_numpy().sum())
+        return tot
+
+    n1 = tie_sum("x")
+    n2 = tie_sum("y")
+
+    # y range boundaries (sampled, like roc_auc)
+    n_parts_eff = min(
+        default_n_parts(n_parts), max(1, (n_rows + 65_535) // 65_536)
+    )
+    bounds = None
+    if n_parts_eff > 1:
+        import pandas as pd_
+
+        target = max(n_parts_eff * 64, 2048)
+        prob_mod = max(1, n_rows // target)
+
+        def pick(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "y" not in batch.column_names:
+                return pa.schema([("y", pa.int64())]).empty_table()
+            y = batch.column("y").to_numpy(zero_copy_only=False)
+            keep = (
+                pd_.util.hash_array(
+                    y.astype(np.int64), hash_key="opentapioca_ray0"
+                )
+                % np.uint64(prob_mod)
+            ) == 0
+            return pa.table({"y": pa.array(y[keep])})
+
+        sampled = []
+        for ref in rows.select_columns(["y"]).map_batches(
+            pick, batch_format="pyarrow"
+        ).to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows and "y" in t.column_names:
+                sampled.append(t.column("y").to_numpy(zero_copy_only=False))
+        if sampled:
+            k = np.sort(np.concatenate(sampled))
+            pos = (np.arange(1, n_parts_eff) * len(k)) // n_parts_eff
+            pos = np.unique(pos[(pos > 0) & (pos < len(k))])
+            if len(pos):
+                bounds = np.unique(k[pos])
+
+    def add_pid(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "y" not in batch.column_names:
+            return pa.schema(
+                [("y", pa.int64()), ("x", pa.int64()), ("pid", pa.int64())]
+            ).empty_table()
+        y = batch.column("y").to_numpy(zero_copy_only=False)
+        pid = (
+            np.searchsorted(bounds, y, side="right").astype(np.int64)
+            if bounds is not None
+            else np.zeros(len(y), dtype=np.int64)
+        )
+        return batch.append_column("pid", pa.array(pid))
+
+    parted = right_size(
+        rows.map_batches(add_pid, batch_format="pyarrow").materialize()
+    )
+
+    # carry-in: per-pid x-bin totals (O(n_parts x bins) driver state)
+    def bin_partials(b: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("pid", pa.int64()), ("bi", pa.int64()), ("c", pa.int64())]
+        )
+        if b.num_rows == 0 or "pid" not in b.column_names:
+            return schema.empty_table()
+        pid = b.column("pid").to_numpy(zero_copy_only=False).astype(np.int64)
+        x = b.column("x").to_numpy(zero_copy_only=False).astype(np.int64)
+        bi = np.searchsorted(bins, x)
+        key = pid * n_bins + bi
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "pid": pa.array((uniq // n_bins).astype(np.int64)),
+                "bi": pa.array((uniq % n_bins).astype(np.int64)),
+                "c": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    totals = np.zeros((n_parts_eff, n_bins), dtype=np.int64)
+    for ref in parted.map_batches(
+        bin_partials, batch_format="pyarrow"
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "pid" not in t.column_names:
+            continue
+        np.add.at(
+            totals,
+            (
+                t.column("pid").to_numpy(zero_copy_only=False),
+                t.column("bi").to_numpy(zero_copy_only=False),
+            ),
+            t.column("c").to_numpy(zero_copy_only=False),
+        )
+    carry = np.zeros((n_parts_eff, n_bins), dtype=np.int64)
+    if n_parts_eff > 1:
+        carry[1:] = np.cumsum(totals, axis=0)[:-1]
+    carry_ref = ray.put(carry)
+    bins_ref = ray.put(bins)
+
+    def cd_partition(df) -> pd.DataFrame:
+        if df.empty or "y" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "c": pd.Series(dtype=np.int64),
+                    "d": pd.Series(dtype=np.int64),
+                }
+            )
+        cr = ray.get(carry_ref)
+        bn = ray.get(bins_ref)
+        y = df["y"].to_numpy(dtype=np.int64)
+        x = df["x"].to_numpy(dtype=np.int64)
+        pid = df["pid"].to_numpy(dtype=np.int64)
+        order = np.lexsort((y, pid))
+        y, x, pid = y[order], x[order], pid[order]
+        bi = np.searchsorted(bn, x)
+        c_tot = d_tot = 0
+        new_p = np.concatenate(([True], pid[1:] != pid[:-1]))
+        p_starts = np.flatnonzero(new_p)
+        p_ends = np.concatenate((p_starts[1:], [len(y)]))
+        for ps, pe in zip(p_starts, p_ends):  # pids hosted here (bounded)
+            seg_y, seg_bi = y[ps:pe], bi[ps:pe]
+            onehot = np.zeros((pe - ps, len(bn)), dtype=np.int64)
+            onehot[np.arange(pe - ps), seg_bi] = 1
+            cum = np.cumsum(onehot, axis=0)
+            # rows strictly below my y (within partition): cum at the last
+            # row BEFORE my y-tie block
+            new_y = np.concatenate(([True], seg_y[1:] != seg_y[:-1]))
+            starts = np.flatnonzero(new_y)
+            seg = np.cumsum(new_y) - 1
+            start_idx = starts[seg]
+            below_local = np.where(
+                (start_idx > 0)[:, None], cum[np.maximum(start_idx - 1, 0)], 0
+            )
+            below = below_local + cr[int(pid[ps])][None, :]
+            pref = np.cumsum(below, axis=1)
+            rows_total = below.sum(axis=1)
+            idx = np.arange(pe - ps)
+            c_i = np.where(seg_bi > 0, pref[idx, np.maximum(seg_bi - 1, 0)], 0)
+            d_i = rows_total - pref[idx, seg_bi]
+            c_tot += int(c_i.sum())
+            d_tot += int(d_i.sum())
+        return pd.DataFrame({"c": [c_tot], "d": [d_tot]})
+
+    c = d = 0
+    for ref in coarse_group_apply(
+        parted, "pid", cd_partition, n_parts=n_parts_eff,
+        batch_format="pandas",
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows and "c" in t.column_names:
+            c += int(t.column("c").to_numpy().sum())
+            d += int(t.column("d").to_numpy().sum())
+
+    n0 = n_rows * (n_rows - 1) // 2
+    denom = float(n0 - n1) * float(n0 - n2)
+    taub_e6 = (
+        int(np.floor(1e6 * (c - d) / np.sqrt(denom) + 0.5)) if denom > 0 else 0
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n": pa.array([n_rows], pa.int64()),
+                "c": pa.array([c], pa.int64()),
+                "d": pa.array([d], pa.int64()),
+                "n1": pa.array([n1], pa.int64()),
+                "n2": pa.array([n2], pa.int64()),
+                "taub_e6": pa.array([taub_e6], pa.int64()),
+            }
+        )
+    )

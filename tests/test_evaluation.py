@@ -83,3 +83,43 @@ def test_welch_t_matches_manual(ray_session):
     # sanity vs textbook Welch on the same data
     mean_diff = sa / na - sb / nb
     assert (want < 0) == (mean_diff < 0)
+
+
+def test_kendall_tau_matches_bruteforce(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.evaluation import kendall_tau_binned
+
+    rng = np.random.default_rng(41)
+    x = rng.integers(1, 8, 500)
+    y = rng.integers(0, 60, 500)  # heavy y ties across partitions
+    rows = [{"x": int(a), "y": int(b)} for a, b in zip(x, y)]
+    out = kendall_tau_binned(
+        ray.data.from_items(rows).repartition(6), "x", "y", n_parts=4
+    ).to_pandas()
+    c = d = 0
+    for i in range(len(x)):
+        for j in range(len(x)):
+            if y[i] < y[j]:
+                if x[i] < x[j]:
+                    c += 1
+                elif x[i] > x[j]:
+                    d += 1
+    assert int(out["c"].iloc[0]) == c
+    assert int(out["d"].iloc[0]) == d
+    n = len(x)
+    n0 = n * (n - 1) // 2
+
+    def ties(v):
+        _, cnt = np.unique(v, return_counts=True)
+        return int((cnt * (cnt - 1) // 2).sum())
+
+    assert int(out["n1"].iloc[0]) == ties(x)
+    assert int(out["n2"].iloc[0]) == ties(y)
+    want = int(
+        np.floor(
+            1e6 * (c - d) / np.sqrt(float(n0 - ties(x)) * float(n0 - ties(y)))
+            + 0.5
+        )
+    )
+    assert int(out["taub_e6"].iloc[0]) == want
