@@ -3415,6 +3415,47 @@ def _q_bfs_hops(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_window_distinct_users(sf_dir: str):
+    """Exact distinct users per tumbling hour — the windowed COUNT
+    DISTINCT (window x dedup cross-family cell): window assignment is a
+    stateless map; the unique-pair combiner bounds the exchange by
+    distinct (window, user) pairs, never raw events."""
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.aggregates import distinct_count
+    from opentapioca_ray.stages.windows import _ts_us
+
+    ev = _rel(f"{sf_dir}/events.parquet", columns=["ts", "user_id"])
+    WINDOW_US = 3_600_000_000
+
+    def win(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        schema = pa.schema(
+            [("window_start_us", pa.int64()), ("user_id", pa.int64())]
+        )
+        if batch.num_rows == 0 or "ts" not in batch.column_names:
+            return schema.empty_table()
+        us = _ts_us(batch.column("ts").combine_chunks())
+        w = pc.multiply(
+            pc.divide(us, pa.scalar(WINDOW_US, pa.int64())),
+            pa.scalar(WINDOW_US, pa.int64()),
+        )
+        return pa.table(
+            {
+                "window_start_us": w,
+                "user_id": batch.column("user_id").cast(pa.int64()),
+            }
+        )
+
+    return distinct_count(
+        ev.map_batches(win, batch_format="pyarrow"),
+        "window_start_us",
+        "user_id",
+        alias="n_users",
+    )
+
+
 def _q_kendall_tau(sf_dir: str):
     """Exact Kendall tau-b between lineitem quantity (bounded 1..50 bins)
     and extended price, WITHOUT enumerating the ~10^9 pairs: 2-D
@@ -4764,6 +4805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_apportionment": _q_token_apportionment,
         "hourly_locf": _q_hourly_locf,
         "kendall_tau": _q_kendall_tau,
+        "window_distinct_users": _q_window_distinct_users,
     }
 
 
@@ -7148,6 +7190,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
+        "window_distinct_users": """
+            SELECT (epoch_us(ts) // 3600000000) * 3600000000
+                     AS window_start_us,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
+        """,
         "kendall_tau": """
             WITH t AS (
               SELECT CAST(l_quantity AS BIGINT) AS x,
