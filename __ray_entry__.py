@@ -3415,6 +3415,62 @@ def _q_bfs_hops(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_hyperanf_balls(sf_dir: str):
+    """HyperANF neighborhood sketches (Boldi-Rosa-Vigna): per node, a
+    256-register HLL of its 3-hop ball over the sparse quantity-1
+    co-purchase graph — register-wise max propagation, the
+    effective-diameter primitive. Registers are exact integers end to
+    end; the 3 rounds unroll in the SQL twin; only the final estimate is
+    the one fixed quantized HLL expression."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+    from opentapioca_ray.stages.graphops import hll_ball_sketches
+
+    li = _rel(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return schema.empty_table()
+        t = batch.filter(
+            pc.equal(batch.column("l_quantity").cast(pa.int64()), 1)
+        )
+        return pa.table(
+            {
+                "u": pc.multiply(
+                    t.column("l_partkey").cast(pa.int64()),
+                    pa.scalar(2, pa.int64()),
+                ),
+                "v": pc.add(
+                    pc.multiply(
+                        t.column("l_suppkey").cast(pa.int64()),
+                        pa.scalar(2, pa.int64()),
+                    ),
+                    pa.scalar(1, pa.int64()),
+                ),
+            }
+        )
+
+    edges = coarse_groupby_agg(
+        li.map_batches(mk_edges, batch_format="pyarrow"),
+        ["u", "v"],
+        {"n": ("u", "size")},
+    ).map_batches(
+        lambda b: (
+            b.select(["u", "v"])
+            if b.num_rows and "u" in b.column_names
+            else pa.schema([("u", pa.int64()), ("v", pa.int64())]).empty_table()
+        ),
+        batch_format="pyarrow",
+    )
+    return hll_ball_sketches(edges, rounds=3)
+
+
 def _q_window_distinct_users(sf_dir: str):
     """Exact distinct users per tumbling hour — the windowed COUNT
     DISTINCT (window x dedup cross-family cell): window assignment is a
@@ -4806,6 +4862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_locf": _q_hourly_locf,
         "kendall_tau": _q_kendall_tau,
         "window_distinct_users": _q_window_distinct_users,
+        "hyperanf_balls": _q_hyperanf_balls,
     }
 
 
@@ -4895,6 +4952,77 @@ def _bfs_sql(rounds: int = 6) -> str:
                CAST(node // 2 AS BIGINT) AS key,
                CAST(dist AS BIGINT) AS dist
         FROM d{rounds}
+    """
+    )
+
+
+def _hyperanf_sql(rounds: int = 3) -> str:
+    """HyperANF unrolled as chained CTEs: per round, each node's sparse
+    HLL registers become the (node, reg) max over self ∪ neighbors —
+    identical register conventions to the `hll_distinct_users` twin."""
+    ctes = [
+        """e0 AS MATERIALIZED (
+          SELECT DISTINCT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v
+          FROM lineitem WHERE l_quantity = 1
+        )""",
+        """sym AS MATERIALIZED (
+          SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0
+        )""",
+        """nodes AS MATERIALIZED (
+          SELECT DISTINCT u AS node FROM sym
+        )""",
+        """h AS MATERIALIZED (
+          SELECT node,
+                 ('0x' || substr(md5(node::VARCHAR), 1, 16))::UBIGINT AS hv
+          FROM nodes
+        )""",
+        """s0 AS MATERIALIZED (
+          SELECT node, CAST(hv >> 56 AS BIGINT) AS reg,
+                 CASE WHEN (hv & 72057594037927935) = 0 THEN 57
+                      ELSE 57 - length(bin(hv & 72057594037927935))
+                 END AS rho
+          FROM h
+        )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""s{r} AS MATERIALIZED (
+              SELECT node, reg, max(rho) AS rho FROM (
+                SELECT e.v AS node, s.reg, s.rho
+                FROM sym e JOIN s{r - 1} s ON s.node = e.u
+                UNION ALL SELECT node, reg, rho FROM s{r - 1})
+              GROUP BY node, reg
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+        st AS (
+          SELECT node,
+                 256 - count(*) AS v,
+                 sum(rho) AS sum_rho,
+                 sum(1::HUGEINT << (57 - rho))
+                   + (256 - count(*)) * (1::HUGEINT << 57) AS t
+          FROM s{rounds} GROUP BY node
+        ),
+        est AS (
+          SELECT node, v, sum_rho,
+                 CAST(0.7213 AS DOUBLE)
+                   / (CAST(1.0 AS DOUBLE)
+                      + CAST(1.079 AS DOUBLE) / CAST(256.0 AS DOUBLE))
+                   * 65536.0 * 144115188075855872.0
+                   / CAST(t AS DOUBLE) AS e
+          FROM st
+        )
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(v AS BIGINT) AS n_registers_zero,
+               CAST(sum_rho AS BIGINT) AS sum_rho,
+               CAST(floor(CASE WHEN e <= 640.0 AND v > 0
+                               THEN 256.0 * ln(256.0 / v)
+                               ELSE e END * 100.0 + 0.5)
+                    AS BIGINT) AS ball_e2
+        FROM est
     """
     )
 
@@ -7190,6 +7318,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
+        "hyperanf_balls": _hyperanf_sql(rounds=3),
         "window_distinct_users": """
             SELECT (epoch_us(ts) // 3600000000) * 3600000000
                      AS window_start_us,

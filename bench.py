@@ -147,6 +147,9 @@ BENCH_QUERIES = [
     "trailing_window_sum",
     "token_apportionment",
     "hourly_locf",
+    "kendall_tau",
+    "window_distinct_users",
+    "hyperanf_balls",
 ]
 
 

@@ -685,3 +685,224 @@ def degree_assortativity(edges, n_parts=None):
             }
         )
     )
+
+
+def hll_ball_sketches(edges, rounds: int = 3, n_parts=None):
+    """HyperANF (Boldi, Rosa & Vigna, WWW 2011) in the repo's
+    bounded-round form: every node carries a 256-register HyperLogLog of
+    its r-hop ball; each round the sketch becomes the register-wise max
+    of itself and its neighbors' sketches (HLL union IS max, so the
+    merge is associative and exact-integer). After `rounds` rounds the
+    per-node estimate approximates |ball(v, rounds)| — the neighborhood
+    function that yields effective-diameter estimates without any BFS
+    per source.
+
+    Register conventions are IDENTICAL to stages/sketches.hll_distinct
+    (md5-u64, reg = hv >> 56, rho = 57 - bit_length(low 56 bits)), so
+    the unrolled SQL twin reproduces every register bit-for-bit; the
+    estimate is the same one fixed float expression.
+
+    Output: (node, n_registers_zero, sum_rho, ball_e2). Distributed
+    shape per round: ONE reduce-side exchange keyed by edge source
+    (sparse state rows ride with the edges; message fan-out is
+    edges x live registers) + ONE coarse (node, reg) max-merge. Sparse
+    state: absent registers are rho 0 and never shipped."""
+    import math
+
+    import ray
+
+    from opentapioca_ray.stages.exchange import (
+        coarse_group_apply,
+        coarse_groupby_agg,
+        right_size,
+    )
+    from opentapioca_ray.stages.sketches import _HLL_ALPHA_256, _md5_u64
+
+    state_schema = pa.schema(
+        [("node", pa.int64()), ("reg", pa.int64()), ("rho", pa.int64())]
+    )
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return _EDGE_SCHEMA.empty_table()
+        u = batch.column("u").cast(pa.int64()).combine_chunks()
+        v = batch.column("v").cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {"u": pa.concat_arrays([u, v]), "v": pa.concat_arrays([v, u])}
+        )
+
+    edges = edges.materialize()
+    sym = right_size(
+        edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    )
+
+    # init: each node's own-hash register (distinct endpoints, combiner)
+    nodes = coarse_groupby_agg(
+        sym.map_batches(
+            lambda b: (
+                pa.table({"node": b.column("u").cast(pa.int64())})
+                if b.num_rows and "u" in b.column_names
+                else pa.schema([("node", pa.int64())]).empty_table()
+            ),
+            batch_format="pyarrow",
+        ),
+        ["node"],
+        {"c": ("node", "size")},
+        n_parts=n_parts,
+    )
+
+    def init_state(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return state_schema.empty_table()
+        node = (
+            batch.column("node").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        hv = _md5_u64(node)
+        reg = (hv >> np.uint64(56)).astype(np.int64)
+        suffix = hv & np.uint64((1 << 56) - 1)
+        pows = (np.uint64(1) << np.arange(56, dtype=np.uint64))[None, :]
+        nbits = (suffix[:, None] >= pows).sum(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(node),
+                "reg": pa.array(reg),
+                "rho": pa.array(57 - nbits),
+            }
+        )
+
+    state = right_size(
+        nodes.map_batches(init_state, batch_format="pyarrow").materialize()
+    )
+
+    union_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("v", pa.int64()),
+            ("reg", pa.int64()),
+            ("rho", pa.int64()),
+            ("__is_state", pa.bool_()),
+        ]
+    )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return union_schema.empty_table()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column("u").cast(pa.int64()),
+                "v": batch.column("v").cast(pa.int64()),
+                "reg": pa.nulls(n, pa.int64()),
+                "rho": pa.nulls(n, pa.int64()),
+                "__is_state": pa.array(np.zeros(n, dtype=bool)),
+            }
+        ).cast(union_schema)
+
+    def state_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return union_schema.empty_table()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column("node").cast(pa.int64()),
+                "v": pa.nulls(n, pa.int64()),
+                "reg": batch.column("reg").cast(pa.int64()),
+                "rho": batch.column("rho").cast(pa.int64()),
+                "__is_state": pa.array(np.ones(n, dtype=bool)),
+            }
+        ).cast(union_schema)
+
+    def messages(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__is_state" not in t.column_names:
+            return state_schema.empty_table()
+        iss = t.column("__is_state").to_numpy(zero_copy_only=False).astype(bool)
+        ek = t.column("key").to_numpy(zero_copy_only=False)[~iss]
+        ev = t.column("v").to_numpy(zero_copy_only=False)[~iss]
+        sk = t.column("key").to_numpy(zero_copy_only=False)[iss]
+        sr = t.column("reg").to_numpy(zero_copy_only=False)[iss]
+        sh = t.column("rho").to_numpy(zero_copy_only=False)[iss]
+        if len(ek) == 0 or len(sk) == 0:
+            return state_schema.empty_table()
+        o = np.argsort(sk, kind="mergesort")
+        sk, sr, sh = sk[o], sr[o], sh[o]
+        lo = np.searchsorted(sk, ek, side="left")
+        hi = np.searchsorted(sk, ek, side="right")
+        lens = hi - lo
+        total = int(lens.sum())
+        if total == 0:
+            return state_schema.empty_table()
+        # flat index of every (edge, state-row) combination — the HLL
+        # payload fan-out, fully vectorized
+        flat = np.repeat(lo, lens) + (
+            np.arange(total) - np.repeat(np.cumsum(lens) - lens, lens)
+        )
+        return pa.table(
+            {
+                "node": pa.array(np.repeat(ev, lens).astype(np.int64)),
+                "reg": pa.array(sr[flat].astype(np.int64)),
+                "rho": pa.array(sh[flat].astype(np.int64)),
+            }
+        )
+
+    for _ in range(rounds):
+        unioned = sym.map_batches(edge_rows, batch_format="pyarrow").union(
+            state.map_batches(state_rows, batch_format="pyarrow")
+        )
+        msgs = coarse_group_apply(
+            unioned, "key", messages, n_parts=n_parts, batch_format="pyarrow"
+        )
+        state = right_size(
+            coarse_groupby_agg(
+                msgs.union(state),
+                ["node", "reg"],
+                {"rho": ("rho", "max")},
+                n_parts=n_parts,
+            )
+            .map_batches(
+                lambda b: (
+                    pa.table(
+                        {
+                            "node": b.column("node").cast(pa.int64()),
+                            "reg": b.column("reg").cast(pa.int64()),
+                            "rho": b.column("rho").cast(pa.int64()),
+                        }
+                    )
+                    if b.num_rows and "node" in b.column_names
+                    else state_schema.empty_table()
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+
+    def estimate(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "node": pd.Series(dtype=np.int64),
+            "n_registers_zero": pd.Series(dtype=np.int64),
+            "sum_rho": pd.Series(dtype=np.int64),
+            "ball_e2": pd.Series(dtype=np.int64),
+        }
+        if df.empty or "node" not in df.columns:
+            return pd.DataFrame(cols)
+        rows = []
+        for nd, grp in df.groupby("node", sort=True):
+            M = np.zeros(256, dtype=np.int64)
+            M[grp["reg"].to_numpy(dtype=np.int64)] = grp["rho"].to_numpy(
+                dtype=np.int64
+            )
+            v = int((M == 0).sum())
+            t = sum(1 << (57 - int(r)) for r in M)
+            e = _HLL_ALPHA_256 * 65536.0 * 144115188075855872.0 / float(t)
+            if e <= 2.5 * 256 and v > 0:
+                e = 256.0 * math.log(256.0 / v)
+            rows.append(
+                {
+                    "node": int(nd),
+                    "n_registers_zero": v,
+                    "sum_rho": int(M.sum()),
+                    "ball_e2": int(np.floor(e * 100.0 + 0.5)),
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return coarse_group_apply(state, "node", estimate, n_parts=n_parts)
