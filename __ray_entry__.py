@@ -3415,6 +3415,84 @@ def _q_bfs_hops(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_benford_digits(sf_dir: str):
+    """Benford's-law audit of order totals: observed first-digit counts
+    vs the log10(1+1/d) expectation with per-digit chi-square
+    contributions — the classic fabricated-data screen. Counts reduce
+    combiner-first (first digit is a stateless string map); each float is
+    one fixed quantized expression, no accumulation."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+
+    orders = _rel(f"{sf_dir}/orders.parquet", columns=["o_totalprice"])
+
+    def digit(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("digit", pa.int64())])
+        if batch.num_rows == 0 or "o_totalprice" not in batch.column_names:
+            return schema.empty_table()
+        # first significant digit via the decimal string of the cent
+        # value (exact; no float log tricks)
+        c = np.rint(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        c = np.abs(c)
+        d = np.array(
+            [int(s[0]) for s in c.astype(str)], dtype=np.int64
+        )
+        keep = d > 0
+        return pa.table({"digit": pa.array(d[keep])})
+
+    counts = partial_sum_count(
+        orders.map_batches(digit, batch_format="pyarrow"),
+        "digit",
+        [],
+        alias={"count": "observed"},
+    )
+    rows = []
+    for ref in counts.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows and "digit" in t.column_names:
+            rows.append(t)
+    schema = pa.schema(
+        [
+            ("digit", pa.int64()),
+            ("observed", pa.int64()),
+            ("expected_e6", pa.int64()),
+            ("cell_chi2_e6", pa.int64()),
+        ]
+    )
+    if not rows:
+        return ray.data.from_arrow(schema.empty_table())
+    t = pa.concat_tables([r.cast(rows[0].schema) for r in rows])
+    dig = t.column("digit").to_numpy(zero_copy_only=False).astype(np.int64)
+    obs = t.column("observed").to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(obs.sum())
+    # identical IEEE op order to the SQL twin
+    exp = n * np.log10(1.0 + 1.0 / dig)
+    d_o = obs - exp
+    cell = 1e6 * d_o * d_o / exp
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "digit": pa.array(dig),
+                "observed": pa.array(obs),
+                "expected_e6": pa.array(
+                    np.floor(
+                        1e6 * n * np.log10(1.0 + 1.0 / dig) + 0.5
+                    ).astype(np.int64)
+                ),
+                "cell_chi2_e6": pa.array(
+                    np.floor(cell + 0.5).astype(np.int64)
+                ),
+            }
+        )
+    )
+
+
 def _q_hyperanf_balls(sf_dir: str):
     """HyperANF neighborhood sketches (Boldi-Rosa-Vigna): per node, a
     256-register HLL of its 3-hop ball over the sparse quantity-1
@@ -4863,6 +4941,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kendall_tau": _q_kendall_tau,
         "window_distinct_users": _q_window_distinct_users,
         "hyperanf_balls": _q_hyperanf_balls,
+        "benford_digits": _q_benford_digits,
     }
 
 
@@ -7319,6 +7398,28 @@ def oracle_sql() -> dict[str, str]:
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
         "hyperanf_balls": _hyperanf_sql(rounds=3),
+        "benford_digits": """
+            WITH d AS (
+              SELECT CAST(substr(CAST(abs(CAST(round(o_totalprice * 100, 0)
+                     AS BIGINT)) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+              FROM orders
+            ), c AS (
+              SELECT digit, CAST(count(*) AS BIGINT) AS observed
+              FROM d WHERE digit > 0 GROUP BY digit
+            ), t AS (
+              SELECT c.*, (SELECT sum(observed) FROM c) AS n FROM c
+            )
+            SELECT digit, observed,
+                   CAST(FLOOR(1000000.0 * n * log10(1.0 + 1.0 / digit) + 0.5)
+                        AS BIGINT) AS expected_e6,
+                   CAST(FLOOR(
+                     1000000.0
+                     * (observed - CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit))
+                     * (observed - CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit))
+                     / (CAST(n AS DOUBLE) * log10(1.0 + 1.0 / digit))
+                     + 0.5) AS BIGINT) AS cell_chi2_e6
+            FROM t
+        """,
         "window_distinct_users": """
             SELECT (epoch_us(ts) // 3600000000) * 3600000000
                      AS window_start_us,
