@@ -3415,6 +3415,102 @@ def _q_bfs_hops(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_clustering_coefficients(sf_dir: str):
+    """Per-node local clustering coefficient of the part co-occurrence
+    graph (nodes in >= 1 triangle): 2*triangles / (deg*(deg-1)). The
+    per-node triangle counts come from the degree-oriented wedge scheme
+    with all three corners credited; the degree rides a reduce-side
+    lookup; coeff_e6 is one quantized expression."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.sources.files import read_sized
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+    from opentapioca_ray.stages.exchange import right_size
+    from opentapioca_ray.stages.metablocking import _attach_node_stats
+    from opentapioca_ray.stages.triangles import cooccurrence_edges, per_node_triangles
+
+    li = read_sized(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey").materialize()
+    tri = per_node_triangles(edges)
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.schema([("node", pa.int64())]).empty_table()
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch.column("u").combine_chunks().cast(pa.int64()),
+                        batch.column("v").combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        )
+
+    deg = right_size(
+        partial_sum_count(
+            edges.map_batches(endpoints, batch_format="pyarrow"),
+            "node",
+            [],
+            alias={"count": "deg"},
+        )
+        .map_batches(
+            lambda b: (
+                pa.table(
+                    {
+                        "node": b.column("node").cast(pa.int64()),
+                        "s": b.column("deg").cast(pa.int64()),
+                        "d": b.column("deg").cast(pa.int64()),
+                    }
+                )
+                if b.num_rows and "node" in b.column_names
+                else pa.schema(
+                    [("node", pa.int64()), ("s", pa.int64()), ("d", pa.int64())]
+                ).empty_table()
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    attached = _attach_node_stats(
+        tri, deg, "node", ["node", "n_triangles"], "degree", "_d2", None
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("node", pa.int64()),
+                ("n_triangles", pa.int64()),
+                ("degree", pa.int64()),
+                ("coeff_e6", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return schema.empty_table()
+        t = batch.column("n_triangles").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        dg = batch.column("degree").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        coeff = np.floor(
+            1e6 * 2.0 * t / (dg.astype(np.float64) * (dg - 1)) + 0.5
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "node": batch.column("node").cast(pa.int64()),
+                "n_triangles": pa.array(t),
+                "degree": pa.array(dg),
+                "coeff_e6": pa.array(coeff),
+            }
+        )
+
+    return attached.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_benford_digits(sf_dir: str):
     """Benford's-law audit of order totals: observed first-digit counts
     vs the log10(1+1/d) expectation with per-digit chi-square
@@ -4942,6 +5038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_distinct_users": _q_window_distinct_users,
         "hyperanf_balls": _q_hyperanf_balls,
         "benford_digits": _q_benford_digits,
+        "clustering_coefficients": _q_clustering_coefficients,
     }
 
 
@@ -7398,6 +7495,35 @@ def oracle_sql() -> dict[str, str]:
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
         "hyperanf_balls": _hyperanf_sql(rounds=3),
+        "clustering_coefficients": """
+            WITH e AS (
+              SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                              GREATEST(a.l_partkey, b.l_partkey) AS v
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            ), t3 AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e e1
+              JOIN e e2 ON e2.u = e1.u AND e2.v > e1.v
+              JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+            ), tri AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+              FROM (SELECT a AS node FROM t3
+                    UNION ALL SELECT b FROM t3
+                    UNION ALL SELECT c FROM t3)
+              GROUP BY node
+            ), deg AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS degree
+              FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY node
+            )
+            SELECT tri.node, n_triangles, degree,
+                   CAST(FLOOR(
+                     1000000.0 * 2.0 * n_triangles
+                     / (CAST(degree AS DOUBLE) * (degree - 1)) + 0.5
+                   ) AS BIGINT) AS coeff_e6
+            FROM tri JOIN deg USING (node)
+        """,
         "benford_digits": """
             WITH d AS (
               SELECT CAST(substr(CAST(abs(CAST(round(o_totalprice * 100, 0)

@@ -320,3 +320,126 @@ def count_triangles(edges_ds, mode: str = "auto"):
     )
     total = partials.groupby(None).aggregate(Sum("n", alias_name="n_triangles"))
     return total
+
+
+def per_node_triangles(edges_ds, n_parts=None):
+    """Per-node triangle participation counts: (node, n_triangles) for
+    every node in >= 1 triangle. Same degree-oriented wedge scheme as
+    `count_triangles`' broadcast path, but each closed wedge credits all
+    THREE corners — the kernel emits per-partition (node, count) partials
+    (bounded by nodes, not wedges) and one coarse merge sums them.
+    Partitioning note: the oriented edge set is broadcast via ray.put
+    (O(|E|) ints); beyond object-store scale, swap in the wedge-emission
+    exchange exactly as count_triangles documents."""
+    import ray
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+    from opentapioca_ray.stages.exchange import coarse_group_apply, coarse_groupby_agg
+
+    edges_ds = edges_ds.materialize()
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.schema([pa.field("node", pa.int64())]).empty_table()
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch.column("u").combine_chunks().cast(pa.int64()),
+                        batch.column("v").combine_chunks().cast(pa.int64()),
+                    ]
+                )
+            }
+        )
+
+    deg = partial_sum_count(
+        edges_ds.map_batches(endpoints, batch_format="pyarrow"),
+        "node",
+        [],
+        alias={"count": "deg"},
+    ).materialize()
+    deg_tbl = pa.concat_tables(
+        [
+            t
+            for t in (ray.get(r) for r in deg.to_arrow_refs())
+            if t.num_rows and "node" in t.column_names
+        ]
+    )
+    nodes = deg_tbl.column("node").to_numpy(zero_copy_only=False)
+    degs = deg_tbl.column("deg").to_numpy(zero_copy_only=False)
+    o = np.argsort(nodes)
+    deg_ref = ray.put((nodes[o], degs[o].astype(np.int64)))
+
+    def orient(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.schema(
+                [pa.field(c, pa.int64()) for c in ("src", "dst", "rank_dst")]
+            ).empty_table()
+        n_sorted, d_sorted = ray.get(deg_ref)
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        du = d_sorted[np.searchsorted(n_sorted, u)]
+        dv = d_sorted[np.searchsorted(n_sorted, v)]
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(u_first, u, v).astype(np.int64)
+        dst = np.where(u_first, v, u).astype(np.int64)
+        ddst = np.where(u_first, dv, du)
+        rank_dst = ddst.astype(np.int64) * np.int64(1 << 31) + dst
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "rank_dst": pa.array(rank_dst),
+            }
+        )
+
+    oriented = edges_ds.map_batches(orient, batch_format="pyarrow").materialize()
+    packed_parts = []
+    for ref in oriented.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "src" not in t.column_names:
+            continue
+        s = t.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+        packed_parts.append((s << np.uint64(32)) | d)
+    out_schema = pa.schema([("node", pa.int64()), ("n_triangles", pa.int64())])
+    if not packed_parts:
+        return ray.data.from_arrow(out_schema.empty_table())
+    edge_set_ref = ray.put(np.sort(np.concatenate(packed_parts)))
+
+    def corner_partials(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "node": pd.Series(dtype=np.int64),
+                "c": pd.Series(dtype=np.int64),
+            }
+        )
+        if df.empty or "src" not in df.columns:
+            return empty
+        src = df["src"].to_numpy(dtype=np.int64)
+        dst = df["dst"].to_numpy(dtype=np.int64)
+        rank = df["rank_dst"].to_numpy(dtype=np.int64)
+        order = np.lexsort((rank, src))
+        src, dst = src[order], dst[order]
+        li, ri = _segment_pairs(src)
+        if len(li) == 0:
+            return empty
+        edge_set = ray.get(edge_set_ref)
+        w = (dst[li].astype(np.uint64) << np.uint64(32)) | dst[ri].astype(
+            np.uint64
+        )
+        idx = np.clip(np.searchsorted(edge_set, w), 0, len(edge_set) - 1)
+        hit = edge_set[idx] == w
+        if not hit.any():
+            return empty
+        corners = np.concatenate(
+            [src[li[hit]], dst[li[hit]], dst[ri[hit]]]
+        )
+        uniq, cnt = np.unique(corners, return_counts=True)
+        return pd.DataFrame({"node": uniq, "c": cnt.astype(np.int64)})
+
+    partials = coarse_group_apply(oriented, "src", corner_partials, n_parts=n_parts)
+    return coarse_groupby_agg(
+        partials, ["node"], {"n_triangles": ("c", "sum")}, n_parts=n_parts
+    )
