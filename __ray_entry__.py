@@ -3415,6 +3415,157 @@ def _q_bfs_hops(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_seasonality_profile(sf_dir: str):
+    """Temporal feature extraction: per (event_type, hour-of-day) count
+    and mean value — epoch-hour arithmetic (no timezone), exact int64
+    centi-unit sums, one quantized mean."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
+    from opentapioca_ray.stages.windows import _ts_us
+
+    ev = _rel(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("hour", pa.int64()),
+                ("c", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or "ts" not in batch.column_names:
+            return schema.empty_table()
+        us = _ts_us(batch.column("ts").combine_chunks()).to_numpy(
+            zero_copy_only=False
+        )
+        c = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type").cast(pa.string()),
+                "hour": pa.array(((us // 3_600_000_000) % 24).astype(np.int64)),
+                "c": pa.array(c),
+            }
+        )
+
+    stats = partial_multi_sum_count(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        ["event_type", "hour"],
+        ["c"],
+        alias={"c": "sum_c", "count": "n"},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("hour", pa.int64()),
+                ("n", pa.int64()),
+                ("sum_c", pa.int64()),
+                ("mean_c_e4", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or "hour" not in batch.column_names:
+            return schema.empty_table()
+        s = batch.column("sum_c").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = batch.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": batch.column("event_type").cast(pa.string()),
+                "hour": batch.column("hour").cast(pa.int64()),
+                "n": pa.array(n),
+                "sum_c": pa.array(s),
+                "mean_c_e4": pa.array(
+                    np.floor(10000.0 * s / n + 0.5).astype(np.int64)
+                ),
+            }
+        )
+
+    return stats.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_orphan_rate(sf_dir: str):
+    """Referential-integrity audit: fraction of child rows whose foreign
+    key has no parent — lineitem->orders and orders->customer — via the
+    coarse semi-join (nothing broadcast, orphans = total minus matched).
+    Counts exact; the rate is one quantized expression."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from opentapioca_ray.stages.exchange import coarse_semi_join
+
+    def count_ds(ds) -> int:
+        return ds.count()
+
+    li = _rel(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"]).map_batches(
+        lambda b: (
+            pa.table({"k": b.column("l_orderkey").cast(pa.int64())})
+            if b.num_rows and "l_orderkey" in b.column_names
+            else pa.schema([("k", pa.int64())]).empty_table()
+        ),
+        batch_format="pyarrow",
+    )
+    orders_keys = _rel(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
+    ).map_batches(
+        lambda b: (
+            pa.table({"k": b.column("o_orderkey").cast(pa.int64())})
+            if b.num_rows and "o_orderkey" in b.column_names
+            else pa.schema([("k", pa.int64())]).empty_table()
+        ),
+        batch_format="pyarrow",
+    )
+    ord_cust = _rel(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    ).map_batches(
+        lambda b: (
+            pa.table({"k": b.column("o_custkey").cast(pa.int64())})
+            if b.num_rows and "o_custkey" in b.column_names
+            else pa.schema([("k", pa.int64())]).empty_table()
+        ),
+        batch_format="pyarrow",
+    )
+    cust_keys = _rel(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    ).map_batches(
+        lambda b: (
+            pa.table({"k": b.column("c_custkey").cast(pa.int64())})
+            if b.num_rows and "c_custkey" in b.column_names
+            else pa.schema([("k", pa.int64())]).empty_table()
+        ),
+        batch_format="pyarrow",
+    )
+    schema = pa.schema([("k", pa.int64())])
+    rows = []
+    for name, child, parent in (
+        ("lineitem_orders", li, orders_keys),
+        ("orders_customer", ord_cust, cust_keys),
+    ):
+        child = child.materialize()
+        total = child.count()
+        matched = coarse_semi_join(child, "k", parent, schema).count()
+        orphans = total - matched
+        rate = int(np.floor(1e6 * orphans / total + 0.5)) if total else 0
+        rows.append((name, total, orphans, rate))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "relation": pa.array([r[0] for r in rows], pa.string()),
+                "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+                "n_orphans": pa.array([r[2] for r in rows], pa.int64()),
+                "orphan_rate_e6": pa.array([r[3] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+
 def _q_clustering_coefficients(sf_dir: str):
     """Per-node local clustering coefficient of the part co-occurrence
     graph (nodes in >= 1 triangle): 2*triangles / (deg*(deg-1)). The
@@ -5039,6 +5190,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hyperanf_balls": _q_hyperanf_balls,
         "benford_digits": _q_benford_digits,
         "clustering_coefficients": _q_clustering_coefficients,
+        "seasonality_profile": _q_seasonality_profile,
+        "orphan_rate": _q_orphan_rate,
     }
 
 
@@ -7495,6 +7648,43 @@ def oracle_sql() -> dict[str, str]:
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
         "hyperanf_balls": _hyperanf_sql(rounds=3),
+        "seasonality_profile": """
+            WITH u AS (
+              SELECT event_type,
+                     (epoch_us(ts) // 3600000000) % 24 AS hour,
+                     CAST(round(value * 100, 0) AS BIGINT) AS c
+              FROM events
+            )
+            SELECT event_type, CAST(hour AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS sum_c,
+                   CAST(FLOOR(10000.0 * sum(c) / count(*) + 0.5) AS BIGINT)
+                     AS mean_c_e4
+            FROM u GROUP BY 1, 2
+        """,
+        "orphan_rate": """
+            WITH l AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL)
+                          AS BIGINT) AS n_orphans
+              FROM lineitem li LEFT JOIN orders o
+                ON o.o_orderkey = li.l_orderkey
+            ), c AS (
+              SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                     CAST(count(*) FILTER (WHERE cu.c_custkey IS NULL)
+                          AS BIGINT) AS n_orphans
+              FROM orders o LEFT JOIN customer cu
+                ON cu.c_custkey = o.o_custkey
+            )
+            SELECT 'lineitem_orders' AS relation, n_rows, n_orphans,
+                   CAST(FLOOR(1000000.0 * n_orphans / n_rows + 0.5) AS BIGINT)
+                     AS orphan_rate_e6
+            FROM l
+            UNION ALL
+            SELECT 'orders_customer', n_rows, n_orphans,
+                   CAST(FLOOR(1000000.0 * n_orphans / n_rows + 0.5) AS BIGINT)
+            FROM c
+        """,
         "clustering_coefficients": """
             WITH e AS (
               SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
