@@ -150,6 +150,10 @@ BENCH_QUERIES = [
     "kendall_tau",
     "window_distinct_users",
     "hyperanf_balls",
+    "benford_digits",
+    "clustering_coefficients",
+    "seasonality_profile",
+    "orphan_rate",
 ]
 
 
