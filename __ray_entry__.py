@@ -3415,6 +3415,97 @@ def _q_bfs_hops(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_weighted_paths(sf_dir: str):
+    """Fixed-round weighted shortest paths (Bellman-Ford, min-plus): the
+    cheapest-cost analogue of `bfs_hops` over the part/supplier
+    co-purchase graph, edge weight = the MIN quantity ever shipped for
+    that (part, supplier) pair, seeded at p_partkey % 101 == 0, 6
+    relaxation rounds. All-integer min-plus algebra, so the unrolled
+    6-round SQL twin matches exactly whether or not the relaxation
+    converged. One lookup exchange + one min-groupby per round."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+    from opentapioca_ray.stages.graphops import weighted_hops
+
+    li = _rel(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("u", pa.int64()), ("v", pa.int64()), ("w", pa.int64())]
+        )
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return schema.empty_table()
+        return pa.table(
+            {
+                "u": pc.multiply(
+                    batch.column("l_partkey").cast(pa.int64()),
+                    pa.scalar(2, pa.int64()),
+                ),
+                "v": pc.add(
+                    pc.multiply(
+                        batch.column("l_suppkey").cast(pa.int64()),
+                        pa.scalar(2, pa.int64()),
+                    ),
+                    pa.scalar(1, pa.int64()),
+                ),
+                "w": batch.column("l_quantity").cast(pa.int64()),
+            }
+        )
+
+    # distinct weighted edges: min quantity per (part, supplier) pair
+    edges = coarse_groupby_agg(
+        li.map_batches(mk_edges, batch_format="pyarrow"),
+        ["u", "v"],
+        {"w": ("w", "min")},
+    )
+
+    def mk_seeds(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("node", pa.int64())])
+        if batch.num_rows == 0 or "p_partkey" not in batch.column_names:
+            return schema.empty_table()
+        k = batch.column("p_partkey").cast(pa.int64())
+        keep = (k.to_numpy(zero_copy_only=False) % 101) == 0
+        t = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "node": pc.multiply(
+                    t.column("p_partkey").cast(pa.int64()),
+                    pa.scalar(2, pa.int64()),
+                )
+            }
+        )
+
+    seeds = _rel(f"{sf_dir}/part.parquet", columns=["p_partkey"]).map_batches(
+        mk_seeds, batch_format="pyarrow"
+    )
+    dist = weighted_hops(edges, seeds, rounds=6)
+
+    def label(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("entity", pa.string()), ("key", pa.int64()), ("dist", pa.int64())]
+        )
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return schema.empty_table()
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "entity": pa.array(
+                    np.where(node % 2 == 0, "part", "supplier"), pa.string()
+                ),
+                "key": pa.array(node // 2),
+                "dist": batch.column("dist").cast(pa.int64()),
+            }
+        )
+
+    return dist.map_batches(label, batch_format="pyarrow")
+
+
 def _q_seasonality_profile(sf_dir: str):
     """Temporal feature extraction: per (event_type, hour-of-day) count
     and mean value — epoch-hour arithmetic (no timezone), exact int64
@@ -5165,6 +5256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_ari": _q_clustering_ari,
         "kcore_nodes": _q_kcore_nodes,
         "bfs_hops": _q_bfs_hops,
+        "weighted_paths": _q_weighted_paths,
         "score_auc": _q_score_auc,
         "split_leakage": _q_split_leakage,
         "ab_value_ttest": _q_ab_value_ttest,
@@ -5269,6 +5361,48 @@ def _bfs_sql(rounds: int = 6) -> str:
                 SELECT node, dist FROM d{r - 1}
                 UNION ALL
                 SELECT e.v AS node, d.dist + 1 AS dist
+                FROM sym e JOIN d{r - 1} d ON d.node = e.u)
+              GROUP BY node
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS entity,
+               CAST(node // 2 AS BIGINT) AS key,
+               CAST(dist AS BIGINT) AS dist
+        FROM d{rounds}
+    """
+    )
+
+
+def _sssp_sql(rounds: int = 6) -> str:
+    """Fixed-round Bellman-Ford unrolled as chained CTEs (min-plus
+    analogue of `_bfs_sql`) over the co-purchase graph with edge weight
+    = MIN quantity per (part, supplier) pair, seeded at
+    p_partkey % 101 == 0."""
+    ctes = [
+        """e0 AS MATERIALIZED (
+          SELECT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v,
+                 MIN(CAST(l_quantity AS BIGINT)) AS w
+          FROM lineitem GROUP BY 1, 2
+        )""",
+        """sym AS MATERIALIZED (
+          SELECT u, v, w FROM e0 UNION ALL SELECT v, u, w FROM e0
+        )""",
+        """d0 AS MATERIALIZED (
+          SELECT 2 * p_partkey AS node, 0 AS dist
+          FROM part WHERE p_partkey % 101 = 0
+        )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d{r - 1}
+                UNION ALL
+                SELECT e.v AS node, d.dist + e.w AS dist
                 FROM sym e JOIN d{r - 1} d ON d.node = e.u)
               GROUP BY node
             )"""
@@ -7647,6 +7781,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
+        "weighted_paths": _sssp_sql(rounds=6),
         "hyperanf_balls": _hyperanf_sql(rounds=3),
         "seasonality_profile": """
             WITH u AS (

@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "clustering_coefficients",
     "seasonality_profile",
     "orphan_rate",
+    "weighted_paths",
 ]
 
 

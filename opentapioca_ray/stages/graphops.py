@@ -906,3 +906,232 @@ def hll_ball_sketches(edges, rounds: int = 3, n_parts=None):
         return pd.DataFrame(rows)
 
     return coarse_group_apply(state, "node", estimate, n_parts=n_parts)
+
+
+def _sssp_kernel(
+    u: np.ndarray,
+    v: np.ndarray,
+    w: np.ndarray,
+    seeds: np.ndarray,
+    rounds: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """In-memory fixed-round Bellman-Ford (min-plus) relaxation over an
+    undirected weighted edge list. Returns (node, dist) for every node
+    whose distance settled within `rounds` relaxations (isolated seeds
+    included at dist 0). Weights must be nonnegative int64."""
+    INF = np.int64(2**62)
+    nodes = np.unique(np.concatenate([u, v, seeds]))
+    dist = np.full(len(nodes), INF, dtype=np.int64)
+    dist[np.searchsorted(nodes, np.unique(seeds))] = 0
+    iu = np.searchsorted(nodes, u)
+    iv = np.searchsorted(nodes, v)
+    for _ in range(rounds):
+        nd = dist.copy()
+        src = dist[iv]
+        ok = src < INF  # never add a weight to the INF sentinel
+        np.minimum.at(nd, iu[ok], src[ok] + w[ok])
+        src = dist[iu]
+        ok = src < INF
+        np.minimum.at(nd, iv[ok], src[ok] + w[ok])
+        if (nd == dist).all():
+            break
+        dist = nd
+    reached = dist < INF
+    return nodes[reached], dist[reached]
+
+
+def weighted_hops(
+    edges,
+    seeds,
+    rounds: int = 6,
+    local_threshold: int = 2_000_000,
+    n_parts=None,
+):
+    """Fixed-round single-source-set shortest paths (Bellman-Ford,
+    min-plus semiring) over an undirected weighted edge list — the
+    weighted sibling of `bfs_hops` (reference analogue: the bounded
+    16-iteration PageRank contract, wikidatagraph.py:140-156; distances
+    generalize hop counts exactly as rank mass generalizes reachability).
+
+    Inputs: `edges` with (u, v, w) int64 rows (w >= 0, distinct pairs),
+    `seeds` with a `node` int64 column. Output: (node, dist) rows where
+    dist is the cheapest path cost found within `rounds` relaxation
+    rounds (isolated seeds at dist 0). Integer weights keep the unrolled
+    SQL twin exact whether or not the relaxation converged.
+
+    Distributed shape per round, identical to bfs_hops: ONE reduce-side
+    lookup exchange keyed by edge source (dist rows ride the same
+    shuffle) + ONE coarse min-groupby over messages ∪ current dists;
+    graphs under `local_threshold` edges collapse to the numpy kernel
+    (`local_threshold=0` forces the shuffle rounds — tests do)."""
+    from opentapioca_ray.stages.exchange import (
+        coarse_group_apply,
+        coarse_groupby_agg,
+        right_size,
+    )
+
+    dist_schema = pa.schema([("node", pa.int64()), ("dist", pa.int64())])
+    union_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("v", pa.int64()),
+            ("w", pa.int64()),
+            ("d", pa.int64()),
+            ("__is_dist", pa.bool_()),
+        ]
+    )
+    wedge_schema = pa.schema(
+        [("u", pa.int64()), ("v", pa.int64()), ("w", pa.int64())]
+    )
+
+    def seed_dist(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return dist_schema.empty_table()
+        return pa.table(
+            {
+                "node": batch.column("node").cast(pa.int64()),
+                "dist": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return wedge_schema.empty_table()
+        u = batch.column("u").cast(pa.int64()).combine_chunks()
+        v = batch.column("v").cast(pa.int64()).combine_chunks()
+        w = batch.column("w").cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {
+                "u": pa.concat_arrays([u, v]),
+                "v": pa.concat_arrays([v, u]),
+                "w": pa.concat_arrays([w, w]),
+            }
+        )
+
+    edges = edges.materialize()
+    if edges.count() <= local_threshold:
+
+        def local(t: pa.Table, s: pa.Table) -> pa.Table:
+            if t.num_rows and "u" in t.column_names:
+                eu = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+                ev = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+                ew = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+            else:
+                eu = ev = ew = np.zeros(0, dtype=np.int64)
+            sn = (
+                s.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+                if s.num_rows and "node" in s.column_names
+                else np.zeros(0, dtype=np.int64)
+            )
+            if len(sn) == 0:
+                return dist_schema.empty_table()
+            nodes, dist = _sssp_kernel(eu, ev, ew, sn, rounds)
+            return pa.table({"node": pa.array(nodes), "dist": pa.array(dist)})
+
+        import ray as _ray
+
+        seed_tbl = pa.concat_tables(
+            [
+                _ray.get(r)
+                for r in seeds.map_batches(
+                    seed_dist, batch_format="pyarrow"
+                ).to_arrow_refs()
+            ]
+        )
+        seed_ref = _ray.put(seed_tbl)
+        return edges.repartition(1).map_batches(
+            lambda t: local(t, _ray.get(seed_ref)),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    sym = right_size(
+        edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    )
+    dist = right_size(
+        seeds.map_batches(seed_dist, batch_format="pyarrow").materialize()
+    )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return union_schema.empty_table()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column("u").cast(pa.int64()),
+                "v": batch.column("v").cast(pa.int64()),
+                "w": batch.column("w").cast(pa.int64()),
+                "d": pa.nulls(n, pa.int64()),
+                "__is_dist": pa.array(np.zeros(n, dtype=bool)),
+            }
+        ).cast(union_schema)
+
+    def dist_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return union_schema.empty_table()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column("node").cast(pa.int64()),
+                "v": pa.nulls(n, pa.int64()),
+                "w": pa.nulls(n, pa.int64()),
+                "d": batch.column("dist").cast(pa.int64()),
+                "__is_dist": pa.array(np.ones(n, dtype=bool)),
+            }
+        ).cast(union_schema)
+
+    def messages(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__is_dist" not in t.column_names:
+            return dist_schema.empty_table()
+        isd = t.column("__is_dist").to_numpy(zero_copy_only=False).astype(bool)
+        ek = t.column("key").to_numpy(zero_copy_only=False)[~isd]
+        ev = t.column("v").to_numpy(zero_copy_only=False)[~isd]
+        ew = t.column("w").to_numpy(zero_copy_only=False)[~isd]
+        dk = t.column("key").to_numpy(zero_copy_only=False)[isd]
+        dd = t.column("d").to_numpy(zero_copy_only=False)[isd]
+        if len(ek) == 0 or len(dk) == 0:
+            return dist_schema.empty_table()
+        o = np.argsort(dk)
+        dk, dd = dk[o], dd[o]
+        idx = np.searchsorted(dk, ek)
+        idx_c = np.clip(idx, 0, len(dk) - 1)
+        hit = dk[idx_c] == ek
+        return pa.table(
+            {
+                "node": pa.array(ev[hit].astype(np.int64)),
+                "dist": pa.array(
+                    (dd[idx_c[hit]] + ew[hit]).astype(np.int64)
+                ),
+            }
+        )
+
+    for _ in range(rounds):
+        unioned = sym.map_batches(edge_rows, batch_format="pyarrow").union(
+            dist.map_batches(dist_rows, batch_format="pyarrow")
+        )
+        msgs = coarse_group_apply(
+            unioned, "key", messages, n_parts=n_parts, batch_format="pyarrow"
+        )
+        dist = right_size(
+            coarse_groupby_agg(
+                msgs.union(dist),
+                ["node"],
+                {"dist": ("dist", "min")},
+                n_parts=n_parts,
+            )
+            .map_batches(
+                lambda b: (
+                    pa.table(
+                        {
+                            "node": b.column("node").cast(pa.int64()),
+                            "dist": b.column("dist").cast(pa.int64()),
+                        }
+                    )
+                    if b.num_rows and "node" in b.column_names
+                    else dist_schema.empty_table()
+                ),
+                batch_format="pyarrow",
+            )
+            .materialize()
+        )
+    return dist
