@@ -3506,6 +3506,25 @@ def _q_weighted_paths(sf_dir: str):
     return dist.map_batches(label, batch_format="pyarrow")
 
 
+def _q_cusum_alarms(sf_dir: str):
+    """Streaming change-point detection: per-user one-sided CUSUM over
+    event values (drift allowance k=60.00, alarm threshold h=200.00, exact
+    centi-units). The sequential recursion S_i = max(0, S_{i-1} + x_i - k)
+    is computed without recursion via S_i = C_i - min(0, running-min C_j),
+    which is also what lets the SQL twin be a plain nested-window query.
+    One coarse exchange on user_id."""
+    from opentapioca_ray.stages.windows import cusum_stats
+
+    return cusum_stats(
+        _rel(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        ),
+        drift_c=6000,
+        alarm_c=20000,
+    )
+
+
 def _q_seasonality_profile(sf_dir: str):
     """Temporal feature extraction: per (event_type, hour-of-day) count
     and mean value — epoch-hour arithmetic (no timezone), exact int64
@@ -5257,6 +5276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_nodes": _q_kcore_nodes,
         "bfs_hops": _q_bfs_hops,
         "weighted_paths": _q_weighted_paths,
+        "cusum_alarms": _q_cusum_alarms,
         "score_auc": _q_score_auc,
         "split_leakage": _q_split_leakage,
         "ab_value_ttest": _q_ab_value_ttest,
@@ -7782,6 +7802,31 @@ def oracle_sql() -> dict[str, str]:
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
         "weighted_paths": _sssp_sql(rounds=6),
+        "cusum_alarms": """
+            WITH e AS (
+              SELECT user_id, ts, event_id,
+                     CAST(round(value * 100, 0) AS BIGINT) - 6000 AS y
+              FROM events
+            ),
+            c AS (
+              SELECT user_id, ts, event_id, SUM(y) OVER w AS cum
+              FROM e WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING)
+            ),
+            s AS (
+              SELECT user_id, cum - LEAST(0, MIN(cum) OVER w) AS stat
+              FROM c WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT user_id,
+                   CAST(COUNT(CASE WHEN stat >= 20000 THEN 1 END) AS BIGINT)
+                     AS n_alarms,
+                   CAST(MAX(stat) AS BIGINT) AS max_stat_c,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id
+        """,
         "hyperanf_balls": _hyperanf_sql(rounds=3),
         "seasonality_profile": """
             WITH u AS (

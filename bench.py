@@ -155,6 +155,7 @@ BENCH_QUERIES = [
     "seasonality_profile",
     "orphan_rate",
     "weighted_paths",
+    "cusum_alarms",
 ]
 
 

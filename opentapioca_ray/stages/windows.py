@@ -1301,3 +1301,95 @@ def late_event_counts(
     return partial_sum_count(
         flagged, "g", ["late"], alias={"late": "n_late", "count": "n_events"}
     )
+
+
+def cusum_stats(
+    events_ds,
+    drift_c: int,
+    alarm_c: int,
+    group_column: str = "user_id",
+    ts_column: str = "ts",
+    id_column: str = "event_id",
+    value_column: str = "value",
+    n_parts: int | None = None,
+):
+    """One-sided CUSUM drift detection per group — the classic streaming
+    change-point statistic S_i = max(0, S_{i-1} + (x_i - k)), computed
+    EXACTLY in centi-units without sequential recursion via the identity
+    S_i = C_i - min(0, min_{j<=i} C_j) with C the running sum of
+    (x - k). That identity is also what makes the SQL twin a plain
+    nested-window query instead of a recursive CTE.
+
+    Returns one row per group: (group, n_alarms, max_stat_c, n_events)
+    where n_alarms counts events whose statistic reached `alarm_c`.
+    Ordering inside a group is (ts, id) so timestamp peers are
+    deterministic. One coarse exchange on the group key; per-partition
+    work is a lexsort + segmented cumsum/cummin (pandas C kernels)."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    def to_units(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("g", pa.int64()),
+                ("t", pa.int64()),
+                ("i", pa.int64()),
+                ("y", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or ts_column not in batch.column_names:
+            return schema.empty_table()
+        t = pc.cast(
+            pc.cast(batch.column(ts_column).combine_chunks(), pa.timestamp("us")),
+            pa.int64(),
+        )
+        c = np.rint(
+            batch.column(value_column).to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "g": batch.column(group_column).cast(pa.int64()),
+                "t": t,
+                "i": batch.column(id_column).cast(pa.int64()),
+                "y": pa.array(c - np.int64(drift_c)),
+            }
+        )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            group_column: pd.Series(dtype=np.int64),
+            "n_alarms": pd.Series(dtype=np.int64),
+            "max_stat_c": pd.Series(dtype=np.int64),
+            "n_events": pd.Series(dtype=np.int64),
+        }
+        if df.empty or "g" not in df.columns:
+            return pd.DataFrame(cols)
+        df = df.sort_values(["g", "t", "i"], kind="mergesort")
+        g = df["g"].to_numpy(dtype=np.int64)
+        y = df["y"].to_numpy(dtype=np.int64)
+        new = np.concatenate(([True], g[1:] != g[:-1]))
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        cum = np.cumsum(y)
+        base = np.concatenate((np.zeros(1, dtype=np.int64), cum[starts[1:] - 1]))
+        cum_in = cum - base[seg]
+        run_min = pd.Series(cum_in).groupby(seg).cummin().to_numpy()
+        stat = cum_in - np.minimum(0, run_min)
+        alarms = (stat >= np.int64(alarm_c)).astype(np.int64)
+        n_seg = len(starts)
+        return pd.DataFrame(
+            {
+                group_column: g[starts],
+                "n_alarms": np.bincount(seg, weights=alarms, minlength=n_seg).astype(
+                    np.int64
+                ),
+                "max_stat_c": pd.Series(stat).groupby(seg).max().to_numpy(
+                    dtype=np.int64
+                ),
+                "n_events": np.diff(
+                    np.concatenate((starts, [len(g)]))
+                ).astype(np.int64),
+            }
+        )
+
+    units = events_ds.map_batches(to_units, batch_format="pyarrow")
+    return coarse_group_apply(units, "g", kernel, n_parts=n_parts)
