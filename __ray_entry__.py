@@ -3525,6 +3525,25 @@ def _q_cusum_alarms(sf_dir: str):
     )
 
 
+def _q_ewma_user_value(sf_dir: str):
+    """Exponentially-weighted trailing average of event values per user
+    (alpha = 1/2, truncated at 16 lags) — EXACT integer arithmetic: the
+    truncated weights share denominator 2^16, so each event's EWMA
+    numerator sum(c_j << (16 - lag)) is pure int64 and the SQL twin (a
+    bounded rn-band self-join with bit-shift weights) matches bit for
+    bit. One coarse exchange on user_id; the kernel is 17 segment-masked
+    shifted adds, not a per-row loop."""
+    from opentapioca_ray.stages.windows import ewma_trailing
+
+    return ewma_trailing(
+        _rel(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        ),
+        taps=16,
+    )
+
+
 def _q_seasonality_profile(sf_dir: str):
     """Temporal feature extraction: per (event_type, hour-of-day) count
     and mean value — epoch-hour arithmetic (no timezone), exact int64
@@ -5277,6 +5296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_hops": _q_bfs_hops,
         "weighted_paths": _q_weighted_paths,
         "cusum_alarms": _q_cusum_alarms,
+        "ewma_user_value": _q_ewma_user_value,
         "score_auc": _q_score_auc,
         "split_leakage": _q_split_leakage,
         "ab_value_ttest": _q_ab_value_ttest,
@@ -7826,6 +7846,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(stat) AS BIGINT) AS max_stat_c,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM s GROUP BY user_id
+        """,
+        "ewma_user_value": """
+            WITH e AS (
+              SELECT event_id, user_id,
+                     CAST(round(value * 100, 0) AS BIGINT) AS c,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS rn
+              FROM events
+            )
+            SELECT a.event_id,
+                   CAST(SUM(b.c * (CAST(1 AS BIGINT) << (16 - (a.rn - b.rn))))
+                        AS BIGINT) AS ewma_num
+            FROM e a JOIN e b
+              ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 16 AND a.rn
+            GROUP BY a.event_id
         """,
         "hyperanf_balls": _hyperanf_sql(rounds=3),
         "seasonality_profile": """

@@ -156,6 +156,7 @@ BENCH_QUERIES = [
     "orphan_rate",
     "weighted_paths",
     "cusum_alarms",
+    "ewma_user_value",
 ]
 
 
