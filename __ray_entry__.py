@@ -3544,6 +3544,21 @@ def _q_ewma_user_value(sf_dir: str):
     )
 
 
+def _q_attribution(sf_dir: str):
+    """Last-touch attribution: each purchase credits its value to the
+    user's most recent strictly-preceding click/view within 7 days (or
+    'none'). One exchange on user_id + a 3-row partial merge; the SQL
+    twin is LAST_VALUE IGNORE NULLS over a 1-PRECEDING frame."""
+    from opentapioca_ray.stages.funnel import last_touch_attribution
+
+    return last_touch_attribution(
+        _rel(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "event_type", "value"],
+        )
+    )
+
+
 def _q_seasonality_profile(sf_dir: str):
     """Temporal feature extraction: per (event_type, hour-of-day) count
     and mean value — epoch-hour arithmetic (no timezone), exact int64
@@ -5297,6 +5312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_paths": _q_weighted_paths,
         "cusum_alarms": _q_cusum_alarms,
         "ewma_user_value": _q_ewma_user_value,
+        "attribution": _q_attribution,
         "score_auc": _q_score_auc,
         "split_leakage": _q_split_leakage,
         "ab_value_ttest": _q_ab_value_ttest,
@@ -7861,6 +7877,33 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b
               ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 16 AND a.rn
             GROUP BY a.event_id
+        """,
+        "attribution": """
+            WITH e AS (
+              SELECT user_id, ts, event_id, event_type,
+                     CAST(round(value * 100, 0) AS BIGINT) AS c,
+                     CASE WHEN event_type IN ('click', 'view')
+                          THEN event_type END AS touch,
+                     CASE WHEN event_type IN ('click', 'view')
+                          THEN ts END AS touch_ts
+              FROM events
+              WHERE event_type IN ('purchase', 'click', 'view')
+            ),
+            w AS (
+              SELECT user_id, ts, event_type, c,
+                     LAST_VALUE(touch IGNORE NULLS) OVER w AS last_touch,
+                     LAST_VALUE(touch_ts IGNORE NULLS) OVER w AS last_touch_ts
+              FROM e WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            )
+            SELECT COALESCE(
+                     CASE WHEN ts - last_touch_ts <= INTERVAL 7 DAY
+                          THEN last_touch END, 'none') AS touch_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_conversions,
+                   CAST(SUM(c) AS BIGINT) AS attributed_value_c
+            FROM w WHERE event_type = 'purchase'
+            GROUP BY 1
         """,
         "hyperanf_balls": _hyperanf_sql(rounds=3),
         "seasonality_profile": """

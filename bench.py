@@ -157,6 +157,7 @@ BENCH_QUERIES = [
     "weighted_paths",
     "cusum_alarms",
     "ewma_user_value",
+    "attribution",
 ]
 
 

@@ -171,3 +171,123 @@ def retention_cohorts(ds, user_column: str = "user_id", ts_column: str = "ts"):
     return partial_multi_sum_count(
         per_user, ["cohort_day", "offset_days"], [], alias={"count": "n_users"}
     )
+
+
+def last_touch_attribution(
+    events_ds,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    window_us: int = 7 * 24 * 3_600_000_000,
+    group_column: str = "user_id",
+    ts_column: str = "ts",
+    id_column: str = "event_id",
+    value_column: str = "value",
+    n_parts: int | None = None,
+):
+    """Last-touch marketing attribution: each conversion event's value is
+    credited to the user's most recent STRICTLY-preceding touch event
+    (by (ts, id) order) of a touch type, provided it happened within
+    `window_us`; conversions with no qualifying touch credit 'none'.
+    Returns (touch_type, n_conversions, attributed_value_c) — exact
+    centi-unit sums.
+
+    Scale shape: column-pruned scan, ONE coarse exchange on the user key,
+    a per-partition kernel (lexsort + segment-aware cummax forward-fill of
+    the last touch index — pandas C kernels, no per-row loop), then a
+    final 3-row partial-sum merge."""
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import (
+        coarse_group_apply,
+        coarse_groupby_agg,
+    )
+
+    touch_set = set(touch_types)
+
+    def to_units(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("g", pa.int64()),
+                ("t", pa.int64()),
+                ("i", pa.int64()),
+                ("c", pa.int64()),
+                ("kind", pa.string()),
+            ]
+        )
+        if batch.num_rows == 0 or ts_column not in batch.column_names:
+            return schema.empty_table()
+        kinds = batch.column("event_type")
+        keep = pc.is_in(
+            kinds, value_set=pa.array([conversion_type, *touch_types])
+        )
+        batch = batch.filter(keep)
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        t = pc.cast(
+            pc.cast(batch.column(ts_column).combine_chunks(), pa.timestamp("us")),
+            pa.int64(),
+        )
+        c = np.rint(
+            batch.column(value_column).to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "g": batch.column(group_column).cast(pa.int64()),
+                "t": t,
+                "i": batch.column(id_column).cast(pa.int64()),
+                "c": pa.array(c),
+                "kind": batch.column("event_type").cast(pa.string()),
+            }
+        )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            "touch_type": pd.Series(dtype=object),
+            "n_conversions": pd.Series(dtype=np.int64),
+            "attributed_value_c": pd.Series(dtype=np.int64),
+        }
+        if df.empty or "g" not in df.columns:
+            return pd.DataFrame(cols)
+        df = df.sort_values(["g", "t", "i"], kind="mergesort")
+        g = df["g"].to_numpy(dtype=np.int64)
+        t = df["t"].to_numpy(dtype=np.int64)
+        c = df["c"].to_numpy(dtype=np.int64)
+        kind = df["kind"].to_numpy()
+        n = len(g)
+        is_touch = np.isin(kind, list(touch_set))
+        idx = np.arange(n, dtype=np.int64)
+        touch_pos = np.where(is_touch, idx, np.int64(-1))
+        # strictly-preceding: shift by one inside each group, then cummax
+        new = np.concatenate(([True], g[1:] != g[:-1]))
+        shifted = np.concatenate(([np.int64(-1)], touch_pos[:-1]))
+        shifted[new] = -1
+        seg = np.cumsum(new) - 1
+        prev = pd.Series(shifted).groupby(seg).cummax().to_numpy(dtype=np.int64)
+        is_conv = kind == conversion_type
+        cpos = np.flatnonzero(is_conv)
+        pidx = prev[cpos]
+        has = pidx >= 0
+        in_window = np.zeros(len(cpos), dtype=bool)
+        in_window[has] = (t[cpos[has]] - t[pidx[has]]) <= np.int64(window_us)
+        label = np.full(len(cpos), "none", dtype=object)
+        label[in_window] = kind[pidx[in_window]]
+        out = pd.DataFrame(
+            {"touch_type": label, "c": c[cpos]}
+        ).groupby("touch_type", sort=True)
+        agg = out.agg(n_conversions=("c", "size"), attributed_value_c=("c", "sum"))
+        agg = agg.reset_index()
+        agg["n_conversions"] = agg["n_conversions"].astype(np.int64)
+        agg["attributed_value_c"] = agg["attributed_value_c"].astype(np.int64)
+        return agg
+
+    units = events_ds.map_batches(to_units, batch_format="pyarrow")
+    partials = coarse_group_apply(units, "g", kernel, n_parts=n_parts)
+    return coarse_groupby_agg(
+        partials,
+        ["touch_type"],
+        {
+            "n_conversions": ("n_conversions", "sum"),
+            "attributed_value_c": ("attributed_value_c", "sum"),
+        },
+        n_parts=n_parts,
+    )
