@@ -2160,6 +2160,16 @@ def _q_dup_gram_fraction(sf_dir: str):
     return duplicated_gram_stats(_docs(sf_dir), "doc_id", "text", k=3)
 
 
+def _q_gram_novelty(sf_dir: str):
+    """Order-aware per-doc 3-gram novelty: share of each document's
+    distinct grams never seen in any EARLIER doc (streaming-corpus
+    staleness signal; complement of dup_gram_fraction's order-free dup
+    share)."""
+    from opentapioca_ray.stages.dedup import gram_novelty_stats
+
+    return gram_novelty_stats(_docs(sf_dir), "doc_id", "text", k=3)
+
+
 def _q_customers_all_priorities(sf_dir: str):
     """Relational DIVISION: customers who placed orders in EVERY order
     priority — combiner-first distinct counts vs the divisor cardinality."""
@@ -5253,6 +5263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts": _q_retention_cohorts,
         "similarity_join": _q_similarity_join,
         "dup_gram_fraction": _q_dup_gram_fraction,
+        "gram_novelty": _q_gram_novelty,
         "customers_all_priorities": _q_customers_all_priorities,
         "top_prop_per_type": _q_top_prop_per_type,
         "inverted_index": _q_inverted_index,
@@ -6739,6 +6750,38 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_grams, n_dup,
                    (n_dup * 1000000) // n_grams AS dup_frac_e6
+            FROM d
+        """,
+        "gram_novelty": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                END AS gs
+              FROM toks WHERE len(arr) > 0
+            ),
+            ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            mn AS (SELECT g, min(doc_id) AS m FROM ex GROUP BY g),
+            d AS (
+              SELECT ex.doc_id,
+                     count(*) AS n_grams,
+                     count(*) FILTER (mn.m < ex.doc_id) AS n_seen_before
+              FROM ex JOIN mn USING (g) GROUP BY ex.doc_id
+            )
+            SELECT doc_id, n_grams, n_seen_before,
+                   ((n_grams - n_seen_before) * 1000000) // n_grams
+                     AS novelty_e6
             FROM d
         """,
         "customers_all_priorities": """

@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "cusum_alarms",
     "ewma_user_value",
     "attribution",
+    "gram_novelty",
 ]
 
 

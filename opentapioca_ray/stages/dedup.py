@@ -1330,3 +1330,89 @@ def incremental_jaccard_pairs(
         )
 
     return pair_counts.map_batches(finish, batch_format="pyarrow")
+
+
+def gram_novelty_stats(
+    ds, id_column: str = "doc_id", text_column: str = "text", k: int = 3
+):
+    """Order-aware n-gram NOVELTY per document: the share of each doc's
+    distinct word-k-grams never seen in any EARLIER document (by id order)
+    — the streaming-corpus complement of `duplicated_gram_stats`'s
+    order-free boilerplate share. A crawler appending shards uses this to
+    decide whether an incoming document adds anything the corpus doesn't
+    already have (memorization/staleness control in training-data
+    curation).
+
+    Same two-exchange shape as duplicated_gram_stats: (1) distinct
+    (gram, doc) rows shuffle on gram — each partition holds every holder
+    of its grams, so "earliest holder" (min doc id) and the per-doc
+    seen-before counts are one vectorized kernel; (2) per-doc partials
+    merge combiner-first. Gram semantics match `gram_doc_rows`."""
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply, coarse_groupby_agg
+
+    rows = ds.map_batches(
+        lambda b: gram_doc_rows(b, id_column, text_column, k),
+        batch_format="pyarrow",
+    )
+
+    def seen_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "gram" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "n_seen": pd.Series(dtype=np.int64),
+                    "n_grams": pd.Series(dtype=np.int64),
+                }
+            )
+        codes, _uniq = pd.factorize(df["gram"], sort=False)
+        docs = df["doc_id"].to_numpy(dtype=np.int64)
+        n_codes = codes.max() + 1
+        min_doc = np.full(n_codes, np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(min_doc, codes, docs)
+        seen_before = min_doc[codes] < docs
+        udocs, dinv = np.unique(docs, return_inverse=True)
+        n_seen = np.bincount(dinv, weights=seen_before).astype(np.int64)
+        n_grams = np.zeros(len(udocs), dtype=np.int64)
+        n_grams[dinv] = df["n_grams"].to_numpy(dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_id": udocs, "n_seen": n_seen, "n_grams": n_grams}
+        )
+
+    partials = coarse_group_apply(rows, "gram", seen_partition)
+    merged = coarse_groupby_agg(
+        partials,
+        ["doc_id"],
+        {"n_seen": ("n_seen", "sum"), "n_grams": ("n_grams", "max")},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("n_grams", pa.int64()),
+                ("n_seen_before", pa.int64()),
+                ("novelty_e6", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return schema.empty_table()
+        n_grams = batch.column("n_grams").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        n_seen = batch.column("n_seen").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_grams": pa.array(n_grams),
+                "n_seen_before": pa.array(n_seen),
+                "novelty_e6": pa.array(
+                    ((n_grams - n_seen) * 1_000_000) // n_grams
+                ),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
