@@ -2917,6 +2917,22 @@ def _q_orders_checksum(sf_dir: str):
     return table_checksum(orders, ["o_orderkey", "o_orderstatus"])
 
 
+def _q_bucket_checksums(sf_dir: str):
+    """Range-bucketed content checksums of (o_orderkey, o_orderstatus) —
+    the Merkle level below orders_checksum: anti-entropy reconciliation
+    localizes WHICH 1024-key range diverged instead of re-reading the
+    table. Same md5-first-8-bytes digest convention; one tiny
+    combiner-first exchange on the bucket id."""
+    from opentapioca_ray.stages.quality import bucketed_checksums
+
+    orders = _rel(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderstatus"]
+    )
+    return bucketed_checksums(
+        orders, "o_orderkey", ["o_orderkey", "o_orderstatus"], 1024
+    )
+
+
 def _q_multipass_pairs(sf_dir: str):
     """Multi-pass blocking union with provenance: first-token blocks
     (bit 1) UNION sorted-neighborhood prefix window (bit 2); `schemes` is
@@ -5304,6 +5320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_users": _q_pareto_users,
         "price_deciles": _q_price_deciles,
         "orders_checksum": _q_orders_checksum,
+        "bucket_checksums": _q_bucket_checksums,
         "multipass_pairs": _q_multipass_pairs,
         "incremental_dedup": _q_incremental_dedup,
         "cluster_survivorship": _q_cluster_survivorship,
@@ -7111,6 +7128,24 @@ def oracle_sql() -> dict[str, str]:
               SELECT sum(CAST(hv AS HUGEINT)) AS t FROM h
             )
             SELECT CAST((t % 18446744073709551616) // 4294967296 AS BIGINT)
+                     AS hi,
+                   CAST((t % 18446744073709551616) % 4294967296 AS BIGINT)
+                     AS lo
+            FROM s
+        """,
+        "bucket_checksums": """
+            WITH h AS (
+              SELECT o_orderkey // 1024 AS bucket,
+                     ('0x' || substr(md5(
+                       CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus
+                     ), 1, 16))::UBIGINT AS hv
+              FROM orders
+            ), s AS (
+              SELECT bucket, sum(CAST(hv AS HUGEINT)) AS t
+              FROM h GROUP BY bucket
+            )
+            SELECT bucket,
+                   CAST((t % 18446744073709551616) // 4294967296 AS BIGINT)
                      AS hi,
                    CAST((t % 18446744073709551616) % 4294967296 AS BIGINT)
                      AS lo

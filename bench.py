@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "ewma_user_value",
     "attribution",
     "gram_novelty",
+    "bucket_checksums",
 ]
 
 

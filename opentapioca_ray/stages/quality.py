@@ -449,3 +449,99 @@ def table_checksum(ds, columns: list[str], sep: str = "|"):
             "lo": pa.array([total_int & 0xFFFFFFFF], type=pa.int64()),
         }
     )
+
+
+def bucketed_checksums(
+    ds,
+    key_column: str,
+    columns: list[str],
+    bucket_width: int,
+    sep: str = "|",
+):
+    """Range-bucketed content checksums — the Merkle level below
+    `table_checksum`: one order-independent mod-2^64 digest sum per
+    key-range bucket (key // bucket_width), so two replicas that disagree
+    can localize WHICH key ranges diverged and re-sync only those — the
+    anti-entropy primitive for 100TB snapshot reconciliation (level 0:
+    whole-table checksum; this: per-range; `snapshot_diff`: per-row).
+
+    Row serialization and digest convention are identical to
+    `table_checksum` (md5 first-8-bytes big-endian). Per-batch partials
+    carry split 32-bit half-sums (overflow-free for < 2^32 rows/bucket);
+    ONE tiny combiner-first exchange on the bucket id merges them.
+    Returns (bucket, hi, lo) with the same hi/lo split as the 1-row op."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    part_schema = pa.schema(
+        [("bucket", pa.int64()), ("hsum", pa.int64()), ("lsum", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or key_column not in batch.column_names:
+            return part_schema.empty_table()
+        cols = []
+        for c in columns:
+            col = batch.column(c).combine_chunks()
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                cols.append(col)
+            elif pa.types.is_integer(col.type):
+                cols.append(pc.cast(col, pa.string()))
+            else:
+                cols.append(
+                    pa.array(
+                        [str(x) for x in col.to_numpy(zero_copy_only=False)],
+                        type=pa.string(),
+                    )
+                )
+        joined = cols[0] if len(cols) == 1 else pc.binary_join_element_wise(*cols, sep)
+        md5 = hashlib.md5
+        digests = b"".join(
+            md5(r).digest()[:8] for r in pc.cast(joined, pa.binary()).to_pylist()
+        )
+        hv = np.frombuffer(digests, dtype=">u8").astype(np.uint64)
+        keys = batch.column(key_column).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        bucket = keys // np.int64(bucket_width)
+        ub, inv = np.unique(bucket, return_inverse=True)
+        hi = (hv >> np.uint64(32)).astype(np.int64)
+        lo = (hv & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(ub),
+                "hsum": pa.array(np.bincount(inv, weights=hi).astype(np.int64)),
+                "lsum": pa.array(np.bincount(inv, weights=lo).astype(np.int64)),
+            }
+        )
+
+    merged = coarse_groupby_agg(
+        ds.select_columns(list({key_column, *columns})).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["bucket"],
+        {"hsum": ("hsum", "sum"), "lsum": ("lsum", "sum")},
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("bucket", pa.int64()), ("hi", pa.int64()), ("lo", pa.int64())]
+        )
+        if batch.num_rows == 0 or "bucket" not in batch.column_names:
+            return schema.empty_table()
+        hsum = batch.column("hsum").to_numpy(zero_copy_only=False).astype(object)
+        lsum = batch.column("lsum").to_numpy(zero_copy_only=False).astype(object)
+        # exact big-int reassembly mod 2^64, then the hi/lo 32-bit split
+        tot = [((int(h) << 32) + int(l)) % (1 << 64) for h, l in zip(hsum, lsum)]
+        return pa.table(
+            {
+                "bucket": batch.column("bucket").cast(pa.int64()),
+                "hi": pa.array([t >> 32 for t in tot], pa.int64()),
+                "lo": pa.array([t & 0xFFFFFFFF for t in tot], pa.int64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
