@@ -413,10 +413,8 @@ def kendall_tau_binned(ds, x_column: str, y_column: str, n_parts=None):
     import ray
     import ray.data
 
-    from opentapioca_ray.stages.aggregates import partial_sum_count
     from opentapioca_ray.stages.exchange import (
         coarse_group_apply,
-        coarse_groupby_agg,
         default_n_parts,
         right_size,
     )
@@ -440,53 +438,38 @@ def kendall_tau_binned(ds, x_column: str, y_column: str, n_parts=None):
     )
     n_rows = rows.count()
 
-    # distinct x bins (bounded by contract) — combiner distinct + collect
-    xs = set()
-    for ref in partial_sum_count(
-        rows.select_columns(["x"]), "x", []
+    # distinct x bins AND the x-tie term n1 from ONE combiner pass: each
+    # block emits its (x, count) partials (bounded bins per block by
+    # contract), the driver merges O(blocks x bins) rows — no exchange
+    def x_partials(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("x", pa.int64()), ("c", pa.int64())])
+        if batch.num_rows == 0 or "x" not in batch.column_names:
+            return schema.empty_table()
+        ux, cnt = np.unique(
+            batch.column("x").to_numpy(zero_copy_only=False).astype(np.int64),
+            return_counts=True,
+        )
+        return pa.table(
+            {"x": pa.array(ux), "c": pa.array(cnt.astype(np.int64))}
+        )
+
+    x_counts: dict[int, int] = {}
+    for ref in rows.select_columns(["x"]).map_batches(
+        x_partials, batch_format="pyarrow"
     ).to_arrow_refs():
         t = ray.get(ref)
-        if t.num_rows and "x" in t.column_names:
-            xs.update(t.column("x").to_pylist())
-    bins = np.sort(np.array(sorted(xs), dtype=np.int64))
+        if t.num_rows == 0 or "x" not in t.column_names:
+            continue
+        for xv, cv in zip(
+            t.column("x").to_pylist(), t.column("c").to_pylist()
+        ):
+            x_counts[xv] = x_counts.get(xv, 0) + cv
+    bins = np.sort(np.array(sorted(x_counts), dtype=np.int64))
     n_bins = len(bins)
-
-    # tie terms: n1 over x (bounded), n2 over y (combiner sum of C(t,2))
-    def tie_sum(key: str) -> int:
-        grp = coarse_groupby_agg(
-            rows.select_columns([key]), [key], {"c": (key, "size")}
-        )
-        tot = 0
-        for ref in grp.map_batches(
-            lambda b, k=key: pa.table(
-                {
-                    "s": pa.array(
-                        [
-                            int(
-                                (
-                                    lambda c: (c * (c - 1) // 2).sum()
-                                )(
-                                    b.column("c")
-                                    .to_numpy(zero_copy_only=False)
-                                    .astype(np.int64)
-                                )
-                            )
-                        ]
-                        if b.num_rows and "c" in b.column_names
-                        else [],
-                        pa.int64(),
-                    )
-                }
-            ),
-            batch_format="pyarrow",
-        ).to_arrow_refs():
-            t = ray.get(ref)
-            if t.num_rows:
-                tot += int(t.column("s").to_numpy().sum())
-        return tot
-
-    n1 = tie_sum("x")
-    n2 = tie_sum("y")
+    n1 = sum(c * (c - 1) // 2 for c in x_counts.values())
+    # n2 (y ties) is emitted by the main dominance exchange below: equal y
+    # values share a pid by construction, so each partition counts its own
+    # y-tie blocks exactly once — the standalone y exchange is gone.
 
     # y range boundaries (sampled, like roc_auc)
     n_parts_eff = min(
@@ -589,6 +572,7 @@ def kendall_tau_binned(ds, x_column: str, y_column: str, n_parts=None):
                 {
                     "c": pd.Series(dtype=np.int64),
                     "d": pd.Series(dtype=np.int64),
+                    "t2": pd.Series(dtype=np.int64),
                 }
             )
         cr = ray.get(carry_ref)
@@ -600,6 +584,7 @@ def kendall_tau_binned(ds, x_column: str, y_column: str, n_parts=None):
         y, x, pid = y[order], x[order], pid[order]
         bi = np.searchsorted(bn, x)
         c_tot = d_tot = 0
+        t2_tot = 0
         new_p = np.concatenate(([True], pid[1:] != pid[:-1]))
         p_starts = np.flatnonzero(new_p)
         p_ends = np.concatenate((p_starts[1:], [len(y)]))
@@ -625,9 +610,15 @@ def kendall_tau_binned(ds, x_column: str, y_column: str, n_parts=None):
             d_i = rows_total - pref[idx, seg_bi]
             c_tot += int(c_i.sum())
             d_tot += int(d_i.sum())
-        return pd.DataFrame({"c": [c_tot], "d": [d_tot]})
+            # y-tie term for this pid: block sizes from the same new_y cuts
+            sizes = np.diff(np.concatenate((starts, [pe - ps]))).astype(
+                np.int64
+            )
+            t2_tot += int((sizes * (sizes - 1) // 2).sum())
+        return pd.DataFrame({"c": [c_tot], "d": [d_tot], "t2": [t2_tot]})
 
     c = d = 0
+    n2 = 0
     for ref in coarse_group_apply(
         parted, "pid", cd_partition, n_parts=n_parts_eff,
         batch_format="pandas",
@@ -636,6 +627,7 @@ def kendall_tau_binned(ds, x_column: str, y_column: str, n_parts=None):
         if t.num_rows and "c" in t.column_names:
             c += int(t.column("c").to_numpy().sum())
             d += int(t.column("d").to_numpy().sum())
+            n2 += int(t.column("t2").to_numpy().sum())
 
     n0 = n_rows * (n_rows - 1) // 2
     denom = float(n0 - n1) * float(n0 - n2)
