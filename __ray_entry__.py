@@ -2933,6 +2933,25 @@ def _q_bucket_checksums(sf_dir: str):
     )
 
 
+def _q_bloom_semijoin(sf_dir: str):
+    """Bloom-prefiltered semi-join: orders probed against a 4096-bit
+    Bloom filter (k=2, md5 halves) of nation-5 customers; survivors —
+    true matches PLUS the filter's false positives — ride one exact
+    verify exchange that annotates is_match, so the FP set is measured
+    output, not silent. The classic broadcast-filter join optimization:
+    m bits regardless of build cardinality, the exchange carries only
+    candidates."""
+    from opentapioca_ray.stages.relational import bloom_semijoin
+
+    probe = _rel(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    build = _rel(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    ).filter(expr="c_nationkey == 5")
+    return bloom_semijoin(
+        probe, build, "o_custkey", "c_custkey", ["o_orderkey"], m_bits=4096
+    )
+
+
 def _q_multipass_pairs(sf_dir: str):
     """Multi-pass blocking union with provenance: first-token blocks
     (bit 1) UNION sorted-neighborhood prefix window (bit 2); `schemes` is
@@ -5343,6 +5362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_deciles": _q_price_deciles,
         "orders_checksum": _q_orders_checksum,
         "bucket_checksums": _q_bucket_checksums,
+        "bloom_semijoin": _q_bloom_semijoin,
         "multipass_pairs": _q_multipass_pairs,
         "incremental_dedup": _q_incremental_dedup,
         "cluster_survivorship": _q_cluster_survivorship,
@@ -7172,6 +7192,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST((t % 18446744073709551616) % 4294967296 AS BIGINT)
                      AS lo
             FROM s
+        """,
+        "bloom_semijoin": """
+            WITH build AS (
+              SELECT DISTINCT c_custkey AS k FROM customer
+              WHERE c_nationkey = 5
+            ),
+            bits AS (
+              SELECT DISTINCT p FROM (
+                SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 16))::UBIGINT
+                       % 4096 AS p FROM build
+                UNION ALL
+                SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)), 17, 16))::UBIGINT
+                       % 4096 AS p FROM build)
+            ),
+            cand AS (
+              SELECT o_orderkey, o_custkey FROM orders
+              WHERE (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 16))::UBIGINT
+                     % 4096) IN (SELECT p FROM bits)
+                AND (('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 17, 16))::UBIGINT
+                     % 4096) IN (SELECT p FROM bits)
+            )
+            SELECT o_orderkey,
+                   CAST(o_custkey IN (SELECT k FROM build) AS BIGINT)
+                     AS is_match
+            FROM cand
         """,
         "multipass_pairs": """
             WITH k AS (

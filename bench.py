@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "attribution",
     "gram_novelty",
     "bucket_checksums",
+    "bloom_semijoin",
 ]
 
 
