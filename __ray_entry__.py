@@ -2933,6 +2933,16 @@ def _q_bucket_checksums(sf_dir: str):
     )
 
 
+def _q_token_kl_drift(sf_dir: str):
+    """Corpus drift: KL(even-doc half || odd-doc half) over token
+    distributions, add-1 smoothed; per-token contributions quantized to
+    int64 micro-nats BEFORE the sum so the total is exact (the
+    entropy/PMI fixed-point discipline)."""
+    from opentapioca_ray.stages.quality import token_kl_drift
+
+    return token_kl_drift(_docs(sf_dir), "doc_id", "text")
+
+
 def _q_bloom_semijoin(sf_dir: str):
     """Bloom-prefiltered semi-join: orders probed against a 4096-bit
     Bloom filter (k=2, md5 halves) of nation-5 customers; survivors —
@@ -5363,6 +5373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_checksum": _q_orders_checksum,
         "bucket_checksums": _q_bucket_checksums,
         "bloom_semijoin": _q_bloom_semijoin,
+        "token_kl_drift": _q_token_kl_drift,
         "multipass_pairs": _q_multipass_pairs,
         "incremental_dedup": _q_incremental_dedup,
         "cluster_survivorship": _q_cluster_survivorship,
@@ -7217,6 +7228,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(o_custkey IN (SELECT k FROM build) AS BIGINT)
                      AS is_match
             FROM cand
+        """,
+        "token_kl_drift": f"""
+            WITH tok AS (
+              SELECT doc_id % 2 AS half, trim(t.w) AS w
+              FROM documents,
+                   unnest(regexp_split_to_array(' ' || text || ' ', '{_SEP}'))
+                     AS t(w)
+              WHERE trim(t.w) != ''
+            ),
+            c AS (
+              SELECT w,
+                     count(*) FILTER (half = 0) AS c0,
+                     count(*) FILTER (half = 1) AS c1
+              FROM tok GROUP BY w
+            ),
+            tot AS (
+              SELECT sum(c0) AS t0, sum(c1) AS t1, count(*) AS v FROM c
+            ),
+            contrib AS (
+              SELECT CAST(floor(
+                       1000000.0
+                       * ((c0 + 1.0) / (t0 + v))
+                       * ln(((c0 + 1.0) / (t0 + v))
+                            / ((c1 + 1.0) / (t1 + v)))
+                       + 0.5) AS BIGINT) AS e
+              FROM c, tot
+            )
+            SELECT (SELECT CAST(v AS BIGINT) FROM tot) AS v,
+                   (SELECT CAST(t0 AS BIGINT) FROM tot) AS t0,
+                   (SELECT CAST(t1 AS BIGINT) FROM tot) AS t1,
+                   CAST(SUM(e) AS BIGINT) AS kl_e6
+            FROM contrib
         """,
         "multipass_pairs": """
             WITH k AS (

@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "gram_novelty",
     "bucket_checksums",
     "bloom_semijoin",
+    "token_kl_drift",
 ]
 
 

@@ -545,3 +545,134 @@ def bucketed_checksums(
         )
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def token_kl_drift(
+    ds,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    n_parts: int | None = None,
+):
+    """Corpus drift detector: KL(first half || second half) between the
+    token distributions of the two doc-id-parity halves, add-1 smoothed
+    over the union vocabulary. Per-token contributions are quantized to
+    int64 micro-nats BEFORE the final sum, so both engines sum integers
+    and the result is exact despite the float log — the same fixed-point
+    discipline as the entropy/PMI operators (a raw float SUM would be
+    accumulation-order-dependent and unverifiable).
+
+    Scale shape: token explosion is a stateless map; ONE combiner-first
+    exchange builds (word, c0, c1); totals are O(blocks) driver partials;
+    per-token contributions need no second exchange (each word row is
+    already whole); the final roll-up is one int64 partial per block.
+    Returns one row (v, t0, t1, kl_e6)."""
+    import ray
+
+    from opentapioca_ray.functions.text import tokenize_flat
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    tok_schema = pa.schema([("w", pa.string()), ("half", pa.int64())])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or text_column not in batch.column_names:
+            return tok_schema.empty_table()
+        texts = batch.column(text_column).to_pylist()
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        flat, counts = tokenize_flat([t or "" for t in texts])
+        halves = np.repeat(ids % 2, counts)
+        return pa.table(
+            {
+                "w": pa.array(flat.astype(object), type=pa.string()),
+                "half": pa.array(halves),
+            }
+        )
+
+    tok = ds.select_columns([id_column, text_column]).map_batches(
+        tokens, batch_format="pyarrow"
+    )
+
+    def split_counts(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("w", pa.string()), ("c0", pa.int64()), ("c1", pa.int64())]
+        )
+        if batch.num_rows == 0 or "w" not in batch.column_names:
+            return schema.empty_table()
+        h = batch.column("half").to_numpy(zero_copy_only=False)
+        n = batch.num_rows
+        return pa.table(
+            {
+                "w": batch.column("w"),
+                "c0": pa.array((h == 0).astype(np.int64)),
+                "c1": pa.array((h == 1).astype(np.int64)),
+            }
+        )
+
+    counts = coarse_groupby_agg(
+        tok.map_batches(split_counts, batch_format="pyarrow"),
+        ["w"],
+        {"c0": ("c0", "sum"), "c1": ("c1", "sum")},
+        n_parts=n_parts,
+    ).materialize()
+
+    # totals: O(blocks) driver partials over the aggregated (vocab-sized) table
+    t0 = t1 = v = 0
+    for ref in counts.map_batches(
+        lambda b: pa.table(
+            {
+                "t0": pa.array(
+                    [int(b.column("c0").to_numpy(zero_copy_only=False).sum())]
+                    if b.num_rows and "c0" in b.column_names
+                    else [],
+                    pa.int64(),
+                ),
+                "t1": pa.array(
+                    [int(b.column("c1").to_numpy(zero_copy_only=False).sum())]
+                    if b.num_rows and "c0" in b.column_names
+                    else [],
+                    pa.int64(),
+                ),
+                "v": pa.array(
+                    [b.num_rows] if b.num_rows and "c0" in b.column_names else [],
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            t0 += int(t.column("t0").to_numpy().sum())
+            t1 += int(t.column("t1").to_numpy().sum())
+            v += int(t.column("v").to_numpy().sum())
+
+    def contrib(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("e", pa.int64())])
+        if batch.num_rows == 0 or "c0" not in batch.column_names:
+            return schema.empty_table()
+        c0 = batch.column("c0").to_numpy(zero_copy_only=False).astype(np.float64)
+        c1 = batch.column("c1").to_numpy(zero_copy_only=False).astype(np.float64)
+        p0 = (c0 + 1.0) / float(t0 + v)
+        p1 = (c1 + 1.0) / float(t1 + v)
+        e = np.floor(1_000_000.0 * p0 * np.log(p0 / p1) + 0.5).astype(np.int64)
+        return pa.table({"e": pa.array([int(e.sum())], pa.int64())})
+
+    kl = 0
+    for ref in counts.map_batches(contrib, batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows:
+            kl += int(t.column("e").to_numpy().sum())
+
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "v": pa.array([v], pa.int64()),
+                "t0": pa.array([t0], pa.int64()),
+                "t1": pa.array([t1], pa.int64()),
+                "kl_e6": pa.array([kl], pa.int64()),
+            }
+        )
+    )
