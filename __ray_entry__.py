@@ -2933,6 +2933,49 @@ def _q_bucket_checksums(sf_dir: str):
     )
 
 
+def _q_zorder_stats(sf_dir: str):
+    """Z-order (Morton) layout manifests over orders: interleave the low
+    16 bits of (custkey, epoch-day) into a space-filling-curve key,
+    bucket by its bits above 16, and emit per-block n/min/max of BOTH dims —
+    the pruning statistics a z-clustered layout gives a 2-D predicate
+    (the OPTIMIZE ZORDER primitive)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.selection import zorder_block_stats
+
+    orders = _rel(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("x", pa.int64()), ("y", pa.int64())])
+        if batch.num_rows == 0 or "o_custkey" not in batch.column_names:
+            return schema.empty_table()
+        us = pc.cast(
+            pc.cast(
+                batch.column("o_orderdate").combine_chunks(),
+                pa.timestamp("us"),
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "x": batch.column("o_custkey").cast(pa.int64()),
+                "y": pa.array(us // 86_400_000_000),
+            }
+        )
+
+    return zorder_block_stats(
+        orders.map_batches(prep, batch_format="pyarrow"),
+        "x",
+        "y",
+        bits=16,
+        block_shift=16,
+    )
+
+
 def _q_token_kl_drift(sf_dir: str):
     """Corpus drift: KL(even-doc half || odd-doc half) over token
     distributions, add-1 smoothed; per-token contributions quantized to
@@ -5374,6 +5417,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucket_checksums": _q_bucket_checksums,
         "bloom_semijoin": _q_bloom_semijoin,
         "token_kl_drift": _q_token_kl_drift,
+        "zorder_stats": _q_zorder_stats,
         "multipass_pairs": _q_multipass_pairs,
         "incremental_dedup": _q_incremental_dedup,
         "cluster_survivorship": _q_cluster_survivorship,
@@ -7260,6 +7304,28 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(t1 AS BIGINT) FROM tot) AS t1,
                    CAST(SUM(e) AS BIGINT) AS kl_e6
             FROM contrib
+        """,
+        "zorder_stats": """
+            WITH b AS (
+              SELECT o_custkey AS x,
+                     CAST(epoch(o_orderdate) AS BIGINT) // 86400 AS y
+              FROM orders
+            ),
+            z AS (
+              SELECT x, y,
+                     list_sum(list_transform(range(0, 16), i ->
+                       ((x >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+                       + ((y >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))
+                     )) AS zval
+              FROM b
+            )
+            SELECT CAST(zval >> 16 AS BIGINT) AS zblock,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(min(x) AS BIGINT) AS min_x,
+                   CAST(max(x) AS BIGINT) AS max_x,
+                   CAST(min(y) AS BIGINT) AS min_y,
+                   CAST(max(y) AS BIGINT) AS max_y
+            FROM z GROUP BY 1
         """,
         "multipass_pairs": """
             WITH k AS (

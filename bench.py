@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "bucket_checksums",
     "bloom_semijoin",
     "token_kl_drift",
+    "zorder_stats",
 ]
 
 

@@ -347,3 +347,86 @@ def stratified_split_labels(
         label_partition,
         n_parts=n_parts,
     )
+
+
+def zorder_block_stats(
+    ds,
+    x_column: str,
+    y_column: str,
+    bits: int = 16,
+    block_shift: int = 24,
+    n_parts: int | None = None,
+):
+    """Z-order (Morton) layout index: interleave the low `bits` bits of
+    two integer dimensions into one space-filling-curve key, bucket rows
+    by its top bits (zblock = zval >> block_shift), and emit per-block
+    pruning manifests (n, min/max of BOTH dims) — the statistics a
+    z-clustered layout hands the reader so a 2-D predicate can skip
+    blocks on either dimension (the Delta/Iceberg OPTIMIZE ZORDER
+    primitive). Bit interleave is a vectorized numpy shift-or over `bits`
+    positions; the manifest roll-up is ONE combiner-first exchange on the
+    block id."""
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    part_schema = pa.schema(
+        [
+            ("zblock", pa.int64()),
+            ("n", pa.int64()),
+            ("min_x", pa.int64()),
+            ("max_x", pa.int64()),
+            ("min_y", pa.int64()),
+            ("max_y", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or x_column not in batch.column_names:
+            return part_schema.empty_table()
+        mask = np.int64((1 << bits) - 1)
+        x = batch.column(x_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        y = batch.column(y_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        xb = x & mask
+        yb = y & mask
+        z = np.zeros(len(x), dtype=np.int64)
+        for i in range(bits):
+            z |= ((xb >> i) & 1) << (2 * i)
+            z |= ((yb >> i) & 1) << (2 * i + 1)
+        zblock = z >> np.int64(block_shift)
+        ub, inv = np.unique(zblock, return_inverse=True)
+        n_seg = len(ub)
+        big = np.int64(2**62)
+        min_x = np.full(n_seg, big)
+        max_x = np.full(n_seg, -big)
+        min_y = np.full(n_seg, big)
+        max_y = np.full(n_seg, -big)
+        np.minimum.at(min_x, inv, x)
+        np.maximum.at(max_x, inv, x)
+        np.minimum.at(min_y, inv, y)
+        np.maximum.at(max_y, inv, y)
+        return pa.table(
+            {
+                "zblock": pa.array(ub),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "min_x": pa.array(min_x),
+                "max_x": pa.array(max_x),
+                "min_y": pa.array(min_y),
+                "max_y": pa.array(max_y),
+            }
+        )
+
+    return coarse_groupby_agg(
+        ds.select_columns(list({x_column, y_column})).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["zblock"],
+        {
+            "n": ("n", "sum"),
+            "min_x": ("min_x", "min"),
+            "max_x": ("max_x", "max"),
+            "min_y": ("min_y", "min"),
+            "max_y": ("max_y", "max"),
+        },
+        n_parts=n_parts,
+    )
