@@ -2933,6 +2933,86 @@ def _q_bucket_checksums(sf_dir: str):
     )
 
 
+def _q_rrf_fusion(sf_dir: str):
+    """Reciprocal-rank fusion of two order rankings — by price (desc) and
+    by recency (desc): exact sampled-boundary global ranks (no global
+    sort, no bounded-cardinality histogram), each 1/(60+r) term quantized
+    to 1e-9 units before the integer sum. Numeric sort keys ride
+    global_rank's string path as order-preserving fixed-width
+    complements."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.evaluation import rrf_fuse
+    from opentapioca_ray.stages.snm import global_rank
+
+    orders = _rel(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def price_key(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("o_orderkey", pa.int64()), ("key", pa.string())])
+        if batch.num_rows == 0 or "o_totalprice" not in batch.column_names:
+            return schema.empty_table()
+        c = np.rint(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        s = 10**12 - c  # descending price == ascending complement
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "key": pa.array([f"{x:013d}" for x in s], pa.string()),
+            }
+        )
+
+    def recency_key(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("o_orderkey", pa.int64()), ("key", pa.string())])
+        if batch.num_rows == 0 or "o_orderdate" not in batch.column_names:
+            return schema.empty_table()
+        us = pc.cast(
+            pc.cast(
+                batch.column("o_orderdate").combine_chunks(), pa.timestamp("us")
+            ),
+            pa.int64(),
+        ).to_numpy(zero_copy_only=False)
+        s = 10**16 - us
+        return pa.table(
+            {
+                "o_orderkey": batch.column("o_orderkey").cast(pa.int64()),
+                "key": pa.array([f"{x:017d}" for x in s], pa.string()),
+            }
+        )
+
+    ra = global_rank(
+        orders.map_batches(price_key, batch_format="pyarrow"),
+        "key",
+        "o_orderkey",
+    )
+    rb = global_rank(
+        orders.map_batches(recency_key, batch_format="pyarrow"),
+        "key",
+        "o_orderkey",
+    )
+    out = rrf_fuse(ra, rb, "o_orderkey", k=60)
+    return out.map_batches(
+        lambda b: (
+            b.rename_columns(["o_orderkey", "rank_price", "rank_recency", "rrf_e9"])
+            if b.num_rows and "rank_a" in b.column_names
+            else pa.schema(
+                [
+                    ("o_orderkey", pa.int64()),
+                    ("rank_price", pa.int64()),
+                    ("rank_recency", pa.int64()),
+                    ("rrf_e9", pa.int64()),
+                ]
+            ).empty_table()
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_zorder_stats(sf_dir: str):
     """Z-order (Morton) layout manifests over orders: interleave the low
     16 bits of (custkey, epoch-day) into a space-filling-curve key,
@@ -5418,6 +5498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin": _q_bloom_semijoin,
         "token_kl_drift": _q_token_kl_drift,
         "zorder_stats": _q_zorder_stats,
+        "rrf_fusion": _q_rrf_fusion,
         "multipass_pairs": _q_multipass_pairs,
         "incremental_dedup": _q_incremental_dedup,
         "cluster_survivorship": _q_cluster_survivorship,
@@ -7326,6 +7407,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(y) AS BIGINT) AS min_y,
                    CAST(max(y) AS BIGINT) AS max_y
             FROM z GROUP BY 1
+        """,
+        "rrf_fusion": """
+            WITH ra AS (
+              SELECT o_orderkey,
+                     ROW_NUMBER() OVER (
+                       ORDER BY CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                         DESC, o_orderkey) AS r
+              FROM orders
+            ),
+            rb AS (
+              SELECT o_orderkey,
+                     ROW_NUMBER() OVER (
+                       ORDER BY o_orderdate DESC, o_orderkey) AS r
+              FROM orders
+            )
+            SELECT ra.o_orderkey,
+                   CAST(ra.r AS BIGINT) AS rank_price,
+                   CAST(rb.r AS BIGINT) AS rank_recency,
+                   CAST(floor(1000000000.0 / (60 + ra.r) + 0.5) AS BIGINT)
+                   + CAST(floor(1000000000.0 / (60 + rb.r) + 0.5) AS BIGINT)
+                     AS rrf_e9
+            FROM ra JOIN rb USING (o_orderkey)
         """,
         "multipass_pairs": """
             WITH k AS (

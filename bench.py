@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "bloom_semijoin",
     "token_kl_drift",
     "zorder_stats",
+    "rrf_fusion",
 ]
 
 

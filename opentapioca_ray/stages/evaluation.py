@@ -646,3 +646,73 @@ def kendall_tau_binned(ds, x_column: str, y_column: str, n_parts=None):
             }
         )
     )
+
+
+def rrf_fuse(ranks_a, ranks_b, id_column: str, k: int = 60):
+    """Reciprocal-rank fusion of two rankings (Cormack et al., SIGIR'09):
+    score = 1/(k+r_a) + 1/(k+r_b), each term quantized to int64 1e-9
+    units BEFORE the sum so the fused score is exact integer arithmetic
+    from exact integer ranks (no float accumulation). Inputs are two
+    (id, rn) datasets (e.g. from `snm.global_rank`); output
+    (id, rank_a, rank_b, rrf_e9) for ids present in BOTH rankings.
+
+    ONE coarse exchange on the id co-locates each item's two rank rows;
+    the kernel pivots and scores vectorized."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    union_schema = pa.schema(
+        [(id_column, pa.int64()), ("rn", pa.int64()), ("side", pa.int64())]
+    )
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "rn" not in batch.column_names:
+                return union_schema.empty_table()
+            return pa.table(
+                {
+                    id_column: batch.column(id_column).cast(pa.int64()),
+                    "rn": batch.column("rn").cast(pa.int64()),
+                    "side": pa.array(
+                        np.full(batch.num_rows, side, dtype=np.int64)
+                    ),
+                }
+            )
+
+        return fn
+
+    unioned = ranks_a.map_batches(tag(0), batch_format="pyarrow").union(
+        ranks_b.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def fuse(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            id_column: pd.Series(dtype=np.int64),
+            "rank_a": pd.Series(dtype=np.int64),
+            "rank_b": pd.Series(dtype=np.int64),
+            "rrf_e9": pd.Series(dtype=np.int64),
+        }
+        if df.empty or "side" not in df.columns:
+            return pd.DataFrame(cols)
+        ids = df[id_column].to_numpy(dtype=np.int64)
+        rn = df["rn"].to_numpy(dtype=np.int64)
+        side = df["side"].to_numpy(dtype=np.int64)
+        order = np.lexsort((side, ids))
+        ids, rn, side = ids[order], rn[order], side[order]
+        new = np.concatenate(([True], ids[1:] != ids[:-1]))
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate((starts, [len(ids)])))
+        both = sizes == 2  # inner semantics: id must appear in both
+        sa = starts[both]
+        ra, rb = rn[sa], rn[sa + 1]
+        term_a = np.floor(1e9 / (k + ra) + 0.5).astype(np.int64)
+        term_b = np.floor(1e9 / (k + rb) + 0.5).astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_column: ids[sa],
+                "rank_a": ra,
+                "rank_b": rb,
+                "rrf_e9": term_a + term_b,
+            }
+        )
+
+    return coarse_group_apply(unioned, id_column, fuse)
