@@ -2933,6 +2933,22 @@ def _q_bucket_checksums(sf_dir: str):
     )
 
 
+def _q_embedding_coherence(sf_dir: str):
+    """Cluster-coherence audit: per ground-truth label, members farther
+    than 1.01 (e4 units) from the label's own centroid, via the
+    n-scaled identity ||n·x − S||² = n²·dist² — exact int64 end-to-end,
+    no float means."""
+    from opentapioca_ray.stages.cluster import embedding_coherence
+
+    return embedding_coherence(
+        _rel(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"]),
+        "label",
+        "embedding",
+        scale=10_000,
+        outlier_dist_units=10_100,
+    )
+
+
 def _q_rrf_fusion(sf_dir: str):
     """Reciprocal-rank fusion of two order rankings — by price (desc) and
     by recency (desc): exact sampled-boundary global ranks (no global
@@ -5499,6 +5515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_kl_drift": _q_token_kl_drift,
         "zorder_stats": _q_zorder_stats,
         "rrf_fusion": _q_rrf_fusion,
+        "embedding_coherence": _q_embedding_coherence,
         "multipass_pairs": _q_multipass_pairs,
         "incremental_dedup": _q_incremental_dedup,
         "cluster_survivorship": _q_cluster_survivorship,
@@ -7429,6 +7446,36 @@ def oracle_sql() -> dict[str, str]:
                    + CAST(floor(1000000000.0 / (60 + rb.r) + 0.5) AS BIGINT)
                      AS rrf_e9
             FROM ra JOIN rb USING (o_orderkey)
+        """,
+        "embedding_coherence": """
+            WITH q AS (
+              SELECT label, vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(round(x * 10000, 0) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            n AS (SELECT label, count(*) AS n FROM q GROUP BY label),
+            u AS (
+              SELECT label, vec_id, i, v[i] AS x
+              FROM q, range(1, 65) t(i)
+            ),
+            s AS (SELECT label, i, SUM(x) AS sm FROM u GROUP BY 1, 2),
+            d AS (
+              SELECT u.label, u.vec_id,
+                     SUM((n.n * u.x - s.sm) * (n.n * u.x - s.sm)) AS d2
+              FROM u
+              JOIN s ON u.label = s.label AND u.i = s.i
+              JOIN n ON n.label = u.label
+              GROUP BY 1, 2
+            )
+            SELECT d.label,
+                   CAST(n.n AS BIGINT) AS n,
+                   CAST(COUNT(*) FILTER (
+                     d.d2 > 10100 * 10100 * n.n * n.n) AS BIGINT)
+                     AS n_outliers,
+                   CAST(MAX(d.d2) AS BIGINT) AS max_d2
+            FROM d JOIN n ON n.label = d.label
+            GROUP BY d.label, n.n
         """,
         "multipass_pairs": """
             WITH k AS (

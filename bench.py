@@ -164,6 +164,7 @@ BENCH_QUERIES = [
     "token_kl_drift",
     "zorder_stats",
     "rrf_fusion",
+    "embedding_coherence",
 ]
 
 

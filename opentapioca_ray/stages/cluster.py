@@ -109,3 +109,142 @@ def kmeans_assign(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def embedding_coherence(
+    ds,
+    label_column: str = "label",
+    vector_column: str = "embedding",
+    scale: int = 10_000,
+    outlier_dist_units: int = 10_100,
+    n_parts: int | None = None,
+):
+    """Cluster-coherence audit over an embedding column: per label, how
+    many members sit farther than a distance threshold from the label's
+    OWN centroid, plus the worst offender — EXACT integer arithmetic via
+    the n-scaled identity ||n·x − S||² = n²·||x − centroid||² (S = the
+    label's component-sum vector), so no float means ever enter the
+    comparison. Components quantize to `1/scale` units first; distances
+    compare in (scale·n)² units (int64-safe for n ≲ 30k members per
+    label at the default scale — shrink `scale` beyond that).
+
+    Two passes, both combiner-first: (1) O(labels × dim) sufficient
+    statistics to the driver (the k-means-centroid state-size contract),
+    broadcast back once; (2) per-batch vectorized d2 + per-label partial
+    (n_outliers, max_d2) merged in one tiny exchange. Returns
+    (label, n, n_outliers, max_d2)."""
+    import ray
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    stat_schema = pa.schema(
+        [("label", pa.int64()), ("dim", pa.int64()), ("s", pa.int64())]
+    )
+
+    def quantize(batch: pa.Table) -> np.ndarray | None:
+        if batch.num_rows == 0 or vector_column not in batch.column_names:
+            return None
+        vecs = batch.column(vector_column).combine_chunks()
+        flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // batch.num_rows
+        return np.rint(flat * float(scale)).astype(np.int64).reshape(
+            batch.num_rows, dim
+        )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        X = quantize(batch)
+        if X is None:
+            return stat_schema.empty_table()
+        lab = batch.column(label_column).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        ul, inv = np.unique(lab, return_inverse=True)
+        dim = X.shape[1]
+        sums = np.zeros((len(ul), dim), dtype=np.int64)
+        np.add.at(sums, inv, X)
+        counts = np.bincount(inv).astype(np.int64)
+        labels_rep = np.repeat(ul, dim + 1)
+        dims = np.tile(np.arange(-1, dim, dtype=np.int64), len(ul))
+        vals = np.concatenate(
+            [np.concatenate(([counts[i]], sums[i])) for i in range(len(ul))]
+        )
+        return pa.table(
+            {
+                "label": pa.array(labels_rep),
+                "dim": pa.array(dims),  # dim -1 carries the member count
+                "s": pa.array(vals),
+            }
+        )
+
+    # O(labels x dim) driver state, exactly like the k-means centroid table
+    stats: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    for ref in ds.map_batches(partials, batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "label" not in t.column_names:
+            continue
+        lab = t.column("label").to_numpy(zero_copy_only=False)
+        dim = t.column("dim").to_numpy(zero_copy_only=False)
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        for lb, dm, sv in zip(lab, dim, s):
+            if dm < 0:
+                counts[lb] = counts.get(lb, 0) + int(sv)
+            else:
+                arr = stats.setdefault(lb, None)
+                if arr is None:
+                    ndim = int(dim.max()) + 1
+                    arr = stats[lb] = np.zeros(ndim, dtype=np.int64)
+                arr[dm] += int(sv)
+    labels_sorted = np.array(sorted(stats), dtype=np.int64)
+    S = np.stack([stats[lb] for lb in labels_sorted]) if len(labels_sorted) else None
+    N = np.array([counts[lb] for lb in labels_sorted], dtype=np.int64)
+    state_ref = ray.put((labels_sorted, S, N))
+
+    part_schema = pa.schema(
+        [
+            ("label", pa.int64()),
+            ("n", pa.int64()),
+            ("n_outliers", pa.int64()),
+            ("max_d2", pa.int64()),
+        ]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        X = quantize(batch)
+        if X is None:
+            return part_schema.empty_table()
+        labels_s, S_m, N_v = ray.get(state_ref)
+        lab = batch.column(label_column).to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        li = np.searchsorted(labels_s, lab)
+        n_l = N_v[li]
+        diff = X * n_l[:, None] - S_m[li]
+        d2 = np.einsum("ij,ij->i", diff, diff)
+        thr = (np.int64(outlier_dist_units) ** 2) * (n_l.astype(object) * n_l)
+        is_out = d2 > np.array(thr, dtype=np.int64)
+        ul, inv = np.unique(lab, return_inverse=True)
+        n_seg = len(ul)
+        mx = np.zeros(n_seg, dtype=np.int64)
+        np.maximum.at(mx, inv, d2)
+        return pa.table(
+            {
+                "label": pa.array(ul),
+                "n": pa.array(np.bincount(inv).astype(np.int64)),
+                "n_outliers": pa.array(
+                    np.bincount(inv, weights=is_out).astype(np.int64)
+                ),
+                "max_d2": pa.array(mx),
+            }
+        )
+
+    return coarse_groupby_agg(
+        ds.map_batches(score, batch_format="pyarrow"),
+        ["label"],
+        {
+            "n": ("n", "sum"),
+            "n_outliers": ("n_outliers", "sum"),
+            "max_d2": ("max_d2", "max"),
+        },
+        n_parts=n_parts,
+    )
