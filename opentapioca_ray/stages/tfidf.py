@@ -575,13 +575,18 @@ def pmi_bigrams(ds, text_column: str = "text", min_count: int = 5):
     from opentapioca_ray.stages.exchange import coarse_groupby_agg, right_size
     from opentapioca_ray.functions.textstats import whitespace_token_lists
 
-    big = right_size(bigram_counts(ds, text_column, min_count=1).materialize())
-
-    def uni_partial(batch: pa.Table) -> pa.Table:
+    # ONE corpus tokenization pass + ONE exchange for BOTH count tables:
+    # unigram partials ride the bigram key space as (w, "") rows (the empty
+    # string cannot be a whitespace token, so the tag cannot collide)
+    def fused_partial(batch: pa.Table) -> pa.Table:
         import pandas as pd
 
         empty = pa.schema(
-            [pa.field("w", pa.string()), pa.field("_pn", pa.int64())]
+            [
+                pa.field("w1", pa.string()),
+                pa.field("w2", pa.string()),
+                pa.field("_pn", pa.int64()),
+            ]
         ).empty_table()
         if batch.num_rows == 0 or text_column not in batch.column_names:
             return empty
@@ -589,23 +594,75 @@ def pmi_bigrams(ds, text_column: str = "text", min_count: int = 5):
         flat = toks.values.to_numpy(zero_copy_only=False)
         if len(flat) == 0:
             return empty
-        part = (
-            pd.DataFrame({"w": flat})
-            .groupby("w", sort=False)
+        offsets = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.ones(len(flat), dtype=bool)
+        mask[offsets[1:] - 1] = False
+        idx = np.flatnonzero(mask)
+        uni_part = (
+            pd.DataFrame({"w1": flat})
+            .groupby("w1", sort=False)
             .size()
             .reset_index(name="_pn")
         )
-        return pa.Table.from_pandas(part, preserve_index=False)
+        uni_part["w2"] = ""
+        parts = [uni_part[["w1", "w2", "_pn"]]]
+        if len(idx):
+            big_part = (
+                pd.DataFrame({"w1": flat[idx], "w2": flat[idx + 1]})
+                .groupby(["w1", "w2"], sort=False)
+                .size()
+                .reset_index(name="_pn")
+            )
+            parts.append(big_part[["w1", "w2", "_pn"]])
+        return pa.Table.from_pandas(
+            pd.concat(parts, ignore_index=True), preserve_index=False
+        )
 
-    uni = right_size(
+    fused = right_size(
         coarse_groupby_agg(
             ds.select_columns([text_column]).map_batches(
-                uni_partial, batch_format="pyarrow"
+                fused_partial, batch_format="pyarrow"
             ),
-            ["w"],
+            ["w1", "w2"],
             {"n": ("_pn", "sum")},
         ).materialize()
     )
+
+    import pyarrow.compute as pc0
+
+    def split(tag_uni: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "w1" not in batch.column_names:
+                return (
+                    pa.schema([("w", pa.string()), ("n", pa.int64())])
+                    if tag_uni
+                    else pa.schema(
+                        [
+                            ("w1", pa.string()),
+                            ("w2", pa.string()),
+                            ("n", pa.int64()),
+                        ]
+                    )
+                ).empty_table()
+            is_uni = pc0.equal(batch.column("w2"), "")
+            if tag_uni:
+                t = batch.filter(is_uni)
+                return pa.table(
+                    {"w": t.column("w1"), "n": t.column("n").cast(pa.int64())}
+                )
+            t = batch.filter(pc0.invert(is_uni))
+            return pa.table(
+                {
+                    "w1": t.column("w1"),
+                    "w2": t.column("w2"),
+                    "n": t.column("n").cast(pa.int64()),
+                }
+            )
+
+        return fn
+
+    big = fused.map_batches(split(False), batch_format="pyarrow")
+    uni = fused.map_batches(split(True), batch_format="pyarrow")
 
     def _total(counts_ds, col: str) -> int:
         tot = 0
