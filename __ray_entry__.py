@@ -2933,6 +2933,33 @@ def _q_bucket_checksums(sf_dir: str):
     )
 
 
+def _q_exact_median_narrowing(sf_dir: str):
+    """Exact global median of lineitem extended price (centi-units) by
+    iterative histogram narrowing — distributed selection without a
+    global sort: each round is one combiner scan, O(buckets) driver
+    state, NO exchange; the 2^63 worst case needs 6 rounds."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.aggregates import exact_kth_narrowing
+
+    li = _rel(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])
+
+    def units(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("c", pa.int64())])
+        if batch.num_rows == 0 or "l_extendedprice" not in batch.column_names:
+            return schema.empty_table()
+        c = np.rint(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        return pa.table({"c": pa.array(c)})
+
+    return exact_kth_narrowing(
+        li.map_batches(units, batch_format="pyarrow"), "c"
+    )
+
+
 def _q_embedding_coherence(sf_dir: str):
     """Cluster-coherence audit: per ground-truth label, members farther
     than 1.01 (e4 units) from the label's own centroid, via the
@@ -5516,6 +5543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_stats": _q_zorder_stats,
         "rrf_fusion": _q_rrf_fusion,
         "embedding_coherence": _q_embedding_coherence,
+        "exact_median_narrowing": _q_exact_median_narrowing,
         "multipass_pairs": _q_multipass_pairs,
         "incremental_dedup": _q_incremental_dedup,
         "cluster_survivorship": _q_cluster_survivorship,
@@ -7476,6 +7504,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(d.d2) AS BIGINT) AS max_d2
             FROM d JOIN n ON n.label = d.label
             GROUP BY d.label, n.n
+        """,
+        "exact_median_narrowing": """
+            WITH v AS (
+              SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+              FROM lineitem
+            ),
+            r AS (
+              SELECT c,
+                     row_number() OVER (ORDER BY c) AS rn,
+                     count(*) OVER () AS n
+              FROM v
+            )
+            SELECT CAST(n AS BIGINT) AS n,
+                   CAST((n + 1) // 2 AS BIGINT) AS k,
+                   CAST(c AS BIGINT) AS kth
+            FROM r WHERE rn = (n + 1) // 2
         """,
         "multipass_pairs": """
             WITH k AS (

@@ -165,6 +165,7 @@ BENCH_QUERIES = [
     "zorder_stats",
     "rrf_fusion",
     "embedding_coherence",
+    "exact_median_narrowing",
 ]
 
 
