@@ -2933,6 +2933,21 @@ def _q_bucket_checksums(sf_dir: str):
     )
 
 
+def _q_time_weighted_value(sf_dir: str):
+    """Metering integral: per user, the step-function integral of event
+    value over time (centi-units x held seconds, exact int64) plus span
+    and event count — the time-weighted-average numerator that plain
+    averages get wrong when sampling is irregular."""
+    from opentapioca_ray.stages.windows import time_weighted_value
+
+    return time_weighted_value(
+        _rel(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "user_id", "ts", "value"],
+        )
+    )
+
+
 def _q_exact_median_narrowing(sf_dir: str):
     """Exact global median of lineitem extended price (centi-units) by
     iterative histogram narrowing — distributed selection without a
@@ -5544,6 +5559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rrf_fusion": _q_rrf_fusion,
         "embedding_coherence": _q_embedding_coherence,
         "exact_median_narrowing": _q_exact_median_narrowing,
+        "time_weighted_value": _q_time_weighted_value,
         "multipass_pairs": _q_multipass_pairs,
         "incremental_dedup": _q_incremental_dedup,
         "cluster_survivorship": _q_cluster_survivorship,
@@ -7520,6 +7536,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST((n + 1) // 2 AS BIGINT) AS k,
                    CAST(c AS BIGINT) AS kth
             FROM r WHERE rn = (n + 1) // 2
+        """,
+        "time_weighted_value": """
+            WITH e AS (
+              SELECT user_id,
+                     epoch_us(ts) // 1000000 AS s,
+                     CAST(round(value * 100, 0) AS BIGINT) AS c,
+                     LEAD(epoch_us(ts) // 1000000) OVER w AS next_s
+              FROM events WINDOW w AS (
+                PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id,
+                   CAST(SUM(c * COALESCE(next_s - s, 0)) AS BIGINT)
+                     AS weighted_sum_cs,
+                   CAST(MAX(s) - MIN(s) AS BIGINT) AS span_s,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM e GROUP BY user_id
         """,
         "multipass_pairs": """
             WITH k AS (

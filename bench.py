@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "rrf_fusion",
     "embedding_coherence",
     "exact_median_narrowing",
+    "time_weighted_value",
 ]
 
 

@@ -1467,3 +1467,92 @@ def ewma_trailing(
 
     units = events_ds.map_batches(to_units, batch_format="pyarrow")
     return coarse_group_apply(units, "g", kernel, n_parts=n_parts)
+
+
+def time_weighted_value(
+    events_ds,
+    group_column: str = "user_id",
+    ts_column: str = "ts",
+    id_column: str = "event_id",
+    value_column: str = "value",
+    n_parts: int | None = None,
+):
+    """Time-weighted value integral per group — the metering/billing
+    primitive: treat each group's value as a step function that holds
+    from one event until the next, and integrate it over the group's
+    observed span. Exact int64: value in centi-units x holding time in
+    SECONDS (weighted_sum_cs), plus the span. The mean height is
+    weighted_sum_cs / span_s — left to the consumer so the row stays
+    pure integers.
+
+    One coarse exchange on the group key; per-partition lexsort +
+    segment-shifted differences (no per-row loop). Timestamp peers order
+    by id; the last event of a group holds for zero time (right-open
+    convention, matching SQL's LEAD)."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    def to_units(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("g", pa.int64()),
+                ("t", pa.int64()),
+                ("i", pa.int64()),
+                ("c", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or ts_column not in batch.column_names:
+            return schema.empty_table()
+        t = pc.cast(
+            pc.cast(batch.column(ts_column).combine_chunks(), pa.timestamp("us")),
+            pa.int64(),
+        )
+        c = np.rint(
+            batch.column(value_column).to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "g": batch.column(group_column).cast(pa.int64()),
+                "t": t,
+                "i": batch.column(id_column).cast(pa.int64()),
+                "c": pa.array(c),
+            }
+        )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {
+            group_column: pd.Series(dtype=np.int64),
+            "weighted_sum_cs": pd.Series(dtype=np.int64),
+            "span_s": pd.Series(dtype=np.int64),
+            "n_events": pd.Series(dtype=np.int64),
+        }
+        if df.empty or "g" not in df.columns:
+            return pd.DataFrame(cols)
+        df = df.sort_values(["g", "t", "i"], kind="mergesort")
+        g = df["g"].to_numpy(dtype=np.int64)
+        t_s = df["t"].to_numpy(dtype=np.int64) // 1_000_000
+        c = df["c"].to_numpy(dtype=np.int64)
+        n = len(g)
+        same_next = np.zeros(n, dtype=bool)
+        same_next[:-1] = g[1:] == g[:-1]
+        hold = np.zeros(n, dtype=np.int64)
+        hold[:-1] = np.where(same_next[:-1], t_s[1:] - t_s[:-1], 0)
+        new = np.concatenate(([True], g[1:] != g[:-1]))
+        seg = np.cumsum(new) - 1
+        starts = np.flatnonzero(new)
+        n_seg = len(starts)
+        ends = np.concatenate((starts[1:], [n])) - 1
+        return pd.DataFrame(
+            {
+                group_column: g[starts],
+                "weighted_sum_cs": np.bincount(
+                    seg, weights=c * hold, minlength=n_seg
+                ).astype(np.int64),
+                "span_s": (t_s[ends] - t_s[starts]).astype(np.int64),
+                "n_events": np.diff(
+                    np.concatenate((starts, [n]))
+                ).astype(np.int64),
+            }
+        )
+
+    units = events_ds.map_batches(to_units, batch_format="pyarrow")
+    return coarse_group_apply(units, "g", kernel, n_parts=n_parts)
