@@ -2933,6 +2933,19 @@ def _q_bucket_checksums(sf_dir: str):
     )
 
 
+def _q_embedding_dim_profile(sf_dir: str):
+    """Feature-store profiling: per embedding dimension, exact int64
+    (n, sum, sum-of-squares, min, max) in e4 units — the dead-dim /
+    scale-drift health check run before any training job."""
+    from opentapioca_ray.stages.cluster import embedding_dim_profile
+
+    return embedding_dim_profile(
+        _rel(f"{sf_dir}/embeddings.parquet", columns=["embedding"]),
+        "embedding",
+        scale=10_000,
+    )
+
+
 def _q_time_weighted_value(sf_dir: str):
     """Metering integral: per user, the step-function integral of event
     value over time (centi-units x held seconds, exact int64) plus span
@@ -5560,6 +5573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_coherence": _q_embedding_coherence,
         "exact_median_narrowing": _q_exact_median_narrowing,
         "time_weighted_value": _q_time_weighted_value,
+        "embedding_dim_profile": _q_embedding_dim_profile,
         "multipass_pairs": _q_multipass_pairs,
         "incremental_dedup": _q_incremental_dedup,
         "cluster_survivorship": _q_cluster_survivorship,
@@ -7552,6 +7566,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MAX(s) - MIN(s) AS BIGINT) AS span_s,
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM e GROUP BY user_id
+        """,
+        "embedding_dim_profile": """
+            WITH q AS (
+              SELECT list_transform(CAST(embedding AS DOUBLE[]),
+                       x -> CAST(round(x * 10000, 0) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            u AS (SELECT i - 1 AS dim, v[i] AS x FROM q, range(1, 65) t(i))
+            SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sum_u,
+                   CAST(sum(x * x) AS BIGINT) AS sumsq_u,
+                   CAST(min(x) AS BIGINT) AS min_u,
+                   CAST(max(x) AS BIGINT) AS max_u
+            FROM u GROUP BY dim
         """,
         "multipass_pairs": """
             WITH k AS (

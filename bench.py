@@ -167,6 +167,7 @@ BENCH_QUERIES = [
     "embedding_coherence",
     "exact_median_narrowing",
     "time_weighted_value",
+    "embedding_dim_profile",
 ]
 
 

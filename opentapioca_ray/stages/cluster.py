@@ -248,3 +248,67 @@ def embedding_coherence(
         },
         n_parts=n_parts,
     )
+
+
+def embedding_dim_profile(
+    ds,
+    vector_column: str = "embedding",
+    scale: int = 10_000,
+    n_parts: int | None = None,
+):
+    """Per-dimension feature profile of an embedding column — the
+    feature-store health check run before training (dead dims, scale
+    drift, clipped ranges): n, sum, sum-of-squares, min, max for every
+    dimension, all exact int64 in `1/scale` units (sumsq term bound:
+    scale=1e4, |x|<1 -> x²≤1e8 per row, safe to ~9e10 rows per dim).
+
+    One stateless pass emits O(blocks x dim) partials; ONE tiny
+    combiner exchange on the dim id merges them. Returns
+    (dim, n, sum_u, sumsq_u, min_u, max_u)."""
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    part_schema = pa.schema(
+        [
+            ("dim", pa.int64()),
+            ("n", pa.int64()),
+            ("sum_u", pa.int64()),
+            ("sumsq_u", pa.int64()),
+            ("min_u", pa.int64()),
+            ("max_u", pa.int64()),
+        ]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or vector_column not in batch.column_names:
+            return part_schema.empty_table()
+        vecs = batch.column(vector_column).combine_chunks()
+        flat = vecs.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        dim = len(flat) // batch.num_rows
+        X = np.rint(flat * float(scale)).astype(np.int64).reshape(
+            batch.num_rows, dim
+        )
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(dim, dtype=np.int64)),
+                "n": pa.array(np.full(dim, batch.num_rows, dtype=np.int64)),
+                "sum_u": pa.array(X.sum(axis=0)),
+                "sumsq_u": pa.array((X * X).sum(axis=0)),
+                "min_u": pa.array(X.min(axis=0)),
+                "max_u": pa.array(X.max(axis=0)),
+            }
+        )
+
+    return coarse_groupby_agg(
+        ds.select_columns([vector_column]).map_batches(
+            partial, batch_format="pyarrow"
+        ),
+        ["dim"],
+        {
+            "n": ("n", "sum"),
+            "sum_u": ("sum_u", "sum"),
+            "sumsq_u": ("sumsq_u", "sum"),
+            "min_u": ("min_u", "min"),
+            "max_u": ("max_u", "max"),
+        },
+        n_parts=n_parts,
+    )
