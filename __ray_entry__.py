@@ -2933,6 +2933,16 @@ def _q_bucket_checksums(sf_dir: str):
     )
 
 
+def _q_path_tree_rollup(sf_dir: str):
+    """Data-lake namespace summary over the files table: file count and
+    total content size for every repo/path prefix up to 3 segments —
+    quota accounting / shard planning without double-listing leaves."""
+    from opentapioca_ray.sources.files import read_files
+    from opentapioca_ray.stages.selection import path_tree_rollup
+
+    return path_tree_rollup(read_files(sf_dir), max_depth=3)
+
+
 def _q_embedding_dim_profile(sf_dir: str):
     """Feature-store profiling: per embedding dimension, exact int64
     (n, sum, sum-of-squares, min, max) in e4 units — the dead-dim /
@@ -5574,6 +5584,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_median_narrowing": _q_exact_median_narrowing,
         "time_weighted_value": _q_time_weighted_value,
         "embedding_dim_profile": _q_embedding_dim_profile,
+        "path_tree_rollup": _q_path_tree_rollup,
         "multipass_pairs": _q_multipass_pairs,
         "incremental_dedup": _q_incremental_dedup,
         "cluster_survivorship": _q_cluster_survivorship,
@@ -7581,6 +7592,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(x) AS BIGINT) AS min_u,
                    CAST(max(x) AS BIGINT) AS max_u
             FROM u GROUP BY dim
+        """,
+        "path_tree_rollup": """
+            WITH f AS (
+              SELECT 'org' || (doc_id % 20) || '/' || source || '/' ||
+                     'src/pkg' || (doc_id % 7) || '/mod_' || doc_id || '.' ||
+                     CASE lang WHEN 'en' THEN 'py' WHEN 'fr' THEN 'js'
+                               WHEN 'de' THEN 'java' WHEN 'es' THEN 'md'
+                               WHEN 'zh' THEN 'rs' ELSE 'txt' END AS fullp,
+                     length(text) AS sz
+              FROM documents
+            ),
+            ex AS (
+              SELECT d AS depth,
+                     array_to_string(
+                       list_slice(string_split(fullp, '/'), 1, d), '/')
+                       AS prefix,
+                     sz
+              FROM f, range(1, 4) t(d)
+              WHERE d <= len(string_split(fullp, '/'))
+            )
+            SELECT CAST(depth AS BIGINT) AS depth, prefix,
+                   CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(sum(sz) AS BIGINT) AS total_chars
+            FROM ex GROUP BY 1, 2
         """,
         "multipass_pairs": """
             WITH k AS (

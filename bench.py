@@ -168,6 +168,7 @@ BENCH_QUERIES = [
     "exact_median_narrowing",
     "time_weighted_value",
     "embedding_dim_profile",
+    "path_tree_rollup",
 ]
 
 

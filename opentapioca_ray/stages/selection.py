@@ -430,3 +430,69 @@ def zorder_block_stats(
         },
         n_parts=n_parts,
     )
+
+
+def path_tree_rollup(
+    files_ds,
+    repo_column: str = "repo",
+    path_column: str = "path",
+    size_column: str = "content",
+    max_depth: int = 3,
+    n_parts: int | None = None,
+):
+    """Namespace-tree rollup of a file corpus: for every '/'-prefix of
+    repo/path up to `max_depth` segments, the file count and total
+    content size — the data-lake directory summary that drives quota
+    accounting, shard planning, and skew diagnosis without listing any
+    leaf twice at the same level. Each file fans out to at most
+    `max_depth` prefix rows (a stateless map); ONE combiner-first
+    exchange on the prefix merges them. Returns
+    (depth, prefix, n_files, total_chars)."""
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    part_schema = pa.schema(
+        [
+            ("depth", pa.int64()),
+            ("prefix", pa.string()),
+            ("n_files", pa.int64()),
+            ("total_chars", pa.int64()),
+        ]
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or repo_column not in batch.column_names:
+            return part_schema.empty_table()
+        repo = batch.column(repo_column).to_pylist()
+        path = batch.column(path_column).to_pylist()
+        import pyarrow.compute as pc
+
+        sizes = pc.utf8_length(
+            batch.column(size_column).cast(pa.large_string())
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+        depths, prefixes, counts, chars = [], [], [], []
+        for full, sz in zip(
+            (f"{r}/{p}" for r, p in zip(repo, path)), sizes
+        ):
+            segs = full.split("/")
+            for d in range(1, min(max_depth, len(segs)) + 1):
+                depths.append(d)
+                prefixes.append("/".join(segs[:d]))
+                counts.append(1)
+                chars.append(int(sz))
+        return pa.table(
+            {
+                "depth": pa.array(depths, pa.int64()),
+                "prefix": pa.array(prefixes, pa.string()),
+                "n_files": pa.array(counts, pa.int64()),
+                "total_chars": pa.array(chars, pa.int64()),
+            }
+        )
+
+    return coarse_groupby_agg(
+        files_ds.select_columns(
+            [repo_column, path_column, size_column]
+        ).map_batches(explode, batch_format="pyarrow"),
+        ["depth", "prefix"],
+        {"n_files": ("n_files", "sum"), "total_chars": ("total_chars", "sum")},
+        n_parts=n_parts,
+    )
