@@ -2933,6 +2933,18 @@ def _q_bucket_checksums(sf_dir: str):
     )
 
 
+def _q_basket_rules(sf_dir: str):
+    """Market-basket association rules over order baskets: part pairs
+    co-purchased in >= 2 orders with exact-integer support, floor-divided
+    e6 confidences both ways, and lift — the size-2 frequent-itemset
+    kernel; basket pair fan-out is bounded by the max_basket skew
+    guard."""
+    from opentapioca_ray.stages.relational import basket_rules
+
+    li = _rel(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    return basket_rules(li, "l_orderkey", "l_partkey", min_support=2)
+
+
 def _q_path_tree_rollup(sf_dir: str):
     """Data-lake namespace summary over the files table: file count and
     total content size for every repo/path prefix up to 3 segments —
@@ -5585,6 +5597,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_weighted_value": _q_time_weighted_value,
         "embedding_dim_profile": _q_embedding_dim_profile,
         "path_tree_rollup": _q_path_tree_rollup,
+        "basket_rules": _q_basket_rules,
         "multipass_pairs": _q_multipass_pairs,
         "incremental_dedup": _q_incremental_dedup,
         "cluster_survivorship": _q_cluster_survivorship,
@@ -7616,6 +7629,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_files,
                    CAST(sum(sz) AS BIGINT) AS total_chars
             FROM ex GROUP BY 1, 2
+        """,
+        "basket_rules": """
+            WITH p AS (
+              SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
+            ),
+            t AS (SELECT count(DISTINCT o) AS t_orders FROM p),
+            pc AS (
+              SELECT a.i AS x, b.i AS y, count(*) AS n_xy
+              FROM p a JOIN p b ON a.o = b.o AND a.i < b.i
+              GROUP BY 1, 2 HAVING count(*) >= 2
+            ),
+            m AS (SELECT i, count(*) AS n FROM p GROUP BY i)
+            SELECT pc.x, pc.y,
+                   CAST(pc.n_xy AS BIGINT) AS n_xy,
+                   CAST(mx.n AS BIGINT) AS n_x,
+                   CAST(my.n AS BIGINT) AS n_y,
+                   CAST(pc.n_xy * 1000000 // mx.n AS BIGINT) AS conf_xy_e6,
+                   CAST(pc.n_xy * 1000000 // my.n AS BIGINT) AS conf_yx_e6,
+                   CAST(pc.n_xy * t.t_orders * 1000000 // (mx.n * my.n)
+                        AS BIGINT) AS lift_e6
+            FROM pc
+            JOIN m mx ON mx.i = pc.x
+            JOIN m my ON my.i = pc.y
+            CROSS JOIN t
         """,
         "multipass_pairs": """
             WITH k AS (

@@ -169,6 +169,7 @@ BENCH_QUERIES = [
     "time_weighted_value",
     "embedding_dim_profile",
     "path_tree_rollup",
+    "basket_rules",
 ]
 
 

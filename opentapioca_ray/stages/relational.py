@@ -12,6 +12,7 @@ comparable size use the union + groupby reduce-side join pattern
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 
@@ -574,3 +575,185 @@ def bloom_semijoin(
     return coarse_group_apply(
         unioned, "__k", annotate, n_parts=n_parts, batch_format="pyarrow"
     )
+
+
+def basket_rules(
+    ds,
+    order_column: str,
+    item_column: str,
+    min_support: int = 2,
+    max_basket: int = 1024,
+    n_parts: int | None = None,
+):
+    """Size-2 association rules over transaction baskets (the classic
+    market-basket mining kernel): for every item pair co-occurring in
+    >= `min_support` orders, the support count, both direction
+    confidences (floor-divided e6), and the lift — all from exact
+    integer counts, one quantized division each. Output:
+    (x, y, n_xy, n_x, n_y, conf_xy_e6, conf_yx_e6, lift_e6), x < y.
+
+    Scale shape: ONE exchange on the order key emits within-basket pairs
+    (baskets above `max_basket` items are dropped — the skew guard the
+    pair fan-out needs, logged via the dropped count being visible in
+    support totals); pair partials merge combiner-first on the pair; item
+    marginals ride the metablocking lookup-attach shape (two slim
+    exchanges), never a driver collect."""
+    import ray
+
+    from opentapioca_ray.stages.exchange import (
+        coarse_group_apply,
+        coarse_groupby_agg,
+        right_size,
+    )
+    from opentapioca_ray.stages.metablocking import _attach_node_stats
+
+    slim_schema = pa.schema([("o", pa.int64()), ("i", pa.int64())])
+
+    def slim(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or order_column not in batch.column_names:
+            return slim_schema.empty_table()
+        return pa.table(
+            {
+                "o": batch.column(order_column).cast(pa.int64()),
+                "i": batch.column(item_column).cast(pa.int64()),
+            }
+        )
+
+    # global distinct (order, item) — dedup combiner-first
+    distinct = right_size(
+        coarse_groupby_agg(
+            ds.select_columns([order_column, item_column]).map_batches(
+                slim, batch_format="pyarrow"
+            ),
+            ["o", "i"],
+            {"n": ("i", "size")},
+        ).materialize()
+    )
+
+    def pair_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype=np.int64) for c in ("u", "v", "c")}
+        )
+        if df.empty or "o" not in df.columns:
+            return empty
+        df = df.sort_values(["o", "i"], kind="mergesort")
+        o = df["o"].to_numpy(dtype=np.int64)
+        it = df["i"].to_numpy(dtype=np.int64)
+        new = np.concatenate(([True], o[1:] != o[:-1]))
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate((starts, [len(o)])))
+        keep = sizes <= max_basket
+        us, vs = [], []
+        from opentapioca_ray.stages.triangles import _segment_pairs
+
+        seg = np.cumsum(new) - 1
+        seg_keep = keep[seg]
+        li, ri = _segment_pairs(seg[seg_keep])
+        itk = it[seg_keep]
+        if len(li) == 0:
+            return empty
+        part = pd.DataFrame({"u": itk[li], "v": itk[ri]})
+        part = part.groupby(["u", "v"], sort=False).size().reset_index(name="c")
+        return part
+
+    pair_counts = coarse_groupby_agg(
+        coarse_group_apply(distinct, "o", pair_partition, n_parts=n_parts),
+        ["u", "v"],
+        {"n_xy": ("c", "sum")},
+        n_parts=n_parts,
+    )
+
+    import pyarrow.compute as pc
+
+    pairs = right_size(
+        pair_counts.map_batches(
+            lambda b: (
+                b.filter(pc.greater_equal(b.column("n_xy"), min_support))
+                if b.num_rows and "n_xy" in b.column_names
+                else pa.schema(
+                    [("u", pa.int64()), ("v", pa.int64()), ("n_xy", pa.int64())]
+                ).empty_table()
+            ),
+            batch_format="pyarrow",
+        ).materialize()
+    )
+
+    # item marginals (n orders containing the item) as lookup-attach stats
+    stats = coarse_groupby_agg(
+        distinct, ["i"], {"s": ("o", "size")}, n_parts=n_parts
+    ).map_batches(
+        lambda b: (
+            pa.table(
+                {
+                    "node": b.column("i").cast(pa.int64()),
+                    "s": b.column("s").cast(pa.int64()),
+                    "d": pa.nulls(b.num_rows, pa.int64()).fill_null(0),
+                }
+            )
+            if b.num_rows and "i" in b.column_names
+            else pa.schema(
+                [("node", pa.int64()), ("s", pa.int64()), ("d", pa.int64())]
+            ).empty_table()
+        ),
+        batch_format="pyarrow",
+    )
+
+    # total distinct orders: O(blocks) combiner partials
+    t_orders = 0
+    order_counts = coarse_groupby_agg(
+        distinct.select_columns(["o"]), ["o"], {"n": ("o", "size")},
+        n_parts=n_parts,
+    )
+    for ref in order_counts.map_batches(
+        lambda b: pa.table(
+            {"t": pa.array([b.num_rows], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    ).to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows and "t" in t.column_names:
+            t_orders += int(t.column("t").to_numpy().sum())
+
+    with_u = _attach_node_stats(
+        pairs, stats, "u", ["u", "v", "n_xy"], "n_x", "_du", n_parts
+    )
+    both = _attach_node_stats(
+        with_u, stats, "v", ["u", "v", "n_xy", "n_x", "_du"], "n_y", "_dv",
+        n_parts,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("x", pa.int64()),
+            ("y", pa.int64()),
+            ("n_xy", pa.int64()),
+            ("n_x", pa.int64()),
+            ("n_y", pa.int64()),
+            ("conf_xy_e6", pa.int64()),
+            ("conf_yx_e6", pa.int64()),
+            ("lift_e6", pa.int64()),
+        ]
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return out_schema.empty_table()
+        n_xy = batch.column("n_xy").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_x = batch.column("n_x").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_y = batch.column("n_y").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "x": batch.column("u").cast(pa.int64()),
+                "y": batch.column("v").cast(pa.int64()),
+                "n_xy": pa.array(n_xy),
+                "n_x": pa.array(n_x),
+                "n_y": pa.array(n_y),
+                "conf_xy_e6": pa.array(n_xy * 1_000_000 // n_x),
+                "conf_yx_e6": pa.array(n_xy * 1_000_000 // n_y),
+                "lift_e6": pa.array(
+                    n_xy * np.int64(t_orders) * 1_000_000 // (n_x * n_y)
+                ),
+            }
+        )
+
+    return both.map_batches(finish, batch_format="pyarrow")
