@@ -892,6 +892,10 @@ def linkage_clusters(
             ).empty_table()
             return rd.from_arrow(empty_cl), rd.from_arrow(empty_sc)
         scored = score_pairs(enriched, idf, prior, model, concurrency)
+    # scored is consumed at least twice (match-edge derivation here, and
+    # callers re-read it: F1 eval, the oracle's match-edge dump); left lazy,
+    # each consumer re-runs the whole blocking+scoring pipeline
+    scored = scored.materialize()
     edges = match_edges(scored, threshold)
     clusters = connected_components(edges)
     return clusters, scored
