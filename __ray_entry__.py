@@ -2933,6 +2933,106 @@ def _q_bucket_checksums(sf_dir: str):
     )
 
 
+def _q_three_way_merge(sf_dir: str):
+    """Three-way snapshot reconciliation over deterministically derived
+    replicas of orders (ours: delete key%97, restatus key%77->'Z' else
+    key%7->'X', add synthetic keys for key%101; theirs: +100c price on
+    key%5, restatus key%77->'Z'): per merge_status the key count and key
+    range — the multi-writer merge audit (conflict / clean-convergence /
+    one-sided / add / remove)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.diff import three_way_merge
+
+    orders = _rel(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+
+    def base_rows(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("k", pa.int64()), ("st", pa.string()), ("pc_", pa.string())]
+        )
+        if batch.num_rows == 0 or "o_orderkey" not in batch.column_names:
+            return schema.empty_table()
+        c = np.rint(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": batch.column("o_orderkey").cast(pa.int64()),
+                "st": batch.column("o_orderstatus").cast(pa.string()),
+                "pc_": pa.array([str(x) for x in c], pa.string()),
+            }
+        )
+
+    base = orders.map_batches(base_rows, batch_format="pyarrow")
+
+    def ours_rows(batch: pa.Table) -> pa.Table:
+        t = base_rows(batch)
+        if t.num_rows == 0:
+            return t
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        st = t.column("st").to_numpy(zero_copy_only=False).astype(object)
+        st = np.where(k % 77 == 0, "Z", np.where(k % 7 == 0, "X", st))
+        keep = k % 97 != 0
+        out = pa.table(
+            {
+                "k": pa.array(k[keep]),
+                "st": pa.array(st[keep].astype(object), pa.string()),
+                "pc_": t.column("pc_").filter(pa.array(keep)),
+            }
+        )
+        add = k[k % 101 == 0]
+        if len(add):
+            out = pa.concat_tables(
+                [
+                    out,
+                    pa.table(
+                        {
+                            "k": pa.array(add + 10_000_000),
+                            "st": pa.array(["N"] * len(add), pa.string()),
+                            "pc_": pa.array(["0"] * len(add), pa.string()),
+                        }
+                    ),
+                ]
+            )
+        return out
+
+    def theirs_rows(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("k", pa.int64()), ("st", pa.string()), ("pc_", pa.string())]
+        )
+        if batch.num_rows == 0 or "o_orderkey" not in batch.column_names:
+            return schema.empty_table()
+        k = batch.column("o_orderkey").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+        c = np.rint(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        c = np.where(k % 5 == 0, c + 100, c)
+        st = (
+            batch.column("o_orderstatus")
+            .to_numpy(zero_copy_only=False)
+            .astype(object)
+        )
+        st = np.where(k % 77 == 0, "Z", st)
+        return pa.table(
+            {
+                "k": pa.array(k),
+                "st": pa.array(st.astype(object), pa.string()),
+                "pc_": pa.array([str(x) for x in c], pa.string()),
+            }
+        )
+
+    ours = orders.map_batches(ours_rows, batch_format="pyarrow")
+    theirs = orders.map_batches(theirs_rows, batch_format="pyarrow")
+    return three_way_merge(base, ours, theirs, "k", ["st", "pc_"])
+
+
 def _q_basket_rules(sf_dir: str):
     """Market-basket association rules over order baskets: part pairs
     co-purchased in >= 2 orders with exact-integer support, floor-divided
@@ -5598,6 +5698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_profile": _q_embedding_dim_profile,
         "path_tree_rollup": _q_path_tree_rollup,
         "basket_rules": _q_basket_rules,
+        "three_way_merge": _q_three_way_merge,
         "multipass_pairs": _q_multipass_pairs,
         "incremental_dedup": _q_incremental_dedup,
         "cluster_survivorship": _q_cluster_survivorship,
@@ -7653,6 +7754,66 @@ def oracle_sql() -> dict[str, str]:
             JOIN m mx ON mx.i = pc.x
             JOIN m my ON my.i = pc.y
             CROSS JOIN t
+        """,
+        "three_way_merge": """
+            WITH base AS (
+              SELECT o_orderkey AS k,
+                     o_orderstatus || '|' ||
+                       CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                            AS VARCHAR) AS v
+              FROM orders
+            ),
+            ours AS (
+              SELECT k,
+                     (CASE WHEN k % 77 = 0 THEN 'Z'
+                           WHEN k % 7 = 0 THEN 'X'
+                           ELSE o_orderstatus END) || '|' ||
+                       CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                            AS VARCHAR) AS v
+              FROM (SELECT o_orderkey AS k, o_orderstatus, o_totalprice
+                    FROM orders WHERE o_orderkey % 97 != 0)
+              UNION ALL
+              SELECT o_orderkey + 10000000 AS k, 'N|0' AS v
+              FROM orders WHERE o_orderkey % 101 = 0
+            ),
+            theirs AS (
+              SELECT o_orderkey AS k,
+                     (CASE WHEN o_orderkey % 77 = 0 THEN 'Z'
+                           ELSE o_orderstatus END) || '|' ||
+                       CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                            + CASE WHEN o_orderkey % 5 = 0 THEN 100
+                                   ELSE 0 END AS VARCHAR) AS v
+              FROM orders
+            ),
+            keys AS (
+              SELECT k FROM base UNION SELECT k FROM ours
+              UNION SELECT k FROM theirs
+            ),
+            j AS (
+              SELECT keys.k, b.v AS bv, o.v AS ov, t.v AS tv
+              FROM keys
+              LEFT JOIN base b ON b.k = keys.k
+              LEFT JOIN ours o ON o.k = keys.k
+              LEFT JOIN theirs t ON t.k = keys.k
+            ),
+            cls AS (
+              SELECT k,
+                CASE
+                  WHEN bv IS NULL THEN 'added'
+                  WHEN ov IS NULL OR tv IS NULL THEN 'removed'
+                  WHEN ov != bv AND tv != bv AND ov != tv THEN 'conflict'
+                  WHEN ov != bv AND tv != bv THEN 'both_same'
+                  WHEN ov != bv THEN 'ours_only'
+                  WHEN tv != bv THEN 'theirs_only'
+                  ELSE 'unchanged'
+                END AS merge_status
+              FROM j
+            )
+            SELECT merge_status,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(min(k) AS BIGINT) AS min_key,
+                   CAST(max(k) AS BIGINT) AS max_key
+            FROM cls GROUP BY merge_status
         """,
         "multipass_pairs": """
             WITH k AS (

@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "embedding_dim_profile",
     "path_tree_rollup",
     "basket_rules",
+    "three_way_merge",
 ]
 
 
