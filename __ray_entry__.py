@@ -405,6 +405,24 @@ def _q_ngram_jaccard_pairs(sf_dir: str):
     )
 
 
+def _q_set_sim_join(sf_dir: str):
+    """Prefix-filtered exact set-similarity self-join (AllPairs/PPJoin):
+    same 3-gram Jaccard >= 1/2 task as ngram_jaccard_pairs, but candidate
+    generation ships only each doc's provably-sufficient df-ordered PREFIX
+    grams instead of all of them — lossless, so the oracle is the plain
+    all-pairs SQL with the exact integer threshold (jacc_e6 fixed-point)."""
+    from opentapioca_ray.stages.setjoin import prefix_filter_pairs
+
+    return prefix_filter_pairs(
+        _docs(sf_dir),
+        id_column="doc_id",
+        text_column="text",
+        num=1,
+        den=2,
+        k=3,
+    )
+
+
 def _q_dup_components(sf_dir: str):
     """Duplicate clusters: connected components over the exact n-gram
     Jaccard pair graph (component label = min doc_id). The oracle replays
@@ -5582,6 +5600,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "set_sim_join": _q_set_sim_join,
         "dup_components": _q_dup_components,
         "decontaminate": _q_decontaminate,
         "simhash_dedup": _q_simhash_dedup,
@@ -6136,6 +6155,42 @@ def oracle_sql() -> dict[str, str]:
               JOIN grams gb ON gb.doc_id = cand.v
             )
             SELECT u, v, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
+        """,
+        "set_sim_join": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                END AS gs
+              FROM toks WHERE len(arr) > 0
+            ),
+            ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            j AS (
+              SELECT u, v,
+                len(list_intersect(ga.gs, gb.gs)) AS inter,
+                len(ga.gs) + len(gb.gs)
+                  - len(list_intersect(ga.gs, gb.gs)) AS uni
+              FROM cand
+              JOIN grams ga ON ga.doc_id = cand.u
+              JOIN grams gb ON gb.doc_id = cand.v
+            )
+            SELECT u, v, CAST(inter * 1000000 // uni AS BIGINT) AS jacc_e6
+            FROM j WHERE 2 * inter >= uni
         """,
         "dup_components": f"""
             WITH RECURSIVE toks AS (

@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "path_tree_rollup",
     "basket_rules",
     "three_way_merge",
+    "set_sim_join",
 ]
 
 
