@@ -423,6 +423,86 @@ def _q_set_sim_join(sf_dir: str):
     )
 
 
+def _q_fellegi_sunter(sf_dir: str):
+    """Unsupervised Fellegi-Sunter record-linkage fit (Splink-style): a
+    deterministically perturbed replica of part is linked back against the
+    original, blocked on brand; the distributed work reduces the blocked
+    A x B pair space to a 16-row gamma-pattern histogram in ONE exchange,
+    and 5 rounds of exact-integer quantized EM run driver-side (O(2^K)
+    state). Output: per observed pattern the pair count, the ground-truth
+    same-key count, and the final-model match posterior (e9 fixed-point)
+    — the oracle unrolls the same EM as a CTE chain."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.probabilistic import fellegi_sunter
+
+    part = _rel(
+        f"{sf_dir}/part.parquet",
+        columns=[
+            "p_partkey",
+            "p_brand",
+            "p_name",
+            "p_type",
+            "p_size",
+            "p_retailprice",
+        ],
+    )
+
+    def a_rows(batch: pa.Table) -> pa.Table:
+        price = np.rint(
+            batch.column("p_retailprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "k": batch.column("p_partkey").cast(pa.int64()),
+                "blk": batch.column("p_brand").cast(pa.string()),
+                "nm": batch.column("p_name").cast(pa.string()),
+                "ty": batch.column("p_type").cast(pa.string()),
+                "sz": batch.column("p_size").cast(pa.int64()),
+                "price_c": pa.array(price),
+            }
+        )
+
+    def b_rows(batch: pa.Table) -> pa.Table:
+        t = a_rows(batch)
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        nm = t.column("nm").to_numpy(zero_copy_only=False).astype(object)
+        ty = t.column("ty").to_numpy(zero_copy_only=False).astype(object)
+        sz = t.column("sz").to_numpy(zero_copy_only=False)
+        price = t.column("price_c").to_numpy(zero_copy_only=False)
+        # synthetic dirty replica (bounded fixture map, not a hot path):
+        # k%3 -> name suffix, k%7 -> type overwrite, k%5 -> size drift,
+        # k%2 -> +5.00 price
+        nm = np.where(k % 3 == 0, np.array([s + " x" for s in nm], object), nm)
+        ty = np.where(k % 7 == 0, "ALTERED", ty)
+        sz = np.where(k % 5 == 0, sz + 1, sz)
+        price = np.where(k % 2 == 0, price + 500, price)
+        return pa.table(
+            {
+                "k": t.column("k"),
+                "blk": t.column("blk"),
+                "nm": pa.array(nm.astype(object), pa.string()),
+                "ty": pa.array(ty.astype(object), pa.string()),
+                "sz": pa.array(sz.astype(np.int64)),
+                "price_c": pa.array(price.astype(np.int64)),
+            }
+        )
+
+    a = part.map_batches(a_rows, batch_format="pyarrow")
+    b = part.map_batches(b_rows, batch_format="pyarrow")
+    out = fellegi_sunter(
+        a,
+        b,
+        key_column="k",
+        block_column="blk",
+        eq_columns=["nm", "ty"],
+        tol_columns=[("sz", 0), ("price_c", 100)],
+        iters=5,
+    )
+    return out
+
+
 def _q_dup_components(sf_dir: str):
     """Duplicate clusters: connected components over the exact n-gram
     Jaccard pair graph (component label = min doc_id). The oracle replays
@@ -5601,6 +5681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "set_sim_join": _q_set_sim_join,
+        "fellegi_sunter": _q_fellegi_sunter,
         "dup_components": _q_dup_components,
         "decontaminate": _q_decontaminate,
         "simhash_dedup": _q_simhash_dedup,
@@ -6021,6 +6102,101 @@ def _pagerank_sql(iterations: int = 16) -> str:
     return "".join(parts)
 
 
+def _fs_oracle_sql(iters: int = 5) -> str:
+    """Unrolled Fellegi-Sunter EM oracle: the 16-row gamma histogram via a
+    blocked SQL join, then `iters` parameter-update CTEs that replay
+    stages/probabilistic.fs_em exactly — e9-quantized params (HUGEINT floor
+    division), responsibilities as the same left-associative double product
+    + floor. Mirrors the repo's fixed-round iterative-oracle recipe."""
+
+    def resp(p: str) -> str:
+        """(pm, pu) doubles from params CTE alias `p` and hist columns."""
+        pm = f"({p}.lam / 1e9)"
+        pu = f"((1000000000 - {p}.lam) / 1e9)"
+        for i in range(1, 5):
+            pm = (
+                f"({pm} * ((CASE WHEN g{i} = 1 THEN {p}.m{i} "
+                f"ELSE 1000000000 - {p}.m{i} END) / 1e9))"
+            )
+            pu = (
+                f"({pu} * ((CASE WHEN g{i} = 1 THEN {p}.u{i} "
+                f"ELSE 1000000000 - {p}.u{i} END) / 1e9))"
+            )
+        return pm, pu
+
+    sql = """
+        WITH a AS (
+          SELECT p_partkey AS k, p_brand AS blk, p_name AS nm,
+                 p_type AS ty, CAST(p_size AS BIGINT) AS sz,
+                 CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_c
+          FROM part
+        ),
+        b AS (
+          SELECT k, blk,
+            CASE WHEN k % 3 = 0 THEN nm || ' x' ELSE nm END AS nm,
+            CASE WHEN k % 7 = 0 THEN 'ALTERED' ELSE ty END AS ty,
+            CASE WHEN k % 5 = 0 THEN sz + 1 ELSE sz END AS sz,
+            CASE WHEN k % 2 = 0 THEN price_c + 500 ELSE price_c END AS price_c
+          FROM a
+        ),
+        hist AS MATERIALIZED (
+          SELECT CASE WHEN a.nm = b.nm THEN 1 ELSE 0 END AS g1,
+                 CASE WHEN a.ty = b.ty THEN 1 ELSE 0 END AS g2,
+                 CASE WHEN abs(a.sz - b.sz) <= 0 THEN 1 ELSE 0 END AS g3,
+                 CASE WHEN abs(a.price_c - b.price_c) <= 100
+                      THEN 1 ELSE 0 END AS g4,
+                 CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(CASE WHEN a.k = b.k THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_same_key
+          FROM a JOIN b ON a.blk = b.blk
+          GROUP BY 1, 2, 3, 4
+        ),
+        p0 AS (
+          SELECT 500000000::BIGINT AS lam,
+                 900000000::BIGINT AS m1, 900000000::BIGINT AS m2,
+                 900000000::BIGINT AS m3, 900000000::BIGINT AS m4,
+                 100000000::BIGINT AS u1, 100000000::BIGINT AS u2,
+                 100000000::BIGINT AS u3, 100000000::BIGINT AS u4
+        )"""
+    for t in range(iters):
+        pm, pu = resp(f"p{t}")
+        sql += f""",
+        it{t} AS MATERIALIZED (
+          SELECT g1, g2, g3, g4, n_pairs,
+            CASE WHEN {pm} + {pu} = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(floor(({pm} / ({pm} + {pu})) * 1e9) AS BIGINT)
+            END AS r
+          FROM hist CROSS JOIN p{t}
+        ),
+        p{t + 1} AS MATERIALIZED (
+          SELECT
+            CAST(sum(n_pairs * r) // sum(n_pairs) AS BIGINT) AS lam"""
+        for i in range(1, 5):
+            sql += f""",
+            CAST(CAST(sum(CASE WHEN g{i} = 1 THEN n_pairs * r ELSE 0 END)
+                      AS HUGEINT) * 1000000000
+                 // CAST(sum(n_pairs * r) AS HUGEINT) AS BIGINT) AS m{i},
+            CAST(CAST(sum(CASE WHEN g{i} = 1
+                          THEN n_pairs * (1000000000 - r) ELSE 0 END)
+                      AS HUGEINT) * 1000000000
+                 // CAST(sum(n_pairs * (1000000000 - r)) AS HUGEINT)
+                 AS BIGINT) AS u{i}"""
+        sql += f"""
+          FROM it{t}
+        )"""
+    pm, pu = resp(f"p{iters}")
+    sql += f"""
+        SELECT CAST(g1 AS BIGINT) AS g1, CAST(g2 AS BIGINT) AS g2,
+               CAST(g3 AS BIGINT) AS g3, CAST(g4 AS BIGINT) AS g4,
+               n_pairs, n_same_key,
+               CASE WHEN {pm} + {pu} = 0 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(floor(({pm} / ({pm} + {pu})) * 1e9) AS BIGINT)
+               END AS posterior_e9
+        FROM hist CROSS JOIN p{iters}
+    """
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     tok_cte = f"""
         tokens AS (
@@ -6192,6 +6368,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT u, v, CAST(inter * 1000000 // uni AS BIGINT) AS jacc_e6
             FROM j WHERE 2 * inter >= uni
         """,
+        "fellegi_sunter": _fs_oracle_sql(),
         "dup_components": f"""
             WITH RECURSIVE toks AS (
               SELECT doc_id,

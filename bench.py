@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "basket_rules",
     "three_way_merge",
     "set_sim_join",
+    "fellegi_sunter",
 ]
 
 
