@@ -423,19 +423,17 @@ def _q_set_sim_join(sf_dir: str):
     )
 
 
-def _q_fellegi_sunter(sf_dir: str):
-    """Unsupervised Fellegi-Sunter record-linkage fit (Splink-style): a
-    deterministically perturbed replica of part is linked back against the
-    original, blocked on brand; the distributed work reduces the blocked
-    A x B pair space to a 16-row gamma-pattern histogram in ONE exchange,
-    and 5 rounds of exact-integer quantized EM run driver-side (O(2^K)
-    state). Output: per observed pattern the pair count, the ground-truth
-    same-key count, and the final-model match posterior (e9 fixed-point)
-    — the oracle unrolls the same EM as a CTE chain."""
+_FS_CACHE: dict[str, tuple] = {}
+
+_FS_FIELDS = {"eq_columns": ["nm", "ty"], "tol_columns": [("sz", 0), ("price_c", 100)]}
+
+
+def _fs_inputs(sf_dir: str):
+    """The FS linkage fixture: part (side A) + a deterministically
+    perturbed replica (side B), slim-projected and materialized once per
+    process+sf_dir (shared by fellegi_sunter and fs_clusters)."""
     import numpy as np
     import pyarrow as pa
-
-    from opentapioca_ray.stages.probabilistic import fellegi_sunter
 
     part = _rel(
         f"{sf_dir}/part.parquet",
@@ -489,18 +487,91 @@ def _q_fellegi_sunter(sf_dir: str):
             }
         )
 
-    a = part.map_batches(a_rows, batch_format="pyarrow")
-    b = part.map_batches(b_rows, batch_format="pyarrow")
-    out = fellegi_sunter(
+    a = part.map_batches(a_rows, batch_format="pyarrow").materialize()
+    b = part.map_batches(b_rows, batch_format="pyarrow").materialize()
+    return a, b
+
+
+def _fs_fit(sf_dir: str):
+    """(a, b, hist DataFrame, fs_em fit) — computed once per
+    process+sf_dir; the histogram is the only distributed work and both
+    FS queries share it."""
+    key = str(sf_dir)
+    hit = _FS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from opentapioca_ray.stages.probabilistic import fs_em, fs_pattern_histogram
+
+    a, b = _fs_inputs(sf_dir)
+    hist = fs_pattern_histogram(
+        a, b, key_column="k", block_column="blk", **_FS_FIELDS
+    ).to_pandas()
+    fit = fs_em(hist.to_dict("records"), n_fields=4, iters=5)
+    _FS_CACHE[key] = (a, b, hist, fit)
+    return a, b, hist, fit
+
+
+def _q_fellegi_sunter(sf_dir: str):
+    """Unsupervised Fellegi-Sunter record-linkage fit (Splink-style): a
+    deterministically perturbed replica of part is linked back against the
+    original, blocked on brand; the distributed work reduces the blocked
+    A x B pair space to a 16-row gamma-pattern histogram in ONE exchange,
+    and 5 rounds of exact-integer quantized EM run driver-side (O(2^K)
+    state). Output: per observed pattern the pair count, the ground-truth
+    same-key count, and the final-model match posterior (e9 fixed-point)
+    — the oracle unrolls the same EM as a CTE chain."""
+    import numpy as np
+
+    _, _, hist, fit = _fs_fit(sf_dir)
+    hist = hist.copy()
+    gcols = [f"g{i}" for i in range(1, 5)]
+    key = hist[gcols].to_numpy(dtype=np.int64)
+    pat = np.zeros(len(hist), dtype=np.int64)
+    for i in range(4):
+        pat |= key[:, i] << (3 - i)
+    hist["posterior_e9"] = np.array(
+        [fit["posterior_e9"].get(int(p), 0) for p in pat], dtype=np.int64
+    )
+    return hist.sort_values(gcols).reset_index(drop=True)
+
+
+def _q_fs_clusters(sf_dir: str):
+    """End-to-end unsupervised entity resolution: the FS fit's accepted
+    gamma patterns (final posterior >= 0.5) classify the blocked pairs in
+    a second one-exchange pass (fs_match_edges — the pair set is filtered
+    in place, never collected), and large/small-star connected components
+    turn the match edges into entity clusters (label = min key). The
+    north-star tag-score-cluster flow with zero labels."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.cc import connected_components
+    from opentapioca_ray.stages.probabilistic import fs_match_edges
+
+    a, b, hist, fit = _fs_fit(sf_dir)
+    accepted = {
+        p for p, post in fit["posterior_e9"].items() if post >= 500_000_000
+    }
+    edges = fs_match_edges(
         a,
         b,
         key_column="k",
         block_column="blk",
-        eq_columns=["nm", "ty"],
-        tol_columns=[("sz", 0), ("price_c", 100)],
-        iters=5,
+        accepted_patterns=accepted,
+        **_FS_FIELDS,
     )
-    return out
+    comp = connected_components(edges.select_columns(["u", "v"]))
+    return comp.map_batches(
+        lambda t: pa.table(
+            {
+                "k": t.column("node").cast(pa.int64()),
+                "cluster": t.column("component").cast(pa.int64()),
+            }
+        )
+        if t.num_rows and "node" in t.column_names
+        else pa.schema([("k", pa.int64()), ("cluster", pa.int64())]).empty_table(),
+        batch_format="pyarrow",
+    )
 
 
 def _q_dup_components(sf_dir: str):
@@ -5682,6 +5753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "set_sim_join": _q_set_sim_join,
         "fellegi_sunter": _q_fellegi_sunter,
+        "fs_clusters": _q_fs_clusters,
         "dup_components": _q_dup_components,
         "decontaminate": _q_decontaminate,
         "simhash_dedup": _q_simhash_dedup,
@@ -6102,55 +6174,27 @@ def _pagerank_sql(iterations: int = 16) -> str:
     return "".join(parts)
 
 
-def _fs_oracle_sql(iters: int = 5) -> str:
-    """Unrolled Fellegi-Sunter EM oracle: the 16-row gamma histogram via a
-    blocked SQL join, then `iters` parameter-update CTEs that replay
-    stages/probabilistic.fs_em exactly — e9-quantized params (HUGEINT floor
-    division), responsibilities as the same left-associative double product
-    + floor. Mirrors the repo's fixed-round iterative-oracle recipe."""
+def _fs_resp(p: str) -> tuple:
+    """(pm, pu) double expressions from params CTE alias `p` + g1..g4 —
+    the SQL twin of probabilistic._resp_e9's left-associative product."""
+    pm = f"({p}.lam / 1e9)"
+    pu = f"((1000000000 - {p}.lam) / 1e9)"
+    for i in range(1, 5):
+        pm = (
+            f"({pm} * ((CASE WHEN g{i} = 1 THEN {p}.m{i} "
+            f"ELSE 1000000000 - {p}.m{i} END) / 1e9))"
+        )
+        pu = (
+            f"({pu} * ((CASE WHEN g{i} = 1 THEN {p}.u{i} "
+            f"ELSE 1000000000 - {p}.u{i} END) / 1e9))"
+        )
+    return pm, pu
 
-    def resp(p: str) -> str:
-        """(pm, pu) doubles from params CTE alias `p` and hist columns."""
-        pm = f"({p}.lam / 1e9)"
-        pu = f"((1000000000 - {p}.lam) / 1e9)"
-        for i in range(1, 5):
-            pm = (
-                f"({pm} * ((CASE WHEN g{i} = 1 THEN {p}.m{i} "
-                f"ELSE 1000000000 - {p}.m{i} END) / 1e9))"
-            )
-            pu = (
-                f"({pu} * ((CASE WHEN g{i} = 1 THEN {p}.u{i} "
-                f"ELSE 1000000000 - {p}.u{i} END) / 1e9))"
-            )
-        return pm, pu
 
-    sql = """
-        WITH a AS (
-          SELECT p_partkey AS k, p_brand AS blk, p_name AS nm,
-                 p_type AS ty, CAST(p_size AS BIGINT) AS sz,
-                 CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_c
-          FROM part
-        ),
-        b AS (
-          SELECT k, blk,
-            CASE WHEN k % 3 = 0 THEN nm || ' x' ELSE nm END AS nm,
-            CASE WHEN k % 7 = 0 THEN 'ALTERED' ELSE ty END AS ty,
-            CASE WHEN k % 5 = 0 THEN sz + 1 ELSE sz END AS sz,
-            CASE WHEN k % 2 = 0 THEN price_c + 500 ELSE price_c END AS price_c
-          FROM a
-        ),
-        hist AS MATERIALIZED (
-          SELECT CASE WHEN a.nm = b.nm THEN 1 ELSE 0 END AS g1,
-                 CASE WHEN a.ty = b.ty THEN 1 ELSE 0 END AS g2,
-                 CASE WHEN abs(a.sz - b.sz) <= 0 THEN 1 ELSE 0 END AS g3,
-                 CASE WHEN abs(a.price_c - b.price_c) <= 100
-                      THEN 1 ELSE 0 END AS g4,
-                 CAST(count(*) AS BIGINT) AS n_pairs,
-                 CAST(sum(CASE WHEN a.k = b.k THEN 1 ELSE 0 END)
-                      AS BIGINT) AS n_same_key
-          FROM a JOIN b ON a.blk = b.blk
-          GROUP BY 1, 2, 3, 4
-        ),
+def _fs_em_ctes(iters: int) -> str:
+    """The p0 init + `iters` unrolled EM update CTEs over a `hist` CTE
+    with columns (g1..g4, n_pairs) — shared by every FS oracle."""
+    sql = """,
         p0 AS (
           SELECT 500000000::BIGINT AS lam,
                  900000000::BIGINT AS m1, 900000000::BIGINT AS m2,
@@ -6159,7 +6203,7 @@ def _fs_oracle_sql(iters: int = 5) -> str:
                  100000000::BIGINT AS u3, 100000000::BIGINT AS u4
         )"""
     for t in range(iters):
-        pm, pu = resp(f"p{t}")
+        pm, pu = _fs_resp(f"p{t}")
         sql += f""",
         it{t} AS MATERIALIZED (
           SELECT g1, g2, g3, g4, n_pairs,
@@ -6184,7 +6228,50 @@ def _fs_oracle_sql(iters: int = 5) -> str:
         sql += f"""
           FROM it{t}
         )"""
-    pm, pu = resp(f"p{iters}")
+    return sql
+
+
+_FS_AB_SQL = """
+        a AS (
+          SELECT p_partkey AS k, p_brand AS blk, p_name AS nm,
+                 p_type AS ty, CAST(p_size AS BIGINT) AS sz,
+                 CAST(round(p_retailprice * 100, 0) AS BIGINT) AS price_c
+          FROM part
+        ),
+        b AS (
+          SELECT k, blk,
+            CASE WHEN k % 3 = 0 THEN nm || ' x' ELSE nm END AS nm,
+            CASE WHEN k % 7 = 0 THEN 'ALTERED' ELSE ty END AS ty,
+            CASE WHEN k % 5 = 0 THEN sz + 1 ELSE sz END AS sz,
+            CASE WHEN k % 2 = 0 THEN price_c + 500 ELSE price_c END AS price_c
+          FROM a
+        )"""
+
+_FS_GAMMA_SQL = """
+          CASE WHEN a.nm = b.nm THEN 1 ELSE 0 END AS g1,
+          CASE WHEN a.ty = b.ty THEN 1 ELSE 0 END AS g2,
+          CASE WHEN abs(a.sz - b.sz) <= 0 THEN 1 ELSE 0 END AS g3,
+          CASE WHEN abs(a.price_c - b.price_c) <= 100 THEN 1 ELSE 0 END AS g4"""
+
+
+def _fs_oracle_sql(iters: int = 5) -> str:
+    """Unrolled Fellegi-Sunter EM oracle: the 16-row gamma histogram via a
+    blocked SQL join, then `iters` parameter-update CTEs that replay
+    stages/probabilistic.fs_em exactly — e9-quantized params (HUGEINT floor
+    division), responsibilities as the same left-associative double product
+    + floor. Mirrors the repo's fixed-round iterative-oracle recipe."""
+    sql = f"""
+        WITH {_FS_AB_SQL},
+        hist AS MATERIALIZED (
+          SELECT {_FS_GAMMA_SQL},
+                 CAST(count(*) AS BIGINT) AS n_pairs,
+                 CAST(sum(CASE WHEN a.k = b.k THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_same_key
+          FROM a JOIN b ON a.blk = b.blk
+          GROUP BY 1, 2, 3, 4
+        )"""
+    sql += _fs_em_ctes(iters)
+    pm, pu = _fs_resp(f"p{iters}")
     sql += f"""
         SELECT CAST(g1 AS BIGINT) AS g1, CAST(g2 AS BIGINT) AS g2,
                CAST(g3 AS BIGINT) AS g3, CAST(g4 AS BIGINT) AS g4,
@@ -6195,6 +6282,49 @@ def _fs_oracle_sql(iters: int = 5) -> str:
         FROM hist CROSS JOIN p{iters}
     """
     return sql
+
+
+def _fs_clusters_oracle_sql(iters: int = 5) -> str:
+    """End-to-end unsupervised-linkage oracle: per-pair gammas, the same
+    unrolled EM as fellegi_sunter, a pattern acceptance set (final
+    posterior >= 0.5), accepted non-self pairs as edges, then the
+    dup_components recursive min-label closure."""
+    pm, pu = _fs_resp(f"p{iters}")
+    return f"""
+        WITH RECURSIVE {_FS_AB_SQL},
+        pairs AS MATERIALIZED (
+          SELECT a.k AS ak, b.k AS bk, {_FS_GAMMA_SQL}
+          FROM a JOIN b ON a.blk = b.blk
+        ),
+        hist AS MATERIALIZED (
+          SELECT g1, g2, g3, g4, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM pairs GROUP BY 1, 2, 3, 4
+        ){_fs_em_ctes(iters)},
+        acc AS (
+          SELECT g1, g2, g3, g4
+          FROM hist CROSS JOIN p{iters}
+          WHERE CASE WHEN {pm} + {pu} = 0 THEN CAST(0 AS BIGINT)
+                     ELSE CAST(floor(({pm} / ({pm} + {pu})) * 1e9) AS BIGINT)
+                END >= 500000000
+        ),
+        e0 AS (
+          SELECT DISTINCT least(ak, bk) AS u, greatest(ak, bk) AS v
+          FROM pairs JOIN acc USING (g1, g2, g3, g4)
+          WHERE ak != bk
+        ),
+        edges AS (
+          SELECT u AS a, v AS b FROM e0
+          UNION ALL
+          SELECT v AS a, u AS b FROM e0
+        ),
+        lab(v, l) AS (
+          SELECT a, a FROM edges
+          UNION
+          SELECT e.a, lab.l FROM edges e JOIN lab ON lab.v = e.b
+        )
+        SELECT CAST(v AS BIGINT) AS k, CAST(min(l) AS BIGINT) AS cluster
+        FROM lab GROUP BY v
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -6369,6 +6499,7 @@ def oracle_sql() -> dict[str, str]:
             FROM j WHERE 2 * inter >= uni
         """,
         "fellegi_sunter": _fs_oracle_sql(),
+        "fs_clusters": _fs_clusters_oracle_sql(),
         "dup_components": f"""
             WITH RECURSIVE toks AS (
               SELECT doc_id,

@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "three_way_merge",
     "set_sim_join",
     "fellegi_sunter",
+    "fs_clusters",
 ]
 
 

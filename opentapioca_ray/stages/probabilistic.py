@@ -249,6 +249,110 @@ def fs_em(
     }
 
 
+def fs_match_edges(
+    a_ds,
+    b_ds,
+    key_column: str,
+    block_column: str,
+    eq_columns: list[str],
+    tol_columns: list[tuple[str, int]] | None = None,
+    accepted_patterns: set[int] | None = None,
+    max_block_side: int = 50_000,
+    n_parts: int | None = None,
+):
+    """Classification pass: re-enumerate the blocked pairs and KEEP only
+    those whose gamma pattern is in `accepted_patterns` (ints with bit
+    n_fields-1-i = field i agreement — the keys of fs_em's posterior map).
+    Output: distinct (u, v) match edges, u < v, self-pairs dropped — the
+    input to transitive clustering. Same one-exchange shape as the
+    histogram pass; the accepted set is O(2^K) and rides in the closure.
+    """
+    from opentapioca_ray.stages.exchange import (
+        coarse_group_apply,
+        coarse_groupby_agg,
+    )
+
+    tol_columns = tol_columns or []
+    n_fields = len(eq_columns) + len(tol_columns)
+    acc = np.array(sorted(accepted_patterns or ()), dtype=np.int64)
+    slim = [key_column, block_column, *eq_columns, *[c for c, _ in tol_columns]]
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = batch.select(slim)
+            return t.append_column(
+                "__side", pa.array(np.full(t.num_rows, side, dtype=np.int64))
+            )
+
+        return fn
+
+    unioned = a_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        b_ds.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"u": pd.Series(dtype=np.int64), "v": pd.Series(dtype=np.int64)}
+        )
+        if df.empty or "__side" not in df.columns or len(acc) == 0:
+            return empty
+        eq_codes = [pd.factorize(df[c].to_numpy())[0] for c in eq_columns]
+        tol_vals = [
+            (df[c].to_numpy(dtype=np.int64), tol) for c, tol in tol_columns
+        ]
+        keys = df[key_column].to_numpy(dtype=np.int64)
+        side = df["__side"].to_numpy(dtype=np.int64)
+        blk = pd.factorize(df[block_column].to_numpy())[0]
+        order = np.lexsort((side, blk))
+        blk_s, side_s = blk[order], side[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], blk_s[1:] != blk_s[:-1], [True]))
+        )
+        us, vs = [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            seg = order[s:e]
+            a_idx = seg[side_s[s:e] == 0][:max_block_side]
+            b_idx = seg[side_s[s:e] == 1][:max_block_side]
+            if len(a_idx) == 0 or len(b_idx) == 0:
+                continue
+            ii = np.repeat(a_idx, len(b_idx))
+            jj = np.tile(b_idx, len(a_idx))
+            pattern = np.zeros(len(ii), dtype=np.int64)
+            bit = n_fields - 1
+            for codes in eq_codes:
+                pattern |= (codes[ii] == codes[jj]).astype(np.int64) << bit
+                bit -= 1
+            for vals, tol in tol_vals:
+                pattern |= (np.abs(vals[ii] - vals[jj]) <= tol).astype(
+                    np.int64
+                ) << bit
+                bit -= 1
+            keep = np.isin(pattern, acc) & (keys[ii] != keys[jj])
+            if keep.any():
+                ku, kv = keys[ii[keep]], keys[jj[keep]]
+                us.append(np.minimum(ku, kv))
+                vs.append(np.maximum(ku, kv))
+        if not us:
+            return empty
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        packed = np.unique((u.astype(np.uint64) << np.uint64(32)) | (
+            v.astype(np.uint64) & np.uint64(0xFFFFFFFF)
+        )) if (u < (1 << 31)).all() and (v < (1 << 31)).all() else None
+        if packed is not None:
+            u = (packed >> np.uint64(32)).astype(np.int64)
+            v = (packed & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            return pd.DataFrame({"u": u, "v": v})
+        return pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+
+    edges = coarse_group_apply(unioned, block_column, kernel, n_parts=n_parts)
+    # cross-partition distinct (a record normally lives in ONE block, but
+    # generic inputs may repeat a pair across blocks)
+    return coarse_groupby_agg(
+        edges, ["u", "v"], {"__one": ("u", "size")}, n_parts=n_parts
+    ).drop_columns(["__one"])
+
+
 def fellegi_sunter(
     a_ds,
     b_ds,

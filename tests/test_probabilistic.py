@@ -130,6 +130,62 @@ def test_em_empty_histogram():
     assert fit["lam_e9"] == E9 // 2
 
 
+def test_match_edges_filters_by_pattern(ray_session):
+    """fs_match_edges emits exactly the non-self blocked pairs whose gamma
+    pattern is accepted, as distinct (u, v) with u < v."""
+    import ray.data
+
+    from opentapioca_ray.stages.probabilistic import fs_match_edges
+
+    a, b = _two_sides(n=80)
+    accepted = {0b111, 0b110}
+    exp = set()
+    for ra in a:
+        for rb in b:
+            if ra["blk"] != rb["blk"] or ra["k"] == rb["k"]:
+                continue
+            pat = (
+                (int(ra["f1"] == rb["f1"]) << 2)
+                | (int(ra["f2"] == rb["f2"]) << 1)
+                | int(abs(ra["x"] - rb["x"]) <= 5)
+            )
+            if pat in accepted:
+                exp.add((min(ra["k"], rb["k"]), max(ra["k"], rb["k"])))
+    got = {
+        (r["u"], r["v"])
+        for r in fs_match_edges(
+            ray.data.from_items(a),
+            ray.data.from_items(b),
+            key_column="k",
+            block_column="blk",
+            eq_columns=["f1", "f2"],
+            tol_columns=[("x", 5)],
+            accepted_patterns=accepted,
+            n_parts=4,
+        ).take_all()
+    }
+    assert got == exp
+
+
+def test_match_edges_empty_accept_set(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.probabilistic import fs_match_edges
+
+    a, b = _two_sides(n=20)
+    out = fs_match_edges(
+        ray.data.from_items(a),
+        ray.data.from_items(b),
+        key_column="k",
+        block_column="blk",
+        eq_columns=["f1", "f2"],
+        tol_columns=[("x", 5)],
+        accepted_patterns=set(),
+        n_parts=4,
+    ).take_all()
+    assert out == []
+
+
 def test_block_side_cap_bounds_pairs(ray_session):
     """max_block_side truncates hot blocks: total pairs bounded by
     blocks * cap^2. (The drop warning is logged inside Ray workers, which
