@@ -423,6 +423,77 @@ def _q_set_sim_join(sf_dir: str):
     )
 
 
+def _q_phonetic_blocks(sf_dir: str):
+    """Soundex phonetic blocking keys over the corpus vocabulary: distinct
+    ASCII-alpha tokens -> NARA soundex codes -> per-code block statistics
+    (size + lexicographic word range). The classic complementary blocking
+    pass to the exact-token candidates (reference tagger.py:61-69): one
+    word-hash exchange dedupes the vocabulary, the soundex kernel is a
+    single flat-codepoint numpy pass, and the per-code merge is tiny."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import (
+        coarse_group_apply,
+        coarse_groupby_agg,
+    )
+
+    word_schema = pa.schema([("word", pa.string())])
+
+    def batch_words(batch: pa.Table) -> pa.Table:
+        from opentapioca_ray.functions.text import tokenize_flat
+
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return word_schema.empty_table()
+        import numpy as np
+
+        flat, _ = tokenize_flat(
+            [t or "" for t in batch.column("text").to_pylist()]
+        )
+        if not len(flat):
+            return word_schema.empty_table()
+        uniq = pa.array(np.unique(flat).astype(object), type=pa.string())
+        keep = pc.match_substring_regex(uniq, "^[A-Za-z]+$")
+        return pa.table({"word": uniq.filter(keep)})
+
+    words = _docs(sf_dir).map_batches(batch_words, batch_format="pyarrow")
+
+    def code_partition(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if df.empty or "word" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "sdx": pd.Series(dtype=object),
+                    "n_words": pd.Series(dtype=np.int64),
+                    "min_word": pd.Series(dtype=object),
+                    "max_word": pd.Series(dtype=object),
+                }
+            )
+        from opentapioca_ray.functions.phonetic import soundex
+
+        w = np.unique(df["word"].to_numpy())  # word-hash partition: global dedupe
+        out = pd.DataFrame({"sdx": soundex(w.astype(object)), "word": w})
+        agg = out.groupby("sdx", sort=False).agg(
+            n_words=("word", "size"),
+            min_word=("word", "min"),
+            max_word=("word", "max"),
+        )
+        return agg.reset_index()
+
+    partials = coarse_group_apply(words, "word", code_partition)
+    return coarse_groupby_agg(
+        partials,
+        ["sdx"],
+        {
+            "n_words": ("n_words", "sum"),
+            "min_word": ("min_word", "min"),
+            "max_word": ("max_word", "max"),
+        },
+    )
+
+
 _FS_CACHE: dict[str, tuple] = {}
 
 _FS_FIELDS = {"eq_columns": ["nm", "ty"], "tol_columns": [("sz", 0), ("price_c", 100)]}
@@ -5754,6 +5825,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_sim_join": _q_set_sim_join,
         "fellegi_sunter": _q_fellegi_sunter,
         "fs_clusters": _q_fs_clusters,
+        "phonetic_blocks": _q_phonetic_blocks,
         "dup_components": _q_dup_components,
         "decontaminate": _q_decontaminate,
         "simhash_dedup": _q_simhash_dedup,
@@ -6500,6 +6572,43 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fellegi_sunter": _fs_oracle_sql(),
         "fs_clusters": _fs_clusters_oracle_sql(),
+        "phonetic_blocks": f"""
+            WITH toks AS (
+              SELECT DISTINCT trim(t.w) AS word
+              FROM documents,
+                   unnest(regexp_split_to_array(' ' || text || ' ', '{_SEP}')) AS t(w)
+              WHERE trim(t.w) != ''
+                AND regexp_full_match(trim(t.w), '[A-Za-z]+')
+            ),
+            s AS (
+              SELECT word,
+                regexp_split_to_array(
+                  translate(upper(word), 'AEIOUYBFPVCGJKQSXZDTLMNR',
+                            '000000111122222222334556'), '') AS cl
+              FROM toks
+            ),
+            k AS (
+              SELECT word,
+                list_filter(cl, (x, i) -> i = 1 OR (x != 'H' AND x != 'W'))
+                  AS kept
+              FROM s
+            ),
+            c AS (
+              SELECT word,
+                list_filter(kept, (x, i) -> i = 1 OR x != kept[i - 1]) AS coll
+              FROM k
+            ),
+            d AS (
+              SELECT word,
+                substr(upper(word), 1, 1) || rpad(coalesce(array_to_string(
+                  list_filter(coll[2:], x -> x != '0')[:3], ''), ''), 3, '0')
+                  AS sdx
+              FROM c
+            )
+            SELECT sdx, CAST(count(*) AS BIGINT) AS n_words,
+                   min(word) AS min_word, max(word) AS max_word
+            FROM d GROUP BY sdx
+        """,
         "dup_components": f"""
             WITH RECURSIVE toks AS (
               SELECT doc_id,

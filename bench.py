@@ -174,6 +174,7 @@ BENCH_QUERIES = [
     "set_sim_join",
     "fellegi_sunter",
     "fs_clusters",
+    "phonetic_blocks",
 ]
 
 
