@@ -870,6 +870,43 @@ def _q_ann_ivf(sf_dir: str):
     )
 
 
+def _q_ann_pq(sf_dir: str):
+    """Product-quantization ANN with exact e6-integer codebooks/ADC: the
+    16 md5-priority corpus vectors (the IVF recipe) provide each of the 4
+    subspace codebooks, encoding is nearest-codeword per 16-dim subvector
+    (ties -> smallest codeword id), and the 5 head queries scan via the
+    per-(query, subspace, codeword) integer lookup table. The whole
+    compressed index is value-hash-checked; recall is a pytest property."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from opentapioca_ray.stages.ann import pq_topk
+    from opentapioca_ray.stages.selection import priority_sample
+
+    head = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 5)
+    queries = np.array(head.column("embedding").to_pylist(), dtype=np.float64)
+    qids = head.column("vec_id").to_pylist()
+    ds = _rel(f"{sf_dir}/embeddings.parquet")
+
+    cent_rows = priority_sample(ds, "vec_id", 16, ["vec_id", "embedding"]).take_all()
+
+    def prio(i):
+        return int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
+
+    cent_rows.sort(key=lambda r: (prio(r["vec_id"]), r["vec_id"]))
+    base = np.rint(
+        np.array([list(r["embedding"]) for r in cent_rows], dtype=np.float64)
+        * 1e6
+    ).astype(np.int64)  # (16, 64)
+    m, dsub = 4, 16
+    codebook = np.stack(
+        [base[:, i * dsub : (i + 1) * dsub] for i in range(m)]
+    )  # (M, C, dsub)
+    return pq_topk(ds, queries, qids, codebook, k=10)
+
+
 def _q_embedding_clusters(sf_dir: str):
     """Distributed k-means (Lloyd's, combiner partials per pass) over the
     embeddings table, reported as per-cluster size + mean assignment cosine.
@@ -5826,6 +5863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fellegi_sunter": _q_fellegi_sunter,
         "fs_clusters": _q_fs_clusters,
         "phonetic_blocks": _q_phonetic_blocks,
+        "ann_pq": _q_ann_pq,
         "dup_components": _q_dup_components,
         "decontaminate": _q_decontaminate,
         "simhash_dedup": _q_simhash_dedup,
@@ -6848,6 +6886,50 @@ def oracle_sql() -> dict[str, str]:
             QUALIFY row_number() OVER (
               PARTITION BY query_id
               ORDER BY cosine DESC, vec_id ASC) <= 10
+        """,
+        "ann_pq": """
+            WITH qz AS (
+              SELECT vec_id,
+                list_transform(embedding::DOUBLE[],
+                  x -> CAST(round(x * 1000000, 0) AS BIGINT)) AS v
+              FROM embeddings
+            ),
+            cb AS (
+              SELECT row_number() OVER (
+                       ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 16))::UBIGINT,
+                                vec_id) - 1 AS cid, v
+              FROM qz
+              QUALIFY row_number() OVER (
+                ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 16))::UBIGINT,
+                         vec_id) <= 16
+            ),
+            subs AS (SELECT unnest(range(0, 4)) AS m),
+            codes AS (
+              SELECT vec_id, m, cid
+              FROM (
+                SELECT e.vec_id, s.m, c.cid,
+                  list_sum(list_transform(range(1, 17),
+                    i -> (e.v[s.m * 16 + i] - c.v[s.m * 16 + i])
+                         * (e.v[s.m * 16 + i] - c.v[s.m * 16 + i]))) AS d
+                FROM qz e CROSS JOIN subs s CROSS JOIN cb c
+              )
+              QUALIFY row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d, cid) = 1
+            ),
+            q AS (SELECT vec_id AS query_id, v AS qv FROM qz WHERE vec_id < 5),
+            adc AS (
+              SELECT q.query_id, c.vec_id,
+                CAST(sum(list_sum(list_transform(range(1, 17),
+                  i -> (q.qv[c.m * 16 + i] - cb.v[c.m * 16 + i])
+                       * (q.qv[c.m * 16 + i] - cb.v[c.m * 16 + i]))))
+                  AS BIGINT) AS adc_e12
+              FROM codes c JOIN cb ON cb.cid = c.cid CROSS JOIN q
+              GROUP BY 1, 2
+            )
+            SELECT query_id, vec_id, adc_e12
+            FROM adc
+            QUALIFY row_number() OVER (
+              PARTITION BY query_id ORDER BY adc_e12, vec_id) <= 10
         """,
         "revenue_by_nation": """
             SELECT n.n_name,

@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "fellegi_sunter",
     "fs_clusters",
     "phonetic_blocks",
+    "ann_pq",
 ]
 
 

@@ -206,3 +206,95 @@ def cosine_threshold_join(
         )
 
     return ds.map_batches(score_batch, batch_format="pyarrow")
+
+
+def pq_topk(
+    ds,
+    queries: np.ndarray,
+    query_ids: list,
+    codebook: np.ndarray,
+    k: int = 10,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+):
+    """Product-quantization ANN (Jégou et al., PAMI 2011) with EXACT
+    integer arithmetic so the approximate index is value-hash-checkable:
+
+    coordinates quantize to e6 ints; `codebook` is (M, C, dsub) int64 in
+    the same units. Encoding assigns each corpus vector's m-th subvector
+    to its nearest codeword by squared L2 (ties -> smallest codeword id,
+    numpy argmin's convention). Query scoring is the classic asymmetric
+    distance computation: a per-(query, subspace, codeword) lookup table
+    built ONCE per task from the broadcast codebook, so each batch scores
+    as one gather + sum over M — no per-vector float math at all. The
+    compressed code (M bytes/vector here, vs M*dsub*8 raw) is what makes
+    a 10^12-vector corpus scannable; recall vs brute force stays a pytest
+    property, the query pins exact semantics.
+
+    Output: per query the top-`k` (query_id, vec_id, adc_e12) by
+    ascending ADC squared distance, ties by vec_id."""
+    import ray
+
+    M, C, dsub = codebook.shape
+    qmat = np.rint(np.asarray(queries, dtype=np.float64) * 1e6).astype(np.int64)
+    assert qmat.shape[1] == M * dsub
+    # (nq, M, C) exact integer ADC table
+    lut = np.zeros((len(qmat), M, C), dtype=np.int64)
+    for m in range(M):
+        qs = qmat[:, m * dsub : (m + 1) * dsub]  # (nq, dsub)
+        diff = qs[:, None, :] - codebook[m][None, :, :]  # (nq, C, dsub)
+        lut[:, m, :] = (diff * diff).sum(axis=2)
+    state_ref = ray.put((codebook, lut))
+    qids_arr = np.asarray(list(query_ids), dtype=np.int64)
+
+    out_schema = pa.schema(
+        [
+            pa.field("query_id", pa.int64()),
+            pa.field("vec_id", pa.int64()),
+            pa.field("adc_e12", pa.int64()),
+        ]
+    )
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or vector_column not in batch.column_names:
+            return out_schema.empty_table()
+        from opentapioca_ray.functions.vectors import list_to_matrix
+
+        cb, table = ray.get(state_ref)
+        vecs = np.rint(
+            list_to_matrix(batch.column(vector_column)) * 1e6
+        ).astype(np.int64)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        codes = np.zeros((len(vecs), M), dtype=np.int64)
+        for m in range(M):
+            vs = vecs[:, m * dsub : (m + 1) * dsub]
+            diff = vs[:, None, :] - cb[m][None, :, :]  # (B, C, dsub)
+            codes[:, m] = (diff * diff).sum(axis=2).argmin(axis=1)
+        # ADC: gather per query -> (nq, B)
+        adc = np.zeros((len(qids_arr), len(vecs)), dtype=np.int64)
+        for m in range(M):
+            adc += table[:, m, :][:, codes[:, m]]
+        kk = min(k, adc.shape[1])
+        # integer ADC ties are COMMON (equal codes -> equal distance), so
+        # the per-batch combiner must already break ties by vec_id or it
+        # can drop the id the global merge would keep: order columns by id
+        # then take a STABLE partial sort
+        id_order = np.argsort(ids, kind="mergesort")
+        ids = ids[id_order]
+        adc = adc[:, id_order]
+        top = np.argsort(adc, axis=1, kind="stable")[:, :kk]
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(qids_arr, kk), type=pa.int64()),
+                "vec_id": pa.array(ids[top].ravel(), type=pa.int64()),
+                "adc_e12": pa.array(np.take_along_axis(adc, top, axis=1).ravel()),
+            }
+        )
+
+    def final_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["adc_e12", "vec_id"], ascending=[True, True], kind="mergesort"
+        ).head(k)
+
+    partial = ds.map_batches(score_batch, batch_format="pyarrow")
+    return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")

@@ -83,3 +83,86 @@ def test_cosine_threshold_join(ray_session):
         (1, 11): 1_000_000,
         (1, 12): 707_107,
     }
+
+
+def _pq_brute(corpus, queries, codebook, k):
+    """Driver-side replay of pq_topk's exact integer semantics."""
+    M, C, dsub = codebook.shape
+    vz = np.rint(corpus * 1e6).astype(np.int64)
+    qz = np.rint(queries * 1e6).astype(np.int64)
+    codes = np.zeros((len(vz), M), dtype=np.int64)
+    for m in range(M):
+        d = (
+            (vz[:, None, m * dsub : (m + 1) * dsub] - codebook[m][None]) ** 2
+        ).sum(axis=2)
+        codes[:, m] = d.argmin(axis=1)
+    out = {}
+    for qi in range(len(qz)):
+        adc = np.zeros(len(vz), dtype=np.int64)
+        for m in range(M):
+            lut = ((qz[qi, m * dsub : (m + 1) * dsub][None] - codebook[m]) ** 2).sum(
+                axis=1
+            )
+            adc += lut[codes[:, m]]
+        order = sorted(range(len(vz)), key=lambda i: (adc[i], i))[:k]
+        out[qi] = [(i, int(adc[i])) for i in order]
+    return out
+
+
+def test_pq_topk_exact_semantics(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.ann import pq_topk
+
+    corpus = make_vectors(n=300, dim=16, seed=5)
+    queries = corpus[:4] + 0.003
+    codebook = np.rint(corpus[10:18] * 1e6).astype(np.int64)  # (8, 16)
+    codebook = np.stack([codebook[:, :8], codebook[:, 8:]])  # (M=2, C=8, 8)
+    items = [{"vec_id": i, "embedding": list(v)} for i, v in enumerate(corpus)]
+    out = pq_topk(
+        ray.data.from_items(items).repartition(6),
+        queries,
+        list(range(4)),
+        codebook,
+        k=7,
+    ).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["vec_id"], r["adc_e12"]))
+    exp = _pq_brute(corpus, queries, codebook, 7)
+    for qi in range(4):
+        assert sorted(got[qi]) == sorted(exp[qi])
+
+
+def test_pq_recall_against_brute_force(ray_session):
+    """PQ with a 4x16 codebook over clustered data finds the perturbed
+    self and keeps reasonable recall@5 — the approximation property."""
+    import ray.data
+
+    from opentapioca_ray.stages.ann import pq_topk
+
+    rng = np.random.RandomState(9)
+    centers = rng.randn(10, 16) * 3
+    corpus = np.vstack([c + rng.randn(20, 16) * 0.05 for c in centers])
+    queries = corpus[::40][:5] + 0.002
+    codebook = np.stack(
+        [
+            np.rint(centers[:, :8] * 1e6).astype(np.int64),
+            np.rint(centers[:, 8:] * 1e6).astype(np.int64),
+        ]
+    )
+    items = [{"vec_id": i, "embedding": list(v)} for i, v in enumerate(corpus)]
+    out = pq_topk(
+        ray.data.from_items(items).repartition(4),
+        queries,
+        list(range(5)),
+        codebook,
+        k=20,
+    ).take_all()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    for qi in range(5):
+        # the query's own cluster (its 20 members) is what PQ must retrieve
+        cluster = set(range((qi * 40 // 20) * 20, (qi * 40 // 20) * 20 + 20))
+        assert len(got[qi] & cluster) >= 15
