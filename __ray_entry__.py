@@ -494,6 +494,74 @@ def _q_phonetic_blocks(sf_dir: str):
     )
 
 
+def _q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training over the corpus's alpha tokens: 10 rounds of
+    most-frequent adjacent-symbol-pair merges (ties -> lexicographically
+    smallest pair). The corpus collapses once into a word-count vocabulary;
+    every round is one combiner pair-count exchange over the VOCAB plus a
+    broadcast literal-replace merge — nothing per-round touches the corpus.
+    Output: the learned merge table; the oracle replays all 10 rounds as
+    nested-replace CTEs (replace semantics verified identical across
+    Python/Arrow/DuckDB in tests/test_bpe.py)."""
+    from opentapioca_ray.stages.bpe import bpe_train
+
+    return bpe_train(_docs(sf_dir), text_column="text", n_merges=10)
+
+
+def _bpe_oracle_sql(n_merges: int = 10) -> str:
+    """Unrolled BPE oracle: vocab from the corpus, then per round a pair
+    explode + argmax CTE and a 6x nested replace() merge application."""
+
+    def rep6(expr: str) -> str:
+        for _ in range(6):
+            expr = (
+                f"replace({expr}, ' ' || bb.a || ' ' || bb.b || ' ', "
+                f"' ' || bb.a || bb.b || ' ')"
+            )
+        return expr
+
+    sql = f"""
+        WITH words AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS cnt
+          FROM (
+            SELECT trim(t.w) AS word
+            FROM documents,
+                 unnest(regexp_split_to_array(' ' || text || ' ', '{_SEP}')) AS t(w)
+            WHERE trim(t.w) != ''
+              AND regexp_full_match(trim(t.w), '[A-Za-z]+')
+          ) GROUP BY word
+        ),
+        v0 AS MATERIALIZED (
+          SELECT ' ' || array_to_string(regexp_split_to_array(word, ''), ' ')
+                 || ' ' AS repr, cnt
+          FROM words
+        )"""
+    for t in range(n_merges):
+        sql += f""",
+        p{t} AS (
+          SELECT arr[i] AS a, arr[i + 1] AS b, cnt
+          FROM (SELECT regexp_split_to_array(trim(repr), ' ') AS arr, cnt
+                FROM v{t}),
+               unnest(range(1, len(arr))) AS u(i)
+        ),
+        b{t} AS MATERIALIZED (
+          SELECT a, b, CAST(sum(cnt) AS BIGINT) AS cnt
+          FROM p{t} GROUP BY a, b
+          ORDER BY cnt DESC, a, b LIMIT 1
+        ),
+        v{t + 1} AS MATERIALIZED (
+          SELECT {rep6("v.repr")} AS repr, v.cnt
+          FROM v{t} v CROSS JOIN b{t} bb
+        )"""
+    sql += "\n        "
+    sql += "\n        UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS round, a AS left_sym, b AS right_sym,"
+        f" a || b AS merged, cnt AS pair_count FROM b{t}"
+        for t in range(n_merges)
+    )
+    return sql
+
+
 _FS_CACHE: dict[str, tuple] = {}
 
 _FS_FIELDS = {"eq_columns": ["nm", "ty"], "tol_columns": [("sz", 0), ("price_c", 100)]}
@@ -5864,6 +5932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fs_clusters": _q_fs_clusters,
         "phonetic_blocks": _q_phonetic_blocks,
         "ann_pq": _q_ann_pq,
+        "bpe_merges": _q_bpe_merges,
         "dup_components": _q_dup_components,
         "decontaminate": _q_decontaminate,
         "simhash_dedup": _q_simhash_dedup,
@@ -6610,6 +6679,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fellegi_sunter": _fs_oracle_sql(),
         "fs_clusters": _fs_clusters_oracle_sql(),
+        "bpe_merges": _bpe_oracle_sql(),
         "phonetic_blocks": f"""
             WITH toks AS (
               SELECT DISTINCT trim(t.w) AS word

@@ -176,6 +176,7 @@ BENCH_QUERIES = [
     "fs_clusters",
     "phonetic_blocks",
     "ann_pq",
+    "bpe_merges",
 ]
 
 
