@@ -494,6 +494,80 @@ def _q_phonetic_blocks(sf_dir: str):
     )
 
 
+def _q_label_propagation(sf_dir: str):
+    """Synchronous label-propagation communities (4 rounds, self-vote
+    damping, ties -> smallest label) over the bipartite part--supplier
+    co-purchase graph (supplier nodes offset by 1e7). Communities, not
+    components: LPA splits the connected graph into locally-dense label
+    basins; fixed rounds + deterministic argmax make the trajectory
+    SQL-replayable round by round."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.lpa import label_propagation
+
+    li = _rel(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return pa.schema([("u", pa.int64()), ("v", pa.int64())]).empty_table()
+        return pa.table(
+            {
+                "u": batch.column("l_partkey").cast(pa.int64()),
+                "v": pc.add(
+                    batch.column("l_suppkey").cast(pa.int64()), 10_000_000
+                ),
+            }
+        )
+
+    edges = li.map_batches(edge_rows, batch_format="pyarrow")
+    return label_propagation(edges, rounds=4)
+
+
+def _lpa_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled synchronous LPA: per round, neighbor votes + the self
+    vote, then the (count desc, label asc) argmax per node."""
+    sql = """
+        WITH ed AS MATERIALIZED (
+          SELECT u AS src, v AS dst FROM (
+            SELECT DISTINCT l_partkey AS u,
+                   l_suppkey + 10000000 AS v
+            FROM lineitem
+          )
+          UNION ALL
+          SELECT v AS src, u AS dst FROM (
+            SELECT DISTINCT l_partkey AS u,
+                   l_suppkey + 10000000 AS v
+            FROM lineitem
+          )
+        ),
+        l0 AS MATERIALIZED (
+          SELECT src AS node, CAST(src AS BIGINT) AS label
+          FROM ed GROUP BY src
+        )"""
+    for t in range(rounds):
+        sql += f""",
+        v{t} AS (
+          SELECT e.dst AS node, l.label, 1 AS w
+          FROM ed e JOIN l{t} l ON l.node = e.src
+          UNION ALL
+          SELECT node, label, 1 AS w FROM l{t}
+        ),
+        l{t + 1} AS MATERIALIZED (
+          SELECT node, label FROM (
+            SELECT node, label, sum(w) AS sw
+            FROM v{t} GROUP BY node, label
+          )
+          QUALIFY row_number() OVER (
+            PARTITION BY node ORDER BY sw DESC, label ASC) = 1
+        )"""
+    sql += f"""
+        SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+        FROM l{rounds}
+    """
+    return sql
+
+
 def _q_bpe_merges(sf_dir: str):
     """BPE tokenizer training over the corpus's alpha tokens: 10 rounds of
     most-frequent adjacent-symbol-pair merges (ties -> lexicographically
@@ -5933,6 +6007,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phonetic_blocks": _q_phonetic_blocks,
         "ann_pq": _q_ann_pq,
         "bpe_merges": _q_bpe_merges,
+        "label_propagation": _q_label_propagation,
         "dup_components": _q_dup_components,
         "decontaminate": _q_decontaminate,
         "simhash_dedup": _q_simhash_dedup,
@@ -6680,6 +6755,7 @@ def oracle_sql() -> dict[str, str]:
         "fellegi_sunter": _fs_oracle_sql(),
         "fs_clusters": _fs_clusters_oracle_sql(),
         "bpe_merges": _bpe_oracle_sql(),
+        "label_propagation": _lpa_oracle_sql(),
         "phonetic_blocks": f"""
             WITH toks AS (
               SELECT DISTINCT trim(t.w) AS word

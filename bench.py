@@ -177,6 +177,7 @@ BENCH_QUERIES = [
     "phonetic_blocks",
     "ann_pq",
     "bpe_merges",
+    "label_propagation",
 ]
 
 
