@@ -494,6 +494,55 @@ def _q_phonetic_blocks(sf_dir: str):
     )
 
 
+def _q_cms_counts(sf_dir: str):
+    """Count-min sketch audit: a 4x64 CMS built over the event stream's
+    user_id column in one combiner pass (each batch bincounts into the
+    grid locally, the merge touches <= 256 keyed rows), then point-query
+    estimates for the top-10 users by exact count — reporting exact,
+    estimate and the collision overcount (always >= 0). Row hashes are
+    the md5 convention, so the entire sketch is SQL-reproducible."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+    from opentapioca_ray.stages.sketches import cms_estimate, count_min_sketch
+
+    ev = _rel(f"{sf_dir}/events.parquet", columns=["user_id"])
+    counters = count_min_sketch(ev, "user_id", depth=4, width=64).to_pandas()
+
+    exact = coarse_groupby_agg(
+        ev, ["user_id"], {"exact_n": ("user_id", "size")}
+    )
+
+    def block_top(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "user_id" not in batch.column_names:
+            return pa.schema(
+                [("user_id", pa.int64()), ("exact_n", pa.int64())]
+            ).empty_table()
+        df = batch.to_pandas().sort_values(
+            ["exact_n", "user_id"], ascending=[False, True], kind="mergesort"
+        ).head(10)
+        return pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([("user_id", pa.int64()), ("exact_n", pa.int64())])
+        )
+
+    cands = exact.map_batches(block_top, batch_format="pyarrow").take_all()
+    cands.sort(key=lambda r: (-r["exact_n"], r["user_id"]))
+    top = cands[:10]
+    users = np.array([r["user_id"] for r in top], dtype=np.int64)
+    est = cms_estimate(counters, users, depth=4, width=64)
+    exact_n = np.array([r["exact_n"] for r in top], dtype=np.int64)
+    return pd.DataFrame(
+        {
+            "user_id": users,
+            "exact_n": exact_n,
+            "cms_n": est,
+            "overcount": est - exact_n,
+        }
+    )
+
+
 def _q_label_propagation(sf_dir: str):
     """Synchronous label-propagation communities (4 rounds, self-vote
     damping, ties -> smallest label) over the bipartite part--supplier
@@ -6008,6 +6057,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq": _q_ann_pq,
         "bpe_merges": _q_bpe_merges,
         "label_propagation": _q_label_propagation,
+        "cms_counts": _q_cms_counts,
         "dup_components": _q_dup_components,
         "decontaminate": _q_decontaminate,
         "simhash_dedup": _q_simhash_dedup,
@@ -6756,6 +6806,39 @@ def oracle_sql() -> dict[str, str]:
         "fs_clusters": _fs_clusters_oracle_sql(),
         "bpe_merges": _bpe_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(),
+        "cms_counts": """
+            WITH ex AS (
+              SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n
+              FROM events GROUP BY user_id
+            ),
+            top AS (
+              SELECT user_id, exact_n FROM ex
+              ORDER BY exact_n DESC, user_id LIMIT 10
+            ),
+            js AS (SELECT unnest(range(0, 4)) AS j),
+            counters AS (
+              SELECT j,
+                CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                        || CAST(user_id AS VARCHAR)), 1, 16))::UBIGINT
+                     % 64 AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS n
+              FROM events CROSS JOIN js
+              GROUP BY 1, 2
+            ),
+            est AS (
+              SELECT t.user_id, t.exact_n, min(c.n) AS cms_n
+              FROM top t
+              CROSS JOIN js
+              JOIN counters c ON c.j = js.j
+                AND c.bucket = CAST(('0x' || substr(md5(CAST(js.j AS VARCHAR)
+                      || ':' || CAST(t.user_id AS VARCHAR)), 1, 16))::UBIGINT
+                    % 64 AS BIGINT)
+              GROUP BY 1, 2
+            )
+            SELECT user_id, exact_n, cms_n,
+                   cms_n - exact_n AS overcount
+            FROM est
+        """,
         "phonetic_blocks": f"""
             WITH toks AS (
               SELECT DISTINCT trim(t.w) AS word

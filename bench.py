@@ -178,6 +178,7 @@ BENCH_QUERIES = [
     "ann_pq",
     "bpe_merges",
     "label_propagation",
+    "cms_counts",
 ]
 
 

@@ -323,3 +323,74 @@ def hll_distinct(ds, group_column: str, value_column: str, n_parts=None):
     from opentapioca_ray.stages.exchange import coarse_group_apply
 
     return coarse_group_apply(regs, group_column, estimate, n_parts=n_parts)
+
+
+def count_min_sketch(
+    ds,
+    column: str,
+    depth: int = 4,
+    width: int = 64,
+    n_parts=None,
+):
+    """Count-min sketch (Cormode & Muthukrishnan, 2005): `depth` hash rows
+    x `width` counters; item frequency estimate = min over rows of the
+    counter at h_j(item). Overestimates only (collisions add), never
+    under — the point-query workhorse when exact per-key counts don't fit.
+
+    Row hashes are md5(f"{j}:{value}") first-8-bytes % width (the repo's
+    SQL-reproducible convention), so the ENTIRE sketch is value-checkable.
+    Build is one combiner pass: each batch bincounts its items into the
+    (depth x width) grid locally and emits <= depth*width partial rows;
+    the merge is a tiny keyed aggregation. Returns the counters as a
+    Dataset of (row, bucket, n)."""
+    schema = pa.schema(
+        [("row", pa.int64()), ("bucket", pa.int64()), ("n", pa.int64())]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or column not in batch.column_names:
+            return schema.empty_table()
+        vals = batch.column(column).to_numpy(zero_copy_only=False)
+        rows, buckets, ns = [], [], []
+        for j in range(depth):
+            tagged = np.char.add(f"{j}:", vals.astype(str))
+            b = (_md5_u64(tagged) % np.uint64(width)).astype(np.int64)
+            cnt = np.bincount(b, minlength=width)
+            nz = np.flatnonzero(cnt)
+            rows.append(np.full(len(nz), j, dtype=np.int64))
+            buckets.append(nz.astype(np.int64))
+            ns.append(cnt[nz].astype(np.int64))
+        return pa.table(
+            {
+                "row": pa.array(np.concatenate(rows)),
+                "bucket": pa.array(np.concatenate(buckets)),
+                "n": pa.array(np.concatenate(ns)),
+            }
+        )
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    return coarse_groupby_agg(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["row", "bucket"],
+        {"n": ("n", "sum")},
+        n_parts=n_parts,
+    )
+
+
+def cms_estimate(counters: "pd.DataFrame", values, depth: int = 4, width: int = 64):
+    """Point queries against collected CMS counters (depth*width rows —
+    O(1) driver state): estimate per value = min over rows of its
+    counter. Missing counters are 0."""
+    grid = np.zeros((depth, width), dtype=np.int64)
+    grid[
+        counters["row"].to_numpy(dtype=np.int64),
+        counters["bucket"].to_numpy(dtype=np.int64),
+    ] = counters["n"].to_numpy(dtype=np.int64)
+    vals = np.asarray(values)
+    est = np.full(len(vals), np.iinfo(np.int64).max, dtype=np.int64)
+    for j in range(depth):
+        tagged = np.char.add(f"{j}:", vals.astype(str))
+        b = (_md5_u64(tagged) % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, grid[j, b])
+    return est

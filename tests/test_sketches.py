@@ -90,3 +90,36 @@ def test_hll_distinct_small_range_linear_counting(ray_session):
     got = hll_distinct(ray.data.from_items(rows), "g", "v").take_all()
     est = got[0]["hll_estimate_e2"] / 100.0
     assert abs(est - 12) <= 1.0
+
+
+def test_count_min_sketch_overestimates_only(ray_session):
+    import numpy as np
+    import ray.data
+
+    from opentapioca_ray.stages.sketches import cms_estimate, count_min_sketch
+
+    rng = np.random.default_rng(4)
+    vals = rng.integers(0, 50, size=3000)
+    ds = ray.data.from_items([{"v": int(x)} for x in vals]).repartition(6)
+    counters = count_min_sketch(ds, "v", depth=4, width=32).to_pandas()
+    # total mass per row equals the stream length
+    assert (counters.groupby("row")["n"].sum() == len(vals)).all()
+    uniq, exact = np.unique(vals, return_counts=True)
+    est = cms_estimate(counters, uniq, depth=4, width=32)
+    assert (est >= exact).all()
+    # with 50 keys in 32 buckets x 4 rows, the min-row estimate is tight
+    # for most keys (collisions must align across ALL rows to inflate it)
+    assert (est == exact).mean() > 0.5
+
+
+def test_cms_estimate_missing_value_is_zero(ray_session):
+    import numpy as np
+    import ray.data
+
+    from opentapioca_ray.stages.sketches import cms_estimate, count_min_sketch
+
+    ds = ray.data.from_items([{"v": 1}, {"v": 1}, {"v": 2}])
+    counters = count_min_sketch(ds, "v", depth=4, width=64).to_pandas()
+    est = cms_estimate(counters, np.array([999999]), depth=4, width=64)
+    # an unseen value reads 0 unless every row collides with seen keys
+    assert est[0] <= 2
