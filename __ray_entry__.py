@@ -494,6 +494,80 @@ def _q_phonetic_blocks(sf_dir: str):
     )
 
 
+def _q_rendezvous_placement(sf_dir: str):
+    """Rendezvous (highest-random-weight) hashing placement audit
+    (Thaler & Ravishankar, 1998 — the consistent-placement primitive
+    behind shard routing): every order key goes to the node with the
+    maximal md5(node:key) weight among 8 nodes; then node n3 is removed
+    and keys re-placed among the 7 survivors. HRW's minimal-disruption
+    guarantee — ONLY keys on the removed node move — falls out of the
+    argmax and is visible in the output: per node (n_before, n_after,
+    n_gained), where n_gained counts keys that moved IN after the
+    removal. One combiner pass; partial state is <= 8x8 cells."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+    from opentapioca_ray.stages.sketches import _md5_u64
+
+    orders = _rel(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    n_nodes, removed = 8, 3
+
+    schema = pa.schema(
+        [("node_before", pa.int64()), ("node_after", pa.int64()), ("n", pa.int64())]
+    )
+
+    def place(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "o_orderkey" not in batch.column_names:
+            return schema.empty_table()
+        keys = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        w = np.stack(
+            [
+                _md5_u64(np.char.add(f"n{j}:", keys.astype(str)))
+                for j in range(n_nodes)
+            ]
+        )  # (nodes, batch) uint64 weights
+        before = w.argmax(axis=0).astype(np.int64)
+        w2 = w.copy()
+        w2[removed] = 0  # removed node never wins (weights are md5 > 0)
+        after = w2.argmax(axis=0).astype(np.int64)
+        combo = before * n_nodes + after
+        cnt = np.bincount(combo, minlength=n_nodes * n_nodes)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "node_before": pa.array(nz // n_nodes),
+                "node_after": pa.array(nz % n_nodes),
+                "n": pa.array(cnt[nz].astype(np.int64)),
+            }
+        )
+
+    cells = coarse_groupby_agg(
+        orders.map_batches(place, batch_format="pyarrow"),
+        ["node_before", "node_after"],
+        {"n": ("n", "sum")},
+    ).to_pandas()  # <= 64 rows
+    nodes = np.arange(n_nodes, dtype=np.int64)
+    n_before = np.zeros(n_nodes, dtype=np.int64)
+    n_after = np.zeros(n_nodes, dtype=np.int64)
+    n_gained = np.zeros(n_nodes, dtype=np.int64)
+    for _, r in cells.iterrows():  # <= 64 driver-side cells
+        b, a, n = int(r["node_before"]), int(r["node_after"]), int(r["n"])
+        n_before[b] += n
+        n_after[a] += n
+        if a != b:
+            n_gained[a] += n
+    return pd.DataFrame(
+        {
+            "node": nodes,
+            "n_before": n_before,
+            "n_after": n_after,
+            "n_gained": n_gained,
+        }
+    )
+
+
 def _q_cms_counts(sf_dir: str):
     """Count-min sketch audit: a 4x64 CMS built over the event stream's
     user_id column in one combiner pass (each batch bincounts into the
@@ -6058,6 +6132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "label_propagation": _q_label_propagation,
         "cms_counts": _q_cms_counts,
+        "rendezvous_placement": _q_rendezvous_placement,
         "dup_components": _q_dup_components,
         "decontaminate": _q_decontaminate,
         "simhash_dedup": _q_simhash_dedup,
@@ -6806,6 +6881,35 @@ def oracle_sql() -> dict[str, str]:
         "fs_clusters": _fs_clusters_oracle_sql(),
         "bpe_merges": _bpe_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(),
+        "rendezvous_placement": """
+            WITH nodes AS (SELECT unnest(range(0, 8)) AS j),
+            w AS (
+              SELECT o_orderkey AS k, j,
+                ('0x' || substr(md5('n' || CAST(j AS VARCHAR) || ':'
+                    || CAST(o_orderkey AS VARCHAR)), 1, 16))::UBIGINT AS wt
+              FROM orders CROSS JOIN nodes
+            ),
+            place AS (
+              SELECT k,
+                CAST(arg_max(j, wt) AS BIGINT) AS node_before,
+                CAST(arg_max(CASE WHEN j = 3 THEN NULL ELSE j END,
+                             CASE WHEN j = 3 THEN NULL ELSE wt END)
+                     AS BIGINT) AS node_after
+              FROM w GROUP BY k
+            )
+            SELECT n.j AS node,
+              CAST(coalesce(b.nb, 0) AS BIGINT) AS n_before,
+              CAST(coalesce(a.na, 0) AS BIGINT) AS n_after,
+              CAST(coalesce(g.ng, 0) AS BIGINT) AS n_gained
+            FROM (SELECT CAST(j AS BIGINT) AS j FROM nodes) n
+            LEFT JOIN (SELECT node_before AS j, count(*) AS nb
+                       FROM place GROUP BY 1) b ON b.j = n.j
+            LEFT JOIN (SELECT node_after AS j, count(*) AS na
+                       FROM place GROUP BY 1) a ON a.j = n.j
+            LEFT JOIN (SELECT node_after AS j, count(*) AS ng
+                       FROM place WHERE node_after != node_before
+                       GROUP BY 1) g ON g.j = n.j
+        """,
         "cms_counts": """
             WITH ex AS (
               SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n

@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "label_propagation",
     "cms_counts",
+    "rendezvous_placement",
 ]
 
 
