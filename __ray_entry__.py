@@ -494,47 +494,6 @@ def _q_phonetic_blocks(sf_dir: str):
     )
 
 
-def _q_pareto_frontier(sf_dir: str):
-    """2-D skyline over orders: maximize total price (cents), minimize
-    order date (epoch seconds) — 'highest value, earliest'. Pure combiner
-    pass: per-batch local skyline sweep, keyed candidate merge, final
-    sweep over the log-sized candidate union; per-pair order counts
-    survive exactly (a global survivor is in every block's local
-    skyline)."""
-    import numpy as np
-    import pyarrow as pa
-
-    from opentapioca_ray.stages.skyline import pareto_frontier
-
-    orders = _rel(
-        f"{sf_dir}/orders.parquet", columns=["o_totalprice", "o_orderdate"]
-    )
-
-    def prep(batch: pa.Table) -> pa.Table:
-        schema = pa.schema([("price_c", pa.int64()), ("od_s", pa.int64())])
-        if batch.num_rows == 0 or "o_totalprice" not in batch.column_names:
-            return schema.empty_table()
-        price = np.rint(
-            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
-        ).astype(np.int64)
-        od = (
-            batch.column("o_orderdate")
-            .cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-            // 1_000_000
-        )
-        return pa.table({"price_c": pa.array(price), "od_s": pa.array(od)})
-
-    out = pareto_frontier(
-        orders.map_batches(prep, batch_format="pyarrow"),
-        max_column="price_c",
-        min_column="od_s",
-    )
-    return out.rename(
-        columns={"maxv": "price_c", "minv": "od_s", "n": "n_orders"}
-    )
-
-
 def _q_rendezvous_placement(sf_dir: str):
     """Rendezvous (highest-random-weight) hashing placement audit
     (Thaler & Ravishankar, 1998 — the consistent-placement primitive
@@ -6174,7 +6133,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": _q_label_propagation,
         "cms_counts": _q_cms_counts,
         "rendezvous_placement": _q_rendezvous_placement,
-        "pareto_frontier": _q_pareto_frontier,
         "dup_components": _q_dup_components,
         "decontaminate": _q_decontaminate,
         "simhash_dedup": _q_simhash_dedup,
@@ -6923,30 +6881,6 @@ def oracle_sql() -> dict[str, str]:
         "fs_clusters": _fs_clusters_oracle_sql(),
         "bpe_merges": _bpe_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(),
-        "pareto_frontier": """
-            WITH pts AS (
-              SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS price_c,
-                     epoch_us(o_orderdate) // 1000000 AS od_s
-              FROM orders
-            ),
-            agg AS (
-              SELECT price_c, od_s, CAST(count(*) AS BIGINT) AS n_orders
-              FROM pts GROUP BY 1, 2
-            ),
-            lv AS (
-              SELECT price_c, min(od_s) AS dmin FROM agg GROUP BY price_c
-            ),
-            sweep AS (
-              SELECT price_c, dmin,
-                min(dmin) OVER (ORDER BY price_c DESC
-                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev
-              FROM lv
-            )
-            SELECT a.price_c, a.od_s, a.n_orders
-            FROM agg a
-            JOIN sweep s ON s.price_c = a.price_c AND s.dmin = a.od_s
-            WHERE s.prev IS NULL OR s.dmin < s.prev
-        """,
         "rendezvous_placement": """
             WITH nodes AS (SELECT unnest(range(0, 8)) AS j),
             w AS (

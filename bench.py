@@ -180,7 +180,6 @@ BENCH_QUERIES = [
     "label_propagation",
     "cms_counts",
     "rendezvous_placement",
-    "pareto_frontier",
 ]
 
 

@@ -1,88 +1,74 @@
-"""2-D Pareto frontier (skyline) with an algebraic combiner.
+"""Distributed 2-D skyline (Pareto frontier).
 
-The multi-objective selection operator (Börzsönyi et al., ICDE 2001):
-keep every point no other point dominates (>= in the maximized
-dimension, <= in the minimized one, strict somewhere). Skylines compose:
-a point dominated inside one block is dominated globally, so each block
-can emit only its LOCAL skyline — the global frontier is the skyline of
-the union of local skylines, which for random data is logarithmic-sized.
-That makes the operator a pure combiner pass: per-batch vectorized sweep
--> one keyed merge of candidate pairs -> one final sweep over a provably
-tiny candidate set. Per-pair occurrence counts survive exactly because a
-globally-surviving pair is in EVERY block's local skyline wherever it
-occurs (nothing dominates it anywhere)."""
+Classic distribute-then-merge skyline (Börzsönyi et al., "The Skyline
+Operator", ICDE 2001; the partition/merge scheme every distributed variant
+uses): the skyline of a union is a subset of the union of per-partition
+skylines, so each block prefilters locally — O(block log block), zero
+communication — and only the per-block survivors (≈ O(log n) rows each for
+non-adversarial data) reach the single tiny merge partition. Nothing
+proportional to the input ever moves: at 100 TB the merge input is
+(#blocks × tens) of rows.
+
+Dominance (maximize `max_col`, minimize `min_col`): B dominates A iff
+B.max >= A.max AND B.min <= A.min with at least one strict. Exact ties on
+both keys dominate neither way — all duplicates of a frontier point are
+kept (the SQL twin's group-min formulation matches this)."""
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
-_PAIR_SCHEMA = pa.schema(
-    [("maxv", pa.int64()), ("minv", pa.int64()), ("n", pa.int64())]
-)
 
-
-def skyline_sweep(maxv: np.ndarray, minv: np.ndarray, n: np.ndarray):
-    """Exact 2-D skyline of weighted distinct pairs (maximize `maxv`,
-    minimize `minv`). Returns filtered (maxv, minv, n). Vectorized:
-    per-level min, then a strictly-decreasing cummin sweep."""
-    if len(maxv) == 0:
-        return maxv, minv, n
-    # merge duplicate pairs
-    order = np.lexsort((minv, -maxv))
-    mx, mn, w = maxv[order], minv[order], n[order]
-    pair_first = np.concatenate(
-        ([True], (mx[1:] != mx[:-1]) | (mn[1:] != mn[:-1]))
+def _skyline_mask(mx: np.ndarray, mn: np.ndarray) -> np.ndarray:
+    """Keep mask of the non-dominated rows: sort by (mx desc, mn asc),
+    then a row survives iff its mn equals its mx-group's min AND beats the
+    running min of all strictly-greater-mx groups."""
+    n = len(mx)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    o = np.lexsort((mn, -mx))
+    ms, ds = mx[o], mn[o]
+    new = np.concatenate(([True], ms[1:] != ms[:-1]))
+    gid = np.cumsum(new) - 1
+    gmin = ds[np.flatnonzero(new)]  # mn asc within group -> first is min
+    prev = np.concatenate(
+        ([np.iinfo(np.int64).max], np.minimum.accumulate(gmin)[:-1])
     )
-    seg = np.cumsum(pair_first) - 1
-    w = np.bincount(seg, weights=w).astype(np.int64)
-    mx, mn = mx[pair_first], mn[pair_first]
-    # within a maxv level only the smallest minv survives (strict minv
-    # dominance at equal maxv); rows are sorted (maxv desc, minv asc)
-    lvl_first = np.concatenate(([True], mx[1:] != mx[:-1]))
-    keep_lvl = lvl_first.copy()
-    # sweep across levels: a level survives iff its minv is strictly
-    # below every strictly-greater level's minv
-    lv_mn = mn[lvl_first]
-    prev = np.concatenate(([np.iinfo(np.int64).max], np.minimum.accumulate(lv_mn)[:-1]))
-    lvl_keep = lv_mn < prev
-    keep = np.zeros(len(mx), dtype=bool)
-    keep[np.flatnonzero(lvl_first)[lvl_keep]] = True
-    return mx[keep], mn[keep], w[keep]
+    keep_sorted = (ds == gmin[gid]) & (ds < prev[gid])
+    keep = np.zeros(n, dtype=bool)
+    keep[o] = keep_sorted
+    return keep
 
 
-def pareto_frontier(
-    ds,
-    max_column: str,
-    min_column: str,
-    n_parts: int | None = None,
-) -> pd.DataFrame:
-    """Distributed 2-D skyline over int64 columns: per-batch local sweep
-    (combiner), keyed candidate merge, final sweep. Returns a DataFrame
-    (maxv, minv, n) — the non-dominated pairs with their occurrence
-    counts."""
-    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+def skyline2d(ds, max_column: str, min_column: str):
+    """Rows on the (maximize `max_column`, minimize `min_column`) Pareto
+    frontier. Both columns must cast to int64 for the exact tie logic
+    (timestamps/dates do; floats are compared via their int64 order-map
+    bits)."""
+
+    def _cols(batch: pa.Table):
+        mxc = batch.column(max_column)
+        if pa.types.is_floating(mxc.type):
+            f = mxc.to_numpy(zero_copy_only=False).astype(np.float64)
+            # monotone order-preserving int64 view of float64 (all finite)
+            bits = f.view(np.int64)
+            mx = np.where(bits < 0, np.int64(-1) - (bits & np.int64(0x7FFFFFFFFFFFFFFF)), bits)
+        else:
+            mx = mxc.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        mn = batch.column(min_column).cast(pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        return mx, mn
 
     def local(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or max_column not in batch.column_names:
-            return _PAIR_SCHEMA.empty_table()
-        mx = batch.column(max_column).to_numpy(zero_copy_only=False).astype(np.int64)
-        mn = batch.column(min_column).to_numpy(zero_copy_only=False).astype(np.int64)
-        mx, mn, n = skyline_sweep(mx, mn, np.ones(len(mx), dtype=np.int64))
-        return pa.table(
-            {"maxv": pa.array(mx), "minv": pa.array(mn), "n": pa.array(n)}
-        )
+            return batch
+        mx, mn = _cols(batch)
+        return batch.filter(pa.array(_skyline_mask(mx, mn)))
 
-    cand = coarse_groupby_agg(
-        ds.map_batches(local, batch_format="pyarrow"),
-        ["maxv", "minv"],
-        {"n": ("n", "sum")},
-        n_parts=n_parts,
-    ).to_pandas()  # union of local skylines: ~log-sized per block
-    mx, mn, n = skyline_sweep(
-        cand["maxv"].to_numpy(dtype=np.int64),
-        cand["minv"].to_numpy(dtype=np.int64),
-        cand["n"].to_numpy(dtype=np.int64),
+    pruned = ds.map_batches(local, batch_format="pyarrow")
+    # survivors are tiny: one merge partition sees them all
+    return pruned.repartition(1).map_batches(
+        local, batch_format="pyarrow", batch_size=None
     )
-    return pd.DataFrame({"maxv": mx, "minv": mn, "n": n})
