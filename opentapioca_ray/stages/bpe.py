@@ -156,6 +156,15 @@ def bpe_train(
         )
 
     state = vocab.map_batches(to_repr, batch_format="pyarrow").materialize()
+    if n_parts is None:
+        # 10 chained rounds follow, each one exchange over VOCAB-sized data;
+        # size P to the (now known) vocabulary so small corpora don't pay
+        # default-P task launches per round (the LPA lesson)
+        from opentapioca_ray.stages.exchange import default_n_parts, right_size
+
+        n_vocab = state.count()
+        n_parts = max(4, min(default_n_parts(), n_vocab // 8192 + 1))
+        state = right_size(state)
 
     rows = []
     for rnd in range(n_merges):

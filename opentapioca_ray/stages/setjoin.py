@@ -210,6 +210,7 @@ def prefix_filter_pairs(
     k: int = 1,
     df_table_size: int = 65_536,
     max_block_size: int = 4_096,
+    pair_broadcast_limit: int = 5_000_000,
     n_parts: int | None = None,
 ):
     """Exact token-set Jaccard self-join via AllPairs prefix filtering.
@@ -218,6 +219,14 @@ def prefix_filter_pairs(
     `num/den` is the Jaccard threshold as an exact rational so the keep
     decision is integer arithmetic on both the Ray and the oracle side;
     `k` picks the token universe (1 = words, >=2 = word k-grams).
+
+    Verification is pair-restricted when the candidate pair set fits
+    `pair_broadcast_limit` (explicitly bounded driver state: 8 bytes/pair,
+    the repo's standard driver-limit + shuffle-fallback convention): the
+    packed (u, v) set is broadcast and each verify partition keeps only
+    candidate pairs' partial counts, so the merge exchange carries the
+    candidate volume instead of every gram-sharing pair. Above the limit,
+    the full shuffle verify runs — still exact, just heavier.
     """
     import ray
     import ray.data
@@ -227,6 +236,9 @@ def prefix_filter_pairs(
         coarse_groupby_agg,
         coarse_semi_join,
     )
+    from opentapioca_ray.stages.selection import global_top_k
+
+    n_docs = ds.count()  # metadata count for sourced reads
 
     words = ds.map_batches(
         lambda b: token_doc_rows(b, id_column, text_column, k),
@@ -249,11 +261,12 @@ def prefix_filter_pairs(
         {"df": ("one", "sum")},
         n_parts=n_parts,
     )
-    top = (
-        df_tbl.sort(["df", "word"], descending=[True, False])
-        .limit(df_table_size)
-        .to_pandas()
-    )
+    # combiner top-k, not sort().limit(): the ordering is a performance
+    # heuristic (any consistent total order is correct), but the exchange
+    # volume difference is real — O(k x blocks) vs every vocab row
+    top = global_top_k(
+        df_tbl, "df", df_table_size, tiebreak_column="word"
+    ).to_pandas()
     ranks = dict(zip(top["word"], top["df"].astype(np.int64)))
     ranks_ref = ray.put(ranks)
 
@@ -280,8 +293,43 @@ def prefix_filter_pairs(
         )
     pairs = pairs.filter(expr="u >= 0")
 
+    # ---- pair-restricted verify (small/medium regime): pack the candidate
+    # pair set into a sorted u64 array on the driver (bounded by
+    # pair_broadcast_limit) and broadcast it
+    n_pairs = pairs.count()  # capped sentinel rows already filtered out
+    packed_ref = None
+    cand_doc_count = None
+    if 0 < n_pairs <= pair_broadcast_limit:
+        chunks = []
+        for ref in pairs.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows == 0 or "u" not in t.column_names:
+                continue
+            u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+            v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = u >= 0
+            u, v = u[keep], v[keep]
+            # ids compacted downstream too; packing is only valid under 2^31
+            if len(u) and max(u.max(), v.max()) < (1 << 31):
+                chunks.append(
+                    (u.astype(np.uint64) << np.uint64(32)) | v.astype(np.uint64)
+                )
+            else:
+                chunks = None
+                break
+        if chunks:
+            packed = np.unique(np.concatenate(chunks))
+            packed_ref = ray.put(packed)
+            ids_flat = np.unique(
+                np.concatenate(
+                    [(packed >> np.uint64(32)), packed & np.uint64(0xFFFFFFFF)]
+                ).astype(np.int64)
+            )
+            cand_doc_count = len(ids_flat)
+
     # candidate doc ids (slim, distinct via the merge) -> semi-join the full
-    # token rows; verification touches candidate docs only
+    # token rows; skipped when EVERY doc is a candidate (dense corpora),
+    # where the semi-join would ship all rows to filter nothing
     def pair_ids(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "u" not in t.column_names:
             return pa.schema([("doc_id", pa.int64())]).empty_table()
@@ -296,13 +344,19 @@ def prefix_filter_pairs(
             }
         )
 
-    cand_ids = pairs.map_batches(pair_ids, batch_format="pyarrow")
-    cand_words = coarse_semi_join(
-        words, "doc_id", cand_ids, _WORD_ROWS_SCHEMA, n_parts=n_parts
-    )
+    if cand_doc_count is not None and cand_doc_count >= n_docs:
+        cand_words = words
+    else:
+        cand_ids = pairs.map_batches(pair_ids, batch_format="pyarrow")
+        cand_words = coarse_semi_join(
+            words, "doc_id", cand_ids, _WORD_ROWS_SCHEMA, n_parts=n_parts
+        )
 
     # exact intersection via the pair-multiplicity identity (shared with the
-    # ngram path): per word-hash partition partial counts, one (u,v) merge
+    # ngram path): per word-hash partition partial counts, one (u,v) merge.
+    # With the broadcast pair set, each partition drops non-candidate pairs
+    # BEFORE the merge exchange (candidates are a superset of the answer by
+    # the prefix lemma, so this never changes the result)
     def verify_partition(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {c: pd.Series(dtype=np.int64) for c in ("u", "v", "inter", "na", "nb")}
@@ -319,6 +373,13 @@ def prefix_filter_pairs(
         if res is None:
             return empty
         u, v, inter, na, nb = res
+        if packed_ref is not None:
+            cand = ray.get(packed_ref)
+            key = (u.astype(np.uint64) << np.uint64(32)) | v.astype(np.uint64)
+            pos = np.searchsorted(cand, key)
+            pos = np.minimum(pos, len(cand) - 1)
+            keep = cand[pos] == key
+            u, v, inter, na, nb = u[keep], v[keep], inter[keep], na[keep], nb[keep]
         return pd.DataFrame({"u": u, "v": v, "inter": inter, "na": na, "nb": nb})
 
     partial = coarse_group_apply(
