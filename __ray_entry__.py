@@ -568,6 +568,49 @@ def _q_rendezvous_placement(sf_dir: str):
     )
 
 
+def _q_grid_neighbors(sf_dir: str):
+    """Fixed-radius near-pair self-join over the embedding projection's
+    first two dimensions (e6 fixed-point): all pairs within L-inf 0.05 via
+    the epsilon-grid bounded-replication exchange (probe side duplicated
+    at most 9x — lossless, any qualifying pair shares or neighbors a
+    cell). The oracle is the plain quadratic join; grid cells are a
+    Ray-side performance detail that never touches the result."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.spatial import grid_neighbor_join
+
+    emb = _rel(f"{sf_dir}/embeddings.parquet")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("vec_id", pa.int64()), ("x", pa.int64()), ("y", pa.int64())]
+        )
+        if batch.num_rows == 0 or "embedding" not in batch.column_names:
+            return schema.empty_table()
+        from opentapioca_ray.functions.vectors import list_to_matrix
+
+        mat = list_to_matrix(batch.column("embedding"))
+        # half-UP quantization (floor(x*1e6 + 0.5)), not np.rint: float32
+        # coords * 1e6 land on exact .5 boundaries where rint's
+        # half-to-even disagrees with SQL round()'s half-away
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "x": pa.array(np.floor(mat[:, 0] * 1e6 + 0.5).astype(np.int64)),
+                "y": pa.array(np.floor(mat[:, 1] * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
+    return grid_neighbor_join(
+        emb.map_batches(prep, batch_format="pyarrow"),
+        id_column="vec_id",
+        x_column="x",
+        y_column="y",
+        eps_e6=50_000,
+    )
+
+
 def _q_cms_counts(sf_dir: str):
     """Count-min sketch audit: a 4x64 CMS built over the event stream's
     user_id column in one combiner pass (each batch bincounts into the
@@ -6132,6 +6175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "label_propagation": _q_label_propagation,
         "cms_counts": _q_cms_counts,
+        "grid_neighbors": _q_grid_neighbors,
         "rendezvous_placement": _q_rendezvous_placement,
         "dup_components": _q_dup_components,
         "decontaminate": _q_decontaminate,
@@ -6909,6 +6953,22 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT node_after AS j, count(*) AS ng
                        FROM place WHERE node_after != node_before
                        GROUP BY 1) g ON g.j = n.j
+        """,
+        "grid_neighbors": """
+            WITH pts AS (
+              SELECT vec_id,
+                CAST(floor((embedding::DOUBLE[])[1] * 1000000 + 0.5)
+                     AS BIGINT) AS x,
+                CAST(floor((embedding::DOUBLE[])[2] * 1000000 + 0.5)
+                     AS BIGINT) AS y
+              FROM embeddings
+            )
+            SELECT a.vec_id AS u, b.vec_id AS v,
+                   greatest(abs(a.x - b.x), abs(a.y - b.y)) AS linf_e6
+            FROM pts a JOIN pts b
+              ON a.vec_id < b.vec_id
+             AND abs(a.x - b.x) <= 50000
+             AND abs(a.y - b.y) <= 50000
         """,
         "cms_counts": """
             WITH ex AS (

@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "label_propagation",
     "cms_counts",
     "rendezvous_placement",
+    "grid_neighbors",
 ]
 
 
