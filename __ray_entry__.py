@@ -568,6 +568,18 @@ def _q_rendezvous_placement(sf_dir: str):
     )
 
 
+def _q_peak_concurrency(sf_dir: str):
+    """Per-day peak number of concurrently-open user sessions (30-min-gap
+    sessionization, inclusive endpoints): the sweep-line max as a
+    two-phase segmented scan — each day partition reduces to (net delta,
+    max within-day prefix), the O(#days) carry recursion finishes on the
+    driver. Span-only days (no session boundary) report the carry."""
+    from opentapioca_ray.stages.windows import peak_concurrency, sessionize
+
+    sessions = sessionize(_events(sf_dir), gap_us=1_800_000_000)
+    return peak_concurrency(sessions, "start_us", "end_us")
+
+
 def _q_grid_neighbors(sf_dir: str):
     """Fixed-radius near-pair self-join over the embedding projection's
     first two dimensions (e6 fixed-point): all pairs within L-inf 0.05 via
@@ -6176,6 +6188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": _q_label_propagation,
         "cms_counts": _q_cms_counts,
         "grid_neighbors": _q_grid_neighbors,
+        "peak_concurrency": _q_peak_concurrency,
         "rendezvous_placement": _q_rendezvous_placement,
         "dup_components": _q_dup_components,
         "decontaminate": _q_decontaminate,
@@ -6953,6 +6966,58 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT node_after AS j, count(*) AS ng
                        FROM place WHERE node_after != node_before
                        GROUP BY 1) g ON g.j = n.j
+        """,
+        "peak_concurrency": """
+            WITH e AS (
+              SELECT user_id, epoch_us(ts) AS us,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                               > 1800000000 THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ),
+            s AS (
+              SELECT user_id, us,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+                       ROWS UNBOUNDED PRECEDING) AS sid
+              FROM e
+            ),
+            sess AS (
+              SELECT min(us) AS start_us, max(us) AS end_us
+              FROM s GROUP BY user_id, sid
+            ),
+            deltas AS (
+              SELECT us, CAST(sum(d) AS BIGINT) AS delta FROM (
+                SELECT start_us AS us, 1 AS d FROM sess
+                UNION ALL
+                SELECT end_us + 1 AS us, -1 AS d FROM sess
+              ) GROUP BY us
+            ),
+            runs AS (
+              SELECT us, us // 86400000000 AS day,
+                     sum(delta) OVER (ORDER BY us
+                       ROWS UNBOUNDED PRECEDING) AS run
+              FROM deltas
+            ),
+            day_stats AS (
+              SELECT day, CAST(max(run) AS BIGINT) AS maxrun
+              FROM runs GROUP BY day
+            ),
+            days AS (
+              SELECT unnest(generate_series(
+                (SELECT min(day) FROM runs),
+                (SELECT max(day) FROM runs))) AS day
+            )
+            SELECT CAST(d.day AS BIGINT) AS day,
+                   CAST(greatest(
+                     coalesce((SELECT r.run FROM runs r
+                               WHERE r.us < d.day * 86400000000
+                               ORDER BY r.us DESC LIMIT 1), 0),
+                     coalesce(ds.maxrun,
+                       coalesce((SELECT r.run FROM runs r
+                                 WHERE r.us < d.day * 86400000000
+                                 ORDER BY r.us DESC LIMIT 1), 0))
+                   ) AS BIGINT) AS peak
+            FROM days d LEFT JOIN day_stats ds ON ds.day = d.day
         """,
         "grid_neighbors": """
             WITH pts AS (

@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "cms_counts",
     "rendezvous_placement",
     "grid_neighbors",
+    "peak_concurrency",
 ]
 
 

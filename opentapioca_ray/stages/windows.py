@@ -1556,3 +1556,91 @@ def time_weighted_value(
 
     units = events_ds.map_batches(to_units, batch_format="pyarrow")
     return coarse_group_apply(units, "g", kernel, n_parts=n_parts)
+
+
+def peak_concurrency(
+    intervals_ds,
+    start_column: str = "start_us",
+    end_column: str = "end_us",
+    day_us: int = 86_400_000_000,
+    n_parts=None,
+):
+    """Per-day PEAK number of concurrently-open intervals — the classic
+    sweep-line max, distributed as a two-phase segmented scan: intervals
+    become (+1 at start, -1 at end+1) deltas keyed by day; each day
+    partition reduces to THREE numbers (net delta, max within-day prefix
+    from zero, its day id); the driver then runs the carry recursion over
+    the O(#days) partials — bounded state, like the FS histogram. Days an
+    interval merely spans (no deltas) still appear: their peak is the
+    carry. Endpoints are inclusive (an interval covers [start, end])."""
+    import ray
+
+    delta_schema = pa.schema(
+        [("day", pa.int64()), ("us", pa.int64()), ("delta", pa.int64())]
+    )
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or start_column not in batch.column_names:
+            return delta_schema.empty_table()
+        s = batch.column(start_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch.column(end_column).to_numpy(zero_copy_only=False).astype(np.int64) + 1
+        us = np.concatenate([s, e])
+        d = np.concatenate(
+            [np.ones(len(s), dtype=np.int64), -np.ones(len(e), dtype=np.int64)]
+        )
+        return pa.table(
+            {
+                "day": pa.array(us // day_us),
+                "us": pa.array(us),
+                "delta": pa.array(d),
+            }
+        )
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    def day_partial(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "day": pd.Series(dtype=np.int64),
+                "total": pd.Series(dtype=np.int64),
+                "max_prefix": pd.Series(dtype=np.int64),
+            }
+        )
+        if df.empty or "day" not in df.columns:
+            return empty
+        g = df.groupby(["day", "us"], sort=True)["delta"].sum().reset_index()
+        day = g["day"].to_numpy(dtype=np.int64)
+        delta = g["delta"].to_numpy(dtype=np.int64)
+        run = np.cumsum(delta)
+        first = np.concatenate(([True], day[1:] != day[:-1]))
+        seg = np.cumsum(first) - 1
+        # per-day prefix = partition-run minus the run before the day
+        day_start_run = run[np.flatnonzero(first)] - delta[np.flatnonzero(first)]
+        prefix = run - day_start_run[seg]
+        out = pd.DataFrame({"day": day, "prefix": prefix, "delta": delta})
+        agg = out.groupby("day", sort=True).agg(
+            total=("delta", "sum"), max_prefix=("prefix", "max")
+        )
+        return agg.reset_index()
+
+    partials = coarse_group_apply(
+        intervals_ds.map_batches(deltas, batch_format="pyarrow"),
+        "day",
+        day_partial,
+        n_parts=n_parts,
+    ).to_pandas()  # O(#days) rows
+    if partials.empty:
+        return pd.DataFrame(
+            {"day": pd.Series(dtype=np.int64), "peak": pd.Series(dtype=np.int64)}
+        )
+    partials = partials.sort_values("day").reset_index(drop=True)
+    lo, hi = int(partials["day"].iloc[0]), int(partials["day"].iloc[-1])
+    days = np.arange(lo, hi + 1, dtype=np.int64)
+    total = np.zeros(len(days), dtype=np.int64)
+    maxp = np.full(len(days), np.iinfo(np.int64).min, dtype=np.int64)
+    idx = partials["day"].to_numpy(dtype=np.int64) - lo
+    total[idx] = partials["total"].to_numpy(dtype=np.int64)
+    maxp[idx] = partials["max_prefix"].to_numpy(dtype=np.int64)
+    carry = np.concatenate(([0], np.cumsum(total)[:-1]))
+    peak = np.maximum(carry, carry + np.where(maxp == np.iinfo(np.int64).min, 0, maxp))
+    return pd.DataFrame({"day": days, "peak": peak})

@@ -500,3 +500,42 @@ def test_global_order_index(ray_session):
     assert out.loc[12, "row_idx"] == 5
     assert out.loc[13, "row_idx"] == 6
     assert sorted(out["row_idx"]) == [1, 2, 3, 4, 5, 6]
+
+
+def test_peak_concurrency_two_phase_scan(ray_session):
+    """Carry across day partitions: spans with no in-day deltas report the
+    carry; peaks match a brute-force sweep."""
+    import numpy as np
+    import ray.data
+
+    from opentapioca_ray.stages.windows import peak_concurrency
+
+    DAY = 100  # small "day" for the test
+    intervals = [
+        (0, 10),     # day 0
+        (5, 250),    # spans days 0-2
+        (8, 9),      # day 0: peak 3 at us 8-9
+        (150, 160),  # day 1: with the spanner -> 2
+        (320, 330),  # day 3
+    ]
+    ds = ray.data.from_items(
+        [{"start_us": s, "end_us": e} for s, e in intervals]
+    )
+    out = peak_concurrency(ds, "start_us", "end_us", day_us=DAY, n_parts=4)
+    got = dict(zip(out["day"], out["peak"]))
+
+    # brute force: concurrency at every integer instant
+    hi = max(e for _, e in intervals) + 2
+    conc = np.zeros(hi, dtype=int)
+    for s, e in intervals:
+        conc[s : e + 1] += 1
+    exp = {}
+    for day in range(0, (hi // DAY) + 1):
+        window = conc[day * DAY : (day + 1) * DAY]
+        if day * DAY <= max(e for _, e in intervals) + 1:
+            exp[day] = int(window.max()) if len(window) else 0
+    # operator reports days between first and last delta day
+    assert got == {d: exp[d] for d in got}
+    assert got[0] == 3
+    assert got[2] == 1   # span-only day: pure carry
+    assert got[3] == 1
