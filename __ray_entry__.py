@@ -568,6 +568,113 @@ def _q_rendezvous_placement(sf_dir: str):
     )
 
 
+def _q_hits_scores(sf_dir: str):
+    """HITS hubs & authorities (3 quantized rounds) on the part->supplier
+    bipartite purchase graph: hubs = parts spread across suppliers,
+    authorities = suppliers concentrating hub parts. Scores renormalize
+    to e9 integers by HUGEINT-exact floor division each half-round, so
+    the whole trajectory unrolls into SQL. Output: (node, side, score)
+    with side 0 = hub (part), 1 = authority (supplier + 1e7)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.hits import hits_scores
+
+    li = _rel(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return pa.schema(
+                [("src", pa.int64()), ("dst", pa.int64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "src": batch.column("l_partkey").cast(pa.int64()),
+                "dst": pc.add(
+                    batch.column("l_suppkey").cast(pa.int64()), 10_000_000
+                ),
+            }
+        )
+
+    hubs, auths = hits_scores(
+        li.map_batches(edge_rows, batch_format="pyarrow"), rounds=3
+    )
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "node" not in batch.column_names:
+                return pa.schema(
+                    [
+                        ("node", pa.int64()),
+                        ("side", pa.int64()),
+                        ("score", pa.int64()),
+                    ]
+                ).empty_table()
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    "side": pa.array(
+                        np.full(batch.num_rows, side, dtype=np.int64)
+                    ),
+                    "score": batch.column("score"),
+                }
+            )
+
+        return fn
+
+    return hubs.map_batches(tag(0), batch_format="pyarrow").union(
+        auths.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+
+def _hits_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled quantized HITS: per half-round an edge-join sum, a max,
+    and a HUGEINT floor renormalization."""
+    sql = """
+        WITH ed AS MATERIALIZED (
+          SELECT DISTINCT l_partkey AS src,
+                 l_suppkey + 10000000 AS dst
+          FROM lineitem
+        ),
+        h0 AS MATERIALIZED (
+          SELECT src AS node, CAST(1000000000 AS BIGINT) AS score
+          FROM ed GROUP BY src
+        )"""
+    for t in range(rounds):
+        sql += f""",
+        sa{t} AS MATERIALIZED (
+          SELECT e.dst AS node, CAST(sum(h.score) AS BIGINT) AS s
+          FROM ed e JOIN h{t} h ON h.node = e.src
+          GROUP BY e.dst
+        ),
+        a{t + 1} AS MATERIALIZED (
+          SELECT node,
+            CAST(CAST(s AS HUGEINT) * 1000000000
+                 // (SELECT CAST(max(s) AS HUGEINT) FROM sa{t})
+                 AS BIGINT) AS score
+          FROM sa{t}
+        ),
+        sh{t} AS MATERIALIZED (
+          SELECT e.src AS node, CAST(sum(a.score) AS BIGINT) AS s
+          FROM ed e JOIN a{t + 1} a ON a.node = e.dst
+          GROUP BY e.src
+        ),
+        h{t + 1} AS MATERIALIZED (
+          SELECT node,
+            CAST(CAST(s AS HUGEINT) * 1000000000
+                 // (SELECT CAST(max(s) AS HUGEINT) FROM sh{t})
+                 AS BIGINT) AS score
+          FROM sh{t}
+        )"""
+    sql += f"""
+        SELECT node, CAST(0 AS BIGINT) AS side, score FROM h{rounds}
+        UNION ALL
+        SELECT node, CAST(1 AS BIGINT) AS side, score FROM a{rounds}
+    """
+    return sql
+
+
 def _q_peak_concurrency(sf_dir: str):
     """Per-day peak number of concurrently-open user sessions (30-min-gap
     sessionization, inclusive endpoints): the sweep-line max as a
@@ -6189,6 +6296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": _q_cms_counts,
         "grid_neighbors": _q_grid_neighbors,
         "peak_concurrency": _q_peak_concurrency,
+        "hits_scores": _q_hits_scores,
         "rendezvous_placement": _q_rendezvous_placement,
         "dup_components": _q_dup_components,
         "decontaminate": _q_decontaminate,
@@ -6967,6 +7075,7 @@ def oracle_sql() -> dict[str, str]:
                        FROM place WHERE node_after != node_before
                        GROUP BY 1) g ON g.j = n.j
         """,
+        "hits_scores": _hits_oracle_sql(),
         "peak_concurrency": """
             WITH e AS (
               SELECT user_id, epoch_us(ts) AS us,

@@ -182,6 +182,7 @@ BENCH_QUERIES = [
     "rendezvous_placement",
     "grid_neighbors",
     "peak_concurrency",
+    "hits_scores",
 ]
 
 
