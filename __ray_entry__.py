@@ -568,6 +568,42 @@ def _q_rendezvous_placement(sf_dir: str):
     )
 
 
+def _q_covered_time(sf_dir: str):
+    """Per-user total covered time of value-scaled event intervals
+    [ts, ts + value seconds] — the gaps-and-islands union-length
+    operator over variable, overlapping intervals (distinct from
+    sessionization: intervals carry their own durations and merge only
+    while they actually overlap)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.windows import interval_union_per_key
+
+    ev = _events(sf_dir)
+
+    def iv(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("user_id", pa.int64()), ("s", pa.int64()), ("e", pa.int64())]
+        )
+        if batch.num_rows == 0 or "ts" not in batch.column_names:
+            return schema.empty_table()
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dur = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 10_000.0
+        ).astype(np.int64) * 100  # value seconds, exact via e4 cents
+        return pa.table(
+            {
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "s": pa.array(us),
+                "e": pa.array(us + dur),
+            }
+        )
+
+    return interval_union_per_key(
+        ev.map_batches(iv, batch_format="pyarrow"), "user_id", "s", "e"
+    )
+
+
 def _q_hits_scores(sf_dir: str):
     """HITS hubs & authorities (3 quantized rounds) on the part->supplier
     bipartite purchase graph: hubs = parts spread across suppliers,
@@ -6297,6 +6333,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_neighbors": _q_grid_neighbors,
         "peak_concurrency": _q_peak_concurrency,
         "hits_scores": _q_hits_scores,
+        "covered_time": _q_covered_time,
         "rendezvous_placement": _q_rendezvous_placement,
         "dup_components": _q_dup_components,
         "decontaminate": _q_decontaminate,
@@ -7076,6 +7113,36 @@ def oracle_sql() -> dict[str, str]:
                        GROUP BY 1) g ON g.j = n.j
         """,
         "hits_scores": _hits_oracle_sql(),
+        "covered_time": """
+            WITH iv AS (
+              SELECT user_id, epoch_us(ts) AS s,
+                     epoch_us(ts)
+                       + CAST(round(value * 10000, 0) AS BIGINT) * 100 AS e
+              FROM events
+            ),
+            w AS (
+              SELECT user_id, s, e,
+                max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS prev_max
+              FROM iv
+            ),
+            isl AS (
+              SELECT user_id, s, e,
+                sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY s, e
+                        ROWS UNBOUNDED PRECEDING) AS iid
+              FROM w
+            ),
+            g AS (
+              SELECT user_id, iid, min(s) AS st, max(e) AS en
+              FROM isl GROUP BY 1, 2
+            )
+            SELECT user_id, CAST(sum(en - st) AS BIGINT) AS covered,
+                   CAST(count(*) AS BIGINT) AS n_islands
+            FROM g GROUP BY user_id
+        """,
         "peak_concurrency": """
             WITH e AS (
               SELECT user_id, epoch_us(ts) AS us,

@@ -183,6 +183,7 @@ BENCH_QUERIES = [
     "grid_neighbors",
     "peak_concurrency",
     "hits_scores",
+    "covered_time",
 ]
 
 

@@ -1644,3 +1644,57 @@ def peak_concurrency(
     carry = np.concatenate(([0], np.cumsum(total)[:-1]))
     peak = np.maximum(carry, carry + np.where(maxp == np.iinfo(np.int64).min, 0, maxp))
     return pd.DataFrame({"day": days, "peak": peak})
+
+
+def interval_union_per_key(
+    intervals_ds,
+    key_column: str,
+    start_column: str,
+    end_column: str,
+    n_parts=None,
+):
+    """Total covered length of the UNION of (possibly overlapping,
+    variable-length) intervals per key — the gaps-and-islands operator:
+    sort each key's intervals by (start, end); an interval starts a new
+    island iff its start exceeds the running max end; each island's
+    coverage is contiguous, so the union length is sum(island max end -
+    island min start). One coarse exchange on the key; the kernel is
+    pandas C-level groupby cummax + segment sums (no per-row Python).
+    Returns (key, covered, n_islands)."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                key_column: pd.Series(dtype=np.int64),
+                "covered": pd.Series(dtype=np.int64),
+                "n_islands": pd.Series(dtype=np.int64),
+            }
+        )
+        if df.empty or key_column not in df.columns:
+            return empty
+        k = df[key_column].to_numpy(dtype=np.int64)
+        s = df[start_column].to_numpy(dtype=np.int64)
+        e = df[end_column].to_numpy(dtype=np.int64)
+        order = np.lexsort((e, s, k))
+        k, s, e = k[order], s[order], e[order]
+        g = pd.DataFrame({"k": k, "e": e})
+        run_max = g.groupby("k", sort=False)["e"].cummax().to_numpy()
+        first = np.concatenate(([True], k[1:] != k[:-1]))
+        prev_max = np.concatenate(([0], run_max[:-1]))
+        new_island = first | (s > prev_max)
+        isl_start = s[new_island]
+        isl_end = np.maximum.reduceat(e, np.flatnonzero(new_island))
+        isl_key = k[new_island]
+        out = pd.DataFrame(
+            {
+                key_column: isl_key,
+                "len": isl_end - isl_start,
+            }
+        )
+        agg = out.groupby(key_column, sort=False).agg(
+            covered=("len", "sum"), n_islands=("len", "size")
+        )
+        return agg.reset_index()
+
+    return coarse_group_apply(intervals_ds, key_column, kernel, n_parts=n_parts)

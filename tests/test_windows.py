@@ -539,3 +539,31 @@ def test_peak_concurrency_two_phase_scan(ray_session):
     assert got[0] == 3
     assert got[2] == 1   # span-only day: pure carry
     assert got[3] == 1
+
+
+def test_interval_union_islands(ray_session):
+    """Overlapping and touching intervals merge; gapped ones don't; the
+    running-max (not last-end) defines overlap for contained intervals."""
+    import ray.data
+
+    from opentapioca_ray.stages.windows import interval_union_per_key
+
+    rows = [
+        # user 1: [0,10] + contained [2,3] + touching [10,15] -> one island
+        {"u": 1, "s": 0, "e": 10},
+        {"u": 1, "s": 2, "e": 3},
+        {"u": 1, "s": 10, "e": 15},
+        # gap, then [20,25]
+        {"u": 1, "s": 20, "e": 25},
+        # user 2: containment chain [0,100] ⊃ [1,2] ⊃ ... then [50,60]
+        {"u": 2, "s": 0, "e": 100},
+        {"u": 2, "s": 1, "e": 2},
+        {"u": 2, "s": 50, "e": 60},
+        {"u": 2, "s": 150, "e": 151},
+    ]
+    out = interval_union_per_key(
+        ray.data.from_items(rows), "u", "s", "e", n_parts=4
+    ).take_all()
+    got = {r["u"]: (r["covered"], r["n_islands"]) for r in out}
+    assert got[1] == (20, 2)  # [0,15] + [20,25]
+    assert got[2] == (101, 2)  # [0,100] + [150,151]
