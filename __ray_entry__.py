@@ -568,6 +568,52 @@ def _q_rendezvous_placement(sf_dir: str):
     )
 
 
+def _q_time_to_exceed(sf_dir: str):
+    """Per event: microseconds until the same user's next event with a
+    strictly greater value (-1 if never) — the monotone-stack problem,
+    solved for all rows at once by a vectorized sparse-table binary
+    descent with +inf walls between user segments (windows.py:
+    next_greater_event). Values compare in exact e4 units."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.windows import next_greater_event
+
+    ev = _events(sf_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("us", pa.int64()),
+                ("value_e4", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or "ts" not in batch.column_names:
+            return schema.empty_table()
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "us": batch.column("ts").cast(pa.int64()),
+                "value_e4": pa.array(
+                    np.rint(
+                        batch.column("value").to_numpy(zero_copy_only=False)
+                        * 10_000.0
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    return next_greater_event(
+        ev.map_batches(prep, batch_format="pyarrow"),
+        key_column="user_id",
+        order_columns=("us", "event_id"),
+        value_column="value_e4",
+    )
+
+
 def _q_covered_time(sf_dir: str):
     """Per-user total covered time of value-scaled event intervals
     [ts, ts + value seconds] — the gaps-and-islands union-length
@@ -6334,6 +6380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency": _q_peak_concurrency,
         "hits_scores": _q_hits_scores,
         "covered_time": _q_covered_time,
+        "time_to_exceed": _q_time_to_exceed,
         "rendezvous_placement": _q_rendezvous_placement,
         "dup_components": _q_dup_components,
         "decontaminate": _q_decontaminate,
@@ -7113,6 +7160,27 @@ def oracle_sql() -> dict[str, str]:
                        GROUP BY 1) g ON g.j = n.j
         """,
         "hits_scores": _hits_oracle_sql(),
+        "time_to_exceed": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us,
+                     CAST(round(value * 10000, 0) AS BIGINT) AS v
+              FROM events
+            ),
+            j AS (
+              SELECT a.event_id, a.us AS aus, b.us AS bus,
+                row_number() OVER (PARTITION BY a.event_id
+                  ORDER BY b.us, b.event_id) AS rn
+              FROM e a JOIN e b ON b.user_id = a.user_id
+                AND (b.us > a.us
+                     OR (b.us = a.us AND b.event_id > a.event_id))
+                AND b.v > a.v
+            )
+            SELECT e.event_id,
+                   CAST(coalesce(j.bus - j.aus, -1) AS BIGINT) AS wait_us
+            FROM e
+            LEFT JOIN (SELECT event_id, aus, bus FROM j WHERE rn = 1) j
+              USING (event_id)
+        """,
         "covered_time": """
             WITH iv AS (
               SELECT user_id, epoch_us(ts) AS s,

@@ -184,6 +184,7 @@ BENCH_QUERIES = [
     "peak_concurrency",
     "hits_scores",
     "covered_time",
+    "time_to_exceed",
 ]
 
 

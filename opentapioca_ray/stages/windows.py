@@ -1698,3 +1698,82 @@ def interval_union_per_key(
         return agg.reset_index()
 
     return coarse_group_apply(intervals_ds, key_column, kernel, n_parts=n_parts)
+
+
+def next_greater_event(
+    events_ds,
+    key_column: str = "user_id",
+    order_columns: tuple = ("us", "event_id"),
+    value_column: str = "value_e4",
+    n_parts=None,
+):
+    """For every event, the time until the SAME key's next event with a
+    strictly greater value (time-to-exceed; -1 if none follows). The
+    classic monotone-stack problem, but a stack scan is sequential — the
+    kernel instead answers ALL rows at once with a sparse-table binary
+    descent: log2(n) max-over-2^k window tables (vectorized
+    np.maximum.accumulate shifts), then a vectorized descent that
+    advances every query past windows whose max cannot exceed its value.
+    +inf sentinel walls between key segments stop the descent at key
+    boundaries, so one partition-wide pass serves all keys. O(n log n)
+    with no per-row Python. Returns (event_id, wait_us)."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    ts_col, id_col = order_columns
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype=np.int64),
+                "wait_us": pd.Series(dtype=np.int64),
+            }
+        )
+        if df.empty or key_column not in df.columns:
+            return empty
+        k = df[key_column].to_numpy(dtype=np.int64)
+        ts = df[ts_col].to_numpy(dtype=np.int64)
+        eid = df[id_col].to_numpy(dtype=np.int64)
+        val = df[value_column].to_numpy(dtype=np.int64)
+        order = np.lexsort((eid, ts, k))
+        k, ts, eid, val = k[order], ts[order], eid[order], val[order]
+        n = len(k)
+        # pad with +inf walls between key segments (and one at the end)
+        first = np.concatenate(([True], k[1:] != k[:-1]))
+        wall_after = np.concatenate((first[1:], [True]))
+        m = n + int(wall_after.sum())
+        v = np.full(m, np.iinfo(np.int64).max, dtype=np.int64)
+        # positions of real rows in the padded array
+        pos = np.arange(n) + np.cumsum(np.concatenate(([False], wall_after[:-1])))
+        v[pos] = val
+        # sparse table: T[kk][j] = max v[j : j + 2^kk]
+        tables = [v]
+        kk = 1
+        while (1 << kk) <= m:
+            prev = tables[-1]
+            half = 1 << (kk - 1)
+            cur = prev.copy()
+            cur[:-half] = np.maximum(prev[:-half], prev[half:])
+            tables.append(cur)
+            kk += 1
+        # vectorized binary descent from each row's successor position
+        ans = pos + 1
+        for lev in range(len(tables) - 1, -1, -1):
+            step = 1 << lev
+            ok = ans + step <= m
+            idx = np.minimum(ans, m - 1)
+            skip = ok & (tables[lev][idx] <= val)
+            ans = np.where(skip, ans + step, ans)
+        found = ans < m
+        # a found position that landed on a wall means "none in segment"
+        found &= np.isin(ans, pos, assume_unique=False) if found.any() else found
+        next_ts = np.full(n, -1, dtype=np.int64)
+        if found.any():
+            # map padded position back to row index
+            back = np.full(m, -1, dtype=np.int64)
+            back[pos] = np.arange(n)
+            j = back[ans[found]]
+            next_ts[found] = ts[j]
+        wait = np.where(found & (next_ts >= 0), next_ts - ts, -1)
+        return pd.DataFrame({"event_id": eid, "wait_us": wait})
+
+    return coarse_group_apply(events_ds, key_column, kernel, n_parts=n_parts)

@@ -567,3 +567,51 @@ def test_interval_union_islands(ray_session):
     got = {r["u"]: (r["covered"], r["n_islands"]) for r in out}
     assert got[1] == (20, 2)  # [0,15] + [20,25]
     assert got[2] == (101, 2)  # [0,100] + [150,151]
+
+
+def test_next_greater_sparse_table_descent(ray_session):
+    """Vectorized next-greater matches a brute-force scan, including key
+    walls, duplicate values, and last-in-segment rows."""
+    import numpy as np
+    import ray.data
+
+    from opentapioca_ray.stages.windows import next_greater_event
+
+    rng = np.random.default_rng(13)
+    rows = []
+    eid = 0
+    for u in range(7):
+        for _ in range(rng.integers(1, 60)):
+            rows.append(
+                {
+                    "user_id": u,
+                    "event_id": eid,
+                    "us": int(rng.integers(0, 500)),
+                    "value_e4": int(rng.integers(0, 12)),  # many ties
+                }
+            )
+            eid += 1
+    out = next_greater_event(
+        ray.data.from_items(rows).repartition(5),
+        key_column="user_id",
+        order_columns=("us", "event_id"),
+        value_column="value_e4",
+        n_parts=4,
+    ).take_all()
+    got = {r["event_id"]: r["wait_us"] for r in out}
+
+    exp = {}
+    for a in rows:
+        cands = [
+            b
+            for b in rows
+            if b["user_id"] == a["user_id"]
+            and (b["us"], b["event_id"]) > (a["us"], a["event_id"])
+            and b["value_e4"] > a["value_e4"]
+        ]
+        if cands:
+            nxt = min(cands, key=lambda b: (b["us"], b["event_id"]))
+            exp[a["event_id"]] = nxt["us"] - a["us"]
+        else:
+            exp[a["event_id"]] = -1
+    assert got == exp
