@@ -568,6 +568,73 @@ def _q_rendezvous_placement(sf_dir: str):
     )
 
 
+def _q_random_walks(sf_dir: str):
+    """Deterministic 4-step random walks (one walker per node) over the
+    part--supplier bipartite graph: next hop = neighbor minimizing
+    md5(walker:step:neighbor) — DeepWalk-style sampling made reproducible
+    and SQL-replayable. Output: the (walker, step, node) walk corpus."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.walks import random_walks
+
+    li = _rel(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return pa.schema([("u", pa.int64()), ("v", pa.int64())]).empty_table()
+        return pa.table(
+            {
+                "u": batch.column("l_partkey").cast(pa.int64()),
+                "v": pc.add(
+                    batch.column("l_suppkey").cast(pa.int64()), 10_000_000
+                ),
+            }
+        )
+
+    return random_walks(
+        li.map_batches(edge_rows, batch_format="pyarrow"), steps=4
+    )
+
+
+def _walks_oracle_sql(steps: int = 4) -> str:
+    """Unrolled deterministic walks: per step, an adjacency join and the
+    md5-priority argmin per walker."""
+    sql = """
+        WITH ed AS MATERIALIZED (
+          SELECT u AS src, v AS dst FROM (
+            SELECT DISTINCT l_partkey AS u, l_suppkey + 10000000 AS v
+            FROM lineitem
+          )
+          UNION ALL
+          SELECT v AS src, u AS dst FROM (
+            SELECT DISTINCT l_partkey AS u, l_suppkey + 10000000 AS v
+            FROM lineitem
+          )
+        ),
+        p0 AS MATERIALIZED (
+          SELECT src AS walker, src AS node FROM ed GROUP BY src
+        )"""
+    for t in range(steps):
+        sql += f""",
+        p{t + 1} AS MATERIALIZED (
+          SELECT walker, node FROM (
+            SELECT p.walker, e.dst AS node,
+              row_number() OVER (PARTITION BY p.walker ORDER BY
+                ('0x' || substr(md5(CAST(p.walker AS VARCHAR) || ':{t}:'
+                    || CAST(e.dst AS VARCHAR)), 1, 16))::UBIGINT,
+                e.dst) AS rn
+            FROM p{t} p JOIN ed e ON e.src = p.node
+          ) WHERE rn = 1
+        )"""
+    sql += "\n        "
+    sql += "\n        UNION ALL ".join(
+        f"SELECT walker, CAST({i} AS BIGINT) AS step, node FROM p{i}"
+        for i in range(steps + 1)
+    )
+    return sql
+
+
 def _q_time_to_exceed(sf_dir: str):
     """Per event: microseconds until the same user's next event with a
     strictly greater value (-1 if never) — the monotone-stack problem,
@@ -6381,6 +6448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": _q_hits_scores,
         "covered_time": _q_covered_time,
         "time_to_exceed": _q_time_to_exceed,
+        "random_walks": _q_random_walks,
         "rendezvous_placement": _q_rendezvous_placement,
         "dup_components": _q_dup_components,
         "decontaminate": _q_decontaminate,
@@ -7160,6 +7228,7 @@ def oracle_sql() -> dict[str, str]:
                        GROUP BY 1) g ON g.j = n.j
         """,
         "hits_scores": _hits_oracle_sql(),
+        "random_walks": _walks_oracle_sql(),
         "time_to_exceed": """
             WITH e AS (
               SELECT event_id, user_id, epoch_us(ts) AS us,

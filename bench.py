@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "hits_scores",
     "covered_time",
     "time_to_exceed",
+    "random_walks",
 ]
 
 
