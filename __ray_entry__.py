@@ -568,6 +568,144 @@ def _q_rendezvous_placement(sf_dir: str):
     )
 
 
+def _q_coreset_cover(sf_dir: str):
+    """Greedy set-cover coreset selection (the classic (1-1/e) greedy):
+    10 rounds picking the document covering the most NOT-yet-covered
+    3-grams (ties -> smallest doc_id). The covered-gram state is bounded
+    by (rounds x grams/doc) and broadcast each round; each round is one
+    filtered count pass over the materialized (gram, doc) rows + a tiny
+    argmax — the data-selection primitive for 'smallest set of docs that
+    spans the corpus vocabulary'. Output per round: the chosen doc, its
+    marginal gain, and the cumulative covered-gram count."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from opentapioca_ray.stages.dedup import gram_doc_rows
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    rows = (
+        _docs(sf_dir)
+        .map_batches(
+            lambda b: gram_doc_rows(b, "doc_id", "text", 3),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    chosen = []
+    covered: set = set()
+    for rnd in range(10):
+        cov_ref = ray.put(np.array(sorted(covered), dtype=object))
+
+        def gains(batch: pa.Table) -> pa.Table:
+            schema = pa.schema([("doc_id", pa.int64()), ("gain", pa.int64())])
+            if batch.num_rows == 0 or "gram" not in batch.column_names:
+                return schema.empty_table()
+            cov = ray.get(cov_ref)
+            g = batch.column("gram").to_numpy(zero_copy_only=False)
+            d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            new = ~np.isin(g, cov) if len(cov) else np.ones(len(g), bool)
+            if not new.any():
+                return schema.empty_table()
+            du, inv = np.unique(d[new], return_inverse=True)
+            return pa.table(
+                {
+                    "doc_id": pa.array(du),
+                    "gain": pa.array(np.bincount(inv).astype(np.int64)),
+                }
+            )
+
+        counts = coarse_groupby_agg(
+            rows.map_batches(gains, batch_format="pyarrow"),
+            ["doc_id"],
+            {"gain": ("gain", "sum")},
+        )
+
+        def block_best(batch: pa.Table) -> pa.Table:
+            schema = pa.schema([("doc_id", pa.int64()), ("gain", pa.int64())])
+            if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+                return schema.empty_table()
+            df = batch.to_pandas().sort_values(
+                ["gain", "doc_id"], ascending=[False, True], kind="mergesort"
+            ).head(1)
+            return pa.Table.from_pandas(df, preserve_index=False).cast(schema)
+
+        cands = counts.map_batches(block_best, batch_format="pyarrow").take_all()
+        if not cands:
+            break
+        best = min(cands, key=lambda r: (-r["gain"], r["doc_id"]))
+        if best["gain"] <= 0:
+            break
+        doc_grams = {
+            r["gram"]
+            for r in rows.filter(
+                expr=f"doc_id == {int(best['doc_id'])}"
+            ).take_all()
+        }
+        covered |= doc_grams
+        chosen.append(
+            {
+                "round": rnd,
+                "doc_id": int(best["doc_id"]),
+                "gain": int(best["gain"]),
+                "covered_total": len(covered),
+            }
+        )
+    return pd.DataFrame(
+        chosen, columns=["round", "doc_id", "gain", "covered_total"]
+    ).astype(np.int64)
+
+
+def _coreset_oracle_sql(rounds: int = 10) -> str:
+    """Unrolled greedy set cover: per round the uncovered-gram counts, an
+    argmax, and the covered-set union."""
+    sql = f"""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(
+              list_transform(
+                regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                w -> trim(w)),
+              w -> w != '') AS arr
+          FROM documents
+        ),
+        grams AS MATERIALIZED (
+          SELECT doc_id, unnest(
+            CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                 ELSE list_distinct(list_transform(
+                        range(1, len(arr) - 1),
+                        i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+            END) AS g
+          FROM toks WHERE len(arr) > 0
+        ),
+        cov0 AS (SELECT NULL::VARCHAR AS g WHERE false)"""
+    for t in range(rounds):
+        sql += f""",
+        best{t} AS MATERIALIZED (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS gain
+          FROM grams WHERE g NOT IN (SELECT g FROM cov{t})
+          GROUP BY doc_id
+          ORDER BY gain DESC, doc_id LIMIT 1
+        ),
+        cov{t + 1} AS MATERIALIZED (
+          SELECT g FROM cov{t}
+          UNION
+          SELECT gr.g FROM grams gr JOIN best{t} b ON gr.doc_id = b.doc_id
+        )"""
+    sql += "\n        "
+    sql += "\n        UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS round, doc_id, gain,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM cov{t + 1})"
+        f" AS covered_total FROM best{t}"
+        for t in range(rounds)
+    )
+    return sql
+
+
 def _q_random_walks(sf_dir: str):
     """Deterministic 4-step random walks (one walker per node) over the
     part--supplier bipartite graph: next hop = neighbor minimizing
@@ -6449,6 +6587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "covered_time": _q_covered_time,
         "time_to_exceed": _q_time_to_exceed,
         "random_walks": _q_random_walks,
+        "coreset_cover": _q_coreset_cover,
         "rendezvous_placement": _q_rendezvous_placement,
         "dup_components": _q_dup_components,
         "decontaminate": _q_decontaminate,
@@ -7229,6 +7368,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hits_scores": _hits_oracle_sql(),
         "random_walks": _walks_oracle_sql(),
+        "coreset_cover": _coreset_oracle_sql(),
         "time_to_exceed": """
             WITH e AS (
               SELECT event_id, user_id, epoch_us(ts) AS us,

@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "covered_time",
     "time_to_exceed",
     "random_walks",
+    "coreset_cover",
 ]
 
 
