@@ -568,6 +568,63 @@ def _q_rendezvous_placement(sf_dir: str):
     )
 
 
+def _q_join_sample_estimate(sf_dir: str):
+    """Correlated (key-synchronized) sampling for join-size estimation —
+    the AQP classic: sampling 20% of PART KEYS by md5 on both sides of
+    the lineitem-x-lineitem self-join keeps the join's key structure
+    intact, so est = sampled join size x 5 is unbiased where independent
+    row sampling would be quadratically biased. One combiner pass builds
+    per-key counts; the join size is sum(cnt^2) per key, never
+    materialized. Output: one audit row (keys sampled, sampled pairs,
+    estimate, exact)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+    from opentapioca_ray.stages.sketches import _md5_u64
+
+    li = _rel(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    counts = coarse_groupby_agg(
+        li, ["l_partkey"], {"cnt": ("l_partkey", "size")}
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("n_keys_sampled", pa.int64()),
+                ("sampled_pairs", pa.int64()),
+                ("exact_pairs", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return schema.empty_table()
+        k = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        c = batch.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        sampled = (_md5_u64(k) % np.uint64(100)) < 20
+        sq = c * c
+        return pa.table(
+            {
+                "n_keys_sampled": pa.array([int(sampled.sum())]),
+                "sampled_pairs": pa.array([int(sq[sampled].sum())]),
+                "exact_pairs": pa.array([int(sq.sum())]),
+            }
+        )
+
+    parts = counts.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n_s = int(parts["n_keys_sampled"].sum())
+    sp = int(parts["sampled_pairs"].sum())
+    ex = int(parts["exact_pairs"].sum())
+    return pd.DataFrame(
+        {
+            "n_keys_sampled": [n_s],
+            "sampled_pairs": [sp],
+            "est_pairs": [sp * 100 // 20],
+            "exact_pairs": [ex],
+        }
+    ).astype(np.int64)
+
+
 def _q_coreset_cover(sf_dir: str):
     """Greedy set-cover coreset selection (the classic (1-1/e) greedy):
     10 rounds picking the document covering the most NOT-yet-covered
@@ -6588,6 +6645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_to_exceed": _q_time_to_exceed,
         "random_walks": _q_random_walks,
         "coreset_cover": _q_coreset_cover,
+        "join_sample_estimate": _q_join_sample_estimate,
         "rendezvous_placement": _q_rendezvous_placement,
         "dup_components": _q_dup_components,
         "decontaminate": _q_decontaminate,
@@ -7369,6 +7427,21 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _hits_oracle_sql(),
         "random_walks": _walks_oracle_sql(),
         "coreset_cover": _coreset_oracle_sql(),
+        "join_sample_estimate": """
+            WITH c AS (
+              SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS cnt,
+                CASE WHEN ('0x' || substr(md5(CAST(l_partkey AS VARCHAR)),
+                      1, 16))::UBIGINT % 100 < 20 THEN 1 ELSE 0 END AS s
+              FROM lineitem GROUP BY l_partkey
+            )
+            SELECT CAST(sum(s) AS BIGINT) AS n_keys_sampled,
+                   CAST(sum(CASE WHEN s = 1 THEN cnt * cnt ELSE 0 END)
+                        AS BIGINT) AS sampled_pairs,
+                   CAST(sum(CASE WHEN s = 1 THEN cnt * cnt ELSE 0 END)
+                        * 100 // 20 AS BIGINT) AS est_pairs,
+                   CAST(sum(cnt * cnt) AS BIGINT) AS exact_pairs
+            FROM c
+        """,
         "time_to_exceed": """
             WITH e AS (
               SELECT event_id, user_id, epoch_us(ts) AS us,

@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "time_to_exceed",
     "random_walks",
     "coreset_cover",
+    "join_sample_estimate",
 ]
 
 
