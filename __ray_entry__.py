@@ -568,6 +568,66 @@ def _q_rendezvous_placement(sf_dir: str):
     )
 
 
+def _q_ams_f2(sf_dir: str):
+    """AMS second-moment sketch (Alon-Matias-Szegedy, STOC'96): estimate
+    the self-join size sum(cnt^2) of l_partkey from SIX signed counters —
+    S_j = sum over events of the md5-derived +-1 sign of the key; each
+    S_j^2 is an unbiased F2 estimate and the median-of-6 tames variance.
+    O(1) state, ZERO exchanges for the sketch (pure combiner map); the
+    exact moment rides the same per-key count pass join_sample_estimate
+    uses, so the audit row shows sketch vs sampling vs truth on one
+    statistic."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+    from opentapioca_ray.stages.sketches import _md5_u64
+
+    li = _rel(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    n_rows = 6
+
+    def partial(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [(f"s{j}", pa.int64()) for j in range(n_rows)]
+        )
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return schema.empty_table()
+        k = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        out = {}
+        for j in range(n_rows):
+            seed = np.char.add(f"s{j}:", k.astype(str))
+            sign = (_md5_u64(seed) % np.uint64(2)).astype(np.int64) * 2 - 1
+            out[f"s{j}"] = pa.array([int(sign.sum())])
+        return pa.table(out)
+
+    sums = li.map_batches(partial, batch_format="pyarrow").to_pandas().sum()
+    ests = sorted(int(sums[f"s{j}"]) ** 2 for j in range(n_rows))
+    median_est = (ests[2] + ests[3]) // 2
+
+    counts = coarse_groupby_agg(
+        li, ["l_partkey"], {"cnt": ("l_partkey", "size")}
+    )
+
+    def sq(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "cnt" not in batch.column_names:
+            return pa.schema([("sq", pa.int64())]).empty_table()
+        c = batch.column("cnt").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"sq": pa.array([int((c * c).sum())])})
+
+    exact = int(
+        counts.map_batches(sq, batch_format="pyarrow").to_pandas()["sq"].sum()
+    )
+    return pd.DataFrame(
+        {
+            "median_est_pairs": [median_est],
+            "min_est": [ests[0]],
+            "max_est": [ests[-1]],
+            "exact_pairs": [exact],
+        }
+    ).astype(np.int64)
+
+
 def _q_join_sample_estimate(sf_dir: str):
     """Correlated (key-synchronized) sampling for join-size estimation —
     the AQP classic: sampling 20% of PART KEYS by md5 on both sides of
@@ -6646,6 +6706,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": _q_random_walks,
         "coreset_cover": _q_coreset_cover,
         "join_sample_estimate": _q_join_sample_estimate,
+        "ams_f2": _q_ams_f2,
         "rendezvous_placement": _q_rendezvous_placement,
         "dup_components": _q_dup_components,
         "decontaminate": _q_decontaminate,
@@ -7427,6 +7488,39 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _hits_oracle_sql(),
         "random_walks": _walks_oracle_sql(),
         "coreset_cover": _coreset_oracle_sql(),
+        "ams_f2": """
+            WITH signs AS (
+              SELECT j,
+                CAST(sum(CASE WHEN ('0x' || substr(md5('s'
+                    || CAST(j AS VARCHAR) || ':'
+                    || CAST(l_partkey AS VARCHAR)), 1, 16))::UBIGINT % 2 = 1
+                  THEN 1 ELSE -1 END) AS BIGINT) AS s
+              FROM lineitem
+              CROSS JOIN (SELECT unnest(range(0, 6)) AS j)
+              GROUP BY j
+            ),
+            ests AS (
+              SELECT s * s AS est,
+                row_number() OVER (ORDER BY s * s) AS rk
+              FROM signs
+            ),
+            med AS (
+              SELECT CAST(((SELECT est FROM ests WHERE rk = 3)
+                         + (SELECT est FROM ests WHERE rk = 4)) // 2
+                     AS BIGINT) AS median_est,
+                     (SELECT CAST(min(est) AS BIGINT) FROM ests) AS mn,
+                     (SELECT CAST(max(est) AS BIGINT) FROM ests) AS mx
+            ),
+            ex AS (
+              SELECT CAST(sum(cnt * cnt) AS BIGINT) AS exact_pairs FROM (
+                SELECT CAST(count(*) AS BIGINT) AS cnt
+                FROM lineitem GROUP BY l_partkey
+              )
+            )
+            SELECT median_est AS median_est_pairs, mn AS min_est,
+                   mx AS max_est, exact_pairs
+            FROM med CROSS JOIN ex
+        """,
         "join_sample_estimate": """
             WITH c AS (
               SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS cnt,

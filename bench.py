@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "random_walks",
     "coreset_cover",
     "join_sample_estimate",
+    "ams_f2",
 ]
 
 

@@ -123,3 +123,19 @@ def test_cms_estimate_missing_value_is_zero(ray_session):
     est = cms_estimate(counters, np.array([999999]), depth=4, width=64)
     # an unseen value reads 0 unless every row collides with seen keys
     assert est[0] <= 2
+
+
+def test_ams_f2_estimator_shape(ray_session):
+    """AMS median-of-6 lands within an order of magnitude of the exact
+    second moment on the real table (fixed md5 signs -> deterministic)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    out = entry.queries()["ams_f2"]("/root/testdata/sf0.001")
+    r = out.iloc[0]
+    assert r["min_est"] <= r["median_est_pairs"] <= r["max_est"]
+    assert r["exact_pairs"] > 0
+    # 6 independent +-1 sketches: median within ~10x of truth on this data
+    assert r["exact_pairs"] // 10 <= r["median_est_pairs"] <= r["exact_pairs"] * 10
