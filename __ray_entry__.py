@@ -568,6 +568,266 @@ def _q_rendezvous_placement(sf_dir: str):
     )
 
 
+_BSL_PREDS = ["blk_eq", "ty_eq", "sz_eq", "name1_eq", "price_bucket_eq"]
+
+
+def _q_blocking_scheme_learn(sf_dir: str):
+    """Greedy blocking-scheme learning (Michelson & Knoblock, AAAI'06
+    family): from 5 candidate blocking predicates over the FS linkage
+    fixture (brand / type / size / first-name-token / price-bucket
+    equality), pick 3 greedily by (new true matches covered desc,
+    candidate-pair volume asc, name) — the disjunction-of-predicates
+    scheme every ER deployment hand-tunes. Match coverage reduces to a
+    2^5 flag-pattern histogram (side B is a pure function of side A, so
+    flags need ZERO exchanges); predicate candidate volumes are one
+    composite-key exchange of (pred, value) block sizes. Greedy runs
+    driver-side over 32 bins + 5 costs."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    part = _rel(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_name", "p_type", "p_size", "p_retailprice"],
+    )
+    n_p = len(_BSL_PREDS)
+
+    def _fields(batch: pa.Table):
+        k = batch.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        blk = batch.column("p_brand").to_numpy(zero_copy_only=False).astype(object)
+        nm = batch.column("p_name").to_numpy(zero_copy_only=False).astype(object)
+        ty = batch.column("p_type").to_numpy(zero_copy_only=False).astype(object)
+        sz = batch.column("p_size").to_numpy(zero_copy_only=False).astype(np.int64)
+        price = np.rint(
+            batch.column("p_retailprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        a = {
+            "blk_eq": blk,
+            "ty_eq": ty,
+            "sz_eq": sz,
+            "name1_eq": np.array([s.split(" ")[0] for s in nm], object),
+            "price_bucket_eq": price // 500,
+        }
+        # side B: this query's own dirty replica — every field perturbed on
+        # a different key period so no predicate trivially covers all
+        # matches (brand k%11, type k%7, size k%5, name PREPEND k%3 so the
+        # first token changes, price +5.00 k%2 so the bucket flips only on
+        # a boundary crossing)
+        nm_b = np.where(k % 3 == 0, np.array(["x " + s for s in nm], object), nm)
+        b = {
+            "blk_eq": np.where(k % 11 == 0, "ALTBRAND", blk),
+            "ty_eq": np.where(k % 7 == 0, "ALTERED", ty),
+            "sz_eq": np.where(k % 5 == 0, sz + 1, sz),
+            "name1_eq": np.array([s.split(" ")[0] for s in nm_b], object),
+            "price_bucket_eq": np.where(k % 2 == 0, price + 500, price) // 500,
+        }
+        return k, a, b
+
+    def flag_hist(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("pattern", pa.int64()), ("n", pa.int64())]
+        )
+        if batch.num_rows == 0 or "p_partkey" not in batch.column_names:
+            return schema.empty_table()
+        _, a, b = _fields(batch)
+        pattern = np.zeros(batch.num_rows, dtype=np.int64)
+        for i, p in enumerate(_BSL_PREDS):
+            pattern |= (a[p] == b[p]).astype(np.int64) << (n_p - 1 - i)
+        cnt = np.bincount(pattern, minlength=1 << n_p)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {"pattern": pa.array(nz.astype(np.int64)), "n": pa.array(cnt[nz])}
+        )
+
+    hist = (
+        coarse_groupby_agg(
+            part.map_batches(flag_hist, batch_format="pyarrow"),
+            ["pattern"],
+            {"n": ("n", "sum")},
+        )
+        .to_pandas()
+    )
+
+    def side_counts(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("pred", pa.string()),
+                ("val", pa.string()),
+                ("na", pa.int64()),
+                ("nb", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or "p_partkey" not in batch.column_names:
+            return schema.empty_table()
+        _, a, b = _fields(batch)
+        preds, vals, nas, nbs = [], [], [], []
+        for p in _BSL_PREDS:
+            for side, arr in (("a", a[p]), ("b", b[p])):
+                sv = arr.astype(str)
+                u, c = np.unique(sv, return_counts=True)
+                preds.append(np.full(len(u), p, object))
+                vals.append(u.astype(object))
+                nas.append(c if side == "a" else np.zeros(len(u), np.int64))
+                nbs.append(c if side == "b" else np.zeros(len(u), np.int64))
+        return pa.table(
+            {
+                "pred": pa.array(np.concatenate(preds), pa.string()),
+                "val": pa.array(np.concatenate(vals), pa.string()),
+                "na": pa.array(np.concatenate(nas).astype(np.int64)),
+                "nb": pa.array(np.concatenate(nbs).astype(np.int64)),
+            }
+        )
+
+    blocks = coarse_groupby_agg(
+        part.map_batches(side_counts, batch_format="pyarrow"),
+        ["pred", "val"],
+        {"na": ("na", "sum"), "nb": ("nb", "sum")},
+    ).to_pandas()  # bounded by distinct (pred, value) pairs
+    blocks["pairs"] = blocks["na"] * blocks["nb"]
+    cand = blocks.groupby("pred")["pairs"].sum().to_dict()
+
+    pat = hist["pattern"].to_numpy(dtype=np.int64)
+    n = hist["n"].to_numpy(dtype=np.int64)
+    chosen: list = []
+    covered_mask = np.zeros(len(pat), dtype=bool)
+    rows = []
+    for rnd in range(3):
+        best = None
+        for i, p in enumerate(_BSL_PREDS):
+            if p in chosen:
+                continue
+            bit = (pat >> (n_p - 1 - i)) & 1
+            new = int(n[(bit == 1) & ~covered_mask].sum())
+            key = (-new, int(cand[p]), p)
+            if best is None or key < best[0]:
+                best = (key, p, new, i)
+        _, p, new, i = best
+        if new <= 0:
+            break
+        chosen.append(p)
+        covered_mask |= ((pat >> (n_p - 1 - i)) & 1) == 1
+        rows.append(
+            {
+                "round": rnd,
+                "predicate": p,
+                "new_covered": new,
+                "total_covered": int(n[covered_mask].sum()),
+                "cand_pairs": int(cand[p]),
+            }
+        )
+    out = pd.DataFrame(
+        rows,
+        columns=["round", "predicate", "new_covered", "total_covered", "cand_pairs"],
+    )
+    for c in ("round", "new_covered", "total_covered", "cand_pairs"):
+        out[c] = out[c].astype(np.int64)
+    return out
+
+
+def _bsl_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled greedy blocking-scheme learning: per-key agreement flags,
+    a 2^5 flag histogram, per-predicate candidate volumes, then `rounds`
+    argmax CTEs over (new coverage desc, cand volume asc, name)."""
+
+    def bitval(alias: str, h: str = "h") -> str:
+        return (
+            f"(CASE {alias}.pred WHEN 'blk_eq' THEN {h}.f1"
+            f" WHEN 'ty_eq' THEN {h}.f2 WHEN 'sz_eq' THEN {h}.f3"
+            f" WHEN 'name1_eq' THEN {h}.f4 ELSE {h}.f5 END)"
+        )
+
+    sql = """
+        WITH f AS MATERIALIZED (
+          SELECT p_partkey AS k, p_brand AS blk, p_name AS nm,
+                 p_type AS ty, CAST(p_size AS BIGINT) AS sz,
+                 CAST(round(p_retailprice * 100, 0) AS BIGINT) AS pc
+          FROM part
+        ),
+        ab AS MATERIALIZED (
+          SELECT k, blk, ty, sz, split_part(nm, ' ', 1) AS n1,
+                 pc // 500 AS pb,
+                 CASE WHEN k % 11 = 0 THEN 'ALTBRAND' ELSE blk END AS blk_b,
+                 CASE WHEN k % 7 = 0 THEN 'ALTERED' ELSE ty END AS ty_b,
+                 CASE WHEN k % 5 = 0 THEN sz + 1 ELSE sz END AS sz_b,
+                 split_part(CASE WHEN k % 3 = 0 THEN 'x ' || nm ELSE nm END,
+                            ' ', 1) AS n1_b,
+                 (CASE WHEN k % 2 = 0 THEN pc + 500 ELSE pc END)
+                   // 500 AS pb_b
+          FROM f
+        ),
+        hist AS MATERIALIZED (
+          SELECT CASE WHEN blk = blk_b THEN 1 ELSE 0 END AS f1,
+                 CASE WHEN ty = ty_b THEN 1 ELSE 0 END AS f2,
+                 CASE WHEN sz = sz_b THEN 1 ELSE 0 END AS f3,
+                 CASE WHEN n1 = n1_b THEN 1 ELSE 0 END AS f4,
+                 CASE WHEN pb = pb_b THEN 1 ELSE 0 END AS f5,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM ab GROUP BY 1, 2, 3, 4, 5
+        ),
+        cand AS MATERIALIZED (
+          SELECT 'blk_eq' AS pred, (
+            SELECT CAST(sum(a.na * b.nb) AS BIGINT) FROM
+              (SELECT blk AS v, count(*) AS na FROM ab GROUP BY 1) a
+              JOIN (SELECT blk_b AS v, count(*) AS nb FROM ab GROUP BY 1) b
+              USING (v)) AS cp
+          UNION ALL SELECT 'ty_eq', (
+            SELECT CAST(sum(a.na * b.nb) AS BIGINT) FROM
+              (SELECT ty AS v, count(*) AS na FROM ab GROUP BY 1) a
+              JOIN (SELECT ty_b AS v, count(*) AS nb FROM ab GROUP BY 1) b
+              USING (v))
+          UNION ALL SELECT 'sz_eq', (
+            SELECT CAST(sum(a.na * b.nb) AS BIGINT) FROM
+              (SELECT sz AS v, count(*) AS na FROM ab GROUP BY 1) a
+              JOIN (SELECT sz_b AS v, count(*) AS nb FROM ab GROUP BY 1) b
+              USING (v))
+          UNION ALL SELECT 'name1_eq', (
+            SELECT CAST(sum(a.na * b.nb) AS BIGINT) FROM
+              (SELECT n1 AS v, count(*) AS na FROM ab GROUP BY 1) a
+              JOIN (SELECT n1_b AS v, count(*) AS nb FROM ab GROUP BY 1) b
+              USING (v))
+          UNION ALL SELECT 'price_bucket_eq', (
+            SELECT CAST(sum(a.na * b.nb) AS BIGINT) FROM
+              (SELECT pb AS v, count(*) AS na FROM ab GROUP BY 1) a
+              JOIN (SELECT pb_b AS v, count(*) AS nb FROM ab GROUP BY 1) b
+              USING (v))
+        ),
+        ch0 AS (SELECT NULL::VARCHAR AS pred WHERE false)"""
+    for t in range(rounds):
+        sql += f""",
+        sc{t} AS MATERIALIZED (
+          SELECT pr.pred, pr.cp,
+            CAST(coalesce(sum(CASE WHEN {bitval("pr")} = 1
+              AND NOT EXISTS (SELECT 1 FROM ch{t} c
+                              WHERE {bitval("c")} = 1)
+              THEN h.n END), 0) AS BIGINT) AS new
+          FROM cand pr CROSS JOIN hist h
+          WHERE pr.pred NOT IN (SELECT pred FROM ch{t})
+          GROUP BY pr.pred, pr.cp
+        ),
+        b{t} AS MATERIALIZED (
+          SELECT pred, new, cp FROM sc{t} WHERE new > 0
+          ORDER BY new DESC, cp ASC, pred LIMIT 1
+        ),
+        ch{t + 1} AS (
+          SELECT pred FROM ch{t} UNION ALL SELECT pred FROM b{t}
+        ),
+        tot{t} AS (
+          SELECT CAST(coalesce(sum(h.n), 0) AS BIGINT) AS tc
+          FROM hist h
+          WHERE EXISTS (SELECT 1 FROM ch{t + 1} c WHERE {bitval("c")} = 1)
+        )"""
+    sql += "\n        "
+    sql += "\n        UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS round, pred AS predicate,"
+        f" new AS new_covered, (SELECT tc FROM tot{t}) AS total_covered,"
+        f" cp AS cand_pairs FROM b{t}"
+        for t in range(rounds)
+    )
+    return sql
+
+
 def _q_ams_f2(sf_dir: str):
     """AMS second-moment sketch (Alon-Matias-Szegedy, STOC'96): estimate
     the self-join size sum(cnt^2) of l_partkey from SIX signed counters —
@@ -6707,6 +6967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coreset_cover": _q_coreset_cover,
         "join_sample_estimate": _q_join_sample_estimate,
         "ams_f2": _q_ams_f2,
+        "blocking_scheme_learn": _q_blocking_scheme_learn,
         "rendezvous_placement": _q_rendezvous_placement,
         "dup_components": _q_dup_components,
         "decontaminate": _q_decontaminate,
@@ -7488,6 +7749,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _hits_oracle_sql(),
         "random_walks": _walks_oracle_sql(),
         "coreset_cover": _coreset_oracle_sql(),
+        "blocking_scheme_learn": _bsl_oracle_sql(),
         "ams_f2": """
             WITH signs AS (
               SELECT j,

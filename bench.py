@@ -189,6 +189,7 @@ BENCH_QUERIES = [
     "coreset_cover",
     "join_sample_estimate",
     "ams_f2",
+    "blocking_scheme_learn",
 ]
 
 

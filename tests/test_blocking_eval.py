@@ -37,3 +37,26 @@ def test_blocking_quality_empty(ray_session):
     assert out["n_candidate_pairs"] == [0]
     assert out["n_true_pairs"] == [0]
     assert out["n_covered_pairs"] == [0]
+
+
+def test_blocking_scheme_learn_greedy(ray_session):
+    """Greedy disjunction over the dirty-replica fixture: three rounds,
+    non-increasing marginal coverage, cumulative totals consistent,
+    and the scheme never re-picks a predicate."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    out = entry.queries()["blocking_scheme_learn"]("/root/testdata/sf0.001")
+    assert list(out["round"]) == list(range(len(out)))
+    assert len(out) == 3
+    assert len(set(out["predicate"])) == len(out)
+    gains = list(out["new_covered"])
+    assert all(a >= b for a, b in zip(gains, gains[1:]))
+    assert (out["new_covered"] > 0).all()
+    assert list(out["total_covered"]) == list(out["new_covered"].cumsum())
+    # each perturbation has period > 1, so the best single predicate
+    # covers most-but-not-all matches
+    n_parts_total = 200
+    assert gains[0] < n_parts_total
