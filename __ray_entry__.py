@@ -854,10 +854,12 @@ def _q_ams_f2(sf_dir: str):
         if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
             return schema.empty_table()
         k = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        # one md5 per key; row j's +-1 sign is digest bit j (independent
+        # bits of one strong hash — 6x fewer digests than 6 seeded hashes)
+        hv = _md5_u64(k)
         out = {}
         for j in range(n_rows):
-            seed = np.char.add(f"s{j}:", k.astype(str))
-            sign = (_md5_u64(seed) % np.uint64(2)).astype(np.int64) * 2 - 1
+            sign = ((hv >> np.uint64(j)) % np.uint64(2)).astype(np.int64) * 2 - 1
             out[f"s{j}"] = pa.array([int(sign.sum())])
         return pa.table(out)
 
@@ -7753,9 +7755,9 @@ def oracle_sql() -> dict[str, str]:
         "ams_f2": """
             WITH signs AS (
               SELECT j,
-                CAST(sum(CASE WHEN ('0x' || substr(md5('s'
-                    || CAST(j AS VARCHAR) || ':'
-                    || CAST(l_partkey AS VARCHAR)), 1, 16))::UBIGINT % 2 = 1
+                CAST(sum(CASE WHEN (('0x' || substr(md5(
+                    CAST(l_partkey AS VARCHAR)), 1, 16))::UBIGINT >> j)
+                    % 2 = 1
                   THEN 1 ELSE -1 END) AS BIGINT) AS s
               FROM lineitem
               CROSS JOIN (SELECT unnest(range(0, 6)) AS j)
