@@ -135,15 +135,22 @@ def _prefix_rows_fn(df_ranks_ref, num: int, den: int):
                 "word": pa.array(w[keep].astype(object), type=pa.string()),
                 "doc_id": pa.array(i[keep]),
                 "n_tokens": pa.array(n[keep]),
+                "pos": pa.array(pos[keep]),
             }
         )
 
     return fn
 
 
-def _prefix_pair_partition(max_block_size: int):
+def _prefix_pair_partition(max_block_size: int, num: int, den: int):
     """One coarse word-hash partition of prefix rows -> distinct candidate
-    (u, v) pairs within it. Blocks above `max_block_size` docs are capped
+    (u, v) pairs within it, POSITIONALLY filtered (PPJoin, Xiao et al.
+    WWW'08): a pair emitted from a token at prefix positions (pu, pv) can
+    overlap at most 1 + min(Lu-pu-1, Lv-pv-1) tokens, so emissions whose
+    bound falls below the required overlap alpha = ceil(num(Lu+Lv)/
+    (num+den)) are dropped. LOSSLESS: a qualifying pair always passes at
+    its FIRST shared prefix token (every shared token sits at positions
+    >= (pu, pv) there). Blocks above `max_block_size` docs are capped
     (kept pairs only among the first `max_block_size` ids) and counted —
     the caller logs the total so dropped recall is visible, mirroring the
     skew guards in stages/pairs.py."""
@@ -162,16 +169,30 @@ def _prefix_pair_partition(max_block_size: int):
 
         codes, _ = pd.factorize(df["word"].to_numpy())
         ids = df["doc_id"].to_numpy(dtype=np.int64)
+        ntok = df["n_tokens"].to_numpy(dtype=np.int64)
+        ppos = df["pos"].to_numpy(dtype=np.int64)
         o = np.lexsort((ids, codes))
-        codes, ids = codes[o], ids[o]
+        codes, ids, ntok, ppos = codes[o], ids[o], ntok[o], ppos[o]
         # cap oversized blocks: keep each block's first max_block_size rows
         first = np.concatenate(([True], codes[1:] != codes[:-1]))
         seg = np.cumsum(first) - 1
         pos = np.arange(len(ids), dtype=np.int64) - np.flatnonzero(first)[seg]
         keep = pos < max_block_size
         n_capped = int((~keep).sum())
-        codes, ids = codes[keep], ids[keep]
+        codes, ids, ntok, ppos = (
+            codes[keep],
+            ids[keep],
+            ntok[keep],
+            ppos[keep],
+        )
         li, ri = _segment_pairs(codes)
+        if len(li):
+            # positional filter: exact-integer ceil for alpha
+            lu, lv = ntok[li], ntok[ri]
+            alpha = (num * (lu + lv) + num + den - 1) // (num + den)
+            bound = 1 + np.minimum(lu - ppos[li] - 1, lv - ppos[ri] - 1)
+            ok = bound >= alpha
+            li, ri = li[ok], ri[ok]
         if len(li) == 0:
             if n_capped:
                 return pd.DataFrame(
@@ -275,7 +296,10 @@ def prefix_filter_pairs(
     )
 
     raw_pairs = coarse_group_apply(
-        prefix, "word", _prefix_pair_partition(max_block_size), n_parts=n_parts
+        prefix,
+        "word",
+        _prefix_pair_partition(max_block_size, num, den),
+        n_parts=n_parts,
     )
     pairs = coarse_groupby_agg(
         raw_pairs, ["u", "v"], {"capped": ("capped", "sum")}, n_parts=n_parts
