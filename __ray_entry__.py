@@ -1519,6 +1519,24 @@ def _lpa_oracle_sql(rounds: int = 4) -> str:
     return sql
 
 
+_BPE_CACHE: dict[str, tuple] = {}
+
+
+def _bpe(sf_dir: str):
+    """(merge table, final vocab state) — trained once per process+sf_dir
+    and shared by the train- and encode-side queries."""
+    key = str(sf_dir)
+    hit = _BPE_CACHE.get(key)
+    if hit is None:
+        from opentapioca_ray.stages.bpe import bpe_train
+
+        hit = bpe_train(
+            _docs(sf_dir), text_column="text", n_merges=10, return_state=True
+        )
+        _BPE_CACHE[key] = hit
+    return hit
+
+
 def _q_bpe_merges(sf_dir: str):
     """BPE tokenizer training over the corpus's alpha tokens: 10 rounds of
     most-frequent adjacent-symbol-pair merges (ties -> lexicographically
@@ -1528,14 +1546,139 @@ def _q_bpe_merges(sf_dir: str):
     Output: the learned merge table; the oracle replays all 10 rounds as
     nested-replace CTEs (replace semantics verified identical across
     Python/Arrow/DuckDB in tests/test_bpe.py)."""
-    from opentapioca_ray.stages.bpe import bpe_train
-
-    return bpe_train(_docs(sf_dir), text_column="text", n_merges=10)
+    return _bpe(sf_dir)[0]
 
 
-def _bpe_oracle_sql(n_merges: int = 10) -> str:
-    """Unrolled BPE oracle: vocab from the corpus, then per round a pair
-    explode + argmax CTE and a 6x nested replace() merge application."""
+def _q_bpe_encode(sf_dir: str):
+    """The APPLY side of BPE: tokenize every document with the learned
+    10-merge vocabulary and report per-doc compression — (n_words,
+    n_chars, n_bpe_tokens). Encoding is vocabulary-level (the final word
+    state already IS the token table; the word is its repr with spaces
+    stripped), so the corpus pass is one lookup-join exchange of doc-word
+    occurrences against the per-word token counts."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import (
+        coarse_group_apply,
+        coarse_groupby_agg,
+    )
+
+    _, state = _bpe(sf_dir)
+
+    tag_schema = pa.schema(
+        [
+            ("word", pa.string()),
+            ("doc_id", pa.int64()),
+            ("n_sym", pa.int64()),
+            ("__is_tok", pa.int64()),
+        ]
+    )
+
+    def word_tokens(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "repr" not in batch.column_names:
+            return tag_schema.empty_table()
+        reprs = pc.utf8_trim_whitespace(batch.column("repr").combine_chunks())
+        parts = pc.split_pattern(reprs, pattern=" ")
+        offs = parts.offsets.to_numpy()
+        n_sym = (offs[1:] - offs[:-1]).astype(np.int64)
+        words = pc.replace_substring(reprs, pattern=" ", replacement="")
+        n = batch.num_rows
+        return pa.table(
+            {
+                "word": words,
+                "doc_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "n_sym": pa.array(n_sym),
+                "__is_tok": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    def doc_words(batch: pa.Table) -> pa.Table:
+        from opentapioca_ray.functions.text import tokenize_flat
+
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return tag_schema.empty_table()
+        texts = [t or "" for t in batch.column("text").to_pylist()]
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, counts = tokenize_flat(texts)
+        if not len(flat):
+            return tag_schema.empty_table()
+        doc_idx = np.repeat(np.arange(len(texts), dtype=np.int64), counts)
+        arr = pa.array(flat.astype(object), type=pa.string())
+        keep = pc.match_substring_regex(arr, "^[A-Za-z]+$")
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        n = int(keep_np.sum())
+        return pa.table(
+            {
+                "word": arr.filter(keep),
+                "doc_id": pa.array(ids[doc_idx[keep_np]]),
+                "n_sym": pa.array(np.zeros(n, dtype=np.int64)),
+                "__is_tok": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    union = state.map_batches(word_tokens, batch_format="pyarrow").union(
+        _docs(sf_dir).map_batches(doc_words, batch_format="pyarrow")
+    )
+
+    def join_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype=np.int64),
+                "n_words": pd.Series(dtype=np.int64),
+                "n_chars": pd.Series(dtype=np.int64),
+                "n_bpe_tokens": pd.Series(dtype=np.int64),
+            }
+        )
+        if df.empty or "__is_tok" not in df.columns:
+            return empty
+        toks = df[df["__is_tok"] == 1]
+        occ = df[df["__is_tok"] == 0]
+        if toks.empty or occ.empty:
+            return empty
+        lut = pd.Series(
+            toks["n_sym"].to_numpy(dtype=np.int64),
+            index=toks["word"].to_numpy(),
+        )
+        words = occ["word"].to_numpy()
+        nsym = lut.reindex(words).to_numpy(dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                "doc_id": occ["doc_id"].to_numpy(dtype=np.int64),
+                "n_words": np.ones(len(occ), dtype=np.int64),
+                "n_chars": np.array([len(w) for w in words], dtype=np.int64),
+                "n_bpe_tokens": nsym,
+            }
+        )
+        return (
+            out.groupby("doc_id", sort=False)
+            .agg(
+                n_words=("n_words", "sum"),
+                n_chars=("n_chars", "sum"),
+                n_bpe_tokens=("n_bpe_tokens", "sum"),
+            )
+            .reset_index()
+        )
+
+    partials = coarse_group_apply(union, "word", join_partition)
+    return coarse_groupby_agg(
+        partials,
+        ["doc_id"],
+        {
+            "n_words": ("n_words", "sum"),
+            "n_chars": ("n_chars", "sum"),
+            "n_bpe_tokens": ("n_bpe_tokens", "sum"),
+        },
+    )
+
+
+def _bpe_ctes(n_merges: int = 10) -> str:
+    """Shared unrolled-BPE CTE chain: vocab -> v0 reprs -> per round a
+    pair explode + argmax (b{t}) and a 6x nested replace() application
+    (v{t+1}; carries v{t} unchanged if b{t} is empty, matching the Ray
+    side's early-termination break)."""
 
     def rep6(expr: str) -> str:
         for _ in range(6):
@@ -1577,13 +1720,51 @@ def _bpe_oracle_sql(n_merges: int = 10) -> str:
         v{t + 1} AS MATERIALIZED (
           SELECT {rep6("v.repr")} AS repr, v.cnt
           FROM v{t} v CROSS JOIN b{t} bb
+          UNION ALL
+          SELECT repr, cnt FROM v{t}
+          WHERE NOT EXISTS (SELECT 1 FROM b{t})
         )"""
+    return sql
+
+
+def _bpe_oracle_sql(n_merges: int = 10) -> str:
+    """Unrolled BPE oracle: the shared CTE chain, then the merge table."""
+    sql = _bpe_ctes(n_merges)
     sql += "\n        "
     sql += "\n        UNION ALL ".join(
         f"SELECT CAST({t} AS BIGINT) AS round, a AS left_sym, b AS right_sym,"
         f" a || b AS merged, cnt AS pair_count FROM b{t}"
         for t in range(n_merges)
     )
+    return sql
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 10) -> str:
+    """BPE APPLY oracle: the same chain to the final vocab state, then a
+    per-word token-count table (word recovered by stripping repr spaces)
+    joined back to every document's alpha-token occurrences."""
+    sql = _bpe_ctes(n_merges)
+    sql += f""",
+        wtok AS MATERIALIZED (
+          SELECT replace(trim(repr), ' ', '') AS word,
+                 CAST(len(regexp_split_to_array(trim(repr), ' '))
+                      AS BIGINT) AS n_sym
+          FROM v{n_merges}
+        ),
+        dw AS (
+          SELECT doc_id, trim(t.w) AS word
+          FROM documents,
+               unnest(regexp_split_to_array(' ' || text || ' ', '{_SEP}')) AS t(w)
+          WHERE trim(t.w) != ''
+            AND regexp_full_match(trim(t.w), '[A-Za-z]+')
+        )
+        SELECT dw.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(dw.word)) AS BIGINT) AS n_chars,
+               CAST(sum(w.n_sym) AS BIGINT) AS n_bpe_tokens
+        FROM dw JOIN wtok w ON w.word = dw.word
+        GROUP BY dw.doc_id
+    """
     return sql
 
 
@@ -6958,6 +7139,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phonetic_blocks": _q_phonetic_blocks,
         "ann_pq": _q_ann_pq,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
         "label_propagation": _q_label_propagation,
         "cms_counts": _q_cms_counts,
         "grid_neighbors": _q_grid_neighbors,
@@ -7718,6 +7900,7 @@ def oracle_sql() -> dict[str, str]:
         "fellegi_sunter": _fs_oracle_sql(),
         "fs_clusters": _fs_clusters_oracle_sql(),
         "bpe_merges": _bpe_oracle_sql(),
+        "bpe_encode": _bpe_encode_oracle_sql(),
         "label_propagation": _lpa_oracle_sql(),
         "rendezvous_placement": """
             WITH nodes AS (SELECT unnest(range(0, 8)) AS j),

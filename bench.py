@@ -190,6 +190,7 @@ BENCH_QUERIES = [
     "join_sample_estimate",
     "ams_f2",
     "blocking_scheme_learn",
+    "bpe_encode",
 ]
 
 

@@ -113,11 +113,15 @@ def bpe_train(
     ds,
     text_column: str = "text",
     n_merges: int = 10,
+    return_state: bool = False,
     n_parts: int | None = None,
-) -> pd.DataFrame:
+):
     """Learn `n_merges` BPE merges over the ASCII-alpha token stream of
     `ds[text_column]`. Returns the merge table: one row per round with
-    (round, left_sym, right_sym, merged, pair_count)."""
+    (round, left_sym, right_sym, merged, pair_count); with
+    `return_state=True`, also the final vocabulary state Dataset of
+    (repr, cnt) — the encode side's token table (the original word is
+    the repr with spaces stripped, since merges only concatenate)."""
     from opentapioca_ray.stages.exchange import coarse_groupby_agg
 
     def word_rows(batch: pa.Table) -> pa.Table:
@@ -190,7 +194,10 @@ def bpe_train(
         state = state.map_batches(
             _apply_merge(a, b), batch_format="pyarrow"
         ).materialize()
-    return pd.DataFrame(
+    table = pd.DataFrame(
         rows,
         columns=["round", "left_sym", "right_sym", "merged", "pair_count"],
     ).astype({"round": np.int64, "pair_count": np.int64})
+    if return_state:
+        return table, state
+    return table

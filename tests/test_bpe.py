@@ -99,3 +99,35 @@ def test_bpe_run_variant_is_deterministic(ray_session):
     assert (out1["left_sym"].iloc[0], out1["right_sym"].iloc[0]) == ("a", "a")
     # after ' a a a a a a ' -> ' aa a aa a ', the top pair is (aa, a)
     assert (out1["left_sym"].iloc[1], out1["right_sym"].iloc[1]) == ("aa", "a")
+
+
+def test_bpe_encode_compression(ray_session):
+    """The encode side: per-doc BPE token counts are bounded by char and
+    word counts, and merges strictly compress a corpus that repeats its
+    vocabulary."""
+    import ray.data
+
+    sys_docs = [
+        {"doc_id": 1, "text": "lower lower lower newest newest"},
+        {"doc_id": 2, "text": "low newest"},
+    ]
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+
+    from opentapioca_ray.stages.bpe import bpe_train
+
+    merges, state = bpe_train(
+        ray.data.from_items(sys_docs), n_merges=4, return_state=True
+    )
+    # token table: word -> n_sym after 4 merges
+    toks = {
+        r["repr"].strip().replace(" ", ""): len(r["repr"].split())
+        for r in state.take_all()
+    }
+    assert set(toks) == {"lower", "newest", "low"}
+    for w, n in toks.items():
+        assert 1 <= n <= len(w)
+    # the most frequent words compressed below their char counts
+    assert toks["lower"] < len("lower")
+    assert toks["newest"] < len("newest")
