@@ -1396,6 +1396,149 @@ def _q_grid_neighbors(sf_dir: str):
     )
 
 
+def _q_dbscan_clusters(sf_dir: str):
+    """DBSCAN over the embedding projection's first two dims (L-inf
+    eps=0.05, core = >= 4 OTHER points in reach), built from the repo's
+    own primitives: the epsilon-grid neighbor join supplies the exact
+    pair graph, a degree count classifies cores, large/small-star CC
+    labels the core skeleton (cluster = min core id), and border points
+    adopt the smallest core neighbor's cluster — a deterministic variant
+    of DBSCAN's arbitrary border assignment. Output: (vec_id, cluster,
+    role) with role 0=core 1=border 2=noise, cluster -1 for noise."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.cc import connected_components
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+    from opentapioca_ray.stages.spatial import grid_neighbor_join
+
+    emb = _rel(f"{sf_dir}/embeddings.parquet")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("vec_id", pa.int64()), ("x", pa.int64()), ("y", pa.int64())]
+        )
+        if batch.num_rows == 0 or "embedding" not in batch.column_names:
+            return schema.empty_table()
+        from opentapioca_ray.functions.vectors import list_to_matrix
+
+        mat = list_to_matrix(batch.column("embedding"))
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "x": pa.array(np.floor(mat[:, 0] * 1e6 + 0.5).astype(np.int64)),
+                "y": pa.array(np.floor(mat[:, 1] * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
+    pts = emb.map_batches(prep, batch_format="pyarrow").materialize()
+    pairs = grid_neighbor_join(
+        pts, id_column="vec_id", x_column="x", y_column="y", eps_e6=50_000
+    ).materialize()
+
+    # degrees over both directions -> core flags (a small node table)
+    def both(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.schema([("node", pa.int64())]).empty_table()
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        batch.column("u").cast(pa.int64()).combine_chunks(),
+                        batch.column("v").cast(pa.int64()).combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    deg = coarse_groupby_agg(
+        pairs.map_batches(both, batch_format="pyarrow"),
+        ["node"],
+        {"deg": ("node", "size")},
+    ).to_pandas()  # nodes with >= 1 neighbor; bounded by point count
+    core_ids = set(deg[deg["deg"] >= 4]["node"].tolist())
+    import ray
+
+    core_ref = ray.put(np.array(sorted(core_ids), dtype=np.int64))
+
+    def core_edges(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return schema.empty_table()
+        cores = ray.get(core_ref)
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = np.isin(u, cores) & np.isin(v, cores)
+        return pa.table({"u": pa.array(u[keep]), "v": pa.array(v[keep])})
+
+    cc_in = pairs.map_batches(core_edges, batch_format="pyarrow")
+    comp = connected_components(cc_in.select_columns(["u", "v"])).to_pandas()
+    # singleton cores (no core neighbor) form their own cluster
+    label = dict(zip(comp["node"].astype(int), comp["component"].astype(int)))
+    for c in core_ids:
+        label.setdefault(c, c)
+
+    label_ref = ray.put(label)
+
+    def border_partial(batch: pa.Table) -> pa.Table:
+        """pair rows -> candidate (border_node, cluster) from the CORE
+        endpoint's label; merged by min downstream."""
+        schema = pa.schema([("node", pa.int64()), ("cluster", pa.int64())])
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return schema.empty_table()
+        lab = ray.get(label_ref)
+        cores = ray.get(core_ref)
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        uc = np.isin(u, cores)
+        vc = np.isin(v, cores)
+        nodes, cls = [], []
+        m = (~uc) & vc  # u border-candidate, v core
+        if m.any():
+            nodes.append(u[m])
+            cls.append(np.array([lab[int(x)] for x in v[m]], dtype=np.int64))
+        m = uc & (~vc)
+        if m.any():
+            nodes.append(v[m])
+            cls.append(np.array([lab[int(x)] for x in u[m]], dtype=np.int64))
+        if not nodes:
+            return schema.empty_table()
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate(nodes)),
+                "cluster": pa.array(np.concatenate(cls)),
+            }
+        )
+
+    border = coarse_groupby_agg(
+        pairs.map_batches(border_partial, batch_format="pyarrow"),
+        ["node"],
+        {"cluster": ("cluster", "min")},
+    ).to_pandas()
+    border_lab = dict(zip(border["node"].astype(int), border["cluster"].astype(int)))
+
+    # vectorized final assembly over the slim point-id table (= the
+    # output's own size; nothing bigger than the result reaches here)
+    ids = (
+        pts.select_columns(["vec_id"]).to_pandas()["vec_id"].to_numpy(np.int64)
+    )
+    core_arr = np.array(sorted(core_ids), dtype=np.int64)
+    is_core = np.isin(ids, core_arr)
+    lab_s = pd.Series(label, dtype="float64")
+    bor_s = pd.Series(border_lab, dtype="float64")
+    core_cl = lab_s.reindex(ids).to_numpy()
+    bor_cl = bor_s.reindex(ids).to_numpy()
+    is_border = ~is_core & ~np.isnan(bor_cl)
+    cluster = np.where(
+        is_core,
+        np.nan_to_num(core_cl, nan=-1),
+        np.where(is_border, np.nan_to_num(bor_cl, nan=-1), -1),
+    ).astype(np.int64)
+    role = np.where(is_core, 0, np.where(is_border, 1, 2)).astype(np.int64)
+    return pd.DataFrame({"vec_id": ids, "cluster": cluster, "role": role})
+
+
 def _q_cms_counts(sf_dir: str):
     """Count-min sketch audit: a 4x64 CMS built over the event stream's
     user_id column in one combiner pass (each batch bincounts into the
@@ -7143,6 +7286,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": _q_label_propagation,
         "cms_counts": _q_cms_counts,
         "grid_neighbors": _q_grid_neighbors,
+        "dbscan_clusters": _q_dbscan_clusters,
         "peak_concurrency": _q_peak_concurrency,
         "hits_scores": _q_hits_scores,
         "covered_time": _q_covered_time,
@@ -8085,6 +8229,51 @@ def oracle_sql() -> dict[str, str]:
                                  ORDER BY r.us DESC LIMIT 1), 0))
                    ) AS BIGINT) AS peak
             FROM days d LEFT JOIN day_stats ds ON ds.day = d.day
+        """,
+        "dbscan_clusters": """
+            WITH RECURSIVE pts AS (
+              SELECT vec_id,
+                CAST(floor((embedding::DOUBLE[])[1] * 1000000 + 0.5)
+                     AS BIGINT) AS x,
+                CAST(floor((embedding::DOUBLE[])[2] * 1000000 + 0.5)
+                     AS BIGINT) AS y
+              FROM embeddings
+            ),
+            nb AS MATERIALIZED (
+              SELECT a.vec_id AS u, b.vec_id AS v
+              FROM pts a JOIN pts b ON a.vec_id != b.vec_id
+               AND abs(a.x - b.x) <= 50000 AND abs(a.y - b.y) <= 50000
+            ),
+            deg AS (SELECT u AS node, count(*) AS deg FROM nb GROUP BY u),
+            cores AS (SELECT node FROM deg WHERE deg >= 4),
+            ce AS (
+              SELECT u, v FROM nb
+              WHERE u IN (SELECT node FROM cores)
+                AND v IN (SELECT node FROM cores)
+            ),
+            lab(v, l) AS (
+              SELECT node, node FROM cores
+              UNION
+              SELECT e.u, lab.l FROM ce e JOIN lab ON lab.v = e.v
+            ),
+            core_lab AS (
+              SELECT v AS node, CAST(min(l) AS BIGINT) AS cluster
+              FROM lab GROUP BY v
+            ),
+            border AS (
+              SELECT nb.u AS node, CAST(min(cl.cluster) AS BIGINT) AS cluster
+              FROM nb JOIN core_lab cl ON cl.node = nb.v
+              WHERE nb.u NOT IN (SELECT node FROM cores)
+              GROUP BY nb.u
+            )
+            SELECT p.vec_id,
+              CAST(coalesce(cl.cluster, b.cluster, -1) AS BIGINT) AS cluster,
+              CAST(CASE WHEN cl.node IS NOT NULL THEN 0
+                        WHEN b.node IS NOT NULL THEN 1
+                        ELSE 2 END AS BIGINT) AS role
+            FROM pts p
+            LEFT JOIN core_lab cl ON cl.node = p.vec_id
+            LEFT JOIN border b ON b.node = p.vec_id
         """,
         "grid_neighbors": """
             WITH pts AS (

