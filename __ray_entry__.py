@@ -1396,6 +1396,50 @@ def _q_grid_neighbors(sf_dir: str):
     )
 
 
+def _q_spanning_forest(sf_dir: str):
+    """Minimum spanning forest (Borůvka rounds) over the eps=0.02 L-inf
+    neighbor graph of the embedding projection — the single-link
+    clustering backbone. Weights are L-inf distances made distinct by the
+    (w, u, v) packed tie-break, so the forest is UNIQUE and the oracle
+    verifies it by the cut property: an edge is in the MST iff its
+    endpoints are not connected using strictly lighter edges alone."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.mst import minimum_spanning_forest
+    from opentapioca_ray.stages.spatial import grid_neighbor_join
+
+    emb = _rel(f"{sf_dir}/embeddings.parquet")
+
+    def prep(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("vec_id", pa.int64()), ("x", pa.int64()), ("y", pa.int64())]
+        )
+        if batch.num_rows == 0 or "embedding" not in batch.column_names:
+            return schema.empty_table()
+        from opentapioca_ray.functions.vectors import list_to_matrix
+
+        mat = list_to_matrix(batch.column("embedding"))
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "x": pa.array(np.floor(mat[:, 0] * 1e6 + 0.5).astype(np.int64)),
+                "y": pa.array(np.floor(mat[:, 1] * 1e6 + 0.5).astype(np.int64)),
+            }
+        )
+
+    pairs = grid_neighbor_join(
+        emb.map_batches(prep, batch_format="pyarrow"),
+        id_column="vec_id",
+        x_column="x",
+        y_column="y",
+        eps_e6=20_000,
+    )
+    return minimum_spanning_forest(
+        pairs, u_column="u", v_column="v", w_column="linf_e6"
+    )
+
+
 def _q_dbscan_clusters(sf_dir: str):
     """DBSCAN over the embedding projection's first two dims (L-inf
     eps=0.05, core = >= 4 OTHER points in reach), built from the repo's
@@ -7287,6 +7331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_counts": _q_cms_counts,
         "grid_neighbors": _q_grid_neighbors,
         "dbscan_clusters": _q_dbscan_clusters,
+        "spanning_forest": _q_spanning_forest,
         "peak_concurrency": _q_peak_concurrency,
         "hits_scores": _q_hits_scores,
         "covered_time": _q_covered_time,
@@ -8229,6 +8274,38 @@ def oracle_sql() -> dict[str, str]:
                                  ORDER BY r.us DESC LIMIT 1), 0))
                    ) AS BIGINT) AS peak
             FROM days d LEFT JOIN day_stats ds ON ds.day = d.day
+        """,
+        "spanning_forest": """
+            WITH RECURSIVE pts AS (
+              SELECT vec_id,
+                CAST(floor((embedding::DOUBLE[])[1] * 1000000 + 0.5)
+                     AS BIGINT) AS x,
+                CAST(floor((embedding::DOUBLE[])[2] * 1000000 + 0.5)
+                     AS BIGINT) AS y
+              FROM embeddings
+            ),
+            e0 AS MATERIALIZED (
+              SELECT a.vec_id AS u, b.vec_id AS v,
+                     greatest(abs(a.x - b.x), abs(a.y - b.y)) AS w
+              FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+               AND abs(a.x - b.x) <= 20000 AND abs(a.y - b.y) <= 20000
+            ),
+            reach(eu, ev, ew, node) AS (
+              SELECT u, v, w, u FROM e0
+              UNION
+              SELECT r.eu, r.ev, r.ew,
+                CASE WHEN f.u = r.node THEN f.v ELSE f.u END
+              FROM reach r JOIN e0 f
+                ON (f.u = r.node OR f.v = r.node)
+               AND (f.w < r.ew
+                    OR (f.w = r.ew AND (f.u < r.eu
+                        OR (f.u = r.eu AND f.v < r.ev))))
+            )
+            SELECT e.u, e.v, e.w FROM e0 e
+            WHERE NOT EXISTS (
+              SELECT 1 FROM reach r
+              WHERE r.eu = e.u AND r.ev = e.v AND r.ew = e.w
+                AND r.node = e.v)
         """,
         "dbscan_clusters": """
             WITH RECURSIVE pts AS (

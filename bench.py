@@ -192,6 +192,7 @@ BENCH_QUERIES = [
     "blocking_scheme_learn",
     "bpe_encode",
     "dbscan_clusters",
+    "spanning_forest",
 ]
 
 
