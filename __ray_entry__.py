@@ -1396,6 +1396,76 @@ def _q_grid_neighbors(sf_dir: str):
     )
 
 
+def _q_kmedoids(sf_dir: str):
+    """PAM-style k-medoids (k=8, 2 rounds, L1 over the first 4 quantized
+    dims) — clustering that is hash-verifiable end-to-end because every
+    step is exact integer arithmetic: md5-priority init, nearest-medoid
+    assignment (ties -> smallest medoid id) via a broadcast medoid table,
+    and per-cluster medoid re-election (min total L1, ties -> smallest
+    id) inside one exchange keyed by cluster. Output: final (vec_id,
+    medoid) assignment."""
+    from opentapioca_ray.stages.cluster import kmedoids_fit_assign
+
+    return kmedoids_fit_assign(
+        _rel(f"{sf_dir}/embeddings.parquet"), k=8, rounds=2, dims=4
+    )
+
+
+def _kmedoids_oracle_sql(k: int = 8, rounds: int = 2, dims: int = 4) -> str:
+    """Unrolled k-medoids: md5-priority init, then per round an argmin
+    assignment CTE and a per-cluster self-join re-election CTE."""
+    dcols = ", ".join(
+        f"CAST(floor((embedding::DOUBLE[])[{i + 1}] * 1000000 + 0.5)"
+        f" AS BIGINT) AS d{i}"
+        for i in range(dims)
+    )
+
+    def l1(a: str, b: str) -> str:
+        return " + ".join(f"abs({a}.d{i} - {b}.d{i})" for i in range(dims))
+
+    dlist = ", ".join(f"d{i}" for i in range(dims))
+    sql = f"""
+        WITH q AS MATERIALIZED (
+          SELECT vec_id, {dcols} FROM embeddings
+        ),
+        m0 AS MATERIALIZED (
+          SELECT vec_id AS mid, {dlist} FROM q
+          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 16))::UBIGINT,
+                   vec_id
+          LIMIT {k}
+        )"""
+    for r in range(rounds):
+        sql += f""",
+        a{r} AS MATERIALIZED (
+          SELECT vec_id, mid, {dlist} FROM (
+            SELECT q.vec_id, m.mid, {", ".join(f"q.d{i}" for i in range(dims))},
+              row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY {l1("q", "m")}, m.mid) AS rn
+            FROM q CROSS JOIN m{r} m
+          ) WHERE rn = 1
+        ),
+        m{r + 1} AS MATERIALIZED (
+          SELECT vec_id AS mid, {dlist} FROM (
+            SELECT x.mid AS cluster, x.vec_id,
+              {", ".join(f"x.d{i}" for i in range(dims))},
+              row_number() OVER (PARTITION BY x.mid
+                ORDER BY sum({l1("x", "y")}) ,
+                         x.vec_id) AS rn
+            FROM a{r} x JOIN a{r} y ON y.mid = x.mid
+            GROUP BY x.mid, x.vec_id, {", ".join(f"x.d{i}" for i in range(dims))}
+          ) WHERE rn = 1
+        )"""
+    sql += f"""
+        SELECT vec_id, CAST(mid AS BIGINT) AS medoid FROM (
+          SELECT q.vec_id, m.mid,
+            row_number() OVER (PARTITION BY q.vec_id
+              ORDER BY {l1("q", "m")}, m.mid) AS rn
+          FROM q CROSS JOIN m{rounds} m
+        ) WHERE rn = 1
+    """
+    return sql
+
+
 def _q_spanning_forest(sf_dir: str):
     """Minimum spanning forest (Borůvka rounds) over the eps=0.02 L-inf
     neighbor graph of the embedding projection — the single-link
@@ -7332,6 +7402,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grid_neighbors": _q_grid_neighbors,
         "dbscan_clusters": _q_dbscan_clusters,
         "spanning_forest": _q_spanning_forest,
+        "kmedoids": _q_kmedoids,
         "peak_concurrency": _q_peak_concurrency,
         "hits_scores": _q_hits_scores,
         "covered_time": _q_covered_time,
@@ -8275,6 +8346,7 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS peak
             FROM days d LEFT JOIN day_stats ds ON ds.day = d.day
         """,
+        "kmedoids": _kmedoids_oracle_sql(),
         "spanning_forest": """
             WITH RECURSIVE pts AS (
               SELECT vec_id,

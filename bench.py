@@ -193,6 +193,7 @@ BENCH_QUERIES = [
     "bpe_encode",
     "dbscan_clusters",
     "spanning_forest",
+    "kmedoids",
 ]
 
 

@@ -15,6 +15,7 @@ and updated centroids are re-normalized means.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 from opentapioca_ray.functions.vectors import list_to_matrix
@@ -312,3 +313,161 @@ def embedding_dim_profile(
         },
         n_parts=n_parts,
     )
+
+
+def kmedoids_fit_assign(
+    ds,
+    k: int = 8,
+    rounds: int = 2,
+    dims: int = 4,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    n_parts=None,
+):
+    """PAM-style k-medoids with EXACT integer arithmetic — the
+    hash-verifiable counterpart to float k-means (kmeans_fit is
+    pytest-golden; every step here is replayable in SQL): coordinates
+    quantize to e6 ints over the first `dims` dimensions, distance is L1,
+    medoids initialize as the k smallest md5-priority points (the IVF
+    recipe), and each round (a) assigns every point to its nearest medoid
+    (ties -> smallest medoid id) via a broadcast medoid table, then (b)
+    re-elects each cluster's medoid as the member minimizing total L1
+    distance to the cluster (ties -> smallest id) inside ONE coarse
+    exchange keyed by cluster — the classic per-cluster quadratic, run
+    vectorized per partition and bounded by cluster size.
+
+    Returns the final per-point assignment DataFrame (vec_id, medoid)."""
+    import ray
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+    from opentapioca_ray.stages.sketches import _md5_u64
+
+    def quantized(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("vec_id", pa.int64())]
+            + [(f"d{i}", pa.int64()) for i in range(dims)]
+        )
+        if batch.num_rows == 0 or vector_column not in batch.column_names:
+            return schema.empty_table()
+        from opentapioca_ray.functions.vectors import list_to_matrix
+
+        mat = list_to_matrix(batch.column(vector_column))[:, :dims]
+        q = np.floor(mat * 1e6 + 0.5).astype(np.int64)
+        cols = {"vec_id": batch.column(id_column).cast(pa.int64())}
+        for i in range(dims):
+            cols[f"d{i}"] = pa.array(q[:, i])
+        return pa.table(cols)
+
+    pts = ds.map_batches(quantized, batch_format="pyarrow").materialize()
+
+    # deterministic init: k smallest md5-priority ids (collected rows are
+    # k-bounded via the combiner top-k shape)
+    def prio_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+            return batch
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        hv = _md5_u64(ids)
+        order = np.lexsort((ids, hv))[: min(k, len(ids))]
+        return batch.take(pa.array(order))
+
+    cands = pts.map_batches(prio_partial, batch_format="pyarrow").take_all()
+    cands.sort(
+        key=lambda r: (
+            int(_md5_u64(np.array([r["vec_id"]]))[0]),
+            r["vec_id"],
+        )
+    )
+    medoids = cands[:k]
+
+    def med_matrix(rows):
+        ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+        mat = np.array(
+            [[r[f"d{i}"] for i in range(dims)] for r in rows], dtype=np.int64
+        )
+        order = np.argsort(ids, kind="mergesort")
+        return ids[order], mat[order]
+
+    assign = None
+    for _ in range(rounds):
+        mid, mmat = med_matrix(medoids)
+        med_ref = ray.put((mid, mmat))
+
+        def assign_batch(batch: pa.Table) -> pa.Table:
+            schema = pa.schema(
+                [("vec_id", pa.int64()), ("medoid", pa.int64())]
+                + [(f"d{i}", pa.int64()) for i in range(dims)]
+            )
+            if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+                return schema.empty_table()
+            mi, mm = ray.get(med_ref)
+            x = np.stack(
+                [
+                    batch.column(f"d{i}").to_numpy(zero_copy_only=False)
+                    for i in range(dims)
+                ],
+                axis=1,
+            )
+            d = np.abs(x[:, None, :] - mm[None, :, :]).sum(axis=2)
+            best = d.argmin(axis=1)  # ties -> first = smallest medoid id
+            cols = {
+                "vec_id": batch.column("vec_id"),
+                "medoid": pa.array(mi[best]),
+            }
+            for i in range(dims):
+                cols[f"d{i}"] = batch.column(f"d{i}")
+            return pa.table(cols)
+
+        assign = pts.map_batches(assign_batch, batch_format="pyarrow")
+
+        def elect(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "medoid": pd.Series(dtype=np.int64),
+                    "vec_id": pd.Series(dtype=np.int64),
+                    **{f"d{i}": pd.Series(dtype=np.int64) for i in range(dims)},
+                }
+            )
+            if df.empty or "medoid" not in df.columns:
+                return empty
+            outs = []
+            for m, grp in df.groupby("medoid", sort=True):
+                x = grp[[f"d{i}" for i in range(dims)]].to_numpy(np.int64)
+                ids = grp["vec_id"].to_numpy(np.int64)
+                tot = np.abs(x[:, None, :] - x[None, :, :]).sum(axis=(1, 2))
+                j = np.lexsort((ids, tot))[0]
+                outs.append((m, ids[j], *x[j]))
+            return pd.DataFrame(
+                outs,
+                columns=["medoid", "vec_id"]
+                + [f"d{i}" for i in range(dims)],
+            ).astype(np.int64)
+
+        elected = coarse_group_apply(
+            assign, "medoid", elect, n_parts=n_parts
+        ).to_pandas()  # <= k rows
+        medoids = elected.drop(columns=["medoid"]).to_dict("records")
+
+    mid, mmat = med_matrix(medoids)
+    med_ref = ray.put((mid, mmat))
+
+    def final_assign(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("vec_id", pa.int64()), ("medoid", pa.int64())])
+        if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+            return schema.empty_table()
+        mi, mm = ray.get(med_ref)
+        x = np.stack(
+            [
+                batch.column(f"d{i}").to_numpy(zero_copy_only=False)
+                for i in range(dims)
+            ],
+            axis=1,
+        )
+        d = np.abs(x[:, None, :] - mm[None, :, :]).sum(axis=2)
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "medoid": pa.array(mi[d.argmin(axis=1)]),
+            }
+        )
+
+    return pts.map_batches(final_assign, batch_format="pyarrow").to_pandas()

@@ -56,3 +56,36 @@ def test_kmeans_assign_cosine_in_range(ray_session):
     out = kmeans_assign(ds, cents).take_all()
     assert all(-1.0 <= r["cosine"] <= 1.0 + 1e-12 for r in out)
     assert all(0 <= r["cluster"] < 3 for r in out)
+
+
+def test_kmedoids_exact_assignment(ray_session):
+    """k-medoids on planted L1 blobs: medoids land inside the blobs and
+    every point maps to its own blob's medoid; deterministic reruns."""
+    import numpy as np
+    import ray.data
+
+    from opentapioca_ray.stages.cluster import kmedoids_fit_assign
+
+    rng = np.random.default_rng(8)
+    rows = []
+    for b in range(3):
+        center = np.zeros(4)
+        center[b % 4] = 5.0
+        for i in range(30):
+            v = center + rng.normal(0, 0.05, 4)
+            rows.append(
+                {"vec_id": b * 100 + i, "embedding": list(v) + [0.0] * 4}
+            )
+    ds = ray.data.from_items(rows)
+    out = kmedoids_fit_assign(ds, k=3, rounds=2, dims=4, n_parts=4)
+    lab = dict(zip(out["vec_id"], out["medoid"]))
+    # each blob resolves to one medoid, and medoids separate the blobs
+    blobs = {b: {lab[b * 100 + i] for i in range(30)} for b in range(3)}
+    for b, ms in blobs.items():
+        assert len(ms) == 1, (b, ms)
+        (m,) = ms
+        assert b * 100 <= m < b * 100 + 30  # medoid is a blob member
+    out2 = kmedoids_fit_assign(ds, k=3, rounds=2, dims=4, n_parts=4)
+    assert out.sort_values("vec_id").reset_index(drop=True).equals(
+        out2.sort_values("vec_id").reset_index(drop=True)
+    )
