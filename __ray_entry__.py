@@ -1396,6 +1396,76 @@ def _q_grid_neighbors(sf_dir: str):
     )
 
 
+def _q_rolling_median(sf_dir: str):
+    """Exact trailing-5 sliding MEDIAN of event value per user (robust
+    rolling statistic; emitted only for rows with a full window so the
+    count is odd and the median is an exact e4 integer). One exchange on
+    the user; the kernel stacks five segment-aware shifted columns and
+    takes the middle of a vectorized row-sort — no per-row loop."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    ev = _events(sf_dir)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("user_id", pa.int64()),
+                ("us", pa.int64()),
+                ("v", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or "ts" not in batch.column_names:
+            return schema.empty_table()
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "user_id": batch.column("user_id").cast(pa.int64()),
+                "us": batch.column("ts").cast(pa.int64()),
+                "v": pa.array(
+                    np.rint(
+                        batch.column("value").to_numpy(zero_copy_only=False)
+                        * 10_000.0
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    def kernel(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "event_id": pd.Series(dtype=np.int64),
+                "med5_e4": pd.Series(dtype=np.int64),
+            }
+        )
+        if df.empty or "user_id" not in df.columns:
+            return empty
+        u = df["user_id"].to_numpy(np.int64)
+        us = df["us"].to_numpy(np.int64)
+        eid = df["event_id"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        order = np.lexsort((eid, us, u))
+        u, us, eid, v = u[order], us[order], eid[order], v[order]
+        first = np.concatenate(([True], u[1:] != u[:-1]))
+        seg = np.cumsum(first) - 1
+        rank = np.arange(len(u)) - np.flatnonzero(first)[seg]
+        full = rank >= 4  # user rows are contiguous, so i-4 stays in-user
+        if not full.any():
+            return empty
+        idx = np.flatnonzero(full)
+        win = np.stack([v[idx - j] for j in range(5)], axis=1)
+        med = np.sort(win, axis=1)[:, 2]
+        return pd.DataFrame({"event_id": eid[idx], "med5_e4": med})
+
+    return coarse_group_apply(
+        ev.map_batches(prep, batch_format="pyarrow"), "user_id", kernel
+    )
+
+
 def _q_kmedoids(sf_dir: str):
     """PAM-style k-medoids (k=8, 2 rounds, L1 over the first 4 quantized
     dims) — clustering that is hash-verifiable end-to-end because every
@@ -7403,6 +7473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dbscan_clusters": _q_dbscan_clusters,
         "spanning_forest": _q_spanning_forest,
         "kmedoids": _q_kmedoids,
+        "rolling_median": _q_rolling_median,
         "peak_concurrency": _q_peak_concurrency,
         "hits_scores": _q_hits_scores,
         "covered_time": _q_covered_time,
@@ -8347,6 +8418,22 @@ def oracle_sql() -> dict[str, str]:
             FROM days d LEFT JOIN day_stats ds ON ds.day = d.day
         """,
         "kmedoids": _kmedoids_oracle_sql(),
+        "rolling_median": """
+            WITH e AS (
+              SELECT event_id, user_id, epoch_us(ts) AS us,
+                     CAST(round(value * 10000, 0) AS BIGINT) AS v,
+                     row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn
+              FROM events
+            )
+            SELECT event_id,
+              CAST(median(v) OVER (PARTITION BY user_id
+                ORDER BY us, event_id
+                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+                AS med5_e4
+            FROM e
+            QUALIFY rn >= 5
+        """,
         "spanning_forest": """
             WITH RECURSIVE pts AS (
               SELECT vec_id,

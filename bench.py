@@ -194,6 +194,7 @@ BENCH_QUERIES = [
     "dbscan_clusters",
     "spanning_forest",
     "kmedoids",
+    "rolling_median",
 ]
 
 

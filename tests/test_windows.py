@@ -615,3 +615,30 @@ def test_next_greater_sparse_table_descent(ray_session):
         else:
             exp[a["event_id"]] = -1
     assert got == exp
+
+
+def test_rolling_median_full_windows(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import numpy as np
+    import __ray_entry__ as entry
+    import duckdb
+
+    out = entry.queries()["rolling_median"]("/root/testdata/sf0.001")
+    got = {r["event_id"]: r["med5_e4"] for r in out.take_all()}
+    # brute force via pandas rolling on the raw table
+    con = duckdb.connect()
+    df = con.execute(
+        "SELECT event_id, user_id, epoch_us(ts) us, "
+        "CAST(round(value*10000,0) AS BIGINT) v "
+        "FROM read_parquet('/root/testdata/sf0.001/events.parquet') "
+        "ORDER BY user_id, us, event_id"
+    ).fetchdf()
+    exp = {}
+    for _, g in df.groupby("user_id"):
+        vals = g["v"].to_numpy()
+        ids = g["event_id"].to_numpy()
+        for i in range(4, len(vals)):
+            exp[int(ids[i])] = int(np.sort(vals[i - 4 : i + 1])[2])
+    assert got == exp
