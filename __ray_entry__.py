@@ -1396,6 +1396,187 @@ def _q_grid_neighbors(sf_dir: str):
     )
 
 
+def _q_transitivity_audit(sf_dir: str):
+    """ER match-graph transitivity audit: similarity is not transitive,
+    and every wedge a~b~c whose closing pair (a, c) scores BELOW the
+    match threshold is a future cluster-purity incident (transitive
+    closure will merge a and c anyway). Edges = word-level Jaccard >=
+    9/10 pairs from the prefix join; for every open wedge the closing
+    pair is classified by its exact score: closed (>= t), violation
+    (shares words but scores < t), or uncompared (no shared word at
+    all). Wedge enumeration rides one exchange on the pivot doc; closing
+    pairs classify against the all-sharing-pairs table in a keyed merge.
+    Output: one audit row of exact counts."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.exchange import (
+        coarse_group_apply,
+        coarse_groupby_agg,
+    )
+    from opentapioca_ray.stages.setjoin import prefix_filter_pairs
+
+    # all word-sharing pairs with exact scores (threshold 0 degenerates
+    # the prefix filter to full blocking — still the same machinery)
+    all_pairs = prefix_filter_pairs(
+        _docs(sf_dir), num=0, den=1, k=1
+    ).materialize()
+    edges = all_pairs.filter(expr="jacc_e6 >= 900000").materialize()
+
+    # wedges: for each pivot doc, all neighbor pairs (u < w)
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("pivot", pa.int64()), ("nbr", pa.int64())])
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return schema.empty_table()
+        u = batch.column("u").cast(pa.int64()).combine_chunks()
+        v = batch.column("v").cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {
+                "pivot": pa.concat_arrays([u, v]),
+                "nbr": pa.concat_arrays([v, u]),
+            }
+        )
+
+    def wedge_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "u": pd.Series(dtype=np.int64),
+                "w": pd.Series(dtype=np.int64),
+                "n_wedges": pd.Series(dtype=np.int64),
+            }
+        )
+        if df.empty or "pivot" not in df.columns:
+            return empty
+        from opentapioca_ray.stages.triangles import _segment_pairs
+
+        piv = df["pivot"].to_numpy(np.int64)
+        nbr = df["nbr"].to_numpy(np.int64)
+        o = np.lexsort((nbr, piv))
+        codes = pd.factorize(piv[o])[0]
+        nbr = nbr[o]
+        li, ri = _segment_pairs(codes)
+        if len(li) == 0:
+            return empty
+        out = pd.DataFrame({"u": nbr[li], "w": nbr[ri]})
+        return (
+            out.groupby(["u", "w"], sort=False)
+            .size()
+            .reset_index(name="n_wedges")
+        )
+
+    wedges = coarse_groupby_agg(
+        coarse_group_apply(
+            edges.map_batches(both_dirs, batch_format="pyarrow"),
+            "pivot",
+            wedge_pairs,
+        ),
+        ["u", "w"],
+        {"n_wedges": ("n_wedges", "sum")},
+    )
+
+    # classify closing pairs against the all-pairs score table: one keyed
+    # merge (tag wedge rows and score rows into the same (u, w) exchange)
+    tag_schema = pa.schema(
+        [
+            ("u", pa.int64()),
+            ("w", pa.int64()),
+            ("n_wedges", pa.int64()),
+            ("jacc_e6", pa.int64()),
+            ("__is_wedge", pa.int64()),
+        ]
+    )
+
+    def tag_wedges(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return tag_schema.empty_table()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "u": batch.column("u"),
+                "w": batch.column("w"),
+                "n_wedges": batch.column("n_wedges"),
+                "jacc_e6": pa.array(np.full(n, -1, dtype=np.int64)),
+                "__is_wedge": pa.array(np.ones(n, dtype=np.int64)),
+            }
+        )
+
+    def tag_scores(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return tag_schema.empty_table()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "u": batch.column("u").cast(pa.int64()),
+                "w": batch.column("v").cast(pa.int64()),
+                "n_wedges": pa.array(np.zeros(n, dtype=np.int64)),
+                "jacc_e6": batch.column("jacc_e6").cast(pa.int64()),
+                "__is_wedge": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    union = wedges.map_batches(tag_wedges, batch_format="pyarrow").union(
+        all_pairs.map_batches(tag_scores, batch_format="pyarrow")
+    )
+
+    def classify(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                c: pd.Series(dtype=np.int64)
+                for c in (
+                    "n_wedge_pairs",
+                    "n_wedges",
+                    "n_closed",
+                    "n_violations",
+                    "n_uncompared",
+                )
+            }
+        )
+        if df.empty or "__is_wedge" not in df.columns:
+            return empty
+        wdg = df[df["__is_wedge"] == 1]
+        sc = df[df["__is_wedge"] == 0]
+        if wdg.empty:
+            return empty
+        key_w = (
+            wdg["u"].to_numpy(np.int64) * np.int64(1 << 32)
+            + wdg["w"].to_numpy(np.int64)
+        )
+        key_s = (
+            sc["u"].to_numpy(np.int64) * np.int64(1 << 32)
+            + sc["w"].to_numpy(np.int64)
+        )
+        lut = pd.Series(sc["jacc_e6"].to_numpy(np.int64), index=key_s)
+        j = lut.reindex(key_w).to_numpy()
+        closed = j >= 900_000
+        viol = (j >= 0) & (j < 900_000)
+        unc = np.isnan(j)
+        nw = wdg["n_wedges"].to_numpy(np.int64)
+        return pd.DataFrame(
+            {
+                "n_wedge_pairs": [len(wdg)],
+                "n_wedges": [int(nw.sum())],
+                "n_closed": [int(nw[closed].sum())],
+                "n_violations": [int(nw[viol].sum())],
+                "n_uncompared": [int(nw[unc].sum())],
+            }
+        )
+
+    parts = coarse_group_apply(union, "u", classify).to_pandas()
+    return pd.DataFrame(
+        {
+            c: [int(parts[c].sum())]
+            for c in (
+                "n_wedge_pairs",
+                "n_wedges",
+                "n_closed",
+                "n_violations",
+                "n_uncompared",
+            )
+        }
+    ).astype(np.int64)
+
+
 def _q_rolling_median(sf_dir: str):
     """Exact trailing-5 sliding MEDIAN of event value per user (robust
     rolling statistic; emitted only for rows with a full window so the
@@ -7474,6 +7655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spanning_forest": _q_spanning_forest,
         "kmedoids": _q_kmedoids,
         "rolling_median": _q_rolling_median,
+        "transitivity_audit": _q_transitivity_audit,
         "peak_concurrency": _q_peak_concurrency,
         "hits_scores": _q_hits_scores,
         "covered_time": _q_covered_time,
@@ -8418,6 +8600,52 @@ def oracle_sql() -> dict[str, str]:
             FROM days d LEFT JOIN day_stats ds ON ds.day = d.day
         """,
         "kmedoids": _kmedoids_oracle_sql(),
+        "transitivity_audit": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_distinct(list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '')) AS arr
+              FROM documents
+            ),
+            ex AS (SELECT doc_id, unnest(arr) AS w FROM toks),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              FROM ex a JOIN ex b ON a.w = b.w AND a.doc_id < b.doc_id
+            ),
+            ap AS MATERIALIZED (
+              SELECT u, v,
+                CAST(len(list_intersect(ta.arr, tb.arr)) * 1000000
+                  // (len(ta.arr) + len(tb.arr)
+                      - len(list_intersect(ta.arr, tb.arr)))
+                  AS BIGINT) AS jacc
+              FROM cand
+              JOIN toks ta ON ta.doc_id = cand.u
+              JOIN toks tb ON tb.doc_id = cand.v
+            ),
+            ed AS MATERIALIZED (SELECT u, v FROM ap WHERE jacc >= 900000),
+            eb AS (
+              SELECT u AS p, v AS n FROM ed
+              UNION ALL SELECT v AS p, u AS n FROM ed
+            ),
+            wg AS MATERIALIZED (
+              SELECT a.n AS u, b.n AS w, CAST(count(*) AS BIGINT) AS n_wedges
+              FROM eb a JOIN eb b ON a.p = b.p AND a.n < b.n
+              GROUP BY 1, 2
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_wedge_pairs,
+                   CAST(coalesce(sum(n_wedges), 0) AS BIGINT) AS n_wedges,
+                   CAST(coalesce(sum(CASE WHEN ap.jacc >= 900000
+                        THEN n_wedges END), 0) AS BIGINT) AS n_closed,
+                   CAST(coalesce(sum(CASE WHEN ap.jacc IS NOT NULL
+                        AND ap.jacc < 900000 THEN n_wedges END), 0)
+                        AS BIGINT) AS n_violations,
+                   CAST(coalesce(sum(CASE WHEN ap.jacc IS NULL
+                        THEN n_wedges END), 0) AS BIGINT) AS n_uncompared
+            FROM wg LEFT JOIN ap ON ap.u = wg.u AND ap.v = wg.w
+        """,
         "rolling_median": """
             WITH e AS (
               SELECT event_id, user_id, epoch_us(ts) AS us,

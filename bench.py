@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "spanning_forest",
     "kmedoids",
     "rolling_median",
+    "transitivity_audit",
 ]
 
 

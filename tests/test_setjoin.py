@@ -119,3 +119,22 @@ def test_skew_cap_drops_are_logged(ray_session, caplog):
     assert set(got) <= set(full)
     assert all(full[p] == s for p, s in got.items())
     assert any("max_block_size" in r.message for r in caplog.records)
+
+
+def test_transitivity_audit_consistency(ray_session):
+    """Audit invariants: categories partition the wedge mass, and the
+    dense word-templated corpus has zero uncompared closing pairs (every
+    doc pair shares a word)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    out = entry.queries()["transitivity_audit"]("/root/testdata/sf0.001")
+    r = out.iloc[0]
+    assert r["n_wedges"] >= r["n_wedge_pairs"] > 0
+    assert (
+        r["n_closed"] + r["n_violations"] + r["n_uncompared"] == r["n_wedges"]
+    )
+    # similarity is not transitive: some wedges must fail to close
+    assert r["n_violations"] > 0
