@@ -1400,11 +1400,12 @@ def _q_transitivity_audit(sf_dir: str):
     """ER match-graph transitivity audit: similarity is not transitive,
     and every wedge a~b~c whose closing pair (a, c) scores BELOW the
     match threshold is a future cluster-purity incident (transitive
-    closure will merge a and c anyway). Edges = word-level Jaccard >=
-    9/10 pairs from the prefix join; for every open wedge the closing
-    pair is classified by its exact score: closed (>= t), violation
-    (shares words but scores < t), or uncompared (no shared word at
-    all). Wedge enumeration rides one exchange on the pivot doc; closing
+    closure will merge a and c anyway). Edges = 3-gram Jaccard >= 1/2
+    pairs from the prefix join (the sparse shingle universe; word-level
+    similarity is quadratically dense on templated corpora and would
+    blow up at scale); for every open wedge the closing pair is
+    classified by its exact score: closed (>= t), violation (shares
+    grams but scores < t), or uncompared (no shared gram at all). Wedge enumeration rides one exchange on the pivot doc; closing
     pairs classify against the all-sharing-pairs table in a keyed merge.
     Output: one audit row of exact counts."""
     import numpy as np
@@ -1417,12 +1418,13 @@ def _q_transitivity_audit(sf_dir: str):
     )
     from opentapioca_ray.stages.setjoin import prefix_filter_pairs
 
-    # all word-sharing pairs with exact scores (threshold 0 degenerates
-    # the prefix filter to full blocking — still the same machinery)
+    # all gram-sharing pairs with exact scores (threshold 0 degenerates
+    # the prefix filter to full blocking — still the same machinery; the
+    # 3-gram candidate graph is sparse where word-sharing is quadratic)
     all_pairs = prefix_filter_pairs(
-        _docs(sf_dir), num=0, den=1, k=1
+        _docs(sf_dir), num=0, den=1, k=3
     ).materialize()
-    edges = all_pairs.filter(expr="jacc_e6 >= 900000").materialize()
+    edges = all_pairs.filter(expr="jacc_e6 >= 500000").materialize()
 
     # wedges: for each pivot doc, all neighbor pairs (u < w)
     def both_dirs(batch: pa.Table) -> pa.Table:
@@ -1548,8 +1550,8 @@ def _q_transitivity_audit(sf_dir: str):
         )
         lut = pd.Series(sc["jacc_e6"].to_numpy(np.int64), index=key_s)
         j = lut.reindex(key_w).to_numpy()
-        closed = j >= 900_000
-        viol = (j >= 0) & (j < 900_000)
+        closed = j >= 500_000
+        viol = (j >= 0) & (j < 500_000)
         unc = np.isnan(j)
         nw = wdg["n_wedges"].to_numpy(np.int64)
         return pd.DataFrame(
@@ -8603,29 +8605,38 @@ def oracle_sql() -> dict[str, str]:
         "transitivity_audit": f"""
             WITH toks AS (
               SELECT doc_id,
-                list_distinct(list_filter(
+                list_filter(
                   list_transform(
                     regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
                     w -> trim(w)),
-                  w -> w != '')) AS arr
+                  w -> w != '') AS arr
               FROM documents
             ),
-            ex AS (SELECT doc_id, unnest(arr) AS w FROM toks),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                END AS gs
+              FROM toks WHERE len(arr) > 0
+            ),
+            ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
             cand AS (
               SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-              FROM ex a JOIN ex b ON a.w = b.w AND a.doc_id < b.doc_id
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
             ),
             ap AS MATERIALIZED (
               SELECT u, v,
-                CAST(len(list_intersect(ta.arr, tb.arr)) * 1000000
-                  // (len(ta.arr) + len(tb.arr)
-                      - len(list_intersect(ta.arr, tb.arr)))
+                CAST(len(list_intersect(ga.gs, gb.gs)) * 1000000
+                  // (len(ga.gs) + len(gb.gs)
+                      - len(list_intersect(ga.gs, gb.gs)))
                   AS BIGINT) AS jacc
               FROM cand
-              JOIN toks ta ON ta.doc_id = cand.u
-              JOIN toks tb ON tb.doc_id = cand.v
+              JOIN grams ga ON ga.doc_id = cand.u
+              JOIN grams gb ON gb.doc_id = cand.v
             ),
-            ed AS MATERIALIZED (SELECT u, v FROM ap WHERE jacc >= 900000),
+            ed AS MATERIALIZED (SELECT u, v FROM ap WHERE jacc >= 500000),
             eb AS (
               SELECT u AS p, v AS n FROM ed
               UNION ALL SELECT v AS p, u AS n FROM ed
@@ -8637,10 +8648,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(count(*) AS BIGINT) AS n_wedge_pairs,
                    CAST(coalesce(sum(n_wedges), 0) AS BIGINT) AS n_wedges,
-                   CAST(coalesce(sum(CASE WHEN ap.jacc >= 900000
+                   CAST(coalesce(sum(CASE WHEN ap.jacc >= 500000
                         THEN n_wedges END), 0) AS BIGINT) AS n_closed,
                    CAST(coalesce(sum(CASE WHEN ap.jacc IS NOT NULL
-                        AND ap.jacc < 900000 THEN n_wedges END), 0)
+                        AND ap.jacc < 500000 THEN n_wedges END), 0)
                         AS BIGINT) AS n_violations,
                    CAST(coalesce(sum(CASE WHEN ap.jacc IS NULL
                         THEN n_wedges END), 0) AS BIGINT) AS n_uncompared
