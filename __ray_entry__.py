@@ -1396,6 +1396,56 @@ def _q_grid_neighbors(sf_dir: str):
     )
 
 
+def _q_decayed_engagement(sf_dir: str):
+    """Half-life-decayed engagement score per user at the corpus's max
+    timestamp: each event contributes value >> floor(age / 7 days) — the
+    exponential-decay aggregate made EXACT by using base-2 half-lives as
+    integer shifts (libm exp() differs across engines at the ulp level;
+    bit shifts don't). One combiner pass after a broadcast of the global
+    max timestamp; shifts >= 63 contribute zero."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    ev = _events(sf_dir)
+    hl_us = 7 * 86_400_000_000  # 7-day half-life
+
+    # global max ts: an O(blocks) combiner reduce
+    def block_max(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "ts" not in batch.column_names:
+            return pa.schema([("m", pa.int64())]).empty_table()
+        return pa.table(
+            {"m": pa.array([pc.max(batch.column("ts").cast(pa.int64())).as_py()])}
+        )
+
+    t_max = max(
+        r["m"] for r in ev.map_batches(block_max, batch_format="pyarrow").take_all()
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("user_id", pa.int64()), ("score_e4", pa.int64())])
+        if batch.num_rows == 0 or "ts" not in batch.column_names:
+            return schema.empty_table()
+        us = batch.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        v = np.rint(
+            batch.column("value").to_numpy(zero_copy_only=False) * 10_000.0
+        ).astype(np.int64)
+        k = np.minimum((t_max - us) // hl_us, 62).astype(np.int64)
+        contrib = v >> k
+        u = batch.column("user_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uu, inv = np.unique(u, return_inverse=True)
+        sums = np.bincount(inv, weights=contrib.astype(np.float64)).astype(np.int64)
+        return pa.table({"user_id": pa.array(uu), "score_e4": pa.array(sums)})
+
+    return coarse_groupby_agg(
+        ev.map_batches(partial, batch_format="pyarrow"),
+        ["user_id"],
+        {"score_e4": ("score_e4", "sum")},
+    )
+
+
 def _q_transitivity_audit(sf_dir: str):
     """ER match-graph transitivity audit: similarity is not transitive,
     and every wedge a~b~c whose closing pair (a, c) scores BELOW the
@@ -7658,6 +7708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmedoids": _q_kmedoids,
         "rolling_median": _q_rolling_median,
         "transitivity_audit": _q_transitivity_audit,
+        "decayed_engagement": _q_decayed_engagement,
         "peak_concurrency": _q_peak_concurrency,
         "hits_scores": _q_hits_scores,
         "covered_time": _q_covered_time,
@@ -8602,6 +8653,16 @@ def oracle_sql() -> dict[str, str]:
             FROM days d LEFT JOIN day_stats ds ON ds.day = d.day
         """,
         "kmedoids": _kmedoids_oracle_sql(),
+        "decayed_engagement": """
+            WITH mx AS (SELECT max(epoch_us(ts)) AS t_max FROM events)
+            SELECT user_id,
+                   CAST(sum(
+                     CAST(round(value * 10000, 0) AS BIGINT)
+                     >> LEAST((mx.t_max - epoch_us(ts)) // 604800000000, 62)
+                   ) AS BIGINT) AS score_e4
+            FROM events, mx
+            GROUP BY user_id
+        """,
         "transitivity_audit": f"""
             WITH toks AS (
               SELECT doc_id,

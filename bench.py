@@ -196,6 +196,7 @@ BENCH_QUERIES = [
     "kmedoids",
     "rolling_median",
     "transitivity_audit",
+    "decayed_engagement",
 ]
 
 

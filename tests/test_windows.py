@@ -642,3 +642,28 @@ def test_rolling_median_full_windows(ray_session):
         for i in range(4, len(vals)):
             exp[int(ids[i])] = int(np.sort(vals[i - 4 : i + 1])[2])
     assert got == exp
+
+
+def test_decayed_engagement_brute_force(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+    import duckdb
+
+    out = entry.queries()["decayed_engagement"]("/root/testdata/sf0.001")
+    got = {r["user_id"]: r["score_e4"] for r in out.take_all()}
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT user_id, epoch_us(ts) us, "
+        "CAST(round(value*10000,0) AS BIGINT) v "
+        "FROM read_parquet('/root/testdata/sf0.001/events.parquet')"
+    ).fetchall()
+    t_max = max(r[1] for r in rows)
+    hl = 7 * 86_400_000_000
+    exp: dict[int, int] = {}
+    for uid, us, v in rows:
+        k = min((t_max - us) // hl, 62)
+        exp[uid] = exp.get(uid, 0) + (v >> k)
+    assert got == exp
+    assert all(s >= 0 for s in got.values())
