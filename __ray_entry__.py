@@ -1115,10 +1115,12 @@ def _q_random_walks(sf_dir: str):
 
 
 def _walks_oracle_sql(steps: int = 4) -> str:
-    """Unrolled deterministic walks: per step, an adjacency join and the
-    md5-priority argmin per walker."""
+    """Unrolled deterministic walks: the adjacency is ranked once
+    (row_number over dst per src + degree); per step each walker joins to
+    the single row whose 0-based rank equals md5_u64(walker:t) % degree —
+    one md5 per walker per step, matching stages/walks.py."""
     sql = """
-        WITH ed AS MATERIALIZED (
+        WITH ed0 AS MATERIALIZED (
           SELECT u AS src, v AS dst FROM (
             SELECT DISTINCT l_partkey AS u, l_suppkey + 10000000 AS v
             FROM lineitem
@@ -1129,20 +1131,24 @@ def _walks_oracle_sql(steps: int = 4) -> str:
             FROM lineitem
           )
         ),
+        ed AS MATERIALIZED (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY dst) - 1
+                   AS rnk,
+                 count(*) OVER (PARTITION BY src) AS deg
+          FROM ed0
+        ),
         p0 AS MATERIALIZED (
           SELECT src AS walker, src AS node FROM ed GROUP BY src
         )"""
     for t in range(steps):
         sql += f""",
         p{t + 1} AS MATERIALIZED (
-          SELECT walker, node FROM (
-            SELECT p.walker, e.dst AS node,
-              row_number() OVER (PARTITION BY p.walker ORDER BY
-                ('0x' || substr(md5(CAST(p.walker AS VARCHAR) || ':{t}:'
-                    || CAST(e.dst AS VARCHAR)), 1, 16))::UBIGINT,
-                e.dst) AS rn
-            FROM p{t} p JOIN ed e ON e.src = p.node
-          ) WHERE rn = 1
+          SELECT p.walker, e.dst AS node
+          FROM p{t} p JOIN ed e ON e.src = p.node
+          AND e.rnk = CAST(
+            ('0x' || substr(md5(CAST(p.walker AS VARCHAR) || ':{t}'), 1, 16)
+            )::UBIGINT % CAST(e.deg AS UBIGINT) AS BIGINT)
         )"""
     sql += "\n        "
     sql += "\n        UNION ALL ".join(

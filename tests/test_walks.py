@@ -6,7 +6,8 @@ import numpy as np
 
 
 def _replay(edges, steps):
-    """Driver-side replay of the md5-argmin walk rule."""
+    """Driver-side replay of the indexed walk rule: from node n, walker w
+    moves to sorted(neighbors)[md5_u64(f"{w}:{t}") % deg(n)]."""
     from collections import defaultdict
 
     adj = defaultdict(set)
@@ -14,12 +15,9 @@ def _replay(edges, steps):
         adj[u].add(v)
         adj[v].add(u)
 
-    def prio(w, t, m):
-        return (
-            int.from_bytes(
-                hashlib.md5(f"{w}:{t}:{m}".encode()).digest()[:8], "big"
-            ),
-            m,
+    def key(w, t):
+        return int.from_bytes(
+            hashlib.md5(f"{w}:{t}".encode()).digest()[:8], "big"
         )
 
     rows = set()
@@ -27,7 +25,8 @@ def _replay(edges, steps):
         node = w
         rows.add((w, 0, node))
         for t in range(steps):
-            node = min(adj[node], key=lambda m: prio(w, t, m))
+            nb = sorted(adj[node])
+            node = nb[key(w, t) % len(nb)]
             rows.add((w, t + 1, node))
     return rows
 
@@ -71,3 +70,27 @@ def test_walks_are_reproducible(ray_session):
         ).take_all()
     )
     assert r1 == r2  # independent of partitioning and block layout
+
+def test_walks_broadcast_equals_shuffle(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.walks import random_walks
+
+    rng = np.random.default_rng(7)
+    edges = list(
+        {
+            (int(u), 200 + int(v))
+            for u, v in zip(rng.integers(0, 30, 150), rng.integers(0, 12, 150))
+        }
+    )
+    ds = ray.data.from_items([{"u": u, "v": v} for u, v in edges])
+    bc = sorted(
+        (r["walker"], r["step"], r["node"])
+        for r in random_walks(ds, steps=3, n_parts=4, mode="broadcast").take_all()
+    )
+    sh = sorted(
+        (r["walker"], r["step"], r["node"])
+        for r in random_walks(ds, steps=3, n_parts=4, mode="shuffle").take_all()
+    )
+    assert bc == sh
+    assert set(bc) == _replay(edges, 3)
