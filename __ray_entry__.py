@@ -5684,6 +5684,22 @@ def _q_metablocking_wnp(sf_dir: str):
     return metablocking_wnp_pairs(_docs(sf_dir), k=3, max_block_size=24)
 
 
+def _q_metablocking_arcs(sf_dir: str):
+    """Meta-blocking with the ARCS weighting (Aggregate Reciprocal
+    Comparisons Scheme, Papadakis et al., TKDE 2014): each shared block
+    votes with 1e6 // C(block_size, 2) — rare blocks count for more —
+    instead of CBS's flat shared-block count, then the same reciprocal
+    weighted node pruning. All weights are fixed-point e6 integers, so
+    the WNP comparison (w * degree >= weight_sum) and the SQL twin are
+    exact. Same exchange plan as `metablocking_wnp`; only the per-block
+    pair weight changes inside the partition kernel."""
+    from opentapioca_ray.stages.metablocking import metablocking_wnp_pairs
+
+    return metablocking_wnp_pairs(
+        _docs(sf_dir), k=3, max_block_size=24, scheme="arcs"
+    )
+
+
 def _q_order_skyline(sf_dir: str):
     """Pareto frontier of orders (maximize o_totalprice, minimize
     o_orderdate) — the Skyline operator (Börzsönyi et al., ICDE 2001) in
@@ -7854,6 +7870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_users": _q_hll_distinct_users,
         "winnow_pairs": _q_winnow_pairs,
         "metablocking_wnp": _q_metablocking_wnp,
+        "metablocking_arcs": _q_metablocking_arcs,
         "order_skyline": _q_order_skyline,
         "clustering_ari": _q_clustering_ari,
         "kcore_nodes": _q_kcore_nodes,
@@ -11324,6 +11341,54 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
                    CAST(w AS BIGINT) AS cbs
+            FROM edges
+            JOIN nodes nu ON nu.node = edges.u
+            JOIN nodes nv ON nv.node = edges.v
+            WHERE w * nu.d >= nu.s AND w * nv.d >= nv.s
+        """,
+        "metablocking_arcs": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    x -> trim(x)),
+                  x -> x != '') AS arr
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                END AS gs
+              FROM toks WHERE len(arr) > 0
+            ),
+            ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            blocks AS (
+              SELECT g, count(*) AS nb FROM ex GROUP BY g
+              HAVING count(*) <= 24
+            ),
+            kept AS (
+              SELECT ex.doc_id, ex.g, blocks.nb
+              FROM ex JOIN blocks USING (g)
+            ),
+            edges AS (
+              SELECT a.doc_id AS u, b.doc_id AS v,
+                     CAST(sum(1000000 // (a.nb * (a.nb - 1) // 2))
+                       AS BIGINT) AS w
+              FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            nodes AS (
+              SELECT node, sum(w) AS s, count(*) AS d
+              FROM (SELECT u AS node, w FROM edges
+                    UNION ALL SELECT v AS node, w FROM edges)
+              GROUP BY node
+            )
+            SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+                   CAST(w AS BIGINT) AS arcs
             FROM edges
             JOIN nodes nu ON nu.node = edges.u
             JOIN nodes nv ON nv.node = edges.v

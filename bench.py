@@ -197,6 +197,7 @@ BENCH_QUERIES = [
     "rolling_median",
     "transitivity_audit",
     "decayed_engagement",
+    "metablocking_arcs",
 ]
 
 

@@ -88,9 +88,17 @@ def label_propagation(
     u_column: str = "u",
     v_column: str = "v",
     n_parts: int | None = None,
+    label_broadcast_limit: int = 5_000_000,
 ):
     """`rounds` synchronous LPA rounds over the undirected edge set.
-    Returns (node, label) for every endpoint node."""
+    Returns (node, label) for every endpoint node.
+
+    While the node table fits `label_broadcast_limit` rows, each round
+    broadcasts the sorted (node, label) arrays via `ray.put` and maps
+    over the STATIC edge blocks (searchsorted lookup + per-block partial
+    vote aggregation) — one node-keyed exchange per round instead of two
+    (the HITS `score_broadcast_limit` pattern). Beyond the limit, the
+    tagged-union shuffle path runs; the two are equivalence-tested."""
     from opentapioca_ray.stages.exchange import (
         coarse_group_apply,
         coarse_groupby_agg,
@@ -184,6 +192,9 @@ def label_propagation(
             }
         )
 
+    if labels.count() <= label_broadcast_limit:
+        return _lpa_broadcast(directed, labels, rounds, n_parts)
+
     edges_tagged = directed.map_batches(
         tag_edges, batch_format="pyarrow"
     ).materialize()
@@ -205,6 +216,81 @@ def label_propagation(
             if b.num_rows and "node" in b.column_names
             else _VOTE_EMPTY,
             batch_format="pyarrow",
+        )
+        labels = right_size(
+            coarse_group_apply(
+                votes.union(self_votes),
+                "node",
+                _argmax_partition,
+                n_parts=n_parts,
+            ).materialize()
+        )
+    return labels
+
+
+def _lpa_broadcast(directed, labels, rounds: int, n_parts: int):
+    """Broadcast-regime LPA rounds: per round, `ray.put` the sorted
+    (node, label) arrays (node-bounded by the caller's mode guard), map
+    the STATIC edge blocks into per-block partially-aggregated votes,
+    then ONE node-keyed coarse exchange for the argmax. Self-votes join
+    as a driver-built Dataset from the same broadcast arrays."""
+    import ray
+    import ray.data
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply, right_size
+
+    def bcast(lab_ds):
+        ns, vs = [], []
+        for t in ray.get(lab_ds.to_arrow_refs()):
+            if t.num_rows == 0 or "node" not in t.column_names:
+                continue
+            ns.append(t.column("node").to_numpy(zero_copy_only=False))
+            vs.append(t.column("label").to_numpy(zero_copy_only=False))
+        if not ns:
+            return None, None, None
+        nodes = np.concatenate(ns).astype(np.int64)
+        labs = np.concatenate(vs).astype(np.int64)
+        order = np.argsort(nodes, kind="mergesort")
+        nodes, labs = nodes[order], labs[order]
+        return ray.put((nodes, labs)), nodes, labs
+
+    for _ in range(rounds):
+        lab_ref, nodes, labs = bcast(labels)
+        if lab_ref is None:
+            return labels
+
+        def vote_partial(batch: pa.Table, lab_ref=lab_ref) -> pa.Table:
+            if batch.num_rows == 0 or "src" not in batch.column_names:
+                return _VOTE_EMPTY
+            b_nodes, b_labs = ray.get(lab_ref)
+            src = batch.column("src").to_numpy(zero_copy_only=False)
+            dst = batch.column("dst").to_numpy(zero_copy_only=False)
+            lab = b_labs[np.searchsorted(b_nodes, src)]
+            # per-block partial aggregation: (dst, label) -> vote count
+            key = pd.DataFrame({"node": dst, "label": lab})
+            agg = key.groupby(["node", "label"], sort=False).size()
+            idx = agg.index
+            return pa.table(
+                {
+                    "node": pa.array(
+                        idx.get_level_values(0).to_numpy().astype(np.int64)
+                    ),
+                    "label": pa.array(
+                        idx.get_level_values(1).to_numpy().astype(np.int64)
+                    ),
+                    "w": pa.array(agg.to_numpy().astype(np.int64)),
+                }
+            )
+
+        votes = directed.map_batches(vote_partial, batch_format="pyarrow")
+        self_votes = ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array(nodes, type=pa.int64()),
+                    "label": pa.array(labs, type=pa.int64()),
+                    "w": pa.array(np.ones(len(nodes), dtype=np.int64)),
+                }
+            )
         )
         labels = right_size(
             coarse_group_apply(

@@ -31,9 +31,17 @@ _EDGE_EMPTY = pa.schema(
 ).empty_table()
 
 
-def _cbs_edges(ds, id_column, text_column, k, max_block_size, n_parts):
-    """(u, v, w) candidate edges weighted by shared-block count, blocks
-    being distinct word-k-grams purged at `max_block_size` docs."""
+def _cbs_edges(ds, id_column, text_column, k, max_block_size, n_parts,
+               scheme: str = "cbs"):
+    """(u, v, w) candidate edges over distinct word-k-gram blocks purged
+    at `max_block_size` docs, weighted by the chosen co-occurrence
+    scheme (Papadakis et al., TKDE 2014):
+
+    - "cbs": w = number of shared blocks (integer).
+    - "arcs": w = sum over shared blocks of 1e6 // C(nb, 2) — the
+      Aggregate Reciprocal Comparisons Scheme in fixed-point e6 units
+      (rare blocks vote with more weight); exact integer math so the
+      DuckDB twin matches bit-for-bit."""
     from opentapioca_ray.stages.dedup import gram_doc_rows
     from opentapioca_ray.stages.exchange import coarse_group_apply, coarse_groupby_agg
     from opentapioca_ray.stages.triangles import _segment_pairs
@@ -54,7 +62,8 @@ def _cbs_edges(ds, id_column, text_column, k, max_block_size, n_parts):
         o = np.lexsort((ids, codes))
         codes, ids = codes[o], ids[o]
         # all rows of a block co-locate -> the purge is globally exact
-        keep = np.bincount(codes)[codes] <= max_block_size
+        sizes = np.bincount(codes)
+        keep = sizes[codes] <= max_block_size
         codes, ids = codes[keep], ids[keep]
         li, ri = _segment_pairs(codes)
         if len(li) == 0:
@@ -63,10 +72,21 @@ def _cbs_edges(ds, id_column, text_column, k, max_block_size, n_parts):
         packed = (inv[li].astype(np.uint64) << np.uint64(32)) | inv[ri].astype(
             np.uint64
         )
-        _, idx0, cnt = np.unique(packed, return_index=True, return_counts=True)
-        return pd.DataFrame(
-            {"u": ids[li[idx0]], "v": ids[ri[idx0]], "w": cnt.astype(np.int64)}
-        )
+        if scheme == "arcs":
+            nb = sizes[codes[li]].astype(np.int64)
+            term = 1_000_000 // (nb * (nb - 1) // 2)
+            _, idx0, pinv = np.unique(
+                packed, return_index=True, return_inverse=True
+            )
+            # exact: terms <= 1e6, per-pair counts bounded by shared
+            # blocks, so the float64 bincount sum stays < 2^53
+            w = np.bincount(pinv, weights=term.astype(np.float64)).astype(
+                np.int64
+            )
+        else:
+            _, idx0, w = np.unique(packed, return_index=True, return_counts=True)
+            w = w.astype(np.int64)
+        return pd.DataFrame({"u": ids[li[idx0]], "v": ids[ri[idx0]], "w": w})
 
     partial = coarse_group_apply(rows, "gram", pair_partition, n_parts=n_parts)
     return coarse_groupby_agg(
@@ -158,9 +178,12 @@ def metablocking_wnp_pairs(
     k: int = 3,
     max_block_size: int = 24,
     n_parts=None,
+    scheme: str = "cbs",
 ):
     """Candidate pairs surviving reciprocal weighted node pruning over
-    CBS-weighted, purged k-gram blocks. Output: (u, v, cbs)."""
+    scheme-weighted ("cbs" or "arcs"), purged k-gram blocks. Output:
+    (u, v, <scheme>) — the weight column is named after the scheme
+    ("cbs" counts, "arcs" fixed-point e6)."""
     from opentapioca_ray.stages.exchange import coarse_groupby_agg, right_size
 
     # Materialize: `edges` is consumed three times downstream (stats roll-up
@@ -169,7 +192,8 @@ def metablocking_wnp_pairs(
     # 4.5s at sf0.001). right_size re-blocks the shuffle output so the
     # chained union exchanges don't inherit a blocks >> rows layout.
     edges = right_size(
-        _cbs_edges(ds, id_column, text_column, k, max_block_size, n_parts)
+        _cbs_edges(ds, id_column, text_column, k, max_block_size, n_parts,
+                   scheme=scheme)
         .materialize()
     )
 
@@ -236,8 +260,11 @@ def metablocking_wnp_pairs(
     )
 
     def prune_v(batch: pa.Table) -> pa.Table:
+        empty = pa.schema(
+            [("u", pa.int64()), ("v", pa.int64()), (scheme, pa.int64())]
+        ).empty_table()
         if batch.num_rows == 0 or "u" not in batch.column_names:
-            return _EDGE_EMPTY
+            return empty
         w = batch.column("w").to_numpy(zero_copy_only=False)
         sv = batch.column("sv").to_numpy(zero_copy_only=False)
         dv = batch.column("dv").to_numpy(zero_copy_only=False)
@@ -246,7 +273,7 @@ def metablocking_wnp_pairs(
             {
                 "u": t.column("u").cast(pa.int64()),
                 "v": t.column("v").cast(pa.int64()),
-                "cbs": t.column("w").cast(pa.int64()),
+                scheme: t.column("w").cast(pa.int64()),
             }
         )
 

@@ -67,3 +67,30 @@ def test_lpa_parallel_edges_do_not_double_vote(ray_session):
     }
     exp = _lpa_replay([(1, 2), (2, 3)], 3)
     assert got == exp
+
+
+def test_lpa_broadcast_equals_shuffle(ray_session):
+    import numpy as np
+    import ray.data
+
+    from opentapioca_ray.stages.lpa import label_propagation
+
+    rng = np.random.default_rng(3)
+    edges = list(
+        {
+            (int(u), 500 + int(v))
+            for u, v in zip(rng.integers(0, 40, 200), rng.integers(0, 15, 200))
+        }
+    )
+    ds = ray.data.from_items([{"u": u, "v": v} for u, v in edges])
+    bc = sorted(
+        (r["node"], r["label"])
+        for r in label_propagation(ds, rounds=4, n_parts=4).take_all()
+    )
+    sh = sorted(
+        (r["node"], r["label"])
+        for r in label_propagation(
+            ds, rounds=4, n_parts=4, label_broadcast_limit=0
+        ).take_all()
+    )
+    assert bc == sh

@@ -100,3 +100,62 @@ def test_ari_identical_and_independent(ray_session):
     rows = [{"la": f"g{i % 5}", "lb": f"h{i % 5}"} for i in range(100)]
     same = adjusted_rand_stats(ray.data.from_items(rows), "la", "lb").to_pandas()
     assert same["ari_e6"].iloc[0] == 1_000_000
+
+
+def test_arcs_weights_brute_force(ray_session):
+    """ARCS = sum over shared (purged) blocks of 1e6 // C(nb, 2),
+    reciprocal WNP pruning — replayed driver-side."""
+    from collections import defaultdict
+
+    import ray.data
+
+    from opentapioca_ray.stages.metablocking import metablocking_wnp_pairs
+
+    docs = [
+        {"doc_id": 1, "text": "a b c d e"},
+        {"doc_id": 2, "text": "a b c x y"},
+        {"doc_id": 3, "text": "a b c d z"},
+        {"doc_id": 4, "text": "p q r s t"},
+        {"doc_id": 5, "text": "p q r u v"},
+    ]
+    out = {
+        (r["u"], r["v"]): r["arcs"]
+        for r in metablocking_wnp_pairs(
+            ray.data.from_items(docs), k=3, max_block_size=24, scheme="arcs"
+        ).take_all()
+    }
+
+    # replay: distinct word-3-grams per doc
+    def grams(text):
+        ws = text.split()
+        if len(ws) < 3:
+            return {" ".join(ws)}
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    block = defaultdict(set)
+    for d in docs:
+        for g in grams(d["text"]):
+            block[g].add(d["doc_id"])
+    w = defaultdict(int)
+    for g, members in block.items():
+        nb = len(members)
+        if nb < 2 or nb > 24:
+            continue
+        term = 1_000_000 // (nb * (nb - 1) // 2)
+        ms = sorted(members)
+        for i in range(len(ms)):
+            for j in range(i + 1, len(ms)):
+                w[(ms[i], ms[j])] += term
+    s = defaultdict(int)
+    d = defaultdict(int)
+    for (u, v), ww in w.items():
+        s[u] += ww
+        s[v] += ww
+        d[u] += 1
+        d[v] += 1
+    exp = {
+        (u, v): ww
+        for (u, v), ww in w.items()
+        if ww * d[u] >= s[u] and ww * d[v] >= s[v]
+    }
+    assert out == exp
