@@ -1452,6 +1452,135 @@ def _q_decayed_engagement(sf_dir: str):
     )
 
 
+def _q_corpus_prep(sf_dir: str):
+    """Flagship composed LLM corpus-prep pipeline — the stages every
+    training-data build chains, run as ONE streaming dataflow:
+
+      1. exact dedup   — keep the min-doc_id representative per distinct
+                         text (slim (hash, id) groupby; the corpus then
+                         rides ONE reduce-side semi-join exchange,
+                         nothing id-proportional on the driver);
+      2. decontaminate — drop the benchmark partition (doc_id % 97 == 0)
+                         and every doc sharing >= 8 distinct 3-grams
+                         with it (benchmark grams are the SMALL side:
+                         broadcast once, per-doc hit counts close inside
+                         each batch, zero shuffles);
+      3. quality budget— rank survivors by stopword density (q_e6) and
+                         keep the best prefix within 25% of the
+                         SURVIVORS' token budget (distributed prefix
+                         scan; driver holds one scalar per block).
+
+    Output: (doc_id, q_e6, bpe_tokens) of the final selection. The SQL
+    twin chains the same three stages as CTEs."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from opentapioca_ray.functions.textstats import (
+        _EN_STOPWORDS,
+        count_tokens,
+        whitespace_token_lists,
+    )
+    from opentapioca_ray.stages.dedup import exact_dedup, gram_doc_rows
+    from opentapioca_ray.stages.exchange import coarse_semi_join, right_size
+    from opentapioca_ray.stages.selection import prefix_scan_select
+
+    docs = _docs(sf_dir).materialize()
+    doc_schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string())]
+    )
+    slim = docs.select_columns(["doc_id", "text"])
+
+    # 1. exact dedup -> representative ids, semi-joined back
+    keep = exact_dedup(docs, "doc_id").select_columns(["keep_id"])
+    deduped = right_size(
+        coarse_semi_join(
+            slim, "doc_id", keep, doc_schema, keys_column="keep_id"
+        ).materialize()
+    )
+
+    # 2. decontamination: benchmark grams broadcast once
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        rows = gram_doc_rows(
+            batch.filter(pa.array(ids % 97 == 0)), "doc_id", "text", 3
+        )
+        return pa.table({"gram": rows.column("gram")})
+
+    bench = (
+        docs.map_batches(bench_grams, batch_format="pyarrow")
+        .groupby("gram")
+        .count()
+        .select_columns(["gram"])
+    )
+    bench_set = pa.concat_tables(
+        [t for t in ray.get(bench.to_arrow_refs()) if t.num_rows > 0]
+    ).column("gram")
+    bench_ref = ray.put(bench_set.combine_chunks())
+
+    stop = frozenset(_EN_STOPWORDS)
+
+    def decont_facts(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("q_e6", pa.int64()),
+                ("bpe_tokens", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return schema.empty_table()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(ids % 97 != 0))
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        grams = gram_doc_rows(batch, "doc_id", "text", 3)
+        hit = pc.is_in(grams.column("gram"), value_set=ray.get(bench_ref))
+        gid = grams.column("doc_id").to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        hits = np.zeros(batch.num_rows, dtype=np.int64)
+        if grams.num_rows:
+            order = np.argsort(ids)  # ids unique per batch post-dedup
+            pos = order[np.searchsorted(ids[order], gid)]
+            np.add.at(hits, pos, hit.to_numpy(zero_copy_only=False))
+        keep_mask = hits < 8
+        batch = batch.filter(pa.array(keep_mask))
+        if batch.num_rows == 0:
+            return schema.empty_table()
+        toks = whitespace_token_lists(batch, "text")
+        q = np.zeros(batch.num_rows, dtype=np.int64)
+        for i, lst in enumerate(toks.to_pylist()):
+            if lst:
+                n_stop = sum(1 for w in lst if w.lower() in stop)
+                q[i] = n_stop * 1_000_000 // len(lst)
+        bpe = np.array(
+            [count_tokens(t or "") for t in batch.column("text").to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "q_e6": pa.array(q),
+                "bpe_tokens": pa.array(bpe),
+            }
+        )
+
+    facts = deduped.map_batches(
+        decont_facts, batch_format="pyarrow"
+    ).materialize()
+
+    # 3. budgeted selection over the SURVIVORS' token total
+    total = facts.sum("bpe_tokens") or 0
+    return prefix_scan_select(
+        facts,
+        order_columns=["q_e6", "doc_id"],
+        descending=[True, False],
+        value_column="bpe_tokens",
+        budget=int(total) // 4,
+    )
+
+
 def _q_transitivity_audit(sf_dir: str):
     """ER match-graph transitivity audit: similarity is not transitive,
     and every wedge a~b~c whose closing pair (a, c) scores BELOW the
@@ -7731,6 +7860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_median": _q_rolling_median,
         "transitivity_audit": _q_transitivity_audit,
         "decayed_engagement": _q_decayed_engagement,
+        "corpus_prep": _q_corpus_prep,
         "peak_concurrency": _q_peak_concurrency,
         "hits_scores": _q_hits_scores,
         "covered_time": _q_covered_time,
@@ -8676,6 +8806,71 @@ def oracle_sql() -> dict[str, str]:
             FROM days d LEFT JOIN day_stats ds ON ds.day = d.day
         """,
         "kmedoids": _kmedoids_oracle_sql(),
+        "corpus_prep": f"""
+            WITH keep1 AS (
+              SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+            ),
+            d1 AS (
+              SELECT d.doc_id, d.text
+              FROM documents d JOIN keep1 USING (doc_id)
+            ),
+            toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                END AS gs
+              FROM toks WHERE len(arr) > 0
+            ),
+            bench AS (
+              SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 97 = 0
+            ),
+            ex AS (
+              SELECT g1.doc_id, unnest(g1.gs) AS g
+              FROM grams g1 JOIN keep1 ON keep1.doc_id = g1.doc_id
+              WHERE g1.doc_id % 97 <> 0
+            ),
+            hits AS (
+              SELECT doc_id, count(*) AS h
+              FROM ex JOIN bench USING (g) GROUP BY doc_id
+            ),
+            d2 AS (
+              SELECT d1.doc_id, d1.text
+              FROM d1 LEFT JOIN hits USING (doc_id)
+              WHERE d1.doc_id % 97 <> 0 AND coalesce(hits.h, 0) < 8
+            ),
+            f AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+                     ELSE (len(list_filter(
+                             regexp_split_to_array(trim(text), '\\s+'),
+                             w -> lower(w) IN ({_EN_STOP})))::BIGINT
+                           * 1000000)
+                          // len(regexp_split_to_array(trim(text), '\\s+'))
+                END AS q_e6,
+                len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT
+                  AS bpe_tokens
+              FROM d2
+            )
+            SELECT doc_id, q_e6, bpe_tokens
+            FROM (
+              SELECT *, sum(bpe_tokens)
+                          OVER (ORDER BY q_e6 DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS run
+              FROM f
+            )
+            WHERE run <= (SELECT sum(bpe_tokens) FROM f) // 4
+        """,
         "decayed_engagement": """
             WITH mx AS (SELECT max(epoch_us(ts)) AS t_max FROM events)
             SELECT user_id,

@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "transitivity_audit",
     "decayed_engagement",
     "metablocking_arcs",
+    "corpus_prep",
 ]
 
 

