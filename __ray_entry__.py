@@ -79,6 +79,51 @@ def _ngram_cc(sf_dir: str):
     return pairs, comp
 
 
+_PARTSUPP_CACHE: dict[str, object] = {}
+
+
+def _partsupp_directed(sf_dir: str):
+    """The DISTINCT both-direction part--supplier (src, dst) edge table
+    (supplier ids offset by 1e7), shared by random_walks /
+    label_propagation — both run on the same graph and were each paying
+    the identical read + dedup exchange. Materialized once per
+    process+sf_dir, like _ngram_cc."""
+    key = str(sf_dir)
+    hit = _PARTSUPP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg, right_size
+
+    li = _rel(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    dir_schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return dir_schema.empty_table()
+        u = batch.column("l_partkey").cast(pa.int64()).combine_chunks()
+        v = pc.add(
+            batch.column("l_suppkey").cast(pa.int64()), 10_000_000
+        ).combine_chunks()
+        return pa.table(
+            {"src": pa.concat_arrays([u, v]), "dst": pa.concat_arrays([v, u])}
+        )
+
+    directed = right_size(
+        coarse_groupby_agg(
+            li.map_batches(both_dirs, batch_format="pyarrow"),
+            ["src", "dst"],
+            {"__n": ("src", "size")},
+        )
+        .drop_columns(["__n"])
+        .materialize()
+    )
+    _PARTSUPP_CACHE[key] = directed
+    return directed
+
+
 _ORACLE_AUX = "/tmp/otr_oracle_aux"
 
 
@@ -1090,27 +1135,10 @@ def _q_random_walks(sf_dir: str):
     part--supplier bipartite graph: next hop = neighbor minimizing
     md5(walker:step:neighbor) — DeepWalk-style sampling made reproducible
     and SQL-replayable. Output: the (walker, step, node) walk corpus."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     from opentapioca_ray.stages.walks import random_walks
 
-    li = _rel(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
-
-    def edge_rows(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
-            return pa.schema([("u", pa.int64()), ("v", pa.int64())]).empty_table()
-        return pa.table(
-            {
-                "u": batch.column("l_partkey").cast(pa.int64()),
-                "v": pc.add(
-                    batch.column("l_suppkey").cast(pa.int64()), 10_000_000
-                ),
-            }
-        )
-
     return random_walks(
-        li.map_batches(edge_rows, batch_format="pyarrow"), steps=4
+        _partsupp_directed(sf_dir), steps=4, edges_distinct_directed=True
     )
 
 
@@ -2147,27 +2175,11 @@ def _q_label_propagation(sf_dir: str):
     components: LPA splits the connected graph into locally-dense label
     basins; fixed rounds + deterministic argmax make the trajectory
     SQL-replayable round by round."""
-    import pyarrow as pa
-    import pyarrow.compute as pc
-
     from opentapioca_ray.stages.lpa import label_propagation
 
-    li = _rel(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
-
-    def edge_rows(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
-            return pa.schema([("u", pa.int64()), ("v", pa.int64())]).empty_table()
-        return pa.table(
-            {
-                "u": batch.column("l_partkey").cast(pa.int64()),
-                "v": pc.add(
-                    batch.column("l_suppkey").cast(pa.int64()), 10_000_000
-                ),
-            }
-        )
-
-    edges = li.map_batches(edge_rows, batch_format="pyarrow")
-    return label_propagation(edges, rounds=4)
+    return label_propagation(
+        _partsupp_directed(sf_dir), rounds=4, edges_distinct_directed=True
+    )
 
 
 def _lpa_oracle_sql(rounds: int = 4) -> str:

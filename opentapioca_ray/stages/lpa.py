@@ -89,9 +89,14 @@ def label_propagation(
     v_column: str = "v",
     n_parts: int | None = None,
     label_broadcast_limit: int = 5_000_000,
+    edges_distinct_directed: bool = False,
 ):
     """`rounds` synchronous LPA rounds over the undirected edge set.
     Returns (node, label) for every endpoint node.
+
+    `edges_distinct_directed=True` declares `edges_ds` already the
+    materialized DISTINCT both-direction (src, dst) table (a graph
+    shared across queries in one process) and skips the dedup exchange.
 
     While the node table fits `label_broadcast_limit` rows, each round
     broadcasts the sorted (node, label) arrays via `ray.put` and maps
@@ -119,15 +124,19 @@ def label_propagation(
             }
         )
 
-    directed = edges_ds.map_batches(both_dirs, batch_format="pyarrow")
-    # distinct directed edges (parallel edges would double votes)
-    directed = right_size(
-        coarse_groupby_agg(
-            directed, ["src", "dst"], {"__n": ("src", "size")}, n_parts=n_parts
+    if edges_distinct_directed:
+        directed = edges_ds
+    else:
+        directed = edges_ds.map_batches(both_dirs, batch_format="pyarrow")
+        # distinct directed edges (parallel edges would double votes)
+        directed = right_size(
+            coarse_groupby_agg(
+                directed, ["src", "dst"], {"__n": ("src", "size")},
+                n_parts=n_parts,
+            )
+            .drop_columns(["__n"])
+            .materialize()
         )
-        .drop_columns(["__n"])
-        .materialize()
-    )
     if n_parts is None:
         # 8 chained exchanges follow; size P to the (now known) graph so a
         # small graph doesn't pay default-P task launches per round while a

@@ -104,10 +104,15 @@ def random_walks(
     n_parts: int | None = None,
     mode: str = "auto",
     pos_broadcast_limit: int = 2_000_000,
+    edges_distinct_directed: bool = False,
 ):
     """One `steps`-hop deterministic walk per distinct node of the
     undirected edge set. Returns a Dataset of (walker, step, node) rows,
     step 0 being the start node.
+
+    `edges_distinct_directed=True` declares `edges_ds` already the
+    materialized DISTINCT both-direction (src, dst) table (e.g. a graph
+    shared across queries in one process) and skips the dedup exchange.
 
     `mode`: "broadcast" merges a `ray.put` (walker, node, k) table
     against static ranked-adjacency blocks (no per-step edge shuffle;
@@ -133,16 +138,19 @@ def random_walks(
             {"src": pa.concat_arrays([u, v]), "dst": pa.concat_arrays([v, u])}
         )
 
-    directed = right_size(
-        coarse_groupby_agg(
-            edges_ds.map_batches(both_dirs, batch_format="pyarrow"),
-            ["src", "dst"],
-            {"__n": ("src", "size")},
-            n_parts=n_parts,
+    if edges_distinct_directed:
+        directed = edges_ds
+    else:
+        directed = right_size(
+            coarse_groupby_agg(
+                edges_ds.map_batches(both_dirs, batch_format="pyarrow"),
+                ["src", "dst"],
+                {"__n": ("src", "size")},
+                n_parts=n_parts,
+            )
+            .drop_columns(["__n"])
+            .materialize()
         )
-        .drop_columns(["__n"])
-        .materialize()
-    )
     if n_parts is None:
         n_parts = max(4, min(default_n_parts(), directed.count() // 8192 + 1))
 
