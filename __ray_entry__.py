@@ -995,82 +995,110 @@ def _q_join_sample_estimate(sf_dir: str):
 def _q_coreset_cover(sf_dir: str):
     """Greedy set-cover coreset selection (the classic (1-1/e) greedy):
     10 rounds picking the document covering the most NOT-yet-covered
-    3-grams (ties -> smallest doc_id). The covered-gram state is bounded
-    by (rounds x grams/doc) and broadcast each round; each round is one
-    filtered count pass over the materialized (gram, doc) rows + a tiny
-    argmax — the data-selection primitive for 'smallest set of docs that
-    spans the corpus vocabulary'. Output per round: the chosen doc, its
-    marginal gain, and the cumulative covered-gram count."""
+    3-grams (ties -> smallest doc_id). ONE up-front doc-keyed exchange
+    packs each doc's distinct grams into a single list row (a row cannot
+    split across blocks, so per-block argmax over whole docs is exact);
+    each round is then a single broadcast-filtered map pass whose
+    per-block winner row carries its OWN new-gram list — no per-round
+    shuffle and no corpus re-scan to fetch the chosen doc's grams. The
+    covered-gram state is bounded by (rounds x grams/doc) and broadcast;
+    the driver sees only #blocks candidate rows per round. Output per
+    round: the chosen doc, its marginal gain, and the cumulative
+    covered-gram count."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
+    import pyarrow.compute as pc
     import ray
 
     from opentapioca_ray.stages.dedup import gram_doc_rows
-    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+    from opentapioca_ray.stages.exchange import (
+        coarse_group_apply,
+        default_n_parts,
+    )
 
-    rows = (
-        _docs(sf_dir)
-        .map_batches(
+    docs = _docs(sf_dir)
+    n_docs = docs.count()
+    n_parts = max(4, min(default_n_parts(), n_docs // 8192 + 1))
+
+    def pack_doc_lists(part: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("doc_id", pa.int64()), ("grams", pa.list_(pa.string()))]
+        )
+        if part.num_rows == 0 or "gram" not in part.column_names:
+            return schema.empty_table()
+        d = part.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        g = part.column("gram").to_numpy(zero_copy_only=False)
+        order = np.argsort(d, kind="mergesort")
+        d, g = d[order], g[order]
+        starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
+        offsets = np.concatenate((starts, [len(d)])).astype(np.int32)
+        return pa.table(
+            {
+                "doc_id": pa.array(d[starts]),
+                "grams": pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(g, type=pa.string())
+                ),
+            }
+        )
+
+    doc_grams = coarse_group_apply(
+        docs.map_batches(
             lambda b: gram_doc_rows(b, "doc_id", "text", 3),
             batch_format="pyarrow",
-        )
-        .materialize()
-    )
+        ),
+        "doc_id",
+        pack_doc_lists,
+        n_parts=n_parts,
+        batch_format="pyarrow",
+    ).materialize()
 
     chosen = []
     covered: set = set()
     for rnd in range(10):
         cov_ref = ray.put(np.array(sorted(covered), dtype=object))
 
-        def gains(batch: pa.Table) -> pa.Table:
-            schema = pa.schema([("doc_id", pa.int64()), ("gain", pa.int64())])
-            if batch.num_rows == 0 or "gram" not in batch.column_names:
+        def block_best(batch: pa.Table) -> pa.Table:
+            schema = pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("gain", pa.int64()),
+                    ("new_grams", pa.list_(pa.string())),
+                ]
+            )
+            if batch.num_rows == 0 or "grams" not in batch.column_names:
                 return schema.empty_table()
             cov = ray.get(cov_ref)
-            g = batch.column("gram").to_numpy(zero_copy_only=False)
-            d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(
-                np.int64
-            )
-            new = ~np.isin(g, cov) if len(cov) else np.ones(len(g), bool)
-            if not new.any():
+            lists = batch.column("grams").combine_chunks()
+            flat = lists.flatten().to_numpy(zero_copy_only=False)
+            lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+            new = ~np.isin(flat, cov) if len(cov) else np.ones(len(flat), bool)
+            doc_idx = np.repeat(np.arange(len(lens)), lens)
+            gains = np.bincount(
+                doc_idx, weights=new, minlength=len(lens)
+            ).astype(np.int64)
+            if not len(gains) or gains.max() <= 0:
                 return schema.empty_table()
-            du, inv = np.unique(d[new], return_inverse=True)
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            best_i = np.lexsort((ids, -gains))[0]
+            winner_new = flat[(doc_idx == best_i) & new]
             return pa.table(
                 {
-                    "doc_id": pa.array(du),
-                    "gain": pa.array(np.bincount(inv).astype(np.int64)),
+                    "doc_id": pa.array([int(ids[best_i])], type=pa.int64()),
+                    "gain": pa.array([int(gains[best_i])], type=pa.int64()),
+                    "new_grams": pa.array(
+                        [list(winner_new)], type=pa.list_(pa.string())
+                    ),
                 }
             )
 
-        counts = coarse_groupby_agg(
-            rows.map_batches(gains, batch_format="pyarrow"),
-            ["doc_id"],
-            {"gain": ("gain", "sum")},
-        )
-
-        def block_best(batch: pa.Table) -> pa.Table:
-            schema = pa.schema([("doc_id", pa.int64()), ("gain", pa.int64())])
-            if batch.num_rows == 0 or "doc_id" not in batch.column_names:
-                return schema.empty_table()
-            df = batch.to_pandas().sort_values(
-                ["gain", "doc_id"], ascending=[False, True], kind="mergesort"
-            ).head(1)
-            return pa.Table.from_pandas(df, preserve_index=False).cast(schema)
-
-        cands = counts.map_batches(block_best, batch_format="pyarrow").take_all()
+        cands = doc_grams.map_batches(
+            block_best, batch_format="pyarrow"
+        ).take_all()
         if not cands:
             break
         best = min(cands, key=lambda r: (-r["gain"], r["doc_id"]))
-        if best["gain"] <= 0:
-            break
-        doc_grams = {
-            r["gram"]
-            for r in rows.filter(
-                expr=f"doc_id == {int(best['doc_id'])}"
-            ).take_all()
-        }
-        covered |= doc_grams
+        covered |= set(best["new_grams"])
         chosen.append(
             {
                 "round": rnd,
