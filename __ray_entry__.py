@@ -995,7 +995,7 @@ def _q_join_sample_estimate(sf_dir: str):
 def _q_coreset_cover(sf_dir: str):
     """Greedy set-cover coreset selection (the classic (1-1/e) greedy):
     10 rounds picking the document covering the most NOT-yet-covered
-    3-grams (ties -> smallest doc_id). ONE up-front doc-keyed exchange
+    3-grams (ties -> smallest doc_id). The zero-shuffle `gram_table` map
     packs each doc's distinct grams into a single list row (a row cannot
     split across blocks, so per-block argmax over whole docs is exact);
     each round is then a single broadcast-filtered map pass whose
@@ -1011,47 +1011,16 @@ def _q_coreset_cover(sf_dir: str):
     import pyarrow.compute as pc
     import ray
 
-    from opentapioca_ray.stages.dedup import gram_doc_rows
-    from opentapioca_ray.stages.exchange import (
-        coarse_group_apply,
-        default_n_parts,
-    )
+    from opentapioca_ray.stages.dedup import gram_table
 
-    docs = _docs(sf_dir)
-    n_docs = docs.count()
-    n_parts = max(4, min(default_n_parts(), n_docs // 8192 + 1))
-
-    def pack_doc_lists(part: pa.Table) -> pa.Table:
-        schema = pa.schema(
-            [("doc_id", pa.int64()), ("grams", pa.list_(pa.string()))]
-        )
-        if part.num_rows == 0 or "gram" not in part.column_names:
-            return schema.empty_table()
-        d = part.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        g = part.column("gram").to_numpy(zero_copy_only=False)
-        order = np.argsort(d, kind="mergesort")
-        d, g = d[order], g[order]
-        starts = np.flatnonzero(np.concatenate(([True], d[1:] != d[:-1])))
-        offsets = np.concatenate((starts, [len(d)])).astype(np.int32)
-        return pa.table(
-            {
-                "doc_id": pa.array(d[starts]),
-                "grams": pa.ListArray.from_arrays(
-                    pa.array(offsets), pa.array(g, type=pa.string())
-                ),
-            }
-        )
-
-    doc_grams = coarse_group_apply(
-        docs.map_batches(
-            lambda b: gram_doc_rows(b, "doc_id", "text", 3),
+    doc_grams = (
+        _docs(sf_dir)
+        .map_batches(
+            lambda b: gram_table(b, "doc_id", "text", 3),
             batch_format="pyarrow",
-        ),
-        "doc_id",
-        pack_doc_lists,
-        n_parts=n_parts,
-        batch_format="pyarrow",
-    ).materialize()
+        )
+        .materialize()
+    )
 
     chosen = []
     covered: set = set()
@@ -1153,6 +1122,76 @@ def _coreset_oracle_sql(rounds: int = 10) -> str:
         f"SELECT CAST({t} AS BIGINT) AS round, doc_id, gain,"
         f" (SELECT CAST(count(*) AS BIGINT) FROM cov{t + 1})"
         f" AS covered_total FROM best{t}"
+        for t in range(rounds)
+    )
+    return sql
+
+
+def _q_canopy_blocks(sf_dir: str):
+    """Canopy clustering (McCallum/Nigam/Ungar KDD'00) as overlapping soft
+    blocking for ER: 8 greedy rounds, each picking the smallest alive
+    doc_id as center, pulling every alive doc sharing >= 4 distinct word
+    bigrams into the canopy and retiring docs sharing >= 10 (plus the
+    center). Cheap metric = exact shared-distinct-2-gram count (integer,
+    so the SQL twin needs no quantization). Membership stays distributed:
+    per-round block-min candidate rows carry their own gram lists, and
+    member rows are lazily tagged unions — the driver holds one center
+    row per round."""
+    from opentapioca_ray.stages.canopy import canopy_clusters
+    from opentapioca_ray.stages.dedup import gram_table
+
+    doc_grams = _docs(sf_dir).map_batches(
+        lambda b: gram_table(b, "doc_id", "text", 2), batch_format="pyarrow"
+    )
+    return canopy_clusters(doc_grams, t1=4, t2=10, rounds=8)
+
+
+def _canopy_oracle_sql(t1: int = 4, t2: int = 10, rounds: int = 8) -> str:
+    """Unrolled greedy canopies: per round the min-id center over the
+    alive pool, shared-bigram overlaps vs that center, the >= t1 member
+    rows, and the < t2 (minus center) survivor pool."""
+    sql = f"""
+        WITH toks AS (
+          SELECT doc_id,
+            list_filter(
+              list_transform(
+                regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                w -> trim(w)),
+              w -> w != '') AS arr
+          FROM documents
+        ),
+        grams AS MATERIALIZED (
+          SELECT doc_id, unnest(
+            CASE WHEN len(arr) < 2 THEN [array_to_string(arr, ' ')]
+                 ELSE list_distinct(list_transform(
+                        range(1, len(arr)),
+                        i -> arr[i] || ' ' || arr[i+1]))
+            END) AS g
+          FROM toks WHERE len(arr) > 0
+        ),
+        alive0 AS MATERIALIZED (SELECT DISTINCT doc_id FROM grams)"""
+    for t in range(rounds):
+        sql += f""",
+        c{t} AS MATERIALIZED (SELECT min(doc_id) AS cid FROM alive{t}),
+        ov{t} AS MATERIALIZED (
+          SELECT a.doc_id, CAST(count(*) AS BIGINT) AS overlap
+          FROM grams a
+          JOIN grams cg ON a.g = cg.g
+          JOIN c{t} ON cg.doc_id = c{t}.cid
+          WHERE a.doc_id IN (SELECT doc_id FROM alive{t})
+          GROUP BY a.doc_id
+        ),
+        alive{t + 1} AS MATERIALIZED (
+          SELECT doc_id FROM alive{t}
+          WHERE doc_id NOT IN
+              (SELECT doc_id FROM ov{t} WHERE overlap >= {t2})
+            AND doc_id != (SELECT cid FROM c{t})
+        )"""
+    sql += "\n        "
+    sql += "\n        UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS canopy_round,"
+        f" (SELECT cid FROM c{t}) AS center_id, doc_id, overlap"
+        f" FROM ov{t} WHERE overlap >= {t1}"
         for t in range(rounds)
     )
     return sql
@@ -7907,6 +7946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_to_exceed": _q_time_to_exceed,
         "random_walks": _q_random_walks,
         "coreset_cover": _q_coreset_cover,
+        "canopy_blocks": _q_canopy_blocks,
         "join_sample_estimate": _q_join_sample_estimate,
         "ams_f2": _q_ams_f2,
         "blocking_scheme_learn": _q_blocking_scheme_learn,
@@ -8693,6 +8733,7 @@ def oracle_sql() -> dict[str, str]:
         "hits_scores": _hits_oracle_sql(),
         "random_walks": _walks_oracle_sql(),
         "coreset_cover": _coreset_oracle_sql(),
+        "canopy_blocks": _canopy_oracle_sql(),
         "blocking_scheme_learn": _bsl_oracle_sql(),
         "ams_f2": """
             WITH signs AS (

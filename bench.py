@@ -187,6 +187,7 @@ BENCH_QUERIES = [
     "time_to_exceed",
     "random_walks",
     "coreset_cover",
+    "canopy_blocks",
     "join_sample_estimate",
     "ams_f2",
     "blocking_scheme_learn",
