@@ -121,35 +121,82 @@ def _normalize(sums, n_parts):
     return sums.map_batches(norm, batch_format="pyarrow")
 
 
-def _attach_sum_broadcast(edges, scores_ref, tail: str, head: str, n_parts):
-    """Fast path: the score table rides as a broadcast (node -> score)
-    lookup; each edge batch emits per-head partial sums (combiner), then
-    ONE keyed merge. Valid whenever the node table fits the broadcast
-    limit — the score side is nodes, never edges."""
+def _collect_scores(scores_ds):
+    """Materialized (node, score) dataset -> sorted driver arrays. Only
+    ever called on the broadcast path, where the mode guard bounds the
+    node table."""
     import ray
 
-    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+    ns, vs = [], []
+    for ref in scores_ds.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "node" not in t.column_names:
+            continue
+        ns.append(t.column("node").to_numpy(zero_copy_only=False))
+        vs.append(t.column("score").to_numpy(zero_copy_only=False))
+    if not ns:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    nodes = np.concatenate(ns).astype(np.int64)
+    vals = np.concatenate(vs).astype(np.int64)
+    order = np.argsort(nodes, kind="mergesort")
+    return nodes[order], vals[order]
+
+
+def _half_round_driver(edges, state_ref, tail: str, head: str):
+    """ONE streaming pass per half-round: each edge block looks the tail
+    scores up in the broadcast state and emits exact-int64 per-head
+    partial sums (sort + reduceat, no float accumulation); the driver
+    merges the node-bounded partials, takes the max and renormalizes with
+    Python-int floor division. Zero exchanges, zero intermediate
+    materializations — the state is driver-resident on this path anyway
+    (the broadcast guard bounds it)."""
+    import ray
 
     def partial(batch: pa.Table) -> pa.Table:
         empty = pa.schema([("node", pa.int64()), ("s", pa.int64())]).empty_table()
         if batch.num_rows == 0 or tail not in batch.column_names:
             return empty
-        nodes, vals = ray.get(scores_ref)
+        nodes, vals = ray.get(state_ref)
         t = batch.column(tail).to_numpy(zero_copy_only=False).astype(np.int64)
         h = batch.column(head).to_numpy(zero_copy_only=False).astype(np.int64)
-        pos = np.searchsorted(nodes, t)
-        pos = np.minimum(pos, len(nodes) - 1)
-        sc = np.where(nodes[pos] == t, vals[pos], 0)
-        hu, inv = np.unique(h, return_inverse=True)
-        sums = np.bincount(inv, weights=sc.astype(np.float64)).astype(np.int64)
-        return pa.table({"node": pa.array(hu), "s": pa.array(sums)})
+        if len(nodes):
+            pos = np.minimum(np.searchsorted(nodes, t), len(nodes) - 1)
+            sc = np.where(nodes[pos] == t, vals[pos], 0)
+        else:
+            sc = np.zeros(len(t), dtype=np.int64)
+        order = np.argsort(h, kind="mergesort")
+        h, sc = h[order], sc[order]
+        starts = np.flatnonzero(np.concatenate(([True], h[1:] != h[:-1])))
+        sums = np.add.reduceat(sc, starts).astype(np.int64)
+        return pa.table({"node": pa.array(h[starts]), "s": pa.array(sums)})
 
-    return coarse_groupby_agg(
-        edges.map_batches(partial, batch_format="pyarrow"),
-        ["node"],
-        {"s": ("s", "sum")},
-        n_parts=n_parts,
-    )
+    tables = [
+        ray.get(r)
+        for r in edges.map_batches(
+            partial, batch_format="pyarrow"
+        ).to_arrow_refs()
+    ]
+    tables = [t for t in tables if t.num_rows and "node" in t.column_names]
+    if not tables:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+    tbl = pa.concat_tables(tables)
+    n = tbl.column("node").to_numpy(zero_copy_only=False)
+    s = tbl.column("s").to_numpy(zero_copy_only=False)
+    order = np.argsort(n, kind="mergesort")
+    n, s = n[order], s[order]
+    starts = np.flatnonzero(np.concatenate(([True], n[1:] != n[:-1])))
+    sums = np.add.reduceat(s, starts)
+    mx = int(sums.max())
+    if mx:
+        # python-int product: s * 1e9 can exceed int64
+        scores = np.fromiter(
+            (int(x) * E9 // mx for x in sums),
+            dtype=np.int64,
+            count=len(sums),
+        )
+    else:
+        scores = np.zeros(len(sums), dtype=np.int64)
+    return n[starts], scores
 
 
 def hits_scores(
@@ -252,41 +299,26 @@ def hits_scores(
 
     if use_broadcast:
         import ray
+        import ray.data
 
-        def bcast(scores):
-            """materialized (node, score) -> sorted broadcast arrays;
-            bounded by score_broadcast_limit rows by the mode guard."""
-            ns, vs = [], []
-            for ref in scores.to_arrow_refs():
-                t = ray.get(ref)
-                if t.num_rows == 0 or "node" not in t.column_names:
-                    continue
-                ns.append(t.column("node").to_numpy(zero_copy_only=False))
-                vs.append(t.column("score").to_numpy(zero_copy_only=False))
-            nodes = np.concatenate(ns).astype(np.int64)
-            vals = np.concatenate(vs).astype(np.int64)
-            order = np.argsort(nodes, kind="mergesort")
-            return ray.put((nodes[order], vals[order]))
-
-        auths = None
+        hub_state = _collect_scores(hubs)
+        auth_state = (np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64))
         for _ in range(rounds):
-            auths = right_size(
-                _normalize(
-                    _attach_sum_broadcast(
-                        edges, bcast(hubs), "src", "dst", n_parts
-                    ),
-                    n_parts,
-                ).materialize()
+            auth_state = _half_round_driver(
+                edges, ray.put(hub_state), "src", "dst"
             )
-            hubs = right_size(
-                _normalize(
-                    _attach_sum_broadcast(
-                        edges, bcast(auths), "dst", "src", n_parts
-                    ),
-                    n_parts,
-                ).materialize()
+            hub_state = _half_round_driver(
+                edges, ray.put(auth_state), "dst", "src"
             )
-        return hubs, auths
+
+        def to_ds(state):
+            return ray.data.from_arrow(
+                pa.table(
+                    {"node": pa.array(state[0]), "score": pa.array(state[1])}
+                ).cast(_SCORE_SCHEMA)
+            )
+
+        return to_ds(hub_state), to_ds(auth_state)
 
     # shuffle path: scores never leave the cluster
     # auth update: scores ride the src (hub) side; hub update: the dst side
