@@ -590,27 +590,29 @@ def kendall_tau_binned(ds, x_column: str, y_column: str, n_parts=None):
         p_ends = np.concatenate((p_starts[1:], [len(y)]))
         for ps, pe in zip(p_starts, p_ends):  # pids hosted here (bounded)
             seg_y, seg_bi = y[ps:pe], bi[ps:pe]
-            onehot = np.zeros((pe - ps, len(bn)), dtype=np.int64)
-            onehot[np.arange(pe - ps), seg_bi] = 1
-            cum = np.cumsum(onehot, axis=0)
-            # rows strictly below my y (within partition): cum at the last
-            # row BEFORE my y-tie block
+            # per-BIN 1-D dominance scan: the 2-D rows x bins matrices
+            # (onehot cumsum / block-granular prefixes) were memory-bound
+            # and 40-100x slower on this class of box; `bins` iterations
+            # of contiguous 1-D cumsum+gather+masked-sum cost the same
+            # element ops with cache-resident working sets.
+            # C = sum_j sum_{rows r with bin>j} (# bin-j rows strictly
+            # below r's y, incl. earlier partitions' carry); D mirrors <j.
             new_y = np.concatenate(([True], seg_y[1:] != seg_y[:-1]))
             starts = np.flatnonzero(new_y)
-            seg = np.cumsum(new_y) - 1
-            start_idx = starts[seg]
-            below_local = np.where(
-                (start_idx > 0)[:, None], cum[np.maximum(start_idx - 1, 0)], 0
-            )
-            below = below_local + cr[int(pid[ps])][None, :]
-            pref = np.cumsum(below, axis=1)
-            rows_total = below.sum(axis=1)
-            idx = np.arange(pe - ps)
-            c_i = np.where(seg_bi > 0, pref[idx, np.maximum(seg_bi - 1, 0)], 0)
-            d_i = rows_total - pref[idx, seg_bi]
-            c_tot += int(c_i.sum())
-            d_tot += int(d_i.sum())
-            # y-tie term for this pid: block sizes from the same new_y cuts
+            segid = np.cumsum(new_y) - 1
+            start_idx = starts[segid]
+            pos = start_idx > 0
+            prev_gather = np.maximum(start_idx - 1, 0)
+            cr_p = cr[int(pid[ps])]
+            for j in range(len(bn)):
+                hits = seg_bi == j
+                if not hits.any() and cr_p[j] == 0:
+                    continue
+                cum_j = np.cumsum(hits)
+                prev = np.where(pos, cum_j[prev_gather], 0) + cr_p[j]
+                c_tot += int(prev[seg_bi > j].sum())
+                d_tot += int(prev[seg_bi < j].sum())
+            # y-tie term for this pid: tie-block sizes
             sizes = np.diff(np.concatenate((starts, [pe - ps]))).astype(
                 np.int64
             )
