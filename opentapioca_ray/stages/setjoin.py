@@ -266,115 +266,124 @@ def prefix_filter_pairs(
         batch_format="pyarrow",
     ).materialize()  # consumed by the df pass, the prefix pass AND the verify semi-join
 
-    # ---- bounded df table: top `df_table_size` tokens by document count.
-    # O(df_table_size) driver state regardless of corpus vocabulary; every
-    # other token shares rank 0 and orders by its own string (total order).
-    df_tbl = coarse_groupby_agg(
-        words.select_columns(["word"]).map_batches(
-            lambda b: b.append_column(
-                "one", pa.array(np.ones(b.num_rows, dtype=np.int64))
-            )
-            if b.num_rows
-            else pa.schema([("word", pa.string()), ("one", pa.int64())]).empty_table(),
-            batch_format="pyarrow",
-        ),
-        ["word"],
-        {"df": ("one", "sum")},
-        n_parts=n_parts,
-    )
-    # combiner top-k, not sort().limit(): the ordering is a performance
-    # heuristic (any consistent total order is correct), but the exchange
-    # volume difference is real — O(k x blocks) vs every vocab row
-    top = global_top_k(
-        df_tbl, "df", df_table_size, tiebreak_column="word"
-    ).to_pandas()
-    ranks = dict(zip(top["word"], top["df"].astype(np.int64)))
-    ranks_ref = ray.put(ranks)
-
-    prefix = words.map_batches(
-        _prefix_rows_fn(ranks_ref, num, den), batch_format="pyarrow"
-    )
-
-    raw_pairs = coarse_group_apply(
-        prefix,
-        "word",
-        _prefix_pair_partition(max_block_size, num, den),
-        n_parts=n_parts,
-    )
-    pairs = coarse_groupby_agg(
-        raw_pairs, ["u", "v"], {"capped": ("capped", "sum")}, n_parts=n_parts
-    ).materialize()
-    capped_rows = pairs.filter(expr="u < 0")
-    n_capped = sum(
-        r["capped"] for r in capped_rows.take_all()
-    )  # <=1 row per partition: O(P) driver data
-    if n_capped:
-        logger.warning(
-            "prefix_filter_pairs: %d prefix rows dropped by max_block_size=%d "
-            "(hot-token skew cap; raise max_block_size for full recall)",
-            n_capped,
-            max_block_size,
-        )
-    pairs = pairs.filter(expr="u >= 0")
-
-    # ---- pair-restricted verify (small/medium regime): pack the candidate
-    # pair set into a sorted u64 array on the driver (bounded by
-    # pair_broadcast_limit) and broadcast it
-    n_pairs = pairs.count()  # capped sentinel rows already filtered out
-    packed_ref = None
-    cand_doc_count = None
-    if 0 < n_pairs <= pair_broadcast_limit:
-        chunks = []
-        for ref in pairs.to_arrow_refs():
-            t = ray.get(ref)
-            if t.num_rows == 0 or "u" not in t.column_names:
-                continue
-            u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
-            v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
-            keep = u >= 0
-            u, v = u[keep], v[keep]
-            # ids compacted downstream too; packing is only valid under 2^31
-            if len(u) and max(u.max(), v.max()) < (1 << 31):
-                chunks.append(
-                    (u.astype(np.uint64) << np.uint64(32)) | v.astype(np.uint64)
-                )
-            else:
-                chunks = None
-                break
-        if chunks:
-            packed = np.unique(np.concatenate(chunks))
-            packed_ref = ray.put(packed)
-            ids_flat = np.unique(
-                np.concatenate(
-                    [(packed >> np.uint64(32)), packed & np.uint64(0xFFFFFFFF)]
-                ).astype(np.int64)
-            )
-            cand_doc_count = len(ids_flat)
-
-    # candidate doc ids (slim, distinct via the merge) -> semi-join the full
-    # token rows; skipped when EVERY doc is a candidate (dense corpora),
-    # where the semi-join would ship all rows to filter nothing
-    def pair_ids(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "u" not in t.column_names:
-            return pa.schema([("doc_id", pa.int64())]).empty_table()
-        return pa.table(
-            {
-                "doc_id": pa.concat_arrays(
-                    [
-                        t.column("u").cast(pa.int64()).combine_chunks(),
-                        t.column("v").cast(pa.int64()).combine_chunks(),
-                    ]
-                )
-            }
-        )
-
-    if cand_doc_count is not None and cand_doc_count >= n_docs:
+    if num <= 0:
+        # threshold 0 degenerates the prefix filter to full blocking:
+        # candidate generation (df table, prefix rows, pair exchange,
+        # pair dedup) would enumerate exactly the pairs the verify
+        # pass enumerates anyway — skip straight to the exact verify
+        # over every gram-sharing pair.
+        packed_ref = None
         cand_words = words
     else:
-        cand_ids = pairs.map_batches(pair_ids, batch_format="pyarrow")
-        cand_words = coarse_semi_join(
-            words, "doc_id", cand_ids, _WORD_ROWS_SCHEMA, n_parts=n_parts
+        # ---- bounded df table: top `df_table_size` tokens by document count.
+        # O(df_table_size) driver state regardless of corpus vocabulary; every
+        # other token shares rank 0 and orders by its own string (total order).
+        df_tbl = coarse_groupby_agg(
+            words.select_columns(["word"]).map_batches(
+                lambda b: b.append_column(
+                    "one", pa.array(np.ones(b.num_rows, dtype=np.int64))
+                )
+                if b.num_rows
+                else pa.schema([("word", pa.string()), ("one", pa.int64())]).empty_table(),
+                batch_format="pyarrow",
+            ),
+            ["word"],
+            {"df": ("one", "sum")},
+            n_parts=n_parts,
         )
+        # combiner top-k, not sort().limit(): the ordering is a performance
+        # heuristic (any consistent total order is correct), but the exchange
+        # volume difference is real — O(k x blocks) vs every vocab row
+        top = global_top_k(
+            df_tbl, "df", df_table_size, tiebreak_column="word"
+        ).to_pandas()
+        ranks = dict(zip(top["word"], top["df"].astype(np.int64)))
+        ranks_ref = ray.put(ranks)
+
+        prefix = words.map_batches(
+            _prefix_rows_fn(ranks_ref, num, den), batch_format="pyarrow"
+        )
+
+        raw_pairs = coarse_group_apply(
+            prefix,
+            "word",
+            _prefix_pair_partition(max_block_size, num, den),
+            n_parts=n_parts,
+        )
+        pairs = coarse_groupby_agg(
+            raw_pairs, ["u", "v"], {"capped": ("capped", "sum")}, n_parts=n_parts
+        ).materialize()
+        capped_rows = pairs.filter(expr="u < 0")
+        n_capped = sum(
+            r["capped"] for r in capped_rows.take_all()
+        )  # <=1 row per partition: O(P) driver data
+        if n_capped:
+            logger.warning(
+                "prefix_filter_pairs: %d prefix rows dropped by max_block_size=%d "
+                "(hot-token skew cap; raise max_block_size for full recall)",
+                n_capped,
+                max_block_size,
+            )
+        pairs = pairs.filter(expr="u >= 0")
+
+        # ---- pair-restricted verify (small/medium regime): pack the candidate
+        # pair set into a sorted u64 array on the driver (bounded by
+        # pair_broadcast_limit) and broadcast it
+        n_pairs = pairs.count()  # capped sentinel rows already filtered out
+        packed_ref = None
+        cand_doc_count = None
+        if 0 < n_pairs <= pair_broadcast_limit:
+            chunks = []
+            for ref in pairs.to_arrow_refs():
+                t = ray.get(ref)
+                if t.num_rows == 0 or "u" not in t.column_names:
+                    continue
+                u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+                v = t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+                keep = u >= 0
+                u, v = u[keep], v[keep]
+                # ids compacted downstream too; packing is only valid under 2^31
+                if len(u) and max(u.max(), v.max()) < (1 << 31):
+                    chunks.append(
+                        (u.astype(np.uint64) << np.uint64(32)) | v.astype(np.uint64)
+                    )
+                else:
+                    chunks = None
+                    break
+            if chunks:
+                packed = np.unique(np.concatenate(chunks))
+                packed_ref = ray.put(packed)
+                ids_flat = np.unique(
+                    np.concatenate(
+                        [(packed >> np.uint64(32)), packed & np.uint64(0xFFFFFFFF)]
+                    ).astype(np.int64)
+                )
+                cand_doc_count = len(ids_flat)
+
+        # candidate doc ids (slim, distinct via the merge) -> semi-join the full
+        # token rows; skipped when EVERY doc is a candidate (dense corpora),
+        # where the semi-join would ship all rows to filter nothing
+        def pair_ids(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or "u" not in t.column_names:
+                return pa.schema([("doc_id", pa.int64())]).empty_table()
+            return pa.table(
+                {
+                    "doc_id": pa.concat_arrays(
+                        [
+                            t.column("u").cast(pa.int64()).combine_chunks(),
+                            t.column("v").cast(pa.int64()).combine_chunks(),
+                        ]
+                    )
+                }
+            )
+
+        if cand_doc_count is not None and cand_doc_count >= n_docs:
+            cand_words = words
+        else:
+            cand_ids = pairs.map_batches(pair_ids, batch_format="pyarrow")
+            cand_words = coarse_semi_join(
+                words, "doc_id", cand_ids, _WORD_ROWS_SCHEMA, n_parts=n_parts
+            )
 
     # exact intersection via the pair-multiplicity identity (shared with the
     # ngram path): per word-hash partition partial counts, one (u,v) merge.
