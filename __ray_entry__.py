@@ -5018,6 +5018,34 @@ def _q_fuzzy_customer_pairs(sf_dir: str):
     )
 
 
+def _q_dl_supplier_pairs(sf_dir: str):
+    """Within-nation supplier-name matching under TRUE Damerau-Levenshtein
+    (transpositions count 1 — 'Supplier#...001' vs '...010' is DL 1 where
+    Levenshtein says 2, exactly the digit-swap typo class ER blocklists
+    care about). Same coarse-exchange + skew-guard machinery as the
+    Levenshtein join; the Lowrance-Wagner DP is vectorized across pairs
+    with a streaming chunk cap on the lookback cube. DuckDB
+    `damerau_levenshtein` pins every value (fuzz-pinned in tests)."""
+    import numpy as np
+    import pandas as pd
+
+    from opentapioca_ray.stages.fuzzy import fuzzy_block_pairs
+
+    supp = _rel(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    out = fuzzy_block_pairs(
+        supp, "s_suppkey", "s_name", "s_nationkey", max_dist=2, metric="dl"
+    ).materialize()
+    if out.count() == 0:
+        # Ray 2.49 drops all-empty blocks, losing the schema; pin it
+        return pd.DataFrame(
+            {c: pd.Series(dtype=np.int64) for c in ("u", "v", "dl")}
+        )
+    return out
+
+
 def _q_snapshot_diff(sf_dir: str):
     """Delta detection between two deterministic snapshots of orders:
     old = keys not divisible by 7, new = keys not divisible by 5 with
@@ -8042,6 +8070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curriculum_order": _q_curriculum_order,
         "snm_pairs": _q_snm_pairs,
         "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
+        "dl_supplier_pairs": _q_dl_supplier_pairs,
         "snapshot_diff": _q_snapshot_diff,
         "heavy_tokens": _q_heavy_tokens,
         "mutual_best_fuzzy": _q_mutual_best_fuzzy,
@@ -11202,6 +11231,15 @@ def oracle_sql() -> dict[str, str]:
               ON a.c_nationkey = b.c_nationkey
              AND a.c_custkey < b.c_custkey
             WHERE levenshtein(a.c_name, b.c_name) <= 2
+        """,
+        "dl_supplier_pairs": """
+            SELECT a.s_suppkey AS u, b.s_suppkey AS v,
+                   CAST(damerau_levenshtein(a.s_name, b.s_name) AS BIGINT)
+                     AS dl
+            FROM supplier a JOIN supplier b
+              ON a.s_nationkey = b.s_nationkey
+             AND a.s_suppkey < b.s_suppkey
+            WHERE damerau_levenshtein(a.s_name, b.s_name) <= 2
         """,
         "snapshot_diff": """
             WITH o AS (

@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "curriculum_order",
     "snm_pairs",
     "fuzzy_customer_pairs",
+    "dl_supplier_pairs",
     "snapshot_diff",
     "heavy_tokens",
     "mutual_best_fuzzy",

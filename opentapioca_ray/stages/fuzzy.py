@@ -153,6 +153,72 @@ def jaro_winkler_pairs(
     )
 
 
+def damerau_levenshtein_pairs(
+    codes: np.ndarray,
+    lens: np.ndarray,
+    ai: np.ndarray,
+    bi: np.ndarray,
+    chunk: int = 8_192,
+) -> np.ndarray:
+    """TRUE Damerau-Levenshtein (Lowrance-Wagner: adjacent transposition
+    with arbitrary gap) for each (ai[p], bi[p]) row pair — the variant
+    DuckDB's `damerau_levenshtein()` computes (DL('CA','ABC') = 2 where
+    the restricted OSA DP gives 3; fuzz-pinned in tests). The full DP
+    cube is retained for the transposition lookback, so pairs stream in
+    `chunk`-sized slices (cube = chunk x (La+2) x (Lb+2) int64); inside a
+    chunk the row/col loops are bounded by name length and every cell
+    update is one vectorized op across pairs. The last-occurrence state:
+    DA[p, j] = last row i' with a[i'] == b[j+1] (updated after each row),
+    J1[p, j] = last column j' < j with b[j'] == a[i] (an exclusive
+    running max recomputed per row)."""
+    total = len(ai)
+    if total == 0:
+        return np.zeros(0, dtype=np.int64)
+    out = np.empty(total, dtype=np.int64)
+    for c0 in range(0, total, chunk):
+        sl = slice(c0, min(c0 + chunk, total))
+        out[sl] = _dl_chunk(codes, lens, ai[sl], bi[sl])
+    return out
+
+
+def _dl_chunk(codes, lens, ai, bi) -> np.ndarray:
+    npairs = len(ai)
+    A, B = codes[ai], codes[bi]
+    la, lb = lens[ai].astype(np.int64), lens[bi].astype(np.int64)
+    La = int(la.max())
+    Lb = int(lb.max())
+    INF = La + Lb + 1
+    # offset coords: D[:, i+1, j+1] = d(i, j); the 0-row/0-column is the
+    # INF border the i1=0 / j1=0 lookbacks land on
+    D = np.full((npairs, La + 2, Lb + 2), INF, dtype=np.int64)
+    D[:, 1, 1:] = np.arange(Lb + 1, dtype=np.int64)[None, :]
+    D[:, 1:, 1] = np.arange(La + 1, dtype=np.int64)[None, :]
+    DA = np.zeros((npairs, max(Lb, 1)), dtype=np.int64)
+    ar = np.arange(npairs)
+    cols = np.arange(1, Lb + 1, dtype=np.int64)
+    for i in range(1, La + 1):
+        arow = A[:, i - 1]
+        match = B[:, :Lb] == arow[:, None]
+        # exclusive running max of 1-based match positions -> j1 per col
+        pos = np.where(match, cols[None, :], 0)
+        np.maximum.accumulate(pos, axis=1, out=pos)
+        J1 = np.zeros((npairs, Lb + 1), dtype=np.int64)
+        J1[:, 2:] = pos[:, :-1]  # J1[:, j] = last match at column < j
+        sub = D[:, i, 1 : Lb + 1] + (~match).astype(np.int64)
+        dele = D[:, i, 2 : Lb + 2] + 1
+        base = np.minimum(sub, dele)
+        cur = D[:, i + 1, :]
+        for j in range(1, Lb + 1):
+            i1 = DA[:, j - 1]
+            j1 = J1[:, j]
+            trans = D[ar, i1, j1] + (i - i1) + (j - j1) - 1
+            cell = np.minimum(base[:, j - 1], cur[:, j] + 1)
+            np.minimum(cell, trans, out=cell)
+            cur[:, j + 1] = cell
+        DA[match] = i
+    return D[ar, la + 1, lb + 1]
+
+
 def fuzzy_block_pairs(
     ds,
     id_column: str,
@@ -162,18 +228,25 @@ def fuzzy_block_pairs(
     max_block_size: int = 512,
     window: int = 16,
     n_parts: int | None = None,
+    metric: str = "lev",
 ):
-    """Within-block fuzzy pairs (u, v, lev): u < v by id, exact character
-    Levenshtein <= `max_dist`, candidates bounded per block by the skew
-    guard. Length-difference > max_dist pairs never reach the DP."""
+    """Within-block fuzzy pairs (u, v, <metric>): u < v by id, exact
+    character edit distance <= `max_dist`, candidates bounded per block by
+    the skew guard. Length-difference > max_dist pairs never reach the DP.
+    `metric` picks the DP: "lev" (unit-cost Levenshtein) or "dl" (true
+    Damerau-Levenshtein with transpositions); the score column is named
+    after it."""
     from opentapioca_ray.stages.exchange import coarse_group_apply, segment_starts
+
+    assert metric in ("lev", "dl")
+    dp_fn = levenshtein_pairs if metric == "lev" else damerau_levenshtein_pairs
 
     def pair_partition(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "u": pd.Series(dtype=np.int64),
                 "v": pd.Series(dtype=np.int64),
-                "lev": pd.Series(dtype=np.int64),
+                metric: pd.Series(dtype=np.int64),
             }
         )
         if df.empty:
@@ -217,7 +290,7 @@ def fuzzy_block_pairs(
         # length prefilter: |la - lb| > max_dist can never pass
         ok = np.abs(lens[ai] - lens[bi]) <= max_dist
         ai, bi = ai[ok], bi[ok]
-        lev = levenshtein_pairs(codes, lens, ai, bi)
+        lev = dp_fn(codes, lens, ai, bi)
         hit = lev <= max_dist
         if not hit.any():
             return empty
@@ -226,12 +299,25 @@ def fuzzy_block_pairs(
             {
                 "u": np.minimum(ua, vb),
                 "v": np.maximum(ua, vb),
-                "lev": lev[hit],
+                metric: lev[hit],
             }
         )
 
     slim = ds.select_columns([id_column, name_column, block_column])
-    return coarse_group_apply(slim, block_column, pair_partition, n_parts=n_parts)
+    out_schema = pa.schema(
+        [("u", pa.int64()), ("v", pa.int64()), (metric, pa.int64())]
+    )
+
+    def enforce(batch: pa.Table) -> pa.Table:
+        # all-empty partition outputs arrive schema-less (Ray 2.49); pin
+        # the schema so a 0-pair corpus still yields typed columns
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return out_schema.empty_table()
+        return batch.select(["u", "v", metric]).cast(out_schema)
+
+    return coarse_group_apply(
+        slim, block_column, pair_partition, n_parts=n_parts
+    ).map_batches(enforce, batch_format="pyarrow")
 
 
 def jw_block_pairs(

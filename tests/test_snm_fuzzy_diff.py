@@ -155,3 +155,61 @@ def test_jw_block_pairs_end_to_end(ray_session):
     assert (1, 2) in got and got[(1, 2)] == round(0.9611111111111111, 4)
     assert (3, 4) in got
     assert all(u != 5 and v != 5 for u, v in got)
+
+
+def test_damerau_levenshtein_matches_duckdb():
+    """damerau_levenshtein_pairs implements the TRUE (Lowrance-Wagner)
+    variant DuckDB computes — DL('CA','ABC')=2 where restricted OSA says
+    3 — fuzz-pinned over a transposition-dense alphabet plus the classic
+    discriminating cases, across the chunked-cube path."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from opentapioca_ray.stages.fuzzy import (
+        _code_matrix,
+        damerau_levenshtein_pairs,
+    )
+
+    rng = np.random.default_rng(11)
+    names = [
+        "".join(rng.choice(list("abcd"), size=rng.integers(0, 9)))
+        for _ in range(300)
+    ] + ["CA", "ABC", "ab", "ba", "abcdef", "abcfed", "a cat", "an act",
+         "xaby", "xbay", "", "x",
+         "Supplier#000000001", "Supplier#000000010"]
+    arr = np.array(names, dtype=object)
+    codes, lens = _code_matrix(arr)
+    ai = rng.integers(0, len(arr), 2000)
+    bi = rng.integers(0, len(arr), 2000)
+    mine = damerau_levenshtein_pairs(codes, lens, ai, bi, chunk=333)
+    df = pd.DataFrame({"a": arr[ai], "b": arr[bi]})
+    ref = (
+        duckdb.connect()
+        .execute("SELECT damerau_levenshtein(a, b) FROM df")
+        .fetchnumpy()["damerau_levenshtein(a, b)"]
+    )
+    assert (mine == ref.astype(np.int64)).all()
+    # the transposition actually discriminates: digit swap is DL 1, lev 2
+    from opentapioca_ray.stages.fuzzy import levenshtein_pairs
+
+    i1 = names.index("Supplier#000000001")
+    i2 = names.index("Supplier#000000010")
+    one = np.array([i1]); two = np.array([i2])
+    assert damerau_levenshtein_pairs(codes, lens, one, two)[0] == 1
+    assert levenshtein_pairs(codes, lens, one, two)[0] == 2
+
+
+def test_dl_supplier_pairs_query(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    out = entry.queries()["dl_supplier_pairs"]("/root/testdata/sf0.01")
+    import ray.data as rd
+
+    df = out.to_pandas() if isinstance(out, rd.Dataset) else out
+    assert list(sorted(df.columns)) == ["dl", "u", "v"]
+    assert (df["dl"] <= 2).all()
+    assert (df["u"] < df["v"]).all()
