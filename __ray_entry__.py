@@ -5046,6 +5046,102 @@ def _q_dl_supplier_pairs(sf_dir: str):
     return out
 
 
+def _q_stable_assignment(sf_dir: str):
+    """Gale-Shapley stable one-to-one assignment: parts (proposers, 20x
+    the suppliers — contention is the point) claim suppliers by ascending
+    best-observed lineitem price, suppliers hold their cheapest suitor,
+    8 deferred-acceptance rounds. The stable-marriage upgrade of
+    `mutual_best_fuzzy`: non-reciprocal proposers keep walking their
+    preference lists instead of being dropped. One exchange ranks the
+    preference lists; per round one broadcast-filtered pass + an
+    O(#parts) driver merge (node-bounded state, k-means convention)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.matching import stable_match
+
+    li = _rel(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+
+    def edges(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("proposer", pa.int64()),
+                ("acceptor", pa.int64()),
+                ("score", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return schema.empty_table()
+        cents = np.rint(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+            * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "proposer": batch.column("l_partkey").cast(pa.int64()),
+                "acceptor": batch.column("l_suppkey").cast(pa.int64()),
+                "score": pa.array(cents),
+            }
+        )
+
+    return stable_match(
+        li.map_batches(edges, batch_format="pyarrow"), rounds=8
+    )
+
+
+def _stable_assignment_oracle_sql(rounds: int = 8) -> str:
+    """Unrolled deferred acceptance: pref lists ranked by (min cents,
+    suppkey) per part; per round free parts' rank==ptr offers, pointer
+    advance for proposers, per-supplier (score, part)-min hold."""
+    sql = """
+        WITH pref AS MATERIALIZED (
+          SELECT proposer, acceptor, score,
+                 row_number() OVER (
+                   PARTITION BY proposer ORDER BY score, acceptor
+                 ) - 1 AS rnk
+          FROM (
+            SELECT l_partkey AS proposer, l_suppkey AS acceptor,
+                   min(CAST(round(l_extendedprice * 100, 0) AS BIGINT))
+                     AS score
+            FROM lineitem GROUP BY 1, 2
+          )
+        ),
+        held0 AS (SELECT CAST(NULL AS BIGINT) AS proposer,
+                         CAST(NULL AS BIGINT) AS acceptor,
+                         CAST(NULL AS BIGINT) AS score WHERE false),
+        ptr0 AS MATERIALIZED (
+          SELECT DISTINCT proposer, CAST(0 AS BIGINT) AS ptr FROM pref)"""
+    for t in range(rounds):
+        sql += f""",
+        prop{t} AS MATERIALIZED (
+          SELECT pr.proposer, pr.acceptor, pr.score
+          FROM pref pr JOIN ptr{t} p
+            ON pr.proposer = p.proposer AND pr.rnk = p.ptr
+          WHERE pr.proposer NOT IN
+              (SELECT proposer FROM held{t} WHERE proposer IS NOT NULL)
+        ),
+        ptr{t + 1} AS MATERIALIZED (
+          SELECT p.proposer,
+                 p.ptr + (CASE WHEN pp.proposer IS NULL THEN 0 ELSE 1 END)
+                   AS ptr
+          FROM ptr{t} p LEFT JOIN prop{t} pp ON p.proposer = pp.proposer
+        ),
+        held{t + 1} AS MATERIALIZED (
+          SELECT proposer, acceptor, score FROM (
+            SELECT proposer, acceptor, score, row_number() OVER (
+                     PARTITION BY acceptor ORDER BY score, proposer
+                   ) AS rn
+            FROM (SELECT * FROM held{t} UNION ALL SELECT * FROM prop{t})
+          ) WHERE rn = 1
+        )"""
+    sql += f"""
+        SELECT proposer, acceptor, score FROM held{rounds}"""
+    return sql
+
+
 def _q_snapshot_diff(sf_dir: str):
     """Delta detection between two deterministic snapshots of orders:
     old = keys not divisible by 7, new = keys not divisible by 5 with
@@ -8071,6 +8167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snm_pairs": _q_snm_pairs,
         "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
         "dl_supplier_pairs": _q_dl_supplier_pairs,
+        "stable_assignment": _q_stable_assignment,
         "snapshot_diff": _q_snapshot_diff,
         "heavy_tokens": _q_heavy_tokens,
         "mutual_best_fuzzy": _q_mutual_best_fuzzy,
@@ -8763,6 +8860,7 @@ def oracle_sql() -> dict[str, str]:
         "random_walks": _walks_oracle_sql(),
         "coreset_cover": _coreset_oracle_sql(),
         "canopy_blocks": _canopy_oracle_sql(),
+        "stable_assignment": _stable_assignment_oracle_sql(),
         "blocking_scheme_learn": _bsl_oracle_sql(),
         "ams_f2": """
             WITH signs AS (

@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "snm_pairs",
     "fuzzy_customer_pairs",
     "dl_supplier_pairs",
+    "stable_assignment",
     "snapshot_diff",
     "heavy_tokens",
     "mutual_best_fuzzy",

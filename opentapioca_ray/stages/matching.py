@@ -399,3 +399,175 @@ def fs_weights(pairs_ds, label_column: str, agreement_columns: list[str]):
         return pa.Table.from_pylist(rows, schema=schema)
 
     return counts.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+_STABLE_EMPTY = pa.schema(
+    [
+        ("proposer", pa.int64()),
+        ("acceptor", pa.int64()),
+        ("score", pa.int64()),
+    ]
+)
+
+
+def stable_match(
+    edges_ds,
+    proposer_column: str = "proposer",
+    acceptor_column: str = "acceptor",
+    score_column: str = "score",
+    rounds: int = 8,
+    n_parts: int | None = None,
+):
+    """Gale-Shapley deferred acceptance (Gale & Shapley 1962) over scored
+    candidate edges: each free proposer offers to its next-best remaining
+    acceptor (smaller score = better, ties by acceptor id), each acceptor
+    (capacity 1) tentatively holds the (score, proposer-id)-minimum offer
+    and frees the rest. Unlike `mutual_best_match` (which drops every
+    non-reciprocal pair) deferred acceptance keeps proposing down the
+    preference lists, so contested acceptors end up with a STABLE
+    one-to-one assignment. `rounds` is fixed so the SQL twin unrolls the
+    trajectory exactly; duplicate (proposer, acceptor) edges collapse to
+    their min score first.
+
+    Scale shape: ONE coarse exchange ranks each proposer's preference
+    list; each round is a single broadcast-filtered pass over the ranked
+    edges (emit rank == ptr rows of free proposers) plus a driver merge of
+    NODE-bounded state (one pointer per proposer, one held offer per
+    acceptor) — the k-means/HITS driver-state convention: per-round driver
+    traffic is O(proposers), the edge lists themselves never leave the
+    cluster."""
+    import ray
+
+    from .exchange import coarse_group_apply, right_size, segment_starts
+
+    def rank_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "proposer": pd.Series(dtype=np.int64),
+                "acceptor": pd.Series(dtype=np.int64),
+                "score": pd.Series(dtype=np.int64),
+                "rnk": pd.Series(dtype=np.int64),
+            }
+        )
+        if df.empty or proposer_column not in df.columns:
+            return empty
+        p = df[proposer_column].to_numpy(dtype=np.int64)
+        a = df[acceptor_column].to_numpy(dtype=np.int64)
+        s = df[score_column].to_numpy(dtype=np.int64)
+        # min score per (proposer, acceptor): sort puts it first
+        o = np.lexsort((s, a, p))
+        p, a, s = p[o], a[o], s[o]
+        first = np.concatenate(
+            ([True], (p[1:] != p[:-1]) | (a[1:] != a[:-1]))
+        )
+        p, a, s = p[first], a[first], s[first]
+        # preference rank within proposer by (score, acceptor)
+        o = np.lexsort((a, s, p))
+        p, a, s = p[o], a[o], s[o]
+        starts = segment_starts(p)
+        seg = np.cumsum(
+            np.concatenate(([True], p[1:] != p[:-1]))
+        ) - 1
+        rnk = np.arange(len(p), dtype=np.int64) - starts[seg]
+        return pd.DataFrame(
+            {"proposer": p, "acceptor": a, "score": s, "rnk": rnk}
+        )
+
+    slim = edges_ds.select_columns(
+        [proposer_column, acceptor_column, score_column]
+    )
+    ranked = right_size(
+        coarse_group_apply(
+            slim, proposer_column, rank_partition, n_parts=n_parts
+        ).materialize()
+    )
+
+    # node-bounded driver state
+    props = np.zeros(0, dtype=np.int64)  # sorted proposer universe
+    ptr = np.zeros(0, dtype=np.int64)
+    matched = np.zeros(0, dtype=bool)
+    held_a = np.zeros(0, dtype=np.int64)
+    held_p = np.zeros(0, dtype=np.int64)
+    held_s = np.zeros(0, dtype=np.int64)
+
+    for _ in range(rounds):
+        state_ref = ray.put((props, ptr, matched))
+
+        def propose(batch: pa.Table, _ref=state_ref) -> pa.Table:
+            empty = pa.schema(
+                [
+                    ("proposer", pa.int64()),
+                    ("acceptor", pa.int64()),
+                    ("score", pa.int64()),
+                ]
+            ).empty_table()
+            if batch.num_rows == 0 or "proposer" not in batch.column_names:
+                return empty
+            pr, pt, mt = ray.get(_ref)
+            p = batch.column("proposer").to_numpy(zero_copy_only=False)
+            rnk = batch.column("rnk").to_numpy(zero_copy_only=False)
+            if len(pr):
+                pos = np.minimum(np.searchsorted(pr, p), len(pr) - 1)
+                known = pr[pos] == p
+                ptr_p = np.where(known, pt[pos], 0)
+                free = np.where(known, ~mt[pos], True)
+            else:  # first round: everyone is free at rank 0
+                ptr_p = np.zeros(len(p), dtype=np.int64)
+                free = np.ones(len(p), dtype=bool)
+            keep = (rnk == ptr_p) & free
+            if not keep.any():
+                return empty
+            return batch.select(["proposer", "acceptor", "score"]).filter(
+                pa.array(keep)
+            )
+
+        tables = [
+            ray.get(r)
+            for r in ranked.map_batches(
+                propose, batch_format="pyarrow"
+            ).to_arrow_refs()
+        ]
+        tables = [
+            t for t in tables if t.num_rows and "proposer" in t.column_names
+        ]
+        if not tables:
+            break
+        prop = pa.concat_tables(tables)
+        pp = prop.column("proposer").to_numpy(zero_copy_only=False)
+        aa = prop.column("acceptor").to_numpy(zero_copy_only=False)
+        ss = prop.column("score").to_numpy(zero_copy_only=False)
+
+        # grow the proposer universe (first round) and advance pointers of
+        # everyone who consumed an option this round
+        new = pp[~np.isin(pp, props)] if len(props) else pp
+        if len(new):
+            props = np.concatenate((props, np.unique(new)))
+            order = np.argsort(props, kind="mergesort")
+            props, ptr, matched = (
+                props[order],
+                np.concatenate((ptr, np.zeros(len(np.unique(new)), np.int64)))[
+                    order
+                ],
+                np.concatenate(
+                    (matched, np.zeros(len(np.unique(new)), bool))
+                )[order],
+            )
+        ptr[np.searchsorted(props, np.unique(pp))] += 1
+
+        # deferred acceptance: held offers compete with this round's
+        cat_a = np.concatenate((held_a, aa))
+        cat_p = np.concatenate((held_p, pp))
+        cat_s = np.concatenate((held_s, ss))
+        o = np.lexsort((cat_p, cat_s, cat_a))
+        cat_a, cat_p, cat_s = cat_a[o], cat_p[o], cat_s[o]
+        firsts = np.concatenate(([True], cat_a[1:] != cat_a[:-1]))
+        held_a, held_p, held_s = cat_a[firsts], cat_p[firsts], cat_s[firsts]
+        matched = np.isin(props, held_p)
+
+    return pa.table(
+        {
+            "proposer": pa.array(held_p),
+            "acceptor": pa.array(held_a),
+            "score": pa.array(held_s),
+        }
+    ).cast(_STABLE_EMPTY)
