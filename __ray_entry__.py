@@ -5046,6 +5046,54 @@ def _q_dl_supplier_pairs(sf_dir: str):
     return out
 
 
+def _q_wl_refinement(sf_dir: str):
+    """Weisfeiler-Lehman color refinement (3 rounds) over the
+    part--supplier bipartite graph: node label -> md5 of (own label,
+    sorted neighbor-label multiset), starting from degrees. Final colors
+    are structural fingerprints — equal color = isomorphic 3-hop
+    neighborhood — the cheap signature for structure-aware dedup/blocking
+    of graph-shaped records (WL graph-kernel feature map). One co-locating
+    exchange; per round one broadcast-label pass + an O(nodes) driver
+    merge; signature strings built vectorized, md5 per DISTINCT
+    signature."""
+    from opentapioca_ray.stages.wl import wl_labels
+
+    return wl_labels(_partsupp_directed(sf_dir), rounds=3)
+
+
+def _wl_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled WL rounds: degree seed, then per round the md5 of
+    lab || ':' || string_agg(neighbor labs ORDER BY lab)."""
+    sql = """
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT l_partkey AS src, l_suppkey + 10000000 AS dst
+          FROM lineitem
+          UNION
+          SELECT DISTINCT l_suppkey + 10000000 AS src, l_partkey AS dst
+          FROM lineitem
+        ),
+        lab0 AS MATERIALIZED (
+          SELECT src AS node, CAST(count(*) AS UBIGINT) AS wl
+          FROM e GROUP BY src
+        )"""
+    for t in range(rounds):
+        sql += f""",
+        lab{t + 1} AS MATERIALIZED (
+          SELECT e.src AS node,
+                 ('0x' || substr(md5(
+                     min(l.wl)::VARCHAR || ':' ||
+                     string_agg(n.wl::VARCHAR, ',' ORDER BY n.wl)
+                 ), 1, 16))::UBIGINT AS wl
+          FROM e
+          JOIN lab{t} l ON e.src = l.node
+          JOIN lab{t} n ON e.dst = n.node
+          GROUP BY e.src
+        )"""
+    sql += f"""
+        SELECT node, wl FROM lab{rounds}"""
+    return sql
+
+
 def _q_stable_assignment(sf_dir: str):
     """Gale-Shapley stable one-to-one assignment: parts (proposers, 20x
     the suppliers — contention is the point) claim suppliers by ascending
@@ -8168,6 +8216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
         "dl_supplier_pairs": _q_dl_supplier_pairs,
         "stable_assignment": _q_stable_assignment,
+        "wl_refinement": _q_wl_refinement,
         "snapshot_diff": _q_snapshot_diff,
         "heavy_tokens": _q_heavy_tokens,
         "mutual_best_fuzzy": _q_mutual_best_fuzzy,
@@ -8861,6 +8910,7 @@ def oracle_sql() -> dict[str, str]:
         "coreset_cover": _coreset_oracle_sql(),
         "canopy_blocks": _canopy_oracle_sql(),
         "stable_assignment": _stable_assignment_oracle_sql(),
+        "wl_refinement": _wl_oracle_sql(),
         "blocking_scheme_learn": _bsl_oracle_sql(),
         "ams_f2": """
             WITH signs AS (

@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "fuzzy_customer_pairs",
     "dl_supplier_pairs",
     "stable_assignment",
+    "wl_refinement",
     "snapshot_diff",
     "heavy_tokens",
     "mutual_best_fuzzy",
