@@ -5094,6 +5094,66 @@ def _wl_oracle_sql(rounds: int = 3) -> str:
     return sql
 
 
+def _q_luby_mis(sf_dir: str):
+    """Luby maximal independent set over the part--supplier graph:
+    md5-priority symmetry breaking, 6 rounds — the parallel classic that
+    schedules conflict-free merge waves (no two adjacent merges in one
+    wave) and picks canonical representatives in dense match graphs.
+    Two streaming passes per round against broadcast node state; O(nodes)
+    driver merges. Output: (node, mis_round)."""
+    from opentapioca_ray.stages.mis import luby_mis
+
+    return luby_mis(_partsupp_directed(sf_dir), rounds=6)
+
+
+def _mis_oracle_sql(rounds: int = 6) -> str:
+    """Unrolled Luby rounds: per round the min alive-neighbor md5
+    priority, the strict-winner MIS, and the survivor pool."""
+    sql = """
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT l_partkey AS src, l_suppkey + 10000000 AS dst
+          FROM lineitem
+          UNION
+          SELECT DISTINCT l_suppkey + 10000000 AS src, l_partkey AS dst
+          FROM lineitem
+        ),
+        pri AS MATERIALIZED (
+          SELECT node,
+                 ('0x' || substr(md5(node::VARCHAR), 1, 16))::UBIGINT AS h
+          FROM (SELECT DISTINCT src AS node FROM e)
+        ),
+        alive0 AS MATERIALIZED (SELECT node FROM pri)"""
+    for t in range(rounds):
+        sql += f""",
+        mn{t} AS MATERIALIZED (
+          SELECT e.src AS node, min(p.h) AS mh
+          FROM e
+          JOIN alive{t} a ON e.src = a.node
+          JOIN alive{t} b ON e.dst = b.node
+          JOIN pri p ON p.node = e.dst
+          GROUP BY e.src
+        ),
+        mis{t} AS MATERIALIZED (
+          SELECT a.node
+          FROM alive{t} a
+          JOIN pri p ON p.node = a.node
+          LEFT JOIN mn{t} m ON m.node = a.node
+          WHERE m.mh IS NULL OR p.h < m.mh
+        ),
+        alive{t + 1} AS MATERIALIZED (
+          SELECT node FROM alive{t}
+          WHERE node NOT IN (SELECT node FROM mis{t})
+            AND node NOT IN
+              (SELECT e.src FROM e JOIN mis{t} m ON e.dst = m.node)
+        )"""
+    sql += "\n        "
+    sql += "\n        UNION ALL ".join(
+        f"SELECT node, CAST({t} AS BIGINT) AS mis_round FROM mis{t}"
+        for t in range(rounds)
+    )
+    return sql
+
+
 def _q_stable_assignment(sf_dir: str):
     """Gale-Shapley stable one-to-one assignment: parts (proposers, 20x
     the suppliers — contention is the point) claim suppliers by ascending
@@ -8217,6 +8277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dl_supplier_pairs": _q_dl_supplier_pairs,
         "stable_assignment": _q_stable_assignment,
         "wl_refinement": _q_wl_refinement,
+        "luby_mis": _q_luby_mis,
         "snapshot_diff": _q_snapshot_diff,
         "heavy_tokens": _q_heavy_tokens,
         "mutual_best_fuzzy": _q_mutual_best_fuzzy,
@@ -8911,6 +8972,7 @@ def oracle_sql() -> dict[str, str]:
         "canopy_blocks": _canopy_oracle_sql(),
         "stable_assignment": _stable_assignment_oracle_sql(),
         "wl_refinement": _wl_oracle_sql(),
+        "luby_mis": _mis_oracle_sql(),
         "blocking_scheme_learn": _bsl_oracle_sql(),
         "ams_f2": """
             WITH signs AS (

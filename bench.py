@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "dl_supplier_pairs",
     "stable_assignment",
     "wl_refinement",
+    "luby_mis",
     "snapshot_diff",
     "heavy_tokens",
     "mutual_best_fuzzy",
