@@ -5094,6 +5094,146 @@ def _wl_oracle_sql(rounds: int = 3) -> str:
     return sql
 
 
+def _q_mmr_selection(sf_dir: str):
+    """Maximal-marginal-relevance diverse selection (Carbonell & Goldstein
+    SIGIR'98): 10 greedy rounds picking argmax of
+    cos(v, probe) - 0.5 * max cos(v, already-selected) — the standard
+    relevance-vs-redundancy tradeoff for few-shot / eval-set / dedup-aware
+    corpus selection over an embedding column. Probe = vector 0 (itself
+    excluded). Each round is ONE streaming pass (broadcast probe +
+    <=10 selected unit vectors; per-block argmax rows carry their own
+    embeddings, coreset-style, so the driver never re-scans) + a tiny
+    driver argmax. Cosine parity with DuckDB's list_cosine_similarity
+    follows the ann-family convention (float64 unit vectors, same op
+    order). Output: (pick_round, vec_id, mmr round-6)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+
+    from opentapioca_ray.stages.ann import list_to_matrix
+
+    probe = np.asarray(
+        pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        .filter(pa.compute.equal(pa.compute.field("vec_id"), 0))
+        .column("embedding")
+        .to_pylist()[0],
+        dtype=np.float64,
+    )
+    probe = probe / np.linalg.norm(probe)
+    ds = _rel(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).materialize()
+
+    picks = []
+    sel_vecs = np.zeros((0, len(probe)), dtype=np.float64)
+    sel_ids: list[int] = []
+    for rnd in range(10):
+        state_ref = ray.put((probe, sel_vecs, np.array(sel_ids, np.int64)))
+
+        def block_best(batch: pa.Table, _ref=state_ref) -> pa.Table:
+            schema = pa.schema(
+                [
+                    ("vec_id", pa.int64()),
+                    ("mmr", pa.float64()),
+                    ("embedding", pa.list_(pa.float64())),
+                ]
+            )
+            if batch.num_rows == 0 or "vec_id" not in batch.column_names:
+                return schema.empty_table()
+            pr, sv, sids = ray.get(_ref)
+            ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+            raw = list_to_matrix(batch.column("embedding")).astype(np.float64)
+            norms = np.linalg.norm(raw, axis=1)
+            norms[norms == 0] = 1.0
+            unit = raw / norms[:, None]
+            rel = unit @ pr
+            maxsim = (
+                (unit @ sv.T).max(axis=1)
+                if len(sv)
+                else np.zeros(len(ids), dtype=np.float64)
+            )
+            mmr = rel - 0.5 * maxsim
+            mask = (ids != 0) & ~np.isin(ids, sids)
+            if not mask.any():
+                return schema.empty_table()
+            idx = np.flatnonzero(mask)
+            best = idx[np.lexsort((ids[idx], -mmr[idx]))[0]]
+            return pa.table(
+                {
+                    "vec_id": pa.array([int(ids[best])], type=pa.int64()),
+                    "mmr": pa.array([float(mmr[best])], type=pa.float64()),
+                    "embedding": pa.array(
+                        [list(raw[best])], type=pa.list_(pa.float64())
+                    ),
+                }
+            )
+
+        cands = ds.map_batches(block_best, batch_format="pyarrow").take_all()
+        if not cands:
+            break
+        best = min(cands, key=lambda r: (-r["mmr"], r["vec_id"]))
+        v = np.asarray(best["embedding"], dtype=np.float64)
+        sel_vecs = np.vstack([sel_vecs, v / np.linalg.norm(v)])
+        sel_ids.append(int(best["vec_id"]))
+        picks.append(
+            {
+                "pick_round": rnd,
+                "vec_id": int(best["vec_id"]),
+                "mmr": round(float(best["mmr"]), 6),
+            }
+        )
+    out = pd.DataFrame(picks, columns=["pick_round", "vec_id", "mmr"])
+    return out.astype({"pick_round": np.int64, "vec_id": np.int64})
+
+
+def _mmr_oracle_sql(rounds: int = 10) -> str:
+    """Unrolled greedy MMR: per round the rel - 0.5*max-sim-to-selected
+    argmax (ties -> smallest vec_id) and the growing selected set."""
+    sql = """
+        WITH emb AS MATERIALIZED (
+          SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        rel AS MATERIALIZED (
+          SELECT e.vec_id,
+                 list_cosine_similarity(
+                   e.v, (SELECT v FROM emb WHERE vec_id = 0)) AS r,
+                 e.v
+          FROM emb e WHERE e.vec_id != 0
+        ),
+        sel0 AS (SELECT CAST(NULL AS BIGINT) AS vec_id WHERE false)"""
+    for t in range(rounds):
+        sql += f""",
+        pick{t} AS MATERIALIZED (
+          SELECT r.vec_id,
+                 r.r - 0.5 * COALESCE(m.ms, 0) AS mmr
+          FROM rel r
+          LEFT JOIN (
+            SELECT r2.vec_id, max(list_cosine_similarity(r2.v, s.v)) AS ms
+            FROM rel r2
+            JOIN sel{t} sl ON true
+            JOIN emb s ON s.vec_id = sl.vec_id
+            GROUP BY r2.vec_id
+          ) m ON r.vec_id = m.vec_id
+          WHERE r.vec_id NOT IN (SELECT vec_id FROM sel{t})
+          ORDER BY mmr DESC, r.vec_id LIMIT 1
+        ),
+        sel{t + 1} AS MATERIALIZED (
+          SELECT vec_id FROM sel{t}
+          UNION ALL SELECT vec_id FROM pick{t}
+        )"""
+    sql += "\n        "
+    sql += "\n        UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS pick_round, vec_id,"
+        f" round(mmr, 6) AS mmr FROM pick{t}"
+        for t in range(rounds)
+    )
+    return sql
+
+
 def _q_luby_mis(sf_dir: str):
     """Luby maximal independent set over the part--supplier graph:
     md5-priority symmetry breaking, 6 rounds — the parallel classic that
@@ -8278,6 +8418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stable_assignment": _q_stable_assignment,
         "wl_refinement": _q_wl_refinement,
         "luby_mis": _q_luby_mis,
+        "mmr_selection": _q_mmr_selection,
         "snapshot_diff": _q_snapshot_diff,
         "heavy_tokens": _q_heavy_tokens,
         "mutual_best_fuzzy": _q_mutual_best_fuzzy,
@@ -8973,6 +9114,7 @@ def oracle_sql() -> dict[str, str]:
         "stable_assignment": _stable_assignment_oracle_sql(),
         "wl_refinement": _wl_oracle_sql(),
         "luby_mis": _mis_oracle_sql(),
+        "mmr_selection": _mmr_oracle_sql(),
         "blocking_scheme_learn": _bsl_oracle_sql(),
         "ams_f2": """
             WITH signs AS (

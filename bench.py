@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "stable_assignment",
     "wl_refinement",
     "luby_mis",
+    "mmr_selection",
     "snapshot_diff",
     "heavy_tokens",
     "mutual_best_fuzzy",
