@@ -5094,6 +5094,69 @@ def _wl_oracle_sql(rounds: int = 3) -> str:
     return sql
 
 
+def _q_ppr_seeds(sf_dir: str):
+    """Personalized PageRank seed expansion: 8 integer-exact random-walk-
+    with-restart rounds from seed parts {0..4} over the both-direction
+    part--supplier graph — e12 mass units, per-edge floor division,
+    (x*85)//100 damping, ALL lost mass teleporting to the seeds. Ranks the
+    seeds' graph neighborhood for match-candidate harvesting; locality
+    keeps untouched nodes at exactly 0 (absent). Pure integer trajectory
+    -> the SQL twin replays it with zero float-order risk."""
+    from opentapioca_ray.stages.ppr import ppr_scores
+
+    return ppr_scores(
+        _partsupp_directed(sf_dir), seeds=[0, 1, 2, 3, 4], iterations=8
+    )
+
+
+def _ppr_oracle_sql(iterations: int = 8) -> str:
+    """Unrolled integer PPR: degree-attached edges, per-round floor-div
+    contributions, 85% integer damping, lost-mass teleport to seeds."""
+    sql = """
+        WITH e AS MATERIALIZED (
+          SELECT DISTINCT l_partkey AS src, l_suppkey + 10000000 AS dst
+          FROM lineitem
+          UNION
+          SELECT DISTINCT l_suppkey + 10000000 AS src, l_partkey AS dst
+          FROM lineitem
+        ),
+        ec AS MATERIALIZED (
+          SELECT src, dst,
+                 CAST(count(*) OVER (PARTITION BY src) AS BIGINT) AS deg
+          FROM e
+        ),
+        seeds AS (SELECT unnest([0, 1, 2, 3, 4]) AS node),
+        pr0 AS MATERIALIZED (
+          SELECT node, CAST(1000000000000 // 5 AS BIGINT) AS rank
+          FROM seeds
+        )"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+        d{i} AS MATERIALIZED (
+          SELECT node, (c * 85) // 100 AS d FROM (
+            SELECT ec.dst AS node,
+                   CAST(sum(p.rank // ec.deg) AS BIGINT) AS c
+            FROM ec JOIN pr{i - 1} p ON p.node = ec.src
+            GROUP BY ec.dst
+          )
+        ),
+        pr{i} AS MATERIALIZED (
+          SELECT node, CAST(sum(v) AS BIGINT) AS rank FROM (
+            SELECT node, d AS v FROM d{i}
+            UNION ALL
+            SELECT s.node,
+                   (SELECT (1000000000000
+                            - COALESCE((SELECT sum(d) FROM d{i}), 0)) // 5)
+                     AS v
+            FROM seeds s
+          ) GROUP BY node
+          HAVING sum(v) > 0
+        )"""
+    sql += f"""
+        SELECT node, rank AS ppr FROM pr{iterations}"""
+    return sql
+
+
 def _q_mmr_selection(sf_dir: str):
     """Maximal-marginal-relevance diverse selection (Carbonell & Goldstein
     SIGIR'98): 10 greedy rounds picking argmax of
@@ -8419,6 +8482,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wl_refinement": _q_wl_refinement,
         "luby_mis": _q_luby_mis,
         "mmr_selection": _q_mmr_selection,
+        "ppr_seeds": _q_ppr_seeds,
         "snapshot_diff": _q_snapshot_diff,
         "heavy_tokens": _q_heavy_tokens,
         "mutual_best_fuzzy": _q_mutual_best_fuzzy,
@@ -9115,6 +9179,7 @@ def oracle_sql() -> dict[str, str]:
         "wl_refinement": _wl_oracle_sql(),
         "luby_mis": _mis_oracle_sql(),
         "mmr_selection": _mmr_oracle_sql(),
+        "ppr_seeds": _ppr_oracle_sql(),
         "blocking_scheme_learn": _bsl_oracle_sql(),
         "ams_f2": """
             WITH signs AS (

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "wl_refinement",
     "luby_mis",
     "mmr_selection",
+    "ppr_seeds",
     "snapshot_diff",
     "heavy_tokens",
     "mutual_best_fuzzy",
