@@ -3121,6 +3121,43 @@ def _q_jw_part_pairs(sf_dir: str):
     )
 
 
+def _q_monge_elkan(sf_dir: str):
+    """Monge-Elkan hybrid token similarity (Monge & Elkan 1996) over
+    window-blocked part pairs: names are `p_name || ' ' || p_type` token
+    SETS, inner metric Jaro-Winkler (DuckDB-pinned), both directions plus
+    the symmetric floor-mean, all in 1e-6 integer units (each per-token
+    max quantized before the sum — see stages/fuzzy.monge_elkan_scores).
+    Blocking = same-brand numeric-key window <= 50 (key_window_pairs),
+    so candidate volume stays linear in table size."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.fuzzy import monge_elkan_scores
+    from opentapioca_ray.stages.matching import key_window_pairs
+
+    part = _rel(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_type", "p_brand"],
+    )
+
+    def add_nm(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "nm",
+            pc.binary_join_element_wise(
+                batch.column("p_name"), batch.column("p_type"), " "
+            ),
+        )
+
+    pairs = key_window_pairs(
+        part.map_batches(add_nm, batch_format="pyarrow"),
+        id_column="p_partkey",
+        block_column="p_brand",
+        window=50,
+        carry_columns=["nm"],
+    )
+    return monge_elkan_scores(pairs)
+
+
 def _q_fs_part_weights(sf_dir: str):
     """Fellegi-Sunter m/u agreement weights (Fellegi & Sunter 1969) over a
     deterministic labeled pair sample: within-brand part pairs with key
@@ -8399,6 +8436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_latest": _q_compact_latest,
         "compact_tombstones": _q_compact_tombstones,
         "jw_part_pairs": _q_jw_part_pairs,
+        "monge_elkan": _q_monge_elkan,
         "fs_part_weights": _q_fs_part_weights,
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
@@ -10044,6 +10082,50 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN m < 1 AND u < 1
                         THEN round(log2((1 - m) / (1 - u)), 6) END AS w_disagree
             FROM stats
+        """,
+        "monge_elkan": """
+            WITH pairs AS (
+              SELECT a.p_partkey AS u, b.p_partkey AS v,
+                     a.p_name || ' ' || a.p_type AS na,
+                     b.p_name || ' ' || b.p_type AS nb
+              FROM part a JOIN part b
+                ON a.p_brand = b.p_brand
+               AND b.p_partkey > a.p_partkey
+               AND b.p_partkey <= a.p_partkey + 50
+            ),
+            tu AS (
+              SELECT DISTINCT u, v, tok FROM (
+                SELECT u, v, unnest(string_split(na, ' ')) AS tok FROM pairs
+              ) WHERE tok != ''
+            ),
+            tv AS (
+              SELECT DISTINCT u, v, tok FROM (
+                SELECT u, v, unnest(string_split(nb, ' ')) AS tok FROM pairs
+              ) WHERE tok != ''
+            ),
+            mu AS (
+              SELECT tu.u, tu.v,
+                     CAST(floor(max(jaro_winkler_similarity(tu.tok, tv.tok))
+                                * 1000000 + 0.5) AS BIGINT) AS mx
+              FROM tu JOIN tv ON tu.u = tv.u AND tu.v = tv.v
+              GROUP BY tu.u, tu.v, tu.tok
+            ),
+            mv AS (
+              SELECT tv.u, tv.v,
+                     CAST(floor(max(jaro_winkler_similarity(tv.tok, tu.tok))
+                                * 1000000 + 0.5) AS BIGINT) AS mx
+              FROM tv JOIN tu ON tu.u = tv.u AND tu.v = tv.v
+              GROUP BY tv.u, tv.v, tv.tok
+            ),
+            su AS (SELECT u, v, SUM(mx) AS s, COUNT(*) AS n
+                   FROM mu GROUP BY u, v),
+            sv AS (SELECT u, v, SUM(mx) AS s, COUNT(*) AS n
+                   FROM mv GROUP BY u, v)
+            SELECT su.u, su.v,
+                   CAST(su.s // su.n AS BIGINT) AS me_uv_u,
+                   CAST(sv.s // sv.n AS BIGINT) AS me_vu_u,
+                   CAST((su.s // su.n + sv.s // sv.n) // 2 AS BIGINT) AS me_u
+            FROM su JOIN sv ON su.u = sv.u AND su.v = sv.v
         """,
         "jw_part_pairs": """
             SELECT a.p_partkey AS u, b.p_partkey AS v,

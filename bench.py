@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "snm_pairs",
     "fuzzy_customer_pairs",
     "dl_supplier_pairs",
+    "monge_elkan",
     "stable_assignment",
     "wl_refinement",
     "luby_mis",

@@ -396,3 +396,122 @@ def jw_block_pairs(
 
     slim = ds.select_columns([id_column, name_column, block_column])
     return coarse_group_apply(slim, block_column, pair_partition, n_parts=n_parts)
+
+
+def monge_elkan_scores(
+    pairs_ds,
+    left_column: str = "nm_u",
+    right_column: str = "nm_v",
+    quantum: int = 1_000_000,
+):
+    """Monge-Elkan hybrid similarity (Monge & Elkan 1996) over candidate
+    pairs, with Jaro-Winkler as the inner metric and SET-of-tokens
+    semantics: ME(A->B) = mean over DISTINCT tokens a of A of
+    max_{b in B} jw(a, b). The classic ER field comparator for multi-word
+    names where token order and coverage differ (reference analogue: the
+    word-level leg of the tokenizer in opentapioca's tagger.py:30-45,
+    which compares mention token sets against label token sets).
+
+    Exactness: each per-token max is quantized floor(jw * quantum + 0.5)
+    BEFORE summation; the mean is integer floor division; the symmetric
+    score is the floor-mean of the two directions — every step replays
+    bit-for-bit in DuckDB (jw itself is pinned to
+    `jaro_winkler_similarity`, see `jaro_winkler_pairs`).
+
+    Vectorization: unique names -> unique tokens -> ONE `_code_matrix`;
+    all (pair, i, j) token combos flatten into a single
+    `jaro_winkler_pairs` call; per-(pair, token) maxima and per-pair sums
+    are `np.maximum/add.reduceat` segment kernels. Streams per batch over
+    an already-blocked pair table (no shuffle of its own)."""
+    schema = pa.schema(
+        [
+            ("u", pa.int64()),
+            ("v", pa.int64()),
+            ("me_uv_u", pa.int64()),
+            ("me_vu_u", pa.int64()),
+            ("me_u", pa.int64()),
+        ]
+    )
+
+    def me_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or left_column not in batch.column_names:
+            return schema.empty_table()
+        P = batch.num_rows
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        na = batch.column(left_column).to_numpy(zero_copy_only=False)
+        nb = batch.column(right_column).to_numpy(zero_copy_only=False)
+        uniq_names, inv = np.unique(
+            np.concatenate((na, nb)), return_inverse=True
+        )
+        pu, pv = inv[:P], inv[P:]
+        tok_lists = [
+            sorted({t for t in s.split(" ") if t}) for s in uniq_names
+        ]
+        cnt = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        flat = [t for lst in tok_lists for t in lst]
+        if not flat:
+            zeros = np.zeros(P, dtype=np.int64)
+            return pa.table(
+                {"u": u, "v": v, "me_uv_u": zeros, "me_vu_u": zeros,
+                 "me_u": zeros}
+            ).cast(schema)
+        uniq_toks, tok_inv = np.unique(
+            np.array(flat, dtype=object), return_inverse=True
+        )
+        name_start = np.concatenate(([0], np.cumsum(cnt)))
+        codes, lens = _code_matrix(uniq_toks)
+
+        nu, nv = cnt[pu], cnt[pv]
+        ncomb = nu * nv
+        total = int(ncomb.sum())
+        me_uv = np.zeros(P, dtype=np.int64)
+        me_vu = np.zeros(P, dtype=np.int64)
+        if total:
+            pair_rep = np.repeat(np.arange(P), ncomb)
+            c = np.arange(total) - np.repeat(np.cumsum(ncomb) - ncomb, ncomb)
+            nv_rep = nv[pair_rep]
+            i = c // nv_rep
+            j = c - i * nv_rep
+            a_idx = tok_inv[name_start[pu][pair_rep] + i]
+            b_idx = tok_inv[name_start[pv][pair_rep] + j]
+            jw = jaro_winkler_pairs(codes, lens, a_idx, b_idx)
+            # u->v: combos are (pair, i)-major with j fastest
+            ui_starts = np.flatnonzero(j == 0)
+            q_u = np.floor(
+                np.maximum.reduceat(jw, ui_starts) * quantum + 0.5
+            ).astype(np.int64)
+            p_of_ui = pair_rep[ui_starts]
+            p_starts = np.flatnonzero(
+                np.concatenate(([True], p_of_ui[1:] != p_of_ui[:-1]))
+            )
+            pids = p_of_ui[p_starts]
+            me_uv[pids] = np.add.reduceat(q_u, p_starts) // nu[pids]
+            # v->u: reorder combos to (pair, j)-major
+            order = np.lexsort((i, j, pair_rep))
+            j2, p2 = j[order], pair_rep[order]
+            vj_starts = np.flatnonzero(
+                np.concatenate(
+                    ([True], (p2[1:] != p2[:-1]) | (j2[1:] != j2[:-1]))
+                )
+            )
+            q_v = np.floor(
+                np.maximum.reduceat(jw[order], vj_starts) * quantum + 0.5
+            ).astype(np.int64)
+            p_of_vj = p2[vj_starts]
+            p2_starts = np.flatnonzero(
+                np.concatenate(([True], p_of_vj[1:] != p_of_vj[:-1]))
+            )
+            pids2 = p_of_vj[p2_starts]
+            me_vu[pids2] = np.add.reduceat(q_v, p2_starts) // nv[pids2]
+        return pa.table(
+            {
+                "u": u,
+                "v": v,
+                "me_uv_u": me_uv,
+                "me_vu_u": me_vu,
+                "me_u": (me_uv + me_vu) // 2,
+            }
+        ).cast(schema)
+
+    return pairs_ds.map_batches(me_batch, batch_format="pyarrow")

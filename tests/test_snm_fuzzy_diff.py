@@ -213,3 +213,59 @@ def test_dl_supplier_pairs_query(ray_session):
     assert list(sorted(df.columns)) == ["dl", "u", "v"]
     assert (df["dl"] <= 2).all()
     assert (df["u"] < df["v"]).all()
+
+
+def test_monge_elkan_identical_and_directional(ray_session):
+    import ray.data as rd
+
+    from opentapioca_ray.stages.fuzzy import (
+        _code_matrix,
+        jaro_winkler_pairs,
+        monge_elkan_scores,
+    )
+
+    pairs = rd.from_items(
+        [
+            # identical token sets (order ignored) -> exactly 1.0 both ways
+            {"u": 1, "v": 2, "nm_u": "large widget", "nm_v": "widget large"},
+            # subset: every token of u is in v -> me_uv = 1.0; v->u < 1.0
+            {"u": 3, "v": 4, "nm_u": "large", "nm_v": "large widget"},
+        ]
+    )
+    out = (
+        monge_elkan_scores(pairs).to_pandas().set_index("u").sort_index()
+    )
+    assert out.loc[1, "me_uv_u"] == 1_000_000
+    assert out.loc[1, "me_vu_u"] == 1_000_000
+    assert out.loc[1, "me_u"] == 1_000_000
+    assert out.loc[3, "me_uv_u"] == 1_000_000
+    # v->u direction: mean of {jw(large,large)=1, jw(widget,large)}
+    codes, lens = _code_matrix(
+        __import__("numpy").array(["large", "widget"], dtype=object)
+    )
+    import numpy as np
+
+    jw = jaro_winkler_pairs(codes, lens, np.array([1]), np.array([0]))[0]
+    expect = (1_000_000 + int(np.floor(jw * 1_000_000 + 0.5))) // 2
+    assert out.loc[3, "me_vu_u"] == expect
+    assert out.loc[3, "me_u"] == (1_000_000 + expect) // 2
+
+
+def test_monge_elkan_query(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    out = entry.queries()["monge_elkan"]("/root/testdata/sf0.001")
+    import ray.data as rd
+
+    df = out.to_pandas() if isinstance(out, rd.Dataset) else out
+    assert sorted(df.columns) == ["me_u", "me_uv_u", "me_vu_u", "u", "v"]
+    assert len(df) > 100
+    assert (df["u"] < df["v"]).all()
+    assert df["me_u"].between(0, 1_000_000).all()
+    # symmetric score is the floor-mean of the two directions
+    assert (
+        df["me_u"] == (df["me_uv_u"] + df["me_vu_u"]) // 2
+    ).all()
