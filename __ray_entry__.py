@@ -5334,6 +5334,142 @@ def _mmr_oracle_sql(rounds: int = 10) -> str:
     return sql
 
 
+def _q_pivot_clusters(sf_dir: str):
+    """Correlation clustering of the exact n-gram Jaccard match graph via
+    parallel CC-Pivot (Ailon et al. 2008 / Chierichetti et al. KDD 2014):
+    the ER cluster-repair contrast to `dup_components` — connected
+    components merges everything reachable, pivot clustering respects
+    non-edges, splitting over-merged near-duplicate groups. Same memoized
+    pair graph (`_ngram_cc`); md5 priorities, 4 unrolled rounds, fixed on
+    both sides (see stages/pivot.py)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.pivot import pivot_clusters
+
+    pairs, _ = _ngram_cc(sf_dir)
+
+    def both_dir(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+        if b.num_rows == 0 or "u" not in b.column_names:
+            return schema.empty_table()
+        u = b.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "src": np.concatenate((u, v)),
+                "dst": np.concatenate((v, u)),
+            }
+        ).cast(schema)
+
+    edges = pairs.select_columns(["u", "v"]).map_batches(
+        both_dir, batch_format="pyarrow"
+    )
+    return pivot_clusters(edges, rounds=4).rename_columns(
+        ["doc_id", "cluster", "pivot_round"]
+    )
+
+
+def _pivot_oracle_sql(rounds: int = 4) -> str:
+    """Unrolled parallel-pivot rounds over the dup_components ngram pair
+    graph: per round the Luby pivots (strict local md5 minima), then each
+    active non-pivot node joins its (priority, id)-minimum pivot
+    neighbor; survivors become singletons with pivot_round = rounds."""
+    sql = f"""
+        WITH toks AS MATERIALIZED (
+          SELECT doc_id,
+            list_filter(
+              list_transform(
+                regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                w -> trim(w)),
+              w -> w != '') AS arr
+          FROM documents
+        ),
+        grams AS MATERIALIZED (
+          SELECT doc_id,
+            CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                 ELSE list_distinct(list_transform(
+                        range(1, len(arr) - 1),
+                        i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+            END AS gs
+          FROM toks WHERE len(arr) > 0
+        ),
+        ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        ),
+        pairs AS MATERIALIZED (
+          SELECT u, v
+          FROM cand
+          JOIN grams ga ON ga.doc_id = cand.u
+          JOIN grams gb ON gb.doc_id = cand.v
+          WHERE len(list_intersect(ga.gs, gb.gs))::double
+                / (len(ga.gs) + len(gb.gs)
+                   - len(list_intersect(ga.gs, gb.gs)))::double >= 0.5
+        ),
+        e AS MATERIALIZED (
+          SELECT u AS src, v AS dst FROM pairs
+          UNION ALL
+          SELECT v AS src, u AS dst FROM pairs
+        ),
+        pri AS MATERIALIZED (
+          SELECT node,
+                 ('0x' || substr(md5(node::VARCHAR), 1, 16))::UBIGINT AS h
+          FROM (SELECT DISTINCT src AS node FROM e)
+        ),
+        alive0 AS MATERIALIZED (SELECT node FROM pri)"""
+    for t in range(rounds):
+        sql += f""",
+        mn{t} AS MATERIALIZED (
+          SELECT e.src AS node, min(p.h) AS mh
+          FROM e
+          JOIN alive{t} a ON e.src = a.node
+          JOIN alive{t} b ON e.dst = b.node
+          JOIN pri p ON p.node = e.dst
+          GROUP BY e.src
+        ),
+        piv{t} AS MATERIALIZED (
+          SELECT a.node
+          FROM alive{t} a
+          JOIN pri p ON p.node = a.node
+          LEFT JOIN mn{t} m ON m.node = a.node
+          WHERE m.mh IS NULL OR p.h < m.mh
+        ),
+        cand{t} AS MATERIALIZED (
+          SELECT e.src AS node, p.h AS h, e.dst AS piv
+          FROM e
+          JOIN alive{t} a ON e.src = a.node
+          JOIN piv{t} pv ON e.dst = pv.node
+          JOIN pri p ON p.node = e.dst
+          WHERE e.src NOT IN (SELECT node FROM piv{t})
+        ),
+        mh{t} AS (SELECT node, min(h) AS mh FROM cand{t} GROUP BY node),
+        asg{t} AS MATERIALIZED (
+          SELECT c.node, min(c.piv) AS piv
+          FROM cand{t} c JOIN mh{t} m ON c.node = m.node AND c.h = m.mh
+          GROUP BY c.node
+        ),
+        alive{t + 1} AS MATERIALIZED (
+          SELECT node FROM alive{t}
+          WHERE node NOT IN (SELECT node FROM piv{t})
+            AND node NOT IN (SELECT node FROM asg{t})
+        )"""
+    sql += "\n        "
+    sql += "\n        UNION ALL ".join(
+        f"""SELECT node AS doc_id, node AS cluster,
+                   CAST({t} AS BIGINT) AS pivot_round FROM piv{t}
+        UNION ALL SELECT node AS doc_id, piv AS cluster,
+                   CAST({t} AS BIGINT) AS pivot_round FROM asg{t}"""
+        for t in range(rounds)
+    )
+    sql += f"""
+        UNION ALL SELECT node AS doc_id, node AS cluster,
+                   CAST({rounds} AS BIGINT) AS pivot_round
+        FROM alive{rounds}"""
+    return sql
+
+
 def _q_luby_mis(sf_dir: str):
     """Luby maximal independent set over the part--supplier graph:
     md5-priority symmetry breaking, 6 rounds — the parallel classic that
@@ -8519,6 +8655,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stable_assignment": _q_stable_assignment,
         "wl_refinement": _q_wl_refinement,
         "luby_mis": _q_luby_mis,
+        "pivot_clusters": _q_pivot_clusters,
         "mmr_selection": _q_mmr_selection,
         "ppr_seeds": _q_ppr_seeds,
         "snapshot_diff": _q_snapshot_diff,
@@ -9216,6 +9353,7 @@ def oracle_sql() -> dict[str, str]:
         "stable_assignment": _stable_assignment_oracle_sql(),
         "wl_refinement": _wl_oracle_sql(),
         "luby_mis": _mis_oracle_sql(),
+        "pivot_clusters": _pivot_oracle_sql(),
         "mmr_selection": _mmr_oracle_sql(),
         "ppr_seeds": _ppr_oracle_sql(),
         "blocking_scheme_learn": _bsl_oracle_sql(),

@@ -102,6 +102,7 @@ BENCH_QUERIES = [
     "stable_assignment",
     "wl_refinement",
     "luby_mis",
+    "pivot_clusters",
     "mmr_selection",
     "ppr_seeds",
     "snapshot_diff",
