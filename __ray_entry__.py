@@ -6571,6 +6571,45 @@ def _q_clustering_ari(sf_dir: str):
     return adjusted_rand_stats(labeled, "la", "lb")
 
 
+def _q_clustering_nmi(sf_dir: str):
+    """Normalized mutual information (sqrt normalization, Strehl & Ghosh
+    2002) between the SAME two blocking assignments `clustering_ari`
+    compares (80-char-prefix md5 groups vs first-token blocks) — the
+    information-theoretic agreement measure next to ARI's pair counting.
+    Every x*ln(x) term is quantized to 1e-6 nat-units before summation;
+    only the final NMI is one fixed float expression over the three exact
+    sums (stages/blocking_eval.nmi_stats)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.textstats import whitespace_token_lists
+    from opentapioca_ray.stages.blocking_eval import nmi_stats
+
+    def keys(batch: pa.Table) -> pa.Table:
+        toks = whitespace_token_lists(batch, "text")
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        nonempty = offsets[1:] > offsets[:-1]
+        first = np.full(batch.num_rows, "", dtype=object)
+        if nonempty.any():
+            first[nonempty] = (
+                toks.values.take(pa.array(offsets[:-1][nonempty]))
+                .to_numpy(zero_copy_only=False)
+            )
+        texts = batch.column("text").to_pylist()
+        la = [hashlib.md5((t or "")[:80].encode()).hexdigest() for t in texts]
+        return pa.table(
+            {
+                "la": pa.array(la, pa.string()),
+                "lb": pa.array(first, pa.string()),
+            }
+        )
+
+    labeled = _docs(sf_dir).map_batches(keys, batch_format="pyarrow")
+    return nmi_stats(labeled, "la", "lb")
+
+
 def _q_kcore_nodes(sf_dir: str):
     """Fixed-round k-core peel (k=2, 12 rounds — the bounded-iteration
     contract the repo's 16-iteration PageRank uses) over the part-supplier
@@ -8699,6 +8738,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "metablocking_arcs": _q_metablocking_arcs,
         "order_skyline": _q_order_skyline,
         "clustering_ari": _q_clustering_ari,
+        "clustering_nmi": _q_clustering_nmi,
         "kcore_nodes": _q_kcore_nodes,
         "bfs_hops": _q_bfs_hops,
         "weighted_paths": _q_weighted_paths,
@@ -12402,6 +12442,53 @@ def oracle_sql() -> dict[str, str]:
                                  / CAST(n * (n - 1) // 2 AS DOUBLE))
                      END * 1000000.0 + 0.5) AS BIGINT) AS ari_e6
             FROM s
+        """,
+        "clustering_nmi": r"""
+            WITH lab AS (
+              SELECT md5(substr(text, 1, 80)) AS la,
+                     CASE WHEN trim(text) = '' THEN ''
+                          ELSE regexp_split_to_array(trim(text), '\s+')[1]
+                     END AS lb
+              FROM documents
+            ),
+            cells AS (
+              SELECT la, lb, count(*) AS n FROM lab GROUP BY la, lb
+            ),
+            ma AS (SELECT la, sum(n) AS sz FROM cells GROUP BY la),
+            mb AS (SELECT lb, sum(n) AS sz FROM cells GROUP BY lb),
+            s AS (
+              SELECT
+                (SELECT sum(n) FROM cells) AS n,
+                (SELECT CAST(sum(CAST(floor(CAST(n AS DOUBLE)
+                     * ln(CAST(n AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+                   AS BIGINT) FROM cells) AS snn,
+                (SELECT CAST(sum(CAST(floor(CAST(sz AS DOUBLE)
+                     * ln(CAST(sz AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+                   AS BIGINT) FROM ma) AS saa,
+                (SELECT CAST(sum(CAST(floor(CAST(sz AS DOUBLE)
+                     * ln(CAST(sz AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT))
+                   AS BIGINT) FROM mb) AS sbb
+            ),
+            f AS (
+              SELECT n, snn, saa, sbb,
+                     ln(CAST(n AS DOUBLE))
+                       + CAST(snn - saa - sbb AS DOUBLE) / 1000000.0
+                         / CAST(n AS DOUBLE) AS mi,
+                     ln(CAST(n AS DOUBLE))
+                       - CAST(saa AS DOUBLE) / 1000000.0
+                         / CAST(n AS DOUBLE) AS ha,
+                     ln(CAST(n AS DOUBLE))
+                       - CAST(sbb AS DOUBLE) / 1000000.0
+                         / CAST(n AS DOUBLE) AS hb
+              FROM s
+            )
+            SELECT CAST(n AS BIGINT) AS n_items,
+                   snn AS snn_u, saa AS saa_u, sbb AS sbb_u,
+                   CAST(floor(
+                     CASE WHEN ha <= 0.000001 OR hb <= 0.000001 THEN 0.0
+                          ELSE mi / sqrt(ha * hb)
+                     END * 1000000.0 + 0.5) AS BIGINT) AS nmi_e6
+            FROM f
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),

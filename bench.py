@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "metablocking_wnp",
     "order_skyline",
     "clustering_ari",
+    "clustering_nmi",
     "kcore_nodes",
     "bfs_hops",
     "score_auc",

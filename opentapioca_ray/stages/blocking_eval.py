@@ -182,3 +182,92 @@ def adjusted_rand_stats(ds, a_col: str, b_col: str):
             ),
         }
     )
+
+
+def nmi_stats(ds, a_col: str, b_col: str):
+    """Normalized mutual information (sqrt normalization, Strehl & Ghosh
+    2002) between two clusterings/blockings of the same records — the
+    information-theoretic complement to `adjusted_rand_stats`' pair
+    counting.
+
+    Exactness: MI decomposes as
+    ln N + (sum n_ij ln n_ij - sum a_i ln a_i - sum b_j ln b_j) / N, so no
+    cell<->marginal join is needed; each x*ln(x) term is quantized to
+    integer 1e-6 nat-units BEFORE summation (the repo's float-sum rule),
+    the three sums reduce exactly, and the final NMI is ONE fixed float
+    expression over (n, snn, saa, sbb) replayed verbatim in SQL.
+    Degenerate zero-entropy sides report 0. Returns a single-row Arrow
+    table (n_items, snn_u, saa_u, sbb_u, nmi_e6).
+
+    Scale shape: identical to ARI — ONE combiner exchange for the
+    contingency cells, two slim marginal exchanges, per-batch quantized
+    partials + scalar sums; O(1) driver state."""
+    import math
+
+    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    cells = partial_multi_sum_count(
+        ds.select_columns(list(dict.fromkeys([a_col, b_col]))),
+        [a_col, b_col],
+        [],
+        alias={"count": "n"},
+    ).materialize()  # <= #distinct label pairs; read 3x below
+
+    def xlnx(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or col not in batch.column_names:
+                return pa.table({"t": pa.array([], pa.int64())})
+            x = (
+                batch.column(col)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            return pa.table(
+                {
+                    "t": pa.array(
+                        np.floor(x * np.log(x) * 1e6 + 0.5).astype(np.int64)
+                    )
+                }
+            )
+
+        return fn
+
+    def total(d, col):
+        v = d.map_batches(xlnx(col), batch_format="pyarrow").sum("t")
+        return int(v or 0)
+
+    n = int(cells.sum("n") or 0)
+    snn = total(cells, "n")
+    saa = total(
+        coarse_groupby_agg(cells, [a_col], {"sz": ("n", "sum")}), "sz"
+    )
+    sbb = total(
+        coarse_groupby_agg(cells, [b_col], {"sz": ("n", "sum")}), "sz"
+    )
+    if n <= 0:
+        nmi = 0.0
+    else:
+        lnn = math.log(float(n))
+        mi = lnn + float(snn - saa - sbb) / 1000000.0 / float(n)
+        ha = lnn - float(saa) / 1000000.0 / float(n)
+        hb = lnn - float(sbb) / 1000000.0 / float(n)
+        # a degenerate single-cluster side has true entropy 0 but carries
+        # up to 0.5e-6 of term-quantization residue — clamp below the
+        # noise floor (identically in the SQL twin)
+        nmi = (
+            0.0
+            if ha <= 0.000001 or hb <= 0.000001
+            else mi / math.sqrt(ha * hb)
+        )
+    return pa.table(
+        {
+            "n_items": pa.array([n], pa.int64()),
+            "snn_u": pa.array([snn], pa.int64()),
+            "saa_u": pa.array([saa], pa.int64()),
+            "sbb_u": pa.array([sbb], pa.int64()),
+            "nmi_e6": pa.array(
+                [int(np.floor(nmi * 1e6 + 0.5))], pa.int64()
+            ),
+        }
+    )

@@ -159,3 +159,36 @@ def test_arcs_weights_brute_force(ray_session):
         if ww * d[u] >= s[u] and ww * d[v] >= s[v]
     }
     assert out == exp
+
+
+def test_nmi_identical_independent_and_reference(ray_session):
+    import math
+
+    import numpy as np
+    import ray
+
+    from opentapioca_ray.stages.blocking_eval import nmi_stats
+
+    # identical partitions -> NMI exactly 1e6
+    rows = [{"la": str(i % 3), "lb": str(i % 3)} for i in range(30)]
+    same = nmi_stats(ray.data.from_items(rows), "la", "lb").to_pandas()
+    assert int(same["nmi_e6"][0]) == 1_000_000
+
+    # one side single-cluster -> zero entropy -> NMI 0
+    rows = [{"la": "x", "lb": str(i % 3)} for i in range(30)]
+    z = nmi_stats(ray.data.from_items(rows), "la", "lb").to_pandas()
+    assert int(z["nmi_e6"][0]) == 0
+
+    # hand-computed 2x2 reference: la = i%2 over 8 items, lb = i//4
+    # cells all n=2, marginals all 4 -> MI = ln2 + (4*2ln2 - 8*4ln4)/8 ... replay
+    rows = [{"la": str(i % 2), "lb": str(i // 4)} for i in range(8)]
+    got = nmi_stats(ray.data.from_items(rows), "la", "lb").to_pandas()
+    n = 8
+    snn = 4 * int(np.floor(2 * math.log(2) * 1e6 + 0.5))
+    sm = 2 * int(np.floor(4 * math.log(4) * 1e6 + 0.5))
+    mi = math.log(n) + float(snn - 2 * sm) / 1e6 / n
+    h = math.log(n) - float(sm) / 1e6 / n
+    expect = int(np.floor(mi / math.sqrt(h * h) * 1e6 + 0.5))
+    assert int(got["nmi_e6"][0]) == expect
+    # orthogonal partitions: MI ~ 0
+    assert abs(int(got["nmi_e6"][0])) <= 1
