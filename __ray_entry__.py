@@ -6672,6 +6672,173 @@ def _q_kcore_nodes(sf_dir: str):
     return deg.map_batches(label, batch_format="pyarrow")
 
 
+def _q_landmark_closeness(sf_dir: str):
+    """Landmark-based harmonic closeness centrality (Potamias et al. CIKM
+    2009): per-landmark fixed-round BFS (4 rounds) from the sampled part
+    nodes (p_partkey % 397 == 0) over the quantity-1 co-purchase graph,
+    then per node the exact-integer harmonic sum over landmarks,
+    closeness_u = sum(1000000 // dist) for dist >= 1, plus the reached-
+    landmark count. Distances keyed (lm, node) ride the same bounded-
+    iteration exchange shape as bfs_hops (stages/graphops.
+    multi_source_hops); the whole closeness roll-up is one slim
+    groupby."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+    from opentapioca_ray.stages.graphops import multi_source_hops
+
+    li = _rel(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return schema.empty_table()
+        t = batch.filter(
+            pc.equal(batch.column("l_quantity").cast(pa.int64()), 1)
+        )
+        return pa.table(
+            {
+                "u": pc.multiply(
+                    t.column("l_partkey").cast(pa.int64()),
+                    pa.scalar(2, pa.int64()),
+                ),
+                "v": pc.add(
+                    pc.multiply(
+                        t.column("l_suppkey").cast(pa.int64()),
+                        pa.scalar(2, pa.int64()),
+                    ),
+                    pa.scalar(1, pa.int64()),
+                ),
+            }
+        )
+
+    edges = coarse_groupby_agg(
+        li.map_batches(mk_edges, batch_format="pyarrow"),
+        ["u", "v"],
+        {"n": ("u", "size")},
+    ).map_batches(
+        lambda b: (
+            b.select(["u", "v"])
+            if b.num_rows and "u" in b.column_names
+            else pa.schema([("u", pa.int64()), ("v", pa.int64())]).empty_table()
+        ),
+        batch_format="pyarrow",
+    )
+
+    def mk_seeds(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("node", pa.int64())])
+        if batch.num_rows == 0 or "p_partkey" not in batch.column_names:
+            return schema.empty_table()
+        import numpy as np
+
+        k = (
+            batch.column("p_partkey")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table({"node": pa.array(2 * k[k % 397 == 0])}).cast(schema)
+
+    seeds = _rel(f"{sf_dir}/part.parquet", columns=["p_partkey"]).map_batches(
+        mk_seeds, batch_format="pyarrow"
+    )
+    dists = multi_source_hops(edges, seeds, rounds=4)
+
+    def terms(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("node", pa.int64()), ("recip_u", pa.int64())])
+        if b.num_rows == 0 or "node" not in b.column_names:
+            return schema.empty_table()
+        t = b.filter(pc.greater_equal(b.column("dist"), pa.scalar(1, pa.int64())))
+        return pa.table(
+            {
+                "node": t.column("node").cast(pa.int64()),
+                "recip_u": pc.divide(
+                    pa.scalar(1_000_000, pa.int64()),
+                    t.column("dist").cast(pa.int64()),
+                ),
+            }
+        ).cast(schema)
+
+    rolled = coarse_groupby_agg(
+        dists.map_batches(terms, batch_format="pyarrow"),
+        ["node"],
+        {"closeness_u": ("recip_u", "sum"), "n_lm": ("recip_u", "size")},
+    )
+
+    def label(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        schema = pa.schema(
+            [
+                ("entity", pa.string()),
+                ("key", pa.int64()),
+                ("closeness_u", pa.int64()),
+                ("n_lm", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return schema.empty_table()
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "entity": pa.array(
+                    np.where(node % 2 == 0, "part", "supplier"), pa.string()
+                ),
+                "key": pa.array(node // 2),
+                "closeness_u": batch.column("closeness_u").cast(pa.int64()),
+                "n_lm": batch.column("n_lm").cast(pa.int64()),
+            }
+        ).cast(schema)
+
+    return rolled.map_batches(label, batch_format="pyarrow")
+
+
+def _landmark_closeness_sql(rounds: int = 4) -> str:
+    """Unrolled per-landmark BFS (state keyed (lm, node)) + exact-integer
+    harmonic roll-up, mirroring `_bfs_sql`'s graph."""
+    ctes = [
+        """sym AS MATERIALIZED (
+          SELECT u, v FROM (
+            SELECT DISTINCT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v
+            FROM lineitem WHERE l_quantity = 1)
+          UNION ALL
+          SELECT v, u FROM (
+            SELECT DISTINCT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v
+            FROM lineitem WHERE l_quantity = 1)
+        )""",
+        """d0 AS MATERIALIZED (
+          SELECT 2 * p_partkey AS lm, 2 * p_partkey AS node, 0 AS dist
+          FROM part WHERE p_partkey % 397 = 0
+        )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+              SELECT lm, node, min(dist) AS dist FROM (
+                SELECT lm, node, dist FROM d{r - 1}
+                UNION ALL
+                SELECT d.lm, e.v AS node, d.dist + 1 AS dist
+                FROM sym e JOIN d{r - 1} d ON d.node = e.u)
+              GROUP BY lm, node
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS entity,
+               CAST(node // 2 AS BIGINT) AS key,
+               CAST(sum(1000000 // dist) AS BIGINT) AS closeness_u,
+               CAST(count(*) AS BIGINT) AS n_lm
+        FROM d{rounds} WHERE dist >= 1
+        GROUP BY node
+    """
+    )
+
+
 def _q_bfs_hops(sf_dir: str):
     """Fixed-round BFS hop distances (6 rounds — the bounded-iteration
     contract of the 16-round PageRank / 12-round k-core) from the sampled
@@ -8741,6 +8908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_nmi": _q_clustering_nmi,
         "kcore_nodes": _q_kcore_nodes,
         "bfs_hops": _q_bfs_hops,
+        "landmark_closeness": _q_landmark_closeness,
         "weighted_paths": _q_weighted_paths,
         "cusum_alarms": _q_cusum_alarms,
         "ewma_user_value": _q_ewma_user_value,
@@ -12492,6 +12660,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
+        "landmark_closeness": _landmark_closeness_sql(rounds=4),
         "weighted_paths": _sssp_sql(rounds=6),
         "cusum_alarms": """
             WITH e AS (

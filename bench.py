@@ -136,6 +136,7 @@ BENCH_QUERIES = [
     "clustering_nmi",
     "kcore_nodes",
     "bfs_hops",
+    "landmark_closeness",
     "score_auc",
     "split_leakage",
     "ab_value_ttest",

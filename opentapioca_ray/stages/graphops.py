@@ -1135,3 +1135,227 @@ def weighted_hops(
             .materialize()
         )
     return dist
+
+
+def multi_source_hops(
+    edges,
+    seeds,
+    rounds: int = 4,
+    local_threshold: int = 2_000_000,
+    n_parts=None,
+):
+    """Per-landmark fixed-round BFS: (lm, node, dist) rows for every
+    landmark in `seeds` (a `node` int64 column) — the building block for
+    landmark/pivot distance sketches and closeness-centrality estimates
+    (Potamias et al. CIKM 2009). Same bounded-iteration + exchange shape
+    as `bfs_hops`, but relaxation state is keyed (lm, node): dist rows
+    ride the edge-source exchange, the message kernel expands EVERY
+    landmark row co-located with an edge source (multi-match searchsorted
+    ranges, no per-row loop), and the min-groupby keys on (lm, node).
+    Small graphs collapse to a per-landmark vectorized numpy kernel
+    (`local_threshold=0` forces the distributed rounds — tests do)."""
+    from opentapioca_ray.stages.exchange import (
+        coarse_group_apply,
+        coarse_groupby_agg,
+        right_size,
+    )
+
+    dist_schema = pa.schema(
+        [("lm", pa.int64()), ("node", pa.int64()), ("dist", pa.int64())]
+    )
+    union_schema = pa.schema(
+        [
+            ("key", pa.int64()),
+            ("v", pa.int64()),
+            ("lm", pa.int64()),
+            ("d", pa.int64()),
+            ("__is_dist", pa.bool_()),
+        ]
+    )
+
+    def seed_dist(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return dist_schema.empty_table()
+        node = batch.column("node").cast(pa.int64())
+        return pa.table(
+            {
+                "lm": node,
+                "node": node,
+                "dist": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+            }
+        )
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return _EDGE_SCHEMA.empty_table()
+        u = batch.column("u").cast(pa.int64()).combine_chunks()
+        v = batch.column("v").cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {"u": pa.concat_arrays([u, v]), "v": pa.concat_arrays([v, u])}
+        )
+
+    edges = edges.materialize()
+    if edges.count() <= local_threshold:
+        import ray as _ray
+
+        seed_tbl = pa.concat_tables(
+            [
+                _ray.get(r)
+                for r in seeds.map_batches(
+                    seed_dist, batch_format="pyarrow"
+                ).to_arrow_refs()
+            ]
+        )
+        seed_ref = _ray.put(seed_tbl)
+
+        def local(t: pa.Table, s: pa.Table) -> pa.Table:
+            eu = (
+                t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+                if t.num_rows and "u" in t.column_names
+                else np.zeros(0, dtype=np.int64)
+            )
+            ev = (
+                t.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+                if t.num_rows and "u" in t.column_names
+                else np.zeros(0, dtype=np.int64)
+            )
+            lms = (
+                s.column("lm").to_numpy(zero_copy_only=False).astype(np.int64)
+                if s.num_rows
+                else np.zeros(0, dtype=np.int64)
+            )
+            if len(lms) == 0:
+                return dist_schema.empty_table()
+            nodes = np.unique(np.concatenate((eu, ev, lms)))
+            iu = np.searchsorted(nodes, eu)
+            iv = np.searchsorted(nodes, ev)
+            # symmetrize once for the local kernel
+            iu, iv = (
+                np.concatenate((iu, iv)),
+                np.concatenate((iv, iu)),
+            )
+            big = np.int64(1 << 62)
+            out_lm, out_node, out_dist = [], [], []
+            for lm in lms:
+                d = np.full(len(nodes), big, dtype=np.int64)
+                d[np.searchsorted(nodes, lm)] = 0
+                for _ in range(rounds):
+                    cand = d[iu] + 1
+                    nd = d.copy()
+                    np.minimum.at(nd, iv, cand)
+                    if np.array_equal(nd, d):
+                        break
+                    d = nd
+                hit = d < big
+                out_lm.append(np.full(int(hit.sum()), lm, dtype=np.int64))
+                out_node.append(nodes[hit])
+                out_dist.append(d[hit])
+            return pa.table(
+                {
+                    "lm": pa.array(np.concatenate(out_lm)),
+                    "node": pa.array(np.concatenate(out_node)),
+                    "dist": pa.array(np.concatenate(out_dist)),
+                }
+            ).cast(dist_schema)
+
+        return edges.repartition(1).map_batches(
+            lambda t: local(t, _ray.get(seed_ref)),
+            batch_format="pyarrow",
+            batch_size=None,
+        )
+
+    sym = right_size(
+        edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    )
+    dist = right_size(
+        seeds.map_batches(seed_dist, batch_format="pyarrow").materialize()
+    )
+
+    def edge_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return union_schema.empty_table()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column("u").cast(pa.int64()),
+                "v": batch.column("v").cast(pa.int64()),
+                "lm": pa.nulls(n, pa.int64()),
+                "d": pa.nulls(n, pa.int64()),
+                "__is_dist": pa.array(np.zeros(n, dtype=bool)),
+            }
+        ).cast(union_schema)
+
+    def dist_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "node" not in batch.column_names:
+            return union_schema.empty_table()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "key": batch.column("node").cast(pa.int64()),
+                "v": pa.nulls(n, pa.int64()),
+                "lm": batch.column("lm").cast(pa.int64()),
+                "d": batch.column("dist").cast(pa.int64()),
+                "__is_dist": pa.array(np.ones(n, dtype=bool)),
+            }
+        ).cast(union_schema)
+
+    def messages(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "__is_dist" not in t.column_names:
+            return dist_schema.empty_table()
+        isd = t.column("__is_dist").to_numpy(zero_copy_only=False).astype(bool)
+        ek = t.column("key").to_numpy(zero_copy_only=False)[~isd]
+        ev = t.column("v").to_numpy(zero_copy_only=False)[~isd]
+        dk = t.column("key").to_numpy(zero_copy_only=False)[isd]
+        dl = t.column("lm").to_numpy(zero_copy_only=False)[isd]
+        dd = t.column("d").to_numpy(zero_copy_only=False)[isd]
+        if len(ek) == 0 or len(dk) == 0:
+            return dist_schema.empty_table()
+        o = np.argsort(dk, kind="stable")
+        dk, dl, dd = dk[o], dl[o], dd[o]
+        lo = np.searchsorted(dk, ek, side="left")
+        hi = np.searchsorted(dk, ek, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            return dist_schema.empty_table()
+        rep = np.repeat(np.arange(len(ek)), cnt)
+        idx = np.repeat(lo, cnt) + (
+            np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        )
+        return pa.table(
+            {
+                "lm": pa.array(dl[idx].astype(np.int64)),
+                "node": pa.array(ev[rep].astype(np.int64)),
+                "dist": pa.array((dd[idx] + 1).astype(np.int64)),
+            }
+        ).cast(dist_schema)
+
+    def clean(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "node" not in b.column_names:
+            return dist_schema.empty_table()
+        return pa.table(
+            {
+                "lm": b.column("lm").cast(pa.int64()),
+                "node": b.column("node").cast(pa.int64()),
+                "dist": b.column("dist").cast(pa.int64()),
+            }
+        ).cast(dist_schema)
+
+    for _ in range(rounds):
+        unioned = sym.map_batches(edge_rows, batch_format="pyarrow").union(
+            dist.map_batches(dist_rows, batch_format="pyarrow")
+        )
+        msgs = coarse_group_apply(
+            unioned, "key", messages, n_parts=n_parts, batch_format="pyarrow"
+        )
+        dist = right_size(
+            coarse_groupby_agg(
+                msgs.union(dist),
+                ["lm", "node"],
+                {"dist": ("dist", "min")},
+                n_parts=n_parts,
+            )
+            .map_batches(clean, batch_format="pyarrow")
+            .materialize()
+        )
+    return dist

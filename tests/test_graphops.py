@@ -65,3 +65,43 @@ def test_sparsify_edges_keeps_mutual_knn(ray_session):
     # 3: edges (1,3,w1),(2,3,w1) tie on w -> partner id 1 wins;
     # 4: (1,4,w2),(2,4,w2) -> 1; 5: (1,5,w3),(2,5,w3) -> 1)
     assert got == {(1, 3), (2, 3), (1, 4), (1, 5)}
+
+
+def test_multi_source_hops_path_graph(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from opentapioca_ray.stages.graphops import multi_source_hops
+
+    # path 1-2-3-4-5, landmarks 1 and 5, 3 rounds
+    edges = ray.data.from_arrow(
+        pa.table({"u": [1, 2, 3, 4], "v": [2, 3, 4, 5]})
+    )
+    seeds = ray.data.from_arrow(pa.table({"node": [1, 5]}))
+    for thresh in (2_000_000, 0):  # local kernel AND forced-shuffle rounds
+        out = (
+            multi_source_hops(edges, seeds, rounds=3, local_threshold=thresh)
+            .to_pandas()
+            .set_index(["lm", "node"])["dist"]
+            .to_dict()
+        )
+        expect = {
+            (1, 1): 0, (1, 2): 1, (1, 3): 2, (1, 4): 3,
+            (5, 5): 0, (5, 4): 1, (5, 3): 2, (5, 2): 3,
+        }
+        assert out == expect
+
+
+def test_landmark_closeness_query(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    out = entry.queries()["landmark_closeness"]("/root/testdata/sf0.001").to_pandas()
+    assert sorted(out.columns) == ["closeness_u", "entity", "key", "n_lm"]
+    assert len(out) > 0
+    # sf0.001 has exactly one landmark (p_partkey 0): every reached node
+    # has n_lm == 1 and closeness is one exact reciprocal term
+    assert (out["n_lm"] == 1).all()
+    assert out["closeness_u"].isin([1_000_000, 500_000, 333_333, 250_000]).all()
