@@ -592,12 +592,16 @@ def basket_rules(
     integer counts, one quantized division each. Output:
     (x, y, n_xy, n_x, n_y, conf_xy_e6, conf_yx_e6, lift_e6), x < y.
 
-    Scale shape: ONE exchange on the order key emits within-basket pairs
-    (baskets above `max_basket` items are dropped — the skew guard the
-    pair fan-out needs, logged via the dropped count being visible in
-    support totals); pair partials merge combiner-first on the pair; item
-    marginals ride the metablocking lookup-attach shape (two slim
-    exchanges), never a driver collect."""
+    Scale shape: ONE exchange on the order key does everything upstream —
+    the partition kernel dedups (order, item) locally (orders arrive
+    whole), emits within-basket pair partials (baskets above `max_basket`
+    items are dropped — the pair fan-out skew guard), and rides the item
+    marginals (v = -1) and the partition's distinct-order count
+    (u = v = -1) in the SAME pair key space (the pmi_bigrams tagging
+    trick); ONE combiner groupby then sums pairs, marginals and the order
+    total together. Item marginals attach via the metablocking lookup
+    shape (slim exchanges over the surviving pairs), never a driver
+    collect."""
     import ray
 
     from opentapioca_ray.stages.exchange import (
@@ -619,100 +623,133 @@ def basket_rules(
             }
         )
 
-    # global distinct (order, item) — dedup combiner-first
-    distinct = right_size(
-        coarse_groupby_agg(
-            ds.select_columns([order_column, item_column]).map_batches(
-                slim, batch_format="pyarrow"
-            ),
-            ["o", "i"],
-            {"n": ("i", "size")},
-        ).materialize()
-    )
-
     def pair_partition(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {c: pd.Series(dtype=np.int64) for c in ("u", "v", "c")}
         )
         if df.empty or "o" not in df.columns:
             return empty
-        df = df.sort_values(["o", "i"], kind="mergesort")
         o = df["o"].to_numpy(dtype=np.int64)
         it = df["i"].to_numpy(dtype=np.int64)
+        # local (order, item) dedup — each order arrives whole
+        order = np.lexsort((it, o))
+        o, it = o[order], it[order]
+        first = np.concatenate(
+            ([True], (o[1:] != o[:-1]) | (it[1:] != it[:-1]))
+        )
+        o, it = o[first], it[first]
         new = np.concatenate(([True], o[1:] != o[:-1]))
         starts = np.flatnonzero(new)
         sizes = np.diff(np.concatenate((starts, [len(o)])))
         keep = sizes <= max_basket
-        us, vs = [], []
         from opentapioca_ray.stages.triangles import _segment_pairs
 
         seg = np.cumsum(new) - 1
         seg_keep = keep[seg]
         li, ri = _segment_pairs(seg[seg_keep])
         itk = it[seg_keep]
-        if len(li) == 0:
-            return empty
-        part = pd.DataFrame({"u": itk[li], "v": itk[ri]})
-        part = part.groupby(["u", "v"], sort=False).size().reset_index(name="c")
-        return part
+        parts = []
+        if len(li):
+            part = pd.DataFrame({"u": itk[li], "v": itk[ri]})
+            parts.append(
+                part.groupby(["u", "v"], sort=False)
+                .size()
+                .reset_index(name="c")
+            )
+        # item marginals (distinct orders per item), tagged v = -1
+        ui, cnt = np.unique(it, return_counts=True)
+        parts.append(
+            pd.DataFrame(
+                {"u": ui, "v": np.full(len(ui), -1, dtype=np.int64), "c": cnt}
+            )
+        )
+        # this partition's distinct-order count, tagged u = v = -1
+        parts.append(
+            pd.DataFrame(
+                {
+                    "u": np.array([-1], dtype=np.int64),
+                    "v": np.array([-1], dtype=np.int64),
+                    "c": np.array([len(starts)], dtype=np.int64),
+                }
+            )
+        )
+        return pd.concat(parts, ignore_index=True)
 
-    pair_counts = coarse_groupby_agg(
-        coarse_group_apply(distinct, "o", pair_partition, n_parts=n_parts),
-        ["u", "v"],
-        {"n_xy": ("c", "sum")},
-        n_parts=n_parts,
+    tagged = right_size(
+        coarse_groupby_agg(
+            coarse_group_apply(
+                ds.select_columns([order_column, item_column]).map_batches(
+                    slim, batch_format="pyarrow"
+                ),
+                "o",
+                pair_partition,
+                n_parts=n_parts,
+            ),
+            ["u", "v"],
+            {"n_xy": ("c", "sum")},
+            n_parts=n_parts,
+        ).materialize()
     )
 
     import pyarrow.compute as pc
 
-    pairs = right_size(
-        pair_counts.map_batches(
-            lambda b: (
-                b.filter(pc.greater_equal(b.column("n_xy"), min_support))
-                if b.num_rows and "n_xy" in b.column_names
-                else pa.schema(
-                    [("u", pa.int64()), ("v", pa.int64()), ("n_xy", pa.int64())]
-                ).empty_table()
-            ),
-            batch_format="pyarrow",
-        ).materialize()
-    )
-
-    # item marginals (n orders containing the item) as lookup-attach stats
-    stats = coarse_groupby_agg(
-        distinct, ["i"], {"s": ("o", "size")}, n_parts=n_parts
-    ).map_batches(
-        lambda b: (
-            pa.table(
-                {
-                    "node": b.column("i").cast(pa.int64()),
-                    "s": b.column("s").cast(pa.int64()),
-                    "d": pa.nulls(b.num_rows, pa.int64()).fill_null(0),
-                }
+    def pairs_only(b: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("u", pa.int64()), ("v", pa.int64()), ("n_xy", pa.int64())]
+        )
+        if b.num_rows == 0 or "n_xy" not in b.column_names:
+            return schema.empty_table()
+        return b.filter(
+            pc.and_(
+                pc.greater_equal(b.column("v"), pa.scalar(0, pa.int64())),
+                pc.greater_equal(b.column("n_xy"), min_support),
             )
-            if b.num_rows and "i" in b.column_names
-            else pa.schema(
-                [("node", pa.int64()), ("s", pa.int64()), ("d", pa.int64())]
-            ).empty_table()
-        ),
-        batch_format="pyarrow",
+        ).cast(schema)
+
+    pairs = right_size(
+        tagged.map_batches(pairs_only, batch_format="pyarrow").materialize()
     )
 
-    # total distinct orders: O(blocks) combiner partials
+    def stats_only(b: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("node", pa.int64()), ("s", pa.int64()), ("d", pa.int64())]
+        )
+        if b.num_rows == 0 or "n_xy" not in b.column_names:
+            return schema.empty_table()
+        t = b.filter(
+            pc.and_(
+                pc.equal(b.column("v"), pa.scalar(-1, pa.int64())),
+                pc.greater_equal(b.column("u"), pa.scalar(0, pa.int64())),
+            )
+        )
+        return pa.table(
+            {
+                "node": t.column("u").cast(pa.int64()),
+                "s": t.column("n_xy").cast(pa.int64()),
+                "d": pa.nulls(t.num_rows, pa.int64()).fill_null(0),
+            }
+        ).cast(schema)
+
+    stats = tagged.map_batches(stats_only, batch_format="pyarrow")
+
+    # total distinct orders: the single (-1, -1) roll-up row
     t_orders = 0
-    order_counts = coarse_groupby_agg(
-        distinct.select_columns(["o"]), ["o"], {"n": ("o", "size")},
-        n_parts=n_parts,
-    )
-    for ref in order_counts.map_batches(
-        lambda b: pa.table(
-            {"t": pa.array([b.num_rows], pa.int64())}
+    for ref in tagged.map_batches(
+        lambda b: (
+            b.filter(
+                pc.and_(
+                    pc.equal(b.column("u"), pa.scalar(-1, pa.int64())),
+                    pc.equal(b.column("v"), pa.scalar(-1, pa.int64())),
+                )
+            ).select(["n_xy"])
+            if b.num_rows and "n_xy" in b.column_names
+            else pa.schema([("n_xy", pa.int64())]).empty_table()
         ),
         batch_format="pyarrow",
     ).to_arrow_refs():
         t = ray.get(ref)
-        if t.num_rows and "t" in t.column_names:
-            t_orders += int(t.column("t").to_numpy().sum())
+        if t.num_rows:
+            t_orders += int(t.column("n_xy").to_numpy().sum())
 
     with_u = _attach_node_stats(
         pairs, stats, "u", ["u", "v", "n_xy"], "n_x", "_du", n_parts
