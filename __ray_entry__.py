@@ -3158,6 +3158,81 @@ def _q_monge_elkan(sf_dir: str):
     return monge_elkan_scores(pairs)
 
 
+def _q_soft_tfidf(sf_dir: str):
+    """SoftTFIDF hybrid pair similarity (Cohen, Ravikumar & Fienberg
+    2003) over the same window-blocked part pairs as `monge_elkan`:
+    tf-idf cosine where a left token aligns to its best Jaro-Winkler
+    right token when jw > 0.9 — rare-token weighting that survives
+    typos, the standard strongest-single-measure baseline of the
+    secondstring ER benchmark. idf = floor(ln(N/df)*1e3+0.5) over the
+    part corpus (broadcast name-token vocabulary); everything else exact
+    int64 until one final quantized division
+    (stages/fuzzy.soft_tfidf_scores)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+    from opentapioca_ray.stages.fuzzy import soft_tfidf_scores
+    from opentapioca_ray.stages.matching import key_window_pairs
+
+    part = _rel(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_type", "p_brand"],
+    ).materialize()  # consumed by the df pass AND the pair pass
+    n_parts_rows = part.count()
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("id", pa.int64()), ("tok", pa.string())])
+        if batch.num_rows == 0 or "p_name" not in batch.column_names:
+            return schema.empty_table()
+        ids = batch.column("p_partkey").to_numpy(zero_copy_only=False)
+        nm = pc.binary_join_element_wise(
+            batch.column("p_name"), batch.column("p_type"), " "
+        ).to_numpy(zero_copy_only=False)
+        out_i, out_t = [], []
+        for i, s in zip(ids, nm):
+            for t in sorted({w for w in s.split(" ") if w}):
+                out_i.append(i)
+                out_t.append(t)
+        return pa.table(
+            {
+                "id": pa.array(np.array(out_i, dtype=np.int64)),
+                "tok": pa.array(out_t, pa.string()),
+            }
+        ).cast(schema)
+
+    df_tbl = coarse_groupby_agg(
+        part.map_batches(tok_rows, batch_format="pyarrow"),
+        ["tok"],
+        {"df": ("id", "size")},
+    ).to_pandas()  # name-token vocabulary: small by construction
+    w = np.floor(
+        np.log(float(n_parts_rows) / df_tbl["df"].to_numpy(dtype=np.float64))
+        * 1000.0
+        + 0.5
+    ).astype(np.int64)
+    idf_ref = ray.put(dict(zip(df_tbl["tok"], (int(x) for x in w))))
+
+    def add_nm(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "nm",
+            pc.binary_join_element_wise(
+                batch.column("p_name"), batch.column("p_type"), " "
+            ),
+        )
+
+    pairs = key_window_pairs(
+        part.map_batches(add_nm, batch_format="pyarrow"),
+        id_column="p_partkey",
+        block_column="p_brand",
+        window=50,
+        carry_columns=["nm"],
+    )
+    return soft_tfidf_scores(pairs, idf_ref)
+
+
 def _q_fs_part_weights(sf_dir: str):
     """Fellegi-Sunter m/u agreement weights (Fellegi & Sunter 1969) over a
     deterministic labeled pair sample: within-brand part pairs with key
@@ -8779,6 +8854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "compact_tombstones": _q_compact_tombstones,
         "jw_part_pairs": _q_jw_part_pairs,
         "monge_elkan": _q_monge_elkan,
+        "soft_tfidf": _q_soft_tfidf,
         "fs_part_weights": _q_fs_part_weights,
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
@@ -10472,6 +10548,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sv.s // sv.n AS BIGINT) AS me_vu_u,
                    CAST((su.s // su.n + sv.s // sv.n) // 2 AS BIGINT) AS me_u
             FROM su JOIN sv ON su.u = sv.u AND su.v = sv.v
+        """,
+        "soft_tfidf": """
+            WITH nm AS (
+              SELECT p_partkey AS id, p_name || ' ' || p_type AS nm, p_brand
+              FROM part
+            ),
+            tok AS MATERIALIZED (
+              SELECT DISTINCT id, tok FROM (
+                SELECT id, unnest(string_split(nm, ' ')) AS tok FROM nm
+              ) WHERE tok != ''
+            ),
+            idf AS MATERIALIZED (
+              SELECT tok,
+                     CAST(floor(ln(CAST((SELECT count(*) FROM part) AS DOUBLE)
+                                   / CAST(count(*) AS DOUBLE)) * 1000.0 + 0.5)
+                          AS BIGINT) AS w
+              FROM tok GROUP BY tok
+            ),
+            norm2 AS MATERIALIZED (
+              SELECT id, SUM(w * w) AS n2
+              FROM tok JOIN idf USING (tok) GROUP BY id
+            ),
+            pairs AS MATERIALIZED (
+              SELECT a.id AS u, b.id AS v
+              FROM nm a JOIN nm b
+                ON a.p_brand = b.p_brand
+               AND b.id > a.id AND b.id <= a.id + 50
+            ),
+            jq AS MATERIALIZED (
+              SELECT p.u, p.v, ta.tok AS ta, tb.tok AS tb,
+                     CAST(floor(jaro_winkler_similarity(ta.tok, tb.tok)
+                                * 1000000 + 0.5) AS BIGINT) AS q
+              FROM pairs p
+              JOIN tok ta ON ta.id = p.u
+              JOIN tok tb ON tb.id = p.v
+            ),
+            best AS (
+              SELECT u, v, ta, max(q) AS qm FROM jq GROUP BY u, v, ta
+            ),
+            star AS (
+              SELECT b.u, b.v, b.ta, b.qm, min(j.tb) AS tb
+              FROM best b
+              JOIN jq j ON j.u = b.u AND j.v = b.v AND j.ta = b.ta
+                        AND j.q = b.qm
+              GROUP BY b.u, b.v, b.ta, b.qm
+            ),
+            contrib AS (
+              SELECT s.u, s.v, SUM(ia.w * ib.w * s.qm) AS num
+              FROM star s
+              JOIN idf ia ON ia.tok = s.ta
+              JOIN idf ib ON ib.tok = s.tb
+              WHERE s.qm > 900000
+              GROUP BY s.u, s.v
+            )
+            SELECT p.u, p.v,
+                   CASE WHEN c.num IS NULL OR nu.n2 <= 0 OR nv.n2 <= 0 THEN 0
+                        ELSE CAST(floor(CAST(c.num AS DOUBLE)
+                               / (sqrt(CAST(nu.n2 AS DOUBLE))
+                                  * sqrt(CAST(nv.n2 AS DOUBLE))) + 0.5)
+                             AS BIGINT)
+                   END AS soft_uv_e6
+            FROM pairs p
+            JOIN norm2 nu ON nu.id = p.u
+            JOIN norm2 nv ON nv.id = p.v
+            LEFT JOIN contrib c ON c.u = p.u AND c.v = p.v
         """,
         "jw_part_pairs": """
             SELECT a.p_partkey AS u, b.p_partkey AS v,

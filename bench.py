@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "fuzzy_customer_pairs",
     "dl_supplier_pairs",
     "monge_elkan",
+    "soft_tfidf",
     "stable_assignment",
     "wl_refinement",
     "luby_mis",

@@ -515,3 +515,127 @@ def monge_elkan_scores(
         ).cast(schema)
 
     return pairs_ds.map_batches(me_batch, batch_format="pyarrow")
+
+
+def soft_tfidf_scores(
+    pairs_ds,
+    idf_ref,
+    left_column: str = "nm_u",
+    right_column: str = "nm_v",
+    theta_q: int = 900_000,
+):
+    """SoftTFIDF (Cohen, Ravikumar & Fienberg 2003) over candidate pairs:
+    the tf-idf cosine where a left token matches its BEST Jaro-Winkler
+    right token when jw exceeds theta — the classic hybrid ER comparator
+    that survives typos (via jw) without losing rare-token weighting
+    (via idf). Token-SET semantics, direction u->v (the standard
+    asymmetric form).
+
+    Exactness: per-token jw maxima quantize to 1e-6 (`jq`); the argmax
+    right token ties break to the LEXICOGRAPHICALLY SMALLEST (right-side
+    token lists are sorted, so the first max wins); idf weights are
+    floor(ln(N/df) * 1e3 + 0.5) integers from the broadcast df table
+    (`idf_ref` -> {token: weight}); the numerator sum(w_a * w_b* * jq)
+    and both norm-squares are exact int64 sums; the final score is ONE
+    fixed float expression floor(num / (sqrt(na2) * sqrt(nb2)) + 0.5),
+    already in e6 units because jq is. All replayed verbatim in SQL.
+
+    Vectorization: the monge_elkan combo layout (unique names -> unique
+    tokens -> one `jaro_winkler_pairs` call); the per-(pair, token)
+    argmax packs (jq, right-position) into one int64 composite so a
+    single `np.maximum.reduceat` recovers both the max and its first
+    witness. The idf table is a small broadcast (name-token vocabulary,
+    not corpus vocabulary); pairs stream per batch with no shuffle of
+    their own."""
+    import ray
+
+    schema = pa.schema(
+        [("u", pa.int64()), ("v", pa.int64()), ("soft_uv_e6", pa.int64())]
+    )
+    _POS_BITS = 12  # right-side token position fits 12 bits (<= 4096 tokens)
+
+    def soft_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or left_column not in batch.column_names:
+            return schema.empty_table()
+        idf = ray.get(idf_ref)
+        P = batch.num_rows
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        na = batch.column(left_column).to_numpy(zero_copy_only=False)
+        nb = batch.column(right_column).to_numpy(zero_copy_only=False)
+        uniq_names, inv = np.unique(
+            np.concatenate((na, nb)), return_inverse=True
+        )
+        pu, pv = inv[:P], inv[P:]
+        tok_lists = [
+            sorted({t for t in s.split(" ") if t}) for s in uniq_names
+        ]
+        cnt = np.array([len(t) for t in tok_lists], dtype=np.int64)
+        flat = [t for lst in tok_lists for t in lst]
+        soft = np.zeros(P, dtype=np.int64)
+        if flat:
+            uniq_toks, tok_inv = np.unique(
+                np.array(flat, dtype=object), return_inverse=True
+            )
+            if cnt.max() >= (1 << _POS_BITS):
+                raise ValueError(
+                    f"soft_tfidf_scores: a name has >= {1 << _POS_BITS} "
+                    "tokens; raise _POS_BITS"
+                )
+            name_start = np.concatenate(([0], np.cumsum(cnt)))
+            codes, lens = _code_matrix(uniq_toks)
+            w_tok = np.array(
+                [idf.get(t, 0) for t in uniq_toks], dtype=np.int64
+            )
+            # per unique name: exact norm-square of its idf vector
+            norm2 = np.array(
+                [
+                    int((w_tok[tok_inv[name_start[i]:name_start[i + 1]]] ** 2).sum())
+                    for i in range(len(uniq_names))
+                ],
+                dtype=np.int64,
+            )
+            nu, nv = cnt[pu], cnt[pv]
+            ncomb = nu * nv
+            total = int(ncomb.sum())
+            if total:
+                pair_rep = np.repeat(np.arange(P), ncomb)
+                c = np.arange(total) - np.repeat(
+                    np.cumsum(ncomb) - ncomb, ncomb
+                )
+                nv_rep = nv[pair_rep]
+                i = c // nv_rep
+                j = c - i * nv_rep
+                a_idx = tok_inv[name_start[pu][pair_rep] + i]
+                b_idx = tok_inv[name_start[pv][pair_rep] + j]
+                jq = np.floor(
+                    jaro_winkler_pairs(codes, lens, a_idx, b_idx) * 1e6 + 0.5
+                ).astype(np.int64)
+                # composite: max jq, ties -> smallest j (sorted tokens ->
+                # lexicographically smallest witness)
+                comp = (jq << _POS_BITS) | ((1 << _POS_BITS) - 1 - j)
+                ui_starts = np.flatnonzero(j == 0)
+                best = np.maximum.reduceat(comp, ui_starts)
+                qm = best >> _POS_BITS
+                jstar = (1 << _POS_BITS) - 1 - (best & ((1 << _POS_BITS) - 1))
+                p_of_ui = pair_rep[ui_starts]
+                a_of_ui = a_idx[ui_starts]
+                bstar = tok_inv[name_start[pv][p_of_ui] + jstar]
+                keep = qm > theta_q
+                contrib = np.zeros(len(ui_starts), dtype=np.int64)
+                contrib[keep] = (
+                    w_tok[a_of_ui[keep]] * w_tok[bstar[keep]] * qm[keep]
+                )
+                num = np.zeros(P, dtype=np.int64)
+                np.add.at(num, p_of_ui, contrib)
+                na2 = norm2[pu].astype(np.float64)
+                nb2 = norm2[pv].astype(np.float64)
+                ok = (na2 > 0) & (nb2 > 0)
+                soft[ok] = np.floor(
+                    num[ok] / (np.sqrt(na2[ok]) * np.sqrt(nb2[ok])) + 0.5
+                ).astype(np.int64)
+        return pa.table(
+            {"u": u, "v": v, "soft_uv_e6": soft}
+        ).cast(schema)
+
+    return pairs_ds.map_batches(soft_batch, batch_format="pyarrow")

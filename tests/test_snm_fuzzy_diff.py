@@ -269,3 +269,43 @@ def test_monge_elkan_query(ray_session):
     assert (
         df["me_u"] == (df["me_uv_u"] + df["me_vu_u"]) // 2
     ).all()
+
+
+def test_soft_tfidf_identical_names_score_full(ray_session):
+    import ray
+    import ray.data as rd
+
+    from opentapioca_ray.stages.fuzzy import soft_tfidf_scores
+
+    idf_ref = ray.put({"large": 2000, "widget": 1000, "bolt": 3000})
+    pairs = rd.from_items(
+        [
+            # identical token sets -> cosine of identical vectors at jw=1
+            {"u": 1, "v": 2, "nm_u": "large widget", "nm_v": "widget large"},
+            # disjoint, no close tokens -> 0
+            {"u": 3, "v": 4, "nm_u": "widget", "nm_v": "bolt"},
+        ]
+    )
+    out = (
+        soft_tfidf_scores(pairs, idf_ref)
+        .to_pandas()
+        .set_index("u")["soft_uv_e6"]
+    )
+    assert out.loc[1] == 1_000_000
+    assert out.loc[3] == 0
+
+
+def test_soft_tfidf_query(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    out = entry.queries()["soft_tfidf"]("/root/testdata/sf0.001")
+    df = out.to_pandas()
+    assert sorted(df.columns) == ["soft_uv_e6", "u", "v"]
+    assert len(df) > 100
+    assert df["soft_uv_e6"].between(0, 1_000_001).all()
+    # some window pairs share no close token (score 0), some do
+    assert (df["soft_uv_e6"] == 0).any()
+    assert (df["soft_uv_e6"] > 0).any()
