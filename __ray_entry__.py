@@ -3233,6 +3233,42 @@ def _q_soft_tfidf(sf_dir: str):
     return soft_tfidf_scores(pairs, idf_ref)
 
 
+def _q_pprl_dice(sf_dir: str):
+    """Privacy-preserving record linkage scoring (Schnell et al. 2009):
+    Bloom-filter encodings of `p_name || ' ' || p_type` character bigrams
+    (two md5-derived positions per bigram, 256 bits) compared by exact
+    integer Dice over the same window-blocked part pairs as
+    `monge_elkan`/`soft_tfidf` — the PPRL comparator that links records
+    without exposing raw identifiers (stages/fuzzy.bloom_dice_scores)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.fuzzy import bloom_dice_scores
+    from opentapioca_ray.stages.matching import key_window_pairs
+
+    part = _rel(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_name", "p_type", "p_brand"],
+    )
+
+    def add_nm(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "nm",
+            pc.binary_join_element_wise(
+                batch.column("p_name"), batch.column("p_type"), " "
+            ),
+        )
+
+    pairs = key_window_pairs(
+        part.map_batches(add_nm, batch_format="pyarrow"),
+        id_column="p_partkey",
+        block_column="p_brand",
+        window=50,
+        carry_columns=["nm"],
+    )
+    return bloom_dice_scores(pairs)
+
+
 def _q_fs_part_weights(sf_dir: str):
     """Fellegi-Sunter m/u agreement weights (Fellegi & Sunter 1969) over a
     deterministic labeled pair sample: within-brand part pairs with key
@@ -8855,6 +8891,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jw_part_pairs": _q_jw_part_pairs,
         "monge_elkan": _q_monge_elkan,
         "soft_tfidf": _q_soft_tfidf,
+        "pprl_dice": _q_pprl_dice,
         "fs_part_weights": _q_fs_part_weights,
         "top_customers": _q_top_customers,
         "events_by_type": _q_events_by_type,
@@ -10613,6 +10650,54 @@ def oracle_sql() -> dict[str, str]:
             JOIN norm2 nu ON nu.id = p.u
             JOIN norm2 nv ON nv.id = p.v
             LEFT JOIN contrib c ON c.u = p.u AND c.v = p.v
+        """,
+        "pprl_dice": """
+            WITH nm AS (
+              SELECT p_partkey AS id, p_name || ' ' || p_type AS nm, p_brand
+              FROM part
+            ),
+            bg AS (
+              SELECT DISTINCT id, g FROM (
+                SELECT id, substr(nm, CAST(t.i AS INTEGER), 2) AS g
+                FROM nm, unnest(range(1, length(nm))) AS t(i)
+              )
+            ),
+            pos AS MATERIALIZED (
+              SELECT DISTINCT id, p FROM (
+                SELECT id,
+                       CAST(('0x' || substr(md5(g), 1, 16))::UBIGINT % 256
+                            AS BIGINT) AS p
+                FROM bg
+                UNION ALL
+                SELECT id,
+                       CAST(('0x' || substr(md5(g), 17, 16))::UBIGINT % 256
+                            AS BIGINT) AS p
+                FROM bg
+              )
+            ),
+            sz AS (SELECT id, count(*) AS s FROM pos GROUP BY id),
+            pairs AS MATERIALIZED (
+              SELECT a.id AS u, b.id AS v
+              FROM nm a JOIN nm b
+                ON a.p_brand = b.p_brand
+               AND b.id > a.id AND b.id <= a.id + 50
+            ),
+            inter AS (
+              SELECT p.u, p.v, count(*) AS i
+              FROM pairs p
+              JOIN pos a ON a.id = p.u
+              JOIN pos b ON b.id = p.v AND b.p = a.p
+              GROUP BY p.u, p.v
+            )
+            SELECT p.u, p.v,
+                   CASE WHEN su.s + sv.s = 0 THEN 0
+                        ELSE CAST((2 * COALESCE(i.i, 0) * 1000000)
+                                  // (su.s + sv.s) AS BIGINT)
+                   END AS dice_e6
+            FROM pairs p
+            JOIN sz su ON su.id = p.u
+            JOIN sz sv ON sv.id = p.v
+            LEFT JOIN inter i ON i.u = p.u AND i.v = p.v
         """,
         "jw_part_pairs": """
             SELECT a.p_partkey AS u, b.p_partkey AS v,

@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "dl_supplier_pairs",
     "monge_elkan",
     "soft_tfidf",
+    "pprl_dice",
     "stable_assignment",
     "wl_refinement",
     "luby_mis",

@@ -639,3 +639,87 @@ def soft_tfidf_scores(
         ).cast(schema)
 
     return pairs_ds.map_batches(soft_batch, batch_format="pyarrow")
+
+
+def bloom_dice_scores(
+    pairs_ds,
+    left_column: str = "nm_u",
+    right_column: str = "nm_v",
+    m: int = 256,
+):
+    """Privacy-preserving record linkage comparator (Schnell, Bachteler &
+    Reiher 2009): each name encodes as a Bloom filter of its character
+    BIGRAMS (two md5-derived positions per bigram, `m` bits) and pairs
+    compare by the Dice coefficient of the bit SETS —
+    dice_e6 = (2 * |A&B| * 1e6) // (|A| + |B|), exact integer arithmetic.
+    The standard PPRL encoding: linkage quality degrades gracefully with
+    typos while the encodings reveal no raw identifiers.
+
+    Determinism/SQL parity: positions are the big-endian first and second
+    8 md5 digest bytes of each bigram mod `m` (the repo's md5_u64 /
+    second-half conventions), so DuckDB replays the exact bit sets.
+
+    Vectorization: positions are computed once per DISTINCT name (bigram
+    md5 is the cost center); per-pair intersections count adjacent
+    duplicates after ONE lexsort over tagged (pair, position) rows.
+    Streams per batch over an already-blocked pair table."""
+    import hashlib
+
+    schema = pa.schema(
+        [("u", pa.int64()), ("v", pa.int64()), ("dice_e6", pa.int64())]
+    )
+
+    def positions(name: str) -> np.ndarray:
+        grams = {name[i : i + 2] for i in range(len(name) - 1)}
+        ps = set()
+        for g in grams:
+            d = hashlib.md5(g.encode("utf-8")).digest()
+            ps.add(int.from_bytes(d[:8], "big") % m)
+            ps.add(int.from_bytes(d[8:16], "big") % m)
+        return np.array(sorted(ps), dtype=np.int64)
+
+    def dice_batch(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or left_column not in batch.column_names:
+            return schema.empty_table()
+        P = batch.num_rows
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        na = batch.column(left_column).to_numpy(zero_copy_only=False)
+        nb = batch.column(right_column).to_numpy(zero_copy_only=False)
+        uniq_names, inv = np.unique(
+            np.concatenate((na, nb)), return_inverse=True
+        )
+        pu, pv = inv[:P], inv[P:]
+        pos_sets = [positions(s) for s in uniq_names]
+        sz = np.array([len(p) for p in pos_sets], dtype=np.int64)
+        # tagged (pair, position) rows from both sides, one lexsort
+        cu, cv = sz[pu], sz[pv]
+        pair_u = np.repeat(np.arange(P), cu)
+        pair_v = np.repeat(np.arange(P), cv)
+        if len(pair_u) + len(pair_v):
+            pos_u = (
+                np.concatenate([pos_sets[i] for i in pu])
+                if cu.sum()
+                else np.zeros(0, dtype=np.int64)
+            )
+            pos_v = (
+                np.concatenate([pos_sets[i] for i in pv])
+                if cv.sum()
+                else np.zeros(0, dtype=np.int64)
+            )
+            pp = np.concatenate((pair_u, pair_v))
+            qq = np.concatenate((pos_u, pos_v))
+            o = np.lexsort((qq, pp))
+            pp, qq = pp[o], qq[o]
+            dup = (pp[1:] == pp[:-1]) & (qq[1:] == qq[:-1])
+            inter = np.zeros(P, dtype=np.int64)
+            np.add.at(inter, pp[1:][dup], 1)
+        else:
+            inter = np.zeros(P, dtype=np.int64)
+        tot = cu + cv
+        dice = np.zeros(P, dtype=np.int64)
+        nz = tot > 0
+        dice[nz] = (2 * inter[nz] * 1_000_000) // tot[nz]
+        return pa.table({"u": u, "v": v, "dice_e6": dice}).cast(schema)
+
+    return pairs_ds.map_batches(dice_batch, batch_format="pyarrow")

@@ -309,3 +309,35 @@ def test_soft_tfidf_query(ray_session):
     # some window pairs share no close token (score 0), some do
     assert (df["soft_uv_e6"] == 0).any()
     assert (df["soft_uv_e6"] > 0).any()
+
+
+def test_bloom_dice_identity_and_disjoint(ray_session):
+    import ray.data as rd
+
+    from opentapioca_ray.stages.fuzzy import bloom_dice_scores
+
+    pairs = rd.from_items(
+        [
+            {"u": 1, "v": 2, "nm_u": "large widget", "nm_v": "large widget"},
+            {"u": 3, "v": 4, "nm_u": "abcd", "nm_v": "wxyz"},
+            {"u": 5, "v": 6, "nm_u": "large widget", "nm_v": "large bolt"},
+        ]
+    )
+    out = (
+        bloom_dice_scores(pairs).to_pandas().set_index("u")["dice_e6"]
+    )
+    assert out.loc[1] == 1_000_000  # identical encodings
+    assert 0 <= out.loc[3] < 400_000  # disjoint grams: only md5 collisions
+    assert 0 < out.loc[5] < 1_000_000  # shared prefix: partial overlap
+
+
+def test_pprl_dice_query(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    df = entry.queries()["pprl_dice"]("/root/testdata/sf0.001").to_pandas()
+    assert sorted(df.columns) == ["dice_e6", "u", "v"]
+    assert len(df) > 100
+    assert df["dice_e6"].between(0, 1_000_000).all()
