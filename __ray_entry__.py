@@ -6950,6 +6950,176 @@ def _landmark_closeness_sql(rounds: int = 4) -> str:
     )
 
 
+def _q_stress_centrality(sf_dir: str):
+    """Bounded-radius stress centrality (Shimbel 1953) from the
+    `landmark_closeness` seed set (p_partkey % 397 == 0) over the same
+    quantity-1 co-purchase graph: per node, the exact-integer count of
+    shortest seed->t paths (t within 4 hops) passing through it —
+    sigma * (DAG-suffix count - 1) summed over seeds, the
+    betweenness-family measure that stays in int64 (no fractional
+    Brandes deltas), so the unrolled sigma/paths SQL chains replay it
+    bit-for-bit (stages/graphops.stress_centrality)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+    from opentapioca_ray.stages.graphops import stress_centrality
+
+    li = _rel(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity"],
+    )
+
+    def mk_edges(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+        if batch.num_rows == 0 or "l_partkey" not in batch.column_names:
+            return schema.empty_table()
+        t = batch.filter(
+            pc.equal(batch.column("l_quantity").cast(pa.int64()), 1)
+        )
+        return pa.table(
+            {
+                "u": pc.multiply(
+                    t.column("l_partkey").cast(pa.int64()),
+                    pa.scalar(2, pa.int64()),
+                ),
+                "v": pc.add(
+                    pc.multiply(
+                        t.column("l_suppkey").cast(pa.int64()),
+                        pa.scalar(2, pa.int64()),
+                    ),
+                    pa.scalar(1, pa.int64()),
+                ),
+            }
+        )
+
+    edges = coarse_groupby_agg(
+        li.map_batches(mk_edges, batch_format="pyarrow"),
+        ["u", "v"],
+        {"n": ("u", "size")},
+    ).map_batches(
+        lambda b: (
+            b.select(["u", "v"])
+            if b.num_rows and "u" in b.column_names
+            else pa.schema([("u", pa.int64()), ("v", pa.int64())]).empty_table()
+        ),
+        batch_format="pyarrow",
+    )
+
+    def mk_seeds(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("node", pa.int64())])
+        if batch.num_rows == 0 or "p_partkey" not in batch.column_names:
+            return schema.empty_table()
+        k = (
+            batch.column("p_partkey")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        return pa.table({"node": pa.array(2 * k[k % 397 == 0])}).cast(schema)
+
+    seeds = _rel(f"{sf_dir}/part.parquet", columns=["p_partkey"]).map_batches(
+        mk_seeds, batch_format="pyarrow"
+    )
+    out = stress_centrality(edges, seeds, rounds=4)
+    node = out.column("node").to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "entity": pa.array(
+                np.where(node % 2 == 0, "part", "supplier"), pa.string()
+            ),
+            "key": pa.array(node // 2),
+            "stress": out.column("stress"),
+        }
+    )
+
+
+def _stress_sql(rounds: int = 4) -> str:
+    """Unrolled per-landmark BFS levels + forward sigma + backward
+    DAG-suffix counts, all exact integers over `_landmark_closeness_sql`'s
+    graph and seeds."""
+    ctes = [
+        """sym AS MATERIALIZED (
+          SELECT u, v FROM (
+            SELECT DISTINCT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v
+            FROM lineitem WHERE l_quantity = 1)
+          UNION ALL
+          SELECT v, u FROM (
+            SELECT DISTINCT 2 * l_partkey AS u, 2 * l_suppkey + 1 AS v
+            FROM lineitem WHERE l_quantity = 1)
+        )""",
+        """d0 AS MATERIALIZED (
+          SELECT 2 * p_partkey AS lm, 2 * p_partkey AS node, 0 AS dist
+          FROM part WHERE p_partkey % 397 = 0
+        )""",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+              SELECT lm, node, min(dist) AS dist FROM (
+                SELECT lm, node, dist FROM d{r - 1}
+                UNION ALL
+                SELECT d.lm, e.v AS node, d.dist + 1 AS dist
+                FROM sym e JOIN d{r - 1} d ON d.node = e.u)
+              GROUP BY lm, node
+            )"""
+        )
+    ctes.append(f"dfin AS MATERIALIZED (SELECT * FROM d{rounds})")
+    ctes.append(
+        "s0 AS MATERIALIZED (SELECT lm, node, CAST(1 AS BIGINT) AS sg FROM d0)"
+    )
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""s{r} AS MATERIALIZED (
+              SELECT s.lm, e.v AS node, SUM(s.sg) AS sg
+              FROM sym e
+              JOIN s{r - 1} s ON s.node = e.u
+              JOIN dfin dv ON dv.lm = s.lm AND dv.node = e.v
+                          AND dv.dist = {r}
+              GROUP BY s.lm, e.v
+            )"""
+        )
+    ctes.append(
+        "sig AS MATERIALIZED ("
+        + " UNION ALL ".join(f"SELECT * FROM s{r}" for r in range(rounds + 1))
+        + ")"
+    )
+    ctes.append(
+        f"""p{rounds} AS MATERIALIZED (
+          SELECT lm, node, CAST(1 AS BIGINT) AS pt
+          FROM dfin WHERE dist = {rounds}
+        )"""
+    )
+    for r in range(rounds - 1, -1, -1):
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+              SELECT d.lm, d.node,
+                     CAST(1 + COALESCE(SUM(pw.pt), 0) AS BIGINT) AS pt
+              FROM dfin d
+              LEFT JOIN sym e ON e.u = d.node
+              LEFT JOIN p{r + 1} pw ON pw.lm = d.lm AND pw.node = e.v
+              WHERE d.dist = {r}
+              GROUP BY d.lm, d.node
+            )"""
+        )
+    ctes.append(
+        "pths AS MATERIALIZED ("
+        + " UNION ALL ".join(f"SELECT * FROM p{r}" for r in range(rounds + 1))
+        + ")"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+        SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS entity,
+               CAST(node // 2 AS BIGINT) AS key,
+               CAST(SUM(s.sg * (p.pt - 1)) AS BIGINT) AS stress
+        FROM sig s JOIN pths p USING (lm, node)
+        GROUP BY node
+    """
+    )
+
+
 def _q_bfs_hops(sf_dir: str):
     """Fixed-round BFS hop distances (6 rounds — the bounded-iteration
     contract of the 16-round PageRank / 12-round k-core) from the sampled
@@ -9022,6 +9192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_nodes": _q_kcore_nodes,
         "bfs_hops": _q_bfs_hops,
         "landmark_closeness": _q_landmark_closeness,
+        "stress_centrality": _q_stress_centrality,
         "weighted_paths": _q_weighted_paths,
         "cusum_alarms": _q_cusum_alarms,
         "ewma_user_value": _q_ewma_user_value,
@@ -12887,6 +13058,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "bfs_hops": _bfs_sql(rounds=6),
         "landmark_closeness": _landmark_closeness_sql(rounds=4),
+        "stress_centrality": _stress_sql(rounds=4),
         "weighted_paths": _sssp_sql(rounds=6),
         "cusum_alarms": """
             WITH e AS (

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "kcore_nodes",
     "bfs_hops",
     "landmark_closeness",
+    "stress_centrality",
     "score_auc",
     "split_leakage",
     "ab_value_ttest",

@@ -1359,3 +1359,246 @@ def multi_source_hops(
             .materialize()
         )
     return dist
+
+
+def stress_centrality(
+    edges,
+    seeds,
+    rounds: int = 4,
+    n_parts=None,
+):
+    """Bounded-radius stress centrality (Shimbel 1953; the exact-integer
+    member of the betweenness family): from each seed s, count the
+    shortest s->t paths (t within `rounds` hops) that pass through each
+    node v — mass_s(v) = sigma_s(v) * (paths_s(v) - 1), where sigma is
+    the forward shortest-path count and paths(v) = 1 + sum of paths(w)
+    over v's shortest-path-DAG successors counts the DAG suffixes from v
+    (every suffix endpoint is a valid t, so no fractional dependency
+    accumulation — unlike Brandes' betweenness deltas, every quantity
+    here is an exact int64 and the unrolled SQL twin replays it).
+    Returns (node, stress) = mass summed over seeds, reached nodes only.
+
+    Scale shape: ONE coarse exchange builds the adjacency; dist / sigma /
+    paths evolve as per-seed node-bounded driver state (the
+    MIS/WL/HITS convention) refreshed by one broadcast streaming pass per
+    level — 3 * `rounds` passes total, no per-level shuffle. Memory is
+    O(#seeds * #nodes) on the driver: landmark methods use O(1) seeds by
+    construction (Potamias et al. CIKM 2009), keeping this node-bounded."""
+    import ray
+
+    from .exchange import coarse_group_apply, default_n_parts
+
+    out_schema = pa.schema([("node", pa.int64()), ("stress", pa.int64())])
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return _EDGE_SCHEMA.empty_table()
+        u = batch.column("u").cast(pa.int64()).combine_chunks()
+        v = batch.column("v").cast(pa.int64()).combine_chunks()
+        return pa.table(
+            {"u": pa.concat_arrays([u, v]), "v": pa.concat_arrays([v, u])}
+        )
+
+    sym = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+    n_edges = sym.count()
+    if n_parts is None:
+        n_parts = max(4, min(default_n_parts(), n_edges // 8192 + 1))
+    adj = coarse_group_apply(
+        sym, "u", lambda df: df, n_parts=n_parts, batch_format="pandas"
+    ).materialize()
+
+    def nodes_of(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.schema([("node", pa.int64())]).empty_table()
+        return pa.table(
+            {
+                "node": pa.array(
+                    np.unique(
+                        batch.column("u").to_numpy(zero_copy_only=False)
+                    ).astype(np.int64)
+                )
+            }
+        )
+
+    tabs = [
+        ray.get(r)
+        for r in adj.map_batches(nodes_of, batch_format="pyarrow").to_arrow_refs()
+    ]
+    tabs = [t for t in tabs if t.num_rows and "node" in t.column_names]
+
+    seed_tabs = [
+        ray.get(r)
+        for r in seeds.map_batches(
+            lambda b: b.select(["node"])
+            if b.num_rows and "node" in b.column_names
+            else pa.schema([("node", pa.int64())]).empty_table(),
+            batch_format="pyarrow",
+        ).to_arrow_refs()
+    ]
+    lms = np.unique(
+        np.concatenate(
+            [
+                t.column("node").to_numpy(zero_copy_only=False)
+                for t in seed_tabs
+                if t.num_rows
+            ]
+            or [np.zeros(0, dtype=np.int64)]
+        )
+    ).astype(np.int64)
+    # isolated seeds (no edges) stay in the universe: they are reached at
+    # dist 0 and report stress 0, matching the SQL twin's d0 rows
+    nodes = np.unique(
+        np.concatenate(
+            [t.column("node").to_numpy(zero_copy_only=False) for t in tabs]
+            + [lms]
+        )
+    ).astype(np.int64)
+    K, N = len(lms), len(nodes)
+    if K == 0:
+        return out_schema.empty_table()
+
+    BIG = np.int64(1 << 62)
+    dist = np.full((K, N), BIG, dtype=np.int64)
+    dist[np.arange(K), np.searchsorted(nodes, lms)] = 0
+
+    def level_pass(make_messages):
+        """One streaming adjacency pass; merge (k, node_pos, val) partials."""
+        tabs = [
+            ray.get(r)
+            for r in adj.map_batches(
+                make_messages, batch_format="pyarrow"
+            ).to_arrow_refs()
+        ]
+        return [t for t in tabs if t.num_rows and "k" in t.column_names]
+
+    msg_schema = pa.schema(
+        [("k", pa.int64()), ("p", pa.int64()), ("val", pa.int64())]
+    )
+
+    # ---- forward BFS levels
+    for lvl in range(1, rounds + 1):
+        state = ray.put((nodes, dist, lvl))
+
+        def frontier(batch: pa.Table, _ref=state) -> pa.Table:
+            if batch.num_rows == 0 or "u" not in batch.column_names:
+                return msg_schema.empty_table()
+            nd, d, l = ray.get(_ref)
+            su = np.searchsorted(nd, batch.column("u").to_numpy(zero_copy_only=False))
+            sv = np.searchsorted(nd, batch.column("v").to_numpy(zero_copy_only=False))
+            ks, ps = [], []
+            for k in range(d.shape[0]):
+                hit = (d[k, su] == l - 1) & (d[k, sv] >= l)
+                if hit.any():
+                    tgt = np.unique(sv[hit])
+                    ks.append(np.full(len(tgt), k, dtype=np.int64))
+                    ps.append(tgt.astype(np.int64))
+            if not ks:
+                return msg_schema.empty_table()
+            kk = np.concatenate(ks)
+            return pa.table(
+                {
+                    "k": pa.array(kk),
+                    "p": pa.array(np.concatenate(ps)),
+                    "val": pa.array(np.full(len(kk), lvl, dtype=np.int64)),
+                }
+            )
+
+        for t in level_pass(frontier):
+            kk = t.column("k").to_numpy(zero_copy_only=False)
+            pp = t.column("p").to_numpy(zero_copy_only=False)
+            np.minimum.at(dist, (kk, pp), np.int64(lvl))
+
+    # ---- forward sigma by level
+    sigma = np.zeros((K, N), dtype=np.int64)
+    sigma[np.arange(K), np.searchsorted(nodes, lms)] = 1
+    for lvl in range(1, rounds + 1):
+        state = ray.put((nodes, dist, sigma, lvl))
+
+        def sig_msgs(batch: pa.Table, _ref=state) -> pa.Table:
+            if batch.num_rows == 0 or "u" not in batch.column_names:
+                return msg_schema.empty_table()
+            nd, d, sg, l = ray.get(_ref)
+            su = np.searchsorted(nd, batch.column("u").to_numpy(zero_copy_only=False))
+            sv = np.searchsorted(nd, batch.column("v").to_numpy(zero_copy_only=False))
+            ks, ps, vals = [], [], []
+            for k in range(d.shape[0]):
+                hit = (d[k, su] == l - 1) & (d[k, sv] == l)
+                if not hit.any():
+                    continue
+                tgt, contrib = sv[hit], sg[k, su[hit]]
+                o = np.argsort(tgt, kind="stable")
+                tgt, contrib = tgt[o], contrib[o]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], tgt[1:] != tgt[:-1]))
+                )
+                ks.append(np.full(len(starts), k, dtype=np.int64))
+                ps.append(tgt[starts].astype(np.int64))
+                vals.append(np.add.reduceat(contrib, starts))
+            if not ks:
+                return msg_schema.empty_table()
+            return pa.table(
+                {
+                    "k": pa.array(np.concatenate(ks)),
+                    "p": pa.array(np.concatenate(ps)),
+                    "val": pa.array(np.concatenate(vals)),
+                }
+            )
+
+        for t in level_pass(sig_msgs):
+            kk = t.column("k").to_numpy(zero_copy_only=False)
+            pp = t.column("p").to_numpy(zero_copy_only=False)
+            vv = t.column("val").to_numpy(zero_copy_only=False)
+            np.add.at(sigma, (kk, pp), vv)
+
+    # ---- backward DAG suffix counts
+    paths = np.where(dist < BIG, np.int64(1), np.int64(0))
+    for lvl in range(rounds - 1, -1, -1):
+        state = ray.put((nodes, dist, paths, lvl))
+
+        def path_msgs(batch: pa.Table, _ref=state) -> pa.Table:
+            if batch.num_rows == 0 or "u" not in batch.column_names:
+                return msg_schema.empty_table()
+            nd, d, pth, l = ray.get(_ref)
+            su = np.searchsorted(nd, batch.column("u").to_numpy(zero_copy_only=False))
+            sv = np.searchsorted(nd, batch.column("v").to_numpy(zero_copy_only=False))
+            ks, ps, vals = [], [], []
+            for k in range(d.shape[0]):
+                hit = (d[k, su] == l) & (d[k, sv] == l + 1)
+                if not hit.any():
+                    continue
+                tgt, contrib = su[hit], pth[k, sv[hit]]
+                o = np.argsort(tgt, kind="stable")
+                tgt, contrib = tgt[o], contrib[o]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], tgt[1:] != tgt[:-1]))
+                )
+                ks.append(np.full(len(starts), k, dtype=np.int64))
+                ps.append(tgt[starts].astype(np.int64))
+                vals.append(np.add.reduceat(contrib, starts))
+            if not ks:
+                return msg_schema.empty_table()
+            return pa.table(
+                {
+                    "k": pa.array(np.concatenate(ks)),
+                    "p": pa.array(np.concatenate(ps)),
+                    "val": pa.array(np.concatenate(vals)),
+                }
+            )
+
+        for t in level_pass(path_msgs):
+            kk = t.column("k").to_numpy(zero_copy_only=False)
+            pp = t.column("p").to_numpy(zero_copy_only=False)
+            vv = t.column("val").to_numpy(zero_copy_only=False)
+            np.add.at(paths, (kk, pp), vv)
+
+    mass = sigma * np.maximum(paths - 1, 0)
+    stress = mass.sum(axis=0)
+    # reached-but-leaf nodes have mass 0; report every REACHED node so the
+    # output is a function of the radius, not of which masses are zero
+    reached = (dist < BIG).any(axis=0)
+    return pa.table(
+        {
+            "node": pa.array(nodes[reached]),
+            "stress": pa.array(stress[reached]),
+        }
+    ).cast(out_schema)

@@ -105,3 +105,52 @@ def test_landmark_closeness_query(ray_session):
     # has n_lm == 1 and closeness is one exact reciprocal term
     assert (out["n_lm"] == 1).all()
     assert out["closeness_u"].isin([1_000_000, 500_000, 333_333, 250_000]).all()
+
+
+def test_stress_centrality_path_graph(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from opentapioca_ray.stages.graphops import stress_centrality
+
+    # path 1-2-3-4-5, seed 1, radius 4: sigma=1 everywhere,
+    # paths(v) = nodes downstream + 1 -> stress(v) = #paths through v
+    edges = ray.data.from_arrow(
+        pa.table({"u": [1, 2, 3, 4], "v": [2, 3, 4, 5]})
+    )
+    seeds = ray.data.from_arrow(pa.table({"node": [1]}))
+    out = (
+        stress_centrality(edges, seeds, rounds=4)
+        .to_pandas()
+        .set_index("node")["stress"]
+        .to_dict()
+    )
+    # paths: 5->1, 4->2, 3->3, 2->4, 1->5; stress = sigma*(paths-1)
+    assert out == {1: 4, 2: 3, 3: 2, 4: 1, 5: 0}
+
+    # diamond 1-2-4, 1-3-4: sigma(4)=2; through-2 paths: 2 itself + (2,4)
+    edges2 = ray.data.from_arrow(
+        pa.table({"u": [1, 1, 2, 3], "v": [2, 3, 4, 4]})
+    )
+    out2 = (
+        stress_centrality(edges2, ray.data.from_arrow(pa.table({"node": [1]})), rounds=4)
+        .to_pandas()
+        .set_index("node")["stress"]
+        .to_dict()
+    )
+    # paths(4)=1, paths(2)=paths(3)=2, paths(1)=5
+    # stress: 1: 1*(5-1)=4; 2: 1*(2-1)=1; 3: 1; 4: 2*(1-1)=0
+    assert out2 == {1: 4, 2: 1, 3: 1, 4: 0}
+
+
+def test_stress_centrality_isolated_seed(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from opentapioca_ray.stages.graphops import stress_centrality
+
+    edges = ray.data.from_arrow(pa.table({"u": [1], "v": [2]}))
+    seeds = ray.data.from_arrow(pa.table({"node": [99]}))
+    out = stress_centrality(edges, seeds, rounds=2).to_pandas()
+    assert out["node"].tolist() == [99]
+    assert out["stress"].tolist() == [0]
