@@ -4554,6 +4554,59 @@ def _q_token_budget_selection(sf_dir: str):
     )
 
 
+def _q_temperature_mix(sf_dir: str):
+    """Temperature-scaled corpus mixing (the multilingual-sampling
+    formula of XLM-R / the Pile: sample weight ∝ mass^alpha, alpha=0.3
+    — upweights small sources without drowning large ones; contrast with
+    `token_apportionment`'s purely proportional Hamilton quotas). Per
+    source: exact token mass, the quantized temperature weight
+    t_u = floor(n^0.3 * 1e6 + 0.5), and the sampling probability in ppm
+    by integer division against the exact weight total — only the pow()
+    is float, quantized per SOURCE before the sum (the repo's float-sum
+    rule)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.textstats import whitespace_token_lists
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    docs = _docs(sf_dir).select_columns(["source", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("source", pa.string()), ("n", pa.int64())])
+        if batch.num_rows == 0 or "text" not in batch.column_names:
+            return schema.empty_table()
+        toks = whitespace_token_lists(batch, "text")
+        offs = toks.offsets.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "source": batch.column("source"),
+                "n": pa.array((offs[1:] - offs[:-1]).astype(np.int64)),
+            }
+        ).cast(schema)
+
+    per_source = coarse_groupby_agg(
+        docs.map_batches(counts, batch_format="pyarrow"),
+        ["source"],
+        {"n_tokens": ("n", "sum")},
+    ).to_pandas()  # one row per source: tiny by construction
+    per_source = per_source.sort_values("source").reset_index(drop=True)
+    n = per_source["n_tokens"].to_numpy(dtype=np.float64)
+    t_u = np.floor(np.power(n, 0.3) * 1e6 + 0.5).astype(np.int64)
+    total = int(t_u.sum())
+    p_ppm = (t_u * 1_000_000) // total if total else np.zeros_like(t_u)
+    return pa.table(
+        {
+            "source": pa.array(per_source["source"], pa.string()),
+            "n_tokens": pa.array(
+                per_source["n_tokens"].to_numpy(dtype=np.int64)
+            ),
+            "t_u": pa.array(t_u),
+            "p_ppm": pa.array(p_ppm.astype(np.int64)),
+        }
+    )
+
+
 def _q_source_quality_filter(sf_dir: str):
     """Two-pass source-level filter (the C4/RefinedWeb 'drop weak domains'
     shape): per-source token totals via the combiner aggregate, the global
@@ -9216,6 +9269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_transform": _q_quantile_transform,
         "trailing_window_sum": _q_trailing_window_sum,
         "token_apportionment": _q_token_apportionment,
+        "temperature_mix": _q_temperature_mix,
         "hourly_locf": _q_hourly_locf,
         "kendall_tau": _q_kendall_tau,
         "window_distinct_users": _q_window_distinct_users,
@@ -13271,6 +13325,24 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             ) e ON e.user_id = g.user_id AND e.ts <= g.h
             GROUP BY g.user_id, g.h
+        """,
+        "temperature_mix": """
+            WITH c AS (
+              SELECT source,
+                     CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                              ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                              END) AS BIGINT) AS n_tokens
+              FROM documents GROUP BY source
+            ), t AS (
+              SELECT source, n_tokens,
+                     CAST(floor(pow(CAST(n_tokens AS DOUBLE), 0.3)
+                                * 1000000.0 + 0.5) AS BIGINT) AS t_u
+              FROM c
+            )
+            SELECT source, n_tokens, t_u,
+                   CAST(t_u * 1000000 // (SELECT sum(t_u) FROM t)
+                        AS BIGINT) AS p_ppm
+            FROM t
         """,
         "token_apportionment": """
             WITH c AS (

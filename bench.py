@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "quantile_transform",
     "trailing_window_sum",
     "token_apportionment",
+    "temperature_mix",
     "hourly_locf",
     "kendall_tau",
     "window_distinct_users",

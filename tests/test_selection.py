@@ -228,3 +228,28 @@ def test_corpus_prep_composition_invariants(ray_session):
             "FROM documents"
         ).fetchone()[0]
     )
+
+
+def test_temperature_mix_query(ray_session):
+    import sys
+
+    import numpy as np
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    out = entry.queries()["temperature_mix"]("/root/testdata/sf0.001").to_pandas()
+    assert sorted(out.columns) == ["n_tokens", "p_ppm", "source", "t_u"]
+    assert len(out) > 1
+    # probabilities sum to <= 1e6 (floor division) and within one source of it
+    assert 1_000_000 - len(out) <= out["p_ppm"].sum() <= 1_000_000
+    # temperature flattens: every source's share sits between uniform and
+    # proportional only on the heavy side; at minimum the ordering is
+    # preserved while ratios compress
+    o = out.sort_values("n_tokens").reset_index(drop=True)
+    assert (np.diff(o["t_u"]) >= 0).all()
+    big, small = o.iloc[-1], o.iloc[0]
+    if small["n_tokens"] > 0 and big["n_tokens"] > small["n_tokens"]:
+        ratio_mass = big["n_tokens"] / small["n_tokens"]
+        ratio_prob = big["p_ppm"] / max(small["p_ppm"], 1)
+        assert ratio_prob < ratio_mass  # compression is the point
