@@ -4249,6 +4249,135 @@ def _q_lm_scores(sf_dir: str):
     return unigram_lm_scores(docs, "doc_id", "text")
 
 
+def _q_ccnet_buckets(sf_dir: str):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    language, rank documents by exact per-token unigram LM score
+    (trunc-div of the integer sum — DuckDB's `//` truncates toward zero,
+    replayed exactly) and split into head/middle/tail rank terciles
+    (bucket = ((rank-1)*3)//n, the NTILE formula); report each bucket's
+    doc count and token mass — the standard quality-stratified corpus
+    partition fed to LLM pretraining mixes. Exact global per-lang ranks
+    come from the sampled-boundary `global_rank` over a composite
+    lang#inverted-score key (the snm_pairs machinery)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+    from opentapioca_ray.stages.lm import unigram_lm_scores
+    from opentapioca_ray.stages.relational import shuffle_join
+    from opentapioca_ray.stages.snm import global_rank
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    ).materialize()
+    # doc-count-sized exchanges: default P pays 128 task launches per
+    # stage on a row-per-doc table (the LPA/BPE auto-size lesson)
+    np_docs = max(4, docs.count() // 65_536 + 1)
+    scored = unigram_lm_scores(
+        docs.select_columns(["doc_id", "text"]), "doc_id", "text"
+    )
+    with_lang = shuffle_join(
+        scored,
+        docs.select_columns(["doc_id", "lang"]),
+        "doc_id",
+        "doc_id",
+        ["lang"],
+        n_parts=np_docs,
+    ).materialize()  # consumed by the key pass, the lang counts AND the final join
+
+    def key_rows(b: pa.Table) -> pa.Table:
+        schema = pa.schema([("doc_id", pa.int64()), ("k", pa.string())])
+        if b.num_rows == 0 or "sum_lp_e6" not in b.column_names:
+            return schema.empty_table()
+        s = b.column("sum_lp_e6").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        # DuckDB `//` truncates toward zero; numpy floors — match trunc
+        q = np.where(s >= 0, s // n, -((-s) // n))
+        inv = 10_000_000_000_000 - q  # ascending key = per-token score DESC
+        lang = b.column("lang").to_numpy(zero_copy_only=False)
+        keys = [f"{lg}#{iv:014d}" for lg, iv in zip(lang, inv)]
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "k": pa.array(keys, pa.string()),
+            }
+        ).cast(schema)
+
+    ranked = global_rank(
+        with_lang.map_batches(key_rows, batch_format="pyarrow"), "k", "doc_id"
+    )
+    # per-lang offsets/sizes: lang cardinality is tiny by construction
+    lc = coarse_groupby_agg(
+        with_lang.select_columns(["lang"]), ["lang"], {"n": ("lang", "size")},
+        n_parts=np_docs,
+    ).to_pandas().sort_values("lang").reset_index(drop=True)
+    sizes = dict(zip(lc["lang"], lc["n"].astype(np.int64)))
+    offs = dict(
+        zip(lc["lang"], np.concatenate(([0], np.cumsum(lc["n"].to_numpy())[:-1])))
+    )
+    state = ray.put((offs, sizes))
+
+    joined = shuffle_join(
+        with_lang, ranked, "doc_id", "doc_id", ["rn"], n_parts=np_docs
+    )
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("lang", pa.string()),
+                ("bucket", pa.int64()),
+                ("n_tokens", pa.int64()),
+            ]
+        )
+        if b.num_rows == 0 or "rn" not in b.column_names:
+            return schema.empty_table()
+        o, sz = ray.get(state)
+        lang = b.column("lang").to_numpy(zero_copy_only=False)
+        rn = b.column("rn").to_numpy(zero_copy_only=False).astype(np.int64)
+        off = np.array([o[lg] for lg in lang], dtype=np.int64)
+        n = np.array([sz[lg] for lg in lang], dtype=np.int64)
+        rank = rn - off
+        bucket = ((rank - 1) * 3) // n
+        return pa.table(
+            {
+                "lang": b.column("lang"),
+                "bucket": pa.array(bucket),
+                "n_tokens": b.column("n_tokens").cast(pa.int64()),
+            }
+        ).cast(schema)
+
+    out = coarse_groupby_agg(
+        joined.map_batches(bucketize, batch_format="pyarrow"),
+        ["lang", "bucket"],
+        {"n_docs": ("n_tokens", "size"), "tokens": ("n_tokens", "sum")},
+        n_parts=np_docs,
+    )
+    return out.map_batches(
+        lambda b: (
+            pa.table(
+                {
+                    "lang": b.column("lang"),
+                    "bucket": b.column("bucket").cast(pa.int64()),
+                    "n_docs": b.column("n_docs").cast(pa.int64()),
+                    "tokens": b.column("tokens").cast(pa.int64()),
+                }
+            )
+            if b.num_rows and "lang" in b.column_names
+            else pa.schema(
+                [
+                    ("lang", pa.string()),
+                    ("bucket", pa.int64()),
+                    ("n_docs", pa.int64()),
+                    ("tokens", pa.int64()),
+                ]
+            ).empty_table()
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_repetition_stats(sf_dir: str):
     """Gopher-style repetition signals per doc (top-bigram count, duplicate
     trigram tokens) as exact integers; stateless vectorized kernel."""
@@ -9152,6 +9281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": _q_top_docs_per_lang,
         "doc_chunks": _q_doc_chunks,
         "lm_scores": _q_lm_scores,
+        "ccnet_buckets": _q_ccnet_buckets,
         "repetition_stats": _q_repetition_stats,
         "funnel": _q_funnel,
         "customers_no_urgent": _q_customers_no_urgent,
@@ -11326,6 +11456,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*) AS n_tokens,
                    CAST(sum(lp_e6) AS BIGINT) AS sum_lp_e6
             FROM tok JOIN lp USING (w) GROUP BY doc_id
+        """,
+        "ccnet_buckets": r"""
+            WITH ws AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+              FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(arr) AS w FROM ws),
+            cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+            tot AS (SELECT sum(c)::DOUBLE AS t FROM cnt),
+            lp AS (
+              SELECT w, CAST(round(ln(c::DOUBLE / t) * 1000000) AS BIGINT)
+                       AS lp_e6
+              FROM cnt, tot
+            ),
+            sc AS (
+              SELECT doc_id, count(*) AS n_tokens,
+                     CAST(sum(lp_e6) AS BIGINT) AS s
+              FROM tok JOIN lp USING (w) GROUP BY doc_id
+            ),
+            j AS (
+              SELECT sc.doc_id, sc.n_tokens, sc.s // sc.n_tokens AS q, d.lang
+              FROM sc JOIN documents d USING (doc_id)
+            ),
+            r AS (
+              SELECT lang, n_tokens,
+                     row_number() OVER (
+                       PARTITION BY lang ORDER BY q DESC, doc_id) AS rk,
+                     count(*) OVER (PARTITION BY lang) AS n
+              FROM j
+            )
+            SELECT lang, CAST(((rk - 1) * 3) // n AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS tokens
+            FROM r GROUP BY lang, bucket
         """,
         "repetition_stats": r"""
             WITH ws AS (

@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "trailing_window_sum",
     "token_apportionment",
     "temperature_mix",
+    "ccnet_buckets",
     "hourly_locf",
     "kendall_tau",
     "window_distinct_users",

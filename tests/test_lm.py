@@ -64,3 +64,23 @@ def test_scores_deterministic_across_block_layouts(ray_session):
         "doc_id", "text",
     ).to_pandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_ccnet_buckets_query(ray_session):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entry
+
+    df = entry.queries()["ccnet_buckets"]("/root/testdata/sf0.001").to_pandas()
+    assert sorted(df.columns) == ["bucket", "lang", "n_docs", "tokens"]
+    assert set(df["bucket"]).issubset({0, 1, 2})
+    # every language with >= 3 docs fills all three buckets, terciles
+    # differ by at most one doc
+    for lang, g in df.groupby("lang"):
+        n = g["n_docs"].sum()
+        if n >= 3:
+            assert set(g["bucket"]) == {0, 1, 2}
+            assert g["n_docs"].max() - g["n_docs"].min() <= 1
+    # bucket doc totals cover every scored (non-empty) document
+    assert df["n_docs"].sum() > 400
