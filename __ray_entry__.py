@@ -6046,6 +6046,23 @@ def _q_profile_orders(sf_dir: str):
     return profile_columns(orders, cols)
 
 
+def _q_shared_spans(sf_dir: str):
+    """ExactSubstr-style sub-document dedup: every maximal cross-document
+    shared token span of >= 8 tokens, recovered as diagonal runs of
+    matching positional 8-grams (two coarse exchanges: gram hash, then
+    pair hash). Hot grams (> 64 occurrences) excluded on both sides."""
+    from opentapioca_ray.stages.spans import shared_spans
+
+    return shared_spans(
+        _docs(sf_dir),
+        id_column="doc_id",
+        text_column="text",
+        k=8,
+        min_tokens=8,
+        df_cap=64,
+    )
+
+
 def _q_ngram_containment(sf_dir: str):
     """Near-subset duplication: overlap coefficient >= 0.8 over distinct
     word-3-gram sets (catches boilerplate inclusion Jaccard misses)."""
@@ -9200,6 +9217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank": _q_pagerank,
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "shared_spans": _q_shared_spans,
         "set_sim_join": _q_set_sim_join,
         "fellegi_sunter": _q_fellegi_sunter,
         "fs_clusters": _q_fs_clusters,
@@ -9951,6 +9969,46 @@ def oracle_sql() -> dict[str, str]:
               JOIN grams gb ON gb.doc_id = cand.v
             )
             SELECT u, v, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5
+        """,
+        "shared_spans": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            pg AS (
+              SELECT doc_id, unnest(range(1, len(arr) - 6)) AS p, arr
+              FROM toks WHERE len(arr) >= 8
+            ),
+            g AS (
+              SELECT doc_id, CAST(p AS BIGINT) AS p,
+                     array_to_string(arr[p : p + 7], ' ') AS gram
+              FROM pg
+            ),
+            kept AS (
+              SELECT gram FROM g GROUP BY gram HAVING count(*) <= 64
+            ),
+            m AS (
+              SELECT a.doc_id AS u, b.doc_id AS v, a.p AS pa, b.p AS pb
+              FROM g a
+              JOIN kept kk ON kk.gram = a.gram
+              JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            ),
+            isl AS (
+              SELECT u, v, pa, pb, pa - pb AS diag,
+                pa - row_number() OVER (
+                  PARTITION BY u, v, pa - pb ORDER BY pa) AS grp
+              FROM m
+            )
+            SELECT u, v,
+                   CAST(min(pa) - 1 AS BIGINT) AS u_start,
+                   CAST(min(pb) - 1 AS BIGINT) AS v_start,
+                   CAST(count(*) + 7 AS BIGINT) AS n_tokens
+            FROM isl GROUP BY u, v, diag, grp
         """,
         "set_sim_join": f"""
             WITH toks AS (
