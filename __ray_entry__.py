@@ -6748,6 +6748,16 @@ def _q_two_hop_candidates(sf_dir: str):
     return two_hop_pairs(_q_fuzzy_customer_pairs(sf_dir))
 
 
+def _q_link_prediction(sf_dir: str):
+    """Link-prediction scores over the fuzzy match graph: every
+    non-adjacent pair with a common neighbor gets its common-neighbor
+    count, endpoint degrees, and neighborhood Jaccard in exact integer
+    millionths (Liben-Nowell & Kleinberg predictors; all-int64)."""
+    from opentapioca_ray.stages.graphops import link_prediction
+
+    return link_prediction(_q_fuzzy_customer_pairs(sf_dir))
+
+
 def _q_sparsify_fuzzy(sf_dir: str):
     """Degree-capped sparsification of the fuzzy match graph: each node
     nominates its 2 lowest-distance edges; an edge survives if either
@@ -9381,6 +9391,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_event_per_day": _q_first_event_per_day,
         "hot_keys": _q_hot_keys,
         "two_hop_candidates": _q_two_hop_candidates,
+        "link_prediction": _q_link_prediction,
         "sparsify_fuzzy": _q_sparsify_fuzzy,
         "event_user_entropy": _q_event_user_entropy,
         "hll_distinct_users": _q_hll_distinct_users,
@@ -11982,6 +11993,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.u, c.v, CAST(c.n_mids AS BIGINT) AS n_mids
             FROM cand c LEFT JOIN p ON p.u = c.u AND p.v = c.v
             WHERE p.u IS NULL
+        """,
+        "link_prediction": """
+            WITH p AS (
+              SELECT a.c_custkey AS u, b.c_custkey AS v
+              FROM customer a JOIN customer b
+                ON a.c_nationkey = b.c_nationkey
+               AND a.c_custkey < b.c_custkey
+              WHERE levenshtein(a.c_name, b.c_name) <= 2
+            ), sym AS (
+              SELECT u AS a, v AS b FROM p
+              UNION ALL
+              SELECT v AS a, u AS b FROM p
+            ), deg AS (
+              SELECT a AS node, count(*) AS d FROM sym GROUP BY a
+            ), cand AS (
+              SELECT s1.b AS u, s2.b AS v, count(*) AS cn
+              FROM sym s1 JOIN sym s2
+                ON s1.a = s2.a AND s1.b < s2.b
+              GROUP BY s1.b, s2.b
+            ), nonadj AS (
+              SELECT c.u, c.v, c.cn
+              FROM cand c LEFT JOIN p ON p.u = c.u AND p.v = c.v
+              WHERE p.u IS NULL
+            )
+            SELECT n.u, n.v, CAST(n.cn AS BIGINT) AS cn,
+                   CAST(da.d AS BIGINT) AS du, CAST(db.d AS BIGINT) AS dv,
+                   CAST((n.cn * 1000000) // (da.d + db.d - n.cn) AS BIGINT)
+                     AS jaccard_e6
+            FROM nonadj n
+            JOIN deg da ON da.node = n.u
+            JOIN deg db ON db.node = n.v
         """,
         "sparsify_fuzzy": """
             WITH p AS (

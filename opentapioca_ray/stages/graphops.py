@@ -1602,3 +1602,90 @@ def stress_centrality(
             "stress": pa.array(stress[reached]),
         }
     ).cast(out_schema)
+
+
+def link_prediction(pairs_ds, max_degree: int = 1024, n_parts: int | None = None):
+    """Link-prediction scores for every non-adjacent node pair with >= 1
+    common neighbor: (u, v, cn, du, dv, jaccard_e6) — the common-neighbor
+    count, both endpoint degrees, and the neighborhood-Jaccard score
+    cn / (du + dv - cn) in EXACT integer millionths (Liben-Nowell &
+    Kleinberg's common-neighbors / Jaccard predictors, the standard
+    second-round candidate rankers when blocking recall is suspect).
+
+    Shape: `two_hop_pairs` (one middle-keyed exchange + one slim pair
+    merge, hubs above `max_degree` skipped as middles) + a degree roll-up
+    + two reduce-side lookup exchanges attaching endpoint degrees (the
+    `_attach_node_stats` shape shared with metablocking /
+    degree_assortativity). All arithmetic is int64; no floats anywhere."""
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg, right_size
+    from opentapioca_ray.stages.metablocking import _attach_node_stats
+
+    pairs_ds = pairs_ds.materialize()  # consumed by cands AND degrees
+    cands = two_hop_pairs(pairs_ds, max_degree=max_degree, n_parts=n_parts)
+    sym = _symmetrize(pairs_ds)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return pa.schema([("node", pa.int64())]).empty_table()
+        return pa.table({"node": batch.column("a").cast(pa.int64())})
+
+    deg_schema = pa.schema([("node", pa.int64()), ("s", pa.int64()), ("d", pa.int64())])
+    deg = coarse_groupby_agg(
+        sym.map_batches(explode, batch_format="pyarrow"),
+        ["node"],
+        {"d": ("node", "size")},
+        n_parts=n_parts,
+    ).map_batches(
+        lambda b: (
+            pa.table(
+                {
+                    "node": b.column("node").cast(pa.int64()),
+                    "s": b.column("d").cast(pa.int64()),
+                    "d": b.column("d").cast(pa.int64()),
+                }
+            )
+            if b.num_rows and "node" in b.column_names
+            else deg_schema.empty_table()
+        ),
+        batch_format="pyarrow",
+    )
+    deg = right_size(deg.materialize())
+
+    with_u = _attach_node_stats(
+        cands, deg, "u", ["u", "v", "n_mids"], "du", "_du2", n_parts
+    )
+    both = _attach_node_stats(
+        with_u, deg, "v", ["u", "v", "n_mids", "du", "_du2"], "dv", "_dv2", n_parts
+    )
+    out_schema = pa.schema(
+        [
+            ("u", pa.int64()),
+            ("v", pa.int64()),
+            ("cn", pa.int64()),
+            ("du", pa.int64()),
+            ("dv", pa.int64()),
+            ("jaccard_e6", pa.int64()),
+        ]
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "n_mids" not in batch.column_names:
+            return out_schema.empty_table()
+        cn = batch.column("n_mids").to_numpy(zero_copy_only=False).astype(np.int64)
+        du = batch.column("du").to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = batch.column("dv").to_numpy(zero_copy_only=False).astype(np.int64)
+        union = du + dv - cn  # >= 1 whenever cn >= 1
+        return pa.table(
+            {
+                "u": pc.cast(batch.column("u"), pa.int64()),
+                "v": pc.cast(batch.column("v"), pa.int64()),
+                "cn": pa.array(cn),
+                "du": pa.array(du),
+                "dv": pa.array(dv),
+                "jaccard_e6": pa.array(cn * 1_000_000 // union),
+            }
+        )
+
+    return both.map_batches(score, batch_format="pyarrow")

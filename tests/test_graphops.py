@@ -154,3 +154,33 @@ def test_stress_centrality_isolated_seed(ray_session):
     out = stress_centrality(edges, seeds, rounds=2).to_pandas()
     assert out["node"].tolist() == [99]
     assert out["stress"].tolist() == [0]
+
+
+def test_link_prediction_path_and_triangle(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from opentapioca_ray.stages.graphops import link_prediction
+
+    # path 1-2-3: the only non-adjacent pair is (1,3) with Jaccard 1/1
+    edges = ray.data.from_arrow(pa.table({"u": [1, 2], "v": [2, 3]}))
+    out = link_prediction(edges).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.u, r.v, r.cn, r.du, r.dv, r.jaccard_e6) == (1, 3, 1, 1, 1, 1_000_000)
+
+    # triangle 1-2-3 plus pendant 3-4: (1,4) and (2,4) via middle 3,
+    # Jaccard 1/(2+1-1) = 0.5; adjacent pairs never appear
+    edges = ray.data.from_arrow(
+        pa.table({"u": [1, 2, 1, 3], "v": [2, 3, 3, 4]})
+    )
+    out = (
+        link_prediction(edges)
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out[["u", "v", "cn", "du", "dv", "jaccard_e6"]].values)) == [
+        (1, 4, 1, 2, 1, 500_000),
+        (2, 4, 1, 2, 1, 500_000),
+    ]
