@@ -6063,6 +6063,19 @@ def _q_shared_spans(sf_dir: str):
     )
 
 
+def _q_span_coverage(sf_dir: str):
+    """Per-document duplicated-token fraction: interval union of every
+    shared span (>= 8 tokens) touching the doc, over its token count, in
+    exact integer millionths — the ExactSubstr removal budget per doc."""
+    from opentapioca_ray.stages.spans import shared_spans, span_coverage
+
+    docs = _docs(sf_dir)
+    spans = shared_spans(
+        docs, id_column="doc_id", text_column="text", k=8, min_tokens=8, df_cap=64
+    )
+    return span_coverage(spans, docs, id_column="doc_id", text_column="text")
+
+
 def _q_ngram_containment(sf_dir: str):
     """Near-subset duplication: overlap coefficient >= 0.8 over distinct
     word-3-gram sets (catches boilerplate inclusion Jaccard misses)."""
@@ -9228,6 +9241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": _q_minhash_dedup,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "shared_spans": _q_shared_spans,
+        "span_coverage": _q_span_coverage,
         "set_sim_join": _q_set_sim_join,
         "fellegi_sunter": _q_fellegi_sunter,
         "fs_clusters": _q_fs_clusters,
@@ -10020,6 +10034,82 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(pb) - 1 AS BIGINT) AS v_start,
                    CAST(count(*) + 7 AS BIGINT) AS n_tokens
             FROM isl GROUP BY u, v, diag, grp
+        """,
+        "span_coverage": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            pg AS (
+              SELECT doc_id, unnest(range(1, len(arr) - 6)) AS p, arr
+              FROM toks WHERE len(arr) >= 8
+            ),
+            g AS (
+              SELECT doc_id, CAST(p AS BIGINT) AS p,
+                     array_to_string(arr[p : p + 7], ' ') AS gram
+              FROM pg
+            ),
+            kept AS (
+              SELECT gram FROM g GROUP BY gram HAVING count(*) <= 64
+            ),
+            m AS (
+              SELECT a.doc_id AS u, b.doc_id AS v, a.p AS pa, b.p AS pb
+              FROM g a
+              JOIN kept kk ON kk.gram = a.gram
+              JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            ),
+            isl AS (
+              SELECT u, v, pa, pb, pa - pb AS diag,
+                pa - row_number() OVER (
+                  PARTITION BY u, v, pa - pb ORDER BY pa) AS grp
+              FROM m
+            ),
+            spans AS (
+              SELECT u, v,
+                     min(pa) - 1 AS u_start, min(pb) - 1 AS v_start,
+                     count(*) + 7 AS n_tokens
+              FROM isl GROUP BY u, v, diag, grp
+            ),
+            iv AS (
+              SELECT u AS doc_id, u_start AS s, u_start + n_tokens AS e
+              FROM spans
+              UNION ALL
+              SELECT v, v_start, v_start + n_tokens FROM spans
+            ),
+            w AS (
+              SELECT doc_id, s, e,
+                CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS brk
+              FROM iv
+            ),
+            isl2 AS (
+              SELECT doc_id, s, e,
+                     sum(brk) OVER (
+                       PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS grp
+              FROM w
+            ),
+            cov AS (
+              SELECT doc_id, sum(mx - mn) AS covered FROM (
+                SELECT doc_id, grp, max(e) AS mx, min(s) AS mn
+                FROM isl2 GROUP BY doc_id, grp
+              ) GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   CAST(len(t.arr) AS BIGINT) AS n_tokens,
+                   CAST(c.covered AS BIGINT) AS covered_tokens,
+                   CAST(c.covered * 1000000
+                        // greatest(len(t.arr), 1) AS BIGINT)
+                     AS dup_fraction_e6
+            FROM cov c JOIN toks t USING (doc_id)
         """,
         "set_sim_join": f"""
             WITH toks AS (

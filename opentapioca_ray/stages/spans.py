@@ -235,3 +235,136 @@ def shared_spans(
         .groupby("__part")
         .map_groups(drop_part, batch_format="pandas")
     )
+
+
+_COVER_EMPTY = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("covered_tokens", pa.int64()),
+        ("dup_fraction_e6", pa.int64()),
+    ]
+).empty_table()
+
+
+def span_coverage(
+    spans_ds,
+    docs,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    n_parts: int | None = None,
+):
+    """Per-document duplicated-token fraction: the union of all shared-span
+    intervals touching each doc (both sides of every `shared_spans` row),
+    as (doc_id, n_tokens, covered_tokens, dup_fraction_e6) in exact integer
+    millionths — the ExactSubstr removal budget per doc. Docs with no
+    shared span are omitted (their fraction is 0).
+
+    ONE coarse exchange on doc_id carries both the exploded span intervals
+    and the per-doc token counts (tagged union rows); the partition kernel
+    merges each doc's intervals with one sorted cumulative-max pass (docs
+    are separated by offsetting positions with doc_rank * LARGE, so one
+    partition needs one accumulate, not per-doc calls)."""
+    from opentapioca_ray.functions.text import tokenize_flat
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    iv_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("s", pa.int64()),
+            ("e", pa.int64()),
+            ("cnt", pa.int64()),
+        ]
+    )
+
+    def interval_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return iv_schema.empty_table()
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = batch.column("u_start").to_numpy(zero_copy_only=False).astype(np.int64)
+        vs = batch.column("v_start").to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = batch.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([u, v])),
+                "s": pa.array(np.concatenate([us, vs])),
+                "e": pa.array(np.concatenate([us + nt, vs + nt])),
+                "cnt": pa.array(np.full(2 * len(u), -1, dtype=np.int64)),
+            }
+        )
+
+    def count_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or id_column not in batch.column_names:
+            return iv_schema.empty_table()
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        _, counts = tokenize_flat(
+            [t or "" for t in batch.column(text_column).to_pylist()]
+        )
+        n = len(ids)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "s": pa.array(np.zeros(n, dtype=np.int64)),
+                "e": pa.array(np.zeros(n, dtype=np.int64)),
+                "cnt": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    unioned = spans_ds.map_batches(interval_rows, batch_format="pyarrow").union(
+        docs.map_batches(count_rows, batch_format="pyarrow")
+    )
+
+    def cover_partition(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ("doc_id", "n_tokens", "covered_tokens", "dup_fraction_e6")
+        if df.empty:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        cnt = df["cnt"].to_numpy(dtype=np.int64)
+        is_iv = cnt < 0
+        if not is_iv.any():
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        doc = df["doc_id"].to_numpy(dtype=np.int64)[is_iv]
+        s = df["s"].to_numpy(dtype=np.int64)[is_iv]
+        e = df["e"].to_numpy(dtype=np.int64)[is_iv]
+        # dense doc codes * LARGE separate docs so ONE cumulative max
+        # serves the whole partition (LARGE > any token offset)
+        order = np.lexsort((e, s, doc))
+        doc, s, e = doc[order], s[order], e[order]
+        dcode = np.cumsum(np.concatenate(([0], doc[1:] != doc[:-1])))
+        large = np.int64(1) << 42
+        s_adj = s + dcode * large
+        e_adj = e + dcode * large
+        cmax = np.maximum.accumulate(e_adj)
+        brk = np.concatenate(([True], s_adj[1:] > cmax[:-1]))
+        starts = np.flatnonzero(brk)
+        mx = np.maximum.reduceat(e_adj, starts)  # islands are contiguous
+        covered_isl = mx - s_adj[starts]
+        isl_doc = doc[starts]
+        # roll islands up to docs (doc codes are sorted; islands follow)
+        dstarts = np.flatnonzero(
+            np.concatenate(([True], isl_doc[1:] != isl_doc[:-1]))
+        )
+        covered = np.add.reduceat(covered_isl, dstarts)
+        out_doc = isl_doc[dstarts]
+        # attach token counts via searchsorted over the partition's count rows
+        cdoc = df["doc_id"].to_numpy(dtype=np.int64)[~is_iv]
+        cval = cnt[~is_iv]
+        o = np.argsort(cdoc, kind="stable")
+        cdoc, cval = cdoc[o], cval[o]
+        if len(cdoc) == 0:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in cols})
+        pos = np.searchsorted(cdoc, out_doc)
+        pos = np.clip(pos, 0, len(cdoc) - 1)
+        found = cdoc[pos] == out_doc
+        out_doc, covered, pos = out_doc[found], covered[found], pos[found]
+        n_tok = cval[pos]
+        return pd.DataFrame(
+            {
+                "doc_id": out_doc,
+                "n_tokens": n_tok,
+                "covered_tokens": covered,
+                "dup_fraction_e6": covered * 1_000_000 // np.maximum(n_tok, 1),
+            }
+        )
+
+    return coarse_group_apply(unioned, "doc_id", cover_partition, n_parts=n_parts)

@@ -99,3 +99,37 @@ def test_positions_are_per_doc_token_offsets(ray_session):
     assert got[(10, 11)] == (1, 3, 6)
     assert got[(10, 12)] == (1, 0, 6)
     assert got[(11, 12)] == (3, 0, 6)
+
+
+def test_span_coverage_interval_union(ray_session):
+    import ray.data
+
+    from opentapioca_ray.stages.spans import shared_spans, span_coverage
+
+    # doc 1: 20 tokens; spans with doc 2 and doc 3 overlap inside doc 1
+    # (tokens 0..9 and 5..14 -> union 0..14 = 15 covered of 20)
+    w = [f"w{i}" for i in range(20)]
+    doc1 = " ".join(w)
+    doc2 = " ".join(w[:10] + ["x1", "x2", "x3", "x4"])
+    doc3 = " ".join(["y1", "y2"] + w[5:15])
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": doc1},
+            {"doc_id": 2, "text": doc2},
+            {"doc_id": 3, "text": doc3},
+        ]
+    )
+    spans = shared_spans(ds, k=4, min_tokens=4, df_cap=64)
+    out = (
+        span_coverage(spans, ds)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "n_tokens"] == 20
+    assert out.loc[1, "covered_tokens"] == 15
+    assert out.loc[1, "dup_fraction_e6"] == 750_000
+    assert out.loc[2, "covered_tokens"] == 10
+    assert out.loc[3, "covered_tokens"] == 10
+    # doc 2/3 also share w[5:10) of each other -- contained in the above
+    assert len(out) == 3
