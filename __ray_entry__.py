@@ -6063,6 +6063,18 @@ def _q_shared_spans(sf_dir: str):
     )
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): per-doc bigram
+    log-likelihood ratio of the English-subset target distribution vs the
+    whole corpus, as exact integer millionths (the one float op — each
+    feature's log ratio — is quantized once; doc weights are int64 sums)."""
+    from opentapioca_ray.stages.dsir import dsir_weights
+
+    return dsir_weights(
+        _docs(sf_dir), target_column="lang", target_value="en"
+    )
+
+
 def _q_span_coverage(sf_dir: str):
     """Per-document duplicated-token fraction: interval union of every
     shared span (>= 8 tokens) touching the doc, over its token count, in
@@ -9242,6 +9254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "shared_spans": _q_shared_spans,
         "span_coverage": _q_span_coverage,
+        "dsir_weights": _q_dsir_weights,
         "set_sim_join": _q_set_sim_join,
         "fellegi_sunter": _q_fellegi_sunter,
         "fs_clusters": _q_fs_clusters,
@@ -10034,6 +10047,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(pb) - 1 AS BIGINT) AS v_start,
                    CAST(count(*) + 7 AS BIGINT) AS n_tokens
             FROM isl GROUP BY u, v, diag, grp
+        """,
+        "dsir_weights": f"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            bg AS (
+              SELECT doc_id, lang,
+                unnest(list_transform(
+                  range(1, len(arr)),
+                  i -> arr[i] || ' ' || arr[i+1])) AS f
+              FROM toks WHERE len(arr) >= 2
+            ),
+            dfc AS (
+              SELECT doc_id, f, count(*) AS c,
+                     max(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS is_t
+              FROM bg GROUP BY doc_id, f
+            ),
+            fs AS (
+              SELECT f, sum(c) AS s_f,
+                     sum(CASE WHEN is_t = 1 THEN c ELSE 0 END) AS t_f
+              FROM dfc GROUP BY f
+            ),
+            tot AS (
+              SELECT CAST(sum(s_f) AS DOUBLE) AS s_tot,
+                     CAST(sum(t_f) AS DOUBLE) AS t_tot
+              FROM fs
+            ),
+            r AS (
+              SELECT f,
+                CAST(floor((ln(CAST(t_f AS DOUBLE) / t_tot)
+                            - ln(CAST(s_f AS DOUBLE) / s_tot))
+                           * 1000000.0 + 0.5) AS BIGINT) AS r_e6
+              FROM fs, tot WHERE t_f > 0
+            )
+            SELECT d.doc_id,
+                   CAST(sum(d.c) AS BIGINT) AS n_feats,
+                   CAST(sum(d.c * coalesce(r.r_e6, 0)) AS BIGINT) AS weight_e6
+            FROM dfc d LEFT JOIN r ON r.f = d.f
+            GROUP BY d.doc_id
         """,
         "span_coverage": f"""
             WITH toks AS (
