@@ -5288,6 +5288,33 @@ def _q_blocking_metrics(sf_dir: str):
     return blocking_quality(ds, ["bkey"], ["tkey"])
 
 
+def _q_block_split_plan(sf_dir: str):
+    """Dedoop BlockSplit load-balancing plan over the first-token blocks:
+    oversized blocks split into balanced chunk sub-tasks with exact
+    comparison counts, round-robin-assigned to 8 reducers in decreasing
+    comparison order (exact global rank)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.textstats import whitespace_token_lists
+    from opentapioca_ray.stages.blocking_eval import block_split_plan
+
+    def keys(batch: pa.Table) -> pa.Table:
+        toks = whitespace_token_lists(batch, "text")
+        offsets = toks.offsets.to_numpy(zero_copy_only=False)
+        nonempty = offsets[1:] > offsets[:-1]
+        first = np.full(batch.num_rows, "", dtype=object)
+        if nonempty.any():
+            first[nonempty] = (
+                toks.values.take(pa.array(offsets[:-1][nonempty]))
+                .to_numpy(zero_copy_only=False)
+            )
+        return pa.table({"bkey": pa.array(first, pa.string())})
+
+    ds = _docs(sf_dir).map_batches(keys, batch_format="pyarrow")
+    return block_split_plan(ds, "bkey", m=8)
+
+
 def _q_weighted_median_price(sf_dir: str):
     """Quantity-weighted lower-median extended price per return flag
     (exact cents units, integral weights)."""
@@ -9374,6 +9401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lexical_diversity": _q_lexical_diversity,
         "event_rank": _q_event_rank,
         "blocking_metrics": _q_blocking_metrics,
+        "block_split_plan": _q_block_split_plan,
         "weighted_median_price": _q_weighted_median_price,
         "curriculum_order": _q_curriculum_order,
         "snm_pairs": _q_snm_pairs,
@@ -12989,6 +13017,58 @@ def oracle_sql() -> dict[str, str]:
                 AS n_true_pairs,
               CAST((SELECT sum(c*(c-1)//2) FROM c3) AS BIGINT)
                 AS n_covered_pairs
+        """,
+        "block_split_plan": """
+            WITH k AS (
+              SELECT CASE WHEN trim(text) = '' THEN ''
+                     ELSE regexp_split_to_array(trim(text), '\\s+')[1]
+                     END AS bkey
+              FROM documents
+            ),
+            b AS (
+              SELECT bkey, count(*) AS s FROM k
+              GROUP BY bkey HAVING count(*) >= 2
+            ),
+            c AS (SELECT bkey, s, s*(s-1)//2 AS cb FROM b),
+            tot AS (SELECT (sum(cb) + 7) // 8 AS av FROM c),
+            par AS (
+              SELECT bkey, s, cb,
+                CASE WHEN cb <= av THEN 1
+                     ELSE least(s, CAST(ceil(
+                       (sqrt(8*((cb + av - 1)//av) + 1) - 1) / 2)
+                       AS BIGINT))
+                END AS nk
+              FROM c, tot
+            ),
+            sub AS (
+              SELECT bkey, s, nk, a.i AS ci, bb.j AS cj
+              FROM par,
+                   unnest(range(0, nk)) AS a(i),
+                   unnest(range(0, nk)) AS bb(j)
+              WHERE a.i <= bb.j
+            ),
+            w AS (
+              SELECT bkey, ci, cj,
+                s // nk + CASE WHEN ci < s % nk THEN 1 ELSE 0 END AS n_i,
+                s // nk + CASE WHEN cj < s % nk THEN 1 ELSE 0 END AS n_j
+              FROM sub
+            ),
+            x AS (
+              SELECT bkey, ci, cj, n_i, n_j,
+                CASE WHEN ci = cj THEN n_i*(n_i-1)//2
+                     ELSE n_i*n_j END AS n_comp
+              FROM w
+            )
+            SELECT bkey AS block_key,
+                   CAST(ci AS BIGINT) AS chunk_i,
+                   CAST(cj AS BIGINT) AS chunk_j,
+                   CAST(n_i AS BIGINT) AS n_i,
+                   CAST(n_j AS BIGINT) AS n_j,
+                   CAST(n_comp AS BIGINT) AS n_comparisons,
+                   CAST((row_number() OVER (
+                     ORDER BY n_comp DESC, ci, cj, bkey) - 1) % 8
+                     AS BIGINT) AS reducer
+            FROM x WHERE n_comp > 0
         """,
         "bigram_counts": """
             WITH arr AS (

@@ -271,3 +271,237 @@ def nmi_stats(ds, a_col: str, b_col: str):
             ),
         }
     )
+
+
+_SPLIT_SCHEMA = pa.schema(
+    [
+        ("block_key", pa.string()),
+        ("chunk_i", pa.int64()),
+        ("chunk_j", pa.int64()),
+        ("n_i", pa.int64()),
+        ("n_j", pa.int64()),
+        ("n_comparisons", pa.int64()),
+        ("reducer", pa.int64()),
+    ]
+)
+
+
+def block_split_plan(ds, block_col: str, m: int = 8, n_parts=None):
+    """Dedoop-style BlockSplit load-balancing plan (Kolb, Thor & Rahm,
+    "Load Balancing for MapReduce-based Entity Resolution", ICDE 2012):
+    every block whose comparison mass cb = s*(s-1)/2 exceeds the fair
+    share avg = ceil(C/m) is split into k balanced record chunks — the
+    smallest k whose k*(k+1)/2 sub-tasks bring the mass under the fair
+    share, capped at s — and the plan enumerates every match sub-task:
+    chunk pair (i, i) with n_i*(n_i-1)/2 comparisons, (i, j) i < j with
+    n_i*n_j, assigned round-robin to `m` reducers in decreasing-
+    comparison order (exact global rank, ties by block_key, i, j).
+
+    Nothing proportional to records moves: one per-key count exchange, a
+    scalar total, a vectorized integer triangle expansion over the block
+    table, the repo's sampled-boundary `global_rank` over plan rows, and
+    one rank-attach exchange. Plan rows are identified by a 63-bit
+    SipHash of their unique (cb, key, i, j) sort string (one C-level
+    pass; a collision could only swap two reducer labels and is
+    vanishingly unlikely at plan cardinality)."""
+    import pandas as pd
+    import ray.data
+
+    from opentapioca_ray.stages.exchange import (
+        _HASH_KEY,
+        coarse_group_apply,
+        coarse_groupby_agg,
+        right_size,
+    )
+    from opentapioca_ray.stages.snm import global_rank
+
+    sizes = coarse_groupby_agg(
+        ds.select_columns([block_col]),
+        [block_col],
+        {"s": (block_col, "size")},
+        n_parts=n_parts,
+    ).materialize()
+
+    def comps(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "s" not in batch.column_names:
+            return pa.table({"cb": pa.array([], pa.int64())})
+        s = batch.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"cb": pa.array(s * (s - 1) // 2)})
+
+    total_c = int(sizes.map_batches(comps, batch_format="pyarrow").sum("cb") or 0)
+    if total_c == 0:
+        return ray.data.from_arrow(_SPLIT_SCHEMA.empty_table())
+    avg = (total_c + m - 1) // m  # fair share, exact integer ceil
+
+    plan_fields = [
+        ("rid", pa.int64()),
+        ("rkey", pa.string()),
+        ("block_key", pa.string()),
+        ("chunk_i", pa.int64()),
+        ("chunk_j", pa.int64()),
+        ("n_i", pa.int64()),
+        ("n_j", pa.int64()),
+        ("n_comparisons", pa.int64()),
+    ]
+    plan_schema = pa.schema(plan_fields)
+
+    def _excl_cumsum(a: np.ndarray) -> np.ndarray:
+        return np.concatenate(([0], np.cumsum(a)[:-1])).astype(np.int64)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "s" not in batch.column_names:
+            return plan_schema.empty_table()
+        key = batch.column(block_col).to_numpy(zero_copy_only=False)
+        s = batch.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        big = s >= 2  # singleton blocks carry no comparisons
+        key, s = key[big], s[big]
+        if not len(s):
+            return plan_schema.empty_table()
+        cb = s * (s - 1) // 2
+        q = (cb + avg - 1) // avg
+        # smallest k with k(k+1)/2 >= q (sqrt is correctly rounded, exact
+        # on the integral boundary cases; mirrored verbatim in SQL)
+        k = np.where(
+            cb <= avg,
+            np.int64(1),
+            np.minimum(
+                s, np.ceil((np.sqrt(8.0 * q + 1.0) - 1.0) / 2.0).astype(np.int64)
+            ),
+        )
+        # integer triangle expansion: per block, rows i = 0..k-1, each
+        # with columns j = i..k-1 — two repeat/arange passes, no floats
+        blk_r = np.repeat(np.arange(len(s)), k)
+        i_r = np.arange(int(k.sum()), dtype=np.int64) - np.repeat(_excl_cumsum(k), k)
+        lens = k[blk_r] - i_r
+        blk = np.repeat(blk_r, lens)
+        i = np.repeat(i_r, lens)
+        j = i + (
+            np.arange(int(lens.sum()), dtype=np.int64)
+            - np.repeat(_excl_cumsum(lens), lens)
+        )
+        kk, sz = k[blk], s[blk]
+        n_i = sz // kk + (i < sz % kk)
+        n_j = sz // kk + (j < sz % kk)
+        n_comp = np.where(i == j, n_i * (n_i - 1) // 2, n_i * n_j)
+        keep = n_comp > 0
+        blk, i, j, n_i, n_j, n_comp = (
+            blk[keep],
+            i[keep],
+            j[keep],
+            n_i[keep],
+            n_j[keep],
+            n_comp[keep],
+        )
+        keyr = key[blk]
+        # composite sort string: n_comparisons DESC, chunk_i, chunk_j,
+        # block_key — the key goes LAST with nothing after it so plain
+        # byte order matches SQL's column order even when one key is a
+        # prefix of another (a mid-string delimiter would not)
+        rkey = np.char.add(
+            np.char.add(
+                np.char.add(
+                    np.char.zfill((10**18 - n_comp).astype(str), 19), "|"
+                ),
+                np.char.add(np.char.zfill(i.astype(str), 9), "|"),
+            ),
+            np.char.add(
+                np.char.add(np.char.zfill(j.astype(str), 9), "|"),
+                keyr.astype(str),
+            ),
+        ).astype(object)
+        rid = (
+            (pd.util.hash_array(rkey, hash_key=_HASH_KEY) >> np.uint64(1))
+            .astype(np.int64)
+            if len(rkey)
+            else np.zeros(0, dtype=np.int64)
+        )
+        return pa.table(
+            {
+                "rid": pa.array(rid),
+                "rkey": pa.array(rkey, pa.string()),
+                "block_key": pa.array(keyr, pa.string()),
+                "chunk_i": pa.array(i),
+                "chunk_j": pa.array(j),
+                "n_i": pa.array(n_i),
+                "n_j": pa.array(n_j),
+                "n_comparisons": pa.array(n_comp),
+            }
+        )
+
+    plan = right_size(sizes.map_batches(expand, batch_format="pyarrow").materialize())
+    ranks = global_rank(plan, key_column="rkey", id_column="rid")
+
+    # rank-attach: union plan rows (is_rank=false) with (rid, rn) rows and
+    # resolve in ONE coarse exchange on rid
+    union_schema = pa.schema(
+        [*plan_fields[:1], *plan_fields[2:], ("rn", pa.int64()), ("is_rank", pa.bool_())]
+    )
+
+    def plan_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "rid" not in batch.column_names:
+            return union_schema.empty_table()
+        n = batch.num_rows
+        cols = {
+            name: batch.column(name)
+            for name, _ in plan_fields
+            if name != "rkey"
+        }
+        cols["rn"] = pa.nulls(n, pa.int64())
+        cols["is_rank"] = pa.array(np.zeros(n, dtype=bool))
+        return pa.table(cols).cast(union_schema)
+
+    def rank_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "rn" not in batch.column_names:
+            return union_schema.empty_table()
+        n = batch.num_rows
+        cols = {"rid": batch.column("rid").cast(pa.int64())}
+        for name, typ in plan_fields[2:]:
+            cols[name] = pa.nulls(n, typ)
+        cols["rn"] = batch.column("rn").cast(pa.int64())
+        cols["is_rank"] = pa.array(np.ones(n, dtype=bool))
+        return pa.table(cols).cast(union_schema)
+
+    unioned = plan.map_batches(plan_rows, batch_format="pyarrow").union(
+        ranks.map_batches(rank_rows, batch_format="pyarrow")
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        out_cols = [f.name for f in _SPLIT_SCHEMA]
+        if df.empty or "is_rank" not in df.columns:
+            return pd.DataFrame(
+                {
+                    c: pd.Series(dtype=object if c == "block_key" else np.int64)
+                    for c in out_cols
+                }
+            )
+        isr = df["is_rank"].to_numpy(dtype=bool)
+        dat, rnk = df[~isr], df[isr]
+        if dat.empty or rnk.empty:
+            return pd.DataFrame(
+                {
+                    c: pd.Series(dtype=object if c == "block_key" else np.int64)
+                    for c in out_cols
+                }
+            )
+        krid = rnk["rid"].to_numpy(dtype=np.int64)
+        krn = rnk["rn"].to_numpy(dtype=np.int64)
+        o = np.argsort(krid, kind="stable")
+        krid, krn = krid[o], krn[o]
+        drid = dat["rid"].to_numpy(dtype=np.int64)
+        pos = np.clip(np.searchsorted(krid, drid), 0, len(krid) - 1)
+        ok = krid[pos] == drid
+        dat = dat[ok]
+        rn = krn[pos[ok]]
+        return pd.DataFrame(
+            {
+                "block_key": dat["block_key"].to_numpy(),
+                "chunk_i": dat["chunk_i"].to_numpy(dtype=np.int64),
+                "chunk_j": dat["chunk_j"].to_numpy(dtype=np.int64),
+                "n_i": dat["n_i"].to_numpy(dtype=np.int64),
+                "n_j": dat["n_j"].to_numpy(dtype=np.int64),
+                "n_comparisons": dat["n_comparisons"].to_numpy(dtype=np.int64),
+                "reducer": (rn - 1) % m,
+            }
+        )
+
+    return coarse_group_apply(unioned, "rid", attach, n_parts=n_parts)
