@@ -6115,6 +6115,20 @@ def _q_span_coverage(sf_dir: str):
     return span_coverage(spans, docs, id_column="doc_id", text_column="text")
 
 
+def _q_span_removal(sf_dir: str):
+    """ExactSubstr removal accounting: per doc, tokens dropped by the
+    union of >= 8-token shared spans plus the md5 of the cleaned
+    single-space-joined token stream (the hash stands in for the cleaned
+    text so the row stays slim; a production sink writes the text)."""
+    from opentapioca_ray.stages.spans import shared_spans, span_removal
+
+    docs = _docs(sf_dir)
+    spans = shared_spans(
+        docs, id_column="doc_id", text_column="text", k=8, min_tokens=8, df_cap=64
+    )
+    return span_removal(spans, docs, id_column="doc_id", text_column="text")
+
+
 def _q_ngram_containment(sf_dir: str):
     """Near-subset duplication: overlap coefficient >= 0.8 over distinct
     word-3-gram sets (catches boilerplate inclusion Jaccard misses)."""
@@ -9281,6 +9295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "shared_spans": _q_shared_spans,
         "span_coverage": _q_span_coverage,
+        "span_removal": _q_span_removal,
         "dsir_weights": _q_dsir_weights,
         "set_sim_join": _q_set_sim_join,
         "fellegi_sunter": _q_fellegi_sunter,
@@ -10075,6 +10090,78 @@ def oracle_sql() -> dict[str, str]:
                    CAST(min(pb) - 1 AS BIGINT) AS v_start,
                    CAST(count(*) + 7 AS BIGINT) AS n_tokens
             FROM isl GROUP BY u, v, diag, grp
+        """,
+        "span_removal": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            pg AS (
+              SELECT doc_id, unnest(range(1, len(arr) - 6)) AS p, arr
+              FROM toks WHERE len(arr) >= 8
+            ),
+            g AS (
+              SELECT doc_id, CAST(p AS BIGINT) AS p,
+                     array_to_string(arr[p : p + 7], ' ') AS gram
+              FROM pg
+            ),
+            kept AS (
+              SELECT gram FROM g GROUP BY gram HAVING count(*) <= 64
+            ),
+            m AS (
+              SELECT a.doc_id AS u, b.doc_id AS v, a.p AS pa, b.p AS pb
+              FROM g a
+              JOIN kept kk ON kk.gram = a.gram
+              JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            ),
+            isl AS (
+              SELECT u, v, pa, pb, pa - pb AS diag,
+                pa - row_number() OVER (
+                  PARTITION BY u, v, pa - pb ORDER BY pa) AS grp
+              FROM m
+            ),
+            spans AS (
+              SELECT u, v,
+                     min(pa) - 1 AS u_start, min(pb) - 1 AS v_start,
+                     count(*) + 7 AS n_tokens
+              FROM isl GROUP BY u, v, diag, grp
+            ),
+            iv AS (
+              SELECT u AS doc_id, u_start AS s, u_start + n_tokens AS e
+              FROM spans
+              UNION ALL
+              SELECT v, v_start, v_start + n_tokens FROM spans
+            ),
+            covered AS (
+              SELECT DISTINCT doc_id, CAST(t.p AS BIGINT) AS p
+              FROM iv, unnest(range(iv.s, iv.e)) AS t(p)
+            ),
+            tokpos AS (
+              SELECT doc_id, CAST(t.p AS BIGINT) AS p, arr
+              FROM toks, unnest(range(0, len(arr))) AS t(p)
+            ),
+            agg AS (
+              SELECT tp.doc_id,
+                     count(*) FILTER (WHERE c.p IS NOT NULL) AS n_removed,
+                     coalesce(string_agg(tp.arr[tp.p + 1], ' '
+                       ORDER BY tp.p) FILTER (WHERE c.p IS NULL), '')
+                       AS clean_txt
+              FROM tokpos tp
+              LEFT JOIN covered c
+                ON c.doc_id = tp.doc_id AND c.p = tp.p
+              GROUP BY tp.doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(len(t.arr) AS BIGINT) AS n_tokens,
+                   CAST(coalesce(a.n_removed, 0) AS BIGINT) AS n_removed,
+                   md5(coalesce(a.clean_txt,
+                       array_to_string(t.arr, ' '))) AS clean_md5
+            FROM toks t LEFT JOIN agg a USING (doc_id)
         """,
         "dsir_weights": f"""
             WITH toks AS (

@@ -215,6 +215,11 @@ BENCH_QUERIES = [
     "decayed_engagement",
     "metablocking_arcs",
     "corpus_prep",
+    "shared_spans",
+    "span_coverage",
+    "link_prediction",
+    "dsir_weights",
+    "block_split_plan",
 ]
 
 

@@ -368,3 +368,143 @@ def span_coverage(
         )
 
     return coarse_group_apply(unioned, "doc_id", cover_partition, n_parts=n_parts)
+
+
+_REMOVE_COLS = ("doc_id", "n_tokens", "n_removed", "clean_md5")
+
+
+def span_removal(
+    spans_ds,
+    docs,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+    n_parts: int | None = None,
+):
+    """ExactSubstr REMOVAL: drop every token covered by the union of the
+    given shared-span intervals and emit, per document, the removal
+    accounting plus the md5 of the cleaned (single-space re-joined) token
+    stream — (doc_id, n_tokens, n_removed, clean_md5). Every doc appears,
+    including untouched and fully-removed ones; the md5 stands in for the
+    cleaned text so the result stays slim enough to hash-verify (the
+    production sink would write the cleaned text column instead).
+
+    ONE coarse exchange on doc_id co-locates each doc's text with its
+    span intervals; the partition kernel tokenizes once, builds the
+    covered mask for ALL its docs with one +1/-1 delta cumsum over the
+    concatenated token space, and hashes one string per doc."""
+    import hashlib
+
+    from opentapioca_ray.functions.text import tokenize_flat
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    union_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("s", pa.int64()),
+            ("e", pa.int64()),
+            ("text", pa.string()),
+            ("is_text", pa.bool_()),
+        ]
+    )
+
+    def interval_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return union_schema.empty_table()
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        us = batch.column("u_start").to_numpy(zero_copy_only=False).astype(np.int64)
+        vs = batch.column("v_start").to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = batch.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.int64)
+        n2 = 2 * len(u)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([u, v])),
+                "s": pa.array(np.concatenate([us, vs])),
+                "e": pa.array(np.concatenate([us + nt, vs + nt])),
+                "text": pa.nulls(n2, pa.string()),
+                "is_text": pa.array(np.zeros(n2, dtype=bool)),
+            }
+        )
+
+    def text_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or id_column not in batch.column_names:
+            return union_schema.empty_table()
+        n = batch.num_rows
+        return pa.table(
+            {
+                "doc_id": batch.column(id_column).cast(pa.int64()),
+                "s": pa.array(np.zeros(n, dtype=np.int64)),
+                "e": pa.array(np.zeros(n, dtype=np.int64)),
+                "text": batch.column(text_column).cast(pa.string()),
+                "is_text": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    unioned = spans_ds.map_batches(interval_rows, batch_format="pyarrow").union(
+        docs.map_batches(text_rows, batch_format="pyarrow")
+    )
+
+    def clean_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "is_text" not in df.columns:
+            return pd.DataFrame(
+                {
+                    c: pd.Series(dtype=object if c == "clean_md5" else np.int64)
+                    for c in _REMOVE_COLS
+                }
+            )
+        ist = df["is_text"].to_numpy(dtype=bool)
+        txt = df[ist]
+        if txt.empty:
+            return pd.DataFrame(
+                {
+                    c: pd.Series(dtype=object if c == "clean_md5" else np.int64)
+                    for c in _REMOVE_COLS
+                }
+            )
+        doc_ids = txt["doc_id"].to_numpy(dtype=np.int64)
+        o = np.argsort(doc_ids, kind="stable")
+        doc_ids = doc_ids[o]
+        texts = txt["text"].to_numpy()[o]
+        flat, counts = tokenize_flat([t or "" for t in texts])
+        counts = counts.astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        total = int(offs[-1])
+        delta = np.zeros(total + 1, dtype=np.int64)
+        iv = df[~ist]
+        if not iv.empty:
+            idoc = iv["doc_id"].to_numpy(dtype=np.int64)
+            s = iv["s"].to_numpy(dtype=np.int64)
+            e = iv["e"].to_numpy(dtype=np.int64)
+            pos = np.searchsorted(doc_ids, idoc)
+            ok = (pos < len(doc_ids)) & (doc_ids[np.clip(pos, 0, len(doc_ids) - 1)] == idoc)
+            pos, s, e = pos[ok], s[ok], e[ok]
+            s = np.clip(s, 0, counts[pos])
+            e = np.clip(e, 0, counts[pos])
+            np.add.at(delta, offs[pos] + s, 1)
+            np.add.at(delta, offs[pos] + e, -1)
+        covered = np.cumsum(delta[:-1]) > 0 if total else np.zeros(0, dtype=bool)
+        removed = (
+            np.add.reduceat(covered.astype(np.int64), offs[:-1])
+            if total and len(counts)
+            else np.zeros(len(counts), dtype=np.int64)
+        )
+        removed = np.where(counts > 0, removed, 0)
+        kept = np.asarray(flat, dtype=object)[~covered] if total else np.asarray([], dtype=object)
+        kept_counts = counts - removed
+        koffs = np.concatenate(([0], np.cumsum(kept_counts)))
+        md5s = [
+            hashlib.md5(
+                " ".join(kept[koffs[ix] : koffs[ix + 1]]).encode()
+            ).hexdigest()
+            for ix in range(len(counts))
+        ]
+        return pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "n_tokens": counts,
+                "n_removed": removed,
+                "clean_md5": np.array(md5s, dtype=object),
+            }
+        )
+
+    return coarse_group_apply(unioned, "doc_id", clean_partition, n_parts=n_parts)

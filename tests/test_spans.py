@@ -133,3 +133,41 @@ def test_span_coverage_interval_union(ray_session):
     assert out.loc[3, "covered_tokens"] == 10
     # doc 2/3 also share w[5:10) of each other -- contained in the above
     assert len(out) == 3
+
+
+def test_span_removal_accounting(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from opentapioca_ray.stages.spans import shared_spans, span_removal
+
+    w = [f"w{i}" for i in range(12)]
+    doc1 = " ".join(w)                       # fully covered by doc2's copy
+    doc2 = " ".join(["z1"] + w + ["z2"])     # shares all 12 tokens
+    doc3 = "lonely words only here"          # untouched
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": doc1},
+            {"doc_id": 2, "text": doc2},
+            {"doc_id": 3, "text": doc3},
+        ]
+    )
+    spans = shared_spans(ds, k=4, min_tokens=4, df_cap=64)
+    out = (
+        span_removal(spans, ds)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == 3
+    assert out.loc[1, "n_tokens"] == 12
+    assert out.loc[1, "n_removed"] == 12
+    assert out.loc[1, "clean_md5"] == hashlib.md5(b"").hexdigest()
+    assert out.loc[2, "n_removed"] == 12
+    assert out.loc[2, "clean_md5"] == hashlib.md5(b"z1 z2").hexdigest()
+    assert out.loc[3, "n_removed"] == 0
+    assert (
+        out.loc[3, "clean_md5"]
+        == hashlib.md5(b"lonely words only here").hexdigest()
+    )
