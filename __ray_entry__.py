@@ -3701,6 +3701,30 @@ def _q_triangle_count(sf_dir: str):
     return count_triangles(edges)
 
 
+def _q_ktruss_edges(sf_dir: str):
+    """4-truss of the high-quantity part co-occurrence graph: iterative
+    support-threshold peeling (support >= 2), each round one degree-
+    oriented wedge pass + broadcast closure; output edges carry their
+    final-graph support."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.sources.files import read_sized
+    from opentapioca_ray.stages.triangles import cooccurrence_edges, ktruss_edges
+
+    li = read_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("l_quantity"), pa.scalar(25.0))
+        ).select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return ktruss_edges(edges, k=4, rounds=6)
+
+
 def _q_props_k_stats(sf_dir: str):
     """Semi-structured field extraction: pull the integer `k` out of the
     JSON props column with ONE vectorized Arrow extract_regex kernel (no
@@ -9364,6 +9388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_above_p99": _q_events_above_p99,
         "lineitem_orders_join": _q_lineitem_orders_join,
         "triangle_count": _q_triangle_count,
+        "ktruss_edges": _q_ktruss_edges,
         "redact_props": _q_redact_props,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -9554,6 +9579,56 @@ def _kcore_sql(k: int = 2, rounds: int = 12, mult: int = 3) -> str:
         FROM (SELECT u AS node FROM e{rounds}
               UNION ALL SELECT v FROM e{rounds})
         GROUP BY 1, 2
+    """
+    )
+
+
+def _ktruss_sql(k: int = 4, rounds: int = 6, qmin: int = 25) -> str:
+    """Fixed-round k-truss peel unrolled as chained MATERIALIZED CTEs
+    (the `_kcore_sql` recipe), over the high-quantity part co-occurrence
+    graph; ends with one extra support pass so surviving edges carry
+    their FINAL-graph support (0 when the round budget ran out before a
+    triangle-free edge was peeled)."""
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+          SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                 GREATEST(a.l_partkey, b.l_partkey) AS v
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          WHERE a.l_quantity >= {qmin} AND b.l_quantity >= {qmin}
+        )"""
+    ]
+    for r in range(1, rounds + 2):
+        ctes.append(
+            f"""t{r} AS MATERIALIZED (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM e{r - 1} e1
+              JOIN e{r - 1} e2 ON e2.u = e1.u AND e2.v > e1.v
+              JOIN e{r - 1} e3 ON e3.u = e1.v AND e3.v = e2.v
+            )"""
+        )
+        ctes.append(
+            f"""s{r} AS MATERIALIZED (
+              SELECT u, v, count(*) AS sup FROM (
+                SELECT a AS u, b AS v FROM t{r}
+                UNION ALL SELECT a, c FROM t{r}
+                UNION ALL SELECT b, c FROM t{r})
+              GROUP BY u, v
+            )"""
+        )
+        if r <= rounds:
+            ctes.append(
+                f"""e{r} AS MATERIALIZED (
+                  SELECT u, v FROM s{r} WHERE sup >= {k - 2}
+                )"""
+            )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT e.u, e.v, CAST(coalesce(s.sup, 0) AS BIGINT) AS sup
+        FROM e{rounds} e
+        LEFT JOIN s{rounds + 1} s ON s.u = e.u AND s.v = e.v
     """
     )
 
@@ -13691,6 +13766,7 @@ def oracle_sql() -> dict[str, str]:
             FROM f
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
+        "ktruss_edges": _ktruss_sql(k=4, rounds=6, qmin=25),
         "bfs_hops": _bfs_sql(rounds=6),
         "landmark_closeness": _landmark_closeness_sql(rounds=4),
         "stress_centrality": _stress_sql(rounds=4),

@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "corpus_prep",
     "shared_spans",
     "span_coverage",
+    "span_removal",
     "link_prediction",
     "dsir_weights",
     "block_split_plan",

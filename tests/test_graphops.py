@@ -184,3 +184,47 @@ def test_link_prediction_path_and_triangle(ray_session):
         (1, 4, 1, 2, 1, 500_000),
         (2, 4, 1, 2, 1, 500_000),
     ]
+
+
+def test_ktruss_peels_pendant_triangle(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from opentapioca_ray.stages.triangles import ktruss_edges
+
+    # K4 on {1,2,3,4} (every edge support 2) + pendant triangle {4,5,6}
+    # (support 1, peeled in round one) + isolated edge (7,8)
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "u": [1, 1, 1, 2, 2, 3, 4, 4, 5, 7],
+                "v": [2, 3, 4, 3, 4, 4, 5, 6, 6, 8],
+            }
+        )
+    )
+    out = (
+        ktruss_edges(edges, k=4, rounds=6)
+        .to_pandas()
+        .sort_values(["u", "v"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out[["u", "v", "sup"]].values)) == [
+        (1, 2, 2),
+        (1, 3, 2),
+        (1, 4, 2),
+        (2, 3, 2),
+        (2, 4, 2),
+        (3, 4, 2),
+    ]
+
+
+def test_ktruss_empty_when_no_truss(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from opentapioca_ray.stages.triangles import ktruss_edges
+
+    # single triangle: support 1 < 2 -> everything peeled
+    edges = ray.data.from_arrow(pa.table({"u": [1, 1, 2], "v": [2, 3, 3]}))
+    out = ktruss_edges(edges, k=4, rounds=4).to_pandas()
+    assert len(out) == 0
