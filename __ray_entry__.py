@@ -6219,6 +6219,48 @@ def _q_k_anonymity(sf_dir: str):
     return k_anonymity_violations(cust, ["c_nationkey", "c_mktsegment"], k=10)
 
 
+def _q_l_diversity(sf_dir: str):
+    """Privacy audit one step past k-anonymity: (nation, segment) combos
+    whose account-balance band takes fewer than 5 distinct values — a
+    homogeneous group leaks the attribute even when large."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.quality import l_diversity_violations
+
+    cust = _rel(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def band(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_nationkey": batch.column("c_nationkey"),
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "sens": pa.array(np.floor(bal / 1000.0).astype(np.int64)),
+            }
+        )
+
+    return l_diversity_violations(
+        cust.map_batches(band, batch_format="pyarrow"),
+        ["c_nationkey", "c_mktsegment"],
+        "sens",
+        l=5,
+    )
+
+
+def _q_zipf_slope(sf_dir: str):
+    """Zipf's-law fit per language: least-squares slope of ln(freq) on
+    ln(rank) over each language's token vocabulary, in exact integer
+    millionths (per-type logs quantized once to milli-nats; the four
+    regression sums are exact int64)."""
+    from opentapioca_ray.stages.tfidf import zipf_slope
+
+    return zipf_slope(_docs(sf_dir), text_column="text", group_column="lang")
+
+
 def _q_pareto_users(sf_dir: str):
     """Concentration audit: per event type, how many users contribute 80%
     of total value (exact integer cross-multiplied reach test)."""
@@ -9464,6 +9506,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bcubed_stats": _q_bcubed_stats,
         "component_sizes": _q_component_sizes,
         "k_anonymity": _q_k_anonymity,
+        "l_diversity": _q_l_diversity,
+        "zipf_slope": _q_zipf_slope,
         "pareto_users": _q_pareto_users,
         "price_deciles": _q_price_deciles,
         "orders_checksum": _q_orders_checksum,
@@ -12879,6 +12923,60 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             GROUP BY c_nationkey, c_mktsegment
             HAVING count(*) < 10
+        """,
+        "l_diversity": """
+            WITH p AS (
+              SELECT c_nationkey, c_mktsegment,
+                     CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS sens,
+                     count(*) AS n
+              FROM customer GROUP BY 1, 2, 3
+            )
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(sum(n) AS BIGINT) AS k,
+                   CAST(count(*) AS BIGINT) AS l
+            FROM p GROUP BY 1, 2 HAVING count(*) < 5
+        """,
+        "zipf_slope": f"""
+            WITH toks AS (
+              SELECT lang,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            tc AS (
+              SELECT lang AS grp, unnest(arr) AS token FROM toks
+            ),
+            cnt AS (
+              SELECT grp, token, count(*) AS c FROM tc GROUP BY grp, token
+            ),
+            r AS (
+              SELECT grp, c,
+                     row_number() OVER (
+                       PARTITION BY grp ORDER BY c DESC, token) AS rk
+              FROM cnt
+            ),
+            q AS (
+              SELECT grp,
+                CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT)
+                  AS x,
+                CAST(floor(ln(CAST(c AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT)
+                  AS y
+              FROM r
+            ),
+            s AS (
+              SELECT grp, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                     sum(x*y) AS sxy, sum(x*x) AS sxx
+              FROM q GROUP BY grp
+            )
+            SELECT grp, CAST(n AS BIGINT) AS n_types,
+                   CAST(floor(
+                     (CAST(n*sxy - sx*sy AS DOUBLE) * 1000000.0)
+                       / CAST(n*sxx - sx*sx AS DOUBLE) + 0.5) AS BIGINT)
+                     AS slope_e6
+            FROM s WHERE n*sxx - sx*sx != 0
         """,
         "pareto_users": """
             WITH m AS (

@@ -676,3 +676,48 @@ def token_kl_drift(
             }
         )
     )
+
+
+def l_diversity_violations(
+    ds, quasi_columns: list[str], sensitive_column: str, l: int = 3
+):
+    """Privacy audit one step past k-anonymity (Machanavajjhala et al.
+    2007): quasi-identifier combos whose SENSITIVE attribute takes fewer
+    than `l` distinct values — a homogeneous group leaks the attribute
+    even when the group is large. Output: one row per violating combo
+    with its row count `k` and distinct-sensitive count `l`.
+
+    Two combiner-first reductions: per-block distinct
+    (quasi..., sensitive) counts merge in one coarse exchange, then the
+    combo table (O(distinct combos), far smaller than the facts) rolls up
+    per quasi combo. The fact table never moves."""
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    pairs = partial_multi_sum_count(
+        ds.select_columns([*quasi_columns, sensitive_column]),
+        [*quasi_columns, sensitive_column],
+        [],
+        alias={"count": "n"},
+    )
+    rolled = coarse_groupby_agg(
+        pairs,
+        list(quasi_columns),
+        {"k": ("n", "sum"), "l": ("n", "size")},
+    )
+
+    def violating(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l" not in batch.column_names:
+            return batch
+        t = batch.filter(pc.less(batch.column("l"), l))
+        return pa.table(
+            {
+                **{c: t.column(c) for c in quasi_columns},
+                "k": t.column("k").cast(pa.int64()),
+                "l": t.column("l").cast(pa.int64()),
+            }
+        )
+
+    return rolled.map_batches(violating, batch_format="pyarrow")

@@ -746,3 +746,108 @@ def pmi_bigrams(ds, text_column: str = "text", min_count: int = 5):
         )
 
     return both.map_batches(finish, batch_format="pyarrow")
+
+
+def zipf_slope(
+    docs,
+    text_column: str = "text",
+    group_column: str = "lang",
+    n_parts=None,
+):
+    """Zipf's-law fit per group: the least-squares slope of ln(frequency)
+    on ln(rank) over the group's token vocabulary (tokens ranked by count
+    desc, token asc). Healthy natural-language corpora sit near -1;
+    boilerplate-heavy or synthetic text drifts off — a standard corpus
+    diagnostic.
+
+    Exactness: ln(rank) and ln(count) are quantized ONCE per type to
+    integer milli-nats; the regression's four sums are then exact int64
+    arithmetic (order-independent), and the slope is ONE fixed quantized
+    float expression replayed by the SQL twin. Output:
+    (group, n_types, slope_e6).
+
+    Shape: combiner-first (group, token) counts, then one exchange on the
+    group key; the ranking kernel handles each group's whole vocabulary in
+    one lexsort (partitioning assumption: one group's vocab fits a worker —
+    the same per-logical-group bound documented across stages/)."""
+    import pandas as pd
+
+    from opentapioca_ray.functions.text import tokenize_flat
+    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    tok_schema = pa.schema([("grp", pa.string()), ("token", pa.string())])
+
+    def token_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or text_column not in batch.column_names:
+            return tok_schema.empty_table()
+        groups = batch.column(group_column).to_numpy(zero_copy_only=False)
+        flat, counts = tokenize_flat(
+            [t or "" for t in batch.column(text_column).to_pylist()]
+        )
+        if not len(flat):
+            return tok_schema.empty_table()
+        rep = np.repeat(groups, counts.astype(np.int64))
+        return pa.table(
+            {
+                "grp": pa.array(rep, pa.string()),
+                "token": pa.array(flat, pa.string()),
+            }
+        )
+
+    counts = partial_multi_sum_count(
+        docs.map_batches(token_rows, batch_format="pyarrow"),
+        ["grp", "token"],
+        [],
+        alias={"count": "c"},
+    )
+
+    out_cols = ("grp", "n_types", "slope_e6")
+
+    def slope_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "grp" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "grp": pd.Series(dtype=object),
+                    "n_types": pd.Series(dtype=np.int64),
+                    "slope_e6": pd.Series(dtype=np.int64),
+                }
+            )
+        g = df["grp"].to_numpy()
+        tok = df["token"].to_numpy()
+        c = df["c"].to_numpy(dtype=np.int64)
+        _, gcodes = np.unique(g, return_inverse=True)
+        order = np.lexsort((tok, -c, gcodes))
+        g, c, gcodes = g[order], c[order], gcodes[order]
+        new = np.concatenate(([True], gcodes[1:] != gcodes[:-1]))
+        starts = np.flatnonzero(new)
+        seg = np.cumsum(new) - 1
+        rk = np.arange(len(c), dtype=np.int64) - starts[seg] + 1
+        x = np.floor(np.log(rk.astype(np.float64)) * 1000.0 + 0.5).astype(np.int64)
+        y = np.floor(np.log(c.astype(np.float64)) * 1000.0 + 0.5).astype(np.int64)
+        n = np.diff(np.append(starts, len(c))).astype(np.int64)
+        sx = np.add.reduceat(x, starts)
+        sy = np.add.reduceat(y, starts)
+        sxy = np.add.reduceat(x * y, starts)
+        sxx = np.add.reduceat(x * x, starts)
+        # cross terms n*sxy etc. overflow int64 past ~1e6 types, so the
+        # final per-group arithmetic runs in Python ints (groups are few);
+        # the expression shape (num*1e6)/den matches the SQL twin exactly
+        rows = []
+        for gi in range(len(starts)):
+            num = int(n[gi]) * int(sxy[gi]) - int(sx[gi]) * int(sy[gi])
+            den = int(n[gi]) * int(sxx[gi]) - int(sx[gi]) * int(sx[gi])
+            if den == 0:  # single-type groups have no slope
+                continue
+            rows.append(
+                (
+                    g[starts[gi]],
+                    int(n[gi]),
+                    int(np.floor((float(num) * 1_000_000.0) / float(den) + 0.5)),
+                )
+            )
+        return pd.DataFrame(rows, columns=["grp", "n_types", "slope_e6"]).astype(
+            {"n_types": np.int64, "slope_e6": np.int64}
+        )
+
+    return coarse_group_apply(counts, "grp", slope_partition, n_parts=n_parts)

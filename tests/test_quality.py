@@ -67,3 +67,53 @@ def test_profile_columns(ray_session):
     assert out.loc["b", "n_distinct"] == 2
     assert out.loc["b", "min_v"] == "x"
     assert out.loc["b", "max_v"] == "y"
+
+
+def test_l_diversity_violations(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from opentapioca_ray.stages.quality import l_diversity_violations
+
+    # group (1, A): sens in {10, 10, 20} -> l=2 violates l=3, k=3
+    # group (1, B): sens {1,2,3} -> l=3 ok
+    df = pd.DataFrame(
+        {
+            "q1": [1, 1, 1, 1, 1, 1],
+            "q2": ["A", "A", "A", "B", "B", "B"],
+            "sens": [10, 10, 20, 1, 2, 3],
+        }
+    )
+    out = l_diversity_violations(
+        ray.data.from_pandas(df), ["q1", "q2"], "sens", l=3
+    ).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.q1, r.q2, r.k, r.l) == (1, "A", 3, 2)
+
+
+def test_zipf_slope_hand_case(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    from opentapioca_ray.stages.tfidf import zipf_slope
+
+    # one language: counts a=4, b=2, c=1 -> ranks 1,2,3
+    docs = pd.DataFrame(
+        {"lang": ["x"], "text": ["a a a a b b c"]}
+    )
+    out = zipf_slope(
+        ray.data.from_pandas(docs), text_column="text", group_column="lang"
+    ).to_pandas()
+    assert len(out) == 1
+    assert out.iloc[0]["n_types"] == 3
+    xs = [math.floor(math.log(r) * 1000 + 0.5) for r in (1, 2, 3)]
+    ys = [math.floor(math.log(c) * 1000 + 0.5) for c in (4, 2, 1)]
+    n = 3
+    num = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+    den = n * sum(a * a for a in xs) - sum(xs) ** 2
+    want = math.floor(num * 1_000_000.0 / den + 0.5)
+    assert out.iloc[0]["slope_e6"] == want
+    assert out.iloc[0]["slope_e6"] < -1_000_000  # steeper than -1
