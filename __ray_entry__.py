@@ -2846,6 +2846,16 @@ def _q_embedding_dedup(sf_dir: str):
     )
 
 
+def _q_hard_negatives(sf_dir: str):
+    """Contrastive hard-negative mining: per vector, the 5 most
+    cosine-similar vectors with a DIFFERENT label (exact all-pairs
+    baseline, broadcast corpus matrix; the LSH-bucketed variant is the
+    documented scale path)."""
+    from opentapioca_ray.stages.ann import hard_negatives
+
+    return hard_negatives(_rel(f"{sf_dir}/embeddings.parquet"), k=5)
+
+
 def _q_ann_topk(sf_dir: str):
     """Brute-force cosine top-10 for the first 5 corpus vectors."""
     import numpy as np
@@ -9396,6 +9406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": _q_simhash_dedup,
         "embedding_dedup": _q_embedding_dedup,
         "ann_topk": _q_ann_topk,
+        "hard_negatives": _q_hard_negatives,
         "ann_ivf": _q_ann_ivf,
         "embedding_clusters": _q_embedding_clusters,
         "multimodal_meta": _q_multimodal_meta,
@@ -11123,6 +11134,27 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "pagerank": _pagerank_sql(16),
+        "hard_negatives": """
+            WITH e AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS v
+              FROM embeddings
+            ),
+            sims AS (
+              SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+                     list_cosine_similarity(a.v, b.v) AS cosine
+              FROM e a JOIN e b ON a.label != b.label
+            ),
+            ranked AS (
+              SELECT anchor_id, neg_id, cosine,
+                     row_number() OVER (
+                       PARTITION BY anchor_id
+                       ORDER BY cosine DESC, neg_id ASC) AS rk
+              FROM sims
+            )
+            SELECT anchor_id, neg_id, round(cosine, 6) AS cosine,
+                   CAST(rk AS BIGINT) AS rank
+            FROM ranked WHERE rk <= 5
+        """,
         "ann_topk": """
             WITH q AS (
               SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec

@@ -298,3 +298,88 @@ def pq_topk(
 
     partial = ds.map_batches(score_batch, batch_format="pyarrow")
     return partial.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+def hard_negatives(
+    ds,
+    k: int = 5,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    label_column: str = "label",
+):
+    """Contrastive hard-negative mining: for EVERY vector, the `k` most
+    cosine-similar vectors carrying a DIFFERENT label — the standard
+    candidate set for contrastive/triplet training and the
+    labeled-pair analogue of near-dup detection. Output:
+    (anchor_id, neg_id, cosine round-6, rank 1..k), ties broken by
+    neg_id asc, self excluded.
+
+    This is the EXACT all-pairs baseline (the driver brief's brute-force
+    regime): the unit-normalized corpus matrix + labels broadcast once
+    via ray.put, one matmul per anchor batch, streaming anchors. The
+    bucketed scale path for corpora past broadcast size is the
+    hyperplane-LSH banding already used by `dedup.embedding_dedup` — mine
+    within buckets instead of against the broadcast."""
+    import ray
+    import ray.data
+
+    ds = ds.materialize()
+    parts = [
+        t
+        for t in (ray.get(r) for r in ds.to_arrow_refs())
+        if t.num_rows and id_column in t.column_names
+    ]
+    out_schema = pa.schema(
+        [
+            ("anchor_id", pa.int64()),
+            ("neg_id", pa.int64()),
+            ("cosine", pa.float64()),
+            ("rank", pa.int64()),
+        ]
+    )
+    if not parts:
+        return ray.data.from_arrow(out_schema.empty_table())
+    full = pa.concat_tables(parts)
+    ids = full.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+    labels = full.column(label_column).to_numpy(zero_copy_only=False).astype(np.int64)
+    mat = _unit(list_to_matrix(full.column(vector_column)))
+    corpus_ref = ray.put((ids, labels, mat))
+
+    def mine(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or id_column not in batch.column_names:
+            return out_schema.empty_table()
+        c_ids, c_labels, c_mat = ray.get(corpus_ref)
+        a_ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        a_labels = (
+            batch.column(label_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        a_mat = _unit(list_to_matrix(batch.column(vector_column)))
+        sims = a_mat @ c_mat.T  # (na, n)
+        same = a_labels[:, None] == c_labels[None, :]
+        sims = np.where(same, -np.inf, sims)
+        n = sims.shape[1]
+        kk = min(n, k + 32)  # tie margin before the exact per-row sort
+        cand = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        cand_sims = np.take_along_axis(sims, cand, axis=1)
+        cand_ids = c_ids[cand]
+        # exact (cosine desc, neg_id asc) order within each row
+        order = np.lexsort(
+            (cand_ids, -cand_sims), axis=1
+        )
+        top = order[:, :k]
+        sel_ids = np.take_along_axis(cand_ids, top, axis=1)
+        sel_sims = np.take_along_axis(cand_sims, top, axis=1)
+        keep = np.isfinite(sel_sims)  # rows with < k cross-label partners
+        n_anchor, kcols = sel_ids.shape
+        anchor_rep = np.repeat(a_ids, kcols).reshape(n_anchor, kcols)
+        rank = np.tile(np.arange(1, kcols + 1, dtype=np.int64), (n_anchor, 1))
+        return pa.table(
+            {
+                "anchor_id": pa.array(anchor_rep[keep]),
+                "neg_id": pa.array(sel_ids[keep]),
+                "cosine": pa.array(np.round(sel_sims[keep], 6)),
+                "rank": pa.array(rank[keep]),
+            }
+        )
+
+    return ds.map_batches(mine, batch_format="pyarrow")

@@ -166,3 +166,53 @@ def test_pq_recall_against_brute_force(ray_session):
         # the query's own cluster (its 20 members) is what PQ must retrieve
         cluster = set(range((qi * 40 // 20) * 20, (qi * 40 // 20) * 20 + 20))
         assert len(got[qi] & cluster) >= 15
+
+
+def test_hard_negatives_excludes_same_label(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from opentapioca_ray.stages.ann import hard_negatives
+
+    # anchors 1/2 share label 0; 3/4 have label 1. vec 2 is identical to
+    # vec 3 (cosine 1.0) — the hardest cross-label negative.
+    df = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4],
+            "embedding": [
+                [1.0, 0.0],
+                [0.0, 1.0],
+                [0.0, 1.0],
+                [1.0, 1.0],
+            ],
+            "label": [0, 0, 1, 1],
+        }
+    )
+    out = hard_negatives(ray.data.from_pandas(df), k=1).to_pandas()
+    got = {r.anchor_id: (r.neg_id, r.cosine, r.rank) for r in out.itertuples()}
+    assert got[2] == (3, 1.0, 1)       # identical cross-label vector
+    assert got[3] == (2, 1.0, 1)
+    assert got[1][0] == 4              # 45 degrees beats orthogonal
+    assert abs(got[1][1] - 0.707107) < 1e-6
+    assert set(out["anchor_id"]) == {1, 2, 3, 4}
+    # never a same-label or self pair
+    lbl = dict(zip(df.vec_id, df.label))
+    for r in out.itertuples():
+        assert lbl[r.anchor_id] != lbl[r.neg_id]
+
+
+def test_hard_negatives_single_label_empty(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from opentapioca_ray.stages.ann import hard_negatives
+
+    df = pd.DataFrame(
+        {
+            "vec_id": [1, 2],
+            "embedding": [[1.0, 0.0], [0.0, 1.0]],
+            "label": [7, 7],
+        }
+    )
+    out = hard_negatives(ray.data.from_pandas(df), k=3).to_pandas()
+    assert len(out) == 0
