@@ -3711,6 +3711,16 @@ def _q_triangle_count(sf_dir: str):
     return count_triangles(edges)
 
 
+def _q_butterfly_count(sf_dir: str):
+    """Bipartite butterfly (4-cycle) census of the part-supplier graph:
+    edges, wedges, co-neighbor pairs and butterflies as one exact-integer
+    summary row."""
+    from opentapioca_ray.stages.triangles import butterfly_count
+
+    li = _rel(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    return butterfly_count(li, "l_partkey", "l_suppkey")
+
+
 def _q_ktruss_edges(sf_dir: str):
     """4-truss of the high-quantity part co-occurrence graph: iterative
     support-threshold peeling (support >= 2), each round one degree-
@@ -9442,6 +9452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_orders_join": _q_lineitem_orders_join,
         "triangle_count": _q_triangle_count,
         "ktruss_edges": _q_ktruss_edges,
+        "butterfly_count": _q_butterfly_count,
         "redact_props": _q_redact_props,
         "doc_length_quantiles": _q_doc_length_quantiles,
         "revenue_by_nation": _q_revenue_by_nation,
@@ -13897,6 +13908,22 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kcore_nodes": _kcore_sql(k=2, rounds=12, mult=3),
         "ktruss_edges": _ktruss_sql(k=4, rounds=6, qmin=25),
+        "butterfly_count": """
+            WITH e AS (
+              SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+            ),
+            w AS (
+              SELECT a.p AS p1, b.p AS p2, count(*) AS cn
+              FROM e a JOIN e b ON a.s = b.s AND a.p < b.p
+              GROUP BY 1, 2
+            )
+            SELECT CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+                   CAST(coalesce(sum(cn), 0) AS BIGINT) AS n_wedges,
+                   CAST(count(*) AS BIGINT) AS n_left_pairs,
+                   CAST(coalesce(sum(cn * (cn - 1) // 2), 0) AS BIGINT)
+                     AS n_butterflies
+            FROM w
+        """,
         "bfs_hops": _bfs_sql(rounds=6),
         "landmark_closeness": _landmark_closeness_sql(rounds=4),
         "stress_centrality": _stress_sql(rounds=4),

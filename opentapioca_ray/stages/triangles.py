@@ -641,3 +641,109 @@ def ktruss_edges(edges_ds, k: int = 4, rounds: int = 6, n_parts=None):
     # round budget exhausted before convergence (or empty): one final
     # support pass over the surviving graph
     return _edge_support(edges, n_parts=n_parts)
+
+
+def butterfly_count(ds, left_column: str, right_column: str, n_parts=None):
+    """Bipartite butterfly (4-cycle) census — the bipartite analogue of
+    the triangle count (Wang et al., "Butterfly Counting in Bipartite
+    Networks"): one summary row (n_edges, n_wedges, n_left_pairs,
+    n_butterflies) over the DISTINCT (left, right) edge set, where a
+    butterfly is an unordered pair of left nodes sharing an unordered
+    pair of right neighbors: sum over co-neighbor counts cn of C(cn, 2).
+
+    Shape: combiner-first distinct edges, ONE exchange on the right node
+    (each right node's left-neighbor list co-locates; its wedge pairs are
+    aggregated to packed-u64 partials inside the kernel, so exchange two
+    carries per-pair partial counts, not raw wedges), one (l1, l2) merge,
+    and a scalar roll-up. Right-side hubs generate C(deg, 2) wedge pairs
+    — the documented skew point; at web scale cap-and-mirror or salt the
+    hub's neighbor list."""
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
+    from opentapioca_ray.stages.exchange import coarse_group_apply, coarse_groupby_agg
+
+    edges = partial_multi_sum_count(
+        ds.select_columns([left_column, right_column]),
+        [left_column, right_column],
+        [],
+        alias={"count": "n"},
+    ).materialize()
+    n_edges = edges.count()
+    out_schema = pa.schema(
+        [
+            ("n_edges", pa.int64()),
+            ("n_wedges", pa.int64()),
+            ("n_left_pairs", pa.int64()),
+            ("n_butterflies", pa.int64()),
+        ]
+    )
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "n_edges": pa.array([0], pa.int64()),
+                    "n_wedges": pa.array([0], pa.int64()),
+                    "n_left_pairs": pa.array([0], pa.int64()),
+                    "n_butterflies": pa.array([0], pa.int64()),
+                }
+            )
+        )
+
+    def wedge_partials(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype=np.int64) for c in ("l1", "l2", "c")}
+        )
+        if df.empty or right_column not in df.columns:
+            return empty
+        r = df[right_column].to_numpy(dtype=np.int64)
+        l = df[left_column].to_numpy(dtype=np.int64)
+        order = np.lexsort((l, r))
+        r, l = r[order], l[order]
+        li, ri = _segment_pairs(r)
+        if len(li) == 0:
+            return empty
+        packed = (l[li].astype(np.uint64) << np.uint64(32)) | l[ri].astype(
+            np.uint64
+        )
+        uniq, cnt = np.unique(packed, return_counts=True)
+        return pd.DataFrame(
+            {
+                "l1": (uniq >> np.uint64(32)).astype(np.int64),
+                "l2": (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                "c": cnt.astype(np.int64),
+            }
+        )
+
+    partials = coarse_group_apply(
+        edges, right_column, wedge_partials, n_parts=n_parts
+    )
+    cn = coarse_groupby_agg(
+        partials, ["l1", "l2"], {"cn": ("c", "sum")}, n_parts=n_parts
+    )
+
+    def summarize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "cn" not in batch.column_names:
+            return pa.schema(
+                [("w", pa.int64()), ("p", pa.int64()), ("b", pa.int64())]
+            ).empty_table()
+        c = batch.column("cn").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "w": pa.array([int(c.sum())], pa.int64()),
+                "p": pa.array([len(c)], pa.int64()),
+                "b": pa.array([int((c * (c - 1) // 2).sum())], pa.int64()),
+            }
+        )
+
+    sums = cn.map_batches(summarize, batch_format="pyarrow").materialize()
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_edges": pa.array([n_edges], pa.int64()),
+                "n_wedges": pa.array([int(sums.sum("w") or 0)], pa.int64()),
+                "n_left_pairs": pa.array([int(sums.sum("p") or 0)], pa.int64()),
+                "n_butterflies": pa.array([int(sums.sum("b") or 0)], pa.int64()),
+            }
+        )
+    ).map_batches(lambda b: b.cast(out_schema), batch_format="pyarrow")

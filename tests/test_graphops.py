@@ -228,3 +228,28 @@ def test_ktruss_empty_when_no_truss(ray_session):
     edges = ray.data.from_arrow(pa.table({"u": [1, 1, 2], "v": [2, 3, 3]}))
     out = ktruss_edges(edges, k=4, rounds=4).to_pandas()
     assert len(out) == 0
+
+
+def test_butterfly_count_hand_case(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from opentapioca_ray.stages.triangles import butterfly_count
+
+    # K2,2 on lefts {1,2} x rights {10,20} = exactly one butterfly;
+    # left 3 attaches to right 10 only (adds wedges, no butterfly);
+    # a duplicate edge row must not inflate anything
+    df = pd.DataFrame(
+        {
+            "l": [1, 1, 2, 2, 3, 3],
+            "r": [10, 20, 10, 20, 10, 10],
+        }
+    )
+    out = butterfly_count(ray.data.from_pandas(df), "l", "r").to_pandas()
+    row = out.iloc[0]
+    # distinct edges: (1,10),(1,20),(2,10),(2,20),(3,10) = 5
+    assert row.n_edges == 5
+    # co-neighbor pairs: (1,2) cn=2; (1,3) cn=1; (2,3) cn=1
+    assert row.n_left_pairs == 3
+    assert row.n_wedges == 4
+    assert row.n_butterflies == 1
