@@ -5381,6 +5381,31 @@ def _q_curriculum_order(sf_dir: str):
     return global_order_index(ev, "value", "event_id")
 
 
+def _q_progressive_pairs(sf_dir: str):
+    """Progressive SNM: the first 2000 candidate pairs in pay-as-you-go
+    order (all gap-1 neighbors, then gap-2, ...) with each pair's exact
+    position, computed in closed form from the global rank — the
+    budget-limited ER schedule."""
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.snm import progressive_pairs
+
+    def key(batch):
+        txt = pc.fill_null(batch.column("text"), "")
+        return batch.set_column(
+            batch.schema.get_field_index("text"),
+            "snm_key",
+            pc.utf8_slice_codeunits(txt, 0, 40),
+        )
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"]).map_batches(
+        key, batch_format="pyarrow"
+    )
+    return progressive_pairs(
+        docs, "snm_key", "doc_id", window=5, budget=2000
+    )
+
+
 def _q_snm_pairs(sf_dir: str):
     """Corpus-wide sorted-neighborhood candidate pairs: global order by the
     40-char text prefix (near-dups sort adjacently), window 5. Fully
@@ -9509,6 +9534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_price": _q_weighted_median_price,
         "curriculum_order": _q_curriculum_order,
         "snm_pairs": _q_snm_pairs,
+        "progressive_pairs": _q_progressive_pairs,
         "fuzzy_customer_pairs": _q_fuzzy_customer_pairs,
         "dl_supplier_pairs": _q_dl_supplier_pairs,
         "stable_assignment": _q_stable_assignment,
@@ -13252,6 +13278,24 @@ def oracle_sql() -> dict[str, str]:
                    min(tus) AS start_us, max(tus) AS end_us,
                    CAST(count(*) AS BIGINT) AS n_rows
             FROM i GROUP BY user_id, island, event_type
+        """,
+        "progressive_pairs": """
+            WITH r AS (
+              SELECT doc_id,
+                     row_number() OVER (
+                       ORDER BY substr(COALESCE(text, ''), 1, 40), doc_id
+                     ) AS rn,
+                     count(*) OVER () AS n
+              FROM documents
+            )
+            SELECT * FROM (
+              SELECT a.doc_id AS u, b.doc_id AS v,
+                     CAST(b.rn - a.rn AS BIGINT) AS gap,
+                     CAST((b.rn - a.rn - 1) * a.n
+                          - (b.rn - a.rn) * (b.rn - a.rn - 1) // 2
+                          + a.rn AS BIGINT) AS ord
+              FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 5
+            ) WHERE ord <= 2000
         """,
         "snm_pairs": """
             WITH r AS (

@@ -401,3 +401,105 @@ def multi_pass_pairs(pair_sets: list):
         t = ds_i.map_batches(tag(bit), batch_format="pyarrow")
         tagged = t if tagged is None else tagged.union(t)
     return coarse_groupby_agg(tagged, ["u", "v"], {"schemes": ("schemes", "sum")})
+
+
+def progressive_pairs(
+    ds,
+    key_column: str,
+    id_column: str,
+    window: int = 5,
+    budget: int = 1000,
+    chunk: int = 4096,
+    n_parts: int | None = None,
+):
+    """Progressive SNM (Papenbrock, Heise & Naumann, "Progressive
+    Duplicate Detection", TKDE 2015): the first `budget` candidate pairs
+    in the pay-as-you-go comparison order — ALL gap-1 neighbors first,
+    then gap 2, ... — so a truncated run maximizes early matches. Output
+    (u, v, gap, ord) where ord is the exact 1-based position in that
+    order: ord = (gap-1)*n - gap*(gap-1)/2 + rank(u), a closed form over
+    the global rank, so the budget cut needs NO extra pass — the same
+    chunked exchange as `sorted_neighborhood_pairs` emits and filters in
+    place."""
+    if window >= chunk:
+        raise ValueError("chunk must exceed window")
+
+    from opentapioca_ray.stages.exchange import (
+        coarse_group_apply,
+        default_n_parts,
+        right_size,
+    )
+
+    ranked = right_size(
+        global_rank(ds, key_column, id_column, n_parts=n_parts).materialize()
+    )
+    n_total = ranked.count()
+    if n_parts is None:
+        n_parts = min(default_n_parts(), max(1, (n_total + 65_535) // 65_536))
+
+    def to_chunks(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "rn" not in batch.column_names:
+            return pa.schema(
+                [
+                    (id_column, pa.int64()),
+                    ("rn", pa.int64()),
+                    ("chunk", pa.int64()),
+                ]
+            ).empty_table()
+        rn = batch.column("rn").to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        own = (rn - 1) // chunk
+        dup = ((rn - 1) % chunk < window) & (own > 0)
+        return pa.table(
+            {
+                id_column: pa.array(np.concatenate((ids, ids[dup]))),
+                "rn": pa.array(np.concatenate((rn, rn[dup]))),
+                "chunk": pa.array(np.concatenate((own, own[dup] - 1))),
+            }
+        )
+
+    chunked = ranked.map_batches(to_chunks, batch_format="pyarrow")
+    out_cols = ("u", "v", "gap", "ord")
+
+    def pair_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in out_cols})
+        if df.empty:
+            return empty
+        ch = df["chunk"].to_numpy(dtype=np.int64)
+        rn = df["rn"].to_numpy(dtype=np.int64)
+        ids = df[id_column].to_numpy(dtype=np.int64)
+        order = np.lexsort((rn, ch))
+        ch, rn, ids = ch[order], rn[order], ids[order]
+        own = (rn - 1) // chunk == ch
+        out = []
+        n = len(rn)
+        for d in range(1, window + 1):
+            if n <= d:
+                break
+            left = np.arange(n - d)
+            ok = (
+                (ch[left] == ch[left + d])
+                & (rn[left + d] - rn[left] == d)
+                & own[left]
+            )
+            if not ok.any():
+                continue
+            r = rn[left[ok]]
+            ordv = (d - 1) * n_total - d * (d - 1) // 2 + r
+            keep = ordv <= budget
+            if keep.any():
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "u": ids[left[ok]][keep],
+                            "v": ids[left[ok] + d][keep],
+                            "gap": np.full(int(keep.sum()), d, dtype=np.int64),
+                            "ord": ordv[keep],
+                        }
+                    )
+                )
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    return coarse_group_apply(chunked, "chunk", pair_partition, n_parts=n_parts)
