@@ -2846,6 +2846,15 @@ def _q_embedding_dedup(sf_dir: str):
     )
 
 
+def _q_bitext_pairs(sf_dir: str):
+    """Bitext-mining alignment: pairs of vectors that are EACH OTHER's
+    single best cross-label cosine neighbor (the mutual-best criterion
+    of margin-based parallel-corpus mining)."""
+    from opentapioca_ray.stages.ann import mutual_best_cross_label
+
+    return mutual_best_cross_label(_rel(f"{sf_dir}/embeddings.parquet"))
+
+
 def _q_hard_negatives(sf_dir: str):
     """Contrastive hard-negative mining: per vector, the 5 most
     cosine-similar vectors with a DIFFERENT label (exact all-pairs
@@ -9442,6 +9451,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup": _q_embedding_dedup,
         "ann_topk": _q_ann_topk,
         "hard_negatives": _q_hard_negatives,
+        "bitext_pairs": _q_bitext_pairs,
         "ann_ivf": _q_ann_ivf,
         "embedding_clusters": _q_embedding_clusters,
         "multimodal_meta": _q_multimodal_meta,
@@ -11171,6 +11181,32 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "pagerank": _pagerank_sql(16),
+        "bitext_pairs": """
+            WITH e AS (
+              SELECT vec_id, label, embedding::DOUBLE[] AS v
+              FROM embeddings
+            ),
+            sims AS (
+              SELECT a.vec_id AS anchor_id, b.vec_id AS neg_id,
+                     list_cosine_similarity(a.v, b.v) AS cosine
+              FROM e a JOIN e b ON a.label != b.label
+            ),
+            best AS (
+              SELECT anchor_id, neg_id, round(cosine, 6) AS cosine
+              FROM (
+                SELECT anchor_id, neg_id, cosine,
+                       row_number() OVER (
+                         PARTITION BY anchor_id
+                         ORDER BY cosine DESC, neg_id ASC) AS rk
+                FROM sims
+              ) WHERE rk = 1
+            )
+            SELECT least(anchor_id, neg_id) AS u,
+                   greatest(anchor_id, neg_id) AS v,
+                   max(cosine) AS cosine
+            FROM best
+            GROUP BY 1, 2 HAVING count(*) = 2
+        """,
         "hard_negatives": """
             WITH e AS (
               SELECT vec_id, label, embedding::DOUBLE[] AS v

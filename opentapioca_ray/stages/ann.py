@@ -383,3 +383,69 @@ def hard_negatives(
         )
 
     return ds.map_batches(mine, batch_format="pyarrow")
+
+
+def mutual_best_cross_label(
+    ds,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    label_column: str = "label",
+):
+    """Bitext-mining-style alignment (the mutual-best criterion of
+    Artetxe & Schwenk's margin mining, without the margin): pairs where
+    each vector is the OTHER's single most cosine-similar cross-label
+    neighbor. Output (u, v, cosine round-6) with u < v.
+
+    Composition: `hard_negatives(k=1)` gives every vector's best
+    cross-label partner (exact broadcast baseline); one coarse exchange
+    on the unordered pair key keeps the pairs present in BOTH
+    directions."""
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg
+
+    best = hard_negatives(
+        ds,
+        k=1,
+        id_column=id_column,
+        vector_column=vector_column,
+        label_column=label_column,
+    )
+
+    pair_schema = pa.schema(
+        [("u", pa.int64()), ("v", pa.int64()), ("cosine", pa.float64())]
+    )
+
+    def orient(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "anchor_id" not in batch.column_names:
+            return pair_schema.empty_table()
+        a = batch.column("anchor_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch.column("neg_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch.column("cosine").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(np.minimum(a, b)),
+                "v": pa.array(np.maximum(a, b)),
+                "cosine": pa.array(c),
+            }
+        )
+
+    merged = coarse_groupby_agg(
+        best.map_batches(orient, batch_format="pyarrow"),
+        ["u", "v"],
+        {"n_dir": ("cosine", "size"), "cosine": ("cosine", "max")},
+    )
+
+    def mutual(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or "n_dir" not in batch.column_names:
+            return pair_schema.empty_table()
+        t = batch.filter(pc.equal(batch.column("n_dir"), pa.scalar(2)))
+        return pa.table(
+            {
+                "u": t.column("u").cast(pa.int64()),
+                "v": t.column("v").cast(pa.int64()),
+                "cosine": t.column("cosine").cast(pa.float64()),
+            }
+        )
+
+    return merged.map_batches(mutual, batch_format="pyarrow")

@@ -216,3 +216,24 @@ def test_hard_negatives_single_label_empty(ray_session):
     )
     out = hard_negatives(ray.data.from_pandas(df), k=3).to_pandas()
     assert len(out) == 0
+
+
+def test_mutual_best_cross_label(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from opentapioca_ray.stages.ann import mutual_best_cross_label
+
+    # 1 (label 0) and 3 (label 1) are identical -> mutual best.
+    # 2 (label 0) points at 3 as its best, but 3 prefers 1 -> not mutual.
+    df = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "embedding": [[0.0, 1.0], [1.0, 1.0], [0.0, 1.0]],
+            "label": [0, 0, 1],
+        }
+    )
+    out = mutual_best_cross_label(ray.data.from_pandas(df)).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert (r.u, r.v, r.cosine) == (1, 3, 1.0)
