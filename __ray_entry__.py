@@ -2846,6 +2846,15 @@ def _q_embedding_dedup(sf_dir: str):
     )
 
 
+def _q_embedding_outliers(sf_dir: str):
+    """Label-conditioned outlier scores: exact integer n^2-scaled squared
+    distance of each vector to its label centroid (dims quantized once to
+    1e-4 units; no float mean anywhere)."""
+    from opentapioca_ray.stages.ann import embedding_outliers
+
+    return embedding_outliers(_rel(f"{sf_dir}/embeddings.parquet"))
+
+
 def _q_bitext_pairs(sf_dir: str):
     """Bitext-mining alignment: pairs of vectors that are EACH OTHER's
     single best cross-label cosine neighbor (the mutual-best criterion
@@ -9452,6 +9461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": _q_ann_topk,
         "hard_negatives": _q_hard_negatives,
         "bitext_pairs": _q_bitext_pairs,
+        "embedding_outliers": _q_embedding_outliers,
         "ann_ivf": _q_ann_ivf,
         "embedding_clusters": _q_embedding_clusters,
         "multimodal_meta": _q_multimodal_meta,
@@ -11181,6 +11191,35 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "pagerank": _pagerank_sql(16),
+        "embedding_outliers": """
+            WITH q AS (
+              SELECT vec_id, CAST(label AS BIGINT) AS label,
+                     list_transform(
+                       embedding::DOUBLE[],
+                       x -> CAST(floor(x * 10000 + 0.5) AS BIGINT)) AS xq
+              FROM embeddings
+            ),
+            ex AS (
+              SELECT vec_id, label,
+                     unnest(xq) AS v,
+                     unnest(range(1, len(xq) + 1)) AS i
+              FROM q
+            ),
+            s AS (
+              SELECT label, i, sum(v) AS sv FROM ex GROUP BY label, i
+            ),
+            cnt AS (
+              SELECT label, count(*) AS n FROM q GROUP BY label
+            )
+            SELECT e.vec_id, e.label,
+                   CAST(c.n AS BIGINT) AS n,
+                   CAST(sum((c.n * e.v - s.sv) * (c.n * e.v - s.sv))
+                        AS BIGINT) AS dist2_scaled
+            FROM ex e
+            JOIN s ON s.label = e.label AND s.i = e.i
+            JOIN cnt c ON c.label = e.label
+            GROUP BY e.vec_id, e.label, c.n
+        """,
         "bitext_pairs": """
             WITH e AS (
               SELECT vec_id, label, embedding::DOUBLE[] AS v

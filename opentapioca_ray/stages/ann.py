@@ -449,3 +449,108 @@ def mutual_best_cross_label(
         )
 
     return merged.map_batches(mutual, batch_format="pyarrow")
+
+
+def embedding_outliers(
+    ds,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    label_column: str = "label",
+    scale: int = 10_000,
+):
+    """Per-vector outlier score for label-conditioned data cleaning: the
+    squared L2 distance to the vector's own label centroid, made EXACT by
+    quantizing dims once to 1/scale units and multiplying through by the
+    label count n — dist2_scaled = sum_d (n*xq_d - s_d)^2 = n^2 * ||x -
+    mean||^2 in integer units, no float mean anywhere. Output
+    (vec_id, label, n, dist2_scaled); downstream cleaning drops the top
+    quantile per label.
+
+    Shape: one combiner pass collects per-label quantized dim sums
+    (labels x dim ints — broadcast-small by construction), then one map
+    scores every vector. The facts stream twice, nothing else moves."""
+    import ray
+    import ray.data
+
+    ds = ds.materialize()
+
+    def quantize(batch: pa.Table) -> np.ndarray:
+        mat = list_to_matrix(batch.column(vector_column)).astype(np.float64)
+        return np.floor(mat * float(scale) + 0.5).astype(np.int64)
+
+    # combiner: per-label (count, dim sums) partials, driver-combined
+    # (O(labels x dim) state — the broadcast-small regime)
+    totals: dict[int, tuple[int, np.ndarray]] = {}
+    stats_schema = pa.schema(
+        [("label", pa.int64()), ("n", pa.int64()), ("sums", pa.list_(pa.int64()))]
+    )
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or label_column not in batch.column_names:
+            return stats_schema.empty_table()
+        xq = quantize(batch)
+        labels = (
+            batch.column(label_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), xq.shape[1]), dtype=np.int64)
+        np.add.at(sums, inv, xq)
+        counts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(uniq),
+                "n": pa.array(counts),
+                "sums": pa.array(list(sums), type=pa.list_(pa.int64())),
+            }
+        )
+
+    for ref in ds.map_batches(partials, batch_format="pyarrow").to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "label" not in t.column_names:
+            continue
+        for lbl, n, s in zip(
+            t.column("label").to_pylist(),
+            t.column("n").to_pylist(),
+            t.column("sums").to_pylist(),
+        ):
+            if lbl in totals:
+                pn, ps = totals[lbl]
+                totals[lbl] = (pn + n, ps + np.asarray(s, dtype=np.int64))
+            else:
+                totals[lbl] = (n, np.asarray(s, dtype=np.int64))
+    out_schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("label", pa.int64()),
+            ("n", pa.int64()),
+            ("dist2_scaled", pa.int64()),
+        ]
+    )
+    if not totals:
+        return ray.data.from_arrow(out_schema.empty_table())
+    lbl_sorted = np.array(sorted(totals), dtype=np.int64)
+    n_arr = np.array([totals[l][0] for l in lbl_sorted], dtype=np.int64)
+    s_mat = np.stack([totals[l][1] for l in lbl_sorted])
+    stats_ref = ray.put((lbl_sorted, n_arr, s_mat))
+
+    def score(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or label_column not in batch.column_names:
+            return out_schema.empty_table()
+        lbls, ns, sums = ray.get(stats_ref)
+        xq = quantize(batch)
+        labels = (
+            batch.column(label_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        )
+        idx = np.searchsorted(lbls, labels)
+        n = ns[idx]
+        diff = n[:, None] * xq - sums[idx]
+        return pa.table(
+            {
+                "vec_id": batch.column(id_column).cast(pa.int64()),
+                "label": pa.array(labels),
+                "n": pa.array(n),
+                "dist2_scaled": pa.array((diff * diff).sum(axis=1)),
+            }
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow")

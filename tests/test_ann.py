@@ -237,3 +237,31 @@ def test_mutual_best_cross_label(ray_session):
     assert len(out) == 1
     r = out.iloc[0]
     assert (r.u, r.v, r.cosine) == (1, 3, 1.0)
+
+
+def test_embedding_outliers_exact_integers(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from opentapioca_ray.stages.ann import embedding_outliers
+
+    # label 0: x=[0.0] and [0.2] -> quantized 0 and 2000, n=2, sum=2000.
+    # dist2 = (2*0 - 2000)^2 = 4e6 for both (symmetric).
+    # label 1: single vector -> distance 0 (n*x - s = 0).
+    df = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "embedding": [[0.0], [0.2], [0.9]],
+            "label": [0, 0, 1],
+        }
+    )
+    out = (
+        embedding_outliers(ray.data.from_pandas(df), scale=10_000)
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert out.loc[1, "dist2_scaled"] == 2000**2
+    assert out.loc[2, "dist2_scaled"] == 2000**2
+    assert out.loc[3, "dist2_scaled"] == 0
+    assert out.loc[1, "n"] == 2 and out.loc[3, "n"] == 1
