@@ -1944,9 +1944,12 @@ def _q_kmedoids(sf_dir: str):
     )
 
 
-def _kmedoids_oracle_sql(k: int = 8, rounds: int = 2, dims: int = 4) -> str:
+def _kmedoids_oracle_sql(
+    k: int = 8, rounds: int = 2, dims: int = 4, source: str = "embeddings"
+) -> str:
     """Unrolled k-medoids: md5-priority init, then per round an argmin
-    assignment CTE and a per-cluster self-join re-election CTE."""
+    assignment CTE and a per-cluster self-join re-election CTE. `source`
+    names the input relation (a CTE for composed oracles like semdedup)."""
     dcols = ", ".join(
         f"CAST(floor((embedding::DOUBLE[])[{i + 1}] * 1000000 + 0.5)"
         f" AS BIGINT) AS d{i}"
@@ -1959,7 +1962,7 @@ def _kmedoids_oracle_sql(k: int = 8, rounds: int = 2, dims: int = 4) -> str:
     dlist = ", ".join(f"d{i}" for i in range(dims))
     sql = f"""
         WITH q AS MATERIALIZED (
-          SELECT vec_id, {dcols} FROM embeddings
+          SELECT vec_id, {dcols} FROM {source}
         ),
         m0 AS MATERIALIZED (
           SELECT vec_id AS mid, {dlist} FROM q
@@ -2844,6 +2847,40 @@ def _q_embedding_dedup(sf_dir: str):
         ).empty_table(),
         batch_format="pyarrow",
     )
+
+
+def _q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-medoids partition of the embedding
+    space, then keep-one-per-group over within-cluster round-6 cosine >=
+    0.99 links. Input is the embeddings table with the standard planted
+    duplicates (every 10th vector at 2x scale under vec_id + 1e6; same
+    direction, cosine exactly 1) so recall is observable; cross-cluster
+    dup pairs are missed by construction — the paper's trade."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.cluster import semdedup
+
+    def augment(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        vecs = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        sel = ids % 10 == 0
+        return pa.table(
+            {
+                "vec_id": pa.array(
+                    np.concatenate([ids, ids[sel] + 1_000_000]), type=pa.int64()
+                ),
+                "embedding": pa.array(
+                    list(vecs) + list(vecs[sel] * 2.0),
+                    type=pa.list_(pa.float64()),
+                ),
+            }
+        )
+
+    emb = _rel(f"{sf_dir}/embeddings.parquet").map_batches(
+        augment, batch_format="pyarrow"
+    )
+    return semdedup(emb, tau=0.99, k=8, rounds=2, dims=4)
 
 
 def _q_embedding_outliers(sf_dir: str):
@@ -9462,6 +9499,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": _q_hard_negatives,
         "bitext_pairs": _q_bitext_pairs,
         "embedding_outliers": _q_embedding_outliers,
+        "semdedup": _q_semdedup,
         "ann_ivf": _q_ann_ivf,
         "embedding_clusters": _q_embedding_clusters,
         "multimodal_meta": _q_multimodal_meta,
@@ -11191,6 +11229,47 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "pagerank": _pagerank_sql(16),
+        "semdedup": f"""
+            WITH RECURSIVE aug AS MATERIALIZED (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000,
+                     list_transform(embedding, x -> x * 2)
+              FROM embeddings WHERE vec_id % 10 = 0
+            ),
+            assign AS MATERIALIZED (
+              SELECT * FROM ({_kmedoids_oracle_sql(source="aug")})
+            ),
+            ev AS (
+              SELECT vec_id, embedding::DOUBLE[] AS v FROM aug
+            ),
+            p AS (
+              SELECT a1.vec_id AS u, a2.vec_id AS w
+              FROM assign a1
+              JOIN assign a2
+                ON a1.medoid = a2.medoid AND a1.vec_id < a2.vec_id
+              JOIN ev x ON x.vec_id = a1.vec_id
+              JOIN ev y ON y.vec_id = a2.vec_id
+              WHERE round(list_cosine_similarity(x.v, y.v), 6) >= 0.99
+            ),
+            edges AS (
+              SELECT u AS a, w AS b FROM p
+              UNION ALL SELECT w, u FROM p
+            ),
+            lab(v, l) AS (
+              SELECT a, a FROM edges
+              UNION
+              SELECT e2.a, lab.l FROM edges e2 JOIN lab ON lab.v = e2.b
+            ),
+            comp AS (
+              SELECT v AS vec_id, min(l) AS rep FROM lab GROUP BY v
+            )
+            SELECT q0.vec_id,
+                   CAST(coalesce(c.rep, q0.vec_id) AS BIGINT) AS rep,
+                   CAST(CASE WHEN coalesce(c.rep, q0.vec_id) = q0.vec_id
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep
+            FROM aug q0 LEFT JOIN comp c USING (vec_id)
+        """,
         "embedding_outliers": """
             WITH q AS (
               SELECT vec_id, CAST(label AS BIGINT) AS label,

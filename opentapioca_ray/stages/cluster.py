@@ -323,6 +323,7 @@ def kmedoids_fit_assign(
     id_column: str = "vec_id",
     vector_column: str = "embedding",
     n_parts=None,
+    as_dataset: bool = False,
 ):
     """PAM-style k-medoids with EXACT integer arithmetic — the
     hash-verifiable counterpart to float k-means (kmeans_fit is
@@ -470,4 +471,154 @@ def kmedoids_fit_assign(
             }
         )
 
-    return pts.map_batches(final_assign, batch_format="pyarrow").to_pandas()
+    out = pts.map_batches(final_assign, batch_format="pyarrow")
+    return out if as_dataset else out.to_pandas()
+
+
+def semdedup(
+    ds,
+    tau: float = 0.99,
+    k: int = 8,
+    rounds: int = 2,
+    dims: int = 4,
+    id_column: str = "vec_id",
+    vector_column: str = "embedding",
+    n_parts: int | None = None,
+):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): partition the embedding
+    space with k-medoids (this repo's hash-verifiable exact-integer PAM),
+    then WITHIN each cluster link every pair with round-6 cosine >= `tau`
+    and keep one exemplar (min id) per linked group. Duplicate pairs
+    split across clusters are missed by construction — the documented
+    recall trade the paper makes for never comparing across partitions.
+    Output: (vec_id, rep, keep) for EVERY vector.
+
+    Shape: the k-medoids assignment (exact integers end-to-end), one
+    vec_id-keyed exchange attaching each vector's medoid, one
+    medoid-keyed exchange whose kernel does the per-cluster cosine
+    matrix + vectorized min-label closure (a cluster fits a worker —
+    choose k ~ sqrt(n) at scale, exactly as the paper does)."""
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    ds = ds.materialize()
+    assign = kmedoids_fit_assign(
+        ds, k=k, rounds=rounds, dims=dims,
+        id_column=id_column, vector_column=vector_column,
+        as_dataset=True,
+    ).materialize()
+
+    union_schema = pa.schema(
+        [
+            (id_column, pa.int64()),
+            ("emb", pa.list_(pa.float64())),
+            ("medoid", pa.int64()),
+            ("is_assign", pa.bool_()),
+        ]
+    )
+
+    def emb_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or id_column not in batch.column_names:
+            return union_schema.empty_table()
+        n = batch.num_rows
+        return pa.table(
+            {
+                id_column: batch.column(id_column).cast(pa.int64()),
+                "emb": batch.column(vector_column).cast(pa.list_(pa.float64())),
+                "medoid": pa.nulls(n, pa.int64()),
+                "is_assign": pa.array(np.zeros(n, dtype=bool)),
+            }
+        )
+
+    def assign_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "medoid" not in batch.column_names:
+            return union_schema.empty_table()
+        n = batch.num_rows
+        return pa.table(
+            {
+                id_column: batch.column(id_column).cast(pa.int64()),
+                "emb": pa.nulls(n, pa.list_(pa.float64())),
+                "medoid": batch.column("medoid").cast(pa.int64()),
+                "is_assign": pa.array(np.ones(n, dtype=bool)),
+            }
+        )
+
+    unioned = ds.map_batches(emb_rows, batch_format="pyarrow").union(
+        assign.map_batches(assign_rows, batch_format="pyarrow")
+    )
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        cols = {id_column: np.int64, "medoid": np.int64, "emb": object}
+        if df.empty or "is_assign" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+        isa = df["is_assign"].to_numpy(dtype=bool)
+        vecs, lab = df[~isa], df[isa]
+        if vecs.empty or lab.empty:
+            return pd.DataFrame({c: pd.Series(dtype=t) for c, t in cols.items()})
+        lid = lab[id_column].to_numpy(dtype=np.int64)
+        lmed = lab["medoid"].to_numpy(dtype=np.int64)
+        o = np.argsort(lid, kind="stable")
+        lid, lmed = lid[o], lmed[o]
+        vid = vecs[id_column].to_numpy(dtype=np.int64)
+        pos = np.clip(np.searchsorted(lid, vid), 0, len(lid) - 1)
+        ok = lid[pos] == vid
+        return pd.DataFrame(
+            {
+                id_column: vid[ok],
+                "medoid": lmed[pos[ok]],
+                "emb": vecs["emb"].to_numpy()[ok],
+            }
+        )
+
+    with_medoid = coarse_group_apply(unioned, id_column, attach, n_parts=n_parts)
+
+    out_cols = (id_column, "rep", "keep")
+
+    def cluster_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "medoid" not in df.columns:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in out_cols})
+        med = df["medoid"].to_numpy(dtype=np.int64)
+        ids = df[id_column].to_numpy(dtype=np.int64)
+        embs = df["emb"].to_numpy()
+        order = np.lexsort((ids, med))
+        med, ids, embs = med[order], ids[order], embs[order]
+        starts = np.flatnonzero(np.concatenate(([True], med[1:] != med[:-1])))
+        ends = np.append(starts[1:], len(med))
+        out_id, out_rep = [], []
+        for s, e in zip(starts, ends):
+            cid = ids[s:e]
+            mat = np.array(list(embs[s:e]), dtype=np.float64)
+            nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            sims = np.round((mat / nrm) @ (mat / nrm).T, 6)
+            iu, ju = np.triu_indices(len(cid), k=1)
+            hit = sims[iu, ju] >= tau
+            lab = np.arange(len(cid), dtype=np.int64)
+            uc, vc = iu[hit], ju[hit]
+            while True:  # vectorized min-label closure (cc.py recipe)
+                m = np.minimum(lab[uc], lab[vc])
+                new = lab.copy()
+                np.minimum.at(new, uc, m)
+                np.minimum.at(new, vc, m)
+                new = new[new]
+                if np.array_equal(new, lab):
+                    break
+                lab = new
+            out_id.append(cid)
+            out_rep.append(cid[lab])  # ids ascend within cluster: min code
+            # position = min id
+        if not out_id:
+            return pd.DataFrame({c: pd.Series(dtype=np.int64) for c in out_cols})
+        oid = np.concatenate(out_id)
+        orep = np.concatenate(out_rep)
+        return pd.DataFrame(
+            {
+                id_column: oid,
+                "rep": orep,
+                "keep": (oid == orep).astype(np.int64),
+            }
+        )
+
+    return coarse_group_apply(with_medoid, "medoid", cluster_dedup, n_parts=n_parts)

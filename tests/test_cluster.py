@@ -89,3 +89,39 @@ def test_kmedoids_exact_assignment(ray_session):
     assert out.sort_values("vec_id").reset_index(drop=True).equals(
         out2.sort_values("vec_id").reset_index(drop=True)
     )
+
+
+def test_semdedup_keeps_one_per_group(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+
+    from opentapioca_ray.stages.cluster import semdedup
+
+    # three identical-direction vectors (ids 1,2,3) + one far vector.
+    # All land in one k=1 cluster; cosine(1,2)=cosine(1,3)=1 -> one
+    # group keeps min id 1. Vector 9 is its own rep.
+    rng = np.random.RandomState(0)
+    base = rng.rand(8)
+    df = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 9],
+            "embedding": [
+                list(base),
+                list(base * 2),
+                list(base * 0.5),
+                list(-base),
+            ],
+            "label": [0, 0, 0, 0],
+        }
+    )
+    out = (
+        semdedup(ray.data.from_pandas(df), tau=0.99, k=1, rounds=1, dims=4)
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert out.loc[1, "keep"] == 1 and out.loc[1, "rep"] == 1
+    assert out.loc[2, "keep"] == 0 and out.loc[2, "rep"] == 1
+    assert out.loc[3, "keep"] == 0 and out.loc[3, "rep"] == 1
+    assert out.loc[9, "keep"] == 1 and out.loc[9, "rep"] == 9
