@@ -6319,6 +6319,46 @@ def _q_k_anonymity(sf_dir: str):
     return k_anonymity_violations(cust, ["c_nationkey", "c_mktsegment"], k=10)
 
 
+def _q_fd_discovery(sf_dir: str):
+    """Single-column FD discovery over orders: for every ordered column
+    pair (A, B), does A functionally determine B? Distinct-combo counting
+    per the TANE level-1 lattice; violations = gap between distinct (A,B)
+    and distinct A."""
+    from opentapioca_ray.stages.quality import fd_profile
+
+    ords = _rel(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"],
+    )
+    return fd_profile(
+        ords, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+def _q_rich_club(sf_dir: str):
+    """Rich-club coefficients of the high-quantity part co-occurrence
+    graph: subgraph density among nodes with degree > k, exact integer
+    millionths — the hub-interconnection diagnostic for match graphs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from opentapioca_ray.sources.files import read_sized
+    from opentapioca_ray.stages.graphops import rich_club
+    from opentapioca_ray.stages.triangles import cooccurrence_edges
+
+    li = read_sized(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_partkey", "l_quantity"],
+    ).map_batches(
+        lambda b: b.filter(
+            pc.greater_equal(b.column("l_quantity"), pa.scalar(25.0))
+        ).select(["l_orderkey", "l_partkey"]),
+        batch_format="pyarrow",
+    )
+    edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+    return rich_club(edges, ks=[1, 2, 4, 8, 16])
+
+
 def _q_l_diversity(sf_dir: str):
     """Privacy audit one step past k-anonymity: (nation, segment) combos
     whose account-balance band takes fewer than 5 distinct values — a
@@ -9614,6 +9654,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": _q_k_anonymity,
         "l_diversity": _q_l_diversity,
         "zipf_slope": _q_zipf_slope,
+        "fd_discovery": _q_fd_discovery,
+        "rich_club": _q_rich_club,
         "pareto_users": _q_pareto_users,
         "price_deciles": _q_price_deciles,
         "orders_checksum": _q_orders_checksum,
@@ -13146,6 +13188,99 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             GROUP BY c_nationkey, c_mktsegment
             HAVING count(*) < 10
+        """,
+        "fd_discovery": """
+            WITH cols(lhs) AS (
+              VALUES ('o_orderkey'), ('o_custkey'),
+                     ('o_orderstatus'), ('o_orderpriority')
+            ),
+            pairs AS (
+              SELECT a.lhs, b.lhs AS rhs FROM cols a JOIN cols b
+              ON a.lhs != b.lhs
+            ),
+            d AS (
+              SELECT 'o_orderkey' AS c, count(DISTINCT o_orderkey) AS n
+                FROM orders
+              UNION ALL SELECT 'o_custkey', count(DISTINCT o_custkey)
+                FROM orders
+              UNION ALL SELECT 'o_orderstatus', count(DISTINCT o_orderstatus)
+                FROM orders
+              UNION ALL SELECT 'o_orderpriority',
+                count(DISTINCT o_orderpriority) FROM orders
+            ),
+            pd AS (
+              SELECT p.lhs, p.rhs,
+                CASE p.lhs || '|' || p.rhs
+                  WHEN 'o_orderkey|o_custkey' THEN
+                    (SELECT count(DISTINCT (o_orderkey, o_custkey)) FROM orders)
+                  WHEN 'o_custkey|o_orderkey' THEN
+                    (SELECT count(DISTINCT (o_orderkey, o_custkey)) FROM orders)
+                  WHEN 'o_orderkey|o_orderstatus' THEN
+                    (SELECT count(DISTINCT (o_orderkey, o_orderstatus)) FROM orders)
+                  WHEN 'o_orderstatus|o_orderkey' THEN
+                    (SELECT count(DISTINCT (o_orderkey, o_orderstatus)) FROM orders)
+                  WHEN 'o_orderkey|o_orderpriority' THEN
+                    (SELECT count(DISTINCT (o_orderkey, o_orderpriority)) FROM orders)
+                  WHEN 'o_orderpriority|o_orderkey' THEN
+                    (SELECT count(DISTINCT (o_orderkey, o_orderpriority)) FROM orders)
+                  WHEN 'o_custkey|o_orderstatus' THEN
+                    (SELECT count(DISTINCT (o_custkey, o_orderstatus)) FROM orders)
+                  WHEN 'o_orderstatus|o_custkey' THEN
+                    (SELECT count(DISTINCT (o_custkey, o_orderstatus)) FROM orders)
+                  WHEN 'o_custkey|o_orderpriority' THEN
+                    (SELECT count(DISTINCT (o_custkey, o_orderpriority)) FROM orders)
+                  WHEN 'o_orderpriority|o_custkey' THEN
+                    (SELECT count(DISTINCT (o_custkey, o_orderpriority)) FROM orders)
+                  WHEN 'o_orderstatus|o_orderpriority' THEN
+                    (SELECT count(DISTINCT (o_orderstatus, o_orderpriority)) FROM orders)
+                  WHEN 'o_orderpriority|o_orderstatus' THEN
+                    (SELECT count(DISTINCT (o_orderstatus, o_orderpriority)) FROM orders)
+                END AS n_pairs
+              FROM pairs p
+            )
+            SELECT pd.lhs, pd.rhs,
+                   CAST(d.n AS BIGINT) AS n_lhs,
+                   CAST(pd.n_pairs AS BIGINT) AS n_pairs,
+                   CAST(pd.n_pairs - d.n AS BIGINT) AS violations,
+                   CAST(CASE WHEN pd.n_pairs = d.n THEN 1 ELSE 0 END
+                        AS BIGINT) AS holds
+            FROM pd JOIN d ON d.c = pd.lhs
+        """,
+        "rich_club": """
+            WITH e AS (
+              SELECT DISTINCT LEAST(a.l_partkey, b.l_partkey) AS u,
+                     GREATEST(a.l_partkey, b.l_partkey) AS v
+              FROM lineitem a JOIN lineitem b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              WHERE a.l_quantity >= 25 AND b.l_quantity >= 25
+            ),
+            deg AS (
+              SELECT node, count(*) AS d FROM (
+                SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+              GROUP BY node
+            ),
+            ks(k) AS (VALUES (1), (2), (4), (8), (16)),
+            nk AS (
+              SELECT k, count(*) AS n_nodes
+              FROM ks JOIN deg ON deg.d > ks.k GROUP BY k
+            ),
+            ek AS (
+              SELECT k, count(*) AS n_edges
+              FROM ks
+              JOIN e ON TRUE
+              JOIN deg du ON du.node = e.u
+              JOIN deg dv ON dv.node = e.v
+              WHERE du.d > ks.k AND dv.d > ks.k
+              GROUP BY k
+            )
+            SELECT CAST(ks.k AS BIGINT) AS k,
+                   CAST(coalesce(nk.n_nodes, 0) AS BIGINT) AS n_nodes,
+                   CAST(coalesce(ek.n_edges, 0) AS BIGINT) AS n_edges,
+                   CAST(CASE WHEN coalesce(nk.n_nodes, 0) >= 2
+                        THEN 2 * coalesce(ek.n_edges, 0) * 1000000
+                             // (nk.n_nodes * (nk.n_nodes - 1))
+                        ELSE 0 END AS BIGINT) AS phi_e6
+            FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)
         """,
         "l_diversity": """
             WITH p AS (

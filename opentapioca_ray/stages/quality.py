@@ -721,3 +721,49 @@ def l_diversity_violations(
         )
 
     return rolled.map_batches(violating, batch_format="pyarrow")
+
+
+def fd_profile(ds, columns: list[str]):
+    """TANE-style single-column functional-dependency discovery over the
+    given columns: for every ordered pair (A, B), A -> B holds iff the
+    distinct (A, B) combo count equals the distinct A count; the gap is
+    the violation mass (Huhtala et al. 1999, level 1 of the lattice).
+    Output: (lhs, rhs, n_lhs, n_pairs, violations, holds) per ordered
+    pair — the schema-profiling pass run before choosing merge keys.
+
+    One combiner-deduped count per column and per unordered pair —
+    O(m^2) scalar aggregates, each a `partial_multi_sum_count` whose
+    exchange carries only distinct combos; the facts never move."""
+    import itertools
+
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
+
+    ds = ds.select_columns(list(columns)).materialize()
+    col_distinct = {
+        c: partial_multi_sum_count(ds.select_columns([c]), [c], []).count()
+        for c in columns
+    }
+    pair_distinct = {}
+    for a, b in itertools.combinations(columns, 2):
+        pair_distinct[(a, b)] = partial_multi_sum_count(
+            ds.select_columns([a, b]), [a, b], []
+        ).count()
+    rows = []
+    for a, b in itertools.permutations(columns, 2):
+        np_ = pair_distinct.get((a, b)) or pair_distinct[(b, a)]
+        nl = col_distinct[a]
+        rows.append((a, b, nl, np_, np_ - nl, int(np_ == nl)))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "lhs": pa.array([r[0] for r in rows], pa.string()),
+                "rhs": pa.array([r[1] for r in rows], pa.string()),
+                "n_lhs": pa.array([r[2] for r in rows], pa.int64()),
+                "n_pairs": pa.array([r[3] for r in rows], pa.int64()),
+                "violations": pa.array([r[4] for r in rows], pa.int64()),
+                "holds": pa.array([r[5] for r in rows], pa.int64()),
+            }
+        )
+    )

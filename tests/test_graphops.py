@@ -253,3 +253,27 @@ def test_butterfly_count_hand_case(ray_session):
     assert row.n_left_pairs == 3
     assert row.n_wedges == 4
     assert row.n_butterflies == 1
+
+
+def test_rich_club_star_plus_clique(ray_session):
+    import pyarrow as pa
+    import ray
+
+    from opentapioca_ray.stages.graphops import rich_club
+
+    # triangle {1,2,3} (degrees 3,2,2 via pendant) + pendant 1-4
+    edges = ray.data.from_arrow(
+        pa.table({"u": [1, 1, 2, 1], "v": [2, 3, 3, 4]})
+    )
+    out = (
+        rich_club(edges, ks=[1, 2])
+        .to_pandas()
+        .set_index("k")
+    )
+    # k=1: nodes with degree>1 = {1,2,3}; induced edges = triangle (3)
+    assert out.loc[1, "n_nodes"] == 3
+    assert out.loc[1, "n_edges"] == 3
+    assert out.loc[1, "phi_e6"] == 1_000_000
+    # k=2: only node 1 (degree 3) -> no pairs
+    assert out.loc[2, "n_nodes"] == 1
+    assert out.loc[2, "phi_e6"] == 0

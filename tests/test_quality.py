@@ -117,3 +117,31 @@ def test_zipf_slope_hand_case(ray_session):
     want = math.floor(num * 1_000_000.0 / den + 0.5)
     assert out.iloc[0]["slope_e6"] == want
     assert out.iloc[0]["slope_e6"] < -1_000_000  # steeper than -1
+
+
+def test_fd_profile_hand_case(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from opentapioca_ray.stages.quality import fd_profile
+
+    # id -> grp holds (id unique); grp -> id violated (grp 1 maps to two
+    # ids); grp -> flag holds; flag -> grp violated
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3],
+            "grp": [1, 1, 2],
+            "flag": ["a", "a", "b"],
+        }
+    )
+    out = (
+        fd_profile(ray.data.from_pandas(df), ["id", "grp", "flag"])
+        .to_pandas()
+        .set_index(["lhs", "rhs"])
+    )
+    assert out.loc[("id", "grp"), "holds"] == 1
+    assert out.loc[("grp", "id"), "holds"] == 0
+    assert out.loc[("grp", "id"), "violations"] == 1
+    assert out.loc[("grp", "flag"), "holds"] == 1
+    assert out.loc[("flag", "grp"), "holds"] == 1  # a->1, b->2 : holds
+    assert len(out) == 6
