@@ -1676,6 +1676,54 @@ def _q_corpus_prep(sf_dir: str):
     )
 
 
+def _q_rbo_rankings(sf_dir: str):
+    """Rank-biased overlap (p=0.9, depth 50) between the corpus ranked by
+    stopword-quality score and by BPE-ish token count — per-depth overlap
+    and the exact integer prefix-summed RBO in nano-units (each depth's
+    term quantized once)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.textstats import (
+        _EN_STOPWORDS,
+        count_tokens,
+        whitespace_token_lists,
+    )
+    from opentapioca_ray.stages.evaluation import rbo_depth_table
+
+    stop = frozenset(_EN_STOPWORDS)
+
+    def facts(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("doc_id", pa.int64()), ("q_e6", pa.int64()),
+             ("bpe_tokens", pa.int64())]
+        )
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return schema.empty_table()
+        toks = whitespace_token_lists(batch, "text")
+        q = np.zeros(batch.num_rows, dtype=np.int64)
+        for i, lst in enumerate(toks.to_pylist()):
+            if lst:
+                n_stop = sum(1 for w in lst if w.lower() in stop)
+                q[i] = n_stop * 1_000_000 // len(lst)
+        bpe = np.array(
+            [count_tokens(t or "") for t in batch.column("text").to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "q_e6": pa.array(q),
+                "bpe_tokens": pa.array(bpe),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(facts, batch_format="pyarrow")
+    return rbo_depth_table(
+        ds, "q_e6", "bpe_tokens", "doc_id", depth=50, p=0.9
+    )
+
+
 def _q_transitivity_audit(sf_dir: str):
     """ER match-graph transitivity audit: similarity is not transitive,
     and every wedge a~b~c whose closing pair (a, c) scores BELOW the
@@ -9518,6 +9566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmedoids": _q_kmedoids,
         "rolling_median": _q_rolling_median,
         "transitivity_audit": _q_transitivity_audit,
+        "rbo_rankings": _q_rbo_rankings,
         "decayed_engagement": _q_decayed_engagement,
         "corpus_prep": _q_corpus_prep,
         "peak_concurrency": _q_peak_concurrency,
@@ -13245,6 +13294,51 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CASE WHEN pd.n_pairs = d.n THEN 1 ELSE 0 END
                         AS BIGINT) AS holds
             FROM pd JOIN d ON d.c = pd.lhs
+        """,
+        "rbo_rankings": f"""
+            WITH f AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+                     ELSE (len(list_filter(
+                             regexp_split_to_array(trim(text), '\\s+'),
+                             w -> lower(w) IN ({_EN_STOP})))::BIGINT
+                           * 1000000)
+                          // len(regexp_split_to_array(trim(text), '\\s+'))
+                END AS q_e6,
+                len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT
+                  AS bpe_tokens
+              FROM documents
+            ),
+            ra AS (
+              SELECT doc_id, row_number() OVER (
+                ORDER BY q_e6 DESC, doc_id) AS rk FROM f
+            ),
+            rb AS (
+              SELECT doc_id, row_number() OVER (
+                ORDER BY bpe_tokens DESC, doc_id) AS rk FROM f
+            ),
+            ov AS (
+              SELECT dd.d, count(*) AS overlap
+              FROM (SELECT unnest(range(1, 51)) AS d) dd
+              JOIN ra ON ra.rk <= dd.d
+              JOIN rb ON rb.doc_id = ra.doc_id AND rb.rk <= dd.d
+              GROUP BY dd.d
+            ),
+            t AS (
+              SELECT CAST(dd.d AS BIGINT) AS d,
+                     CAST(coalesce(ov.overlap, 0) AS BIGINT) AS overlap,
+                     CAST(floor(
+                       0.09999999999999998 * power(0.9, dd.d - 1)
+                       * coalesce(ov.overlap, 0) / dd.d
+                       * 1000000000.0 + 0.5) AS BIGINT) AS term_e9
+              FROM (SELECT unnest(range(1, 51)) AS d) dd
+              LEFT JOIN ov ON ov.d = dd.d
+            )
+            SELECT d, overlap, term_e9,
+                   CAST(sum(term_e9) OVER (
+                     ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                     AS rbo_e9
+            FROM t
         """,
         "rich_club": """
             WITH e AS (

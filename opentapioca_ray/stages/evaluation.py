@@ -718,3 +718,98 @@ def rrf_fuse(ranks_a, ranks_b, id_column: str, k: int = 60):
         )
 
     return coarse_group_apply(unioned, id_column, fuse)
+
+
+def rbo_depth_table(
+    ds,
+    a_value: str,
+    b_value: str,
+    id_column: str,
+    depth: int = 50,
+    p: float = 0.9,
+    n_parts=None,
+):
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between the two
+    rankings of `ds` induced by `a_value` desc and `b_value` desc (ties ->
+    id asc), truncated at `depth`: per-depth rows (d, overlap, term_e9,
+    rbo_e9) where term = (1-p) * p^(d-1) * overlap/d quantized ONCE to
+    integer nano-units and rbo_e9 is the exact integer prefix sum — the
+    top-weighted ranking-agreement diagnostic for comparing two scoring
+    functions before swapping one in.
+
+    Shape: each ranking's exact global top-`depth` via per-batch combiner
+    top-k + one driver merge (2 x depth rows of driver state); the depth
+    table itself is O(depth)."""
+    import ray
+    import ray.data
+
+    ds = ds.select_columns([id_column, a_value, b_value]).materialize()
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or id_column not in batch.column_names:
+            return pa.schema(
+                [
+                    (id_column, pa.int64()),
+                    (a_value, pa.int64()),
+                    (b_value, pa.int64()),
+                ]
+            ).empty_table()
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        av = batch.column(a_value).to_numpy(zero_copy_only=False).astype(np.int64)
+        bv = batch.column(b_value).to_numpy(zero_copy_only=False).astype(np.int64)
+        ia = np.lexsort((ids, -av))[:depth]
+        ib = np.lexsort((ids, -bv))[:depth]
+        keep = np.union1d(ia, ib)
+        return pa.table(
+            {
+                id_column: pa.array(ids[keep]),
+                a_value: pa.array(av[keep]),
+                b_value: pa.array(bv[keep]),
+            }
+        )
+
+    parts = [
+        t
+        for t in (
+            ray.get(r)
+            for r in ds.map_batches(local_top, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and id_column in t.column_names
+    ]
+    out_schema = pa.schema(
+        [
+            ("d", pa.int64()),
+            ("overlap", pa.int64()),
+            ("term_e9", pa.int64()),
+            ("rbo_e9", pa.int64()),
+        ]
+    )
+    if not parts:
+        return ray.data.from_arrow(out_schema.empty_table())
+    t = pa.concat_tables(parts)
+    ids = t.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+    av = t.column(a_value).to_numpy(zero_copy_only=False).astype(np.int64)
+    bv = t.column(b_value).to_numpy(zero_copy_only=False).astype(np.int64)
+    top_a = ids[np.lexsort((ids, -av))[:depth]]
+    top_b = ids[np.lexsort((ids, -bv))[:depth]]
+    dmax = min(depth, len(top_a), len(top_b))
+    rows_d = np.arange(1, dmax + 1, dtype=np.int64)
+    overlap = np.array(
+        [len(np.intersect1d(top_a[:d], top_b[:d])) for d in rows_d],
+        dtype=np.int64,
+    )
+    term = np.floor(
+        (1.0 - p) * np.power(p, (rows_d - 1).astype(np.float64))
+        * overlap / rows_d * 1_000_000_000.0
+        + 0.5
+    ).astype(np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "d": pa.array(rows_d),
+                "overlap": pa.array(overlap),
+                "term_e9": pa.array(term),
+                "rbo_e9": pa.array(np.cumsum(term)),
+            }
+        )
+    )

@@ -123,3 +123,36 @@ def test_kendall_tau_matches_bruteforce(ray_session):
         )
     )
     assert int(out["taub_e6"].iloc[0]) == want
+
+
+def test_rbo_identical_and_disjoint(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    from opentapioca_ray.stages.evaluation import rbo_depth_table
+
+    # identical rankings -> overlap d at every depth, term = (1-p)p^(d-1)
+    df = pd.DataFrame(
+        {"id": [1, 2, 3, 4], "a": [40, 30, 20, 10], "b": [8, 6, 4, 2]}
+    )
+    out = rbo_depth_table(
+        ray.data.from_pandas(df), "a", "b", "id", depth=4, p=0.9
+    ).to_pandas()
+    assert out["overlap"].tolist() == [1, 2, 3, 4]
+    want = [
+        math.floor((1.0 - 0.9) * 0.9 ** (d - 1) * d / d * 1e9 + 0.5)
+        for d in (1, 2, 3, 4)
+    ]
+    assert out["term_e9"].tolist() == want
+    assert out["rbo_e9"].iloc[-1] == sum(want)
+
+    # reversed rankings of 4: overlap 0,0,2,4
+    df2 = pd.DataFrame(
+        {"id": [1, 2, 3, 4], "a": [40, 30, 20, 10], "b": [2, 4, 6, 8]}
+    )
+    out2 = rbo_depth_table(
+        ray.data.from_pandas(df2), "a", "b", "id", depth=4, p=0.9
+    ).to_pandas()
+    assert out2["overlap"].tolist() == [0, 0, 2, 4]
