@@ -7068,6 +7068,29 @@ def _q_two_hop_candidates(sf_dir: str):
     return two_hop_pairs(_q_fuzzy_customer_pairs(sf_dir))
 
 
+def _q_cross_source_pairs(sf_dir: str):
+    """Two-database record linkage (file A = customers, file B =
+    suppliers, blocked by nation): every cross-side pair with full-name
+    Levenshtein <= 7 — the classic Fellegi-Sunter A-to-B setting, never
+    comparing a file to itself."""
+    from opentapioca_ray.stages.fuzzy import cross_source_pairs
+
+    cust = _rel(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    supp = _rel(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_name", "s_nationkey"],
+    )
+    return cross_source_pairs(
+        cust, supp,
+        "c_custkey", "c_name", "c_nationkey",
+        "s_suppkey", "s_name", "s_nationkey",
+        max_dist=7,
+    )
+
+
 def _q_link_prediction(sf_dir: str):
     """Link-prediction scores over the fuzzy match graph: every
     non-adjacent pair with a common neighbor gets its common-neighbor
@@ -9728,6 +9751,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hot_keys": _q_hot_keys,
         "two_hop_candidates": _q_two_hop_candidates,
         "link_prediction": _q_link_prediction,
+        "cross_source_pairs": _q_cross_source_pairs,
         "sparsify_fuzzy": _q_sparsify_fuzzy,
         "event_user_entropy": _q_event_user_entropy,
         "hll_distinct_users": _q_hll_distinct_users,
@@ -13691,6 +13715,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS u, b.doc_id AS v,
                    CAST(b.rn - a.rn AS BIGINT) AS gap
             FROM r a JOIN r b ON b.rn - a.rn BETWEEN 1 AND 5
+        """,
+        "cross_source_pairs": """
+            SELECT a.c_custkey AS a_id, b.s_suppkey AS b_id,
+                   CAST(levenshtein(a.c_name, b.s_name) AS BIGINT) AS lev
+            FROM customer a JOIN supplier b
+              ON a.c_nationkey = b.s_nationkey
+            WHERE levenshtein(a.c_name, b.s_name) <= 7
         """,
         "fuzzy_customer_pairs": """
             SELECT a.c_custkey AS u, b.c_custkey AS v,

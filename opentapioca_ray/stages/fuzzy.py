@@ -723,3 +723,135 @@ def bloom_dice_scores(
         return pa.table({"u": u, "v": v, "dice_e6": dice}).cast(schema)
 
     return pairs_ds.map_batches(dice_batch, batch_format="pyarrow")
+
+
+def cross_source_pairs(
+    ds_a,
+    ds_b,
+    id_a: str,
+    name_a: str,
+    block_a: str,
+    id_b: str,
+    name_b: str,
+    block_b: str,
+    max_dist: int = 2,
+    max_block_pairs: int = 1 << 20,
+    window: int = 16,
+    n_parts: int | None = None,
+):
+    """Two-database record linkage (the classic Fellegi-Sunter setting:
+    link file A to file B, never A to itself): within each shared blocking
+    key, every CROSS-side pair with exact Levenshtein <= `max_dist`.
+    Output (a_id, b_id, lev). Same vectorized DP and length prefilter as
+    `fuzzy_block_pairs`; blocks whose |A| x |B| cross product exceeds
+    `max_block_pairs` fall back to a sorted-neighborhood window over the
+    merged name order (cross-side pairs only) — the documented skew
+    guard, sized so it never fires at oracle scale."""
+    from opentapioca_ray.stages.exchange import coarse_group_apply, segment_starts
+
+    union_schema = pa.schema(
+        [
+            ("block", pa.string()),
+            ("rid", pa.int64()),
+            ("name", pa.string()),
+            ("side", pa.int64()),
+        ]
+    )
+
+    def side_rows(idc, namec, blockc, side):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or idc not in batch.column_names:
+                return union_schema.empty_table()
+            import pyarrow.compute as pc
+
+            return pa.table(
+                {
+                    "block": pc.cast(batch.column(blockc), pa.string()),
+                    "rid": batch.column(idc).cast(pa.int64()),
+                    "name": pc.cast(batch.column(namec), pa.string()),
+                    "side": pa.array(
+                        np.full(batch.num_rows, side, dtype=np.int64)
+                    ),
+                }
+            )
+
+        return fn
+
+    unioned = ds_a.map_batches(
+        side_rows(id_a, name_a, block_a, 0), batch_format="pyarrow"
+    ).union(
+        ds_b.map_batches(side_rows(id_b, name_b, block_b, 1), batch_format="pyarrow")
+    )
+    out_cols = ("a_id", "b_id", "lev")
+
+    def pair_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series(dtype=np.int64) for c in out_cols})
+        if df.empty or "block" not in df.columns:
+            return empty
+        blocks = df["block"].to_numpy()
+        ids = df["rid"].to_numpy(dtype=np.int64)
+        names = df["name"].to_numpy()
+        sides = df["side"].to_numpy(dtype=np.int64)
+        _, bcodes = np.unique(blocks, return_inverse=True)
+        order = np.lexsort((ids, sides, bcodes))
+        bcodes, ids, names, sides = (
+            bcodes[order], ids[order], names[order], sides[order],
+        )
+        codes, lens = _code_matrix(names)
+        starts = segment_starts(bcodes)
+        ends = np.concatenate((starts[1:], [len(bcodes)]))
+        ai_all, bi_all = [], []
+        for s, e in zip(starts, ends):
+            seg_sides = sides[s:e]
+            na = int((seg_sides == 0).sum())
+            nb = (e - s) - na
+            if na == 0 or nb == 0:
+                continue
+            if na * nb <= max_block_pairs:
+                iu = np.repeat(np.arange(na), nb)
+                ju = na + np.tile(np.arange(nb), na)
+            else:  # skew guard: windowed merged-name order, cross-side only
+                sub = np.lexsort(
+                    (ids[s:e], np.unique(names[s:e], return_inverse=True)[1])
+                )
+                offs = np.arange(1, window + 1)
+                iu = np.repeat(np.arange(e - s), window)
+                ju = iu + np.tile(offs, e - s)
+                keep = ju < (e - s)
+                iu, ju = sub[iu[keep]], sub[ju[keep]]
+                cross = seg_sides[iu] != seg_sides[ju]
+                iu, ju = iu[cross], ju[cross]
+                swap = seg_sides[iu] == 1
+                iu2 = np.where(swap, ju, iu)
+                ju2 = np.where(swap, iu, ju)
+                iu, ju = iu2, ju2
+            ai_all.append(iu + s)
+            bi_all.append(ju + s)
+        if not ai_all:
+            return empty
+        ai = np.concatenate(ai_all)
+        bi = np.concatenate(bi_all)
+        ok = np.abs(lens[ai] - lens[bi]) <= max_dist
+        ai, bi = ai[ok], bi[ok]
+        lev = levenshtein_pairs(codes, lens, ai, bi)
+        hit = lev <= max_dist
+        if not hit.any():
+            return empty
+        return pd.DataFrame(
+            {
+                "a_id": ids[ai[hit]],
+                "b_id": ids[bi[hit]],
+                "lev": lev[hit],
+            }
+        )
+
+    out_schema = pa.schema([(c, pa.int64()) for c in out_cols])
+
+    def enforce(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a_id" not in batch.column_names:
+            return out_schema.empty_table()
+        return batch.select(list(out_cols)).cast(out_schema)
+
+    return coarse_group_apply(
+        unioned, "block", pair_partition, n_parts=n_parts
+    ).map_batches(enforce, batch_format="pyarrow")
