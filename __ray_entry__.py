@@ -2767,6 +2767,24 @@ def _q_dup_components(sf_dir: str):
     )
 
 
+def _q_pivot_editing_cost(sf_dir: str):
+    """Correlation-clustering objective of the CC-Pivot clustering over
+    the same n-gram match graph: edge flips (missing intra + present
+    cross) separating the clustering from disjoint cliques — the exact
+    quantity CC-Pivot 3-approximates, now measured."""
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.blocking_eval import clustering_disagreement
+
+    pairs, _ = _ngram_cc(sf_dir)
+    piv = _q_pivot_clusters(sf_dir)
+    if isinstance(piv, pa.Table):
+        piv = ray.data.from_arrow(piv)
+    clusters = piv.select_columns(["doc_id", "cluster"])
+    return clustering_disagreement(pairs, clusters, "doc_id", "cluster")
+
+
 def _q_decontaminate(sf_dir: str):
     """Benchmark decontamination: count each corpus doc's distinct 3-grams
     that also appear in the 'benchmark' partition (doc_id % 97 == 0).
@@ -6439,6 +6457,16 @@ def _q_l_diversity(sf_dir: str):
     )
 
 
+def _q_nb_lang_confusion(sf_dir: str):
+    """Train-classify-evaluate, all exact: multinomial Naive Bayes
+    language ID over word unigrams (add-one smoothing, per-(lang, word)
+    log-probs quantized once to micro-nats), applied back to the corpus;
+    output is the confusion matrix (true_lang, pred_lang, n)."""
+    from opentapioca_ray.stages.lm import nb_lang_confusion
+
+    return nb_lang_confusion(_docs(sf_dir), text_column="text", label_column="lang")
+
+
 def _q_zipf_slope(sf_dir: str):
     """Zipf's-law fit per language: least-squares slope of ln(freq) on
     ln(rank) over each language's token vocabulary, in exact integer
@@ -9711,6 +9739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wl_refinement": _q_wl_refinement,
         "luby_mis": _q_luby_mis,
         "pivot_clusters": _q_pivot_clusters,
+        "pivot_editing_cost": _q_pivot_editing_cost,
         "mmr_selection": _q_mmr_selection,
         "ppr_seeds": _q_ppr_seeds,
         "snapshot_diff": _q_snapshot_diff,
@@ -9726,6 +9755,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "k_anonymity": _q_k_anonymity,
         "l_diversity": _q_l_diversity,
         "zipf_slope": _q_zipf_slope,
+        "nb_lang_confusion": _q_nb_lang_confusion,
         "fd_discovery": _q_fd_discovery,
         "rich_club": _q_rich_club,
         "pareto_users": _q_pareto_users,
@@ -10702,6 +10732,70 @@ def oracle_sql() -> dict[str, str]:
         "wl_refinement": _wl_oracle_sql(),
         "luby_mis": _mis_oracle_sql(),
         "pivot_clusters": _pivot_oracle_sql(),
+        "pivot_editing_cost": f"""
+            WITH cl AS MATERIALIZED (
+              SELECT doc_id, cluster FROM ({_pivot_oracle_sql()})
+            ),
+            toks AS (
+              SELECT doc_id,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                CASE WHEN len(arr) < 3 THEN [array_to_string(arr, ' ')]
+                     ELSE list_distinct(list_transform(
+                            range(1, len(arr) - 1),
+                            i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                END AS gs
+              FROM toks WHERE len(arr) > 0
+            ),
+            ex AS (SELECT doc_id, unnest(gs) AS g FROM grams),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+            ),
+            pairs AS (
+              SELECT u, v
+              FROM cand
+              JOIN grams ga ON ga.doc_id = cand.u
+              JOIN grams gb ON gb.doc_id = cand.v
+              WHERE len(list_intersect(ga.gs, gb.gs))::double
+                    / (len(ga.gs) + len(gb.gs)
+                       - len(list_intersect(ga.gs, gb.gs)))::double >= 0.5
+            ),
+            sz AS (SELECT cluster, count(*) AS s FROM cl GROUP BY cluster),
+            a1 AS (
+              SELECT sum(s) AS n_nodes, count(*) AS n_clusters,
+                     sum(s * (s - 1) // 2) AS intra_pairs
+              FROM sz
+            ),
+            e AS (
+              SELECT cu.cluster AS cu, cv.cluster AS cv
+              FROM pairs p
+              JOIN cl cu ON cu.doc_id = p.u
+              JOIN cl cv ON cv.doc_id = p.v
+            ),
+            a2 AS (
+              SELECT count(*) FILTER (WHERE cu = cv) AS intra_edges,
+                     count(*) FILTER (WHERE cu != cv) AS cross_edges
+              FROM e
+            )
+            SELECT CAST(a1.n_nodes AS BIGINT) AS n_nodes,
+                   CAST(a1.n_clusters AS BIGINT) AS n_clusters,
+                   CAST(a1.intra_pairs AS BIGINT) AS intra_pairs,
+                   CAST(a2.intra_edges AS BIGINT) AS intra_edges,
+                   CAST(a1.intra_pairs - a2.intra_edges AS BIGINT)
+                     AS missing_intra,
+                   CAST(a2.cross_edges AS BIGINT) AS cross_edges,
+                   CAST(a1.intra_pairs - a2.intra_edges + a2.cross_edges
+                        AS BIGINT) AS editing_cost
+            FROM a1, a2
+        """,
         "mmr_selection": _mmr_oracle_sql(),
         "ppr_seeds": _ppr_oracle_sql(),
         "blocking_scheme_learn": _bsl_oracle_sql(),
@@ -13261,6 +13355,55 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             GROUP BY c_nationkey, c_mktsegment
             HAVING count(*) < 10
+        """,
+        "nb_lang_confusion": f"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                list_filter(
+                  list_transform(
+                    regexp_split_to_array(' ' || text || ' ', '{_SEP}'),
+                    w -> trim(w)),
+                  w -> w != '') AS arr
+              FROM documents
+            ),
+            wcr AS (
+              SELECT doc_id, lang, w AS word, count(*) AS c
+              FROM (SELECT doc_id, lang, unnest(arr) AS w FROM toks)
+              GROUP BY doc_id, lang, w
+            ),
+            lt AS (SELECT lang, sum(c) AS t FROM wcr GROUP BY lang),
+            vd AS (SELECT count(DISTINCT word) AS v FROM wcr),
+            langs AS (SELECT DISTINCT lang FROM wcr),
+            cw AS (
+              SELECT word, lang, sum(c) AS clw FROM wcr GROUP BY word, lang
+            ),
+            grid AS (
+              SELECT dw.word, lg.lang
+              FROM (SELECT DISTINCT word FROM wcr) dw CROSS JOIN langs lg
+            ),
+            lp AS (
+              SELECT g.word, g.lang,
+                CAST(floor(ln(CAST(coalesce(cw.clw, 0) + 1 AS DOUBLE)
+                              / CAST(lt.t + vd.v AS DOUBLE))
+                           * 1000000.0 + 0.5) AS BIGINT) AS lp_e6
+              FROM grid g
+              LEFT JOIN cw ON cw.word = g.word AND cw.lang = g.lang
+              JOIN lt ON lt.lang = g.lang, vd
+            ),
+            sc AS (
+              SELECT wcr.doc_id, lp.lang, wcr.lang AS true_lang,
+                     sum(wcr.c * lp.lp_e6) AS score
+              FROM wcr JOIN lp ON lp.word = wcr.word
+              GROUP BY 1, 2, 3
+            ),
+            pred AS (
+              SELECT doc_id, true_lang, lang AS pred_lang,
+                row_number() OVER (
+                  PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+              FROM sc
+            )
+            SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+            FROM pred WHERE rn = 1 GROUP BY 1, 2
         """,
         "fd_discovery": """
             WITH cols(lhs) AS (

@@ -505,3 +505,117 @@ def block_split_plan(ds, block_col: str, m: int = 8, n_parts=None):
         )
 
     return coarse_group_apply(unioned, "rid", attach, n_parts=n_parts)
+
+
+def clustering_disagreement(
+    pairs_ds, clusters_ds, node_column: str, cluster_column: str, n_parts=None
+):
+    """Correlation-clustering disagreement objective (the quantity
+    CC-Pivot 3-approximates, Ailon-Charikar-Newman 2008): given a match
+    graph and a clustering, editing_cost = missing intra-cluster edges +
+    present cross-cluster edges — the number of edge flips separating the
+    clustering from a disjoint union of cliques. One summary row
+    (n_nodes, n_clusters, intra_pairs, intra_edges, missing_intra,
+    cross_edges, editing_cost), all exact int64.
+
+    Shape: one cluster-size roll-up (combiner), two reduce-side lookup
+    exchanges attaching the endpoint clusters to each edge
+    (metablocking's `_attach_node_stats`), one counting map."""
+    import ray
+    import ray.data
+
+    from opentapioca_ray.stages.exchange import coarse_groupby_agg, right_size
+    from opentapioca_ray.stages.metablocking import _attach_node_stats
+
+    clusters_ds = clusters_ds.materialize()
+    sizes = coarse_groupby_agg(
+        clusters_ds.select_columns([cluster_column]),
+        [cluster_column],
+        {"s": (cluster_column, "size")},
+        n_parts=n_parts,
+    ).materialize()
+
+    def size_partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "s" not in batch.column_names:
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "p": pa.array([], pa.int64()),
+                }
+            )
+        s = batch.column("s").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "n": pa.array([int(s.sum())], pa.int64()),
+                "c": pa.array([len(s)], pa.int64()),
+                "p": pa.array([int((s * (s - 1) // 2).sum())], pa.int64()),
+            }
+        )
+
+    sp = sizes.map_batches(size_partials, batch_format="pyarrow").materialize()
+    n_nodes = int(sp.sum("n") or 0)
+    n_clusters = int(sp.sum("c") or 0)
+    intra_pairs = int(sp.sum("p") or 0)
+
+    stats_schema = pa.schema(
+        [("node", pa.int64()), ("s", pa.int64()), ("d", pa.int64())]
+    )
+
+    def as_stats(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or node_column not in batch.column_names:
+            return stats_schema.empty_table()
+        return pa.table(
+            {
+                "node": batch.column(node_column).cast(pa.int64()),
+                "s": batch.column(cluster_column).cast(pa.int64()),
+                "d": batch.column(cluster_column).cast(pa.int64()),
+            }
+        )
+
+    stats = right_size(
+        clusters_ds.map_batches(as_stats, batch_format="pyarrow").materialize()
+    )
+    with_u = _attach_node_stats(
+        pairs_ds.select_columns(["u", "v"]), stats, "u", ["u", "v"], "cu", "_cu2",
+        n_parts,
+    )
+    both = _attach_node_stats(
+        with_u, stats, "v", ["u", "v", "cu", "_cu2"], "cv", "_cv2", n_parts
+    )
+
+    def edge_partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "cu" not in batch.column_names:
+            return pa.table(
+                {
+                    "intra": pa.array([], pa.int64()),
+                    "cross": pa.array([], pa.int64()),
+                }
+            )
+        cu = batch.column("cu").to_numpy(zero_copy_only=False)
+        cv = batch.column("cv").to_numpy(zero_copy_only=False)
+        same = cu == cv
+        return pa.table(
+            {
+                "intra": pa.array([int(same.sum())], pa.int64()),
+                "cross": pa.array([int((~same).sum())], pa.int64()),
+            }
+        )
+
+    ep = both.map_batches(edge_partials, batch_format="pyarrow").materialize()
+    intra_edges = int(ep.sum("intra") or 0)
+    cross_edges = int(ep.sum("cross") or 0)
+    missing = intra_pairs - intra_edges
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_nodes": pa.array([n_nodes], pa.int64()),
+                "n_clusters": pa.array([n_clusters], pa.int64()),
+                "intra_pairs": pa.array([intra_pairs], pa.int64()),
+                "intra_edges": pa.array([intra_edges], pa.int64()),
+                "missing_intra": pa.array([missing], pa.int64()),
+                "cross_edges": pa.array([cross_edges], pa.int64()),
+                "editing_cost": pa.array([missing + cross_edges], pa.int64()),
+            }
+        )
+    )

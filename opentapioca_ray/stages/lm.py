@@ -146,3 +146,193 @@ def unigram_lm_scores(
         )
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def nb_lang_confusion(
+    docs,
+    text_column: str = "text",
+    label_column: str = "lang",
+    n_parts: int | None = None,
+):
+    """Train-classify-evaluate in one exact pipeline: a multinomial Naive
+    Bayes language identifier over word unigrams with add-one smoothing,
+    trained on the corpus's own labels, applied back to every document,
+    reported as the confusion matrix (true_lang, pred_lang, n).
+
+    Exactness convention: the ONLY float op is the per-(lang, word)
+    smoothed log-probability, quantized ONCE to integer micro-nats —
+    lp_e6 = floor(ln((c_lw + 1) / (total_l + V)) * 1e6 + 0.5) — from
+    exact integer counts; each document's per-lang score is then an
+    int64 sum of c_w * lp_e6(l, w), order-independent, argmax ties
+    broken by lang asc. Documents with no tokens are skipped.
+
+    Shape (the DSIR recipe): per-(doc, word) count rows, ONE word-keyed
+    exchange where each word's per-lang counts co-locate (the smoothed
+    log-probs for ALL langs are computed where the doc-word counts
+    already live, using the broadcast per-lang totals + V — a handful of
+    scalars), per-(doc, lang) integer partials, one doc-keyed roll-up,
+    one confusion combiner."""
+    import pandas as pd
+
+    from opentapioca_ray.functions.text import tokenize_flat
+    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
+    from opentapioca_ray.stages.exchange import coarse_group_apply, coarse_groupby_agg
+
+    feat_schema = pa.schema(
+        [
+            ("word", pa.string()),
+            ("doc_id", pa.int64()),
+            ("c", pa.int64()),
+            ("lang", pa.string()),
+        ]
+    )
+
+    def word_count_rows(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return feat_schema.empty_table()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        langs = batch.column(label_column).to_numpy(zero_copy_only=False)
+        flat, counts = tokenize_flat(
+            [t or "" for t in batch.column(text_column).to_pylist()]
+        )
+        if not len(flat):
+            return feat_schema.empty_table()
+        counts = counts.astype(np.int64)
+        docs_rep = np.repeat(np.arange(len(ids)), counts)
+        flat_arr = pa.array(flat, type=pa.string())
+        codes = flat_arr.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((codes, docs_rep))
+        d_s, c_s = docs_rep[order], codes[order]
+        new = np.concatenate(([True], (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])))
+        starts = np.flatnonzero(new)
+        occ = np.diff(np.append(starts, len(c_s)))
+        kept_docs = d_s[starts]
+        return pa.table(
+            {
+                "word": flat_arr.take(pa.array(order[starts])),
+                "doc_id": pa.array(ids[kept_docs]),
+                "c": pa.array(occ.astype(np.int64)),
+                "lang": pa.array(langs[kept_docs], pa.string()),
+            }
+        )
+
+    feats = docs.map_batches(word_count_rows, batch_format="pyarrow").materialize()
+
+    # per-lang token totals + global distinct-word count V: scalars
+    lang_totals = {}
+    import ray
+
+    lt = coarse_groupby_agg(
+        feats.map_batches(
+            lambda b: pa.table(
+                {"lang": b.column("lang"), "c": b.column("c")}
+            )
+            if b.num_rows and "lang" in b.column_names
+            else pa.schema([("lang", pa.string()), ("c", pa.int64())]).empty_table(),
+            batch_format="pyarrow",
+        ),
+        ["lang"],
+        {"t": ("c", "sum")},
+        n_parts=n_parts,
+    )
+    for ref in lt.materialize().to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or "lang" not in t.column_names:
+            continue
+        for l, v in zip(t.column("lang").to_pylist(), t.column("t").to_pylist()):
+            lang_totals[l] = lang_totals.get(l, 0) + int(v)
+    v_distinct = partial_multi_sum_count(
+        feats.select_columns(["word"]), ["word"], []
+    ).count()
+    if not lang_totals or v_distinct == 0:
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.schema(
+                [
+                    ("true_lang", pa.string()),
+                    ("pred_lang", pa.string()),
+                    ("n", pa.int64()),
+                ]
+            ).empty_table()
+        )
+    langs_sorted = sorted(lang_totals)
+    denoms = np.array(
+        [lang_totals[l] + v_distinct for l in langs_sorted], dtype=np.float64
+    )
+
+    def score_partition(df: pd.DataFrame) -> pd.DataFrame:
+        cols = ("doc_id", "lang", "true_lang", "score")
+        if df.empty or "word" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series(dtype=np.int64),
+                    "lang": pd.Series(dtype=object),
+                    "true_lang": pd.Series(dtype=object),
+                    "score": pd.Series(dtype=np.int64),
+                }
+            )
+        words = df["word"].to_numpy()
+        doc = df["doc_id"].to_numpy(dtype=np.int64)
+        c = df["c"].to_numpy(dtype=np.int64)
+        tl = df["lang"].to_numpy()
+        _, wcodes = np.unique(words, return_inverse=True)
+        nw = wcodes.max() + 1
+        nl = len(langs_sorted)
+        # per-(word, lang) counts within this partition == global counts
+        # (words are hash-co-located)
+        cw = np.zeros((nw, nl), dtype=np.int64)
+        lidx = np.searchsorted(np.array(langs_sorted, dtype=object), tl)
+        np.add.at(cw, (wcodes, lidx), c)
+        lp = np.floor(
+            np.log((cw + 1).astype(np.float64) / denoms[None, :]) * 1_000_000.0
+            + 0.5
+        ).astype(np.int64)  # (nw, nl)
+        # per-(doc, lang) partials: c * lp[word, lang]
+        contrib = c[:, None] * lp[wcodes]  # (rows, nl)
+        out = pd.DataFrame(
+            {
+                "doc_id": np.repeat(doc, nl),
+                "lang": np.tile(np.array(langs_sorted, dtype=object), len(doc)),
+                "true_lang": np.repeat(tl, nl),
+                "score": contrib.ravel(),
+            }
+        )
+        return out.groupby(
+            ["doc_id", "lang", "true_lang"], as_index=False, sort=False
+        )["score"].sum()
+
+    partials = coarse_group_apply(feats, "word", score_partition, n_parts=n_parts)
+    scores = coarse_groupby_agg(
+        partials,
+        ["doc_id", "lang", "true_lang"],
+        {"score": ("score", "sum")},
+        n_parts=n_parts,
+    )
+
+    def argmax_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "doc_id" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "true_lang": pd.Series(dtype=object),
+                    "pred_lang": pd.Series(dtype=object),
+                }
+            )
+        d = df["doc_id"].to_numpy(dtype=np.int64)
+        l = df["lang"].to_numpy()
+        tl = df["true_lang"].to_numpy()
+        s = df["score"].to_numpy(dtype=np.int64)
+        order = np.lexsort((l, -s, d))  # per doc: score desc, lang asc
+        d_s = d[order]
+        first = np.concatenate(([True], d_s[1:] != d_s[:-1]))
+        return pd.DataFrame(
+            {
+                "true_lang": tl[order][first],
+                "pred_lang": l[order][first],
+            }
+        )
+
+    preds = coarse_group_apply(scores, "doc_id", argmax_partition, n_parts=n_parts)
+    return partial_multi_sum_count(
+        preds, ["true_lang", "pred_lang"], [], alias={"count": "n"}
+    )

@@ -60,3 +60,27 @@ def test_blocking_scheme_learn_greedy(ray_session):
     # covers most-but-not-all matches
     n_parts_total = 200
     assert gains[0] < n_parts_total
+
+
+def test_clustering_disagreement_hand_case(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from opentapioca_ray.stages.blocking_eval import clustering_disagreement
+
+    pairs = ray.data.from_pandas(
+        pd.DataFrame({"u": [1, 2, 4], "v": [2, 3, 5]})
+    )
+    clusters = ray.data.from_pandas(
+        pd.DataFrame(
+            {"node": [1, 2, 3, 4, 5], "cluster": [1, 1, 1, 4, 5]}
+        )
+    )
+    out = clustering_disagreement(pairs, clusters, "node", "cluster").to_pandas()
+    r = out.iloc[0]
+    # cluster {1,2,3}: 3 possible intra pairs, 2 present -> 1 missing;
+    # edge (4,5) crosses singleton clusters -> 1 cross; cost 2
+    assert (
+        r.n_nodes, r.n_clusters, r.intra_pairs, r.intra_edges,
+        r.missing_intra, r.cross_edges, r.editing_cost,
+    ) == (5, 3, 3, 2, 1, 1, 2)

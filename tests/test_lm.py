@@ -84,3 +84,31 @@ def test_ccnet_buckets_query(ray_session):
             assert g["n_docs"].max() - g["n_docs"].min() <= 1
     # bucket doc totals cover every scored (non-empty) document
     assert df["n_docs"].sum() > 400
+
+
+def test_nb_lang_confusion_separable(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from opentapioca_ray.stages.lm import nb_lang_confusion
+
+    # two clearly separable vocabularies -> perfect diagonal confusion
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha beta alpha",
+                "alpha beta beta",
+                "zed yon zed",
+                "yon zed yon",
+            ],
+            "lang": ["en", "en", "zz", "zz"],
+        }
+    )
+    out = (
+        nb_lang_confusion(ray.data.from_pandas(docs))
+        .to_pandas()
+        .set_index(["true_lang", "pred_lang"])["n"]
+        .to_dict()
+    )
+    assert out == {("en", "en"): 2, ("zz", "zz"): 2}
