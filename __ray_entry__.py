@@ -6457,6 +6457,16 @@ def _q_l_diversity(sf_dir: str):
     )
 
 
+def _q_vocab_richness(sf_dir: str):
+    """Good-Turing missing mass, adjusted singleton count and Chao1
+    vocabulary-richness estimate from the corpus unigram counts — one
+    exact-integer summary row (each estimator a single quantized float
+    expression)."""
+    from opentapioca_ray.stages.lm import vocab_richness
+
+    return vocab_richness(_docs(sf_dir), text_column="text")
+
+
 def _q_nb_lang_confusion(sf_dir: str):
     """Train-classify-evaluate, all exact: multinomial Naive Bayes
     language ID over word unigrams (add-one smoothing, per-(lang, word)
@@ -9756,6 +9766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "l_diversity": _q_l_diversity,
         "zipf_slope": _q_zipf_slope,
         "nb_lang_confusion": _q_nb_lang_confusion,
+        "vocab_richness": _q_vocab_richness,
         "fd_discovery": _q_fd_discovery,
         "rich_club": _q_rich_club,
         "pareto_users": _q_pareto_users,
@@ -13355,6 +13366,39 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             GROUP BY c_nationkey, c_mktsegment
             HAVING count(*) < 10
+        """,
+        "vocab_richness": r"""
+            WITH ws AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                     ELSE regexp_split_to_array(trim(text), '\s+') END AS arr
+              FROM documents
+            ),
+            tok AS (SELECT doc_id, unnest(arr) AS w FROM ws),
+            cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+            s AS (
+              SELECT count(*) AS v, sum(c) AS n,
+                     count(*) FILTER (WHERE c = 1) AS n1,
+                     count(*) FILTER (WHERE c = 2) AS n2,
+                     count(*) FILTER (WHERE c = 3) AS n3
+              FROM cnt
+            )
+            SELECT CAST(v AS BIGINT) AS v_types,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   CAST(n1 AS BIGINT) AS n1,
+                   CAST(n2 AS BIGINT) AS n2,
+                   CAST(n3 AS BIGINT) AS n3,
+                   CAST(CASE WHEN n > 0
+                        THEN floor(n1 * 1000000.0 / n + 0.5)
+                        ELSE 0 END AS BIGINT) AS p0_e6,
+                   CAST(CASE WHEN n1 > 0
+                        THEN floor(2.0 * n2 / n1 * 1000000.0 + 0.5)
+                        ELSE 0 END AS BIGINT) AS r1_star_e6,
+                   CAST(CASE WHEN n2 > 0
+                        THEN floor((v + n1 * n1 / (2.0 * n2))
+                                   * 1000000.0 + 0.5)
+                        ELSE v * 1000000 END AS BIGINT) AS chao1_e6
+            FROM s
         """,
         "nb_lang_confusion": f"""
             WITH toks AS (

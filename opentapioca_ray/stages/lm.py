@@ -336,3 +336,65 @@ def nb_lang_confusion(
     return partial_multi_sum_count(
         preds, ["true_lang", "pred_lang"], [], alias={"count": "n"}
     )
+
+
+def vocab_richness(docs, text_column: str = "text", n_parts: int | None = None):
+    """Vocabulary richness / coverage estimators from the corpus unigram
+    counts: Good-Turing missing mass p0 = N1/N (Good 1953) — the
+    probability the NEXT token is an unseen type, i.e. how under-sampled
+    the corpus still is — the adjusted count r* = (r+1) N2/N1 for r=1,
+    and the Chao1 richness estimate V + N1^2 / (2 N2) (Chao 1984). One
+    summary row (v_types, n_tokens, n1, n2, n3, p0_e6, r1_star_e6,
+    chao1_e6); every input is an exact integer and each estimator is ONE
+    quantized float expression the SQL twin replays.
+
+    Shape: the distributed unigram counts (combiner + one exchange), then
+    a per-batch count-of-counts partial and a scalar roll-up."""
+    import ray
+    import ray.data
+
+    counts = train_unigram_counts(docs, text_column=text_column)
+
+    def partials(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "count" not in batch.column_names:
+            return pa.table(
+                {c: pa.array([], pa.int64()) for c in ("v", "n", "n1", "n2", "n3")}
+            )
+        c = batch.column("count").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "v": pa.array([len(c)], pa.int64()),
+                "n": pa.array([int(c.sum())], pa.int64()),
+                "n1": pa.array([int((c == 1).sum())], pa.int64()),
+                "n2": pa.array([int((c == 2).sum())], pa.int64()),
+                "n3": pa.array([int((c == 3).sum())], pa.int64()),
+            }
+        )
+
+    p = counts.map_batches(partials, batch_format="pyarrow").materialize()
+    v = int(p.sum("v") or 0)
+    n = int(p.sum("n") or 0)
+    n1 = int(p.sum("n1") or 0)
+    n2 = int(p.sum("n2") or 0)
+    n3 = int(p.sum("n3") or 0)
+    p0 = int(np.floor(n1 * 1_000_000.0 / n + 0.5)) if n else 0
+    r1 = int(np.floor(2.0 * n2 / n1 * 1_000_000.0 + 0.5)) if n1 else 0
+    chao1 = (
+        int(np.floor((v + n1 * n1 / (2.0 * n2)) * 1_000_000.0 + 0.5))
+        if n2
+        else v * 1_000_000
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "v_types": pa.array([v], pa.int64()),
+                "n_tokens": pa.array([n], pa.int64()),
+                "n1": pa.array([n1], pa.int64()),
+                "n2": pa.array([n2], pa.int64()),
+                "n3": pa.array([n3], pa.int64()),
+                "p0_e6": pa.array([p0], pa.int64()),
+                "r1_star_e6": pa.array([r1], pa.int64()),
+                "chao1_e6": pa.array([chao1], pa.int64()),
+            }
+        )
+    )

@@ -112,3 +112,20 @@ def test_nb_lang_confusion_separable(ray_session):
         .to_dict()
     )
     assert out == {("en", "en"): 2, ("zz", "zz"): 2}
+
+
+def test_vocab_richness_hand_case(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    from opentapioca_ray.stages.lm import vocab_richness
+
+    # counts: a=3, b=2, c=1, d=1 -> V=4, N=7, N1=2, N2=1, N3=1
+    docs = pd.DataFrame({"text": ["a a a b", "b c d"]})
+    out = vocab_richness(ray.data.from_pandas(docs)).to_pandas().iloc[0]
+    assert (out.v_types, out.n_tokens, out.n1, out.n2, out.n3) == (4, 7, 2, 1, 1)
+    assert out.p0_e6 == math.floor(2 * 1e6 / 7 + 0.5)
+    assert out.r1_star_e6 == math.floor(2.0 * 1 / 2 * 1e6 + 0.5)
+    assert out.chao1_e6 == math.floor((4 + 4 / 2.0) * 1e6 + 0.5)  # 6.0
