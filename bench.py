@@ -221,6 +221,22 @@ BENCH_QUERIES = [
     "link_prediction",
     "dsir_weights",
     "block_split_plan",
+    "semdedup",
+    "hard_negatives",
+    "bitext_pairs",
+    "embedding_outliers",
+    "cross_source_pairs",
+    "progressive_pairs",
+    "fd_discovery",
+    "rich_club",
+    "l_diversity",
+    "zipf_slope",
+    "vocab_richness",
+    "nb_lang_confusion",
+    "rbo_rankings",
+    "pivot_editing_cost",
+    "ktruss_edges",
+    "butterfly_count",
 ]
 
 
