@@ -1724,6 +1724,52 @@ def _q_rbo_rankings(sf_dir: str):
     )
 
 
+def _q_ndcg_rankings(sf_dir: str):
+    """NDCG@10 of the token-count ranking against stopword-quality
+    relevance grades (q_e6 // 250000): quantized-discount exact-integer
+    DCG/IDCG — does picking the longest docs also pick the high-quality
+    ones?"""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.textstats import (
+        _EN_STOPWORDS,
+        count_tokens,
+        whitespace_token_lists,
+    )
+    from opentapioca_ray.stages.evaluation import ndcg_at_k
+
+    stop = frozenset(_EN_STOPWORDS)
+
+    def facts(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("doc_id", pa.int64()), ("rel", pa.int64()),
+             ("bpe_tokens", pa.int64())]
+        )
+        if batch.num_rows == 0 or "doc_id" not in batch.column_names:
+            return schema.empty_table()
+        toks = whitespace_token_lists(batch, "text")
+        q = np.zeros(batch.num_rows, dtype=np.int64)
+        for i, lst in enumerate(toks.to_pylist()):
+            if lst:
+                n_stop = sum(1 for w in lst if w.lower() in stop)
+                q[i] = n_stop * 1_000_000 // len(lst)
+        bpe = np.array(
+            [count_tokens(t or "") for t in batch.column("text").to_pylist()],
+            dtype=np.int64,
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "rel": pa.array(q // 250_000),
+                "bpe_tokens": pa.array(bpe),
+            }
+        )
+
+    ds = _docs(sf_dir).map_batches(facts, batch_format="pyarrow")
+    return ndcg_at_k(ds, "bpe_tokens", "rel", "doc_id", k=10)
+
+
 def _q_transitivity_audit(sf_dir: str):
     """ER match-graph transitivity audit: similarity is not transitive,
     and every wedge a~b~c whose closing pair (a, c) scores BELOW the
@@ -9628,6 +9674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_median": _q_rolling_median,
         "transitivity_audit": _q_transitivity_audit,
         "rbo_rankings": _q_rbo_rankings,
+        "ndcg_rankings": _q_ndcg_rankings,
         "decayed_engagement": _q_decayed_engagement,
         "corpus_prep": _q_corpus_prep,
         "peak_concurrency": _q_peak_concurrency,
@@ -13550,6 +13597,51 @@ def oracle_sql() -> dict[str, str]:
                      ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT)
                      AS rbo_e9
             FROM t
+        """,
+        "ndcg_rankings": f"""
+            WITH f AS (
+              SELECT doc_id,
+                CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+                     ELSE (len(list_filter(
+                             regexp_split_to_array(trim(text), '\\s+'),
+                             w -> lower(w) IN ({_EN_STOP})))::BIGINT
+                           * 1000000)
+                          // len(regexp_split_to_array(trim(text), '\\s+'))
+                END // 250000 AS rel,
+                len(regexp_extract_all(text, '\\w+|[^\\w\\s]'))::BIGINT
+                  AS bpe_tokens
+              FROM documents
+            ),
+            head AS (
+              SELECT rel, row_number() OVER (
+                ORDER BY bpe_tokens DESC, doc_id) AS rk
+              FROM f QUALIFY rk <= 10
+            ),
+            ideal AS (
+              SELECT rel, row_number() OVER (ORDER BY rel DESC) AS rk
+              FROM f QUALIFY rk <= 10
+            ),
+            disc AS (
+              SELECT CAST(t.r AS BIGINT) AS rk,
+                     CAST(floor(1000000.0 / log2(t.r + 1) + 0.5) AS BIGINT)
+                       AS d
+              FROM (SELECT unnest(range(1, 11)) AS r) t
+            ),
+            dcg AS (
+              SELECT sum(h.rel * disc.d) AS v
+              FROM head h JOIN disc ON disc.rk = h.rk
+            ),
+            idcg AS (
+              SELECT sum(i.rel * disc.d) AS v
+              FROM ideal i JOIN disc ON disc.rk = i.rk
+            )
+            SELECT CAST(10 AS BIGINT) AS k,
+                   CAST(dcg.v AS BIGINT) AS dcg_e6,
+                   CAST(idcg.v AS BIGINT) AS idcg_e6,
+                   CAST(CASE WHEN idcg.v > 0
+                        THEN dcg.v * 1000000 // idcg.v
+                        ELSE 0 END AS BIGINT) AS ndcg_e6
+            FROM dcg, idcg
         """,
         "rich_club": """
             WITH e AS (

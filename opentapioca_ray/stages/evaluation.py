@@ -813,3 +813,91 @@ def rbo_depth_table(
             }
         )
     )
+
+
+def ndcg_at_k(
+    ds,
+    rank_value: str,
+    rel_column: str,
+    id_column: str,
+    k: int = 10,
+    n_parts=None,
+):
+    """NDCG@k (Järvelin & Kekäläinen 2002) of the ranking induced by
+    `rank_value` desc (ties -> id asc) against integer relevance grades
+    `rel_column`: one summary row (k, dcg_e6, idcg_e6, ndcg_e6). The
+    per-rank discount 1/log2(r+1) is quantized ONCE to integer
+    micro-units; DCG/IDCG are then exact int64 dot products and the final
+    ratio is exact integer division.
+
+    Shape: two per-batch combiner top-k passes (ranking head + largest
+    relevance grades) + a driver merge of 2k rows."""
+    import ray
+    import ray.data
+
+    ds = ds.select_columns([id_column, rank_value, rel_column]).materialize()
+
+    def local_top(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or id_column not in batch.column_names:
+            return pa.schema(
+                [
+                    (id_column, pa.int64()),
+                    (rank_value, pa.int64()),
+                    (rel_column, pa.int64()),
+                ]
+            ).empty_table()
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        rv = batch.column(rank_value).to_numpy(zero_copy_only=False).astype(np.int64)
+        rel = batch.column(rel_column).to_numpy(zero_copy_only=False).astype(np.int64)
+        head = np.lexsort((ids, -rv))[:k]
+        ideal = np.argsort(-rel, kind="stable")[:k]
+        keep = np.union1d(head, ideal)
+        return pa.table(
+            {
+                id_column: pa.array(ids[keep]),
+                rank_value: pa.array(rv[keep]),
+                rel_column: pa.array(rel[keep]),
+            }
+        )
+
+    parts = [
+        t
+        for t in (
+            ray.get(r)
+            for r in ds.map_batches(local_top, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows and id_column in t.column_names
+    ]
+    out_schema = pa.schema(
+        [
+            ("k", pa.int64()),
+            ("dcg_e6", pa.int64()),
+            ("idcg_e6", pa.int64()),
+            ("ndcg_e6", pa.int64()),
+        ]
+    )
+    if not parts:
+        return ray.data.from_arrow(out_schema.empty_table())
+    t = pa.concat_tables(parts)
+    ids = t.column(id_column).to_numpy(zero_copy_only=False).astype(np.int64)
+    rv = t.column(rank_value).to_numpy(zero_copy_only=False).astype(np.int64)
+    rel = t.column(rel_column).to_numpy(zero_copy_only=False).astype(np.int64)
+    head = np.lexsort((ids, -rv))[:k]
+    ranks = np.arange(1, len(head) + 1, dtype=np.int64)
+    disc = np.floor(
+        1_000_000.0 / np.log2(ranks.astype(np.float64) + 1.0) + 0.5
+    ).astype(np.int64)
+    dcg = int((rel[head] * disc).sum())
+    ideal = np.sort(rel)[::-1][: len(head)]
+    idcg = int((ideal * disc).sum())
+    ndcg = dcg * 1_000_000 // idcg if idcg > 0 else 0
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([k], pa.int64()),
+                "dcg_e6": pa.array([dcg], pa.int64()),
+                "idcg_e6": pa.array([idcg], pa.int64()),
+                "ndcg_e6": pa.array([ndcg], pa.int64()),
+            }
+        )
+    )

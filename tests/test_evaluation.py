@@ -156,3 +156,36 @@ def test_rbo_identical_and_disjoint(ray_session):
         ray.data.from_pandas(df2), "a", "b", "id", depth=4, p=0.9
     ).to_pandas()
     assert out2["overlap"].tolist() == [0, 0, 2, 4]
+
+
+def test_ndcg_hand_case(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    from opentapioca_ray.stages.evaluation import ndcg_at_k
+
+    # ranking by v desc: ids 1,2,3 with rel 0,2,1 -> DCG uses grades in
+    # ranked order [0,2,1]; ideal order [2,1,0]
+    df = pd.DataFrame(
+        {"id": [1, 2, 3], "v": [30, 20, 10], "rel": [0, 2, 1]}
+    )
+    out = ndcg_at_k(
+        ray.data.from_pandas(df), "v", "rel", "id", k=3
+    ).to_pandas().iloc[0]
+    disc = [math.floor(1e6 / math.log2(r + 1) + 0.5) for r in (1, 2, 3)]
+    dcg = 0 * disc[0] + 2 * disc[1] + 1 * disc[2]
+    idcg = 2 * disc[0] + 1 * disc[1] + 0 * disc[2]
+    assert out.dcg_e6 == dcg
+    assert out.idcg_e6 == idcg
+    assert out.ndcg_e6 == dcg * 1_000_000 // idcg
+
+    # perfect ranking -> ndcg exactly 1e6
+    df2 = pd.DataFrame(
+        {"id": [1, 2, 3], "v": [30, 20, 10], "rel": [2, 1, 0]}
+    )
+    out2 = ndcg_at_k(
+        ray.data.from_pandas(df2), "v", "rel", "id", k=3
+    ).to_pandas().iloc[0]
+    assert out2.ndcg_e6 == 1_000_000
