@@ -2961,6 +2961,18 @@ def _q_embedding_dedup(sf_dir: str):
     )
 
 
+def _q_silhouette_kmedoids(sf_dir: str):
+    """Simplified silhouette over the exact k-medoids clustering: per
+    vector, L1-to-own-medoid vs min L1-to-other-medoids on the quantized
+    dims — everything int64, the cluster-quality diagnostic fully
+    hash-verifiable."""
+    from opentapioca_ray.stages.cluster import silhouette_kmedoids
+
+    return silhouette_kmedoids(
+        _rel(f"{sf_dir}/embeddings.parquet"), k=8, rounds=2, dims=4
+    )
+
+
 def _q_semdedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): k-medoids partition of the embedding
     space, then keep-one-per-group over within-cluster round-6 cosine >=
@@ -9697,6 +9709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bitext_pairs": _q_bitext_pairs,
         "embedding_outliers": _q_embedding_outliers,
         "semdedup": _q_semdedup,
+        "silhouette_kmedoids": _q_silhouette_kmedoids,
         "ann_ivf": _q_ann_ivf,
         "embedding_clusters": _q_embedding_clusters,
         "multimodal_meta": _q_multimodal_meta,
@@ -11496,6 +11509,47 @@ def oracle_sql() -> dict[str, str]:
             )
         """,
         "pagerank": _pagerank_sql(16),
+        "silhouette_kmedoids": f"""
+            WITH assign AS MATERIALIZED (
+              SELECT * FROM ({_kmedoids_oracle_sql()})
+            ),
+            q AS (
+              SELECT vec_id,
+                {", ".join(
+                    f"CAST(floor((embedding::DOUBLE[])[{i + 1}] * 1000000"
+                    f" + 0.5) AS BIGINT) AS d{i}"
+                    for i in range(4)
+                )}
+              FROM embeddings
+            ),
+            med AS (
+              SELECT DISTINCT a.medoid AS mid,
+                     {", ".join(f"q.d{i}" for i in range(4))}
+              FROM assign a JOIN q ON q.vec_id = a.medoid
+            ),
+            dists AS (
+              SELECT q.vec_id, m.mid,
+                {" + ".join(f"abs(q.d{i} - m.d{i})" for i in range(4))}
+                  AS l1
+              FROM q CROSS JOIN med m
+            ),
+            ab AS (
+              SELECT d.vec_id, a.medoid,
+                     max(CASE WHEN d.mid = a.medoid THEN d.l1 END) AS a_l1,
+                     min(CASE WHEN d.mid != a.medoid THEN d.l1 END) AS b_l1
+              FROM dists d JOIN assign a ON a.vec_id = d.vec_id
+              GROUP BY d.vec_id, a.medoid
+            )
+            SELECT vec_id, medoid,
+                   CAST(a_l1 AS BIGINT) AS a_l1,
+                   CAST(b_l1 AS BIGINT) AS b_l1,
+                   CAST(CASE WHEN greatest(a_l1, b_l1) > 0
+                        THEN floor((b_l1 - a_l1) * 1000000.0
+                                   / greatest(greatest(a_l1, b_l1), 1)
+                                   + 0.5)
+                        ELSE 0 END AS BIGINT) AS s_e6
+            FROM ab
+        """,
         "semdedup": f"""
             WITH RECURSIVE aug AS MATERIALIZED (
               SELECT vec_id, embedding FROM embeddings

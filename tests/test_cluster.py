@@ -125,3 +125,34 @@ def test_semdedup_keeps_one_per_group(ray_session):
     assert out.loc[2, "keep"] == 0 and out.loc[2, "rep"] == 1
     assert out.loc[3, "keep"] == 0 and out.loc[3, "rep"] == 1
     assert out.loc[9, "keep"] == 1 and out.loc[9, "rep"] == 9
+
+
+def test_silhouette_kmedoids_hand_case(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from opentapioca_ray.stages.cluster import silhouette_kmedoids
+
+    # two tight groups on a line (dims=1): {0.0, 0.1} and {1.0, 1.1}.
+    # k=2 medoids split them; for a member at distance a from its own
+    # medoid and b from the other, s = (b-a)/max
+    df = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3, 4],
+            "embedding": [[0.0], [0.1], [1.0], [1.1]],
+            "label": [0, 0, 0, 0],
+        }
+    )
+    out = (
+        silhouette_kmedoids(ray.data.from_pandas(df), k=2, rounds=2, dims=1)
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert len(out) == 4
+    # the two medoid points themselves: a=0 -> s = 1e6
+    assert (out["s_e6"] == 1_000_000).sum() == 2
+    # non-medoid members: a=100000 units, b to the other medoid is large
+    # -> s positive and well above 0.5e6 for this separation
+    assert (out["s_e6"] > 500_000).all()
+    assert set(out["medoid"].unique()).issubset({1, 2, 3, 4})
