@@ -6443,6 +6443,58 @@ def _q_k_anonymity(sf_dir: str):
     return k_anonymity_violations(cust, ["c_nationkey", "c_mktsegment"], k=10)
 
 
+def _q_t_closeness(sf_dir: str):
+    """t-closeness, completing the privacy trio: per (nation, segment)
+    group, the EMD between its ordered account-balance band distribution
+    and the global one — exact cross-multiplied cumulative gaps, one
+    quantized ratio per group."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.quality import t_closeness
+
+    cust = _rel(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_nationkey", "c_mktsegment", "c_acctbal"],
+    )
+
+    def band(batch: pa.Table) -> pa.Table:
+        bal = batch.column("c_acctbal").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "c_nationkey": batch.column("c_nationkey"),
+                "c_mktsegment": batch.column("c_mktsegment"),
+                "band": pa.array(np.floor(bal / 1000.0).astype(np.int64)),
+            }
+        )
+
+    out = t_closeness(
+        cust.map_batches(band, batch_format="pyarrow"),
+        ["c_nationkey", "c_mktsegment"],
+        "band",
+    )
+    return out.map_batches(
+        lambda b: pa.table(
+            {
+                "c_nationkey": b.column("c_nationkey").cast(pa.int64()),
+                "c_mktsegment": b.column("c_mktsegment").cast(pa.string()),
+                "n": b.column("n").cast(pa.int64()),
+                "t_e6": b.column("t_e6").cast(pa.int64()),
+            }
+        )
+        if b.num_rows and "n" in b.column_names
+        else pa.schema(
+            [
+                ("c_nationkey", pa.int64()),
+                ("c_mktsegment", pa.string()),
+                ("n", pa.int64()),
+                ("t_e6", pa.int64()),
+            ]
+        ).empty_table(),
+        batch_format="pyarrow",
+    )
+
+
 def _q_fd_discovery(sf_dir: str):
     """Single-column FD discovery over orders: for every ordered column
     pair (A, B), does A functionally determine B? Distinct-combo counting
@@ -9824,6 +9876,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_sizes": _q_component_sizes,
         "k_anonymity": _q_k_anonymity,
         "l_diversity": _q_l_diversity,
+        "t_closeness": _q_t_closeness,
         "zipf_slope": _q_zipf_slope,
         "nb_lang_confusion": _q_nb_lang_confusion,
         "vocab_richness": _q_vocab_richness,
@@ -13744,6 +13797,62 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) AS BIGINT) AS k,
                    CAST(count(*) AS BIGINT) AS l
             FROM p GROUP BY 1, 2 HAVING count(*) < 5
+        """,
+        "t_closeness": """
+            WITH r AS (
+              SELECT c_nationkey, c_mktsegment,
+                     CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+              FROM customer
+            ),
+            gb AS (SELECT band, count(*) AS gc FROM r GROUP BY band),
+            tot AS (SELECT sum(gc) AS n, count(*) AS nb FROM gb),
+            gcum AS (
+              SELECT band, sum(gc) OVER (
+                ORDER BY band ROWS UNBOUNDED PRECEDING) AS cum_all
+              FROM gb
+            ),
+            grp AS (
+              SELECT c_nationkey, c_mktsegment, band, count(*) AS c
+              FROM r GROUP BY 1, 2, 3
+            ),
+            gn AS (
+              SELECT c_nationkey, c_mktsegment, sum(c) AS ng
+              FROM grp GROUP BY 1, 2
+            ),
+            grid AS (
+              SELECT g.c_nationkey, g.c_mktsegment, g.ng, b.band
+              FROM gn g CROSS JOIN gb b
+            ),
+            cells AS (
+              SELECT grid.c_nationkey, grid.c_mktsegment, grid.ng,
+                     grid.band, coalesce(grp.c, 0) AS c
+              FROM grid
+              LEFT JOIN grp
+                ON grp.c_nationkey = grid.c_nationkey
+               AND grp.c_mktsegment = grid.c_mktsegment
+               AND grp.band = grid.band
+            ),
+            cums AS (
+              SELECT c_nationkey, c_mktsegment, ng, band,
+                     sum(c) OVER (
+                       PARTITION BY c_nationkey, c_mktsegment
+                       ORDER BY band ROWS UNBOUNDED PRECEDING) AS cumg
+              FROM cells
+            ),
+            s AS (
+              SELECT c.c_nationkey, c.c_mktsegment, c.ng,
+                     sum(abs(c.cumg * tot.n - gcum.cum_all * c.ng)) AS sgap
+              FROM cums c JOIN gcum USING (band), tot
+              GROUP BY 1, 2, 3
+            )
+            SELECT s.c_nationkey, s.c_mktsegment,
+                   CAST(s.ng AS BIGINT) AS n,
+                   CAST(CASE WHEN tot.nb > 1
+                        THEN floor(s.sgap * 1000000.0
+                             / (CAST(s.ng AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                                * CAST(tot.nb - 1 AS DOUBLE)) + 0.5)
+                        ELSE 0 END AS BIGINT) AS t_e6
+            FROM s, tot
         """,
         "zipf_slope": f"""
             WITH toks AS (

@@ -767,3 +767,117 @@ def fd_profile(ds, columns: list[str]):
             }
         )
     )
+
+
+def t_closeness(
+    ds,
+    quasi_columns: list[str],
+    band_column: str,
+    n_parts=None,
+):
+    """t-closeness (Li, Li & Venkatasubramanian 2007), completing the
+    k-anonymity / l-diversity privacy trio: per quasi-identifier group,
+    the Earth Mover's Distance between the group's ORDERED sensitive-band
+    distribution and the global one — EMD = (1/(m-1)) * sum_i
+    |cum_g(i)/n_g - cum_all(i)/N| over the m global bands. The sum is
+    kept EXACT by cross-multiplying the rationals
+    (|cum_g * N - cum_all * n_g| in Python ints, no overflow bound), and
+    only the final per-group EMD quantizes once to integer millionths.
+    Output: one row per quasi group (quasi..., n, t_e6).
+
+    Shape: one combiner over (quasi..., band) counts, the m-row global
+    band histogram broadcast (bands are bounded by construction), one
+    group-keyed exchange whose kernel walks each group's aligned
+    cumulative gap."""
+    import ray
+    import ray.data
+
+    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    cells = partial_multi_sum_count(
+        ds.select_columns([*quasi_columns, band_column]),
+        [*quasi_columns, band_column],
+        [],
+        alias={"count": "c"},
+    ).materialize()
+
+    # global band histogram: bounded by distinct bands
+    gb: dict[int, int] = {}
+    for ref in cells.to_arrow_refs():
+        t = ray.get(ref)
+        if t.num_rows == 0 or band_column not in t.column_names:
+            continue
+        for b, c in zip(
+            t.column(band_column).to_pylist(), t.column("c").to_pylist()
+        ):
+            gb[int(b)] = gb.get(int(b), 0) + int(c)
+    out_schema = pa.schema(
+        [*[(c, pa.int64()) for c in quasi_columns], ("n", pa.int64()),
+         ("t_e6", pa.int64())]
+    )
+    if not gb:
+        return ray.data.from_arrow(out_schema.empty_table())
+    bands = np.array(sorted(gb), dtype=np.int64)
+    gcounts = np.array([gb[int(b)] for b in bands], dtype=np.int64)
+    gcum = np.cumsum(gcounts)
+    n_total = int(gcum[-1])
+    m = len(bands)
+
+    # composite group key for the exchange
+    def add_key(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or band_column not in batch.column_names:
+            return batch
+        parts = [pc.cast(batch.column(c), pa.string()) for c in quasi_columns]
+        key = parts[0]
+        for p in parts[1:]:
+            key = pc.binary_join_element_wise(key, p, "\x1f")
+        return batch.append_column("__gkey", key)
+
+    keyed = cells.map_batches(add_key, batch_format="pyarrow")
+
+    def emd_partition(df: pd.DataFrame) -> pd.DataFrame:
+        cols = [*quasi_columns, "n", "t_e6"]
+        if df.empty or "__gkey" not in df.columns:
+            return pd.DataFrame(
+                {
+                    **{c: pd.Series(dtype=object) for c in quasi_columns},
+                    "n": pd.Series(dtype=np.int64),
+                    "t_e6": pd.Series(dtype=np.int64),
+                }
+            )
+        keys = df["__gkey"].to_numpy()
+        b = df[band_column].to_numpy(dtype=np.int64)
+        c = df["c"].to_numpy(dtype=np.int64)
+        _, kcodes = np.unique(keys, return_inverse=True)
+        order = np.lexsort((b, kcodes))
+        kcodes, b, c = kcodes[order], b[order], c[order]
+        idx_sorted = np.arange(len(kcodes))[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], kcodes[1:] != kcodes[:-1]))
+        )
+        ends = np.append(starts[1:], len(kcodes))
+        rows = []
+        orig = df.iloc[order].reset_index(drop=True)
+        for s, e in zip(starts, ends):
+            dense = np.zeros(m, dtype=np.int64)
+            pos = np.searchsorted(bands, b[s:e])
+            dense[pos] = c[s:e]
+            cumg = np.cumsum(dense)
+            ng = int(cumg[-1])
+            S = sum(
+                abs(int(cumg[i]) * n_total - int(gcum[i]) * ng)
+                for i in range(m)
+            )
+            denom = float(ng) * float(n_total) * float(m - 1)
+            t_e6 = (
+                int(np.floor(S * 1_000_000.0 / denom + 0.5)) if m > 1 else 0
+            )
+            rows.append(
+                (*[orig.iloc[s][qc] for qc in quasi_columns], ng, t_e6)
+            )
+        return pd.DataFrame(rows, columns=cols)
+
+    return coarse_group_apply(keyed, "__gkey", emd_partition, n_parts=n_parts)

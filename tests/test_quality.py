@@ -145,3 +145,35 @@ def test_fd_profile_hand_case(ray_session):
     assert out.loc[("grp", "flag"), "holds"] == 1
     assert out.loc[("flag", "grp"), "holds"] == 1  # a->1, b->2 : holds
     assert len(out) == 6
+
+
+def test_t_closeness_hand_case(ray_session):
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    from opentapioca_ray.stages.quality import t_closeness
+
+    # global bands: 0 x4, 1 x2 (N=6, m=2, cum_all=[4,6]).
+    # group A = {0,0,1}: cum=[2,3]; S = |2*6-4*3| + |3*6-6*3| = 0 -> t=0
+    # group B = {0,0,1}: same distribution -> t=0
+    # group C = {1}: cum=[0,1]; S = |0*6-4*1| + |1*6-6*1| = 4
+    #   t = 4e6/(1*6*1) = 666667
+    df = pd.DataFrame(
+        {
+            "g": ["A", "A", "A", "B", "B", "C"],
+            "band": [0, 0, 1, 0, 0, 1],
+        }
+    )
+    out = (
+        t_closeness(ray.data.from_pandas(df), ["g"], "band")
+        .to_pandas()
+        .set_index("g")
+        .sort_index()
+    )
+    assert out.loc["A", "t_e6"] == 0
+    # B = {0,0}: cum=[2,2]; S=|2*6-4*2|+|2*6-6*2|=4; t=4e6/(2*6*1)=333333
+    assert out.loc["B", "t_e6"] == math.floor(4 * 1e6 / 12 + 0.5)
+    assert out.loc["C", "t_e6"] == math.floor(4 * 1e6 / 6 + 0.5)
+    assert out.loc["C", "n"] == 1
