@@ -7239,6 +7239,60 @@ def _q_cross_source_pairs(sf_dir: str):
     )
 
 
+def _q_cross_source_links(sf_dir: str):
+    """End-to-end two-database ER: the blocked cross-source candidate
+    pairs reduced to reciprocal-best ONE-TO-ONE links (each customer and
+    each supplier appears at most once; ties by partner id) — the linkage
+    table a fusion step consumes. Supplier ids ride offset by 1e7 through
+    the shared-id-space mutual-best kernel and are mapped back."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.stages.matching import mutual_best_match
+
+    pairs = _q_cross_source_pairs(sf_dir)
+
+    def offset(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("u", pa.int64()), ("v", pa.int64()), ("lev", pa.int64())]
+        )
+        if batch.num_rows == 0 or "a_id" not in batch.column_names:
+            return schema.empty_table()
+        b = batch.column("b_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "u": batch.column("a_id").cast(pa.int64()),
+                "v": pa.array(b + 10_000_000),
+                "lev": batch.column("lev").cast(pa.int64()),
+            }
+        )
+
+    best = mutual_best_match(
+        pairs.map_batches(offset, batch_format="pyarrow"),
+        u_column="u",
+        v_column="v",
+        score_column="lev",
+        ascending=True,
+    )
+
+    def unoffset(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [("a_id", pa.int64()), ("b_id", pa.int64()), ("lev", pa.int64())]
+        )
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return schema.empty_table()
+        v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "a_id": batch.column("u").cast(pa.int64()),
+                "b_id": pa.array(v - 10_000_000),
+                "lev": batch.column("lev").cast(pa.int64()),
+            }
+        )
+
+    return best.map_batches(unoffset, batch_format="pyarrow")
+
+
 def _q_link_prediction(sf_dir: str):
     """Link-prediction scores over the fuzzy match graph: every
     non-adjacent pair with a common neighbor gets its common-neighbor
@@ -9906,6 +9960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_hop_candidates": _q_two_hop_candidates,
         "link_prediction": _q_link_prediction,
         "cross_source_pairs": _q_cross_source_pairs,
+        "cross_source_links": _q_cross_source_links,
         "sparsify_fuzzy": _q_sparsify_fuzzy,
         "event_user_entropy": _q_event_user_entropy,
         "hll_distinct_users": _q_hll_distinct_users,
@@ -14164,6 +14219,28 @@ def oracle_sql() -> dict[str, str]:
             FROM customer a JOIN supplier b
               ON a.c_nationkey = b.s_nationkey
             WHERE levenshtein(a.c_name, b.s_name) <= 7
+        """,
+        "cross_source_links": """
+            WITH p AS (
+              SELECT a.c_custkey AS a_id, b.s_suppkey AS b_id,
+                     levenshtein(a.c_name, b.s_name) AS lev
+              FROM customer a JOIN supplier b
+                ON a.c_nationkey = b.s_nationkey
+              WHERE levenshtein(a.c_name, b.s_name) <= 7
+            ),
+            ra AS (
+              SELECT a_id, b_id, lev, row_number() OVER (
+                PARTITION BY a_id ORDER BY lev, b_id) AS rn
+              FROM p
+            ),
+            rb AS (
+              SELECT a_id, b_id, row_number() OVER (
+                PARTITION BY b_id ORDER BY lev, a_id) AS rn
+              FROM p
+            )
+            SELECT ra.a_id, ra.b_id, CAST(ra.lev AS BIGINT) AS lev
+            FROM ra JOIN rb ON rb.a_id = ra.a_id AND rb.b_id = ra.b_id
+            WHERE ra.rn = 1 AND rb.rn = 1
         """,
         "fuzzy_customer_pairs": """
             SELECT a.c_custkey AS u, b.c_custkey AS v,
