@@ -4411,6 +4411,103 @@ def _q_files_sha256(sf_dir: str):
     return read_files(sf_dir).select_columns(["file_id", "repo", "lang", "sha256"])
 
 
+def _q_vendored_files(sf_dir: str):
+    """Cross-repo vendored-code detection over the input-hint files
+    table: file contents that appear in >= 2 distinct repos, with the
+    repo spread, total copies, and the earliest file id (the canonical
+    source a dedup pass keeps). The synthetic corpus has no natural
+    cross-repo copies, so every 25th file is re-emitted verbatim under a
+    neighboring repo (file_id + 5e6 — the standard planted-duplicate
+    convention, mirrored in the oracle) to make recall observable. One
+    digest map + one hash-keyed roll-up; contents never shuffle, only
+    their md5s."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.sources.files import read_files
+    from opentapioca_ray.stages.exchange import coarse_group_apply
+
+    def digest_rows(batch: pa.Table) -> pa.Table:
+        schema = pa.schema(
+            [
+                ("content_md5", pa.string()),
+                ("repo", pa.string()),
+                ("file_id", pa.int64()),
+            ]
+        )
+        if batch.num_rows == 0 or "content" not in batch.column_names:
+            return schema.empty_table()
+        contents = batch.column("content").to_pylist()
+        md5s = [hashlib.md5((c or "").encode()).hexdigest() for c in contents]
+        ids = batch.column("file_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        repos = batch.column("repo").to_numpy(zero_copy_only=False)
+        sel = np.flatnonzero(ids % 25 == 0)  # planted cross-repo copies
+        dup_repo = np.array(
+            [f"org{(i + 1) % 20}/" + r.split("/", 1)[1] for i, r in
+             zip(ids[sel], repos[sel])],
+            dtype=object,
+        )
+        return pa.table(
+            {
+                "content_md5": pa.array(
+                    md5s + [md5s[i] for i in sel], pa.string()
+                ),
+                "repo": pa.array(
+                    np.concatenate([repos, dup_repo]), pa.string()
+                ),
+                "file_id": pa.array(
+                    np.concatenate([ids, ids[sel] + 5_000_000])
+                ),
+            }
+        )
+
+    rows = read_files(sf_dir).map_batches(digest_rows, batch_format="pyarrow")
+    import pandas as pd
+
+    def combine(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "content_md5" not in df.columns:
+            return pd.DataFrame(
+                {
+                    "content_md5": pd.Series(dtype=object),
+                    "n_repos": pd.Series(dtype=np.int64),
+                    "n_files": pd.Series(dtype=np.int64),
+                    "first_file": pd.Series(dtype=np.int64),
+                }
+            )
+        g = df.groupby("content_md5", sort=False)
+        out = pd.DataFrame(
+            {
+                "n_repos": g["repo"].nunique(),
+                "n_files": g["file_id"].size(),
+                "first_file": g["file_id"].min(),
+            }
+        ).reset_index()
+        out = out[out["n_repos"] >= 2]
+        return out.astype(
+            {"n_repos": np.int64, "n_files": np.int64, "first_file": np.int64}
+        )
+
+    out_schema = pa.schema(
+        [
+            ("content_md5", pa.string()),
+            ("n_repos", pa.int64()),
+            ("n_files", pa.int64()),
+            ("first_file", pa.int64()),
+        ]
+    )
+
+    def enforce(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "content_md5" not in batch.column_names:
+            return out_schema.empty_table()
+        return batch.select([f.name for f in out_schema]).cast(out_schema)
+
+    return coarse_group_apply(rows, "content_md5", combine).map_batches(
+        enforce, batch_format="pyarrow"
+    )
+
+
 def _q_sample_lang_quota(sf_dir: str):
     """Deterministic per-language sampling quotas (training-data corpus
     selection): md5-threshold keep, bit-reproducible in SQL."""
@@ -9862,6 +9959,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "linkage_clusters": _q_linkage_clusters,
         "stream_ingest": _q_stream_ingest,
         "files_sha256": _q_files_sha256,
+        "vendored_files": _q_vendored_files,
         "sample_lang_quota": _q_sample_lang_quota,
         "top_docs_per_lang": _q_top_docs_per_lang,
         "doc_chunks": _q_doc_chunks,
@@ -12455,6 +12553,29 @@ def oracle_sql() -> dict[str, str]:
                    lang,
                    sha256(text) AS sha256
             FROM documents
+        """,
+        "vendored_files": """
+            WITH base AS (
+              SELECT doc_id AS file_id,
+                     'org' || (doc_id % 20) || '/' || source AS repo,
+                     md5(text) AS content_md5
+              FROM documents
+            ),
+            planted AS (
+              SELECT doc_id + 5000000 AS file_id,
+                     'org' || ((doc_id + 1) % 20) || '/' || source AS repo,
+                     md5(text) AS content_md5
+              FROM documents WHERE doc_id % 25 = 0
+            ),
+            f AS (
+              SELECT * FROM base UNION ALL SELECT * FROM planted
+            )
+            SELECT content_md5,
+                   CAST(count(DISTINCT repo) AS BIGINT) AS n_repos,
+                   CAST(count(*) AS BIGINT) AS n_files,
+                   CAST(min(file_id) AS BIGINT) AS first_file
+            FROM f GROUP BY content_md5
+            HAVING count(DISTINCT repo) >= 2
         """,
         "sample_lang_quota": """
             SELECT doc_id, lang FROM documents

@@ -237,6 +237,10 @@ BENCH_QUERIES = [
     "pivot_editing_cost",
     "ktruss_edges",
     "butterfly_count",
+    "ndcg_rankings",
+    "silhouette_kmedoids",
+    "t_closeness",
+    "cross_source_links",
 ]
 
 
