@@ -241,6 +241,7 @@ BENCH_QUERIES = [
     "silhouette_kmedoids",
     "t_closeness",
     "cross_source_links",
+    "vendored_files",
 ]
 
 
