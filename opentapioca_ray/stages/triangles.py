@@ -28,6 +28,10 @@ import pandas as pd
 import pyarrow as pa
 
 
+# fixed 16-byte SipHash key for deterministic hub chunk assignment
+_BF_HASH_KEY = "opentapioca_bfly"
+
+
 def _segment_pairs(keys: np.ndarray):
     """All within-segment ordered index pairs (i, j), i<j, of a SORTED key
     array — one vectorized kernel for every logical group in a partition.
@@ -36,6 +40,16 @@ def _segment_pairs(keys: np.ndarray):
     if n == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     new = np.concatenate(([True], keys[1:] != keys[:-1]))
+    return _segment_pairs_flags(new)
+
+
+def _segment_pairs_flags(new: np.ndarray):
+    """`_segment_pairs` over precomputed segment-start flags (`new[i]` is
+    True where row i opens a new logical group) — lets callers with
+    composite sort keys avoid building a packed key array."""
+    n = len(new)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
     seg_start = np.flatnonzero(new)
     seg_id = np.cumsum(new) - 1
     seg_end = np.concatenate((seg_start[1:], [n]))
@@ -643,7 +657,20 @@ def ktruss_edges(edges_ds, k: int = 4, rounds: int = 6, n_parts=None):
     return _edge_support(edges, n_parts=n_parts)
 
 
-def butterfly_count(ds, left_column: str, right_column: str, n_parts=None):
+#: Driver-side telemetry for the butterfly hub guard (reset per call):
+#: how many right-side hubs were salted and how many chunk-pair kernels
+#: the salted exchange fanned out to. Tests assert the plan is bounded.
+BUTTERFLY_TELEMETRY = {"hubs": 0, "chunk_tasks": 0, "max_chunks": 0}
+
+
+def butterfly_count(
+    ds,
+    left_column: str,
+    right_column: str,
+    n_parts=None,
+    hub_degree_threshold: int = 8192,
+    hub_chunk_size: int = 4096,
+):
     """Bipartite butterfly (4-cycle) census — the bipartite analogue of
     the triangle count (Wang et al., "Butterfly Counting in Bipartite
     Networks"): one summary row (n_edges, n_wedges, n_left_pairs,
@@ -655,9 +682,24 @@ def butterfly_count(ds, left_column: str, right_column: str, n_parts=None):
     (each right node's left-neighbor list co-locates; its wedge pairs are
     aggregated to packed-u64 partials inside the kernel, so exchange two
     carries per-pair partial counts, not raw wedges), one (l1, l2) merge,
-    and a scalar roll-up. Right-side hubs generate C(deg, 2) wedge pairs
-    — the documented skew point; at web scale cap-and-mirror or salt the
-    hub's neighbor list."""
+    and a scalar roll-up.
+
+    Hub guard (exactness-preserving salting): a right node of degree d
+    emits C(d, 2) wedge pairs, and without a guard all of them materialize
+    inside ONE partition kernel — a 1M-degree hub would allocate ~5e11
+    pairs in a single task. So any right node with degree >
+    `hub_degree_threshold` is SALTED: its left-neighbor list is hashed
+    into m = ceil(d / hub_chunk_size) chunks, and each hub edge is
+    replicated to the m chunk-pair keys (h, min(c, x), max(c, x)); the
+    (h, i, i) kernel emits within-chunk pairs and each (h, i, j<i...j>i)
+    kernel emits only cross-chunk pairs, so every unordered pair lands in
+    exactly ONE kernel (no dupes, no misses — the partial stream is
+    identical to the unsalted one) and per-kernel allocation is bounded by
+    ~(2·hub_chunk_size)² candidates regardless of hub degree. Replication
+    cost is m copies per hub edge (13 at d=50k with the default chunk
+    size). Hub DETECTION is one coarse degree aggregation over the slim
+    distinct-edge list; only the hub ids themselves (≤ |E|/threshold rows)
+    touch the driver."""
     import ray.data
 
     from opentapioca_ray.stages.aggregates import partial_multi_sum_count
@@ -715,9 +757,201 @@ def butterfly_count(ds, left_column: str, right_column: str, n_parts=None):
             }
         )
 
-    partials = coarse_group_apply(
-        edges, right_column, wedge_partials, n_parts=n_parts
+    # --- hub detection: one coarse degree agg over the slim edge list ---
+    degs = coarse_groupby_agg(
+        edges.select_columns([left_column, right_column]),
+        [right_column],
+        {"deg": (left_column, "size")},
+        n_parts=n_parts,
     )
+
+    def only_hubs(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if batch.num_rows == 0 or "deg" not in batch.column_names:
+            return pa.schema(
+                [(right_column, pa.int64()), ("deg", pa.int64())]
+            ).empty_table()
+        t = batch.filter(
+            pc.greater(batch.column("deg"), pa.scalar(hub_degree_threshold))
+        )
+        return pa.table(
+            {
+                right_column: t.column(right_column).cast(pa.int64()),
+                "deg": t.column("deg").cast(pa.int64()),
+            }
+        )
+
+    hub_rows = degs.map_batches(only_hubs, batch_format="pyarrow").take_all()
+    BUTTERFLY_TELEMETRY["hubs"] = len(hub_rows)
+    BUTTERFLY_TELEMETRY["chunk_tasks"] = 0
+    BUTTERFLY_TELEMETRY["max_chunks"] = 0
+
+    if not hub_rows:
+        partials = coarse_group_apply(
+            edges, right_column, wedge_partials, n_parts=n_parts
+        )
+    else:
+        hub_ids = np.sort(
+            np.array([r[right_column] for r in hub_rows], dtype=np.int64)
+        )
+        hub_deg = np.array(
+            [r["deg"] for r in sorted(hub_rows, key=lambda r: r[right_column])],
+            dtype=np.int64,
+        )
+        hub_m = np.maximum(
+            1, (hub_deg + hub_chunk_size - 1) // hub_chunk_size
+        ).astype(np.int64)
+        BUTTERFLY_TELEMETRY["chunk_tasks"] = int(
+            (hub_m * (hub_m + 1) // 2).sum()
+        )
+        BUTTERFLY_TELEMETRY["max_chunks"] = int(hub_m.max())
+
+        def split_edges(batch: pa.Table, keep_hubs: bool) -> pa.Table:
+            out_schema = pa.schema(
+                [(left_column, pa.int64()), (right_column, pa.int64())]
+            )
+            if batch.num_rows == 0 or right_column not in batch.column_names:
+                return out_schema.empty_table()
+            r = batch.column(right_column).to_numpy(zero_copy_only=False)
+            r = r.astype(np.int64)
+            idx = np.clip(np.searchsorted(hub_ids, r), 0, len(hub_ids) - 1)
+            is_hub = hub_ids[idx] == r
+            mask = is_hub if keep_hubs else ~is_hub
+            t = batch.filter(pa.array(mask))
+            return pa.table(
+                {
+                    left_column: t.column(left_column).cast(pa.int64()),
+                    right_column: t.column(right_column).cast(pa.int64()),
+                }
+            )
+
+        slim = edges.select_columns([left_column, right_column]).materialize()
+        light = slim.map_batches(
+            lambda b: split_edges(b, False), batch_format="pyarrow"
+        )
+        hub_edges = slim.map_batches(
+            lambda b: split_edges(b, True), batch_format="pyarrow"
+        )
+
+        copy_schema = pa.schema(
+            [
+                ("h", pa.int64()),
+                ("i", pa.int64()),
+                ("j", pa.int64()),
+                ("ch", pa.int64()),
+                ("l", pa.int64()),
+                ("__bk", pa.int64()),
+            ]
+        )
+
+        def emit_chunk_copies(batch: pa.Table) -> pa.Table:
+            """Replicate each hub edge to its m chunk-pair keys. The chunk
+            of an edge is hash(left) % m (deterministic across workers);
+            copy x carries key (h, min(ch, x), max(ch, x))."""
+            import pandas as pd_
+
+            if batch.num_rows == 0 or right_column not in batch.column_names:
+                return copy_schema.empty_table()
+            r = batch.column(right_column).to_numpy(zero_copy_only=False)
+            l = batch.column(left_column).to_numpy(zero_copy_only=False)
+            r = r.astype(np.int64)
+            l = l.astype(np.int64)
+            pos = np.searchsorted(hub_ids, r)
+            m = hub_m[pos]
+            ch = (
+                pd_.util.hash_array(l, hash_key=_BF_HASH_KEY)
+                % m.astype(np.uint64)
+            ).astype(np.int64)
+            n = len(l)
+            row = np.repeat(np.arange(n, dtype=np.int64), m)
+            starts = np.concatenate(([0], np.cumsum(m)[:-1]))
+            x = np.arange(int(m.sum()), dtype=np.int64) - np.repeat(starts, m)
+            cc = ch[row]
+            i = np.minimum(cc, x)
+            j = np.maximum(cc, x)
+            hh = r[row]
+            # partition key: deterministic mix of (h, i, j); collisions
+            # only affect balance (the kernel re-groups by the columns)
+            bk = (
+                hh.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                + i.astype(np.uint64) * np.uint64(0x100000001B3)
+                + j.astype(np.uint64)
+            ).view(np.int64)
+            return pa.table(
+                {
+                    "h": hh,
+                    "i": i,
+                    "j": j,
+                    "ch": cc,
+                    "l": l[row],
+                    "__bk": bk,
+                }
+            ).cast(copy_schema)
+
+        def hub_wedge_partials(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in ("l1", "l2", "c")}
+            )
+            if df.empty or "h" not in df.columns:
+                return empty
+            h = df["h"].to_numpy(dtype=np.int64)
+            i_ = df["i"].to_numpy(dtype=np.int64)
+            j_ = df["j"].to_numpy(dtype=np.int64)
+            ch = df["ch"].to_numpy(dtype=np.int64)
+            l = df["l"].to_numpy(dtype=np.int64)
+            order = np.lexsort((l, ch, j_, i_, h))
+            h, i_, j_, ch, l = (
+                h[order],
+                i_[order],
+                j_[order],
+                ch[order],
+                l[order],
+            )
+            new = np.concatenate(
+                (
+                    [True],
+                    (h[1:] != h[:-1])
+                    | (i_[1:] != i_[:-1])
+                    | (j_[1:] != j_[:-1]),
+                )
+            )
+            li, ri = _segment_pairs_flags(new)
+            if len(li) == 0:
+                return empty
+            # (h, i, i) kernels own ALL within-chunk-i pairs; (h, i, j<i≠j>)
+            # kernels own ONLY cross-chunk pairs — so every unordered pair
+            # of N(h) is emitted by exactly one kernel.
+            keep = (i_[li] == j_[li]) | (ch[li] != ch[ri])
+            li, ri = li[keep], ri[keep]
+            if len(li) == 0:
+                return empty
+            a, b = l[li], l[ri]
+            lmin = np.minimum(a, b)
+            lmax = np.maximum(a, b)
+            packed = (lmin.astype(np.uint64) << np.uint64(32)) | lmax.astype(
+                np.uint64
+            )
+            uniq, cnt = np.unique(packed, return_counts=True)
+            return pd.DataFrame(
+                {
+                    "l1": (uniq >> np.uint64(32)).astype(np.int64),
+                    "l2": (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                    "c": cnt.astype(np.int64),
+                }
+            )
+
+        light_partials = coarse_group_apply(
+            light, right_column, wedge_partials, n_parts=n_parts
+        )
+        hub_partials = coarse_group_apply(
+            hub_edges.map_batches(emit_chunk_copies, batch_format="pyarrow"),
+            "__bk",
+            hub_wedge_partials,
+            n_parts=n_parts,
+        )
+        partials = light_partials.union(hub_partials)
+
     cn = coarse_groupby_agg(
         partials, ["l1", "l2"], {"cn": ("c", "sum")}, n_parts=n_parts
     )
