@@ -459,14 +459,19 @@ def per_node_triangles(edges_ds, n_parts=None):
     )
 
 
-def _edge_support(edges_ds, n_parts=None):
+def _edge_support(edges_ds, n_parts=None, return_internals=False):
     """Per-edge triangle support of a distinct (u < v) edge set: the same
     degree-oriented wedge scheme as `per_node_triangles`, but each closed
     wedge credits its three EDGES; union with a zero row per edge so every
     current edge gets a support row (0 when triangle-free). Returns
     (u, v, sup). The oriented edge set is broadcast via ray.put (O(|E|)
     packed ints); beyond object-store scale swap in the wedge-emission
-    exchange exactly as count_triangles documents."""
+    exchange exactly as count_triangles documents.
+
+    With `return_internals=True` returns (sup_ds, internals) where
+    internals carries the materialized oriented stream, the sorted packed
+    oriented edge set, and the degree arrays — so `ktruss_edges` can peel
+    with support DELTAS instead of a full wedge pass per round."""
     import ray
     import ray.data
 
@@ -501,9 +506,10 @@ def _edge_support(edges_ds, n_parts=None):
         if t.num_rows and "node" in t.column_names
     ]
     if not deg_parts:
-        return ray.data.from_arrow(
+        empty = ray.data.from_arrow(
             pa.schema([(c, pa.int64()) for c in ("u", "v", "sup")]).empty_table()
         )
+        return (empty, None) if return_internals else empty
     deg_tbl = pa.concat_tables(deg_parts)
     nodes = deg_tbl.column("node").to_numpy(zero_copy_only=False)
     degs = deg_tbl.column("deg").to_numpy(zero_copy_only=False)
@@ -542,9 +548,12 @@ def _edge_support(edges_ds, n_parts=None):
         s = t.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
         d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
         packed_parts.append((s << np.uint64(32)) | d)
-    edge_set_ref = (
-        ray.put(np.sort(np.concatenate(packed_parts))) if packed_parts else None
+    edge_set_np = (
+        np.sort(np.concatenate(packed_parts))
+        if packed_parts
+        else np.zeros(0, dtype=np.uint64)
     )
+    edge_set_ref = ray.put(edge_set_np) if packed_parts else None
 
     def edge_credit_partials(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -597,64 +606,386 @@ def _edge_support(edges_ds, n_parts=None):
         )
 
     unioned = credits.union(edges_ds.map_batches(zero_rows, batch_format="pyarrow"))
-    return coarse_groupby_agg(
+    sup_ds = coarse_groupby_agg(
         unioned, ["u", "v"], {"sup": ("c", "sum")}, n_parts=n_parts
     )
+    if return_internals:
+        return sup_ds, {
+            "oriented": oriented,
+            "edge_set": edge_set_np,
+            "nodes": nodes[o],
+            "degs": degs[o].astype(np.int64),
+        }
+    return sup_ds
 
 
-def ktruss_edges(edges_ds, k: int = 4, rounds: int = 6, n_parts=None):
+def _support_numpy(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Per-edge triangle support of a distinct (u < v) edge list, fully
+    vectorized on one process — the same degree-oriented wedge + closure
+    math as `_edge_support`, used by the bounded driver fast path."""
+    n = len(u)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    nodes, counts = np.unique(np.concatenate([u, v]), return_counts=True)
+    du = counts[np.searchsorted(nodes, u)]
+    dv = counts[np.searchsorted(nodes, v)]
+    u_first = (du < dv) | ((du == dv) & (u < v))
+    src = np.where(u_first, u, v).astype(np.int64)
+    dst = np.where(u_first, v, u).astype(np.int64)
+    ddst = np.where(u_first, dv, du).astype(np.int64)
+    rank = ddst * np.int64(1 << 31) + dst
+    order = np.lexsort((rank, src))
+    s_s, d_s = src[order], dst[order]
+    li, ri = _segment_pairs(s_s)
+    sup = np.zeros(n, dtype=np.int64)
+    edge_packed = np.sort((src.astype(np.uint64) << np.uint64(32)) | dst.astype(np.uint64))
+    if len(li):
+        w = (d_s[li].astype(np.uint64) << np.uint64(32)) | d_s[ri].astype(np.uint64)
+        idx = np.clip(np.searchsorted(edge_packed, w), 0, len(edge_packed) - 1)
+        hit = edge_packed[idx] == w
+        if hit.any():
+            a, b, c = s_s[li[hit]], d_s[li[hit]], d_s[ri[hit]]
+            eu = np.concatenate(
+                [np.minimum(a, b), np.minimum(a, c), np.minimum(b, c)]
+            ).astype(np.uint64)
+            ev = np.concatenate(
+                [np.maximum(a, b), np.maximum(a, c), np.maximum(b, c)]
+            ).astype(np.uint64)
+            cred = (eu << np.uint64(32)) | ev
+            uniq, cnt = np.unique(cred, return_counts=True)
+            mine = (u.astype(np.uint64) << np.uint64(32)) | v.astype(np.uint64)
+            ix = np.clip(np.searchsorted(uniq, mine), 0, len(uniq) - 1)
+            got = uniq[ix] == mine
+            sup[got] = cnt[ix[got]]
+    return sup
+
+
+def ktruss_edges(
+    edges_ds, k: int = 4, rounds: int = 6, n_parts=None, driver_limit: int = 2_000_000
+):
     """k-truss decomposition: iteratively drop every edge with triangle
     support < k-2 until stable (or `rounds` peels — mirror the SQL twin's
     unrolled depth). Returns the surviving edges with their support in the
     FINAL graph: (u, v, sup). Peeling is monotone, so an early-converged
     round is identical to running the full unroll.
 
-    Each round is one `_edge_support` pass (degree-oriented wedges +
-    broadcast closure) and a vectorized filter; block counts are re-sized
-    every round (the repo's iterative-loop gotcha)."""
+    DELTA peeling (round-3 verdict item 2): only round 0 pays a full
+    `_edge_support` wedge pass. Every later round recomputes NOTHING for
+    untouched edges — when edges D are dropped, support changes exactly
+    for edges sharing a triangle with some d ∈ D, and every such triangle
+    has ≥2 vertices in F = endpoints(D). So each round enumerates only
+    the old-graph triangles touching F (wedge rows restricted to
+    src ∈ F or dst ∈ F before pair generation), keeps those containing a
+    dropped edge, and emits a −1 credit per surviving edge of each; new
+    support = old kept support + credits, one small coarse aggregation.
+    Orientation is frozen at the ROUND-0 (degree, id) total order — any
+    consistent acyclic orientation enumerates each triangle exactly once,
+    so reusing it across peels is exact and skips the per-round degree
+    pass. Dropped-edge and frontier sets ride the same ray.put broadcast
+    regime as the closure edge set (O(|E|) packed ints); block counts are
+    re-sized every round (the repo's iterative-loop gotcha)."""
+    import ray
     import pyarrow.compute as pc
 
-    from opentapioca_ray.stages.exchange import right_size
+    from opentapioca_ray.stages.exchange import (
+        coarse_group_apply,
+        coarse_groupby_agg,
+        right_size,
+    )
 
     thresh = k - 2
     edges = edges_ds.materialize()
     n_edges = edges.count()
-    for _ in range(rounds):
-        if n_edges == 0:
-            break
-        sup = _edge_support(edges, n_parts=n_parts).materialize()
+    if n_edges == 0:
+        return _edge_support(edges, n_parts=n_parts)
 
-        def keep(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0 or "sup" not in batch.column_names:
-                return pa.schema(
-                    [(c, pa.int64()) for c in ("u", "v", "sup")]
-                ).empty_table()
-            t = batch.filter(
-                pc.greater_equal(batch.column("sup"), pa.scalar(thresh))
-            )
-            return pa.table(
+    if n_edges <= driver_limit:
+        # Bounded driver fast path. `_edge_support` ALREADY holds the full
+        # packed edge set on the driver (the broadcast closure regime), so
+        # peeling ≤ driver_limit edges in one numpy process adds no new
+        # scale assumption — and skips the ~1 s/round exchange floor that
+        # dominates tail peels. Above the limit, the delta-distributed
+        # path below takes over (equivalence pinned in
+        # tests/test_ktruss_delta.py).
+        import ray
+        import ray.data
+
+        parts = []
+        for r in edges.to_arrow_refs():
+            t = ray.get(r)
+            if isinstance(t, pd.DataFrame):
+                if len(t) == 0:
+                    continue
+                t = pa.Table.from_pandas(t, preserve_index=False)
+            if t.num_rows and "u" in t.column_names:
+                parts.append(t)
+        if not parts:
+            return _edge_support(edges.limit(0), n_parts=n_parts)
+        tbl = pa.concat_tables(parts)
+        u = tbl.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = tbl.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        for _ in range(rounds):
+            if len(u) == 0:
+                break
+            s = _support_numpy(u, v)
+            keep_m = s >= thresh
+            if keep_m.all():
+                return ray.data.from_arrow(
+                    pa.table(
+                        {
+                            "u": pa.array(u, pa.int64()),
+                            "v": pa.array(v, pa.int64()),
+                            "sup": pa.array(s, pa.int64()),
+                        }
+                    )
+                )
+            u, v = u[keep_m], v[keep_m]
+        s = _support_numpy(u, v)
+        return ray.data.from_arrow(
+            pa.table(
                 {
-                    "u": t.column("u").cast(pa.int64()),
-                    "v": t.column("v").cast(pa.int64()),
-                    "sup": t.column("sup").cast(pa.int64()),
+                    "u": pa.array(u, pa.int64()),
+                    "v": pa.array(v, pa.int64()),
+                    "sup": pa.array(s, pa.int64()),
+                }
+            )
+        )
+
+    sup, internals = _edge_support(edges, n_parts=n_parts, return_internals=True)
+    sup = sup.materialize()
+    if internals is None:
+        return sup
+
+    out_schema = pa.schema([(c, pa.int64()) for c in ("u", "v", "sup")])
+
+    def split(batch: pa.Table, keep_kept: bool) -> pa.Table:
+        if batch.num_rows == 0 or "sup" not in batch.column_names:
+            return out_schema.empty_table()
+        cond = pc.greater_equal(batch.column("sup"), pa.scalar(thresh))
+        if not keep_kept:
+            cond = pc.invert(cond)
+        t = batch.filter(cond)
+        return pa.table(
+            {
+                "u": t.column("u").cast(pa.int64()),
+                "v": t.column("v").cast(pa.int64()),
+                "sup": t.column("sup").cast(pa.int64()),
+            }
+        )
+
+    nodes_sorted = internals["nodes"]
+    degs_sorted = internals["degs"]
+    oriented = internals["oriented"]
+    edge_set = internals["edge_set"]
+    # minmax-packed edges dropped in PREVIOUS rounds: the oriented stream is
+    # never rewritten — each round's candidate filter masks them out instead
+    cum_dropped = np.zeros(0, dtype=np.uint64)
+
+    import os as _os
+    import time as _time
+
+    _dbg = bool(_os.environ.get("KTRUSS_DEBUG"))
+    for _round in range(rounds):
+        _t0 = _time.time()
+        # --- dropped edges to the driver (same O(|E|) broadcast regime as
+        # the closure edge set; shrinks geometrically after round 1) ---
+        drop_parts = []
+        for r in (
+            sup.map_batches(lambda b: split(b, False), batch_format="pyarrow")
+            .materialize()
+            .to_arrow_refs()
+        ):
+            t = ray.get(r)
+            if isinstance(t, pd.DataFrame):
+                # schema-less empty pandas blocks (empty map_groups
+                # outputs) pass through to_arrow_refs unconverted
+                if len(t) == 0:
+                    continue
+                t = pa.Table.from_pandas(t, preserve_index=False)
+            if t.num_rows and "u" in t.column_names:
+                drop_parts.append(t)
+        n_dropped = sum(t.num_rows for t in drop_parts)
+        if n_dropped == 0:
+            # converged: every support row passed the threshold, so `sup`
+            # (kept edges only after round 1) IS the final-graph support
+            return right_size(
+                sup.map_batches(
+                    lambda b: split(b, True), batch_format="pyarrow"
+                ).materialize()
+            )
+        if n_dropped == n_edges:
+            import ray.data
+
+            return ray.data.from_arrow(out_schema.empty_table())
+        d_tbl = pa.concat_tables(drop_parts)
+        du = d_tbl.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        dv = d_tbl.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        d_minmax = np.sort(
+            (du.astype(np.uint64) << np.uint64(32)) | dv.astype(np.uint64)
+        )
+        frontier = np.unique(np.concatenate([du, dv]))
+        # oriented packing of the dropped edges (round-0 degree order)
+        ddu = degs_sorted[np.searchsorted(nodes_sorted, du)]
+        ddv = degs_sorted[np.searchsorted(nodes_sorted, dv)]
+        u_first = (ddu < ddv) | ((ddu == ddv) & (du < dv))
+        d_src = np.where(u_first, du, dv).astype(np.uint64)
+        d_dst = np.where(u_first, dv, du).astype(np.uint64)
+        d_oriented = np.sort((d_src << np.uint64(32)) | d_dst)
+
+        es_ref = ray.put(edge_set)
+        dm_ref = ray.put(d_minmax)
+        f_ref = ray.put(frontier)
+        cum_ref = ray.put(cum_dropped)
+
+        def candidates(batch: pa.Table) -> pa.Table:
+            """Pre-exchange filter: drop previously-peeled rows, keep only
+            rows that can belong to a triangle touching this round's
+            frontier (src ∈ F keeps the WHOLE out-list — needed for its
+            segment pairs — src ∉ F keeps only dst ∈ F arms). This is
+            exactly the kernel's own restriction hoisted before the
+            shuffle, so exchange volume tracks the frontier size."""
+            if batch.num_rows == 0 or "src" not in batch.column_names:
+                return pa.schema(
+                    [(c, pa.int64()) for c in ("src", "dst", "rank_dst")]
+                ).empty_table()
+            s = batch.column("src").to_numpy(zero_copy_only=False)
+            d = batch.column("dst").to_numpy(zero_copy_only=False)
+            fr = ray.get(f_ref)
+            m = np.isin(s, fr) | np.isin(d, fr)
+            cum = ray.get(cum_ref)
+            if len(cum):
+                lo = np.minimum(s, d).astype(np.uint64)
+                hi = np.maximum(s, d).astype(np.uint64)
+                e = (lo << np.uint64(32)) | hi
+                ix = np.clip(np.searchsorted(cum, e), 0, len(cum) - 1)
+                m &= cum[ix] != e
+            return batch.filter(pa.array(m))
+
+        def delta_credit_partials(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in ("u", "v", "c")}
+            )
+            if df.empty or "src" not in df.columns:
+                return empty
+            fr = ray.get(f_ref)
+            src = df["src"].to_numpy(dtype=np.int64)
+            dst = df["dst"].to_numpy(dtype=np.int64)
+            rank = df["rank_dst"].to_numpy(dtype=np.int64)
+            s_in = np.isin(src, fr)
+            d_in = np.isin(dst, fr)
+            m = s_in | d_in
+            if not m.any():
+                return empty
+            src, dst, rank, d_in = src[m], dst[m], rank[m], d_in[m]
+            order = np.lexsort((rank, src))
+            src, dst, d_in = src[order], dst[order], d_in[order]
+            li, ri = _segment_pairs(src)
+            if len(li) == 0:
+                return empty
+            # a triangle touching a dropped edge needs ≥1 wedge arm in F
+            pm = d_in[li] | d_in[ri]
+            li, ri = li[pm], ri[pm]
+            if len(li) == 0:
+                return empty
+            es = ray.get(es_ref)
+            if len(es) == 0:
+                return empty
+            w = (dst[li].astype(np.uint64) << np.uint64(32)) | dst[ri].astype(
+                np.uint64
+            )
+            idx = np.clip(np.searchsorted(es, w), 0, len(es) - 1)
+            hit = es[idx] == w
+            if not hit.any():
+                return empty
+            a, b, c = src[li[hit]], dst[li[hit]], dst[ri[hit]]
+            dmm = ray.get(dm_ref)
+
+            def pack_mm(x, y):
+                lo = np.minimum(x, y).astype(np.uint64)
+                hi = np.maximum(x, y).astype(np.uint64)
+                return (lo << np.uint64(32)) | hi
+
+            e1, e2, e3 = pack_mm(a, b), pack_mm(a, c), pack_mm(b, c)
+
+            def in_d(e):
+                if len(dmm) == 0:
+                    return np.zeros(len(e), dtype=bool)
+                ix = np.clip(np.searchsorted(dmm, e), 0, len(dmm) - 1)
+                return dmm[ix] == e
+
+            i1, i2, i3 = in_d(e1), in_d(e2), in_d(e3)
+            touched = i1 | i2 | i3
+            if not touched.any():
+                return empty
+            # each touched triangle decrements each of its KEPT edges once
+            cred = np.concatenate(
+                [
+                    e1[touched & ~i1],
+                    e2[touched & ~i2],
+                    e3[touched & ~i3],
+                ]
+            )
+            if len(cred) == 0:
+                return empty
+            uniq, cnt = np.unique(cred, return_counts=True)
+            return pd.DataFrame(
+                {
+                    "u": (uniq >> np.uint64(32)).astype(np.int64),
+                    "v": (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                    "c": -cnt.astype(np.int64),
                 }
             )
 
-        kept = right_size(
-            sup.map_batches(keep, batch_format="pyarrow").materialize()
+        decrements = coarse_group_apply(
+            oriented.map_batches(candidates, batch_format="pyarrow"),
+            "src",
+            delta_credit_partials,
+            n_parts=n_parts,
         )
-        n_kept = kept.count()
-        if n_kept == n_edges:
-            # converged: the filter dropped nothing, so the support just
-            # computed IS the final-graph support
-            return kept
-        edges = right_size(
-            kept.drop_columns(["sup"]).materialize()
+
+        def kept_as_credit(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "sup" not in batch.column_names:
+                return pa.schema(
+                    [(c, pa.int64()) for c in ("u", "v", "c")]
+                ).empty_table()
+            return pa.table(
+                {
+                    "u": batch.column("u").cast(pa.int64()),
+                    "v": batch.column("v").cast(pa.int64()),
+                    "c": batch.column("sup").cast(pa.int64()),
+                }
+            )
+
+        kept_lazy = sup.map_batches(
+            lambda b: split(b, True), batch_format="pyarrow"
         )
-        n_edges = n_kept
-    # round budget exhausted before convergence (or empty): one final
-    # support pass over the surviving graph
-    return _edge_support(edges, n_parts=n_parts)
+        # right_size: the union adds the decrement exchange's block count to
+        # sup every round — unchecked, block counts grow linearly per peel
+        # and per-block overhead swamps the shrinking delta work
+        sup = right_size(
+            coarse_groupby_agg(
+                kept_lazy.map_batches(
+                    kept_as_credit, batch_format="pyarrow"
+                ).union(decrements),
+                ["u", "v"],
+                {"sup": ("c", "sum")},
+                n_parts=n_parts,
+            ).materialize()
+        )
+
+        # --- advance graph state (driver-side numpy; the oriented stream is
+        # reused as-is — `candidates` masks peeled rows at kernel input) ---
+        edge_set = edge_set[~np.isin(edge_set, d_oriented)]
+        cum_dropped = np.union1d(cum_dropped, d_minmax)
+        n_edges -= n_dropped
+        if _dbg:
+            print(
+                f"KTRUSS round={_round} dropped={n_dropped} "
+                f"frontier={len(frontier)} t={_time.time() - _t0:.2f}s"
+            )
+    # round budget exhausted before convergence: `sup` already holds the
+    # surviving edges with their current-graph support
+    return right_size(sup)
 
 
 #: Driver-side telemetry for the butterfly hub guard (reset per call):
