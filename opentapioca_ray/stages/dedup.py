@@ -1220,17 +1220,31 @@ def incremental_jaccard_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     n_parts: int | None = None,
+    delta_broadcast_limit: int = 2_000_000,
 ):
     """Streaming-dedup primitive: exact n-gram Jaccard pairs between a
     NEW delta and the EXISTING corpus only — never corpus x corpus (the
-    re-pairing a production ingest cannot afford). Same pair-multiplicity
-    identity as `ngram_jaccard_pairs`; the gram exchange carries a side
-    bit, the kernel emits cross-side pairs only, and the (u, v) merge sums
-    the partial intersections. Returns (u, v, jaccard) with u the NEW
-    doc's id and jaccard >= threshold.
+    re-pairing a production ingest cannot afford). Returns (u, v, jaccard)
+    with u the NEW doc's id and jaccard >= threshold.
+
+    Two regimes:
+
+    - **delta broadcast** (delta gram rows ≤ `delta_broadcast_limit`, no
+      `max_df`): the delta's (gram, doc, size) table is ray.put once and
+      the corpus side streams through ONE embarrassingly-parallel
+      map_batches — per batch an exact Arrow hash join on the gram string
+      against the broadcast table, pre-aggregated to (u, v) partials; the
+      only exchange left is the tiny pair merge. The old corpus is never
+      shuffled — at 100 TB the per-delta cost is one corpus scan, which is
+      the whole point of incremental dedup.
+    - **two-sided exchange** (fallback): same pair-multiplicity identity
+      as `ngram_jaccard_pairs`; the gram exchange carries a side bit, the
+      kernel emits cross-side pairs only, and the (u, v) merge sums the
+      partial intersections.
 
     Contract: the two inputs are disjoint id spaces (the delta's ids are
     new); a doc present in both sides would pair with itself."""
+    import ray
     import pandas as pd
 
     import pyarrow.compute as pc
@@ -1238,6 +1252,88 @@ def incremental_jaccard_pairs(
     from opentapioca_ray.stages.exchange import coarse_group_apply, coarse_groupby_agg
     from opentapioca_ray.stages.pairs import prefilter_singleton_blocks
     from opentapioca_ray.stages.triangles import _segment_pairs
+
+    part_schema = pa.schema(
+        [
+            ("u", pa.int64()),
+            ("v", pa.int64()),
+            ("inter", pa.int64()),
+            ("na", pa.int64()),
+            ("nb", pa.int64()),
+        ]
+    )
+
+    pair_counts = None
+    if max_df is None:
+        new_grams = new_ds.map_batches(
+            lambda b: gram_doc_rows(b, id_column, text_column, k),
+            batch_format="pyarrow",
+        ).materialize()
+        if new_grams.count() <= delta_broadcast_limit:
+            parts = []
+            for r in new_grams.to_arrow_refs():
+                t = ray.get(r)
+                if isinstance(t, pd.DataFrame):
+                    if len(t) == 0:
+                        continue
+                    t = pa.Table.from_pandas(t, preserve_index=False)
+                if t.num_rows and "gram" in t.column_names:
+                    parts.append(t)
+            delta_tbl = (
+                pa.concat_tables(parts).rename_columns(["gram", "u", "na"])
+                if parts
+                else pa.schema(
+                    [("gram", pa.string()), ("u", pa.int64()), ("na", pa.int64())]
+                ).empty_table()
+            ).combine_chunks()
+            delta_ref = ray.put(delta_tbl)
+
+            def cross_partials(batch: pa.Table) -> pa.Table:
+                g = gram_doc_rows(batch, id_column, text_column, k)
+                if g.num_rows == 0:
+                    return part_schema.empty_table()
+                d = ray.get(delta_ref)
+                if d.num_rows == 0:
+                    return part_schema.empty_table()
+                joined = g.rename_columns(["gram", "v", "nb"]).join(
+                    d, keys="gram", join_type="inner"
+                )
+                if joined.num_rows == 0:
+                    return part_schema.empty_table()
+                u = joined.column("u").to_numpy(zero_copy_only=False)
+                v = joined.column("v").to_numpy(zero_copy_only=False)
+                na = joined.column("na").to_numpy(zero_copy_only=False)
+                nb = joined.column("nb").to_numpy(zero_copy_only=False)
+                # rows are distinct (gram, u, v): per-batch intersection
+                # partial = multiplicity of each compacted (u, v) pair
+                _, iu = np.unique(u, return_inverse=True)
+                _, iv = np.unique(v, return_inverse=True)
+                packed = (iu.astype(np.uint64) << np.uint64(32)) | iv.astype(
+                    np.uint64
+                )
+                _, idx0, cnt = np.unique(
+                    packed, return_index=True, return_counts=True
+                )
+                return pa.table(
+                    {
+                        "u": pa.array(u[idx0].astype(np.int64)),
+                        "v": pa.array(v[idx0].astype(np.int64)),
+                        "inter": pa.array(cnt.astype(np.int64)),
+                        "na": pa.array(na[idx0].astype(np.int64)),
+                        "nb": pa.array(nb[idx0].astype(np.int64)),
+                    }
+                )
+
+            pair_counts = coarse_groupby_agg(
+                old_ds.map_batches(cross_partials, batch_format="pyarrow"),
+                ["u", "v"],
+                {
+                    "inter": ("inter", "sum"),
+                    "na": ("na", "max"),
+                    "nb": ("nb", "max"),
+                },
+                n_parts=n_parts,
+            )
 
     def explode(ds, side: int):
         def add_side(batch: pa.Table) -> pa.Table:
@@ -1250,18 +1346,22 @@ def incremental_jaccard_pairs(
             batch_format="pyarrow",
         ).map_batches(add_side, batch_format="pyarrow")
 
-    exploded = explode(new_ds, 0).union(explode(old_ds, 1))
-    exploded = prefilter_singleton_blocks(
-        exploded.map_batches(
-            lambda b: b.rename_columns(["block_key", "doc_id", "n_grams", "side"]),
+    exploded = None
+    if pair_counts is None:
+        exploded = explode(new_ds, 0).union(explode(old_ds, 1))
+        exploded = prefilter_singleton_blocks(
+            exploded.map_batches(
+                lambda b: b.rename_columns(
+                    ["block_key", "doc_id", "n_grams", "side"]
+                ),
+                batch_format="pyarrow",
+            ),
+            min_size=2,
+            max_size=max_df,
+        ).map_batches(
+            lambda b: b.rename_columns(["gram", "doc_id", "n_grams", "side"]),
             batch_format="pyarrow",
-        ),
-        min_size=2,
-        max_size=max_df,
-    ).map_batches(
-        lambda b: b.rename_columns(["gram", "doc_id", "n_grams", "side"]),
-        batch_format="pyarrow",
-    )
+        )
 
     def cross_pair_partition(df: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -1303,15 +1403,16 @@ def incremental_jaccard_pairs(
             }
         )
 
-    partial = coarse_group_apply(
-        exploded, "gram", cross_pair_partition, n_parts=n_parts
-    )
-    pair_counts = coarse_groupby_agg(
-        partial,
-        ["u", "v"],
-        {"inter": ("inter", "sum"), "na": ("na", "max"), "nb": ("nb", "max")},
-        n_parts=n_parts,
-    )
+    if pair_counts is None:
+        partial = coarse_group_apply(
+            exploded, "gram", cross_pair_partition, n_parts=n_parts
+        )
+        pair_counts = coarse_groupby_agg(
+            partial,
+            ["u", "v"],
+            {"inter": ("inter", "sum"), "na": ("na", "max"), "nb": ("nb", "max")},
+            n_parts=n_parts,
+        )
 
     def finish(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "u" not in batch.column_names:

@@ -64,3 +64,54 @@ def test_survivorship_majority_with_tiebreak(ray_session):
     }
     # component 1: en wins 2-1; component 4: tie de/zh -> lexical min 'de'
     assert got == {(1, "lang"): ("en", 2), (4, "lang"): ("de", 1)}
+
+
+def test_incremental_pairs_broadcast_matches_exchange(ray_session):
+    """The delta-broadcast regime (corpus-side Arrow hash join against the
+    ray.put gram table) must reproduce the two-sided-exchange regime
+    bit-for-bit, jaccard values included, on a random corpus."""
+    import numpy as np
+    import ray.data
+
+    from opentapioca_ray.stages.dedup import incremental_jaccard_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    bases = [
+        " ".join(rng.choice(vocab, size=int(rng.integers(8, 14))))
+        for _ in range(12)
+    ]
+
+    def doc():
+        # mutate a shared base so cross-side near-dups actually exist
+        words = bases[int(rng.integers(0, len(bases)))].split()
+        if rng.random() < 0.5:
+            words = words + [str(rng.choice(vocab))]
+        if rng.random() < 0.3:
+            words = words[1:]
+        return " ".join(words)
+
+    new = pa.table(
+        {"doc_id": list(range(100, 130)), "text": [doc() for _ in range(30)]}
+    )
+    old = pa.table(
+        {"doc_id": list(range(1, 81)), "text": [doc() for _ in range(80)]}
+    )
+    kw = dict(id_column="doc_id", text_column="text", k=2, threshold=0.2)
+    broadcast = incremental_jaccard_pairs(
+        ray.data.from_arrow(new).repartition(3),
+        ray.data.from_arrow(old).repartition(4),
+        **kw,
+    ).to_pandas()
+    exchange = incremental_jaccard_pairs(
+        ray.data.from_arrow(new).repartition(3),
+        ray.data.from_arrow(old).repartition(4),
+        delta_broadcast_limit=0,
+        **kw,
+    ).to_pandas()
+    key = ["u", "v"]
+    b = broadcast.sort_values(key).reset_index(drop=True)
+    e = exchange.sort_values(key).reset_index(drop=True)
+    assert len(b) == len(e) and len(b) > 0
+    assert (b["u"] == e["u"]).all() and (b["v"] == e["v"]).all()
+    assert np.allclose(b["jaccard"], e["jaccard"])
