@@ -123,8 +123,11 @@ _POSSESSIVE_RE = re.compile(r"['’]s$")
 
 def analyze_term(token: str) -> str:
     """Normalize one token exactly the same on index and query side:
-    possessive strip then ASCII fold ("Vanuatu's" -> "Vanuatu")."""
-    token = _POSSESSIVE_RE.sub("", token)
+    possessive strip then ASCII fold ("Vanuatu's" -> "Vanuatu"). The
+    endswith check is byte-identical to `_POSSESSIVE_RE.sub("", ...)` and
+    skips the regex machinery on the ~100% of tokens with no possessive."""
+    if token.endswith("'s") or token.endswith("’s"):
+        token = token[:-2]
     return ascii_fold(token)
 
 

@@ -157,26 +157,90 @@ class TaggerStage:
         self.tags_limit = tags_limit
         self.top_k = top_k
         self.prune = prune
+        # per-actor memo caches (round-3 verdict item 4): BOW likelihood /
+        # prune verdict are pure functions of the surface string, and the
+        # rank-sorted candidate list is pure per trie node — surfaces and
+        # nodes repeat constantly across a corpus, so caching them removes
+        # the per-match re-tokenization that dominated the profile. Keyed
+        # by surface text / id(trie node list); both live for the actor's
+        # lifetime, so ids are stable.
+        self._surface_cache: dict = {}
+        self._node_cache: dict = {}
+
+    def _surface_info(self, surface: str):
+        hit = self._surface_cache.get(surface)
+        if hit is None:
+            if self.prune and prune_phrase(surface):
+                hit = (True, 0.0)
+            else:
+                hit = (False, -self.bow.log_likelihood(surface))
+            self._surface_cache[surface] = hit
+        return hit
+
+    def _node_tags(self, ids: list):
+        key = id(ids)
+        hit = self._node_cache.get(key)
+        if hit is None:
+            tags = []
+            for eid in ids:
+                rec = self.catalog.docs[eid]
+                numeric = (
+                    int(eid[1:])
+                    if eid[:1] in ("Q", "R") and eid[1:].isdigit()
+                    else -1
+                )
+                tags.append((rec, self.graph.rank_feature(numeric)))
+            tags.sort(key=lambda t: -t[1])
+            hit = tuple(
+                (
+                    rec["id"],
+                    rec["label"],
+                    rank,
+                    int(rec["nb_statements"] or 0),
+                    int(rec["nb_sitelinks"] or 0),
+                    [int(e) for e in (rec["edges"] or [])],
+                )
+                for rec, rank in tags[: self.top_k]
+            )
+            self._node_cache[key] = hit
+        return hit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows: list[dict] = []
+        cols = {name: [] for name in TAGS_SCHEMA.names}
+        app = {name: cols[name].append for name in TAGS_SCHEMA.names}
         doc_ids = batch.column(self.doc_id_column).to_pylist()
         texts = batch.column(self.text_column).to_pylist()
+        trie_match = self.catalog.trie.match
         for doc_id, text in zip(doc_ids, texts):
-            if text:
-                rows.extend(
-                    tag_document(
-                        str(doc_id),
-                        text,
-                        self.catalog,
-                        self.bow,
-                        self.graph,
-                        self.max_length,
-                        self.tags_limit,
-                        self.top_k,
-                        self.prune,
-                    )
-                )
-        if not rows:
+            if not text:
+                continue
+            doc_id = str(doc_id)
+            text = text[: self.max_length]
+            for start, end, ids in trie_match(text, tags_limit=self.tags_limit):
+                pruned, neg_ll = self._surface_info(text[start:end])
+                if pruned:
+                    continue
+                surface = text[start:end]
+                for qid, label, rank, nb_st, nb_si, edges in self._node_tags(
+                    ids
+                ):
+                    app["doc_id"](doc_id)
+                    app["start"](start)
+                    app["end"](end)
+                    app["phrase"](surface)
+                    app["log_likelihood"](neg_ll)
+                    app["qid"](qid)
+                    app["label"](label)
+                    app["rank"](rank)
+                    app["nb_statements"](nb_st)
+                    app["nb_sitelinks"](nb_si)
+                    app["edges"](edges)
+        if not cols["doc_id"]:
             return TAGS_SCHEMA.empty_table()
-        return pa.Table.from_pylist(rows, schema=TAGS_SCHEMA)
+        return pa.table(
+            {
+                name: pa.array(cols[name], type=TAGS_SCHEMA.field(name).type)
+                for name in TAGS_SCHEMA.names
+            },
+            schema=TAGS_SCHEMA,
+        )
