@@ -54,7 +54,15 @@ class MentionRec:
 
 @dataclass
 class ClassifierParams:
-    """Hyperparameters (reference classifier.py:18-32)."""
+    """Hyperparameters (reference classifier.py:18-32).
+
+    `score_threshold` generalizes the reference's hard-coded `argmax > 0`
+    accept cut (classifier.py:310-339): a mention's best tag is kept iff
+    its decision score exceeds the threshold. 0.0 IS the reference
+    behavior; the NIF harness CV-tunes it on the train split only (the
+    class-balanced squared-hinge boundary is systematically conservative
+    on sparse gold annotations, so a small negative cut trades almost no
+    precision for large recall)."""
 
     beta: float = 0.85
     nb_steps: int = 2
@@ -62,6 +70,7 @@ class ClassifierParams:
     max_similarity_distance: int = 100
     similarity_smoothing: float = 0.1
     similarity: str = "direct_link"
+    score_threshold: float = 0.0
 
 
 def mentions_from_rows(df: pd.DataFrame) -> list[MentionRec]:
@@ -172,12 +181,13 @@ def build_feature_matrix(mentions: list[MentionRec], nb_steps: int):
 def classify_mentions(
     mentions: list[MentionRec], model: LinearModel, params: ClassifierParams
 ) -> None:
-    """Score every tag; per mention keep argmax with score > 0
-    (reference classifier.py:310-339)."""
+    """Score every tag; per mention keep argmax with score >
+    params.score_threshold (reference classifier.py:310-339 keeps
+    argmax > 0 — the default threshold)."""
     features, tag_key_to_idx = build_feature_matrix(mentions, params.nb_steps)
     scores = model.decision_function(features) if tag_key_to_idx else np.zeros(0)
     for mention in mentions:
-        max_score = 0.0
+        max_score = params.score_threshold
         best_tag = best_label = None
         for tag in mention.tags:
             tag.score = float(scores[tag_key_to_idx[mention.tag_key(tag.id)]])

@@ -18,20 +18,40 @@ pytestmark = pytest.mark.skipif(
 
 
 def test_istex_end_to_end_f1(ray_session):
+    # round-4: train-tuned accept cut (see tune_score_threshold) lifted
+    # R 0.65 -> 0.90 at P 0.977 (measured F1 0.937)
     from opentapioca_ray.pipelines.nif_harness import run_f1
 
     m = run_f1(f"{DATA}/istex_train.ttl", f"{DATA}/istex_test.ttl")
     assert m["nb_gold"] == 670
     assert m["precision"] >= 0.90, m
-    assert 0.55 <= m["recall"] <= 0.90, m
-    assert 0.70 <= m["f1"] <= 0.92, m
+    assert 0.82 <= m["recall"] <= 0.97, m
+    assert 0.88 <= m["f1"] <= 0.97, m
+    assert m["score_threshold"] <= 0.0
 
 
 def test_rss500_end_to_end_f1(ray_session):
+    # round-4 measured: P 0.819 / R 0.781 / F1 0.800
     from opentapioca_ray.pipelines.nif_harness import run_f1
 
     m = run_f1(f"{DATA}/RSS-500_wd.train.ttl", f"{DATA}/RSS-500_wd.test.ttl")
     assert m["nb_gold"] == 151
+    assert m["precision"] >= 0.80, m
+    assert 0.65 <= m["recall"] <= 0.92, m
+    assert 0.72 <= m["f1"] <= 0.90, m
+
+
+def test_reference_cut_is_default_behavior(ray_session):
+    """score_threshold=0.0 (the reference's argmax>0) must stay the
+    untuned default: tune_threshold=False reproduces the round-3 regime."""
+    from opentapioca_ray.pipelines.nif_harness import run_f1
+    from opentapioca_ray.stages.classify import ClassifierParams
+
+    assert ClassifierParams().score_threshold == 0.0
+    m = run_f1(
+        f"{DATA}/RSS-500_wd.train.ttl",
+        f"{DATA}/RSS-500_wd.test.ttl",
+        tune_threshold=False,
+    )
+    assert m["score_threshold"] == 0.0
     assert m["precision"] >= 0.75, m
-    assert 0.45 <= m["recall"] <= 0.85, m
-    assert 0.55 <= m["f1"] <= 0.85, m
