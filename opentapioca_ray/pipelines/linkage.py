@@ -486,8 +486,30 @@ def build_id_pairs(
         batch_format="pyarrow",
     )
     if mode == "auto":
-        candidates = prefilter_singleton_blocks(blocks, mode=prefilter_mode).materialize()
-        mode = "driver" if candidates.count() <= _DRIVER_PAIRS_LIMIT else "shuffle"
+        # The auto decision must itself be cheap. Deciding from an exact
+        # post-prefilter count pays the prefilter first — and above ITS
+        # driver regime (DRIVER_COMBINE_LIMIT band rows) that is a full
+        # distributed groupby(block_key) count over every band row:
+        # measured 507 s at 82M band rows (2.56M files x 32 bands) vs 43 s
+        # for the entire forced-shuffle job. So above that volume go
+        # straight to the shuffle path with NO prefilter (the coarse pair
+        # kernel drops singletons vectorized at ~zero cost — same
+        # reasoning as the forced-shuffle branch below); the band-row
+        # count is exact and free (blocking emits `bands` rows per file).
+        from opentapioca_ray.stages.pairs import DRIVER_COMBINE_LIMIT
+
+        if files_ds.count() * bands > DRIVER_COMBINE_LIMIT:
+            mode = "shuffle"
+            candidates = blocks
+        else:
+            candidates = prefilter_singleton_blocks(
+                blocks, mode=prefilter_mode
+            ).materialize()
+            mode = (
+                "driver"
+                if candidates.count() <= _DRIVER_PAIRS_LIMIT
+                else "shuffle"
+            )
     elif mode == "driver":
         candidates = prefilter_singleton_blocks(blocks, mode=prefilter_mode).materialize()
     else:
