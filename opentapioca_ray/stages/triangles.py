@@ -1088,12 +1088,16 @@ def butterfly_count(
             }
         )
 
-    # --- hub detection: one coarse degree agg over the slim edge list ---
-    degs = coarse_groupby_agg(
-        edges.select_columns([left_column, right_column]),
-        [right_column],
-        {"deg": (left_column, "size")},
-        n_parts=n_parts,
+    # --- hub detection: combiner-first degree count over the slim edge
+    # list (per-batch Arrow partials merged by one small exchange — the
+    # exchange carries distinct right ids per block, not edge rows) ---
+    from opentapioca_ray.stages.aggregates import partial_sum_count
+
+    degs = partial_sum_count(
+        edges.select_columns([right_column]),
+        right_column,
+        [],
+        alias={"count": "deg"},
     )
 
     def only_hubs(batch: pa.Table) -> pa.Table:

@@ -163,3 +163,50 @@ def test_corpus_stats_modes_agree(ray_session):
     assert set(idf_a) == set(idf_b) and set(prior_a) == set(prior_b)
     assert all(abs(idf_a[k] - idf_b[k]) < 1e-12 for k in idf_a)
     assert all(abs(prior_a[k] - prior_b[k]) < 1e-12 for k in prior_a)
+
+
+def test_prefilter_modes_agree(ray_session):
+    """The distributed prefilter (combiner counts + coarse_semi_join; no
+    driver key-set collect) must keep exactly the rows the driver-count
+    path keeps — int and string keys, with and without max_size."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from opentapioca_ray.stages.pairs import prefilter_singleton_blocks
+
+    rng = np.random.default_rng(5)
+    n = 5000
+    ikeys = rng.integers(0, 2000, size=n)
+    blocks_int = ray.data.from_arrow(
+        pa.table(
+            {
+                "block_key": pa.array(ikeys, pa.int64()),
+                "file_id": pa.array(np.arange(n), pa.int64()),
+            }
+        )
+    ).repartition(6)
+    blocks_str = ray.data.from_arrow(
+        pa.table(
+            {
+                "block_key": pa.array([f"k{v}" for v in ikeys]),
+                "file_id": pa.array(np.arange(n), pa.int64()),
+            }
+        )
+    ).repartition(6)
+    for ds in (blocks_int, blocks_str):
+        for max_size in (None, 4):
+            out = {}
+            for mode in ("driver", "shuffle"):
+                df = (
+                    prefilter_singleton_blocks(
+                        ds, min_size=2, max_size=max_size, mode=mode
+                    )
+                    .to_pandas()
+                    .sort_values(["block_key", "file_id"])
+                    .reset_index(drop=True)
+                )
+                out[mode] = df
+            assert len(out["driver"]) > 0
+            pd.testing.assert_frame_equal(out["driver"], out["shuffle"])
