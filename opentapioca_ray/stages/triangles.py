@@ -459,19 +459,215 @@ def per_node_triangles(edges_ds, n_parts=None):
     )
 
 
-def _edge_support(edges_ds, n_parts=None, return_internals=False):
+def _sup_zero_rows(batch: pa.Table) -> pa.Table:
+    """One (u, v, 0) credit row per edge so triangle-free edges still get
+    a support row after the final aggregation."""
+    if batch.num_rows == 0 or "u" not in batch.column_names:
+        return pa.schema([(c, pa.int64()) for c in ("u", "v", "c")]).empty_table()
+    return pa.table(
+        {
+            "u": batch.column("u").cast(pa.int64()),
+            "v": batch.column("v").cast(pa.int64()),
+            "c": pa.array(np.zeros(batch.num_rows, dtype=np.int64)),
+        }
+    )
+
+
+def _edge_support_shuffle(edges_ds, deg, n_parts):
+    """Exchange-only per-edge support (see `_edge_support` mode="shuffle"):
+    reduce-side degree attach, apex-carrying wedge emission, closure by
+    co-partitioning wedges with oriented edges on hash(a, b), per-hit
+    3-edge credits pre-aggregated in the closure kernel. No ray.put of
+    anything proportional to |V| or |E|."""
+    from opentapioca_ray.stages.exchange import (
+        coarse_group_apply,
+        coarse_groupby_agg,
+        composite_codes,
+        default_n_parts,
+    )
+    from opentapioca_ray.stages.relational import shuffle_join
+
+    deg_u = deg.map_batches(
+        lambda b: b.rename_columns(["node", "deg_u"])
+        if "node" in b.column_names
+        else b,
+        batch_format="pyarrow",
+    )
+    deg_v = deg.map_batches(
+        lambda b: b.rename_columns(["node", "deg_v"])
+        if "node" in b.column_names
+        else b,
+        batch_format="pyarrow",
+    )
+    attached = shuffle_join(edges_ds, deg_u, "u", "node", ["deg_u"])
+    attached = shuffle_join(attached, deg_v, "v", "node", ["deg_v"])
+
+    def orient(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "u" not in batch.column_names:
+            return pa.schema(
+                [pa.field(c, pa.int64()) for c in ("src", "dst", "rank_dst")]
+            ).empty_table()
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        v = batch.column("v").to_numpy(zero_copy_only=False)
+        du = batch.column("deg_u").to_numpy(zero_copy_only=False)
+        dv = batch.column("deg_v").to_numpy(zero_copy_only=False)
+        u_first = (du < dv) | ((du == dv) & (u < v))
+        src = np.where(u_first, u, v)
+        dst = np.where(u_first, v, u)
+        ddst = np.where(u_first, dv, du)
+        rank_dst = ddst.astype(np.int64) * np.int64(1 << 31) + dst.astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "src": pa.array(src.astype(np.int64)),
+                "dst": pa.array(dst.astype(np.int64)),
+                "rank_dst": pa.array(rank_dst),
+            }
+        )
+
+    oriented = attached.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedge_rows(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype=np.int64) for c in ("a", "b", "s")}
+        )
+        if df.empty or "src" not in df.columns:
+            return empty
+        src = df["src"].to_numpy(dtype=np.int64)
+        dst = df["dst"].to_numpy(dtype=np.int64)
+        rank = df["rank_dst"].to_numpy(dtype=np.int64)
+        order = np.lexsort((rank, src))
+        src, dst = src[order], dst[order]
+        li, ri = _segment_pairs(src)
+        if len(li) == 0:
+            return empty
+        return pd.DataFrame({"a": dst[li], "b": dst[ri], "s": src[li]})
+
+    wedges = coarse_group_apply(oriented, "src", wedge_rows, n_parts=n_parts)
+
+    np_ = default_n_parts(n_parts)
+    tag_schema = pa.schema(
+        [
+            ("a", pa.int64()),
+            ("b", pa.int64()),
+            ("s", pa.int64()),
+            ("__side", pa.int8()),
+            ("__part", pa.int64()),
+        ]
+    )
+
+    def tag_wedge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "a" not in batch.column_names:
+            return tag_schema.empty_table()
+        t = pa.table(
+            {
+                "a": batch.column("a").cast(pa.int64()),
+                "b": batch.column("b").cast(pa.int64()),
+                "s": batch.column("s").cast(pa.int64()),
+                "__side": pa.array(np.zeros(batch.num_rows, dtype=np.int8)),
+            }
+        )
+        return t.append_column(
+            "__part", composite_codes(t, ["a", "b"], np_)
+        ).cast(tag_schema)
+
+    def tag_edge(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "src" not in batch.column_names:
+            return tag_schema.empty_table()
+        t = pa.table(
+            {
+                "a": batch.column("src").cast(pa.int64()),
+                "b": batch.column("dst").cast(pa.int64()),
+                "s": pa.array(np.full(batch.num_rows, -1, dtype=np.int64)),
+                "__side": pa.array(np.ones(batch.num_rows, dtype=np.int8)),
+            }
+        )
+        return t.append_column(
+            "__part", composite_codes(t, ["a", "b"], np_)
+        ).cast(tag_schema)
+
+    both = wedges.map_batches(tag_wedge, batch_format="pyarrow").union(
+        oriented.map_batches(tag_edge, batch_format="pyarrow")
+    )
+
+    def close_partition(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype=np.int64) for c in ("u", "v", "c")}
+        )
+        if df.empty or "__side" not in df.columns:
+            return empty
+        side = df["__side"].to_numpy()
+        a = df["a"].to_numpy(dtype=np.int64)
+        b = df["b"].to_numpy(dtype=np.int64)
+        s = df["s"].to_numpy(dtype=np.int64)
+        em = side == 1
+        wm = ~em
+        if not em.any() or not wm.any():
+            return empty
+        ep = np.unique(
+            (a[em].astype(np.uint64) << np.uint64(32)) | b[em].astype(np.uint64)
+        )
+        wp = (a[wm].astype(np.uint64) << np.uint64(32)) | b[wm].astype(
+            np.uint64
+        )
+        idx = np.clip(np.searchsorted(ep, wp), 0, len(ep) - 1)
+        hit = ep[idx] == wp
+        if not hit.any():
+            return empty
+        sa, aa, bb = s[wm][hit], a[wm][hit], b[wm][hit]
+
+        def pack_mm(x, y):
+            lo = np.minimum(x, y).astype(np.uint64)
+            hi = np.maximum(x, y).astype(np.uint64)
+            return (lo << np.uint64(32)) | hi
+
+        cred = np.concatenate(
+            [pack_mm(sa, aa), pack_mm(sa, bb), pack_mm(aa, bb)]
+        )
+        uniq, cnt = np.unique(cred, return_counts=True)
+        return pd.DataFrame(
+            {
+                "u": (uniq >> np.uint64(32)).astype(np.int64),
+                "v": (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64),
+                "c": cnt.astype(np.int64),
+            }
+        )
+
+    credits = both.groupby("__part").map_groups(
+        close_partition, batch_format="pandas"
+    )
+    unioned = credits.union(
+        edges_ds.map_batches(_sup_zero_rows, batch_format="pyarrow")
+    )
+    return coarse_groupby_agg(
+        unioned, ["u", "v"], {"sup": ("c", "sum")}, n_parts=n_parts
+    )
+
+
+def _edge_support(edges_ds, n_parts=None, return_internals=False, mode="broadcast"):
     """Per-edge triangle support of a distinct (u < v) edge set: the same
     degree-oriented wedge scheme as `per_node_triangles`, but each closed
     wedge credits its three EDGES; union with a zero row per edge so every
     current edge gets a support row (0 when triangle-free). Returns
-    (u, v, sup). The oriented edge set is broadcast via ray.put (O(|E|)
-    packed ints); beyond object-store scale swap in the wedge-emission
-    exchange exactly as count_triangles documents.
+    (u, v, sup).
 
-    With `return_internals=True` returns (sup_ds, internals) where
-    internals carries the materialized oriented stream, the sorted packed
-    oriented edge set, and the degree arrays — so `ktruss_edges` can peel
-    with support DELTAS instead of a full wedge pass per round."""
+    `mode="broadcast"`: the oriented edge set is ray.put once (O(|E|)
+    packed ints of driver/object-store state) and each wedge kernel closes
+    against it — fastest while |E| fits the object store.
+    `mode="shuffle"`: NO broadcast — wedges are EMITTED carrying their
+    apex, co-partitioned with the oriented edges on hash(a, b), and each
+    closure partition credits the three edges of its hits; the per-edge
+    merge is the same coarse aggregation. Nothing anywhere is proportional
+    to |E| outside the exchanges — the beyond-object-store path
+    `count_triangles` implements for counting, here for support.
+    Equivalence is pinned in tests/test_ktruss_delta.py.
+
+    With `return_internals=True` (broadcast mode only) returns
+    (sup_ds, internals) where internals carries the materialized oriented
+    stream, the sorted packed oriented edge set, and the degree arrays —
+    so `ktruss_edges` can peel with support DELTAS instead of a full
+    wedge pass per round."""
     import ray
     import ray.data
 
@@ -500,6 +696,8 @@ def _edge_support(edges_ds, n_parts=None, return_internals=False):
         [],
         alias={"count": "deg"},
     ).materialize()
+    if mode == "shuffle":
+        return _edge_support_shuffle(edges_ds, deg, n_parts)
     deg_parts = [
         t
         for t in (ray.get(r) for r in deg.to_arrow_refs())
@@ -661,7 +859,12 @@ def _support_numpy(u: np.ndarray, v: np.ndarray) -> np.ndarray:
 
 
 def ktruss_edges(
-    edges_ds, k: int = 4, rounds: int = 6, n_parts=None, driver_limit: int = 2_000_000
+    edges_ds,
+    k: int = 4,
+    rounds: int = 6,
+    n_parts=None,
+    driver_limit: int = 2_000_000,
+    support_broadcast_limit: int = 50_000_000,
 ):
     """k-truss decomposition: iteratively drop every edge with triangle
     support < k-2 until stable (or `rounds` peels — mirror the SQL twin's
@@ -751,11 +954,6 @@ def ktruss_edges(
             )
         )
 
-    sup, internals = _edge_support(edges, n_parts=n_parts, return_internals=True)
-    sup = sup.materialize()
-    if internals is None:
-        return sup
-
     out_schema = pa.schema([(c, pa.int64()) for c in ("u", "v", "sup")])
 
     def split(batch: pa.Table, keep_kept: bool) -> pa.Table:
@@ -772,6 +970,37 @@ def ktruss_edges(
                 "sup": t.column("sup").cast(pa.int64()),
             }
         )
+
+    if n_edges > support_broadcast_limit:
+        # Beyond object-store broadcast capacity: classic synchronous peel
+        # with an exchange-only support pass per round (`_edge_support`
+        # mode="shuffle") — no ray.put of anything proportional to |E|,
+        # at the cost of a full wedge-emission exchange per round. The
+        # delta path below is faster but its dropped-set/frontier
+        # bookkeeping rides the same broadcast regime as the closure set.
+        edges_cur = edges
+        for _ in range(rounds):
+            if n_edges == 0:
+                break
+            sup_x = _edge_support(
+                edges_cur, n_parts=n_parts, mode="shuffle"
+            ).materialize()
+            kept = right_size(
+                sup_x.map_batches(
+                    lambda b: split(b, True), batch_format="pyarrow"
+                ).materialize()
+            )
+            n_kept = kept.count()
+            if n_kept == n_edges:
+                return kept
+            edges_cur = right_size(kept.drop_columns(["sup"]).materialize())
+            n_edges = n_kept
+        return _edge_support(edges_cur, n_parts=n_parts, mode="shuffle")
+
+    sup, internals = _edge_support(edges, n_parts=n_parts, return_internals=True)
+    sup = sup.materialize()
+    if internals is None:
+        return sup
 
     nodes_sorted = internals["nodes"]
     degs_sorted = internals["degs"]

@@ -85,3 +85,68 @@ def test_delta_peel_multi_round_cascade(ray_session):
         ref = _ref_ktruss(pairs, k, 6)
         assert _run_ktruss(pairs, k, 6, driver_limit=0) == ref
         assert _run_ktruss(pairs, k, 6, driver_limit=10**6) == ref
+
+
+def test_edge_support_shuffle_matches_broadcast(ray_session):
+    """The exchange-only support pass (apex-carrying wedge emission +
+    co-partitioned closure; no O(|E|) broadcast) must equal the broadcast
+    closure bit-for-bit."""
+    import ray.data
+
+    from opentapioca_ray.stages.triangles import _edge_support
+
+    rng = np.random.default_rng(21)
+    pairs = sorted(
+        {
+            (min(u, v), max(u, v))
+            for u, v in zip(
+                rng.integers(0, 50, 400).tolist(),
+                rng.integers(0, 50, 400).tolist(),
+            )
+            if u != v
+        }
+    )
+    ds = ray.data.from_pandas(pd.DataFrame(pairs, columns=["u", "v"]))
+
+    def run(mode):
+        out = _edge_support(ds, mode=mode).to_pandas()
+        return {
+            (int(r.u), int(r.v)): int(r.sup)
+            for r in out.itertuples(index=False)
+        }
+
+    b = run("broadcast")
+    s = run("shuffle")
+    assert len(b) == len(pairs) > 0
+    assert b == s
+
+
+def test_ktruss_full_exchange_regime_matches_reference(ray_session):
+    """support_broadcast_limit=0 forces the per-round exchange-only peel;
+    it must match the full-recompute reference exactly."""
+    import ray.data
+
+    from opentapioca_ray.stages.triangles import ktruss_edges
+
+    rng = np.random.default_rng(9)
+    pairs = sorted(
+        {
+            (min(u, v), max(u, v))
+            for u, v in zip(
+                rng.integers(0, 40, 350).tolist(),
+                rng.integers(0, 40, 350).tolist(),
+            )
+            if u != v
+        }
+    )
+    ref = _ref_ktruss(pairs, 4, 6)
+    df = pd.DataFrame(pairs, columns=["u", "v"])
+    out = ktruss_edges(
+        ray.data.from_pandas(df),
+        k=4,
+        rounds=6,
+        driver_limit=0,
+        support_broadcast_limit=0,
+    ).to_pandas()
+    got = {(int(r.u), int(r.v)): int(r.sup) for r in out.itertuples(index=False)}
+    assert got == ref
