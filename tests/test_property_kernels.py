@@ -1,117 +1,105 @@
-"""Hypothesis property tests for this round's pure (non-Ray) kernels —
-shrinkable random coverage on top of the fixed-seed fuzz tests."""
+"""Property tests (hypothesis) for the pure vectorized kernels that the
+distributed operators lean on — no Ray session needed; these pin the
+numpy kernels against brute-force definitions on adversarial inputs."""
+
+import hashlib
 
 import numpy as np
+import pyarrow as pa
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-SMALL_INTS = st.integers(min_value=-50, max_value=50)
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(0, 6), min_size=0, max_size=60))
+def test_segment_pairs_matches_bruteforce(keys):
+    from opentapioca_ray.stages.triangles import _segment_pairs
+
+    arr = np.sort(np.array(keys, dtype=np.int64))
+    li, ri = _segment_pairs(arr)
+    got = sorted(zip(li.tolist(), ri.tolist()))
+    want = sorted(
+        (i, j)
+        for i in range(len(arr))
+        for j in range(i + 1, len(arr))
+        if arr[i] == arr[j]
+    )
+    assert got == want
 
 
-@settings(max_examples=60, deadline=None)
+@settings(max_examples=100, deadline=None)
 @given(
     st.lists(
-        st.tuples(st.integers(0, 30), st.integers(0, 30)),
-        min_size=1,
-        max_size=120,
+        st.binary(min_size=0, max_size=40) | st.text(max_size=30).map(lambda s: s.encode()),
+        min_size=0,
+        max_size=50,
     )
 )
-def test_skyline_sweep_nondominated(pairs):
-    from opentapioca_ray.stages.skyline import _skyline_mask
+def test_row_md5_u64_matches_naive(rows):
+    from opentapioca_ray.stages.quality import _row_md5_u64
 
-    mx = np.array([p[0] for p in pairs], dtype=np.int64)
-    mn = np.array([p[1] for p in pairs], dtype=np.int64)
-    got = _skyline_mask(mx, mn)
-    for i in range(len(pairs)):
-        dominated = bool(
-            np.any(
-                (mx >= mx[i]) & (mn <= mn[i]) & ((mx > mx[i]) | (mn < mn[i]))
-            )
-        )
-        assert got[i] == (not dominated)
+    arr = pa.array(rows, type=pa.binary())
+    got = _row_md5_u64(arr)
+    want = np.array(
+        [
+            int.from_bytes(hashlib.md5(r).digest()[:8], "big")
+            for r in rows
+        ],
+        dtype=np.uint64,
+    )
+    assert np.array_equal(got, want)
 
 
-@settings(max_examples=60, deadline=None)
+def test_row_md5_u64_sliced_and_empty():
+    from opentapioca_ray.stages.quality import _row_md5_u64
+
+    arr = pa.array([b"aa", b"bb", b"cc", b"dd"], type=pa.binary())
+    sliced = arr.slice(1, 2)  # non-zero offset buffer view
+    got = _row_md5_u64(sliced)
+    want = np.array(
+        [int.from_bytes(hashlib.md5(x).digest()[:8], "big") for x in (b"bb", b"cc")],
+        dtype=np.uint64,
+    )
+    assert np.array_equal(got, want)
+    assert len(_row_md5_u64(pa.array([], type=pa.binary()))) == 0
+    # all-empty strings: data buffer may be absent
+    z = _row_md5_u64(pa.array([b"", b""], type=pa.binary()))
+    e = np.uint64(int.from_bytes(hashlib.md5(b"").digest()[:8], "big"))
+    assert np.array_equal(z, np.array([e, e], dtype=np.uint64))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(max_size=20))
+def test_analyze_term_endswith_equals_regex(token):
+    """The endswith fast path must stay byte-identical to the original
+    possessive-strip regex for arbitrary unicode tokens."""
+    import re
+
+    from opentapioca_ray.functions.text import analyze_term, ascii_fold
+
+    regex_version = ascii_fold(re.sub(r"['’]s$", "", token))
+    assert analyze_term(token) == regex_version
+
+
+@settings(max_examples=100, deadline=None)
 @given(
     st.lists(
-        st.text(
-            alphabet="ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz",
-            min_size=1,
-            max_size=14,
-        ),
-        min_size=1,
-        max_size=40,
+        st.tuples(st.integers(0, 8), st.integers(0, 8)), min_size=0, max_size=60
     )
 )
-def test_soundex_shape_and_batch_independence(words):
-    from opentapioca_ray.functions.phonetic import soundex
+def test_support_numpy_matches_bruteforce(raw_pairs):
+    """Driver k-truss support kernel vs adjacency-set brute force."""
+    from opentapioca_ray.stages.triangles import _support_numpy
 
-    batch = soundex(np.array(words, dtype=object))
-    # 4-char codes: uppercase first letter + 3 digits
-    for w, c in zip(words, batch):
-        assert len(c) == 4 and c[0] == w[0].upper()
-        assert all(d in "0123456" for d in c[1:])
-    # batching never changes a word's code (flat-buffer walls hold)
-    singles = [soundex(np.array([w], dtype=object))[0] for w in words]
-    assert list(batch) == singles
-
-
-@settings(max_examples=40, deadline=None)
-@given(
-    st.lists(
-        st.tuples(st.integers(0, 3), st.integers(0, 100), st.integers(0, 30)),
-        min_size=1,
-        max_size=80,
-    )
-)
-def test_fs_em_invariance_and_bounds(rows):
-    """fs_em params stay in [0, 1e9] and are invariant to histogram row
-    order and to zero-count rows."""
-    from opentapioca_ray.stages.probabilistic import E9, fs_em
-
-    patterns = [
-        {"g1": g >> 1, "g2": g & 1, "n_pairs": n, "n_same_key": min(s, n)}
-        for g, n, s in rows
-        if n > 0
-    ]
-    if not patterns:
+    edges = sorted({(min(u, v), max(u, v)) for u, v in raw_pairs if u != v})
+    if not edges:
         return
-    fit = fs_em(patterns, n_fields=2, iters=4)
-    assert 0 <= fit["lam_e9"] <= E9
-    for k in range(2):
-        assert 0 <= fit["m_e9"][k] <= E9
-        assert 0 <= fit["u_e9"][k] <= E9
-    shuffled = list(reversed(patterns))
-    assert fs_em(shuffled, n_fields=2, iters=4) == fit
-
-
-@settings(max_examples=40, deadline=None)
-@given(
-    st.lists(
-        st.tuples(st.integers(0, 2), st.integers(0, 40), st.integers(1, 10)),
-        min_size=1,
-        max_size=60,
-    )
-)
-def test_interval_union_bounds(rows):
-    """Union length per key is bounded by the span and by the sum of
-    interval lengths, and island counts never exceed interval counts."""
-    import ray.data
-
-    from opentapioca_ray.stages.windows import interval_union_per_key
-
-    items = [
-        {"k": k, "s": s, "e": s + d} for k, s, d in rows
-    ]
-    out = interval_union_per_key(
-        ray.data.from_items(items), "k", "s", "e", n_parts=2
-    ).take_all()
-    per_key = {}
-    for it in items:
-        per_key.setdefault(it["k"], []).append((it["s"], it["e"]))
-    for r in out:
-        iv = per_key[r["k"]]
-        span = max(e for _, e in iv) - min(s for s, _ in iv)
-        total = sum(e - s for s, e in iv)
-        assert 0 < r["covered"] <= min(span, total)
-        assert 1 <= r["n_islands"] <= len(iv)
+    u = np.array([e[0] for e in edges], dtype=np.int64)
+    v = np.array([e[1] for e in edges], dtype=np.int64)
+    sup = _support_numpy(u, v)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = [len(adj[a] & adj[b]) for a, b in edges]
+    assert sup.tolist() == want
