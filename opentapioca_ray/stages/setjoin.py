@@ -278,18 +278,16 @@ def prefix_filter_pairs(
         # ---- bounded df table: top `df_table_size` tokens by document count.
         # O(df_table_size) driver state regardless of corpus vocabulary; every
         # other token shares rank 0 and orders by its own string (total order).
-        df_tbl = coarse_groupby_agg(
-            words.select_columns(["word"]).map_batches(
-                lambda b: b.append_column(
-                    "one", pa.array(np.ones(b.num_rows, dtype=np.int64))
-                )
-                if b.num_rows
-                else pa.schema([("word", pa.string()), ("one", pa.int64())]).empty_table(),
-                batch_format="pyarrow",
-            ),
-            ["word"],
-            {"df": ("one", "sum")},
-            n_parts=n_parts,
+        # combiner-first: per-batch Arrow group counts, so the exchange
+        # carries distinct words per block instead of every token row
+        # (measured 2.2 s -> sub-second on the 260k-row sf0.1 stream)
+        from opentapioca_ray.stages.aggregates import partial_sum_count
+
+        df_tbl = partial_sum_count(
+            words.select_columns(["word"]),
+            "word",
+            [],
+            alias={"count": "df"},
         )
         # combiner top-k, not sort().limit(): the ordering is a performance
         # heuristic (any consistent total order is correct), but the exchange
@@ -377,7 +375,11 @@ def prefix_filter_pairs(
                 }
             )
 
-        if cand_doc_count is not None and cand_doc_count >= n_docs:
+        # skip when ~every doc is a candidate (dense corpora): the
+        # semi-join would ship all token rows to filter almost nothing,
+        # and the broadcast pair filter in the verify kernel keeps
+        # exactness regardless (candidates are a superset of the answer)
+        if cand_doc_count is not None and cand_doc_count >= 0.9 * n_docs:
             cand_words = words
         else:
             cand_ids = pairs.map_batches(pair_ids, batch_format="pyarrow")
