@@ -115,3 +115,19 @@ def test_incremental_pairs_broadcast_matches_exchange(ray_session):
     assert len(b) == len(e) and len(b) > 0
     assert (b["u"] == e["u"]).all() and (b["v"] == e["v"]).all()
     assert np.allclose(b["jaccard"], e["jaccard"])
+
+
+def test_incremental_pairs_empty_sides(ray_session):
+    """Empty delta or empty corpus: the broadcast regime must return an
+    empty (u, v, jaccard) dataset, not error."""
+    import ray.data
+
+    from opentapioca_ray.stages.dedup import incremental_jaccard_pairs
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    some = pa.table({"doc_id": [1, 2], "text": ["alpha beta gamma", "alpha beta delta"]})
+    for new_t, old_t in ((empty, some), (some, empty), (empty, empty)):
+        out = incremental_jaccard_pairs(
+            ray.data.from_arrow(new_t), ray.data.from_arrow(old_t), threshold=0.1
+        ).to_pandas()
+        assert len(out) == 0
