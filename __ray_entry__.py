@@ -4595,16 +4595,13 @@ def _q_ccnet_buckets(sf_dir: str):
     # doc-count-sized exchanges: default P pays 128 task launches per
     # stage on a row-per-doc table (the LPA/BPE auto-size lesson)
     np_docs = max(4, docs.count() // 65_536 + 1)
-    scored = unigram_lm_scores(
-        docs.select_columns(["doc_id", "text"]), "doc_id", "text"
-    )
-    with_lang = shuffle_join(
-        scored,
-        docs.select_columns(["doc_id", "lang"]),
+    # lang rides through the scoring map (carry_columns) — no doc-keyed
+    # join to re-attach it afterwards
+    with_lang = unigram_lm_scores(
+        docs.select_columns(["doc_id", "text", "lang"]),
         "doc_id",
-        "doc_id",
-        ["lang"],
-        n_parts=np_docs,
+        "text",
+        carry_columns=["lang"],
     ).materialize()  # consumed by the key pass, the lang counts AND the final join
 
     def key_rows(b: pa.Table) -> pa.Table:

@@ -63,6 +63,7 @@ def unigram_lm_scores(
     text_column: str = "text",
     counts_ds=None,
     driver_limit: int = _VOCAB_LIMIT,
+    carry_columns: list | None = None,
 ):
     """Score every document under the corpus unigram model.
 
@@ -70,6 +71,10 @@ def unigram_lm_scores(
     at least one token, where sum_lp_e6 = Σ_tokens round(ln(p(w)) * 1e6).
     Mean log-prob / perplexity are monotone in sum_lp_e6 / n_tokens, so
     downstream filters threshold on the exact integers.
+
+    `carry_columns`: extra input columns passed through onto the output
+    rows (same keep-filter), so a consumer needing e.g. the language label
+    next to the score doesn't pay a doc-keyed join afterwards.
 
     `counts_ds`: pre-trained (word, count) model (e.g. from a reference
     corpus); defaults to training on `ds` itself. `ds` is consumed twice
@@ -109,14 +114,24 @@ def unigram_lm_scores(
     ).astype(np.int64)
     model_ref = ray.put((words[order], lp_e6))
 
+    carry = list(carry_columns or [])
+
     def score(batch: pa.Table) -> pa.Table:
-        empty = pa.schema(
-            [
-                pa.field(id_column, pa.int64()),
-                pa.field("n_tokens", pa.int64()),
-                pa.field("sum_lp_e6", pa.int64()),
-            ]
-        ).empty_table()
+        fields = [
+            pa.field(id_column, pa.int64()),
+            pa.field("n_tokens", pa.int64()),
+            pa.field("sum_lp_e6", pa.int64()),
+        ]
+        for c in carry:
+            fields.append(
+                pa.field(
+                    c,
+                    batch.schema.field(c).type
+                    if c in batch.column_names
+                    else pa.string(),
+                )
+            )
+        empty = pa.schema(fields).empty_table()
         if batch.num_rows == 0 or text_column not in batch.column_names:
             return empty
         w_sorted, lp = ray.get(model_ref)
@@ -137,13 +152,15 @@ def unigram_lm_scores(
         sums = np.bincount(doc_rep, weights=tok_lp, minlength=batch.num_rows)
         keep = n_tok > 0
         ids = batch.column(id_column).to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                id_column: pa.array(ids[keep].astype(np.int64)),
-                "n_tokens": pa.array(n_tok[keep].astype(np.int64)),
-                "sum_lp_e6": pa.array(np.round(sums[keep]).astype(np.int64)),
-            }
-        )
+        keep_arr = pa.array(keep)
+        cols = {
+            id_column: pa.array(ids[keep].astype(np.int64)),
+            "n_tokens": pa.array(n_tok[keep].astype(np.int64)),
+            "sum_lp_e6": pa.array(np.round(sums[keep]).astype(np.int64)),
+        }
+        for c in carry:
+            cols[c] = batch.column(c).filter(keep_arr)
+        return pa.table(cols)
 
     return ds.map_batches(score, batch_format="pyarrow")
 
