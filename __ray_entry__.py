@@ -10896,10 +10896,16 @@ def oracle_sql() -> dict[str, str]:
               FROM isl GROUP BY u, v, diag, grp
             ),
             iv AS (
-              SELECT u AS doc_id, u_start AS s, u_start + n_tokens AS e
+              -- DISTINCT: duplicate (s, e) intervals (one doc sharing the
+              -- same span with several partners) make ORDER BY s, e a
+              -- NON-total order, and DuckDB's parallel ROWS-frame window
+              -- then nondeterministically double-counts tied islands;
+              -- interval union is idempotent, so dedup is semantics-free
+              SELECT DISTINCT u AS doc_id, u_start AS s,
+                              u_start + n_tokens AS e
               FROM spans
-              UNION ALL
-              SELECT v, v_start, v_start + n_tokens FROM spans
+              UNION
+              SELECT DISTINCT v, v_start, v_start + n_tokens FROM spans
             ),
             w AS (
               SELECT doc_id, s, e,
@@ -11147,7 +11153,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "covered_time": """
             WITH iv AS (
-              SELECT user_id, epoch_us(ts) AS s,
+              -- DISTINCT: keeps ORDER BY s, e total under duplicate
+              -- intervals (same hazard as span_coverage's oracle; union
+              -- coverage is idempotent so dedup is semantics-free)
+              SELECT DISTINCT user_id, epoch_us(ts) AS s,
                      epoch_us(ts)
                        + CAST(round(value * 10000, 0) AS BIGINT) * 100 AS e
               FROM events
