@@ -3902,9 +3902,11 @@ def _q_butterfly_count(sf_dir: str):
 
 def _q_ktruss_edges(sf_dir: str):
     """4-truss of the high-quantity part co-occurrence graph: iterative
-    support-threshold peeling (support >= 2), each round one degree-
-    oriented wedge pass + broadcast closure; output edges carry their
-    final-graph support."""
+    support-threshold peeling (support >= 2); output edges carry their
+    final-graph support. Three exact regimes inside `ktruss_edges`:
+    bounded numpy driver peel, delta-broadcast peel (frontier-restricted
+    support updates), full-exchange peel — this sf selects the driver
+    regime."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
