@@ -84,3 +84,32 @@ def test_hub_plan_arithmetic_50k():
     per_kernel = (2 * s) * (2 * s - 1) // 2
     assert per_kernel < 34_000_000  # ~0.27 GB packed u64 — bounded
     assert deg * (deg - 1) // 2 > 1_200_000_000  # what the guard avoids
+
+
+def test_forced_salting_matches_sql_oracle_graph(ray_session):
+    """Forced salting on the real sf0.001 part-supplier graph (threshold 2,
+    chunk 4 -> every multi-edge right node salted, ~12k chunk-pair kernels)
+    must reproduce the unsalted census exactly — the strongest end-to-end
+    exactness pin for the hub guard."""
+    import os
+
+    import pytest
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.exists(f"{sf}/lineitem.parquet"):
+        pytest.skip("testdata not present")
+    from opentapioca_ray.sources.files import read_sized
+    from opentapioca_ray.stages import triangles
+    from opentapioca_ray.stages.triangles import butterfly_count
+
+    li = read_sized(f"{sf}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    base = butterfly_count(
+        li, "l_partkey", "l_suppkey", hub_degree_threshold=10**9
+    ).to_pandas()
+    li2 = read_sized(f"{sf}/lineitem.parquet", columns=["l_partkey", "l_suppkey"])
+    salted = butterfly_count(
+        li2, "l_partkey", "l_suppkey", hub_degree_threshold=2, hub_chunk_size=4
+    ).to_pandas()
+    assert triangles.BUTTERFLY_TELEMETRY["hubs"] > 0
+    assert triangles.BUTTERFLY_TELEMETRY["chunk_tasks"] > 1000
+    pd.testing.assert_frame_equal(base, salted)
