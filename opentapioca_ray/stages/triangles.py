@@ -1238,40 +1238,51 @@ def butterfly_count(
     butterfly is an unordered pair of left nodes sharing an unordered
     pair of right neighbors: sum over co-neighbor counts cn of C(cn, 2).
 
-    Shape: combiner-first distinct edges, ONE exchange on the right node
-    (each right node's left-neighbor list co-locates; its wedge pairs are
-    aggregated to packed-u64 partials inside the kernel, so exchange two
-    carries per-pair partial counts, not raw wedges), one (l1, l2) merge,
-    and a scalar roll-up.
+    Shape (round 5 — fused, narrow): per-batch distinct (l, r) combiner
+    (materialized once — it is the edge list every later pass reads),
+    then ONE exchange on the right node whose kernel does everything the
+    old plan took three passes for: global edge dedup, exact per-right
+    degrees (segment lengths — this IS hub detection; no second
+    aggregation, no hub-id collect), and PACKED light wedge-pair keys
+    (l1<<32|l2), all in a 2-column (kind, k) stream. The census exchange
+    then co-locates copies of each packed key and each partition emits a
+    single (w, p, b) roll-up row — the distinct left-pair table is never
+    materialized, re-hashed, or carried as two columns. Raw pair keys are
+    NOT pre-deduped per partition (measured: dedup removed 0.3% on the
+    bench graph but paid a full sort per kernel).
 
     Hub guard (exactness-preserving salting): a right node of degree d
-    emits C(d, 2) wedge pairs, and without a guard all of them materialize
-    inside ONE partition kernel — a 1M-degree hub would allocate ~5e11
-    pairs in a single task. So any right node with degree >
-    `hub_degree_threshold` is SALTED: its left-neighbor list is hashed
-    into m = ceil(d / hub_chunk_size) chunks, and each hub edge is
-    replicated to the m chunk-pair keys (h, min(c, x), max(c, x)); the
-    (h, i, i) kernel emits within-chunk pairs and each (h, i, j<i...j>i)
-    kernel emits only cross-chunk pairs, so every unordered pair lands in
-    exactly ONE kernel (no dupes, no misses — the partial stream is
-    identical to the unsalted one) and per-kernel allocation is bounded by
-    ~(2·hub_chunk_size)² candidates regardless of hub degree. Replication
-    cost is m copies per hub edge (13 at d=50k with the default chunk
-    size). Hub DETECTION is one coarse degree aggregation over the slim
-    distinct-edge list; only the hub ids themselves (≤ |E|/threshold rows)
-    touch the driver."""
+    emits C(d, 2) wedge pairs, and without a guard all of them would
+    materialize inside ONE census-side allocation for that node's kernel.
+    Any right node with degree > `hub_degree_threshold` is instead
+    SALTED: the fused kernel emits NO pairs for it (just a stat row); a
+    hub-only second pass over the materialized edge list replicates each
+    hub edge to its m = ceil(d / hub_chunk_size) chunk-pair keys
+    (h, min(c, x), max(c, x)); the (h, i, i) kernel emits within-chunk
+    pairs and each (h, i, j≠i) kernel only cross-chunk pairs, so every
+    unordered pair lands in exactly ONE kernel (the pair-key stream is
+    identical to the unsalted one) and per-kernel allocation is bounded
+    by ~(2·hub_chunk_size)² candidates regardless of hub degree. The
+    hub pass only exists when a hub does — zero marginal cost on
+    hub-free graphs beyond a vectorized segment-length compare — and
+    only the per-hub stat rows (≤ |E|/threshold) plus one edge-count row
+    per partition ever touch the driver.
+
+    Packing assumption (documented): left ids fit in uint32 (the packed
+    pair key is l1<<32|l2); right ids are unconstrained int64.
+
+    Partitioning note: exchanging per-batch-dedupped edges by the right
+    node means a right node's residual duplicates co-locate too —
+    bounded by min(raw rows, input blocks × deg), linear in degree (rows,
+    not pairs), the price of fusing dedup + degrees + wedges into one
+    all-to-all."""
     import ray.data
 
-    from opentapioca_ray.stages.aggregates import partial_multi_sum_count
-    from opentapioca_ray.stages.exchange import coarse_group_apply, coarse_groupby_agg
+    from opentapioca_ray.stages.exchange import (
+        coarse_group_apply,
+        segment_starts,
+    )
 
-    edges = partial_multi_sum_count(
-        ds.select_columns([left_column, right_column]),
-        [left_column, right_column],
-        [],
-        alias={"count": "n"},
-    ).materialize()
-    n_edges = edges.count()
     out_schema = pa.schema(
         [
             ("n_edges", pa.int64()),
@@ -1280,6 +1291,113 @@ def butterfly_count(
             ("n_butterflies", pa.int64()),
         ]
     )
+    # 2-column union stream emitted by the fused kernel; `kind`:
+    #   0 = light wedge-pair key        (k = l1<<32 | l2, raw, one per wedge)
+    #   2 = per-hub chunk count         (k = m)             [telemetry]
+    #   3 = per-partition edge count    (k = distinct edges here)
+    #   4 = hub right-node id           (k = h)  [selects the hub pass]
+    slim_schema = pa.schema(
+        [(left_column, pa.int64()), (right_column, pa.int64())]
+    )
+
+    def _empty_mixed() -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "kind": pd.Series(dtype=np.int8),
+                "k": pd.Series(dtype=np.int64),
+            }
+        )
+
+    def distinct_batch(batch: pa.Table) -> pa.Table:
+        """Per-batch (l, r) dedup — the combiner that shrinks the one
+        exchange to O(blocks × distinct edges per block)."""
+        if batch.num_rows == 0 or right_column not in batch.column_names:
+            return slim_schema.empty_table()
+        t = pa.table(
+            {
+                left_column: batch.column(left_column).cast(pa.int64()),
+                right_column: batch.column(right_column).cast(pa.int64()),
+            }
+        )
+        return t.group_by([left_column, right_column]).aggregate([]).cast(
+            slim_schema
+        )
+
+    edges = (
+        ds.select_columns([left_column, right_column])
+        .map_batches(distinct_batch, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def fused_partition(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or right_column not in df.columns:
+            return _empty_mixed()
+        r = df[right_column].to_numpy(dtype=np.int64)
+        l = df[left_column].to_numpy(dtype=np.int64)
+        order = np.lexsort((l, r))
+        r, l = r[order], l[order]
+        # global dedup for this partition's right nodes (each is wholly here)
+        keep = np.concatenate(([True], (r[1:] != r[:-1]) | (l[1:] != l[:-1])))
+        r, l = r[keep], l[keep]
+        n_edges_here = len(r)
+        if n_edges_here == 0:
+            return _empty_mixed()
+        starts = segment_starts(r)
+        ends = np.concatenate((starts[1:], [len(r)]))
+        deg = ends - starts
+        seg_new = np.concatenate(([True], r[1:] != r[:-1]))
+        seg_id = np.cumsum(seg_new) - 1
+        is_hub_seg = deg > hub_degree_threshold
+        kinds = [np.array([3], dtype=np.int8)]
+        ks = [np.array([n_edges_here], dtype=np.int64)]
+        light_mask = ~is_hub_seg[seg_id]
+        rl, ll = r[light_mask], l[light_mask]
+        li, ri = _segment_pairs(rl)
+        if len(li):
+            packed = (ll[li].astype(np.uint64) << np.uint64(32)) | ll[
+                ri
+            ].astype(np.uint64)
+            kinds.append(np.zeros(len(packed), dtype=np.int8))
+            ks.append(packed.view(np.int64))
+        if is_hub_seg.any():
+            hub_ids = r[starts[is_hub_seg]]
+            hub_m = np.maximum(
+                1,
+                (deg[is_hub_seg] + hub_chunk_size - 1) // hub_chunk_size,
+            ).astype(np.int64)
+            kinds.append(np.full(len(hub_ids), 2, dtype=np.int8))
+            ks.append(hub_m)
+            kinds.append(np.full(len(hub_ids), 4, dtype=np.int8))
+            ks.append(hub_ids)
+        return pd.DataFrame(
+            {"kind": np.concatenate(kinds), "k": np.concatenate(ks)}
+        )
+
+    mixed = coarse_group_apply(
+        edges, right_column, fused_partition, n_parts=n_parts
+    ).materialize()
+
+    def stat_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        stat_schema = pa.schema([("kind", pa.int8()), ("k", pa.int64())])
+        if batch.num_rows == 0 or "kind" not in batch.column_names:
+            return stat_schema.empty_table()
+        t = batch.filter(pc.greater_equal(batch.column("kind"), pa.scalar(2)))
+        return t.select(["kind", "k"]).cast(stat_schema)
+
+    stats = mixed.map_batches(stat_rows, batch_format="pyarrow").take_all()
+    n_edges = int(sum(s["k"] for s in stats if s["kind"] == 3))
+    hub_ms = np.array(
+        [s["k"] for s in stats if s["kind"] == 2], dtype=np.int64
+    )
+    hub_ids = np.sort(
+        np.array([s["k"] for s in stats if s["kind"] == 4], dtype=np.int64)
+    )
+    BUTTERFLY_TELEMETRY["hubs"] = len(hub_ms)
+    BUTTERFLY_TELEMETRY["chunk_tasks"] = int((hub_ms * (hub_ms + 1) // 2).sum())
+    BUTTERFLY_TELEMETRY["max_chunks"] = int(hub_ms.max()) if len(hub_ms) else 0
+
     if n_edges == 0:
         return ray.data.from_arrow(
             pa.table(
@@ -1292,112 +1410,21 @@ def butterfly_count(
             )
         )
 
-    def wedge_partials(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {c: pd.Series(dtype=np.int64) for c in ("l1", "l2", "c")}
-        )
-        if df.empty or right_column not in df.columns:
-            return empty
-        r = df[right_column].to_numpy(dtype=np.int64)
-        l = df[left_column].to_numpy(dtype=np.int64)
-        order = np.lexsort((l, r))
-        r, l = r[order], l[order]
-        li, ri = _segment_pairs(r)
-        if len(li) == 0:
-            return empty
-        packed = (l[li].astype(np.uint64) << np.uint64(32)) | l[ri].astype(
-            np.uint64
-        )
-        uniq, cnt = np.unique(packed, return_counts=True)
-        return pd.DataFrame(
-            {
-                "l1": (uniq >> np.uint64(32)).astype(np.int64),
-                "l2": (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64),
-                "c": cnt.astype(np.int64),
-            }
-        )
-
-    # --- hub detection: combiner-first degree count over the slim edge
-    # list (per-batch Arrow partials merged by one small exchange — the
-    # exchange carries distinct right ids per block, not edge rows) ---
-    from opentapioca_ray.stages.aggregates import partial_sum_count
-
-    degs = partial_sum_count(
-        edges.select_columns([right_column]),
-        right_column,
-        [],
-        alias={"count": "deg"},
-    )
-
-    def only_hubs(batch: pa.Table) -> pa.Table:
+    def pair_keys(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        if batch.num_rows == 0 or "deg" not in batch.column_names:
-            return pa.schema(
-                [(right_column, pa.int64()), ("deg", pa.int64())]
-            ).empty_table()
-        t = batch.filter(
-            pc.greater(batch.column("deg"), pa.scalar(hub_degree_threshold))
-        )
-        return pa.table(
-            {
-                right_column: t.column(right_column).cast(pa.int64()),
-                "deg": t.column("deg").cast(pa.int64()),
-            }
-        )
+        key_schema = pa.schema([("k", pa.int64())])
+        if batch.num_rows == 0 or "kind" not in batch.column_names:
+            return key_schema.empty_table()
+        t = batch.filter(pc.equal(batch.column("kind"), pa.scalar(0)))
+        return t.select(["k"]).cast(key_schema)
 
-    hub_rows = degs.map_batches(only_hubs, batch_format="pyarrow").take_all()
-    BUTTERFLY_TELEMETRY["hubs"] = len(hub_rows)
-    BUTTERFLY_TELEMETRY["chunk_tasks"] = 0
-    BUTTERFLY_TELEMETRY["max_chunks"] = 0
+    pair_stream = mixed.map_batches(pair_keys, batch_format="pyarrow")
 
-    if not hub_rows:
-        partials = coarse_group_apply(
-            edges, right_column, wedge_partials, n_parts=n_parts
-        )
-    else:
-        hub_ids = np.sort(
-            np.array([r[right_column] for r in hub_rows], dtype=np.int64)
-        )
-        hub_deg = np.array(
-            [r["deg"] for r in sorted(hub_rows, key=lambda r: r[right_column])],
-            dtype=np.int64,
-        )
-        hub_m = np.maximum(
-            1, (hub_deg + hub_chunk_size - 1) // hub_chunk_size
-        ).astype(np.int64)
-        BUTTERFLY_TELEMETRY["chunk_tasks"] = int(
-            (hub_m * (hub_m + 1) // 2).sum()
-        )
-        BUTTERFLY_TELEMETRY["max_chunks"] = int(hub_m.max())
-
-        def split_edges(batch: pa.Table, keep_hubs: bool) -> pa.Table:
-            out_schema = pa.schema(
-                [(left_column, pa.int64()), (right_column, pa.int64())]
-            )
-            if batch.num_rows == 0 or right_column not in batch.column_names:
-                return out_schema.empty_table()
-            r = batch.column(right_column).to_numpy(zero_copy_only=False)
-            r = r.astype(np.int64)
-            idx = np.clip(np.searchsorted(hub_ids, r), 0, len(hub_ids) - 1)
-            is_hub = hub_ids[idx] == r
-            mask = is_hub if keep_hubs else ~is_hub
-            t = batch.filter(pa.array(mask))
-            return pa.table(
-                {
-                    left_column: t.column(left_column).cast(pa.int64()),
-                    right_column: t.column(right_column).cast(pa.int64()),
-                }
-            )
-
-        slim = edges.select_columns([left_column, right_column]).materialize()
-        light = slim.map_batches(
-            lambda b: split_edges(b, False), batch_format="pyarrow"
-        )
-        hub_edges = slim.map_batches(
-            lambda b: split_edges(b, True), batch_format="pyarrow"
-        )
-
+    if len(hub_ids):
+        # --- hub-only pass over the SAME materialized edge list: emit each
+        # hub edge's m chunk-pair copies, then a chunk-pair-keyed kernel
+        # emits exactly the pair keys the unsalted kernel would have ---
         copy_schema = pa.schema(
             [
                 ("h", pa.int64()),
@@ -1409,28 +1436,52 @@ def butterfly_count(
             ]
         )
 
-        def emit_chunk_copies(batch: pa.Table) -> pa.Table:
-            """Replicate each hub edge to its m chunk-pair keys. The chunk
-            of an edge is hash(left) % m (deterministic across workers);
-            copy x carries key (h, min(ch, x), max(ch, x))."""
+        def hub_edges_only(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or right_column not in batch.column_names:
+                return slim_schema.empty_table()
+            r = batch.column(right_column).to_numpy(zero_copy_only=False)
+            r = r.astype(np.int64)
+            idx = np.clip(np.searchsorted(hub_ids, r), 0, len(hub_ids) - 1)
+            return batch.filter(pa.array(hub_ids[idx] == r)).cast(slim_schema)
+
+        def emit_chunk_copies(df: pd.DataFrame) -> pd.DataFrame:
+            """Keyed by the hub right node, so each hub's FULL (dedupped)
+            neighbor list is local: recompute d and m exactly, hash each
+            left into its chunk, replicate to the m chunk-pair keys."""
             import pandas as pd_
 
-            if batch.num_rows == 0 or right_column not in batch.column_names:
-                return copy_schema.empty_table()
-            r = batch.column(right_column).to_numpy(zero_copy_only=False)
-            l = batch.column(left_column).to_numpy(zero_copy_only=False)
-            r = r.astype(np.int64)
-            l = l.astype(np.int64)
-            pos = np.searchsorted(hub_ids, r)
-            m = hub_m[pos]
+            empty = pd.DataFrame(
+                {c: pd.Series(dtype=np.int64) for c in copy_schema.names}
+            )
+            if df.empty or right_column not in df.columns:
+                return empty
+            r = df[right_column].to_numpy(dtype=np.int64)
+            l = df[left_column].to_numpy(dtype=np.int64)
+            order = np.lexsort((l, r))
+            r, l = r[order], l[order]
+            keep = np.concatenate(
+                ([True], (r[1:] != r[:-1]) | (l[1:] != l[:-1]))
+            )
+            r, l = r[keep], l[keep]
+            if len(r) == 0:
+                return empty
+            starts = segment_starts(r)
+            ends = np.concatenate((starts[1:], [len(r)]))
+            deg = ends - starts
+            seg_id = np.cumsum(
+                np.concatenate(([True], r[1:] != r[:-1]))
+            ) - 1
+            m = np.maximum(
+                1, (deg + hub_chunk_size - 1) // hub_chunk_size
+            ).astype(np.int64)[seg_id]
             ch = (
                 pd_.util.hash_array(l, hash_key=_BF_HASH_KEY)
                 % m.astype(np.uint64)
             ).astype(np.int64)
             n = len(l)
             row = np.repeat(np.arange(n, dtype=np.int64), m)
-            starts = np.concatenate(([0], np.cumsum(m)[:-1]))
-            x = np.arange(int(m.sum()), dtype=np.int64) - np.repeat(starts, m)
+            run0 = np.concatenate(([0], np.cumsum(m)[:-1]))
+            x = np.arange(int(m.sum()), dtype=np.int64) - np.repeat(run0, m)
             cc = ch[row]
             i = np.minimum(cc, x)
             j = np.maximum(cc, x)
@@ -1442,7 +1493,7 @@ def butterfly_count(
                 + i.astype(np.uint64) * np.uint64(0x100000001B3)
                 + j.astype(np.uint64)
             ).view(np.int64)
-            return pa.table(
+            return pd.DataFrame(
                 {
                     "h": hh,
                     "i": i,
@@ -1451,12 +1502,10 @@ def butterfly_count(
                     "l": l[row],
                     "__bk": bk,
                 }
-            ).cast(copy_schema)
-
-        def hub_wedge_partials(df: pd.DataFrame) -> pd.DataFrame:
-            empty = pd.DataFrame(
-                {c: pd.Series(dtype=np.int64) for c in ("l1", "l2", "c")}
             )
+
+        def hub_pair_keys(df: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"k": pd.Series(dtype=np.int64)})
             if df.empty or "h" not in df.columns:
                 return empty
             h = df["h"].to_numpy(dtype=np.int64)
@@ -1483,7 +1532,7 @@ def butterfly_count(
             li, ri = _segment_pairs_flags(new)
             if len(li) == 0:
                 return empty
-            # (h, i, i) kernels own ALL within-chunk-i pairs; (h, i, j<i≠j>)
+            # (h, i, i) kernels own ALL within-chunk-i pairs; (h, i, j≠i)
             # kernels own ONLY cross-chunk pairs — so every unordered pair
             # of N(h) is emitted by exactly one kernel.
             keep = (i_[li] == j_[li]) | (ch[li] != ch[ri])
@@ -1491,57 +1540,61 @@ def butterfly_count(
             if len(li) == 0:
                 return empty
             a, b = l[li], l[ri]
-            lmin = np.minimum(a, b)
-            lmax = np.maximum(a, b)
-            packed = (lmin.astype(np.uint64) << np.uint64(32)) | lmax.astype(
-                np.uint64
-            )
-            uniq, cnt = np.unique(packed, return_counts=True)
-            return pd.DataFrame(
-                {
-                    "l1": (uniq >> np.uint64(32)).astype(np.int64),
-                    "l2": (uniq & np.uint64(0xFFFFFFFF)).astype(np.int64),
-                    "c": cnt.astype(np.int64),
-                }
-            )
+            packed = (
+                np.minimum(a, b).astype(np.uint64) << np.uint64(32)
+            ) | np.maximum(a, b).astype(np.uint64)
+            return pd.DataFrame({"k": packed.view(np.int64)})
 
-        light_partials = coarse_group_apply(
-            light, right_column, wedge_partials, n_parts=n_parts
-        )
-        hub_partials = coarse_group_apply(
-            hub_edges.map_batches(emit_chunk_copies, batch_format="pyarrow"),
-            "__bk",
-            hub_wedge_partials,
+        hub_copies = coarse_group_apply(
+            edges.map_batches(hub_edges_only, batch_format="pyarrow"),
+            right_column,
+            emit_chunk_copies,
             n_parts=n_parts,
         )
-        partials = light_partials.union(hub_partials)
+        hub_pairs = coarse_group_apply(
+            hub_copies, "__bk", hub_pair_keys, n_parts=n_parts
+        )
+        pair_stream = pair_stream.union(hub_pairs)
 
-    cn = coarse_groupby_agg(
-        partials, ["l1", "l2"], {"cn": ("c", "sum")}, n_parts=n_parts
-    )
-
-    def summarize(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0 or "cn" not in batch.column_names:
-            return pa.schema(
-                [("w", pa.int64()), ("p", pa.int64()), ("b", pa.int64())]
-            ).empty_table()
-        c = batch.column("cn").to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table(
+    def census_partition(df: pd.DataFrame) -> pd.DataFrame:
+        """Merge + roll-up fused: every copy of one packed pair key lands
+        here, so one sort + run-length pass yields its exact co-neighbor
+        count and the partition's census contribution — no distinct-pair
+        table is ever materialized or re-hashed."""
+        empty = pd.DataFrame(
+            {c: pd.Series(dtype=np.int64) for c in ("w", "p", "b")}
+        )
+        if df.empty or "k" not in df.columns:
+            return empty
+        k = np.sort(df["k"].to_numpy(dtype=np.int64))
+        starts = segment_starts(k)
+        cn = np.diff(np.concatenate((starts, [len(k)])))
+        return pd.DataFrame(
             {
-                "w": pa.array([int(c.sum())], pa.int64()),
-                "p": pa.array([len(c)], pa.int64()),
-                "b": pa.array([int((c * (c - 1) // 2).sum())], pa.int64()),
+                "w": np.array([len(k)], dtype=np.int64),
+                "p": np.array([len(cn)], dtype=np.int64),
+                "b": np.array(
+                    [int((cn * (cn - 1) // 2).sum())], dtype=np.int64
+                ),
             }
         )
 
-    sums = cn.map_batches(summarize, batch_format="pyarrow").materialize()
+    census = coarse_group_apply(
+        pair_stream, "k", census_partition, n_parts=n_parts
+    ).take_all()
     return ray.data.from_arrow(
         pa.table(
             {
                 "n_edges": pa.array([n_edges], pa.int64()),
-                "n_wedges": pa.array([int(sums.sum("w") or 0)], pa.int64()),
-                "n_left_pairs": pa.array([int(sums.sum("p") or 0)], pa.int64()),
-                "n_butterflies": pa.array([int(sums.sum("b") or 0)], pa.int64()),
+                "n_wedges": pa.array(
+                    [int(sum(r["w"] for r in census))], pa.int64()
+                ),
+                "n_left_pairs": pa.array(
+                    [int(sum(r["p"] for r in census))], pa.int64()
+                ),
+                "n_butterflies": pa.array(
+                    [int(sum(r["b"] for r in census))], pa.int64()
+                ),
             }
         )
     ).map_batches(lambda b: b.cast(out_schema), batch_format="pyarrow")
