@@ -325,10 +325,16 @@ def _q_tag_mention_counts(sf_dir: str):
     partials = right_size(
         tags.map_batches(local_counts, batch_format="pyarrow").materialize()
     )
+    # n_parts=8: the combined partials are <= docs x |dictionary| rows, so
+    # the default ~4xCPU reduce partitions would be near-empty scheduling
+    # overhead; 8 partitions of ~10k rows keep the exchange task-bound.
+    # (Scales: at 100x corpus each partition holds ~1M rows — still one
+    # cheap vectorized pandas groupby per partition.)
     return coarse_groupby_agg(
         partials,
         ["doc_id", "qid"],
         {"n_mentions": ("n_mentions", "sum")},
+        n_parts=8,
     )
 
 

@@ -166,6 +166,49 @@ class TaggerStage:
         # lifetime, so ids are stable.
         self._surface_cache: dict = {}
         self._node_cache: dict = {}
+        # round-5 verdict item 3: int-code Aho-Corasick matcher. Tokens are
+        # dict-encoded once per doc (raw-token -> code memo: -2 normalizes
+        # to empty / -1 out-of-vocab / >=0 vocab code), the walk is
+        # amortized O(tokens), and NO_SUB + cap + tag fan-out run as numpy
+        # over the whole batch's matches. Per-state tag tables (rank-sorted,
+        # top-k applied) are flattened ONCE here so emission is pure fancy
+        # indexing, not per-row Python appends.
+        self._matcher = self.catalog.trie.compiled()
+        self._token_code_cache: dict = {}
+        mat = self._matcher
+        n_tags = np.zeros(mat.n_states, dtype=np.int64)
+        qid_f: list = []
+        label_f: list = []
+        rank_f: list = []
+        nbst_f: list = []
+        nbsi_f: list = []
+        edges_f: list = []
+        for t in range(mat.n_states):
+            ids = mat.out_ids[t]
+            if not ids:
+                continue
+            tags = self._node_tags(ids)
+            n_tags[t] = len(tags)
+            for qid, label, rank, nb_st, nb_si, edges in tags:
+                qid_f.append(qid)
+                label_f.append(label)
+                rank_f.append(rank)
+                nbst_f.append(nb_st)
+                nbsi_f.append(nb_si)
+                edges_f.append(edges)
+        self._node_off = np.concatenate(
+            ([0], np.cumsum(n_tags))
+        ).astype(np.int64)
+        self._node_ntags = n_tags
+        self._tag_qid = np.array(qid_f, dtype=object)
+        self._tag_label = np.array(label_f, dtype=object)
+        self._tag_rank = np.array(rank_f, dtype=np.float64)
+        self._tag_nbst = np.array(nbst_f, dtype=np.int32)
+        self._tag_nbsi = np.array(nbsi_f, dtype=np.int32)
+        edges_obj = np.empty(len(edges_f), dtype=object)
+        for i, e in enumerate(edges_f):
+            edges_obj[i] = e
+        self._tag_edges = edges_obj
 
     def _surface_info(self, surface: str):
         hit = self._surface_cache.get(surface)
@@ -206,41 +249,177 @@ class TaggerStage:
         return hit
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cols = {name: [] for name in TAGS_SCHEMA.names}
-        app = {name: cols[name].append for name in TAGS_SCHEMA.names}
+        import numpy as np
+
+        from opentapioca_ray.functions.text import _WORD_RE, analyze_term
+
+        mat = self._matcher
+        vocab_get = mat.vocab.get
+        code_cache = self._token_code_cache
+        cache_get = code_cache.get
+        finditer = _WORD_RE.finditer
+        root_next = mat.root_next  # non-None iff max key length == 1
+
         doc_ids = batch.column(self.doc_id_column).to_pylist()
         texts = batch.column(self.text_column).to_pylist()
-        trie_match = self.catalog.trie.match
+        max_length = self.max_length
+
+        # --- per-doc: tokenize + dict-encode once, then one automaton pass;
+        # raw matches accumulate batch-wide with a doc ordinal ---
+        m_doc: list = []
+        m_start: list = []
+        m_end: list = []
+        m_node: list = []
+        doc_texts: list = []
+        doc_names: list = []
         for doc_id, text in zip(doc_ids, texts):
             if not text:
                 continue
-            doc_id = str(doc_id)
-            text = text[: self.max_length]
-            for start, end, ids in trie_match(text, tags_limit=self.tags_limit):
-                pruned, neg_ll = self._surface_info(text[start:end])
-                if pruned:
+            text = text[:max_length]
+            codes: list = []
+            t_starts: list = []
+            t_ends: list = []
+            c_app = codes.append
+            s_app = t_starts.append
+            e_app = t_ends.append
+            for m in finditer(text):
+                raw = m[0]
+                c = cache_get(raw)
+                if c is None:
+                    norm = analyze_term(raw)
+                    c = -2 if not norm else vocab_get(norm, -1)
+                    code_cache[raw] = c
+                if c == -2:  # normalizes to empty: occupies no position
                     continue
-                surface = text[start:end]
-                for qid, label, rank, nb_st, nb_si, edges in self._node_tags(
-                    ids
-                ):
-                    app["doc_id"](doc_id)
-                    app["start"](start)
-                    app["end"](end)
-                    app["phrase"](surface)
-                    app["log_likelihood"](neg_ll)
-                    app["qid"](qid)
-                    app["label"](label)
-                    app["rank"](rank)
-                    app["nb_statements"](nb_st)
-                    app["nb_sitelinks"](nb_si)
-                    app["edges"](edges)
-        if not cols["doc_id"]:
+                c_app(c)
+                s_app(m.start())
+                e_app(m.end())
+            if not codes:
+                continue
+            if root_next is not None:
+                # single-token dictionary: every in-vocab token IS a match
+                carr = np.asarray(codes, dtype=np.int64)
+                hit = np.nonzero(carr >= 0)[0]
+                if len(hit) == 0:
+                    continue
+                sarr = np.asarray(t_starts, dtype=np.int64)[hit]
+                earr = np.asarray(t_ends, dtype=np.int64)[hit]
+                narr = root_next[carr[hit]]
+            else:
+                rs, re_, rn = mat.find_raw(codes)
+                if not rs:
+                    continue
+                sarr = np.asarray(t_starts, dtype=np.int64)[
+                    np.asarray(rs, dtype=np.int64)
+                ]
+                earr = np.asarray(t_ends, dtype=np.int64)[
+                    np.asarray(re_, dtype=np.int64)
+                ]
+                narr = np.asarray(rn, dtype=np.int64)
+            d = len(doc_texts)
+            doc_texts.append(text)
+            doc_names.append(str(doc_id))
+            m_doc.append(np.full(len(sarr), d, dtype=np.int64))
+            m_start.append(sarr)
+            m_end.append(earr)
+            m_node.append(narr)
+
+        if not m_doc:
             return TAGS_SCHEMA.empty_table()
+        dix = np.concatenate(m_doc)
+        start = np.concatenate(m_start)
+        end = np.concatenate(m_end)
+        node = np.concatenate(m_node)
+
+        # --- NO_SUB + tags_limit, vectorized across docs: offset char
+        # positions by doc ordinal so one lexsort + running-max covers the
+        # whole batch (max_length bounds every char offset) ---
+        M = max_length + 2
+        start_g = dix * M + start
+        end_g = dix * M + end
+        order = np.lexsort((-end_g, start_g))
+        dix, start, end, node = (
+            dix[order],
+            start[order],
+            end[order],
+            node[order],
+        )
+        end_sorted = end_g[order]
+        run_max = np.maximum.accumulate(end_sorted)
+        prev_max = np.concatenate(([-1], run_max[:-1]))
+        keep = end_sorted > prev_max
+        dix, start, end, node = dix[keep], start[keep], end[keep], node[keep]
+        if self.tags_limit is not None and len(dix):
+            first = np.concatenate(([True], dix[1:] != dix[:-1]))
+            seg0 = np.maximum.accumulate(
+                np.where(first, np.arange(len(dix)), 0)
+            )
+            ordinal = np.arange(len(dix)) - seg0
+            inlimit = ordinal < self.tags_limit
+            dix, start, end, node = (
+                dix[inlimit],
+                start[inlimit],
+                end[inlimit],
+                node[inlimit],
+            )
+        if len(dix) == 0:
+            return TAGS_SCHEMA.empty_table()
+
+        # --- surface prune + BOW likelihood (memoized per surface text) ---
+        surface_info = self._surface_info
+        phrases = np.empty(len(dix), dtype=object)
+        neg_ll = np.empty(len(dix), dtype=np.float64)
+        pruned = np.zeros(len(dix), dtype=bool)
+        for i in range(len(dix)):
+            surf = doc_texts[dix[i]][start[i] : end[i]]
+            p, ll = surface_info(surf)
+            phrases[i] = surf
+            neg_ll[i] = ll
+            pruned[i] = p
+        if pruned.any():
+            ok = ~pruned
+            dix, start, end, node = dix[ok], start[ok], end[ok], node[ok]
+            phrases, neg_ll = phrases[ok], neg_ll[ok]
+        if len(dix) == 0:
+            return TAGS_SCHEMA.empty_table()
+
+        # --- tag fan-out: pure fancy indexing into the per-state tables ---
+        cnt = self._node_ntags[node]
+        total = int(cnt.sum())
+        if total == 0:
+            return TAGS_SCHEMA.empty_table()
+        run0 = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+        within = np.arange(total, dtype=np.int64) - np.repeat(run0, cnt)
+        tag_idx = np.repeat(self._node_off[node], cnt) + within
+        names_obj = np.array(doc_names, dtype=object)
         return pa.table(
             {
-                name: pa.array(cols[name], type=TAGS_SCHEMA.field(name).type)
-                for name in TAGS_SCHEMA.names
+                "doc_id": pa.array(
+                    np.repeat(names_obj[dix], cnt), type=pa.string()
+                ),
+                "start": pa.array(
+                    np.repeat(start, cnt).astype(np.int32), type=pa.int32()
+                ),
+                "end": pa.array(
+                    np.repeat(end, cnt).astype(np.int32), type=pa.int32()
+                ),
+                "phrase": pa.array(np.repeat(phrases, cnt), type=pa.string()),
+                "log_likelihood": pa.array(
+                    np.repeat(neg_ll, cnt), type=pa.float64()
+                ),
+                "qid": pa.array(self._tag_qid[tag_idx], type=pa.string()),
+                "label": pa.array(self._tag_label[tag_idx], type=pa.string()),
+                "rank": pa.array(self._tag_rank[tag_idx], type=pa.float64()),
+                "nb_statements": pa.array(
+                    self._tag_nbst[tag_idx], type=pa.int32()
+                ),
+                "nb_sitelinks": pa.array(
+                    self._tag_nbsi[tag_idx], type=pa.int32()
+                ),
+                "edges": pa.array(
+                    list(self._tag_edges[tag_idx]),
+                    type=pa.list_(pa.int64()),
+                ),
             },
             schema=TAGS_SCHEMA,
         )
