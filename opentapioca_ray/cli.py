@@ -281,16 +281,18 @@ def cmd_train_linkage(args) -> int:
     from opentapioca_ray.pipelines.linkage import (
         repo_in_degree_prior,
         train_idf,
-        train_linkage_model,
+        train_linkage_model_ds,
     )
     from opentapioca_ray.sources.files import read_files
 
     files_ds = read_files(args.sf_dir)
     idf = train_idf(files_ds)
     prior = repo_in_degree_prior(files_ds)
+    # the labeled-pairs table is small by construction; the corpus is not —
+    # train_linkage_model_ds semi-joins the corpus down to the referenced
+    # file ids distributedly instead of a full-corpus to_pandas here
     labeled = pq.read_table(args.labeled).to_pandas()
-    files_df = files_ds.to_pandas()
-    model = train_linkage_model(files_df, labeled, idf, prior, C=args.C)
+    model = train_linkage_model_ds(files_ds, labeled, idf, prior, C=args.C)
     with open(args.output, "w") as f:
         json.dump(model.to_dict(), f)
     print(f"model saved to {args.output}")
