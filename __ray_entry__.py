@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from typing import Any
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 # The reference tokenizer's separator regex (languagemodel.py:9), reused in
 # the DuckDB oracles so both sides tokenize identically (ASCII corpus).
@@ -1616,7 +1617,7 @@ def _q_corpus_prep(sf_dir: str):
         .select_columns(["gram"])
     )
     bench_set = pa.concat_tables(
-        [t for t in ray.get(bench.to_arrow_refs()) if t.num_rows > 0]
+        [t for t in arrow_blocks(bench) if t.num_rows > 0]
     ).column("gram")
     bench_ref = ray.put(bench_set.combine_chunks())
 
@@ -2864,8 +2865,7 @@ def _q_decontaminate(sf_dir: str):
         return pa.table({"gram": rows.column("gram")})
 
     chunks = []
-    for ref in docs.map_batches(bench_grams, batch_format="pyarrow").to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(docs.map_batches(bench_grams, batch_format="pyarrow")):
         if t.num_rows and "gram" in t.column_names:
             col = t.column("gram")
             chunks.extend(col.chunks if isinstance(col, pa.ChunkedArray) else [col])
@@ -3990,8 +3990,7 @@ def _q_zscore_by_type(sf_dir: str):
     units = ev.map_batches(to_units, batch_format="pyarrow").materialize()
     stats = partial_sum_count(units, "event_type", ["u", "uu"])
     lut = {}
-    for ref in stats.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(stats):
         if t.num_rows == 0 or "event_type" not in t.column_names:
             continue
         for et, su, suu, n in zip(
@@ -5088,9 +5087,12 @@ def _q_source_quality_filter(sf_dir: str):
         )
 
     docs = _docs(sf_dir).map_batches(facts, batch_format="pyarrow").materialize()
-    per_source = partial_sum_count(docs, "source", ["bpe"]).to_arrow_refs()
     tbl = pa.concat_tables(
-        [t for t in (ray.get(r) for r in per_source) if t.num_rows]
+        [
+            t
+            for t in arrow_blocks(partial_sum_count(docs, "source", ["bpe"]))
+            if t.num_rows
+        ]
     )
     sb = tbl.column("sum_bpe").to_numpy(zero_copy_only=False).astype(np.int64)
     nd = tbl.column("count").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -8507,8 +8509,7 @@ def _q_benford_digits(sf_dir: str):
         alias={"count": "observed"},
     )
     rows = []
-    for ref in counts.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(counts):
         if t.num_rows and "digit" in t.column_names:
             rows.append(t)
     schema = pa.schema(
@@ -8819,8 +8820,7 @@ def _q_token_apportionment(sf_dir: str):
         alias={"n": "n_tokens", "count": "n_docs"},
     )
     rows = []
-    for ref in per_source.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(per_source):
         if t.num_rows and "source" in t.column_names:
             rows.append(t.to_pandas())
     schema = pa.schema(
@@ -9148,10 +9148,9 @@ def _q_blocking_modularity(sf_dir: str):
         )
 
     m = si = 0
-    for ref in both.map_batches(
+    for t in arrow_blocks(both.map_batches(
         edge_partial, batch_format="pyarrow"
-    ).to_arrow_refs():
-        t = ray.get(ref)
+    )):
         if t.num_rows and "m" in t.column_names:
             m += int(t.column("m").to_numpy().sum())
             si += int(t.column("si").to_numpy().sum())
@@ -9203,7 +9202,7 @@ def _q_blocking_modularity(sf_dir: str):
         {"dsum": ("d", "sum")},
     )
     sd2 = 0
-    for ref in dsum.map_batches(
+    for t in arrow_blocks(dsum.map_batches(
         lambda b: pa.table(
             {
                 "x": pa.array(
@@ -9224,8 +9223,7 @@ def _q_blocking_modularity(sf_dir: str):
             }
         ),
         batch_format="pyarrow",
-    ).to_arrow_refs():
-        t = ray.get(ref)
+    )):
         if t.num_rows:
             sd2 += int(t.column("x").to_numpy().sum())
 
@@ -9631,7 +9629,7 @@ def _q_chi2_cells(sf_dir: str):
         alias={"count": "observed"},
     )
     # O(types x arms) rows — the only driver-side table
-    parts = [ray.get(r) for r in counts.to_arrow_refs()]
+    parts = list(arrow_blocks(counts))
     parts = [t for t in parts if t.num_rows and "event_type" in t.column_names]
     schema = pa.schema(
         [
@@ -9704,8 +9702,7 @@ def _q_score_calibration(sf_dir: str):
         batch_format="pyarrow",
     )
     lo, hi = None, None
-    for ref in mm.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(mm):
         if t.num_rows == 0 or "mn" not in t.column_names:
             continue
         bmn = float(np.min(t.column("mn").to_numpy(zero_copy_only=False)))

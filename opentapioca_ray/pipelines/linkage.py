@@ -24,6 +24,7 @@ from opentapioca_ray.stages.pairs import (
     make_pair_group_fn,
 )
 from opentapioca_ray.state.linear import LinearModel
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 
 # ---------------------------------------------------------------------------
@@ -59,8 +60,7 @@ def train_idf(
     idf: dict[str, float] = {}
     if partial.count() <= driver_limit:
         word_chunks, cnt_chunks = [], []
-        for ref in partial.to_arrow_refs():
-            t = ray.get(ref)
+        for t in arrow_blocks(partial):
             if t.num_rows == 0 or "word" not in t.column_names:
                 continue
             col = t.column("word")
@@ -76,8 +76,7 @@ def train_idf(
             idf = dict(zip(enc.dictionary.to_pylist(), vals.tolist()))
     else:
         counts = partial.groupby("word").aggregate(Sum("count", alias_name="count"))
-        for ref in counts.to_arrow_refs():
-            t = ray.get(ref)
+        for t in arrow_blocks(counts):
             if t.num_rows == 0 or "word" not in t.column_names:
                 continue
             for w, c in zip(t.column("word").to_pylist(), t.column("count").to_pylist()):
@@ -168,8 +167,7 @@ def corpus_stats(
 
         parts = coarse_group_apply(parts, "key", sum_partition)
     tables = []
-    for ref in parts.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(parts):
         if t.num_rows and "kind" in t.column_names:
             tables.append(t)
     if not tables:
@@ -400,8 +398,7 @@ def _driver_id_pairs(cands_ds, max_block_size: int, window: int):
 
     DRIVER_COLLECTS["pairs_proportional"] += 1  # candidate rows
     key_chunks, id_chunks, sig_chunks = [], [], []
-    for ref in cands_ds.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(cands_ds):
         if t.num_rows == 0 or "block_key" not in t.column_names:
             continue
         col = t.column("block_key")
@@ -644,8 +641,7 @@ def attach_pair_tokens(pairs_ds, files_ds, tokens_cap: int | None = None, mode: 
         # columns (bounded by 2 x #pairs int64s — small by the mode guard)
         DRIVER_COLLECTS["pairs_proportional"] += 1
         id_chunks = []
-        for ref in pairs_ds.to_arrow_refs():
-            t = ray.get(ref)
+        for t in arrow_blocks(pairs_ds):
             if t.num_rows == 0 or "left_id" not in t.column_names:
                 continue
             id_chunks.append(t.column("left_id").to_numpy(zero_copy_only=False))
@@ -667,8 +663,7 @@ def attach_pair_tokens(pairs_ds, files_ds, tokens_cap: int | None = None, mode: 
         # lookups over the pair columns (no per-row Python)
         DRIVER_COLLECTS["pairs_proportional"] += 2  # token rows + pair rows
         tid_c, trepo_c, tpack_c = [], [], []
-        for ref in tokens.to_arrow_refs():
-            t = ray.get(ref)
+        for t in arrow_blocks(tokens):
             if t.num_rows == 0 or "file_id" not in t.column_names:
                 continue
             tid_c.append(t.column("file_id").to_numpy(zero_copy_only=False))
@@ -682,8 +677,7 @@ def attach_pair_tokens(pairs_ds, files_ds, tokens_cap: int | None = None, mode: 
         trepo = np.concatenate(trepo_c)[o]
         tpack = np.concatenate(tpack_c)[o]
         pl_c, pr_c, pc_c, pn_c = [], [], [], []
-        for ref in pairs_ds.to_arrow_refs():
-            t = ray.get(ref)
+        for t in arrow_blocks(pairs_ds):
             if t.num_rows == 0 or "left_id" not in t.column_names:
                 continue
             pl_c.append(t.column("left_id").to_numpy(zero_copy_only=False))

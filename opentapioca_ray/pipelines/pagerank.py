@@ -25,6 +25,7 @@ import numpy as np
 import pyarrow as pa
 
 from opentapioca_ray.state.graph import LinkGraph
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 
 def extract_edges_batch(batch: pa.Table) -> pa.Table:
@@ -99,8 +100,7 @@ def count_edges(ds, src_col: str, dst_col: str, mode: str = "auto", driver_limit
         )
 
     srcs, dsts, cnts = [], [], []
-    for ref in partials.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(partials):
         if t.num_rows == 0 or "src" not in t.column_names:
             continue
         srcs.append(t.column("src").to_numpy(zero_copy_only=False))
@@ -164,8 +164,7 @@ def normalize_edges(edges_ds, mode: str = "auto", driver_limit: int = 20_000_000
         mode = "driver" if edges_ds.count() <= driver_limit else "shuffle"
     if mode == "driver":
         src_chunks, cnt_chunks = [], []
-        for ref in edges_ds.to_arrow_refs():
-            t = ray.get(ref)
+        for t in arrow_blocks(edges_ds):
             if t.num_rows == 0 or "src" not in t.column_names:
                 continue
             src_chunks.append(t.column("src").to_numpy(zero_copy_only=False))
@@ -198,8 +197,7 @@ def normalize_edges(edges_ds, mode: str = "auto", driver_limit: int = 20_000_000
 
     totals = edges_ds.groupby("src").aggregate(Sum("count", alias_name="total"))
     key_chunks, tot_chunks = [], []
-    for ref in totals.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(totals):
         if t.num_rows == 0 or "src" not in t.column_names:
             continue
         key_chunks.append(t.column("src").to_numpy(zero_copy_only=False))
@@ -240,8 +238,7 @@ def sorted_edge_arrays(edges_ds, validate: bool = True, mode: str = "driver"):
 
     ds = edges_ds.sort(["src", "dst"]) if mode == "shuffle" else edges_ds
     srcs, dsts, weights = [], [], []
-    for ref in ds.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(ds):
         if t.num_rows == 0 or "src" not in t.column_names:
             continue  # empty boundary blocks after the shuffle sort
         srcs.append(t.column("src").to_numpy(zero_copy_only=False))
@@ -302,8 +299,7 @@ def compute_pagerank_distributed(
         # stream the aggregated blocks into the dense rank vector (no
         # take_all dict-row round-trip: zero-copy Arrow -> numpy scatter)
         nv = np.zeros(shape, dtype=np.float64)
-        for ref in sums.to_arrow_refs():
-            t = ray.get(ref)
+        for t in arrow_blocks(sums):
             if t.num_rows == 0 or "dst" not in t.column_names:
                 continue
             d = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)

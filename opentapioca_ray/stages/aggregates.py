@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 
 def _partial(batch: pa.Table, key: str, sum_cols: list[str]) -> pa.Table:
@@ -79,7 +80,7 @@ def histogram_quantiles(
     hist_ds = partial_sum_count(ds.select_columns([value_column]), value_column, [])
     import ray
 
-    tables = [ray.get(r) for r in hist_ds.to_arrow_refs()]
+    tables = list(arrow_blocks(hist_ds))
     tables = [t for t in tables if t.num_rows and value_column in t.column_names]
     if not tables:
         return pa.table(
@@ -1191,10 +1192,9 @@ def exact_kth_narrowing(
     slim = ds.select_columns([value_column]).materialize()
     lo = hi = None
     n = 0
-    for ref in slim.map_batches(
+    for t in arrow_blocks(slim.map_batches(
         minmax_count, batch_format="pyarrow"
-    ).to_arrow_refs():
-        t = ray.get(ref)
+    )):
         if t.num_rows == 0 or "lo" not in t.column_names:
             continue
         blo = int(t.column("lo").to_numpy().min())
@@ -1234,8 +1234,7 @@ def exact_kth_narrowing(
             )
 
         counts = np.zeros(nb, dtype=np.int64)
-        for ref in slim.map_batches(hist, batch_format="pyarrow").to_arrow_refs():
-            t = ray.get(ref)
+        for t in arrow_blocks(slim.map_batches(hist, batch_format="pyarrow")):
             if t.num_rows and "b" in t.column_names:
                 np.add.at(
                     counts,

@@ -16,6 +16,7 @@ import pandas as pd
 import pyarrow as pa
 
 from opentapioca_ray.functions.vectors import list_to_matrix
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 
 def _unit(mat: np.ndarray) -> np.ndarray:
@@ -326,7 +327,7 @@ def hard_negatives(
     ds = ds.materialize()
     parts = [
         t
-        for t in (ray.get(r) for r in ds.to_arrow_refs())
+        for t in arrow_blocks(ds)
         if t.num_rows and id_column in t.column_names
     ]
     out_schema = pa.schema(
@@ -504,8 +505,7 @@ def embedding_outliers(
             }
         )
 
-    for ref in ds.map_batches(partials, batch_format="pyarrow").to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(ds.map_batches(partials, batch_format="pyarrow")):
         if t.num_rows == 0 or "label" not in t.column_names:
             continue
         for lbl, n, s in zip(

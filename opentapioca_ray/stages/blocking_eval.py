@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 
 def blocking_quality(ds, block_cols: list[str], truth_cols: list[str]):
@@ -48,9 +49,8 @@ def blocking_quality(ds, block_cols: list[str], truth_cols: list[str]):
     ).materialize()
 
     def mass_of(counts_ds, name: str) -> int:
-        refs = counts_ds.to_arrow_refs()
         total = 0
-        for t in (ray.get(r) for r in refs):
+        for t in arrow_blocks(counts_ds):
             if t.num_rows == 0 or "_c" not in t.column_names:
                 continue
             c = t.column("_c").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -124,22 +124,13 @@ def _high_low(batch: pa.Table) -> pa.Table:
     return pa.table({"u": hi, "v": lo})
 
 
-def _as_arrow(block) -> pa.Table:
-    """`to_arrow_refs` hands back pandas blocks unconverted when the lineage
-    ends in a pandas-format op (Ray 2.49) — normalize defensively."""
-    if isinstance(block, pd.DataFrame):
-        return pa.Table.from_pandas(block, preserve_index=False)
-    return block
-
-
 def _edge_digest(ds) -> tuple[int, int]:
     """Cheap convergence check: (row count, sum of u*31+v mod 2^61)."""
+    from opentapioca_ray.stages.exchange import arrow_blocks
+
     count = 0
     acc = 0
-    for ref in ds.to_arrow_refs():
-        import ray
-
-        t = _as_arrow(ray.get(ref))
+    for t in arrow_blocks(ds):
         count += t.num_rows
         if t.num_rows:
             u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -170,9 +161,10 @@ def connected_components(
     if edges_ds.count() <= local_threshold:
         import ray.data
 
+        from opentapioca_ray.stages.exchange import arrow_blocks
+
         pairs: list[tuple[int, int]] = []
-        for ref in edges_ds.to_arrow_refs():
-            t = _as_arrow(ray.get(ref))
+        for t in arrow_blocks(edges_ds):
             if t.num_rows == 0 or "u" not in t.column_names:
                 continue
             pairs.extend(

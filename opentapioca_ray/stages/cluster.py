@@ -19,6 +19,7 @@ import pandas as pd
 import pyarrow as pa
 
 from opentapioca_ray.functions.vectors import list_to_matrix
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 
 def _unit(mat: np.ndarray) -> np.ndarray:
@@ -68,8 +69,7 @@ def kmeans_fit(
         )
         total = np.zeros((k, dim), dtype=np.float64)
         total_n = np.zeros(k, dtype=np.int64)
-        for ref in part_ds.to_arrow_refs():
-            t = ray.get(ref)
+        for t in arrow_blocks(part_ds):
             if t.num_rows == 0 or "cluster" not in t.column_names:
                 continue
             cl = t.column("cluster").to_numpy(zero_copy_only=False)
@@ -180,8 +180,7 @@ def embedding_coherence(
     # O(labels x dim) driver state, exactly like the k-means centroid table
     stats: dict[int, np.ndarray] = {}
     counts: dict[int, int] = {}
-    for ref in ds.map_batches(partials, batch_format="pyarrow").to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(ds.map_batches(partials, batch_format="pyarrow")):
         if t.num_rows == 0 or "label" not in t.column_names:
             continue
         lab = t.column("label").to_numpy(zero_copy_only=False)
@@ -658,8 +657,7 @@ def silhouette_kmedoids(
 
     # medoid ids (<= k) and their quantized coordinates, broadcast once
     med_ids = set()
-    for ref in assign.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(assign):
         if t.num_rows == 0 or "medoid" not in t.column_names:
             continue
         med_ids.update(t.column("medoid").to_pylist())
@@ -697,11 +695,8 @@ def silhouette_kmedoids(
 
     med_parts = [
         t
-        for t in (
-            ray.get(r)
-            for r in ds.map_batches(med_rows, batch_format="pyarrow")
-            .materialize()
-            .to_arrow_refs()
+        for t in arrow_blocks(
+            ds.map_batches(med_rows, batch_format="pyarrow").materialize()
         )
         if t.num_rows and "mid" in t.column_names
     ]

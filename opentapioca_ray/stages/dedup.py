@@ -24,6 +24,7 @@ from opentapioca_ray.functions.minhash import (
 from opentapioca_ray.functions.vectors import list_to_matrix, matrix_to_list
 from opentapioca_ray.stages.cc import connected_components
 from opentapioca_ray.stages.pairs import blocking_batch, make_pair_group_fn
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 
 def add_hash_column(
@@ -814,8 +815,7 @@ def ngram_jaccard_pairs(
 
     # surviving (gram, doc, n_grams) rows -> pair occurrence counts
     gram_chunks, id_chunks, ngr_chunks = [], [], []
-    for ref in exploded.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(exploded):
         if t.num_rows == 0 or "gram" not in t.column_names:
             continue
         col = t.column("gram")
@@ -981,8 +981,7 @@ def embedding_pairs(
 
     # candidate ids -> broadcast unit-vector matrix (small side by design)
     id_chunks = []
-    for ref in pairs.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(pairs):
         if t.num_rows == 0 or "u" not in t.column_names:
             continue
         id_chunks.append(t.column("u").to_numpy(zero_copy_only=False))
@@ -1012,8 +1011,7 @@ def embedding_pairs(
         )
 
     uid_chunks, umat_chunks = [], []
-    for ref in ds.map_batches(unit_rows, batch_format="pyarrow").to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(ds.map_batches(unit_rows, batch_format="pyarrow")):
         if t.num_rows == 0 or "vec_id" not in t.column_names:
             continue
         uid_chunks.append(t.column("vec_id").to_numpy(zero_copy_only=False))
@@ -1271,8 +1269,7 @@ def incremental_jaccard_pairs(
         ).materialize()
         if new_grams.count() <= delta_broadcast_limit:
             parts = []
-            for r in new_grams.to_arrow_refs():
-                t = ray.get(r)
+            for t in arrow_blocks(new_grams):
                 if isinstance(t, pd.DataFrame):
                     if len(t) == 0:
                         continue

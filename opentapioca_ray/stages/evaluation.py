@@ -20,6 +20,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 _SUMMARY = pa.schema(
     [
@@ -114,10 +115,9 @@ def roc_auc(
             return pa.table({"score": pa.array(s[keep])})
 
         sampled = []
-        for ref in distinct.select_columns(["score"]).map_batches(
+        for t in arrow_blocks(distinct.select_columns(["score"]).map_batches(
             pick, batch_format="pyarrow"
-        ).to_arrow_refs():
-            t = ray.get(ref)
+        )):
             if t.num_rows and "score" in t.column_names:
                 sampled.append(t.column("score").to_numpy(zero_copy_only=False))
         if sampled:
@@ -199,8 +199,7 @@ def roc_auc(
 
     # O(n_parts) driver combine — the only rows that ever leave the cluster
     rows = []
-    for ref in summaries.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(summaries):
         if t.num_rows and "pid" in t.column_names:
             rows.append(t.to_pandas())
     if not rows:
@@ -283,8 +282,7 @@ def welch_t_stats(ds, arm_column: str, units_column: str):
         ds.map_batches(add_sq, batch_format="pyarrow"), arm_column, ["u", "uu"]
     )
     acc = {}
-    for ref in stats.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(stats):
         if t.num_rows == 0 or arm_column not in t.column_names:
             continue
         for row in t.to_pylist():
@@ -376,8 +374,7 @@ def footrule_stats(ds, id_column: str, key_a: str, key_b: str):
         )
 
     n = s = 0
-    for ref in diffs.map_batches(partial, batch_format="pyarrow").to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(diffs.map_batches(partial, batch_format="pyarrow")):
         if t.num_rows and "n" in t.column_names:
             n += int(t.column("n").to_numpy().sum())
             s += int(t.column("s").to_numpy().sum())
@@ -454,10 +451,9 @@ def kendall_tau_binned(ds, x_column: str, y_column: str, n_parts=None):
         )
 
     x_counts: dict[int, int] = {}
-    for ref in rows.select_columns(["x"]).map_batches(
+    for t in arrow_blocks(rows.select_columns(["x"]).map_batches(
         x_partials, batch_format="pyarrow"
-    ).to_arrow_refs():
-        t = ray.get(ref)
+    )):
         if t.num_rows == 0 or "x" not in t.column_names:
             continue
         for xv, cv in zip(
@@ -495,10 +491,9 @@ def kendall_tau_binned(ds, x_column: str, y_column: str, n_parts=None):
             return pa.table({"y": pa.array(y[keep])})
 
         sampled = []
-        for ref in rows.select_columns(["y"]).map_batches(
+        for t in arrow_blocks(rows.select_columns(["y"]).map_batches(
             pick, batch_format="pyarrow"
-        ).to_arrow_refs():
-            t = ray.get(ref)
+        )):
             if t.num_rows and "y" in t.column_names:
                 sampled.append(t.column("y").to_numpy(zero_copy_only=False))
         if sampled:
@@ -546,10 +541,9 @@ def kendall_tau_binned(ds, x_column: str, y_column: str, n_parts=None):
         )
 
     totals = np.zeros((n_parts_eff, n_bins), dtype=np.int64)
-    for ref in parted.map_batches(
+    for t in arrow_blocks(parted.map_batches(
         bin_partials, batch_format="pyarrow"
-    ).to_arrow_refs():
-        t = ray.get(ref)
+    )):
         if t.num_rows == 0 or "pid" not in t.column_names:
             continue
         np.add.at(
@@ -621,11 +615,10 @@ def kendall_tau_binned(ds, x_column: str, y_column: str, n_parts=None):
 
     c = d = 0
     n2 = 0
-    for ref in coarse_group_apply(
+    for t in arrow_blocks(coarse_group_apply(
         parted, "pid", cd_partition, n_parts=n_parts_eff,
         batch_format="pandas",
-    ).to_arrow_refs():
-        t = ray.get(ref)
+    )):
         if t.num_rows and "c" in t.column_names:
             c += int(t.column("c").to_numpy().sum())
             d += int(t.column("d").to_numpy().sum())
@@ -770,9 +763,8 @@ def rbo_depth_table(
 
     parts = [
         t
-        for t in (
-            ray.get(r)
-            for r in ds.map_batches(local_top, batch_format="pyarrow").to_arrow_refs()
+        for t in arrow_blocks(
+            ds.map_batches(local_top, batch_format="pyarrow")
         )
         if t.num_rows and id_column in t.column_names
     ]
@@ -862,9 +854,8 @@ def ndcg_at_k(
 
     parts = [
         t
-        for t in (
-            ray.get(r)
-            for r in ds.map_batches(local_top, batch_format="pyarrow").to_arrow_refs()
+        for t in arrow_blocks(
+            ds.map_batches(local_top, batch_format="pyarrow")
         )
         if t.num_rows and id_column in t.column_names
     ]

@@ -49,6 +49,33 @@ def _coarse_codes(key_col, n_parts: int) -> pa.Array:
     return part.combine_chunks() if isinstance(part, pa.ChunkedArray) else part
 
 
+def as_arrow_block(block) -> pa.Table:
+    """Normalize one materialized Ray Data block to a pa.Table.
+
+    `Dataset.to_arrow_refs` (Ray 2.49) decides zero-copy vs convert from
+    the DATASET-level schema: when a pandas-lineage dataset (map_groups /
+    pandas map_batches) happens to report an Arrow schema — e.g. its first
+    block is an empty Arrow passthrough while later blocks are pandas —
+    the zero-copy path leaks raw pandas blocks to the caller. That mix is
+    data- and execution-order-dependent, so it shows up intermittently.
+    Every driver-side consumer in this repo goes through here (or
+    `arrow_blocks`) instead of trusting the ref type."""
+    if isinstance(block, pd.DataFrame):
+        return pa.Table.from_pandas(block, preserve_index=False)
+    return block
+
+
+def arrow_blocks(ds):
+    """Yield each block of `ds` as a pa.Table: `to_arrow_refs` + `ray.get`
+    + pandas normalization (see `as_arrow_block`). Driver-side only — use
+    on the small partials/summaries this repo collects, never on a
+    volume-carrying dataset."""
+    import ray
+
+    for ref in ds.to_arrow_refs():
+        yield as_arrow_block(ray.get(ref))
+
+
 def default_n_parts(n_parts: int | None = None) -> int:
     """P defaults to ~4 partitions per CPU (power of two): enough groups to
     balance, few enough that per-partition kernel launches stay cheap."""

@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 
 def funnel_counts(
@@ -97,7 +98,7 @@ def funnel_counts(
     # table and fill steps no partition reached with an explicit 0 (SQL's
     # count(*) over an empty CTE), so the output always has one row per step.
     counts = np.zeros(len(steps), dtype=np.int64)
-    for t in (ray.get(r) for r in totals.to_arrow_refs()):
+    for t in arrow_blocks(totals):
         if t.num_rows == 0 or "step_idx" not in t.column_names:
             continue
         idx = t.column("step_idx").to_numpy(zero_copy_only=False).astype(int)

@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 _EDGE_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
 
@@ -460,12 +461,11 @@ def bfs_hops(
         import ray as _ray
 
         seed_tbl = pa.concat_tables(
-            [
-                _ray.get(r)
-                for r in seeds.map_batches(
-                    seed_dist, batch_format="pyarrow"
-                ).to_arrow_refs()
-            ]
+            list(
+                arrow_blocks(
+                    seeds.map_batches(seed_dist, batch_format="pyarrow")
+                )
+            )
         )
         seed_ref = _ray.put(seed_tbl)
         return edges.repartition(1).map_batches(
@@ -649,8 +649,7 @@ def degree_assortativity(edges, n_parts=None):
         )
 
     m2 = sx = sxy = sxx = 0
-    for ref in both.map_batches(partial, batch_format="pyarrow").to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(both.map_batches(partial, batch_format="pyarrow")):
         if t.num_rows == 0 or "m2" not in t.column_names:
             continue
         m2 += int(t.column("m2").to_numpy().sum())
@@ -1031,12 +1030,11 @@ def weighted_hops(
         import ray as _ray
 
         seed_tbl = pa.concat_tables(
-            [
-                _ray.get(r)
-                for r in seeds.map_batches(
-                    seed_dist, batch_format="pyarrow"
-                ).to_arrow_refs()
-            ]
+            list(
+                arrow_blocks(
+                    seeds.map_batches(seed_dist, batch_format="pyarrow")
+                )
+            )
         )
         seed_ref = _ray.put(seed_tbl)
         return edges.repartition(1).map_batches(
@@ -1199,12 +1197,11 @@ def multi_source_hops(
         import ray as _ray
 
         seed_tbl = pa.concat_tables(
-            [
-                _ray.get(r)
-                for r in seeds.map_batches(
-                    seed_dist, batch_format="pyarrow"
-                ).to_arrow_refs()
-            ]
+            list(
+                arrow_blocks(
+                    seeds.map_batches(seed_dist, batch_format="pyarrow")
+                )
+            )
         )
         seed_ref = _ray.put(seed_tbl)
 
@@ -1420,21 +1417,21 @@ def stress_centrality(
             }
         )
 
-    tabs = [
-        ray.get(r)
-        for r in adj.map_batches(nodes_of, batch_format="pyarrow").to_arrow_refs()
-    ]
+    tabs = list(
+        arrow_blocks(adj.map_batches(nodes_of, batch_format="pyarrow"))
+    )
     tabs = [t for t in tabs if t.num_rows and "node" in t.column_names]
 
-    seed_tabs = [
-        ray.get(r)
-        for r in seeds.map_batches(
-            lambda b: b.select(["node"])
-            if b.num_rows and "node" in b.column_names
-            else pa.schema([("node", pa.int64())]).empty_table(),
-            batch_format="pyarrow",
-        ).to_arrow_refs()
-    ]
+    seed_tabs = list(
+        arrow_blocks(
+            seeds.map_batches(
+                lambda b: b.select(["node"])
+                if b.num_rows and "node" in b.column_names
+                else pa.schema([("node", pa.int64())]).empty_table(),
+                batch_format="pyarrow",
+            )
+        )
+    )
     lms = np.unique(
         np.concatenate(
             [
@@ -1463,12 +1460,11 @@ def stress_centrality(
 
     def level_pass(make_messages):
         """One streaming adjacency pass; merge (k, node_pos, val) partials."""
-        tabs = [
-            ray.get(r)
-            for r in adj.map_batches(
-                make_messages, batch_format="pyarrow"
-            ).to_arrow_refs()
-        ]
+        tabs = list(
+            arrow_blocks(
+                adj.map_batches(make_messages, batch_format="pyarrow")
+            )
+        )
         return [t for t in tabs if t.num_rows and "k" in t.column_names]
 
     msg_schema = pa.schema(
@@ -1734,7 +1730,7 @@ def rich_club(edges_ds, ks: list[int] | None = None, n_parts=None):
     )
     parts = [
         t
-        for t in (ray.get(r) for r in deg.to_arrow_refs())
+        for t in arrow_blocks(deg)
         if t.num_rows and "node" in t.column_names
     ]
     if not parts:
@@ -1766,8 +1762,7 @@ def rich_club(edges_ds, ks: list[int] | None = None, n_parts=None):
     # per-batch partials are len(ks) rows each — sum on the driver
     ec = edges_ds.map_batches(edge_counts, batch_format="pyarrow").materialize()
     e_by_k = {}
-    for ref in ec.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(ec):
         if t.num_rows == 0 or "k" not in t.column_names:
             continue
         for kk, e in zip(t.column("k").to_pylist(), t.column("e").to_pylist()):

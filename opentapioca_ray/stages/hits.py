@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 E9 = 1_000_000_000
 
@@ -128,8 +129,7 @@ def _collect_scores(scores_ds):
     import ray
 
     ns, vs = [], []
-    for ref in scores_ds.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(scores_ds):
         if t.num_rows == 0 or "node" not in t.column_names:
             continue
         ns.append(t.column("node").to_numpy(zero_copy_only=False))
@@ -170,12 +170,9 @@ def _half_round_driver(edges, state_ref, tail: str, head: str):
         sums = np.add.reduceat(sc, starts).astype(np.int64)
         return pa.table({"node": pa.array(h[starts]), "s": pa.array(sums)})
 
-    tables = [
-        ray.get(r)
-        for r in edges.map_batches(
-            partial, batch_format="pyarrow"
-        ).to_arrow_refs()
-    ]
+    tables = list(
+        arrow_blocks(edges.map_batches(partial, batch_format="pyarrow"))
+    )
     tables = [t for t in tables if t.num_rows and "node" in t.column_names]
     if not tables:
         return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)

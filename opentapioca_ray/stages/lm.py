@@ -30,6 +30,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from opentapioca_ray.functions.textstats import whitespace_token_lists
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 _VOCAB_LIMIT = 20_000_000  # distinct words the driver may hold / broadcast
 
@@ -84,7 +85,7 @@ def unigram_lm_scores(
     if counts_ds is None:
         counts_ds = train_unigram_counts(ds, text_column)
 
-    tables = [ray.get(r) for r in counts_ds.to_arrow_refs()]
+    tables = list(arrow_blocks(counts_ds))
     tables = [
         t for t in tables if t.num_rows and "word" in t.column_names
     ]
@@ -252,8 +253,7 @@ def nb_lang_confusion(
         {"t": ("c", "sum")},
         n_parts=n_parts,
     )
-    for ref in lt.materialize().to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(lt.materialize()):
         if t.num_rows == 0 or "lang" not in t.column_names:
             continue
         for l, v in zip(t.column("lang").to_pylist(), t.column("t").to_pylist()):

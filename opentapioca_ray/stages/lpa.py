@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 _LABELS_SCHEMA = pa.schema([("node", pa.int64()), ("label", pa.int64())])
 
@@ -250,7 +251,7 @@ def _lpa_broadcast(directed, labels, rounds: int, n_parts: int):
 
     def bcast(lab_ds):
         ns, vs = [], []
-        for t in ray.get(lab_ds.to_arrow_refs()):
+        for t in arrow_blocks(lab_ds):
             if t.num_rows == 0 or "node" not in t.column_names:
                 continue
             ns.append(t.column("node").to_numpy(zero_copy_only=False))

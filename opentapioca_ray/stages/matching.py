@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 
 def to_fixed_point(
@@ -521,12 +522,9 @@ def stable_match(
                 pa.array(keep)
             )
 
-        tables = [
-            ray.get(r)
-            for r in ranked.map_batches(
-                propose, batch_format="pyarrow"
-            ).to_arrow_refs()
-        ]
+        tables = list(
+            arrow_blocks(ranked.map_batches(propose, batch_format="pyarrow"))
+        )
         tables = [
             t for t in tables if t.num_rows and "proposer" in t.column_names
         ]

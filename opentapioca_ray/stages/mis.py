@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 _MIS_SCHEMA = pa.schema([("node", pa.int64()), ("mis_round", pa.int64())])
 
@@ -60,12 +61,9 @@ def luby_mis(edges_ds, rounds: int = 6, n_parts: int | None = None):
             }
         )
 
-    parts = [
-        ray.get(r)
-        for r in adj.map_batches(
-            nodes_of, batch_format="pyarrow"
-        ).to_arrow_refs()
-    ]
+    parts = list(
+        arrow_blocks(adj.map_batches(nodes_of, batch_format="pyarrow"))
+    )
     nodes = np.unique(
         np.concatenate(
             [
@@ -110,12 +108,9 @@ def luby_mis(edges_ds, rounds: int = 6, n_parts: int | None = None):
                 }
             )
 
-        tabs = [
-            ray.get(r)
-            for r in adj.map_batches(
-                min_nbr, batch_format="pyarrow"
-            ).to_arrow_refs()
-        ]
+        tabs = list(
+            arrow_blocks(adj.map_batches(min_nbr, batch_format="pyarrow"))
+        )
         tabs = [t for t in tabs if t.num_rows and "node" in t.column_names]
         mh = np.full(len(nodes), _U64_MAX, dtype=np.uint64)
         if tabs:
@@ -146,12 +141,9 @@ def luby_mis(edges_ds, rounds: int = 6, n_parts: int | None = None):
                 {"node": pa.array(np.unique(src[hit]).astype(np.int64))}
             )
 
-        tabs = [
-            ray.get(r)
-            for r in adj.map_batches(
-                mis_nbrs, batch_format="pyarrow"
-            ).to_arrow_refs()
-        ]
+        tabs = list(
+            arrow_blocks(adj.map_batches(mis_nbrs, batch_format="pyarrow"))
+        )
         removed = [nodes[mis]]
         for t in tabs:
             if t.num_rows and "node" in t.column_names:

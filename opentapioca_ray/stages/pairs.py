@@ -30,6 +30,7 @@ import pyarrow as pa
 
 from opentapioca_ray.functions.minhash import band_keys
 from opentapioca_ray.functions.text import tokenize
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 TOKENS_CAP = 128  # token prefix carried through the block shuffle
 
@@ -147,8 +148,7 @@ def prefilter_singleton_blocks(
     if mode == "driver":
         key_col = blocks_ds.select_columns(["block_key"])
         chunks = []
-        for ref in key_col.to_arrow_refs():
-            t = ray.get(ref)
+        for t in arrow_blocks(key_col):
             if t.num_rows == 0 or "block_key" not in t.column_names:
                 continue
             col = t.column("block_key")

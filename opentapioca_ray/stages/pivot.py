@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 _PIVOT_SCHEMA = pa.schema(
     [("node", pa.int64()), ("cluster", pa.int64()), ("pivot_round", pa.int64())]
@@ -66,12 +67,9 @@ def pivot_clusters(edges_ds, rounds: int = 4, n_parts: int | None = None):
             }
         )
 
-    parts = [
-        ray.get(r)
-        for r in adj.map_batches(
-            nodes_of, batch_format="pyarrow"
-        ).to_arrow_refs()
-    ]
+    parts = list(
+        arrow_blocks(adj.map_batches(nodes_of, batch_format="pyarrow"))
+    )
     tabs = [t for t in parts if t.num_rows and "node" in t.column_names]
     if not tabs:
         return _PIVOT_SCHEMA.empty_table()
@@ -115,12 +113,9 @@ def pivot_clusters(edges_ds, rounds: int = 4, n_parts: int | None = None):
                 }
             )
 
-        tabs = [
-            ray.get(r)
-            for r in adj.map_batches(
-                min_nbr, batch_format="pyarrow"
-            ).to_arrow_refs()
-        ]
+        tabs = list(
+            arrow_blocks(adj.map_batches(min_nbr, batch_format="pyarrow"))
+        )
         tabs = [t for t in tabs if t.num_rows and "node" in t.column_names]
         mh = np.full(len(nodes), _U64_MAX, dtype=np.uint64)
         if tabs:
@@ -172,12 +167,9 @@ def pivot_clusters(edges_ds, rounds: int = 4, n_parts: int | None = None):
                 }
             )
 
-        tabs = [
-            ray.get(r)
-            for r in adj.map_batches(
-                pivot_nbr, batch_format="pyarrow"
-            ).to_arrow_refs()
-        ]
+        tabs = list(
+            arrow_blocks(adj.map_batches(pivot_nbr, batch_format="pyarrow"))
+        )
         tabs = [t for t in tabs if t.num_rows and "node" in t.column_names]
         assigned = np.zeros(len(nodes), dtype=bool)
         if tabs:

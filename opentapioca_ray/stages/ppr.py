@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 _PPR_SCHEMA = pa.schema([("node", pa.int64()), ("ppr", pa.int64())])
 
@@ -95,12 +96,9 @@ def ppr_scores(edges_ds, seeds: list[int], iterations: int = 8,
                 }
             )
 
-        tabs = [
-            ray.get(r_)
-            for r_ in adj.map_batches(
-                contrib, batch_format="pyarrow"
-            ).to_arrow_refs()
-        ]
+        tabs = list(
+            arrow_blocks(adj.map_batches(contrib, batch_format="pyarrow"))
+        )
         tabs = [t for t in tabs if t.num_rows and "node" in t.column_names]
         if tabs:
             t = pa.concat_tables(tabs)

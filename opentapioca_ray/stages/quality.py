@@ -22,6 +22,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 
 def fd_violations(ds, lhs_column: str, rhs_column: str):
@@ -473,8 +474,7 @@ def table_checksum(ds, columns: list[str], sep: str = "|"):
     partials = ds.select_columns(columns).map_batches(
         partial, batch_format="pyarrow"
     )
-    for ref in partials.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(partials):
         if t.num_rows == 0 or "_psum" not in t.column_names:
             continue
         vals = t.column("_psum").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -639,7 +639,7 @@ def token_kl_drift(
 
     # totals: O(blocks) driver partials over the aggregated (vocab-sized) table
     t0 = t1 = v = 0
-    for ref in counts.map_batches(
+    for t in arrow_blocks(counts.map_batches(
         lambda b: pa.table(
             {
                 "t0": pa.array(
@@ -661,8 +661,7 @@ def token_kl_drift(
             }
         ),
         batch_format="pyarrow",
-    ).to_arrow_refs():
-        t = ray.get(ref)
+    )):
         if t.num_rows:
             t0 += int(t.column("t0").to_numpy().sum())
             t1 += int(t.column("t1").to_numpy().sum())
@@ -680,8 +679,7 @@ def token_kl_drift(
         return pa.table({"e": pa.array([int(e.sum())], pa.int64())})
 
     kl = 0
-    for ref in counts.map_batches(contrib, batch_format="pyarrow").to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(counts.map_batches(contrib, batch_format="pyarrow")):
         if t.num_rows:
             kl += int(t.column("e").to_numpy().sum())
 
@@ -825,8 +823,7 @@ def t_closeness(
 
     # global band histogram: bounded by distinct bands
     gb: dict[int, int] = {}
-    for ref in cells.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(cells):
         if t.num_rows == 0 or band_column not in t.column_names:
             continue
         for b, c in zip(

@@ -14,6 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 
 def broadcast_join(
@@ -94,7 +95,7 @@ def distinct_keys(ds, column: str, limit: int = 50_000_000) -> np.ndarray:
         raise ValueError(
             f"distinct({column}) exceeds broadcast limit {limit}; use a shuffle semi-join"
         )
-    parts = [ray.get(r) for r in dedup.to_arrow_refs()]
+    parts = list(arrow_blocks(dedup))
     parts = [t for t in parts if t.num_rows and column in t.column_names]
     if not parts:
         return np.empty(0, dtype=object)
@@ -498,10 +499,9 @@ def bloom_semijoin(
         return pa.table({"p": pa.array(np.unique(np.concatenate([h1, h2])))})
 
     bits = np.zeros(m_bits, dtype=bool)
-    for ref in build_ds.map_batches(
+    for t in arrow_blocks(build_ds.map_batches(
         build_positions, batch_format="pyarrow"
-    ).to_arrow_refs():
-        t = ray.get(ref)
+    )):
         if t.num_rows and "p" in t.column_names:
             bits[t.column("p").to_numpy(zero_copy_only=False)] = True
     bits_ref = ray.put(bits)
@@ -734,7 +734,7 @@ def basket_rules(
 
     # total distinct orders: the single (-1, -1) roll-up row
     t_orders = 0
-    for ref in tagged.map_batches(
+    for t in arrow_blocks(tagged.map_batches(
         lambda b: (
             b.filter(
                 pc.and_(
@@ -746,8 +746,7 @@ def basket_rules(
             else pa.schema([("n_xy", pa.int64())]).empty_table()
         ),
         batch_format="pyarrow",
-    ).to_arrow_refs():
-        t = ray.get(ref)
+    )):
         if t.num_rows:
             t_orders += int(t.column("n_xy").to_numpy().sum())
 

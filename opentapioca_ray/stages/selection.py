@@ -222,7 +222,10 @@ def prefix_scan_select(
     refs = sorted_ds.to_arrow_refs()
 
     @ray.remote
-    def block_sum(t: pa.Table) -> int:
+    def block_sum(t) -> int:
+        from opentapioca_ray.stages.exchange import as_arrow_block
+
+        t = as_arrow_block(t)
         if t.num_rows == 0 or value_column not in t.column_names:
             return 0
         import pyarrow.compute as pc

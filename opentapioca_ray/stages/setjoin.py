@@ -46,6 +46,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 logger = logging.getLogger(__name__)
 
@@ -332,8 +333,7 @@ def prefix_filter_pairs(
         cand_doc_count = None
         if 0 < n_pairs <= pair_broadcast_limit:
             chunks = []
-            for ref in pairs.to_arrow_refs():
-                t = ray.get(ref)
+            for t in arrow_blocks(pairs):
                 if t.num_rows == 0 or "u" not in t.column_names:
                     continue
                 u = t.column("u").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -26,6 +26,7 @@ import math
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 _TWO64 = 18446744073709551616.0  # 2^64, exact in float64
 
@@ -165,8 +166,7 @@ def heavy_hitters(ds, column: str, phi: float = 0.01, slack: float = 2.0):
     cand_chunks = []
     # exact corpus total: one row per occurrence by contract
     total_n = ds.count()
-    for ref in merged.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(merged):
         if t.num_rows == 0 or "item" not in t.column_names:
             continue
         mg = t.column("mg").to_numpy(zero_copy_only=False)

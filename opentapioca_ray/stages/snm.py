@@ -34,6 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 _PAIR_SCHEMA = pa.schema(
     [("u", pa.int64()), ("v", pa.int64()), ("gap", pa.int64())]
@@ -69,8 +70,7 @@ def _sample_boundaries(slim, key_column: str, id_column: str, n_parts: int):
         return batch.filter(pa.array(keep))
 
     keys, ids = [], []
-    for ref in slim.map_batches(pick, batch_format="pyarrow").to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(slim.map_batches(pick, batch_format="pyarrow")):
         if t.num_rows == 0 or key_column not in t.column_names:
             continue
         keys.append(t.column(key_column).to_numpy(zero_copy_only=False))
@@ -172,8 +172,7 @@ def global_rank(
     # per-pid counts: P rows — the only driver-side table
     counts = partial_sum_count(with_pid.select_columns(["pid"]), "pid", [])
     pid_n = np.zeros(n_parts, dtype=np.int64)
-    for ref in counts.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(counts):
         if t.num_rows == 0 or "pid" not in t.column_names:
             continue
         p = t.column("pid").to_numpy(zero_copy_only=False).astype(np.int64)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 _VOCAB_BROADCAST_LIMIT = 20_000_000
 
@@ -122,7 +123,7 @@ def tfidf_top_terms(
 
     if mode == "broadcast":
         parts = [
-            t for t in (ray.get(r) for r in df_ds.to_arrow_refs())
+            t for t in arrow_blocks(df_ds)
             if t.num_rows and "word" in t.column_names
         ]
         if not parts:
@@ -445,8 +446,7 @@ def bm25_scores(
     n_docs = 0
     sum_dl = 0
     df: dict[str, int] = {t: 0 for t in qset}
-    for ref in rows.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(rows):
         if isinstance(t, pa.Table) and t.num_rows and "term" in t.column_names:
             terms = t.column("term").to_numpy(zero_copy_only=False)
             tfs = t.column("tf").to_numpy(zero_copy_only=False)
@@ -666,7 +666,7 @@ def pmi_bigrams(ds, text_column: str = "text", min_count: int = 5):
 
     def _total(counts_ds, col: str) -> int:
         tot = 0
-        for ref in counts_ds.map_batches(
+        for t in arrow_blocks(counts_ds.map_batches(
             lambda b: pa.table(
                 {
                     "t": pa.array(
@@ -684,8 +684,7 @@ def pmi_bigrams(ds, text_column: str = "text", min_count: int = 5):
                 }
             ),
             batch_format="pyarrow",
-        ).to_arrow_refs():
-            t = ray.get(ref)
+        )):
             if t.num_rows:
                 tot += int(t.column("t").to_numpy().sum())
         return tot

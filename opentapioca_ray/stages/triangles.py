@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 
 # fixed 16-byte SipHash key for deterministic hub chunk assignment
@@ -157,7 +158,7 @@ def count_triangles(edges_ds, mode: str = "auto"):
         # fused attach+orient: one ray.put of the sorted (node, deg) arrays,
         # one map over the edges — no join passes, no renames
         deg_tbl = pa.concat_tables(
-            [t for t in (ray.get(r) for r in deg.to_arrow_refs())
+            [t for t in arrow_blocks(deg)
              if t.num_rows and "node" in t.column_names]
         )
         nodes = deg_tbl.column("node").to_numpy(zero_copy_only=False)
@@ -238,8 +239,7 @@ def count_triangles(edges_ds, mode: str = "auto"):
     if mode == "broadcast":
         oriented = oriented.materialize()
         packed_parts = []
-        for ref in oriented.to_arrow_refs():
-            t = ray.get(ref)
+        for t in arrow_blocks(oriented):
             if t.num_rows == 0 or "src" not in t.column_names:
                 continue
             s = t.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -376,7 +376,7 @@ def per_node_triangles(edges_ds, n_parts=None):
     deg_tbl = pa.concat_tables(
         [
             t
-            for t in (ray.get(r) for r in deg.to_arrow_refs())
+            for t in arrow_blocks(deg)
             if t.num_rows and "node" in t.column_names
         ]
     )
@@ -410,8 +410,7 @@ def per_node_triangles(edges_ds, n_parts=None):
 
     oriented = edges_ds.map_batches(orient, batch_format="pyarrow").materialize()
     packed_parts = []
-    for ref in oriented.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(oriented):
         if t.num_rows == 0 or "src" not in t.column_names:
             continue
         s = t.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -700,7 +699,7 @@ def _edge_support(edges_ds, n_parts=None, return_internals=False, mode="broadcas
         return _edge_support_shuffle(edges_ds, deg, n_parts)
     deg_parts = [
         t
-        for t in (ray.get(r) for r in deg.to_arrow_refs())
+        for t in arrow_blocks(deg)
         if t.num_rows and "node" in t.column_names
     ]
     if not deg_parts:
@@ -739,8 +738,7 @@ def _edge_support(edges_ds, n_parts=None, return_internals=False, mode="broadcas
 
     oriented = edges_ds.map_batches(orient, batch_format="pyarrow").materialize()
     packed_parts = []
-    for ref in oriented.to_arrow_refs():
-        t = ray.get(ref)
+    for t in arrow_blocks(oriented):
         if t.num_rows == 0 or "src" not in t.column_names:
             continue
         s = t.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -914,8 +912,7 @@ def ktruss_edges(
         import ray.data
 
         parts = []
-        for r in edges.to_arrow_refs():
-            t = ray.get(r)
+        for t in arrow_blocks(edges):
             if isinstance(t, pd.DataFrame):
                 if len(t) == 0:
                     continue
@@ -1019,18 +1016,10 @@ def ktruss_edges(
         # --- dropped edges to the driver (same O(|E|) broadcast regime as
         # the closure edge set; shrinks geometrically after round 1) ---
         drop_parts = []
-        for r in (
+        for t in arrow_blocks(
             sup.map_batches(lambda b: split(b, False), batch_format="pyarrow")
             .materialize()
-            .to_arrow_refs()
         ):
-            t = ray.get(r)
-            if isinstance(t, pd.DataFrame):
-                # schema-less empty pandas blocks (empty map_groups
-                # outputs) pass through to_arrow_refs unconverted
-                if len(t) == 0:
-                    continue
-                t = pa.Table.from_pandas(t, preserve_index=False)
             if t.num_rows and "u" in t.column_names:
                 drop_parts.append(t)
         n_dropped = sum(t.num_rows for t in drop_parts)

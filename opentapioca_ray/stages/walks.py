@@ -38,6 +38,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 _WALK_SCHEMA = pa.schema(
     [("walker", pa.int64()), ("step", pa.int64()), ("node", pa.int64())]
@@ -316,7 +317,7 @@ def _walks_broadcast(adj, steps: int):
     import ray.data
 
     # node -> degree, node-bounded, one collect for all steps
-    refs = [t for t in ray.get(adj.to_arrow_refs()) if t.num_rows > 0]
+    refs = [t for t in arrow_blocks(adj) if t.num_rows > 0]
     if not refs:
         return ray.data.from_arrow([_WALK_SCHEMA.empty_table()])
     deg_tbl = pa.concat_tables(
@@ -375,8 +376,8 @@ def _walks_broadcast(adj, steps: int):
 
         parts = [
             t
-            for t in ray.get(
-                adj.map_batches(lookup, batch_format="pyarrow").to_arrow_refs()
+            for t in arrow_blocks(
+                adj.map_batches(lookup, batch_format="pyarrow")
             )
             if t.num_rows > 0
         ]

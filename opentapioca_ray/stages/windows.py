@@ -35,6 +35,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 
 def _ts_us(col) -> "pa.Array":
@@ -680,7 +681,7 @@ def ratio_to_report(
     units = ds.map_batches(to_units, batch_format="pyarrow").materialize()
     totals = partial_sum_count(units, group_column, ["value_e4"])
     tbl = pa.concat_tables(
-        [t for t in (ray.get(r) for r in totals.to_arrow_refs()) if t.num_rows]
+        [t for t in arrow_blocks(totals) if t.num_rows]
     )
     keys = tbl.column(group_column).to_numpy(zero_copy_only=False)
     sums = tbl.column("sum_value_e4").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -1007,7 +1008,7 @@ def global_order_index(
     hist = partial_sum_count(units.select_columns(["v_units"]), "v_units", [])
     tables = [
         t
-        for t in (ray.get(r) for r in hist.to_arrow_refs())
+        for t in arrow_blocks(hist)
         if t.num_rows and "v_units" in t.column_names
     ]
     if not tables:
@@ -1200,10 +1201,9 @@ def late_event_counts(
             return pa.table({"o": pa.array(o[keep])})
 
         sampled = []
-        for ref in rows.select_columns(["o"]).map_batches(
+        for t in arrow_blocks(rows.select_columns(["o"]).map_batches(
             pick, batch_format="pyarrow"
-        ).to_arrow_refs():
-            t = ray.get(ref)
+        )):
             if t.num_rows and "o" in t.column_names:
                 sampled.append(t.column("o").to_numpy(zero_copy_only=False))
         if sampled:
@@ -1243,10 +1243,9 @@ def late_event_counts(
         return pa.table({"pid": pa.array(uniq), "mx": pa.array(mx)})
 
     pid_max: dict[int, int] = {}
-    for ref in parted.map_batches(
+    for t in arrow_blocks(parted.map_batches(
         pid_partials, batch_format="pyarrow"
-    ).to_arrow_refs():
-        t = ray.get(ref)
+    )):
         if t.num_rows == 0 or "pid" not in t.column_names:
             continue
         for p, m in zip(

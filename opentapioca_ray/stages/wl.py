@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 _WL_SCHEMA = pa.schema([("node", pa.int64()), ("wl", pa.uint64())])
 
@@ -68,8 +69,7 @@ def wl_labels(edges_ds, rounds: int = 3, n_parts: int | None = None):
         )
 
     nodes, labs = _collect_node_u64(
-        ray.get(r)
-        for r in adj.map_batches(degree, batch_format="pyarrow").to_arrow_refs()
+        arrow_blocks(adj.map_batches(degree, batch_format="pyarrow"))
     )
 
     for _ in range(rounds):
@@ -109,10 +109,7 @@ def wl_labels(edges_ds, rounds: int = 3, n_parts: int | None = None):
             )
 
         nodes, labs = _collect_node_u64(
-            ray.get(r)
-            for r in adj.map_batches(
-                refine, batch_format="pyarrow"
-            ).to_arrow_refs()
+            arrow_blocks(adj.map_batches(refine, batch_format="pyarrow"))
         )
 
     return pa.table(

@@ -19,6 +19,7 @@ from math import log
 import pyarrow as pa
 
 from opentapioca_ray.functions.text import tokenize
+from opentapioca_ray.stages.exchange import arrow_blocks
 
 
 class BOWLanguageModel:
@@ -168,8 +169,7 @@ def train_bow(ds, text_column: str = "text", threshold: int = 2,
         mode = "driver" if partial.count() <= driver_limit else "shuffle"
     if mode == "driver":
         word_chunks, cnt_chunks = [], []
-        for ref in partial.to_arrow_refs():
-            t = ray.get(ref)
+        for t in arrow_blocks(partial):
             if t.num_rows == 0 or "word" not in t.column_names:
                 continue
             col = t.column("word")
@@ -208,12 +208,9 @@ def bow_from_dataset(ds, text_column: str = "text", threshold: int = 2) -> BOWLa
     The counts table is the small side (vocabulary), safe to collect.
     """
     kept, total = train_bow(ds, text_column, threshold)
-    tbl = kept.to_arrow_refs()
-    import ray
 
     word_count: dict[str, int] = {}
-    for ref in tbl:
-        t = ray.get(ref)
+    for t in arrow_blocks(kept):
         if t.num_rows == 0 or "word" not in t.column_names:
             continue  # empty shuffle blocks arrive schema-less
         for w, c in zip(t.column("word").to_pylist(), t.column("count").to_pylist()):
