@@ -339,6 +339,277 @@ def _q_tag_mention_counts(sf_dir: str):
     )
 
 
+def _classifier_fixture(sf_dir: str):
+    """Deterministic classifier-family fixture (round-5 verdict item 6):
+    the top-20 document-frequency tokens become surface forms with TWO
+    candidate entities each (primary Q(i+1), alt Q(101+i), i = 0-based
+    position in the unpruned top-20 list), a formula pagerank vector
+    (pr[j] = ((j % 7) + 1) / 1000), formula nb_statements/nb_sitelinks
+    ((3*id) % 11 / id % 5), an empty BOW model (log-likelihood exactly 0)
+    and a FIXED linear model with identity scaler — so every feature,
+    score and argmax winner is reproducible in closed form by the DuckDB
+    oracle. Gold: per doc, every occurrence of its most frequent kept
+    dictionary word (ties -> lexicographically smallest) labeled with
+    that word's PRIMARY entity."""
+    import numpy as np
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.text import prune_phrase
+    from opentapioca_ray.state.linear import LinearModel
+
+    dictionary = _top_tokens(sf_dir, 20)
+    rows = []
+    word_info = {}
+    for i, w in enumerate(dictionary):
+        if prune_phrase(w):
+            continue
+        for eid in (i + 1, 101 + i):
+            rows.append(
+                {
+                    "id": f"Q{eid}",
+                    "label": w,
+                    "aliases": [],
+                    "extra_aliases": [],
+                    "edges": [],
+                    "nb_statements": (3 * eid) % 11,
+                    "nb_sitelinks": eid % 5,
+                }
+            )
+        word_info[w] = f"Q{i + 1}"
+    ents = pa.Table.from_pylist(
+        rows,
+        schema=pa.schema(
+            [
+                ("id", pa.string()),
+                ("label", pa.string()),
+                ("aliases", pa.list_(pa.string())),
+                ("extra_aliases", pa.list_(pa.string())),
+                ("edges", pa.list_(pa.int64())),
+                ("nb_statements", pa.int32()),
+                ("nb_sitelinks", pa.int32()),
+            ]
+        ),
+    )
+    pr = ((np.arange(1000) % 7) + 1) / 1000.0
+    bow = {"word_count": {}, "total_count": 0}
+    model = LinearModel.from_dict(
+        {
+            "C": 0.001,
+            "max_iter": 1,
+            "lr": 0.05,
+            "w": [0.0, 1.0, 0.3, -0.7, 0.2],
+            "b": -20.0,
+            "mean": [0.0] * 5,
+            "scale": [1.0] * 5,
+        }
+    )
+    return ents, pr, bow, model, word_info
+
+
+def _classifier_gold(sf_dir: str, word_info: dict):
+    """Distributed gold build: per doc pick the gold word (max occurrence
+    count among kept dictionary words, ties -> smallest word) and emit one
+    (doc_id, begin, end, gold_qid) row per occurrence, with offsets from
+    the SAME tokenizer the tagger uses. Output is slim (ints + one qid)
+    and bounded by the gold-word occurrence count — the labeled-corpus
+    regime this harness models."""
+    import pyarrow as pa
+
+    from opentapioca_ray.functions.text import _WORD_RE, analyze_term
+
+    gold_schema = pa.schema(
+        [
+            ("doc_id", pa.string()),
+            ("begin", pa.int32()),
+            ("end", pa.int32()),
+            ("gold_qid", pa.string()),
+        ]
+    )
+
+    def gold_rows(batch: pa.Table) -> pa.Table:
+        cols = {name: [] for name in gold_schema.names}
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(),
+            batch.column("text").to_pylist(),
+        ):
+            if not text:
+                continue
+            text = text[:10000]
+            spans: dict[str, list] = {}
+            for m in _WORD_RE.finditer(text):
+                tok = analyze_term(m[0])
+                if tok in word_info:
+                    spans.setdefault(tok, []).append((m.start(), m.end()))
+            if not spans:
+                continue
+            gold_word = min(spans, key=lambda w: (-len(spans[w]), w))
+            qid = word_info[gold_word]
+            for b, e in spans[gold_word]:
+                cols["doc_id"].append(str(doc_id))
+                cols["begin"].append(b)
+                cols["end"].append(e)
+                cols["gold_qid"].append(qid)
+        return pa.table(
+            {
+                n: pa.array(cols[n], type=gold_schema.field(n).type)
+                for n in gold_schema.names
+            },
+            schema=gold_schema,
+        )
+
+    return _docs(sf_dir).map_batches(gold_rows, batch_format="pyarrow")
+
+
+def _q_design_matrix_stats(sf_dir: str):
+    """ST4/J3/A6 design-matrix core under the driver's gate: tag with the
+    deterministic two-candidate dictionary, join gold on (begin, end),
+    build each doc's training rows via the REAL `doc_design_matrix`
+    (nb_steps=0 -> the 5 base features, closed-form for the oracle) and
+    roll them up per doc: row count, positive-label count, and quantized
+    sums of the rank / nb_statements / nb_sitelinks feature columns."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from opentapioca_ray.pipelines.annotate import tag_documents
+    from opentapioca_ray.stages.classify import (
+        ClassifierParams,
+        doc_design_matrix,
+        mentions_from_rows,
+    )
+    from opentapioca_ray.stages.exchange import coarse_group_apply, right_size
+
+    ents, pr, bow, _model, word_info = _classifier_fixture(sf_dir)
+    gold = _classifier_gold(sf_dir, word_info).materialize()
+    gold_by_doc: dict[str, dict] = {}
+    for t in arrow_blocks(gold):
+        if t.num_rows == 0 or "doc_id" not in t.column_names:
+            continue
+        for d, b, e, q in zip(
+            t.column("doc_id").to_pylist(),
+            t.column("begin").to_pylist(),
+            t.column("end").to_pylist(),
+            t.column("gold_qid").to_pylist(),
+        ):
+            gold_by_doc.setdefault(d, {})[(b, e)] = q
+    params = ClassifierParams(nb_steps=0)
+    tags = tag_documents(_docs(sf_dir), ents, bow, pr)
+
+    def doc_stats(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype=np.int64),
+                "n_rows": pd.Series(dtype=np.int64),
+                "n_pos": pd.Series(dtype=np.int64),
+                "sum_rank_e6": pd.Series(dtype=np.int64),
+                "sum_nbst": pd.Series(dtype=np.int64),
+                "sum_nbsi": pd.Series(dtype=np.int64),
+            }
+        )
+        if df.empty or "doc_id" not in df.columns:
+            return empty
+        out = []
+        for doc_id, doc_df in df.groupby("doc_id", sort=False):
+            mentions = mentions_from_rows(doc_df)
+            X, y = doc_design_matrix(
+                mentions, gold_by_doc.get(str(doc_id), {}), params
+            )
+            if not X:
+                continue
+            Xa = np.asarray(X, dtype=np.float64)
+            out.append(
+                {
+                    "doc_id": int(doc_id),
+                    "n_rows": len(X),
+                    "n_pos": int(sum(y)),
+                    "sum_rank_e6": int(
+                        np.floor(1e6 * Xa[:, 1] + 0.5).astype(np.int64).sum()
+                    ),
+                    "sum_nbst": int(Xa[:, 2].sum()),
+                    "sum_nbsi": int(Xa[:, 3].sum()),
+                }
+            )
+        return pd.DataFrame(out) if out else empty
+
+    stats = coarse_group_apply(tags, "doc_id", doc_stats)
+    return right_size(stats.materialize())
+
+
+def _q_nif_micro_f1(sf_dir: str):
+    """A5/K4 micro-P/R/F1 under the driver's gate: the REAL annotate path
+    (tagger -> per-doc classify with the fixed linear model, strict
+    argmax > 0 accept) scored against the deterministic gold, with the
+    match/prediction counting distributed (gold broadcast, per-batch merge)
+    and only scalar counters reaching the driver."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from opentapioca_ray.pipelines.annotate import tag_documents
+    from opentapioca_ray.stages.classify import ClassifierParams, classify_dataset
+
+    ents, pr, bow, model, word_info = _classifier_fixture(sf_dir)
+    gold = _classifier_gold(sf_dir, word_info).materialize()
+    n_gold = gold.count()
+    gold_df = pa.concat_tables(
+        [t for t in arrow_blocks(gold) if t.num_rows]
+    ).to_pandas() if n_gold else pd.DataFrame(
+        {"doc_id": [], "begin": [], "end": [], "gold_qid": []}
+    )
+    gold_ref = ray.put(gold_df)
+    params = ClassifierParams(nb_steps=0)
+    tags = tag_documents(_docs(sf_dir), ents, bow, pr)
+    result = classify_dataset(tags, model, params)
+
+    def count_batch(batch: pa.Table) -> pa.Table:
+        schema = pa.schema([("n_pred", pa.int64()), ("n_match", pa.int64())])
+        if batch.num_rows == 0 or "is_best" not in batch.column_names:
+            return schema.empty_table()
+        import pyarrow.compute as pc
+
+        best = batch.filter(pc.equal(batch.column("is_best"), pa.scalar(True)))
+        if best.num_rows == 0:
+            return schema.empty_table()
+        gdf = ray.get(gold_ref)
+        pdf = best.select(["doc_id", "start", "end", "best_qid"]).to_pandas()
+        merged = pdf.merge(
+            gdf,
+            left_on=["doc_id", "start", "end"],
+            right_on=["doc_id", "begin", "end"],
+            how="left",
+        )
+        n_match = int((merged["best_qid"] == merged["gold_qid"]).sum())
+        return pa.table(
+            {
+                "n_pred": pa.array([best.num_rows], pa.int64()),
+                "n_match": pa.array([n_match], pa.int64()),
+            }
+        )
+
+    parts = result.map_batches(count_batch, batch_format="pyarrow").take_all()
+    n_pred = sum(r["n_pred"] for r in parts)
+    n_match = sum(r["n_match"] for r in parts)
+    precision = n_match / n_pred if n_pred else 1.0
+    recall = n_match / n_gold if n_gold else 1.0
+    f1 = (
+        2 * precision * recall / (precision + recall)
+        if (precision + recall) > 0
+        else 0.0
+    )
+    q = lambda x: int(np.floor(1e6 * x + 0.5))
+    return pa.table(
+        {
+            "n_pred": pa.array([n_pred], pa.int64()),
+            "n_gold": pa.array([n_gold], pa.int64()),
+            "n_match": pa.array([n_match], pa.int64()),
+            "precision_e6": pa.array([q(precision)], pa.int64()),
+            "recall_e6": pa.array([q(recall)], pa.int64()),
+            "f1_e6": pa.array([q(f1)], pa.int64()),
+        }
+    )
+
+
 def _top_tokens(sf_dir: str, k: int) -> list[str]:
     """Deterministic dictionary: top-k tokens by document frequency
     (ties broken by token) computed once, driver-side, via DuckDB for
@@ -9870,6 +10141,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": _q_lang_id,
         "fingerprint_dups": _q_fingerprints,
         "tag_mention_counts": _q_tag_mention_counts,
+        "design_matrix_stats": _q_design_matrix_stats,
+        "nif_micro_f1": _q_nif_micro_f1,
         "graph_edges": _q_graph_edges,
         "pagerank": _q_pagerank,
         "minhash_dedup": _q_minhash_dedup,
@@ -10667,6 +10940,147 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_mentions
             FROM toks JOIN kept_dict ON toks.word = kept_dict.word
             GROUP BY 1, 2
+        """,
+        "design_matrix_stats": f"""
+            -- classifier design matrix (nb_steps=0) in closed form: two
+            -- candidates per dictionary word (primary id=rn, alt id=100+rn),
+            -- rank = 23 + ln(((id %% 7)+1)/1000), nbst = (3*id) %% 11,
+            -- nbsi = id %% 5; gold word per doc = max count, tie -> min word
+            WITH df AS (
+              SELECT trim(t.w) AS word, count(DISTINCT doc_id) AS df
+              FROM documents,
+                   unnest(regexp_split_to_array(' ' || text || ' ', '{_SEP}')) AS t(w)
+              WHERE trim(t.w) != ''
+              GROUP BY 1
+            ),
+            dict AS (
+              SELECT word, row_number() OVER (ORDER BY df DESC, word) AS i
+              FROM (SELECT * FROM df ORDER BY df DESC, word LIMIT 20)
+            ),
+            kept_dict AS (
+              SELECT word, i FROM dict
+              WHERE NOT (regexp_full_match(word, '(\\w\\w?|[\\d ]{{0,4}})')
+                         AND word = lower(word))
+            ),
+            toks AS (
+              SELECT doc_id, t.w AS word
+              FROM documents,
+                   unnest(string_split(text, ' ')) AS t(w)
+            ),
+            counts AS (
+              SELECT toks.doc_id AS doc_id, kept_dict.word AS word,
+                     kept_dict.i AS i, count(*) AS cnt
+              FROM toks JOIN kept_dict ON toks.word = kept_dict.word
+              GROUP BY 1, 2, 3
+            ),
+            gold AS (
+              SELECT doc_id, cnt FROM (
+                SELECT doc_id, cnt,
+                       row_number() OVER (
+                         PARTITION BY doc_id ORDER BY cnt DESC, word
+                       ) AS rn
+                FROM counts
+              ) WHERE rn = 1
+            ),
+            per_word AS (
+              SELECT doc_id, cnt,
+                floor(1e6 * (23.0 + ln(((i % 7) + 1) / 1000.0)) + 0.5)::BIGINT
+                  + floor(1e6 * (23.0 + ln((((100 + i) % 7) + 1) / 1000.0))
+                          + 0.5)::BIGINT AS r2_e6,
+                (3 * i) % 11 + (3 * (100 + i)) % 11 AS nbst2,
+                (i % 5) + ((100 + i) % 5) AS nbsi2
+              FROM counts
+            ),
+            agg AS (
+              SELECT doc_id,
+                     (2 * sum(cnt))::BIGINT AS n_rows,
+                     sum(cnt * r2_e6)::BIGINT AS sum_rank_e6,
+                     sum(cnt * nbst2)::BIGINT AS sum_nbst,
+                     sum(cnt * nbsi2)::BIGINT AS sum_nbsi
+              FROM per_word GROUP BY 1
+            )
+            SELECT a.doc_id AS doc_id, a.n_rows, g.cnt::BIGINT AS n_pos,
+                   a.sum_rank_e6, a.sum_nbst, a.sum_nbsi
+            FROM agg a JOIN gold g USING (doc_id)
+        """,
+        "nif_micro_f1": f"""
+            -- the annotate path in closed form: per-word argmax winner of
+            -- score = rank + 0.3*nbst - 0.7*nbsi + 0.2 - 20 over the two
+            -- candidates, strict > 0 accept; micro P/R/F1 vs the per-doc
+            -- gold word (all its occurrences, primary entity)
+            WITH df AS (
+              SELECT trim(t.w) AS word, count(DISTINCT doc_id) AS df
+              FROM documents,
+                   unnest(regexp_split_to_array(' ' || text || ' ', '{_SEP}')) AS t(w)
+              WHERE trim(t.w) != ''
+              GROUP BY 1
+            ),
+            dict AS (
+              SELECT word, row_number() OVER (ORDER BY df DESC, word) AS i
+              FROM (SELECT * FROM df ORDER BY df DESC, word LIMIT 20)
+            ),
+            kept_dict AS (
+              SELECT word, i FROM dict
+              WHERE NOT (regexp_full_match(word, '(\\w\\w?|[\\d ]{{0,4}})')
+                         AND word = lower(word))
+            ),
+            cand AS (
+              SELECT word, i, v.id,
+                (23.0 + ln(((v.id % 7) + 1) / 1000.0))
+                  + 0.3 * ((3 * v.id) % 11) - 0.7 * (v.id % 5) + 0.2 - 20.0
+                  AS score
+              FROM kept_dict, LATERAL (VALUES (i), (100 + i)) AS v(id)
+            ),
+            winner AS (
+              SELECT word, i, id, score FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY word ORDER BY score DESC
+                ) AS rn FROM cand
+              ) WHERE rn = 1
+            ),
+            toks AS (
+              SELECT doc_id, t.w AS word
+              FROM documents,
+                   unnest(string_split(text, ' ')) AS t(w)
+            ),
+            counts AS (
+              SELECT toks.doc_id AS doc_id, kept_dict.word AS word,
+                     kept_dict.i AS i, count(*) AS cnt
+              FROM toks JOIN kept_dict ON toks.word = kept_dict.word
+              GROUP BY 1, 2, 3
+            ),
+            gold AS (
+              SELECT doc_id, word, i, cnt FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY doc_id ORDER BY cnt DESC, word
+                ) AS rn FROM counts
+              ) WHERE rn = 1
+            ),
+            sums AS (
+              SELECT
+                (SELECT coalesce(sum(c.cnt), 0) FROM counts c
+                 JOIN winner w ON c.word = w.word
+                 WHERE w.score > 0)::BIGINT AS n_pred,
+                (SELECT coalesce(sum(cnt), 0) FROM gold)::BIGINT AS n_gold,
+                (SELECT coalesce(sum(g.cnt), 0) FROM gold g
+                 JOIN winner w ON g.word = w.word
+                 WHERE w.score > 0 AND w.id = g.i)::BIGINT AS n_match
+            ),
+            pr AS (
+              SELECT n_pred, n_gold, n_match,
+                CASE WHEN n_pred > 0 THEN n_match::DOUBLE / n_pred
+                     ELSE 1.0 END AS p,
+                CASE WHEN n_gold > 0 THEN n_match::DOUBLE / n_gold
+                     ELSE 1.0 END AS r
+              FROM sums
+            )
+            SELECT n_pred, n_gold, n_match,
+                   floor(1e6 * p + 0.5)::BIGINT AS precision_e6,
+                   floor(1e6 * r + 0.5)::BIGINT AS recall_e6,
+                   floor(1e6 * (CASE WHEN p + r > 0
+                                     THEN 2 * p * r / (p + r)
+                                     ELSE 0.0 END) + 0.5)::BIGINT AS f1_e6
+            FROM pr
         """,
         "ngram_jaccard_pairs": f"""
             WITH toks AS (

@@ -242,6 +242,8 @@ BENCH_QUERIES = [
     "t_closeness",
     "cross_source_links",
     "vendored_files",
+    "design_matrix_stats",
+    "nif_micro_f1",
 ]
 
 

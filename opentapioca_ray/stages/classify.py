@@ -110,7 +110,13 @@ def compute_similarities(mentions: list[MentionRec], params: ClassifierParams) -
     """Within-document tag-similarity graph (reference classifier.py:341-374):
     self-loop at `similarity_smoothing`, distance-decayed edge scores to tags
     of mentions within `max_similarity_distance` chars, normalized per tag to
-    the probability simplex."""
+    the probability simplex.
+
+    With `nb_steps == 0` the propagation loop never runs and the adjacency
+    is dead weight, so the O(mentions^2 x tags^2) graph build is skipped
+    entirely (the hot cost of the classify path at that setting)."""
+    if params.nb_steps == 0:
+        return
     sim_fn = get_similarity(params.similarity, params.beta)
     maxd = params.max_similarity_distance
     for mention in mentions:
