@@ -244,6 +244,74 @@ RESULT_COLUMNS = [
 ]
 
 
+def classify_partition_vectorized(
+    df: pd.DataFrame, model: LinearModel, params: ClassifierParams
+) -> pd.DataFrame:
+    """`nb_steps == 0` fast path over a whole partition: the feature matrix
+    is just the 5 base columns, so scores are one matmul and the per-mention
+    argmax runs as a segment reduction — no MentionRec/TagRec construction,
+    no per-doc Python loop. Exactly reproduces the per-row path's winner
+    tie-break: tags scanned in (rank desc, original row order) with strict
+    `>`, i.e. the FIRST maximal-score tag in that order wins (equivalence
+    fuzz-pinned in tests/test_classify_vectorized.py)."""
+    n = len(df)
+    doc = df["doc_id"].astype(str).to_numpy(dtype=object)
+    start = df["start"].to_numpy(dtype=np.int64)
+    end = df["end"].to_numpy(dtype=np.int64)
+    rank = df["rank"].to_numpy(dtype=np.float64)
+    ll = df["log_likelihood"].to_numpy(dtype=np.float64)
+    phrase = df["phrase"].to_numpy(dtype=object)
+    doc_code = pd.factorize(doc, sort=False)[0]
+    pos = np.arange(n, dtype=np.int64)
+    order = np.lexsort((pos, -rank, end, start, doc_code))
+    dc, st, en = doc_code[order], start[order], end[order]
+    new_seg = np.concatenate(
+        ([True], (dc[1:] != dc[:-1]) | (st[1:] != st[:-1]) | (en[1:] != en[:-1]))
+    )
+    seg_id = np.cumsum(new_seg) - 1
+    starts_idx = np.flatnonzero(new_seg)
+    # the per-row path takes the MENTION's log_likelihood and phrase from
+    # its first ORIGINAL row (mentions_from_rows `grp.iloc[0]`) for every
+    # tag row — reproduce via the min original position per segment
+    first_pos = np.minimum.reduceat(pos[order], starts_idx)
+    ll_seg = ll[first_pos][seg_id]
+    phrase_seg = phrase[first_pos][seg_id]
+    X = np.column_stack(
+        [
+            ll_seg,
+            rank[order],
+            df["nb_statements"].to_numpy(dtype=np.float64)[order],
+            df["nb_sitelinks"].to_numpy(dtype=np.float64)[order],
+            np.ones(n),
+        ]
+    )
+    sc = model.decision_function(X)
+    seg_max = np.maximum.reduceat(sc, starts_idx)
+    # first maximal-score row per segment in (rank desc, row order) order
+    cand = np.flatnonzero(sc == seg_max[seg_id])
+    _, first_of = np.unique(seg_id[cand], return_index=True)
+    win_idx = cand[first_of]
+    accepted = seg_max > params.score_threshold
+    qid_sorted = df["qid"].to_numpy(dtype=object)[order]
+    best_per_seg = np.where(accepted, qid_sorted[win_idx], None)
+    best_col = best_per_seg[seg_id]
+    is_best = np.zeros(n, dtype=bool)
+    is_best[win_idx[accepted]] = True
+    return pd.DataFrame(
+        {
+            "doc_id": doc[order],
+            "start": st,
+            "end": en,
+            "phrase": phrase_seg,
+            "qid": qid_sorted,
+            "score": sc,
+            "is_best": is_best,
+            "best_qid": best_col,
+        },
+        columns=RESULT_COLUMNS,
+    )
+
+
 def make_classify_group_fn(model_dict: dict, params: ClassifierParams):
     """Group fn for `tags_ds.groupby('doc_id').map_groups(fn)`: one output
     row per candidate tag with its score and the mention-level winner."""
@@ -289,6 +357,8 @@ def classify_dataset(tags_ds, model: LinearModel, params: ClassifierParams):
         if df.empty:
             return pd.DataFrame(columns=RESULT_COLUMNS)
         mdl = LinearModel.from_dict(model_dict)
+        if params.nb_steps == 0:
+            return classify_partition_vectorized(df, mdl, params)
         outs = []
         for _, doc_df in df.groupby("doc_id", sort=False):
             mentions = mentions_from_rows(doc_df)
