@@ -463,39 +463,39 @@ def _classifier_gold(sf_dir: str, word_info: dict):
 def _q_design_matrix_stats(sf_dir: str):
     """ST4/J3/A6 design-matrix core under the driver's gate: tag with the
     deterministic two-candidate dictionary, join gold on (begin, end),
-    build each doc's training rows via the REAL `doc_design_matrix`
-    (nb_steps=0 -> the 5 base features, closed-form for the oracle) and
-    roll them up per doc: row count, positive-label count, and quantized
-    sums of the rank / nb_statements / nb_sitelinks feature columns."""
+    build the training rows via `design_rows_vectorized` (the nb_steps=0
+    fast path of `doc_design_matrix`, fuzz-pinned equivalent to the
+    per-doc build) and roll them up per doc: row count, positive-label
+    count, and quantized sums of the rank / nb_statements / nb_sitelinks
+    feature columns."""
     import numpy as np
     import pandas as pd
     import pyarrow as pa
 
+    import ray
+
     from opentapioca_ray.pipelines.annotate import tag_documents
-    from opentapioca_ray.stages.classify import (
-        ClassifierParams,
-        doc_design_matrix,
-        mentions_from_rows,
-    )
+    from opentapioca_ray.stages.classify import ClassifierParams
     from opentapioca_ray.stages.exchange import coarse_group_apply, right_size
 
     ents, pr, bow, _model, word_info = _classifier_fixture(sf_dir)
     gold = _classifier_gold(sf_dir, word_info).materialize()
-    gold_by_doc: dict[str, dict] = {}
-    for t in arrow_blocks(gold):
-        if t.num_rows == 0 or "doc_id" not in t.column_names:
-            continue
-        for d, b, e, q in zip(
-            t.column("doc_id").to_pylist(),
-            t.column("begin").to_pylist(),
-            t.column("end").to_pylist(),
-            t.column("gold_qid").to_pylist(),
-        ):
-            gold_by_doc.setdefault(d, {})[(b, e)] = q
+    gold_df = (
+        pa.concat_tables([t for t in arrow_blocks(gold) if t.num_rows])
+        .to_pandas()
+        if gold.count()
+        else pd.DataFrame({"doc_id": [], "begin": [], "end": [], "gold_qid": []})
+    )
+    gold_ref = ray.put(gold_df)
     params = ClassifierParams(nb_steps=0)
     tags = tag_documents(_docs(sf_dir), ents, bow, pr)
 
     def doc_stats(df: pd.DataFrame) -> pd.DataFrame:
+        """Per-doc roll-up of the vectorized design rows (equivalence to
+        the per-doc `doc_design_matrix` path is fuzz-pinned in
+        tests/test_classify_vectorized.py)."""
+        from opentapioca_ray.stages.classify import design_rows_vectorized
+
         empty = pd.DataFrame(
             {
                 "doc_id": pd.Series(dtype=np.int64),
@@ -508,28 +508,20 @@ def _q_design_matrix_stats(sf_dir: str):
         )
         if df.empty or "doc_id" not in df.columns:
             return empty
-        out = []
-        for doc_id, doc_df in df.groupby("doc_id", sort=False):
-            mentions = mentions_from_rows(doc_df)
-            X, y = doc_design_matrix(
-                mentions, gold_by_doc.get(str(doc_id), {}), params
-            )
-            if not X:
-                continue
-            Xa = np.asarray(X, dtype=np.float64)
-            out.append(
-                {
-                    "doc_id": int(doc_id),
-                    "n_rows": len(X),
-                    "n_pos": int(sum(y)),
-                    "sum_rank_e6": int(
-                        np.floor(1e6 * Xa[:, 1] + 0.5).astype(np.int64).sum()
-                    ),
-                    "sum_nbst": int(Xa[:, 2].sum()),
-                    "sum_nbsi": int(Xa[:, 3].sum()),
-                }
-            )
-        return pd.DataFrame(out) if out else empty
+        docs, X, y = design_rows_vectorized(df, ray.get(gold_ref), params)
+        if not len(docs):
+            return empty
+        frame = pd.DataFrame(
+            {
+                "doc_id": docs.astype(np.int64),
+                "n_rows": np.ones(len(docs), dtype=np.int64),
+                "n_pos": y,
+                "sum_rank_e6": np.floor(1e6 * X[:, 1] + 0.5).astype(np.int64),
+                "sum_nbst": X[:, 2].astype(np.int64),
+                "sum_nbsi": X[:, 3].astype(np.int64),
+            }
+        )
+        return frame.groupby("doc_id", sort=False, as_index=False).sum()
 
     stats = coarse_group_apply(tags, "doc_id", doc_stats)
     return right_size(stats.materialize())

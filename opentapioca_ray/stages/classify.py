@@ -312,6 +312,61 @@ def classify_partition_vectorized(
     )
 
 
+def design_rows_vectorized(
+    df: pd.DataFrame, gold: pd.DataFrame, params: ClassifierParams
+):
+    """`doc_design_matrix` for a whole partition at `nb_steps == 0`:
+    returns `(doc_ids, X, y)` arrays where X is the 5 base feature columns
+    and y is the gold-join validity label — one left merge + column
+    stacking instead of per-doc MentionRec construction. Matches the
+    per-doc path's conventions exactly (mention log_likelihood taken from
+    the mention's first original row; unlabeled mentions contribute y=0
+    rows); equivalence fuzz-pinned in tests/test_classify_vectorized.py.
+
+    `gold` columns: doc_id (string), begin, end, gold_qid."""
+    n = len(df)
+    doc = df["doc_id"].astype(str)
+    ll_first = (
+        df["log_likelihood"]
+        .groupby([doc, df["start"], df["end"]], sort=False)
+        .transform("first")
+        .to_numpy(dtype=np.float64)
+    )
+    X = np.column_stack(
+        [
+            ll_first,
+            df["rank"].to_numpy(dtype=np.float64),
+            df["nb_statements"].to_numpy(dtype=np.float64),
+            df["nb_sitelinks"].to_numpy(dtype=np.float64),
+            np.ones(n),
+        ]
+    )
+    if len(gold):
+        g = gold[["doc_id", "begin", "end", "gold_qid"]].copy()
+        g["doc_id"] = g["doc_id"].astype(str)
+        # dict-build semantics: one gold qid per (doc, begin, end), last wins
+        g = g.drop_duplicates(["doc_id", "begin", "end"], keep="last")
+        merged = pd.DataFrame(
+            {
+                "doc_id": doc.to_numpy(dtype=object),
+                "start": df["start"].to_numpy(dtype=np.int64),
+                "end": df["end"].to_numpy(dtype=np.int64),
+                "qid": df["qid"].to_numpy(dtype=object),
+            }
+        ).merge(
+            g,
+            left_on=["doc_id", "start", "end"],
+            right_on=["doc_id", "begin", "end"],
+            how="left",
+        )
+        y = (
+            (merged["qid"] == merged["gold_qid"]).to_numpy(dtype=bool)
+        ).astype(np.int64)
+    else:
+        y = np.zeros(n, dtype=np.int64)
+    return doc.to_numpy(dtype=object), X, y
+
+
 def make_classify_group_fn(model_dict: dict, params: ClassifierParams):
     """Group fn for `tags_ds.groupby('doc_id').map_groups(fn)`: one output
     row per candidate tag with its score and the mention-level winner."""

@@ -123,3 +123,52 @@ def test_threshold_respected():
         rejected_mentions.groupby(["doc_id", "start", "end"])["score"].max()
         <= 5.0
     ).all()
+
+
+def random_gold(df, seed):
+    """Gold for ~half the mentions; some with qids not among the tags."""
+    rng = np.random.default_rng(seed + 99)
+    rows = []
+    for (d, s, e), grp in df.groupby(["doc_id", "start", "end"]):
+        r = rng.random()
+        if r < 0.4:
+            rows.append(
+                {"doc_id": d, "begin": s, "end": e,
+                 "gold_qid": grp["qid"].iloc[int(rng.integers(len(grp)))]}
+            )
+        elif r < 0.55:
+            rows.append({"doc_id": d, "begin": s, "end": e, "gold_qid": "Q_none"})
+    return pd.DataFrame(rows, columns=["doc_id", "begin", "end", "gold_qid"])
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_design_rows_vectorized_matches_doc_design_matrix(seed):
+    from opentapioca_ray.stages.classify import (
+        design_rows_vectorized,
+        doc_design_matrix,
+    )
+
+    df = random_partition(seed, n_docs=5)
+    if df.empty:
+        pytest.skip("empty draw")
+    gold = random_gold(df, seed)
+    params = ClassifierParams(nb_steps=0)
+
+    docs, X, y = design_rows_vectorized(df, gold, params)
+
+    gold_by_doc = {}
+    for r in gold.itertuples():
+        gold_by_doc.setdefault(str(r.doc_id), {})[(r.begin, r.end)] = r.gold_qid
+    want = []
+    for doc_id, doc_df in df.groupby("doc_id", sort=False):
+        mentions = mentions_from_rows(doc_df)
+        Xd, yd = doc_design_matrix(
+            mentions, gold_by_doc.get(str(doc_id), {}), params
+        )
+        for row, lab in zip(Xd, yd):
+            want.append((str(doc_id), tuple(np.round(row, 9)), int(lab)))
+    got = [
+        (str(d), tuple(np.round(x, 9)), int(l))
+        for d, x, l in zip(docs, X, y)
+    ]
+    assert sorted(got) == sorted(want)
