@@ -42,30 +42,44 @@ def tag_documents(
 ):
     """documents -> flat (mention, tag) rows; entity state broadcast once.
 
-    `actors` builds the trie once per actor (right when the dictionary is
-    large — the reference's full Wikidata surface-form index); `tasks` runs
-    on the already-warm worker pool rebuilding the trie per batch (right for
-    small dictionaries, where actor pool spin-up dominates). `auto` picks
-    tasks below 10k entities."""
+    `actors` is for large dictionaries (the reference's full Wikidata
+    surface-form index): the catalog + int-code automaton + tag tables are
+    built ONCE in a single Ray task (`build_tagger_state`) and every actor
+    of the pool adopts the shared object-store copy — the dictionary
+    compile is paid per JOB, not per actor. `tasks` runs on the
+    already-warm worker pool rebuilding the (small) state per batch (right
+    where actor pool spin-up dominates). `auto` picks tasks below 10k
+    entities."""
     import ray
+
+    from opentapioca_ray.stages.tagger import build_tagger_state
 
     if mode == "auto":
         mode = "tasks" if entities.num_rows < 10_000 else "actors"
-    kwargs = {
-        "entities_ref": ray.put(entities),
-        "bow_ref": ray.put(bow_counts),
-        "pagerank_ref": ray.put(pagerank),
-        "doc_id_column": doc_id_column,
-        "text_column": text_column,
-    }
     if mode == "tasks":
+        kwargs = {
+            "entities_ref": ray.put(entities),
+            "bow_ref": ray.put(bow_counts),
+            "pagerank_ref": ray.put(pagerank),
+            "doc_id_column": doc_id_column,
+            "text_column": text_column,
+        }
+
         def tag_batch(batch: pa.Table) -> pa.Table:
             return TaggerStage(**kwargs)(batch)
 
         return docs_ds.map_batches(tag_batch, batch_format="pyarrow")
+    build_remote = ray.remote(num_cpus=1)(build_tagger_state)
+    state_ref = build_remote.remote(
+        ray.put(entities), bow_counts, pagerank
+    )
     return docs_ds.map_batches(
         TaggerStage,
-        fn_constructor_kwargs=kwargs,
+        fn_constructor_kwargs={
+            "state_ref": state_ref,
+            "doc_id_column": doc_id_column,
+            "text_column": text_column,
+        },
         batch_format="pyarrow",
         concurrency=concurrency or (1, 8),
     )

@@ -114,17 +114,115 @@ def tag_document(
     return rows
 
 
+class TaggerSharedState:
+    """Immutable, build-ONCE tagger state: the entity catalog, the compiled
+    int-code automaton, the BOW/pagerank models and the flattened per-state
+    tag tables. Built in a single Ray task by `build_tagger_state` and
+    shared by every actor of the pool through the object store — at full
+    dictionary scale (millions of surface forms) the trie + automaton
+    compile is minutes of CPU, paid once instead of once per actor.
+    Everything here is read-only after construction; per-actor MUTABLE memo
+    caches stay on `TaggerStage`."""
+
+    __slots__ = (
+        "catalog",
+        "matcher",
+        "bow",
+        "graph",
+        "top_k",
+        "node_off",
+        "node_ntags",
+        "tag_qid",
+        "tag_label",
+        "tag_rank",
+        "tag_nbst",
+        "tag_nbsi",
+        "tag_edges",
+    )
+
+
+def build_tagger_state(
+    entities: pa.Table, bow=None, pagerank=None, top_k: int = 10
+) -> TaggerSharedState:
+    """Build the shared tagger state (see `TaggerSharedState`)."""
+    import numpy as np
+
+    st = TaggerSharedState()
+    st.catalog = EntityCatalog(entities)
+    if bow is None:
+        bow = BOWLanguageModel.from_counts({}, 0)
+    elif isinstance(bow, dict):
+        bow = BOWLanguageModel.from_counts(bow["word_count"], bow["total_count"])
+    st.bow = bow
+    if pagerank is None:
+        pagerank = np.array([1.0])
+    st.graph = pagerank_from_vector(pagerank)
+    st.top_k = top_k
+    st.matcher = st.catalog.trie.compiled()
+
+    def tags_of(ids):
+        tags = []
+        for eid in ids:
+            rec = st.catalog.docs[eid]
+            numeric = (
+                int(eid[1:])
+                if eid[:1] in ("Q", "R") and eid[1:].isdigit()
+                else -1
+            )
+            tags.append((rec, st.graph.rank_feature(numeric)))
+        tags.sort(key=lambda t: -t[1])
+        return tags[:top_k]
+
+    mat = st.matcher
+    n_tags = np.zeros(mat.n_states, dtype=np.int64)
+    qid_f: list = []
+    label_f: list = []
+    rank_f: list = []
+    nbst_f: list = []
+    nbsi_f: list = []
+    edges_f: list = []
+    for t in range(mat.n_states):
+        ids = mat.out_ids[t]
+        if not ids:
+            continue
+        tags = tags_of(ids)
+        n_tags[t] = len(tags)
+        for rec, rank in tags:
+            qid_f.append(rec["id"])
+            label_f.append(rec["label"])
+            rank_f.append(rank)
+            nbst_f.append(int(rec["nb_statements"] or 0))
+            nbsi_f.append(int(rec["nb_sitelinks"] or 0))
+            edges_f.append([int(e) for e in (rec["edges"] or [])])
+    st.node_off = np.concatenate(([0], np.cumsum(n_tags))).astype(np.int64)
+    st.node_ntags = n_tags
+    st.tag_qid = np.array(qid_f, dtype=object)
+    st.tag_label = np.array(label_f, dtype=object)
+    st.tag_rank = np.array(rank_f, dtype=np.float64)
+    st.tag_nbst = np.array(nbst_f, dtype=np.int32)
+    st.tag_nbsi = np.array(nbsi_f, dtype=np.int32)
+    edges_obj = np.empty(len(edges_f), dtype=object)
+    for i, e in enumerate(edges_f):
+        edges_obj[i] = e
+    st.tag_edges = edges_obj
+    return st
+
+
 class TaggerStage:
     """Callable class for `ds.map_batches(TaggerStage, concurrency=N, ...)`.
 
     Constructor args are `ray.ObjectRef`s so the (large) entity table, BOW
     dict and pagerank vector ship through the object store once per actor,
-    not once per batch.
+    not once per batch. Pass `state_ref` (a ref to a PREBUILT
+    `TaggerSharedState` from `build_tagger_state`) to skip the per-actor
+    catalog/automaton build entirely — the actors-mode path in
+    `pipelines/annotate.tag_documents` does this, so the dictionary
+    compile runs once per JOB, not once per actor.
     """
 
     def __init__(
         self,
-        entities_ref,
+        entities_ref=None,
         bow_ref=None,
         pagerank_ref=None,
         doc_id_column: str = "doc_id",
@@ -133,82 +231,55 @@ class TaggerStage:
         tags_limit: int = 500,
         top_k: int = 10,
         prune: bool = True,
+        state_ref=None,
     ):
-        import numpy as np
         import ray
 
         def resolve(x):
             return ray.get(x) if isinstance(x, ray.ObjectRef) else x
 
-        self.catalog = EntityCatalog(resolve(entities_ref))
-        bow = resolve(bow_ref)
-        if bow is None:
-            bow = BOWLanguageModel.from_counts({}, 0)
-        elif isinstance(bow, dict):
-            bow = BOWLanguageModel.from_counts(bow["word_count"], bow["total_count"])
-        self.bow = bow
-        pr = resolve(pagerank_ref)
-        if pr is None:
-            pr = np.array([1.0])
-        self.graph = pagerank_from_vector(pr)
+        if state_ref is not None:
+            state = resolve(state_ref)
+        else:
+            state = build_tagger_state(
+                resolve(entities_ref),
+                resolve(bow_ref),
+                resolve(pagerank_ref),
+                top_k=top_k,
+            )
+        self.catalog = state.catalog
+        self.bow = state.bow
+        self.graph = state.graph
         self.doc_id_column = doc_id_column
         self.text_column = text_column
         self.max_length = max_length
         self.tags_limit = tags_limit
-        self.top_k = top_k
+        self.top_k = state.top_k
         self.prune = prune
         # per-actor memo caches (round-3 verdict item 4): BOW likelihood /
         # prune verdict are pure functions of the surface string, and the
         # rank-sorted candidate list is pure per trie node — surfaces and
         # nodes repeat constantly across a corpus, so caching them removes
-        # the per-match re-tokenization that dominated the profile. Keyed
-        # by surface text / id(trie node list); both live for the actor's
-        # lifetime, so ids are stable.
+        # the per-match re-tokenization that dominated the profile. These
+        # are MUTABLE and therefore per-stage, never on the shared state.
         self._surface_cache: dict = {}
-        self._node_cache: dict = {}
         # round-5 verdict item 3: int-code Aho-Corasick matcher. Tokens are
         # dict-encoded once per doc (raw-token -> code memo: -2 normalizes
         # to empty / -1 out-of-vocab / >=0 vocab code), the walk is
         # amortized O(tokens), and NO_SUB + cap + tag fan-out run as numpy
         # over the whole batch's matches. Per-state tag tables (rank-sorted,
-        # top-k applied) are flattened ONCE here so emission is pure fancy
-        # indexing, not per-row Python appends.
-        self._matcher = self.catalog.trie.compiled()
+        # top-k applied) are flattened once per JOB so emission is pure
+        # fancy indexing, not per-row Python appends.
+        self._matcher = state.matcher
         self._token_code_cache: dict = {}
-        mat = self._matcher
-        n_tags = np.zeros(mat.n_states, dtype=np.int64)
-        qid_f: list = []
-        label_f: list = []
-        rank_f: list = []
-        nbst_f: list = []
-        nbsi_f: list = []
-        edges_f: list = []
-        for t in range(mat.n_states):
-            ids = mat.out_ids[t]
-            if not ids:
-                continue
-            tags = self._node_tags(ids)
-            n_tags[t] = len(tags)
-            for qid, label, rank, nb_st, nb_si, edges in tags:
-                qid_f.append(qid)
-                label_f.append(label)
-                rank_f.append(rank)
-                nbst_f.append(nb_st)
-                nbsi_f.append(nb_si)
-                edges_f.append(edges)
-        self._node_off = np.concatenate(
-            ([0], np.cumsum(n_tags))
-        ).astype(np.int64)
-        self._node_ntags = n_tags
-        self._tag_qid = np.array(qid_f, dtype=object)
-        self._tag_label = np.array(label_f, dtype=object)
-        self._tag_rank = np.array(rank_f, dtype=np.float64)
-        self._tag_nbst = np.array(nbst_f, dtype=np.int32)
-        self._tag_nbsi = np.array(nbsi_f, dtype=np.int32)
-        edges_obj = np.empty(len(edges_f), dtype=object)
-        for i, e in enumerate(edges_f):
-            edges_obj[i] = e
-        self._tag_edges = edges_obj
+        self._node_off = state.node_off
+        self._node_ntags = state.node_ntags
+        self._tag_qid = state.tag_qid
+        self._tag_label = state.tag_label
+        self._tag_rank = state.tag_rank
+        self._tag_nbst = state.tag_nbst
+        self._tag_nbsi = state.tag_nbsi
+        self._tag_edges = state.tag_edges
 
     def _surface_info(self, surface: str):
         hit = self._surface_cache.get(surface)
@@ -218,34 +289,6 @@ class TaggerStage:
             else:
                 hit = (False, -self.bow.log_likelihood(surface))
             self._surface_cache[surface] = hit
-        return hit
-
-    def _node_tags(self, ids: list):
-        key = id(ids)
-        hit = self._node_cache.get(key)
-        if hit is None:
-            tags = []
-            for eid in ids:
-                rec = self.catalog.docs[eid]
-                numeric = (
-                    int(eid[1:])
-                    if eid[:1] in ("Q", "R") and eid[1:].isdigit()
-                    else -1
-                )
-                tags.append((rec, self.graph.rank_feature(numeric)))
-            tags.sort(key=lambda t: -t[1])
-            hit = tuple(
-                (
-                    rec["id"],
-                    rec["label"],
-                    rank,
-                    int(rec["nb_statements"] or 0),
-                    int(rec["nb_sitelinks"] or 0),
-                    [int(e) for e in (rec["edges"] or [])],
-                )
-                for rec, rank in tags[: self.top_k]
-            )
-            self._node_cache[key] = hit
         return hit
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -159,3 +159,32 @@ def test_tagger_stage_map_batches(ray_session, vanuatu_setup):
     assert {r["qid"] for r in by_doc["a"]} == {"Q686"}
     assert {r["qid"] for r in by_doc["b"]} == {"Q686", "Q34"}
     assert "c" not in by_doc
+
+
+def test_actors_mode_shared_state_matches_tasks_mode(ray_session, vanuatu_setup):
+    """`mode='actors'` adopts the job-wide prebuilt TaggerSharedState; its
+    output must equal the per-batch tasks-mode build row for row."""
+    import ray
+    import ray.data
+
+    from opentapioca_ray.pipelines.annotate import tag_documents
+
+    ents, _, bow, graph = vanuatu_setup
+    docs = [
+        {"doc_id": "a", "text": "I live in Vanuatu"},
+        {"doc_id": "b", "text": "Sweden and the Republic of Vanuatu"},
+        {"doc_id": "c", "text": "nothing to see"},
+    ]
+    bow_counts = {"word_count": bow.word_count, "total_count": bow.total_count}
+
+    def rows(mode):
+        ds = ray.data.from_items(docs)
+        out = tag_documents(
+            ds, ents, bow_counts, graph.pagerank, mode=mode, concurrency=2
+        ).take_all()
+        return sorted(
+            (r["doc_id"], r["start"], r["end"], r["qid"], round(r["rank"], 9))
+            for r in out
+        )
+
+    assert rows("actors") == rows("tasks")
