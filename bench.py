@@ -318,7 +318,7 @@ def run_queries(sf_dir: str) -> dict:
     return out
 
 
-def run_queries_repeated(sf_dir: str, reps: int) -> dict:
+def run_queries_repeated(sf_dir: str, reps: int, on_pass=None) -> dict:
     """Variance-controlled tail timing (round-5 verdict item 1): run the
     whole query sweep `reps` full passes apart (pass-wise, so the two
     samples of one query are separated in time and see independent
@@ -326,8 +326,17 @@ def run_queries_repeated(sf_dir: str, reps: int) -> dict:
     speed — steal only ever slows a run), MEDIAN (the typical run), and a
     machine-readable spread so a later reader can separate box noise from
     a real regression: a query whose min is stable but whose spread is
-    2x was noisy, not slow."""
-    passes = [run_queries(sf_dir) for _ in range(max(1, reps))]
+    2x was noisy, not slow.
+
+    `on_pass(pass_index, pass_times)` fires after each completed pass so
+    the caller can emit a parseable interim record — if an external
+    timeout kills the run mid-pass, the last stdout line still carries a
+    full single-pass result instead of nothing."""
+    passes = []
+    for i in range(max(1, reps)):
+        passes.append(run_queries(sf_dir))
+        if on_pass is not None:
+            on_pass(i, passes[-1])
     qmin = {}
     qmed = {}
     spread = {}
@@ -454,7 +463,30 @@ def main() -> None:
     head = min(heads, key=lambda h: h["headline_sec"])
     head_secs = sorted(round(h["headline_sec"], 3) for h in heads)
     q_reps = int(os.environ.get("GRAFT_QUERY_REPS", "2"))
-    rq = run_queries_repeated(SF_DIR, q_reps)
+
+    def interim(i, pass_times):
+        # parseable safety-net record after each pass: if an external
+        # timeout kills the remaining passes, the driver still parses a
+        # complete single-pass result from the stdout tail
+        print(
+            json.dumps(
+                {
+                    "metric": "linkage_files_per_sec",
+                    "value": round(head["files_per_sec"], 2),
+                    "unit": "files/sec",
+                    "headline_sec": round(head["headline_sec"], 3),
+                    "headline_reps": max(1, reps),
+                    "headline_secs": head_secs,
+                    "queries": pass_times,
+                    "partial_pass": i + 1,
+                    "sf": SF_DIR,
+                    "num_cpus": NUM_CPUS,
+                }
+            ),
+            flush=True,
+        )
+
+    rq = run_queries_repeated(SF_DIR, q_reps, on_pass=interim)
     queries = rq["min"]
     out = {
         "metric": "linkage_files_per_sec",
