@@ -2056,10 +2056,7 @@ def _q_transitivity_audit(sf_dir: str):
     import pandas as pd
     import pyarrow as pa
 
-    from opentapioca_ray.stages.exchange import (
-        coarse_group_apply,
-        coarse_groupby_agg,
-    )
+    from opentapioca_ray.stages.exchange import coarse_group_apply
     from opentapioca_ray.stages.setjoin import prefix_filter_pairs
 
     # all gram-sharing pairs with exact scores (threshold 0 degenerates
@@ -2111,14 +2108,13 @@ def _q_transitivity_audit(sf_dir: str):
             .reset_index(name="n_wedges")
         )
 
-    wedges = coarse_groupby_agg(
-        coarse_group_apply(
-            edges.map_batches(both_dirs, batch_format="pyarrow"),
-            "pivot",
-            wedge_pairs,
-        ),
-        ["u", "w"],
-        {"n_wedges": ("n_wedges", "sum")},
+    # wedge PARTIALS only (per pivot-partition, combined inside
+    # wedge_pairs); the global (u, w) merge rides the SAME u-keyed
+    # exchange the classifier needs anyway - one exchange, not two
+    wedges = coarse_group_apply(
+        edges.map_batches(both_dirs, batch_format="pyarrow"),
+        "pivot",
+        wedge_pairs,
     )
 
     # classify closing pairs against the all-pairs score table: one keyed
@@ -2184,10 +2180,17 @@ def _q_transitivity_audit(sf_dir: str):
         sc = df[df["__is_wedge"] == 0]
         if wdg.empty:
             return empty
-        key_w = (
+        # merge the wedge partials here (same-u rows are all local): one
+        # vectorized unique+bincount replaces the former dedicated
+        # (u, w) aggregation exchange
+        key_raw = (
             wdg["u"].to_numpy(np.int64) * np.int64(1 << 32)
             + wdg["w"].to_numpy(np.int64)
         )
+        key_w, inv = np.unique(key_raw, return_inverse=True)
+        nw = np.bincount(
+            inv, weights=wdg["n_wedges"].to_numpy(np.int64)
+        ).astype(np.int64)
         key_s = (
             sc["u"].to_numpy(np.int64) * np.int64(1 << 32)
             + sc["w"].to_numpy(np.int64)
@@ -2197,10 +2200,9 @@ def _q_transitivity_audit(sf_dir: str):
         closed = j >= 500_000
         viol = (j >= 0) & (j < 500_000)
         unc = np.isnan(j)
-        nw = wdg["n_wedges"].to_numpy(np.int64)
         return pd.DataFrame(
             {
-                "n_wedge_pairs": [len(wdg)],
+                "n_wedge_pairs": [len(key_w)],
                 "n_wedges": [int(nw.sum())],
                 "n_closed": [int(nw[closed].sum())],
                 "n_violations": [int(nw[viol].sum())],
